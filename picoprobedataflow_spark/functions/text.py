@@ -1,0 +1,121 @@
+"""Text-analysis functions for the training-data pipeline operators:
+tokenization, shingling, quality scoring, language-ID heuristics, and
+document fingerprinting. All pure ``pyspark.sql.functions`` column
+expressions (JVM-side, codegen) — no Python in the hot path — and every
+expression has a straightforward ANSI-SQL twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WHITESPACE_RE = r"\s+"
+#: "BPE-ish" token splitter: words, numbers, or single punctuation marks.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT_CLASS = r"[^.,!?;:]"
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and deterministic.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "is", "in"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une"),
+    "es": ("el", "la", "los", "y", "es", "un", "una"),
+    "zh": ("的", "是", "不", "了", "在", "人", "有"),
+}
+
+
+def words(text: Column | str) -> Column:
+    """Whitespace tokenization (empty trailing token trimmed)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), WHITESPACE_RE)
+
+
+def n_words(text: Column | str) -> Column:
+    return F.size(words(text))
+
+
+def n_tokens_bpe(text: Column | str) -> Column:
+    """Token count under the BPE-ish regex (words + digit runs + punct)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE)))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Punctuation chars / total chars (quality-score component)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return n_punct / F.greatest(F.length(c), F.lit(1))
+
+
+def mean_word_len(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    total = F.length(F.regexp_replace(c, WHITESPACE_RE, ""))
+    return total / F.greatest(n_words(c), F.lit(1))
+
+
+def stopword_hits(text: Column | str, lang: str = "en") -> Column:
+    """Count of whitespace tokens that are stopwords of ``lang``."""
+    toks = words(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    return stopword_hits(text, lang) / F.greatest(n_words(text), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality score in [0,1]: rewards moderate length and
+    stopword presence, penalizes punctuation soup. Deterministic,
+    SQL-expressible; thresholding it gives a quality filter."""
+    c = F.col(text) if isinstance(text, str) else text
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    sw_score = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
+    punct_pen = F.least(punct_ratio(c) * 4.0, F.lit(1.0))
+    return F.round(0.5 * len_score + 0.5 * sw_score - 0.25 * punct_pen, 6)
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles (n-grams over the whitespace tokens) — the input
+    to Jaccard / MinHash dedup. Built with ``transform`` over token
+    indices: JVM-side, no explode needed until the caller wants rows."""
+    toks = words(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)])),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def char_ngrams(text: Column | str, k: int = 4) -> Column:
+    """Character k-grams (language-ID features)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.transform(idx, lambda i: F.substr(c, i, F.lit(k)))
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Whole-document fingerprint (exact-dedup key)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c.cast("binary"))
+
+
+def fingerprint_rolling(text: Column | str, window: int = 64) -> Column:
+    """Cheap rolling-style fingerprint: md5 of head window + md5 of tail
+    window + length — catches append-only edits that a full-text hash
+    misses while staying O(1) per doc. (Reference analog: checksum-based
+    transfer skip, sync_level=checksum.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    head = F.md5(F.substring(c, 1, window).cast("binary"))
+    tail = F.md5(F.substring(F.reverse(c), 1, window).cast("binary"))
+    return F.concat_ws(":", head, tail, F.length(c).cast("string"))
+
+
+def langid_scores(text: Column | str) -> dict[str, Column]:
+    """Stopword-hit score per language (language-ID heuristic)."""
+    return {lang: stopword_hits(text, lang) for lang in STOPWORDS}

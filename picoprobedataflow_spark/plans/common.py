@@ -1,0 +1,68 @@
+"""Shared helpers for catalog queries.
+
+Every query fn calls :func:`prep` on the session it was handed (the
+driver owns the session) so runtime SQL confs critical for oracle
+parity are in force:
+
+- ``session.timeZone=UTC`` — DuckDB timestamps are UTC-naive.
+- ``legacy.parquet.nanosAsLong=true`` — the ``events`` table stores
+  TIMESTAMP(NANOS) which Spark's vectorized reader rejects; reading it
+  as int64 epoch-nanos matches the reference's transitions-log
+  semantics anyway (epoch-ns ints, performance.ipynb cell 8) and all
+  time math is done as ``ns/1e9`` double seconds on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from picoprobedataflow_spark.io.tables import load_table
+
+_RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    for k, v in _RUNTIME_CONFS.items():
+        spark.conf.set(k, v)
+    return spark
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    prep(spark)
+    return load_table(spark, sf_dir, name)
+
+
+def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with ``ts`` as exact int64 epoch-microseconds.
+
+    Spark reads the TIMESTAMP(NANOS) column as int64 ns
+    (``nanosAsLong``); DuckDB 1.x downcasts the same column to
+    microseconds by truncation. ``ts div 1000`` (integer division — a
+    double division would lose precision at 1.7e18) reproduces the
+    truncation exactly, so both engines then run identical int64
+    arithmetic: the oracle twin of any ``ts`` math here is
+    ``epoch_us(ts)``."""
+    return (tbl(spark, sf_dir, "events")
+            .withColumn("ts", F.expr("ts div 1000")))
+
+
+def cents(col="value") -> F.Column:
+    """2-decimal double → exact integer hundredths (``655`` for
+    ``6.55``). Oracle twin: ``CAST(round(value * 100) AS BIGINT)``.
+    Sums/means over the exact integers are bit-identical across
+    engines; divide by 100.0 at the end to get back to units."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100, 0).cast("long")
+
+
+#: Oracle-side twin of :func:`cents`.
+CENTS_SQL = "CAST(round(value * 100) AS BIGINT)"
+
+#: The five event types in the synthetic events table, pinned so pivots
+#: have a deterministic column set (and no discovery pass).
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
