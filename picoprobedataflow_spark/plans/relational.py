@@ -1,1 +1,440 @@
-"""Populated in subsequent commits."""
+"""Relational operator coverage — SURVEY.md §2.2-2.7 (projection/
+filter, the J1-J5 join family, aggregation, rollup/cube, window
+running sums, top-k per group, sorts/limits, set operations) exercised
+over the TPC-H-ish star schema.
+
+The reference has no relational join engine (correlation is dict
+lookups, SURVEY §2.3); these queries are the Spark-native surface a
+user of the reference's telemetry warehouse gets for free, expressed
+so Catalyst broadcast-joins the dimension tables and keeps every
+aggregate in exact int64 "cents" (money) / "basis-point products"
+(revenue), making results bit-identical to the ANSI oracle.
+
+Scale notes: fact-side joins key on orderkey/custkey (high
+cardinality, no skew); all dims are under the broadcast threshold at
+any SF, so the only shuffles are the final groupBys. Revenue in
+cents×bp fits int64 comfortably at 100 TB per-partition partial sums
+(per-row max ~7e8; 2^63 ≈ 9.2e18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from picoprobedataflow_spark.plans.catalog import query
+from picoprobedataflow_spark.plans.common import tbl
+
+
+def _c(col: str) -> F.Column:
+    """Money column → exact integer cents (oracle twin:
+    ``CAST(round(x * 100) AS BIGINT)``)."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def _csql(col: str) -> str:
+    return f"CAST(round({col} * 100) AS BIGINT)"
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary (A1-A5, P-filters, F12)
+# --------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)      AS sum_qty,
+       sum({_csql('l_extendedprice')}) / 100.0                     AS sum_base_price,
+       sum({_csql('l_extendedprice')}
+           * (100 - {_csql('l_discount')})) / 1e4                  AS sum_disc_price,
+       sum({_csql('l_extendedprice')}
+           * (100 - {_csql('l_discount')})
+           * (100 + {_csql('l_tax')})) / 1e6                       AS sum_charge,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+           / count(*)                                              AS avg_qty,
+       CAST(sum({_csql('l_extendedprice')}) AS DOUBLE)
+           / (100.0 * count(*))                                    AS avg_price,
+       CAST(sum({_csql('l_discount')}) AS DOUBLE)
+           / (100.0 * count(*))                                    AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("A1", "A2", "A5", "P1", "tpch-q1"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the canonical scan→filter→agg. The shipdate
+    predicate pushes into the parquet scan (PushedFilters) and the
+    8 aggregates ride one hash aggregate with map-side combine. All
+    money math in exact integer cents/bp so no float drift."""
+    li = tbl(spark, sf_dir, "lineitem")
+    ep, dc, tx = _c("l_extendedprice"), _c("l_discount"), _c("l_tax")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(F.sum(qty).alias("sum_qty"),
+               (F.sum(ep) / 100.0).alias("sum_base_price"),
+               (F.sum(ep * (100 - dc)) / 1e4).alias("sum_disc_price"),
+               (F.sum(ep * (100 - dc) * (100 + tx)) / 1e6).alias("sum_charge"),
+               (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+               (F.sum(ep).cast("double") / (100.0 * F.count("*"))).alias("avg_price"),
+               (F.sum(dc).cast("double") / (100.0 * F.count("*"))).alias("avg_disc"),
+               F.count("*").alias("count_order"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-join star queries (J1/J3 broadcast; TPC-H Q3/Q5 shapes)
+# --------------------------------------------------------------------------
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       sum({_csql('l_extendedprice')} * (100 - {_csql('l_discount')})) / 1e4
+           AS revenue,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '2000-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY sum({_csql('l_extendedprice')} * (100 - {_csql('l_discount')})) DESC,
+         l_orderkey
+LIMIT 10
+""",
+    tags=("J1", "O2", "tpch-q3"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → top-10 by
+    revenue. customer(BUILDING) broadcasts; lineitem⋈orders is the one
+    real shuffle; ordered limit compiles to TakeOrderedAndProject.
+    Deterministic tie-break on exact integer revenue then orderkey."""
+    cu = tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    od = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-03-15 00:00:00").cast("timestamp"))
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-03-15 00:00:00").cast("timestamp"))
+    rev = F.sum(_c("l_extendedprice") * (100 - _c("l_discount")))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+          .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(rev.alias("_rev_bp"))
+          .orderBy(F.desc("_rev_bp"), "l_orderkey")
+          .limit(10)
+          .select("l_orderkey",
+                  (F.col("_rev_bp") / 1e4).alias("revenue"),
+                  F.to_date("o_orderdate").alias("o_orderdate"),
+                  "o_orderpriority")
+    )
+
+
+@query(
+    "q5_region_nation_revenue",
+    oracle=f"""
+SELECT n_name,
+       sum({_csql('l_extendedprice')} * (100 - {_csql('l_discount')})) / 1e4
+           AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+    tags=("J1", "J3", "tpch-q5"),
+)
+def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join. region/nation/supplier/
+    customer all broadcast (SMALL_DIMS); the plan keeps lineitem as
+    the streamed side throughout, so there is exactly one shuffle —
+    the final groupBy on n_name (25 groups, trivially small)."""
+    rg = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    na = tbl(spark, sf_dir, "nation")
+    cu = tbl(spark, sf_dir, "customer")
+    su = tbl(spark, sf_dir, "supplier")
+    od = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    li = tbl(spark, sf_dir, "lineitem")
+    rev = F.sum(_c("l_extendedprice") * (100 - _c("l_discount")))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+          .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+          .join(F.broadcast(su),
+                (li.l_suppkey == su.s_suppkey)
+                & (su.s_nationkey == cu.c_nationkey))
+          .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+          .join(F.broadcast(rg), na.n_regionkey == rg.r_regionkey)
+          .groupBy("n_name")
+          .agg((rev / 1e4).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti / semi joins (J5 seen-set dedup semantics)
+# --------------------------------------------------------------------------
+
+@query(
+    "customers_inactive_since_2000",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+ANTI JOIN (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+) recent ON c_custkey = recent.o_custkey
+""",
+    tags=("J5", "U2", "anti-join"),
+)
+def customers_inactive_since_2000(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the relational form of the reference's
+    checkpoint seen-set skip (``event in self.seen_events``,
+    picoprobe/utils.py:126-131): keep keys NOT in the processed set.
+    At scale the anti side builds a broadcast/hash set; no row
+    explosion."""
+    cu = tbl(spark, sf_dir, "customer")
+    recent = (tbl(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate")
+                      >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+              .select("o_custkey"))
+    return (cu.join(recent, cu.c_custkey == recent.o_custkey, "left_anti")
+              .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+@query(
+    "segments_with_open_orders",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+SEMI JOIN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') f
+  ON c_custkey = f.o_custkey
+GROUP BY c_mktsegment
+""",
+    tags=("J5", "semi-join"),
+)
+def segments_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers having at least one 'F'
+    order, counted per segment — membership predicate P7 as a
+    distributed semi join instead of an in-memory set."""
+    cu = tbl(spark, sf_dir, "customer")
+    f_orders = (tbl(spark, sf_dir, "orders")
+                .filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    return (cu.join(f_orders, cu.c_custkey == f_orders.o_custkey, "left_semi")
+              .groupBy("c_mktsegment").agg(F.count("*").alias("n_customers")))
+
+
+@query(
+    "brand_quantity_broadcast",
+    oracle=f"""
+SELECT p_brand,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum({_csql('l_extendedprice')}) AS DOUBLE)
+           / (100.0 * count(*))                               AS avg_price,
+       count(*)                                               AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+    tags=("J3", "broadcast-join"),
+)
+def brand_quantity_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim classification join — step⋈step-type (J3,
+    flow_analyzer.py:207-210) generalized: part broadcasts, lineitem
+    never shuffles until the 25-group aggregate."""
+    li = tbl(spark, sf_dir, "lineitem")
+    pt = tbl(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+          .groupBy("p_brand")
+          .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("sum_qty"),
+               (F.sum(_c("l_extendedprice")).cast("double")
+                / (100.0 * F.count("*"))).alias("avg_price"),
+               F.count("*").alias("n_items"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Rollup / cube / pivot-free multi-level aggregates
+# --------------------------------------------------------------------------
+
+@query(
+    "lineitem_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    tags=("rollup",),
+)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP — subtotal + grand-total rows in
+    one pass (Catalyst expands to grouping sets; single shuffle)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("sum_qty"),
+                   F.count("*").alias("n")))
+
+
+@query(
+    "orders_cube",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n,
+       sum({_csql('o_totalprice')}) / 100.0 AS sum_total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("cube",),
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over status×priority."""
+    od = tbl(spark, sf_dir, "orders")
+    return (od.cube("o_orderstatus", "o_orderpriority")
+              .agg(F.count("*").alias("n"),
+                   (F.sum(_c("o_totalprice")) / 100.0).alias("sum_total")))
+
+
+# --------------------------------------------------------------------------
+# Window: running totals, top-k per group
+# --------------------------------------------------------------------------
+
+@query(
+    "supplier_running_revenue",
+    oracle=f"""
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       sum({_csql('l_extendedprice')}) OVER
+         (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS UNBOUNDED PRECEDING) / 100.0 AS running_revenue
+FROM lineitem WHERE l_suppkey < 10
+""",
+    tags=("W5", "running-sum"),
+)
+def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier cumulative revenue — frame-spec window (rowsBetween)
+    over a total order; integer-cents accumulation keeps the running
+    values exact at any prefix length."""
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 10)
+    w = (W.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return li.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        (F.sum(_c("l_extendedprice")).over(w) / 100.0).alias("running_revenue"))
+
+
+@query(
+    "top3_orders_per_priority",
+    oracle=f"""
+SELECT o_orderpriority, o_orderkey,
+       {_csql('o_totalprice')} / 100.0 AS o_totalprice,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY {_csql('o_totalprice')} DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+    tags=("W4", "top-k"),
+)
+def top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — rank on exact cents with orderkey tie-break
+    (nondeterministic ranking is the classic cross-engine trap)."""
+    od = tbl(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc(_c("o_totalprice")), "o_orderkey")
+    return (od.withColumn("rk", F.row_number().over(w).cast("long"))
+              .filter(F.col("rk") <= 3)
+              .select("o_orderpriority", "o_orderkey",
+                      (_c("o_totalprice") / 100.0).alias("o_totalprice"), "rk"))
+
+
+# --------------------------------------------------------------------------
+# Set operations (U1-U3)
+# --------------------------------------------------------------------------
+
+@query(
+    "union_vip_customers",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+UNION
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 0
+""",
+    tags=("U1", "U2"),
+)
+def union_vip_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two filtered branches — pd.concat + dedup
+    (flow_analyzer.py:224-226) relationally."""
+    cu = tbl(spark, sf_dir, "customer")
+    a = cu.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    b = cu.filter((F.col("c_mktsegment") == "BUILDING")
+                  & (F.col("c_acctbal") < 0)).select("c_custkey")
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "custkeys_with_both_statuses",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    tags=("set-intersect",),
+)
+def custkeys_with_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of key sets (distinct semantics)."""
+    od = tbl(spark, sf_dir, "orders")
+    o = od.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = od.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.intersect(f)
+
+
+@query(
+    "custkeys_never_pending",
+    oracle="""
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+""",
+    tags=("set-except",),
+)
+def custkeys_never_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — the complement of the seen-set."""
+    od = tbl(spark, sf_dir, "orders")
+    allk = od.select("o_custkey")
+    pend = od.filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return allk.subtract(pend)
+
+
+@query(
+    "orders_per_month",
+    oracle=f"""
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       count(*) AS n_orders,
+       sum({_csql('o_totalprice')}) / 100.0 AS sum_total
+FROM orders GROUP BY 1
+""",
+    tags=("F5", "date-funcs"),
+)
+def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing via date_format — the engine-side analog of
+    the reference's strftime dir-stamps (main.py:59). String keys so
+    both engines group on identical values."""
+    od = tbl(spark, sf_dir, "orders")
+    return (od.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+              .agg(F.count("*").alias("n_orders"),
+                   (F.sum(_c("o_totalprice")) / 100.0).alias("sum_total")))
