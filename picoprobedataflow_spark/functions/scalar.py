@@ -31,15 +31,20 @@ def strip_tz_suffix(col: Column | str) -> Column:
 
 def epoch_seconds(ts: Column | str) -> Column:
     """F2 — timestamp → float epoch seconds
-    ((to_datetime - 1970-01-01)/1s, flow_analyzer.py:199-204)."""
+    ((to_datetime - 1970-01-01)/1s, flow_analyzer.py:199-204).
+
+    Goes through ``timestamp`` first because parquet TIMESTAMP_NTZ
+    (what Spark 4 infers for non-UTC-adjusted columns) cannot cast to
+    double directly; with the session pinned to UTC the NTZ wall time
+    becomes the same instant DuckDB's naive ``epoch()`` sees."""
     c = F.col(ts) if isinstance(ts, str) else ts
-    return c.cast("double")
+    return c.cast("timestamp").cast("double")
 
 
 def duration_seconds(start: Column, end: Column) -> Column:
     """F3 — ``(completion - request).total_seconds()``
     (flow_analyzer.py:251,260)."""
-    return end.cast("double") - start.cast("double")
+    return epoch_seconds(end) - epoch_seconds(start)
 
 
 def epoch_ns_to_seconds(ns: Column | str) -> Column:
