@@ -39,7 +39,7 @@ def n_words(text: Column | str) -> Column:
 def n_tokens_bpe(text: Column | str) -> Column:
     """Token count under the BPE-ish regex (words + digit runs + punct)."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE)))
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_TOKEN_RE), 0))
 
 
 def punct_ratio(text: Column | str) -> Column:

@@ -1,0 +1,228 @@
+"""Deduplication operators for large-scale text corpora: exact
+(hash-groupBy), n-gram Jaccard (shingle join), MinHash + LSH banding,
+and SimHash with byte-chunk candidate generation.
+
+Everything is expressed as DataFrame compositions over JVM built-ins —
+no Python UDFs — so the operators shuffle only where semantically
+required and survive Catalyst optimization:
+
+- exact dedup: one hash aggregate on the fingerprint.
+- Jaccard: shingle-equality self-join (index join, not O(n²) cross
+  product); ``max_df`` drops stop-shingles, which is what bounds the
+  join fan-out at corpus scale.
+- MinHash: one explode × num_hashes map-side, one (doc, salt) shuffle.
+- LSH banding: signature concat per band, equality join on
+  (band, band_signature) — candidate pairs only, never all pairs.
+- SimHash: per-bit conditional sums, candidates via the pigeonhole
+  byte-chunk trick (hamming ≤ 3×(chunks-1) guaranteed recall 1 for
+  ham ≤ chunks-1 … standard Manku et al. WWW'07 construction).
+
+Hashes are the portable md5-based 64-bit hash
+(:func:`..functions.scalar.portable_hash64`) so the DuckDB oracle can
+reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from picoprobedataflow_spark.functions.scalar import portable_hash64
+from picoprobedataflow_spark.functions.text import fingerprint_md5, shingles, words
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_docs, canonical_id): one row per distinct text.
+    ``canonical_id`` = min id, the survivor under keep-first policy."""
+    return (docs.groupBy(fingerprint_md5(text_col).alias("fingerprint"))
+                .agg(F.count("*").alias("n_docs"),
+                     F.min(id_col).alias("canonical_id")))
+
+
+def exact_dup_mapping(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canonical_id) for every non-survivor duplicate."""
+    groups = exact_dedup_groups(docs, text_col, id_col)
+    withfp = docs.select(F.col(id_col),
+                         fingerprint_md5(text_col).alias("fingerprint"))
+    return (withfp.join(groups.filter(F.col("n_docs") > 1), "fingerprint")
+                  .filter(F.col(id_col) != F.col("canonical_id"))
+                  .select(id_col, "canonical_id"))
+
+
+# --------------------------------------------------------------------------
+# Shingles & n-gram Jaccard
+# --------------------------------------------------------------------------
+
+def shingle_table(docs: DataFrame, k: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Distinct k-word shingles, long form: (doc_id, shingle)."""
+    return (docs.select(F.col(id_col),
+                        F.explode(shingles(text_col, k)).alias("shingle"))
+                .distinct())
+
+
+def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_df: int | None = None) -> DataFrame:
+    """Pairs with shingle-set Jaccard ≥ threshold.
+
+    |A∩B| comes from the shingle-equality self-join; |A∪B| =
+    |A|+|B|−|A∩B|. ``max_df`` (document frequency cap) drops
+    stop-shingles before the join — at corpus scale this is the knob
+    that keeps the join linear-ish; exact mode (None) is for oracles.
+    """
+    sh = shingle_table(docs, k, text_col, id_col)
+    if max_df is not None:
+        keep = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+                  .filter(F.col("df") <= max_df).select("shingle"))
+        sh = sh.join(keep, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+               .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                        F.col(f"b.{id_col}").alias("doc_b"))
+               .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"),
+                      F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("n_shingles").alias("n_b"))
+    jac = (F.col("n_common")
+           / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+    return (common.join(sa, "doc_a").join(sb, "doc_b")
+                  .withColumn("jaccard", jac)
+                  .filter(F.col("jaccard") >= threshold)
+                  .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Long-form signatures: (doc_id, salt, minhash) — min over the
+    doc's shingles of the salted portable hash. One explode, one
+    shuffle on (doc_id, salt)."""
+    sh = shingle_table(docs, k, text_col, id_col)
+    salts = sh.sparkSession.range(num_hashes).select(
+        F.col("id").alias("salt"))
+    hashed = (sh.crossJoin(F.broadcast(salts))
+                .select(F.col(id_col), "salt",
+                        portable_hash64_salted(F.col("shingle"),
+                                               F.col("salt")).alias("h")))
+    return (hashed.groupBy(id_col, "salt")
+                  .agg(F.min("h").alias("minhash")))
+
+
+def portable_hash64_salted(col: F.Column, salt: F.Column) -> F.Column:
+    """portable_hash64 with a runtime (column) salt:
+    md5(CAST(salt AS VARCHAR) || value) first 8 hex chars → long."""
+    salted = F.concat(salt.cast("string"), col)
+    return F.conv(F.substring(F.md5(salted.cast("binary")), 1, 8), 16, 10) \
+            .cast("long")
+
+
+def lsh_candidate_pairs(sigs: DataFrame, band_size: int = 4,
+                        id_col: str = "doc_id") -> DataFrame:
+    """LSH banding: docs agreeing on all rows of ≥1 band become
+    candidates. Band signature = md5 of the ordered sig concat, so the
+    join key is a single string."""
+    banded = sigs.withColumn("band", F.expr(f"salt div {band_size}"))
+    # Band signature: md5 of the minhashes concatenated in salt order —
+    # oracle twin: md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY salt)).
+    ordered = F.array_sort(F.collect_list(F.struct("salt", "minhash")))
+    band_sig = (banded.groupBy(id_col, "band")
+                .agg(F.md5(F.concat_ws(",", F.transform(
+                    ordered, lambda s: s.minhash.cast("string")))
+                    .cast("binary")).alias("band_sig")))
+    a, b = band_sig.alias("a"), band_sig.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_sig") == F.col("b.band_sig"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"))
+             .distinct())
+
+
+def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame,
+                             num_hashes: int = 16,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing signature positions."""
+    sa = sigs.select(F.col(id_col).alias("doc_a"), "salt",
+                     F.col("minhash").alias("mh_a"))
+    sb = sigs.select(F.col(id_col).alias("doc_b"), "salt",
+                     F.col("minhash").alias("mh_b"))
+    joined = pairs.join(sa, "doc_a").join(sb, ["doc_b", "salt"])
+    return (joined.groupBy("doc_a", "doc_b")
+                  .agg((F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1)
+                              .otherwise(0))
+                        / F.lit(float(num_hashes))).alias("est_jaccard")))
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_signatures(docs: DataFrame, bits: int = 32,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash: per token (with multiplicity), hash once; bit b
+    of the signature is the sign of Σ ±1 over tokens. One explode, one
+    hash aggregate with ``bits`` conditional sums."""
+    toks = docs.select(F.col(id_col),
+                       F.explode(words(text_col)).alias("tok"))
+    h = portable_hash64(F.col("tok"))
+    bit_votes = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = toks.groupBy(id_col).agg(*bit_votes)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0,
+                      F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        sig = term if sig is None else sig + term
+    return voted.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 6,
+                       n_chunks: int = 4, bits: int = 32,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Near-dup candidates: explode the signature into ``n_chunks``
+    byte chunks, equi-join on any agreeing chunk (pigeonhole: full
+    recall for hamming < n_chunks), verify bit_count(xor) ≤ max_hamming.
+    Note max_hamming above n_chunks-1 trades recall for speed — the
+    standard Manku-style compromise."""
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunks = sigs.select(
+        F.col(id_col), "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     F.shiftright(F.col("simhash"), j * chunk_bits)
+                      .bitwiseAND(F.lit(mask)).alias("chunk"))
+            for j in range(n_chunks)])).alias("c")
+    ).select(F.col(id_col), "simhash", F.col("c.j").alias("j"),
+             F.col("c.chunk").alias("chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (a.join(b, (F.col("a.j") == F.col("b.j"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"),
+                     F.col("a.simhash").alias("sig_a"),
+                     F.col("b.simhash").alias("sig_b"))
+             .distinct())
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.withColumn("hamming", ham.cast("long"))
+                .filter(F.col("hamming") <= max_hamming)
+                .select("doc_a", "doc_b", "hamming"))

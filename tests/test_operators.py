@@ -1,0 +1,128 @@
+"""Behavioral tests for the dedup/similarity operators on crafted
+fixtures with known ground truth (the testdata corpus has no exact
+duplicates at small SF), plus equivalence checks between alternative
+formulations (SURVEY J4: self-join vs pivot)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from picoprobedataflow_spark.operators import dedup as DD
+from picoprobedataflow_spark.operators import similarity as SIM
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_exact_dup_mapping(spark):
+    docs = _docs(spark, ["a b c", "d e f", "a b c", "a b c", "g h"])
+    mapping = {r.doc_id: r.canonical_id
+               for r in DD.exact_dup_mapping(docs).collect()}
+    assert mapping == {2: 0, 3: 0}
+
+
+def test_jaccard_identical_and_disjoint(spark):
+    docs = _docs(spark, [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",   # identical
+        "completely different words here entirely now",  # disjoint
+    ])
+    rows = DD.jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b, r.jaccard) == (0, 1, 1.0)
+
+
+def test_jaccard_partial_overlap_value(spark):
+    # doc0: tokens a b c d -> shingles {abc, bcd}; doc1: a b c e -> {abc, bce}
+    docs = _docs(spark, ["a b c d", "a b c e"])
+    r = DD.jaccard_pairs(docs, k=3, threshold=0.1).collect()[0]
+    assert r.n_common == 1 and r.n_a == 2 and r.n_b == 2
+    assert abs(r.jaccard - 1 / 3) < 1e-12
+
+
+def test_minhash_estimates_track_jaccard(spark):
+    t0 = " ".join(f"w{i}" for i in range(60))
+    t1 = " ".join(f"w{i}" for i in range(55)) + " x1 x2 x3 x4 x5"
+    t2 = " ".join(f"z{i}" for i in range(60))
+    docs = _docs(spark, [t0, t1, t2])
+    sigs = DD.minhash_signatures(docs, num_hashes=16, k=3)
+    assert sigs.count() == 3 * 16
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "doc_a long, doc_b long")
+    est = {(r.doc_a, r.doc_b): r.est_jaccard
+           for r in DD.minhash_jaccard_estimate(sigs, pairs).collect()}
+    assert est[(0, 1)] > 0.5          # heavy overlap
+    assert est[(0, 2)] <= 0.2         # disjoint shingle sets
+
+
+def test_simhash_identical_zero_hamming(spark):
+    docs = _docs(spark, ["alpha beta gamma delta epsilon zeta",
+                         "alpha beta gamma delta epsilon zeta",
+                         "one two three four five six seven eight"])
+    sigs = DD.simhash_signatures(docs, bits=32)
+    vals = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert vals[0] == vals[1]
+    pairs = DD.simhash_near_pairs(sigs, max_hamming=0).collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(0, 1, 0)]
+
+
+def test_topk_cosine_hand_vectors(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    top = SIM.topk_cosine(emb, [1.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in top] == [1, 2]
+    assert top[0].cosine == 1.0
+    expected = 0.9 / math.hypot(0.9, 0.1)
+    assert abs(top[1].cosine - expected) < 1e-6
+
+
+def test_blocked_near_pairs_respects_blocks(spark):
+    emb = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.0]),
+         (3, 1, [1.0, 0.0])],  # same direction but different block
+        "vec_id long, label int, embedding array<float>")
+    pairs = SIM.blocked_near_pairs(emb, threshold=0.99).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_srp_ann_search_finds_neighbor(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(1, 40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(64)]))
+    rows.append((99, [1.0] * 64))  # near-duplicate of the query below
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = SIM.srp_ann_search(emb, [0.99] * 64, k=3, n_planes=4, dim=64)
+    got = res.collect()
+    assert got, "query bucket unexpectedly empty"
+    assert got[0].vec_id == 99 and got[0].cosine > 0.999
+
+
+def test_funnel_pivot_equals_selfjoin(spark):
+    """SURVEY J4: the event-pair delta computed via conditional-agg
+    pivot must equal the self-join formulation."""
+    from picoprobedataflow_spark.plans.common import events_us
+
+    ev = events_us(spark, "/root/testdata/sf0.001")
+    pivot = (ev.groupBy("user_id")
+               .agg((F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+                     - F.min(F.when(F.col("event_type") == "signup", F.col("ts"))))
+                    .alias("delta"))
+               .filter(F.col("delta") > 0))
+    s = (ev.filter(F.col("event_type") == "signup")
+           .groupBy("user_id").agg(F.min("ts").alias("ts_s")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+           .groupBy("user_id").agg(F.min("ts").alias("ts_p")))
+    selfjoin = (s.join(p, "user_id")
+                 .select("user_id", (F.col("ts_p") - F.col("ts_s")).alias("delta"))
+                 .filter(F.col("delta") > 0))
+    a = sorted((r.user_id, r.delta) for r in pivot.collect())
+    b = sorted((r.user_id, r.delta) for r in selfjoin.collect())
+    assert a == b and len(a) > 0
