@@ -19,4 +19,5 @@ from picoprobedataflow_spark.plans import (  # noqa: F401,E402
     relational,
     scalar_funcs,
     pipeline,
+    scientific,
 )

@@ -1,0 +1,127 @@
+"""Scientific-kernel catalog queries — hyperspectral reductions
+(A12/A13), frame normalization (A14/F10), and windowed event rates
+(ST6) with exact DuckDB oracles.
+
+The cube/frame inputs are deterministic range-generated tables
+(:mod:`..operators.scientific`) because the parquet testdata carries no
+pixel tables; both engines generate identical rows from the same
+integer recurrences, so the reductions check the *operators*, not a
+data loader. The EMD-file path (binary → long-form) is covered by
+pytest with FAKE-EMD fixtures (tests/test_scientific_io.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from picoprobedataflow_spark.operators import scientific as SC
+from picoprobedataflow_spark.plans.catalog import query
+from picoprobedataflow_spark.plans.common import events_us, prep
+
+_CUBE_CTE = """
+cube AS (
+  SELECT CAST(i % 32 AS INT)              AS x,
+         CAST((i // 32) % 32 AS INT)      AS y,
+         CAST(i // 1024 AS INT)           AS channel,
+         ((i * 2654435761) % 100000) / 10.0 AS counts
+  FROM range(32 * 32 * 16) t(i)
+)"""
+
+_FRAMES_CTE = """
+frames AS (
+  SELECT CAST(i // 256 AS INT)        AS t,
+         CAST((i // 16) % 16 AS INT)  AS x,
+         CAST(i % 16 AS INT)          AS y,
+         ((i * 1103515245 + 12345) % 65536) / 256.0 AS intensity
+  FROM range(8 * 16 * 16) t(i)
+)"""
+
+
+@query(
+    "hyperspectral_image_reduce",
+    oracle="WITH " + _CUBE_CTE + """
+SELECT x, y, round(sum(counts), 4) AS intensity
+FROM cube GROUP BY x, y
+""",
+    tags=("A12", "scientific"),
+)
+def hyperspectral_image_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — image = Σ over the channel axis (``hs_image.sum(axis=2)``,
+    tools/hyperspectral.py:96) as a long-form groupBy."""
+    prep(spark)
+    cube = SC.synthetic_cube(spark, 32, 32, 16)
+    img = SC.spectral_image(cube, keys=())
+    return img.select("x", "y", F.round("intensity", 4).alias("intensity"))
+
+
+@query(
+    "hyperspectral_spectrum_reduce",
+    oracle="WITH " + _CUBE_CTE + """
+SELECT channel,
+       round(sum(counts), 4) AS counts,
+       (-479.0021 + 5.0 * channel) / 1000.0 AS energy_kev
+FROM cube GROUP BY channel
+""",
+    tags=("A13", "F11", "scientific"),
+)
+def hyperspectral_spectrum_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 — spectrum = Σ over spatial axes with the energy axis
+    (tools/hyperspectral.py:104,69-74)."""
+    prep(spark)
+    cube = SC.synthetic_cube(spark, 32, 32, 16)
+    sp = SC.spectrum(cube, keys=())
+    return sp.select("channel", F.round("counts", 4).alias("counts"),
+                     "energy_kev")
+
+
+@query(
+    "frames_normalize_uint8",
+    oracle="WITH " + _FRAMES_CTE + """,
+bounds AS (
+  SELECT t, min(intensity) AS lo, max(intensity) AS hi
+  FROM frames GROUP BY t
+)
+SELECT f.t,
+       CAST(floor((f.intensity - b.lo) / (b.hi - b.lo) * 255.0
+                  + 0.499999999) AS INT) AS px,
+       count(*) AS n
+FROM frames f JOIN bounds b ON f.t = b.t
+GROUP BY 1, 2
+""",
+    tags=("A14", "F10", "scientific"),
+)
+def frames_normalize_uint8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14/F10 — per-frame min/max → uint8 histogram
+    (tools/temporal.py:21-35): grouped bounds, broadcast-join back,
+    exact double expression on both engines."""
+    prep(spark)
+    frames = SC.synthetic_frames(spark, 8, 16, 16)
+    px = SC.normalize_frames(frames, keys=("t",))
+    return px.groupBy("t", "px").agg(F.count("*").alias("n"))
+
+
+@query(
+    "windowed_event_rates",
+    oracle="""
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       event_type,
+       count(*) AS n,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("ST6", "tumbling-window"),
+)
+def windowed_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 — tumbling-window event rates: the batch twin of the
+    streaming ``window()`` aggregate (streaming/watch.py). Window
+    start emitted as exact epoch-µs so both engines bucket the same
+    int64."""
+    ev = events_us(spark, sf_dir)
+    # hour bucket on exact µs: floor(ts / 3600e6) * 3600e6
+    bucket = F.expr("(ts div 3600000000) * 3600000000")
+    from picoprobedataflow_spark.plans.common import cents
+    return (ev.groupBy(bucket.alias("window_start_us"), "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.round(F.sum(cents()) / 100.0, 2).alias("sum_value")))

@@ -1,0 +1,92 @@
+"""Streaming ingest — the reference's Watcher→CheckPoint→flow-launch
+loop (EP1) as Structured Streaming.
+
+Mapping (SURVEY §2.9):
+
+- ST1 trigger cadence: the 1 s poll loop (``picoprobe/utils.py:97-99``)
+  → ``trigger(processingTime=...)`` / ``availableNow`` for drains;
+  ``maxFilesPerTrigger`` is the simulator's arrival pacing.
+- ST2 exactly-once per file: ``CheckPoint.seen`` + append-only seen
+  file (``utils.py:109-131``) → the file source's checkpointed offset
+  log; restart-safe with no custom state.
+- ST3 stateless per-file fan-out: each file independently processed in
+  ``foreachBatch`` (the analysis DAG of EP2 runs inside the batch).
+- ST4 duplicate suppression: unbounded ``dropDuplicates`` on path ≙
+  the reference's unbounded seen-set; the scalable variant adds a
+  watermark (``dropDuplicatesWithinWatermark``).
+- ST6 event-time analytics: tumbling-window rates over the event
+  stream via ``window()`` + watermark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from picoprobedataflow_spark.io.binary_files import file_manifest
+
+
+def file_watch_stream(spark: SparkSession, directory: str,
+                      glob: str = "*.emd",
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """S1 streaming: watch a directory for new files. The glob is the
+    ``.emd``-suffix source filter (S2) pushed into the source."""
+    # Streaming sources require an explicit schema; binaryFile's is fixed.
+    schema = ("path string, modificationTime timestamp, "
+              "length long, content binary")
+    reader = (spark.readStream.format("binaryFile").schema(schema)
+              .option("pathGlobFilter", glob)
+              .option("recursiveFileLookup", "true"))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(directory)
+
+
+def run_ingest_stream(stream: DataFrame, checkpoint_dir: str,
+                      sink: Callable[[DataFrame, int], None] | None = None,
+                      output_path: str | None = None,
+                      available_now: bool = True) -> StreamingQuery:
+    """The ingest pipeline: per micro-batch, build the file manifest
+    (checksums/mime — the Publish step) and hand it to ``sink`` (or
+    append to ``output_path``). Exactly-once comes from the source
+    checkpoint + idempotent sink.
+
+    ``available_now=True`` drains everything pending then stops — the
+    batch-replay mode used by tests and backfills; ``False`` runs
+    continuously (production watch)."""
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        manifest = file_manifest(batch).drop("content", "modificationTime")
+        if sink is not None:
+            sink(manifest, epoch_id)
+        if output_path is not None:
+            manifest.write.mode("append").parquet(output_path)
+
+    writer = (stream.writeStream
+              .foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start()
+
+
+def windowed_event_rates(events: DataFrame, window: str = "1 hour",
+                         watermark: str = "2 hours",
+                         ts_col: str = "ts") -> DataFrame:
+    """ST6 extension: tumbling-window event rates with late-data
+    tolerance — works on either a stream or a batch DataFrame (the
+    batch form is the oracle twin)."""
+    with_ts = events.withColumn("event_time", F.col(ts_col))
+    if with_ts.isStreaming:
+        with_ts = with_ts.withWatermark("event_time", watermark)
+    return (with_ts.groupBy(F.window("event_time", window), "event_type")
+                   .agg(F.count("*").alias("n"),
+                        F.round(F.sum("value"), 2).alias("sum_value"))
+                   .select(F.col("window.start").alias("window_start"),
+                           F.col("window.end").alias("window_end"),
+                           "event_type", "n", "sum_value"))

@@ -1,0 +1,137 @@
+"""EMD extraction, batch binary ingest/publish, scientific kernels on
+extracted cubes, and the multimodal stubs — the per-file pillar (EP2)
+end to end on FAKE-EMD fixtures."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from picoprobedataflow_spark.io import binary_files as BF
+from picoprobedataflow_spark.io import emd
+from picoprobedataflow_spark.operators import multimodal as MM
+from picoprobedataflow_spark.operators import scientific as SC
+
+
+@pytest.fixture()
+def emd_dir(tmp_path):
+    """Two FAKE-EMD files: one with a 3-D hyperspectral cube (plus a
+    2-D distractor signal — S5 must skip it), one 2-D only."""
+    rng = np.random.default_rng(42)
+    cube = rng.integers(0, 100, size=(4, 5, 6)).astype("f4")
+    flat = rng.integers(0, 100, size=(3, 3)).astype("f4")
+    meta = {"Acquisition_instrument": {"TEM": {"beam_energy": 200.0}},
+            "Signal": {"signal_type": "EDS_TEM"}}
+    (tmp_path / "a.emd").write_bytes(emd.write_fake_emd(
+        [("survey", flat, {}), ("EDS", cube, meta)]))
+    (tmp_path / "b.emd").write_bytes(emd.write_fake_emd(
+        [("image-only", flat, {"Signal": {"signal_type": "image"}})]))
+    return tmp_path, cube
+
+
+def test_extract_signals_rows(spark, emd_dir):
+    d, _ = emd_dir
+    files = BF.scan_binary_dir(spark, str(d), glob="*.emd")
+    sig = emd.extract_signals(files).collect()
+    by_title = {r.title: r for r in sig}
+    assert set(by_title) == {"survey", "EDS", "image-only"}
+    assert by_title["EDS"].ndim == 3 and by_title["EDS"].dims == [4, 5, 6]
+    meta = json.loads(by_title["EDS"].metadata)
+    assert meta["Acquisition_instrument"]["TEM"]["beam_energy"] == 200.0
+
+
+def test_cube_longform_and_reductions_match_numpy(spark, emd_dir):
+    d, cube = emd_dir
+    files = BF.scan_binary_dir(spark, str(d), glob="a.emd")
+    long = emd.extract_cube_longform(files)
+    assert long.count() == 4 * 5 * 6
+
+    img = {(r.x, r.y): r.intensity
+           for r in SC.spectral_image(long).collect()}
+    want_img = cube.sum(axis=2)  # hyperspectral.py:96
+    for (x, y), v in img.items():
+        assert abs(v - float(want_img[x, y])) < 1e-6
+
+    sp = {r.channel: r.counts for r in SC.spectrum(long).collect()}
+    want_sp = cube.sum(axis=(0, 1))  # hyperspectral.py:104
+    for ch, v in sp.items():
+        assert abs(v - float(want_sp[ch])) < 1e-6
+
+
+def test_publish_documents_shape(spark, emd_dir):
+    d, _ = emd_dir
+    files = BF.scan_binary_dir(spark, str(d), glob="*.emd")
+    docs = BF.publish_documents(files).collect()
+    assert len(docs) == 1
+    doc = docs[0]
+    assert doc.n_files == 2
+    fnames = sorted(f.filename for f in doc.files)
+    assert fnames == ["a.emd", "b.emd"]
+    assert all(len(f.sha256) == 64 and len(f.sha512) == 128
+               for f in doc.files)
+    assert doc.dc.formats == ["application/octet-stream"]
+
+
+def test_incremental_ingest_skips_seen(spark, emd_dir, tmp_path):
+    d, _ = emd_dir
+    files = BF.scan_binary_dir(spark, str(d), glob="*.emd")
+    first = BF.incremental_ingest(files, None)
+    assert first.count() == 2
+    # Materialize the processed log (in production it is a parquet
+    # table, not a live view over the source — a live view would
+    # silently re-read mutated files and defeat the checksum skip).
+    log_path = str(tmp_path / "processed_log")
+    first.select("path", "sha256").write.parquet(log_path)
+    processed = spark.read.parquet(log_path)
+    again = BF.incremental_ingest(files, processed)
+    assert again.count() == 0  # sync_level=checksum: nothing re-ships
+    # touch one file's content -> only that file re-ingests
+    (d / "a.emd").write_bytes(emd.write_fake_emd(
+        [("EDS", np.ones((2, 2, 2), dtype="f4"), {})]))
+    files2 = BF.scan_binary_dir(spark, str(d), glob="*.emd")
+    changed = BF.incremental_ingest(files2, processed)
+    assert [r.filename for r in changed.collect()] == ["a.emd"]
+
+
+def test_normalize_frames_range(spark):
+    frames = SC.synthetic_frames(spark, 4, 8, 8)
+    px = SC.normalize_frames(frames, keys=("t",))
+    stats = px.agg(F.min("px"), F.max("px")).collect()[0]
+    assert stats[0] == 0 and stats[1] == 255
+
+
+def test_multimodal_features_and_detection(spark):
+    img = MM.make_fake_image(16, 12, seed=1)
+    df = spark.createDataFrame(
+        [("img0", 16, 12, bytearray(img), "")],
+        "path string, width int, height int, image binary, meta string")
+    feats = MM.extract_image_features(df).collect()[0]
+    a = np.frombuffer(img, dtype=np.uint8).reshape(12, 16)
+    assert abs(feats.mean_px - a.mean()) < 1e-9
+    assert abs(feats.std_px - a.std()) < 1e-9
+
+    small = MM.resize_images(MM.attach_image_metadata(df), 8, 6).collect()[0]
+    assert small.width == 8 and small.height == 6
+    assert len(bytes(small.image)) == 48
+
+    boxes = MM.detect_objects(df, conf_threshold=0.0).collect()
+    assert len(boxes) == 1 and 0.0 <= boxes[0].conf <= 1.0
+
+    video = img + img + img  # 3 'frames'
+    vdf = spark.createDataFrame(
+        [("v0", 16, 12, bytearray(video))],
+        "path string, width int, height int, video binary")
+    frames = MM.sample_video_frames(vdf, every_n=2).collect()
+    assert [f.frame_index for f in frames] == [0, 2]
+
+
+def test_real_codec_branch_is_marked(spark):
+    MM.USE_REAL_CODECS = True
+    try:
+        with pytest.raises(NotImplementedError, match="STUB"):
+            MM.decode_image(b"", 1, 1)
+    finally:
+        MM.USE_REAL_CODECS = False
