@@ -1,0 +1,138 @@
+"""Benchmark harness — runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Queries execute through the ``noop`` sink so the full plan runs on the
+executors with zero driver-collect cost. Relational/telemetry entries
+come from the catalog (they scale with the tables); the dedup /
+similarity entries call the operators *uncapped* over the whole
+documents/embeddings tables — the catalog versions cap doc_id for
+oracle tractability, but the bench must measure the scaling path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from picoprobedataflow_spark.operators import dedup as DD  # noqa: E402
+from picoprobedataflow_spark.operators import similarity as SIM  # noqa: E402
+from picoprobedataflow_spark.plans import catalog  # noqa: E402
+from picoprobedataflow_spark.plans.common import tbl  # noqa: E402
+from picoprobedataflow_spark.session import get_spark  # noqa: E402
+
+#: Catalog queries that scale with the star-schema tables.
+CATALOG_BENCH = (
+    "flow_step_runtime_summary",
+    "step_event_pivot",
+    "run_overhead",
+    "interarrival_stats",
+    "sessionize_events",
+    "asof_view_before_purchase",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_nation_revenue",
+    "brand_quantity_broadcast",
+    "top3_orders_per_priority",
+    "lineitem_rollup",
+    "windowed_event_rates",
+)
+
+
+def _uncapped_pipeline_queries():
+    """Dedup/similarity over the FULL documents/embeddings tables."""
+
+    def dedup_exact(spark, sf_dir):
+        return DD.exact_dedup_groups(tbl(spark, sf_dir, "documents"))
+
+    def minhash_lsh(spark, sf_dir):
+        docs = tbl(spark, sf_dir, "documents")
+        return DD.minhash_lsh_dedup(docs, num_hashes=16, k=3, band_size=4)
+
+    def simhash_pairs(spark, sf_dir):
+        docs = tbl(spark, sf_dir, "documents")
+        sigs = DD.simhash_signatures(docs, bits=32)
+        return DD.simhash_near_pairs(sigs, max_hamming=6)
+
+    def jaccard_neardup(spark, sf_dir):
+        docs = tbl(spark, sf_dir, "documents")
+        # max_df prunes stop-shingles — the knob that keeps the
+        # shingle join linear-ish on a real corpus.
+        return DD.jaccard_pairs(docs, k=3, threshold=0.5, max_df=50)
+
+    def ann_topk(spark, sf_dir):
+        emb = tbl(spark, sf_dir, "embeddings")
+        qvec = (emb.filter(F.col("vec_id") == 0)
+                   .select("embedding").head()[0])
+        return SIM.topk_cosine(emb.filter(F.col("vec_id") > 0),
+                               [float(x) for x in qvec], k=10)
+
+    def text_quality_full(spark, sf_dir):
+        from picoprobedataflow_spark.functions import text as TX
+        docs = tbl(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id",
+            TX.n_words("text").alias("n_words"),
+            TX.n_tokens_bpe("text").alias("n_tokens"),
+            TX.quality_score("text").alias("quality"))
+
+    return {
+        "dedup_exact_full": dedup_exact,
+        "dedup_minhash_lsh_full": minhash_lsh,
+        "dedup_simhash_full": simhash_pairs,
+        "dedup_jaccard_full": jaccard_neardup,
+        "ann_cosine_topk_full": ann_topk,
+        "text_quality_full": text_quality_full,
+    }
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="picoprobedataflow-bench")
+
+    specs = catalog.specs()
+    bench: dict[str, object] = {}
+    for name in CATALOG_BENCH:
+        bench[name] = specs[name].fn
+    bench.update(_uncapped_pipeline_queries())
+
+    # Untimed warmup: JVM/codegen spin-up and parquet footer reads
+    # shouldn't be charged to the first query.
+    for t in ("events", "lineitem", "orders", "documents", "embeddings"):
+        run_query(tbl(spark, sf_dir, t).limit(1))
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in bench.items():
+        t0 = time.perf_counter()
+        run_query(fn(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -123,14 +123,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-_MINHASH_CTE = "WITH " + _SHINGLES_CTE.format(limit="{limit}") + f""",
+def _minhash_cte() -> str:
+    from picoprobedataflow_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_params,
+    )
+
+    values = ", ".join(f"({i}, {a}, {b})" for i, a, b in minhash_params(16))
+    base = _HASH64.format(expr="shingle")
+    return ("WITH " + _SHINGLES_CTE.format(limit="{limit}") + f""",
 sigs AS (
   SELECT doc_id, salt,
-         min({_HASH64.format(expr="CAST(salt AS VARCHAR) || shingle")})
+         min((a * ({base} % {MINHASH_PRIME}) + b) % {MINHASH_PRIME})
            AS minhash
-  FROM sh CROSS JOIN range(16) t(salt)
+  FROM sh CROSS JOIN (VALUES {values}) params(salt, a, b)
   GROUP BY doc_id, salt
-)"""
+)""")
+
+
+_MINHASH_CTE = _minhash_cte()
 
 
 @query(
