@@ -127,6 +127,24 @@ def extract_signals(files: DataFrame) -> DataFrame:
     return files.select("path", "content").mapInPandas(gen, SIGNALS_SCHEMA)
 
 
+def _register_for_shipping() -> None:
+    """Ship this module's code inside the serialized task instead of
+    requiring ``picoprobedataflow_spark`` on every executor's
+    PYTHONPATH — the Spark analog of the reference shipping its tool
+    functions by serialization to funcX workers (hence the reference's
+    body-level imports, temporal.py:12-19). Without this, a driver
+    launched outside the repo dies in the Python worker with
+    ModuleNotFoundError."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+_register_for_shipping()
+
+
 def extract_cube_longform(files: DataFrame) -> DataFrame:
     """S5 + cube explosion: select the first 3-D signal per file (the
     reference's signal-of-interest scan, hyperspectral.py:54-66) and

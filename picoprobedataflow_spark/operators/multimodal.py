@@ -156,6 +156,19 @@ def detect_objects(images: DataFrame, conf_threshold: float = 0.5) -> DataFrame:
                   .mapInPandas(gen, BOXES_SCHEMA))
 
 
+def _register_for_shipping() -> None:
+    """Serialize this module's kernels by value so executors don't
+    need the package importable (see io.emd._register_for_shipping)."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+_register_for_shipping()
+
+
 def make_fake_image(width: int, height: int, seed: int = 0) -> bytes:
     """Deterministic test image."""
     rng = np.random.default_rng(seed)

@@ -23,6 +23,10 @@ _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Right-sized for local[32] test/bench runs; on a real cluster AQE
+    # coalescing makes the initial number non-critical.
+    "spark.sql.shuffle.partitions": "32",
 }
 
 

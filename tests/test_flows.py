@@ -1,0 +1,181 @@
+"""End-to-end flow tests: the hyperspectral / spatiotemporal pipelines
+over FAKE-EMD drops, the FlowAnalyzer over the telemetry they emit
+(plus FIXTURES-shaped crafted tables), and the record-oriented side
+sources (SQLite / paginated REST / pickle, incl. the J2 regexp-key
+join)."""
+
+from __future__ import annotations
+
+import pickle
+import sqlite3
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from picoprobedataflow_spark.flows import (
+    FlowAnalyzer,
+    hyperspectral_flow,
+    spatiotemporal_flow,
+)
+from picoprobedataflow_spark.io import emd
+from picoprobedataflow_spark.io.records import (
+    TRANSITIONS_SCHEMA,
+    paginated_rest_scan,
+    read_pickled_runs,
+    read_sqlite,
+)
+
+
+@pytest.fixture()
+def emd_drop(tmp_path):
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        cube = rng.integers(0, 50, size=(6, 5, 4)).astype("f4")
+        (tmp_path / f"simulator-{i}-run.emd").write_bytes(
+            emd.write_fake_emd([("EDS", cube, {"i": i})]))
+    return tmp_path
+
+
+def test_hyperspectral_flow_end_to_end(spark, emd_drop, tmp_path):
+    cat = str(tmp_path / "catalog")
+    res = hyperspectral_flow(spark, str(emd_drop), catalog_path=cat)
+    assert res.manifest.count() == 3
+    assert res.publish_docs.count() == 1
+    img = res.analysis["image"]
+    assert img.count() == 3 * 6 * 5            # per-file (x, y) pixels
+    sp = res.analysis["spectrum"]
+    assert sp.count() == 3 * 4                 # per-file channels
+    # telemetry: 4 steps × start+end, sequential
+    ev = res.step_events_df(spark)
+    assert ev.count() == 8
+    steps = [r.state_name for r in ev.orderBy("entry_index").collect()]
+    assert steps[0] == steps[1] == "Transfer"
+    assert steps[2] == steps[3] == "HyperspectralImageTool"
+    # published catalog is queryable
+    docs = spark.read.parquet(cat)
+    assert docs.count() == 1 and docs.collect()[0].n_files == 3
+
+
+def test_spatiotemporal_flow_normalizes(spark, emd_drop):
+    res = spatiotemporal_flow(spark, str(emd_drop))
+    px = res.analysis["frames_px"]
+    stats = px.agg(F.min("px"), F.max("px")).collect()[0]
+    assert stats[0] == 0 and stats[1] == 255
+
+
+def test_flow_analyzer_on_flow_telemetry(spark, emd_drop):
+    res = hyperspectral_flow(spark, str(emd_drop), run_id="r1")
+    ev = res.step_events_df(spark)
+    first = ev.agg(F.min("time")).collect()[0][0]
+    last = ev.agg(F.max("time")).collect()[0][0]
+    runs = spark.createDataFrame(
+        [("r1", "SUCCEEDED", float(first), float(last)),
+         ("r2", "FAILED", 0.0, 1.0)],  # P1: filtered out
+        "run_id string, status string, start_time double, "
+        "completion_time double")
+    fa = FlowAnalyzer(runs, ev)
+    wide = fa.extract_times().collect()
+    assert len(wide) == 1
+    row = wide[0]
+    assert row.flow_runtime >= 0
+    for s in fa.steps:
+        assert getattr(row, f"{s}_runtime") >= 0
+    stats = {r.metric: r for r in fa.describe_runtimes().collect()}
+    assert set(stats) == {f"{s}_runtime" for s in fa.steps} | {"flow_runtime"}
+    assert stats["flow_runtime"].n == 1
+    ov = fa.overhead().collect()[0]
+    assert abs((ov.flow_runtime - ov.active_time) - ov.overhead) < 1e-9
+
+
+def test_flow_analyzer_describe_usage(spark):
+    runs = spark.createDataFrame(
+        [("r1", "SUCCEEDED", 0.0, 100.0)],
+        "run_id string, status string, start_time double, completion_time double")
+    ev = spark.createDataFrame(
+        [("r1", 0, "ActionStarted", "Transfer", 0.0),
+         ("r1", 1, "ActionCompleted", "Transfer", 40.0),
+         ("r1", 2, "ActionStarted", "Tool", 40.0),
+         ("r1", 3, "ActionCompleted", "Tool", 90.0)],
+        "run_id string, entry_index int, code string, state_name string, "
+        "time double")
+    tr = spark.createDataFrame(
+        [("r1", 2 * 1024 ** 3)], "run_id string, bytes_transferred long")
+    fa = FlowAnalyzer(runs, ev, transfers=tr, compute_steps=("Tool",))
+    usage = fa.describe_usage().collect()[0]
+    assert usage.total_gb == 2.0
+    assert usage.total_compute_sec == 50.0
+    recent = fa.most_recent_tasks(limit=5).collect()
+    assert [r.run_id for r in recent] == ["r1"]
+
+
+def test_sqlite_transitions_and_j2_regexp_join(spark, tmp_path):
+    """S8 + J2: transitions log from SQLite joined to runs via
+    regexp_replace(action_id, '^tg_', '') (performance.ipynb cell 8)."""
+    db = tmp_path / "tasks.db"
+    con = sqlite3.connect(db)
+    con.execute("""CREATE TABLE transitions(
+        task_uuid TEXT, message TEXT, state_time INTEGER, user_id INTEGER,
+        task_group_uuid TEXT, actor TEXT, endpoint_uuid TEXT,
+        function_uuid TEXT, container_uuid TEXT, asctime TEXT,
+        PRIMARY KEY (task_uuid, message))""")
+    rows = [
+        ("t1", "execution-start", 1_000_000_000_000, 1, "g1", "interchange",
+         None, "f1", None, "2023-08-20 16:46:52,123"),
+        ("t1", "execution-end", 4_500_000_000_000, 1, "g1", "interchange",
+         None, "f1", None, "2023-08-20 16:46:55,623"),
+    ]
+    con.executemany("INSERT INTO transitions VALUES (?,?,?,?,?,?,?,?,?,?)",
+                    rows)
+    con.commit(); con.close()
+
+    tr = read_sqlite(spark, str(db), "transitions", TRANSITIONS_SCHEMA)
+    assert tr.count() == 2
+
+    runs = spark.createDataFrame([("tg_g1", "run-1")],
+                                 "action_id string, label string")
+    joined = tr.join(
+        runs, F.regexp_replace(runs.action_id, "^tg_", "") == tr.task_group_uuid)
+    assert joined.count() == 2
+
+    # F4: execution time from epoch-ns pivot (the notebook's pairwise delta)
+    delta = (tr.groupBy("task_uuid")
+               .agg(((F.max(F.when(F.col("message") == "execution-end",
+                                   F.col("state_time")))
+                      - F.max(F.when(F.col("message") == "execution-start",
+                                     F.col("state_time")))) / 1e9)
+                    .alias("exec_sec")).collect()[0])
+    assert delta.exec_sec == 3500.0
+
+
+def test_paginated_rest_scan_respects_limit_and_marker(spark):
+    pages = {
+        None: {"runs": [{"run_id": f"r{i}", "status": "SUCCEEDED"}
+                        for i in range(3)],
+               "has_next_page": True, "marker": "m1"},
+        "m1": {"runs": [{"run_id": f"r{i}", "status": "FAILED"}
+                        for i in range(3, 6)],
+               "has_next_page": False, "marker": None},
+    }
+    calls = []
+
+    def pager(marker):
+        calls.append(marker)
+        return pages[marker]
+
+    df = paginated_rest_scan(spark, pager,
+                             "run_id string, status string", limit=4)
+    assert df.count() == 4                       # O2 head-N
+    assert calls == [None, "m1"]
+    assert df.filter(F.col("status") == "SUCCEEDED").count() == 3
+
+
+def test_read_pickled_runs(spark, tmp_path):
+    p = tmp_path / "performance_x.pkl"
+    payload = [{"run_id": "a", "status": "SUCCEEDED"},
+               {"run_id": "b", "status": "FAILED"}]
+    p.write_bytes(pickle.dumps(payload))
+    df = read_pickled_runs(
+        spark, str(p), "run_id string, status string",
+        extract=lambda obj: ((r["run_id"], r["status"]) for r in obj))
+    assert sorted(r.run_id for r in df.collect()) == ["a", "b"]
