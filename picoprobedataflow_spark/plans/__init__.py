@@ -20,4 +20,5 @@ from picoprobedataflow_spark.plans import (  # noqa: F401,E402
     scalar_funcs,
     pipeline,
     scientific,
+    windows_extra,
 )

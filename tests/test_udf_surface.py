@@ -1,0 +1,89 @@
+"""UDF/UDTF/UDAF surface (SURVEY §2.10) + the Python DataSource:
+the extensibility mechanisms a reference tool author would use.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_python_udtf_token_explode(spark):
+    """Python UDTF (Spark 4): one doc row → many token rows — the
+    dict-in/rows-out shape of a Gladier tool (SURVEY §2.10)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, tok string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for i, t in enumerate(text.split()):
+                yield doc_id, i, t
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    df = spark.createDataFrame([(1, "a b c"), (2, "x y")],
+                               "doc_id long, text string")
+    df.createOrReplaceTempView("udtf_docs_v")
+    out = spark.sql("""
+        SELECT t.doc_id, t.pos, t.tok
+        FROM udtf_docs_v, LATERAL tokenize_udtf(doc_id, text) t
+    """).collect()
+    assert len(out) == 5
+    assert [r.tok for r in out if r.doc_id == 1] == ["a", "b", "c"]
+
+
+def test_pandas_udaf_weighted_mean(spark):
+    """GROUPED_AGG pandas UDF — the UDAF surface the reference lacks
+    (SURVEY §2.10: 'engine exposes pandas_udf GROUPED_AGG')."""
+
+    @F.pandas_udf("double")
+    def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    df = spark.createDataFrame(
+        [("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 2.0)],
+        "k string, v double, w double")
+    got = {r.k: r.wm for r in
+           df.groupBy("k").agg(weighted_mean("v", "w").alias("wm")).collect()}
+    assert got["a"] == pytest.approx(17.5)
+    assert got["b"] == pytest.approx(5.0)
+
+
+def test_scalar_pandas_udf_vs_builtin(spark):
+    """Arrow-batched scalar pandas UDF — and the assertion that the
+    built-in expression gives the same answer (the point of SURVEY's
+    'UDFs are the slow path': use them only when built-ins can't)."""
+
+    @F.pandas_udf("double")
+    def gb(v: pd.Series) -> pd.Series:
+        return v / (1024.0 ** 3)
+
+    df = spark.range(100).select((F.col("id") * 123456789).alias("b"))
+    a = [r[0] for r in df.select(gb("b")).collect()]
+    b = [r[0] for r in df.select(F.col("b") / (1024.0 ** 3)).collect()]
+    assert a == b
+
+
+def test_emd_python_datasource(spark, tmp_path):
+    """spark.read.format('femd') — the Python DataSource wrapper."""
+    import numpy as np
+
+    from picoprobedataflow_spark.io import emd
+    from picoprobedataflow_spark.io.emd_datasource import register
+
+    rng = np.random.default_rng(3)
+    for i in range(2):
+        cube = rng.integers(0, 9, size=(2, 3, 4)).astype("f4")
+        (tmp_path / f"d{i}.emd").write_bytes(emd.write_fake_emd(
+            [("EDS", cube, {"i": i}), ("flat", cube[0], {})]))
+    register(spark)
+    df = spark.read.format("femd").load(str(tmp_path))
+    rows = df.collect()
+    assert len(rows) == 4  # 2 files × 2 signals
+    assert {r.title for r in rows} == {"EDS", "flat"}
+    cubes = df.filter(F.col("ndim") == 3)
+    assert cubes.count() == 2 and cubes.collect()[0].dims == [2, 3, 4]
+    # empty-directory contract: partitions()==[] → read(None) → 0 rows
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert spark.read.format("femd").load(str(empty)).count() == 0
