@@ -66,6 +66,52 @@ def blocked_near_pairs(emb: DataFrame, threshold: float,
              .select("block", "id_a", "id_b", "cosine"))
 
 
+def ivf_centroids(emb: DataFrame, cell_col: str = "label",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Elementwise-mean centroid per cell: posexplode to (cell, dim,
+    val), average, re-assemble ordered by dim. One narrow explode +
+    one aggregate — the coarse-quantizer build step of IVF. Here the
+    cells are the given cluster labels; at scale they come from a
+    k-means pass with the same long-form shape."""
+    longf = emb.select(F.col(cell_col).alias("cell"),
+                       F.posexplode(vec_col).alias("dim", "val"))
+    means = (longf.groupBy("cell", "dim")
+                  .agg(F.avg(F.col("val").cast("double")).alias("m")))
+    ordered = F.array_sort(F.collect_list(F.struct("dim", "m")))
+    return (means.groupBy("cell")
+                 .agg(F.transform(ordered, lambda s: s.m).alias("centroid")))
+
+
+def ivf_ann_search(emb: DataFrame, query_vec: list[float], k: int = 5,
+                   n_probe: int = 2, cell_col: str = "label",
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   round_digits: int = 6) -> DataFrame:
+    """IVF search: rank cells by centroid cosine to the query, scan
+    only the ``n_probe`` nearest cells, exact top-k inside them. The
+    centroid table is tiny (|cells| rows) so ranking happens on the
+    driver; the big scan is pruned to n_probe/|cells| of the data —
+    with the cell column as a partition key at write time, that
+    pruning is partition pruning."""
+    cents = ivf_centroids(emb, cell_col, vec_col).collect()
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(cents,
+                    key=lambda r: -cos(r.centroid, [float(x) for x in query_vec]))
+    probe_cells = [r.cell for r in ranked[:n_probe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (emb.filter(F.col(cell_col).isin(probe_cells))
+               .select(F.col(id_col), F.col(cell_col).alias("cell"),
+                       F.round(V.cosine(F.col(vec_col), q),
+                               round_digits).alias("cosine"))
+               .orderBy(F.desc("cosine"), id_col)
+               .limit(k))
+
+
 def srp_plane(plane: int, dim: int) -> F.Column:
     """Deterministic ±1 hyperplane entry for (plane, dim): parity of
     the portable hash of 'p:<plane>:<dim>'. Pure expression — no

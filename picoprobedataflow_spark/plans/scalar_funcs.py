@@ -204,6 +204,60 @@ def energy_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "props_map_entries",
+    oracle="""
+WITH kv AS (
+  SELECT props, unnest(json_keys(props)) AS key FROM events
+)
+SELECT key,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.' || key) AS BIGINT))
+            AS BIGINT) AS sum_v
+FROM kv GROUP BY key
+""",
+    tags=("F15", "map-explode"),
+)
+def props_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 — dynamic-key dict iteration (``for k, v in
+    flow_log['details']['output'].items()``, flow_analyzer.py:244):
+    schema-on-read JSON → MapType → ``explode(map_entries(...))``."""
+    ev = events_us(spark, sf_dir)
+    entries = ev.select(F.explode(F.map_entries(
+        F.from_json("props", "map<string,bigint>"))).alias("e"))
+    return (entries.select(F.col("e.key").alias("key"),
+                           F.col("e.value").alias("v"))
+                   .groupBy("key")
+                   .agg(F.count("*").alias("n"),
+                        F.sum("v").alias("sum_v")))
+
+
+@query(
+    "user_event_type_sets",
+    oracle="""
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv,
+       list_sort(list(DISTINCT event_type))[1]  AS first_type,
+       list_sort(list(DISTINCT event_type))[-1] AS last_type,
+       CAST(len(list_sort(list(DISTINCT event_type))) AS BIGINT) AS n_types
+FROM events WHERE user_id < 20
+GROUP BY user_id
+""",
+    tags=("F16", "F17", "collect-list"),
+)
+def user_event_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16/F17 — list accumulation + ``[0]``/``[-1]`` indexing
+    (flow_analyzer.py:311-319, entries[-1] at :177) as
+    collect_set → sort_array → element_at."""
+    ev = events_us(spark, sf_dir).filter(F.col("user_id") < 20)
+    arr = F.array_sort(F.collect_set("event_type"))
+    return (ev.groupBy("user_id")
+              .agg(F.concat_ws(",", arr).alias("types_csv"),
+                   F.element_at(arr, 1).alias("first_type"),
+                   F.element_at(arr, -1).alias("last_type"),
+                   F.size(arr).cast("long").alias("n_types")))
+
+
+@query(
     "epoch_ns_seconds",
     oracle="""
 SELECT event_id,

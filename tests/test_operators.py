@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from picoprobedataflow_spark.operators import dedup as DD
@@ -103,6 +104,23 @@ def test_srp_ann_search_finds_neighbor(spark):
     got = res.collect()
     assert got, "query bucket unexpectedly empty"
     assert got[0].vec_id == 99 and got[0].cosine > 0.999
+
+
+def test_ivf_ann_finds_in_cluster_neighbor(spark):
+    """IVF with 2 cells: the query sits in cell 0; n_probe=1 must find
+    the in-cell neighbor and never scan cell 1."""
+    emb = spark.createDataFrame(
+        [(1, 0, [1.0, 0.1]), (2, 0, [0.9, 0.0]),
+         (3, 1, [-1.0, 0.0]), (4, 1, [-0.9, -0.1])],
+        "vec_id long, label int, embedding array<float>")
+    res = SIM.ivf_ann_search(emb, [1.0, 0.0], k=2, n_probe=1).collect()
+    assert [r.vec_id for r in res] == [2, 1]
+    assert all(r.cell == 0 for r in res)
+    # centroids themselves: elementwise means per cell
+    cents = {r.cell: r.centroid
+             for r in SIM.ivf_centroids(emb).collect()}
+    assert cents[0] == pytest.approx([0.95, 0.05])
+    assert cents[1] == pytest.approx([-0.95, -0.05])
 
 
 def test_funnel_pivot_equals_selfjoin(spark):
