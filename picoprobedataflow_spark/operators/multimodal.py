@@ -122,6 +122,31 @@ def sample_video_frames(videos: DataFrame, every_n: int = 2) -> DataFrame:
                   .mapInPandas(gen, FRAME_SAMPLE_SCHEMA))
 
 
+VIDEO_SCHEMA = "path string, width int, height int, video binary, n_frames int"
+
+
+def encode_frames_to_video(frames: DataFrame) -> DataFrame:
+    """S14 — per-file frame stack → 'video' (``create_mp4_from_array``,
+    tools/temporal.py:21-35): group by path, order frames, concatenate
+    (fake codec; the real branch hands the ordered array to imageio).
+    ``applyInPandas`` per file-group — the one shuffle is on path,
+    which is exactly the unit of encode."""
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        if USE_REAL_CODECS:  # pragma: no cover
+            _require_real_codec("video encode")
+        pdf = pdf.sort_values("frame_index")
+        video = b"".join(bytes(b) for b in pdf["frame"])
+        r = pdf.iloc[0]
+        return pd.DataFrame([{
+            "path": r["path"], "width": int(r["width"]),
+            "height": int(r["height"]), "video": video,
+            "n_frames": len(pdf)}])
+
+    return (frames.select("path", "width", "height", "frame_index", "frame")
+                  .groupBy("path").applyInPandas(encode, VIDEO_SCHEMA))
+
+
 def detect_objects(images: DataFrame, conf_threshold: float = 0.5) -> DataFrame:
     """YOLO-style batched inference stub (temporal.py:37-55 runs a CLI
     subprocess per file; here the 'model' loads once per executor —

@@ -421,6 +421,37 @@ def custkeys_never_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_shipment_latency",
+    oracle="""
+SELECT CAST(datediff('day', o_orderdate, first_ship) AS BIGINT) AS days_to_ship,
+       count(*) AS n_orders
+FROM (
+  SELECT o_orderkey, o_orderdate, min(l_shipdate) AS first_ship
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderdate
+)
+GROUP BY 1
+""",
+    tags=("J1", "range-analysis"),
+)
+def order_shipment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→first-shipment latency histogram — the order⋈lineitem
+    temporal correlation (Transfer request→completion analog,
+    flow_analyzer.py:267-294). One shuffle join on orderkey, then a
+    tiny day-bucket aggregate."""
+    od = tbl(spark, sf_dir, "orders")
+    li = tbl(spark, sf_dir, "lineitem")
+    first_ship = (li.join(od, li.l_orderkey == od.o_orderkey)
+                    .groupBy("o_orderkey", "o_orderdate")
+                    .agg(F.min("l_shipdate").alias("first_ship")))
+    return (first_ship
+            .select(F.datediff("first_ship", "o_orderdate").cast("long")
+                     .alias("days_to_ship"))
+            .groupBy("days_to_ship")
+            .agg(F.count("*").alias("n_orders")))
+
+
+@query(
     "orders_per_month",
     oracle=f"""
 SELECT strftime(o_orderdate, '%Y-%m') AS order_month,

@@ -455,6 +455,59 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "last_event_per_user",
+    oracle="""
+SELECT user_id,
+       max_by(event_type, ts) AS last_type,
+       max_by(event_id, ts)   AS last_event_id,
+       epoch_us(max(ts))      AS last_ts_us
+FROM events GROUP BY user_id
+""",
+    tags=("W6", "max_by"),
+)
+def last_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 — last-entry selection from an ordered log
+    (``flow_logs['entries'][-1]``, flow_analyzer.py:177) as ``max_by``:
+    no sort, no window — a single hash aggregate carrying the argmax."""
+    ev = events_us(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.max_by("event_id", "ts").alias("last_event_id"),
+        F.max("ts").alias("last_ts_us"))
+
+
+@query(
+    "gantt_timeline",
+    oracle="""
+WITH spans AS (
+  SELECT user_id, event_type,
+         min(epoch_us(ts)) AS s, max(epoch_us(ts)) AS e
+  FROM events WHERE user_id < 8 GROUP BY user_id, event_type
+),
+origin AS (SELECT min(s) AS t0 FROM spans)
+SELECT user_id, event_type,
+       s - (SELECT t0 FROM origin) AS rel_start_us,
+       e - (SELECT t0 FROM origin) AS rel_end_us
+FROM spans
+""",
+    tags=("W3", "gantt"),
+)
+def gantt_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gantt-chart data prep (``plot_gantt``,
+    flow_analyzer.py:379-444): per-(run, step) spans rebased to the
+    earliest start. The scalar origin comes from an empty-frame window
+    min — Catalyst broadcasts the single row, no all-to-one shuffle."""
+    ev = events_us(spark, sf_dir).filter(F.col("user_id") < 8)
+    spans = (ev.groupBy("user_id", "event_type")
+               .agg(F.min("ts").alias("s"), F.max("ts").alias("e")))
+    w = W.partitionBy()
+    t0 = F.min("s").over(w)
+    return spans.select("user_id", "event_type",
+                        (F.col("s") - t0).alias("rel_start_us"),
+                        (F.col("e") - t0).alias("rel_end_us"))
+
+
+@query(
     "asof_view_before_purchase",
     oracle="""
 WITH ordered AS (

@@ -135,3 +135,38 @@ def test_real_codec_branch_is_marked(spark):
             MM.decode_image(b"", 1, 1)
     finally:
         MM.USE_REAL_CODECS = False
+
+
+def test_encode_frames_roundtrip(spark):
+    """S14: frames → video → sampled frames round-trips."""
+    f0, f1 = MM.make_fake_image(8, 4, 1), MM.make_fake_image(8, 4, 2)
+    frames = spark.createDataFrame(
+        [("v", 8, 4, 0, bytearray(f0)), ("v", 8, 4, 1, bytearray(f1))],
+        "path string, width int, height int, frame_index int, frame binary")
+    vid = MM.encode_frames_to_video(frames).collect()[0]
+    assert vid.n_frames == 2 and bytes(vid.video) == f0 + f1
+    vdf = spark.createDataFrame(
+        [(vid.path, vid.width, vid.height, bytearray(vid.video))],
+        "path string, width int, height int, video binary")
+    back = MM.sample_video_frames(vdf, every_n=1).collect()
+    assert [bytes(b.frame) for b in sorted(back, key=lambda r: r.frame_index)] \
+        == [f0, f1]
+
+
+def test_flow_config_yaml_roundtrip(tmp_path):
+    """S9: YAML ⇄ typed config with unknown-key rejection."""
+    import pytest as _pytest
+
+    from picoprobedataflow_spark.config import FlowConfig
+
+    cfg = FlowConfig(input_dir="/data/in", catalog_path="/data/cat",
+                     max_files_per_trigger=1,
+                     extra_spark_conf={"spark.sql.shuffle.partitions": "8"})
+    p = tmp_path / "flow.yaml"
+    cfg.to_yaml(p)
+    back = FlowConfig.from_yaml(p)
+    assert back == cfg
+    p2 = tmp_path / "bad.yaml"
+    p2.write_text("input_dir: /x\nnot_a_key: 1\n")
+    with _pytest.raises(ValueError, match="not_a_key"):
+        FlowConfig.from_yaml(p2)
