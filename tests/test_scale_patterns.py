@@ -1,0 +1,153 @@
+"""Scale-pattern evidence tests: bucketed co-located joins (no
+exchange in the plan), partitioned-write pruning, and
+hypothesis-driven invariants for the normalization/dedup/overhead
+operators (SURVEY §5: property-based tests)."""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Writing both sides bucketed by the join key lets the sort-merge
+    join run with ZERO Exchange operators — the co-located-join knob
+    from SCALE.md, proven from the physical plan."""
+    # (warehouse dir is a static conf — the shared session's default
+    # spark-warehouse/ is used; tables are dropped on the way out and
+    # the dir is gitignored.)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+           .mode("overwrite").saveAsTable("b_orders"))
+    (lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+             .mode("overwrite").saveAsTable("b_lineitem"))
+    try:
+        # hint("merge") forces sort-merge (at sf0.001 AQE would
+        # broadcast instead — at real scale SMJ is what bucketing buys).
+        joined = (spark.table("b_lineitem")
+                  .hint("merge")
+                  .join(spark.table("b_orders"),
+                        F.col("l_orderkey") == F.col("o_orderkey"))
+                  .groupBy("o_orderstatus")
+                  .agg(F.count("*").alias("n")))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_section = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_section, (
+            "bucketed join should not shuffle either side:\n" + plan)
+        # and it still computes the right thing
+        got = {r.o_orderstatus: r.n for r in joined.collect()}
+        want = {r.o_orderstatus: r.n for r in
+                lineitem.join(orders,
+                              F.col("l_orderkey") == F.col("o_orderkey"))
+                        .groupBy("o_orderstatus")
+                        .agg(F.count("*").alias("n")).collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Partition-by-key writes let a key predicate skip files entirely
+    (PartitionFilters in the scan, no rows read from other keys)."""
+    out = str(tmp_path / "by_type")
+    from picoprobedataflow_spark.plans.common import events_us
+
+    ev = events_us(spark, "/root/testdata/sf0.001")
+    ev.write.partitionBy("event_type").parquet(out)
+    scan = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan
+    assert scan.count() == ev.filter(F.col("event_type") == "click").count()
+    clicked_dirs = [d for d in os.listdir(out) if d.startswith("event_type=")]
+    assert "event_type=click" in clicked_dirs
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants (hypothesis)
+# ---------------------------------------------------------------------------
+
+_finite = st.floats(min_value=-1e6, max_value=1e6,
+                    allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(_finite, min_size=2, max_size=30))
+def test_normalize_bounds_property(spark, vals):
+    """Normalized pixels always land in [0, 255], min→0 and max→255
+    whenever the frame has spread (temporal.py:25-34 invariant)."""
+    from picoprobedataflow_spark.functions.scalar import normalize_to_uint8
+
+    df = spark.createDataFrame([(0, i, v) for i, v in enumerate(vals)],
+                               "t int, i int, v double")
+    bounds = df.groupBy("t").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    px = (df.join(bounds, "t")
+            .filter(F.col("hi") > F.col("lo"))
+            .select(normalize_to_uint8(F.col("v"), F.col("lo"),
+                                       F.col("hi")).alias("px")))
+    rows = [r.px for r in px.collect()]
+    if rows:
+        assert min(rows) == 0 and max(rows) == 255
+        assert all(0 <= p <= 255 for p in rows)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(
+    st.text(alphabet="abcd ", min_size=1, max_size=40), min_size=1,
+    max_size=12))
+def test_exact_dedup_partition_property(spark, texts):
+    """Dedup groups partition the corpus: Σ n_docs = N, canonical ids
+    are members, duplicates map to a smaller id."""
+    from picoprobedataflow_spark.operators.dedup import (
+        exact_dedup_groups,
+        exact_dup_mapping,
+    )
+
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    groups = exact_dedup_groups(docs).collect()
+    assert sum(g.n_docs for g in groups) == len(texts)
+    assert len(groups) == len(set(texts))
+    for m in exact_dup_mapping(docs).collect():
+        assert m.canonical_id < m.doc_id
+        assert texts[m.canonical_id] == texts[m.doc_id]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(spans=st.lists(
+    st.tuples(st.integers(0, 1000), st.integers(0, 1000)),
+    min_size=1, max_size=8))
+def test_overhead_nonnegative_property(spark, spans):
+    """overhead = total − Σ active ≥ 0 when steps nest inside the run
+    (performance.ipynb cell 4 invariant): build nested intervals and
+    check the FlowAnalyzer algebra."""
+    from picoprobedataflow_spark.flows.analyzer import FlowAnalyzer
+
+    rows, t = [], 0.0
+    for i, (d1, gap) in enumerate(spans):
+        start = t + gap / 10.0
+        end = start + d1 / 10.0
+        rows += [("r", 2 * i, "ActionStarted", f"s{i}", start),
+                 ("r", 2 * i + 1, "ActionCompleted", f"s{i}", end)]
+        t = end
+    ev = spark.createDataFrame(rows, "run_id string, entry_index int, "
+                                     "code string, state_name string, "
+                                     "time double")
+    runs = spark.createDataFrame(
+        [("r", "SUCCEEDED", rows[0][4] - 1.0, t + 1.0)],
+        "run_id string, status string, start_time double, "
+        "completion_time double")
+    fa = FlowAnalyzer(runs, ev)
+    ov = fa.overhead().collect()[0]
+    assert ov.overhead >= -1e-9
+    assert abs(ov.flow_runtime - (ov.active_time + ov.overhead)) < 1e-9
