@@ -22,6 +22,12 @@ from pyspark.sql import SparkSession
 # oracle (DuckDB) byte-for-byte; the reference strips timezones before
 # epoch math the same way (flow_analyzer.py:199-204).
 _BASE_CONFS: dict[str, str] = {
+    # local[N] = single JVM: driver memory IS executor memory. The 1g
+    # Spark default OOMs ~50k-doc dedup joins; but oversizing hurts too
+    # (32g measured 2-3x slower than 8g on hash-heavy queries — G1
+    # region/young-gen sizing). 8g clears the 10x stress suite with the
+    # best GC behavior; override via SPARK_GRAFT_DRIVER_MEM.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.adaptive.enabled": "true",
