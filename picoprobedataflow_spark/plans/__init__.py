@@ -21,4 +21,5 @@ from picoprobedataflow_spark.plans import (  # noqa: F401,E402
     pipeline,
     scientific,
     windows_extra,
+    streaming_query,
 )

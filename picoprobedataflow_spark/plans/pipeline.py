@@ -426,6 +426,113 @@ def token_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dataset_split_assignment",
+    oracle="""
+SELECT CASE
+         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 < 80 THEN 'train'
+         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+""",
+    tags=("dataset-split", "sampling"),
+)
+def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10) — the
+    reproducible-sampling primitive of a training-data pipeline: the
+    assignment depends only on doc_id, so it is stable across runs,
+    engines, and re-partitioning (never ``rand()``)."""
+    docs = tbl(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100)
+    split = (F.when(bucket < 80, "train")
+              .when(bucket < 90, "val")
+              .otherwise("test"))
+    return (docs.groupBy(split.alias("split"))
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum(F.length("text")).cast("long")
+                      .alias("total_chars")))
+
+
+@query(
+    "text_normalize_chunks",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents WHERE doc_id < 50
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, CAST(floor((length(t) - 1) / 80) AS INT)),
+           i -> substr(t, CAST(i * 80 + 1 AS INT), 100))) AS chunk,
+         generate_subscripts(
+           list_transform(
+             generate_series(0, CAST(floor((length(t) - 1) / 80) AS INT)),
+             i -> substr(t, CAST(i * 80 + 1 AS INT), 100)), 1) - 1
+           AS chunk_idx
+  FROM norm
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk,
+       CAST(length(chunk) AS BIGINT) AS chunk_len
+FROM chunks
+""",
+    tags=("chunking", "normalize"),
+)
+def text_normalize_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize (lowercase, whitespace-collapse) then chunk into
+    100-char windows with stride 80 (20-char overlap) — the
+    context-window prep stage of an LLM data pipeline, as pure array
+    expressions + one explode."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    norm = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("t"))
+    n_chunks = F.floor((F.length("t") - 1) / 80).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: F.substr(F.col("t"), i * 80 + 1, F.lit(100)))
+    return (norm.select("doc_id", F.posexplode(chunks)
+                        .alias("chunk_idx", "chunk"))
+                .select("doc_id",
+                        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                        "chunk",
+                        F.length("chunk").cast("long").alias("chunk_len")))
+
+
+@query(
+    "vocabulary_stats",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+)
+SELECT tok,
+       count(*) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM toks
+GROUP BY tok
+HAVING count(DISTINCT doc_id) >= 5
+""",
+    tags=("vocabulary", "token-count"),
+)
+def vocabulary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with term/document frequencies (df ≥ 5) —
+    the word-count of training-data engineering; one explode + one
+    aggregate with map-side combine."""
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.words("text")).alias("tok"))
+    return (toks.groupBy("tok")
+                .agg(F.count("*").alias("tf"),
+                     F.countDistinct("doc_id").alias("df"))
+                .filter(F.col("df") >= 5))
+
+
+@query(
     "doc_fingerprints",
     oracle="""
 SELECT doc_id,

@@ -1,0 +1,60 @@
+"""A catalog query that actually executes through Structured
+Streaming: the events parquet replayed as a stream (availableNow),
+aggregated with the windowed-rates pipeline, results landed in a
+memory sink and returned as a DataFrame. Its oracle is the plain batch
+SQL — proving stream≡batch for the windowed aggregate under the
+driver's own hash gate (SURVEY ST1/ST6).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from picoprobedataflow_spark.plans.catalog import query
+from picoprobedataflow_spark.plans.common import prep
+
+
+@query(
+    "streaming_hourly_rates",
+    oracle="""
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       event_type,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("ST1", "ST6", "streaming-executed"),
+)
+def streaming_hourly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts computed BY A STREAM: readStream over the
+    events parquet, complete-mode aggregate, availableNow drain into a
+    uniquely-named memory sink. The checkpoint is ephemeral (tempdir)
+    so repeated driver invocations re-drain from scratch. The exact
+    int64-µs bucketing keeps the streamed result hash-identical to the
+    batch oracle."""
+    import tempfile
+
+    prep(spark)
+    # The streaming file source requires a directory basePath; select
+    # just the events file out of the table dir with the glob filter.
+    src = (spark.readStream
+           .schema("event_id long, ts long, user_id long, "
+                   "event_type string, value double, props string")
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    agg = (src.withColumn("ts", F.expr("ts div 1000"))
+              .groupBy(F.expr("(ts div 3600000000) * 3600000000")
+                        .alias("window_start_us"),
+                       "event_type")
+              .agg(F.count("*").alias("n")))
+    name = f"stream_rates_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="stream_rates_ckpt_")
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
