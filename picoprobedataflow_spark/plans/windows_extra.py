@@ -150,13 +150,16 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS through the SQL API (temp view + spark.sql) —
     same Catalyst plan as the DataFrame form; registered under a
     unique view name so the driver's session state stays clean."""
+    import uuid
+
     li = tbl(spark, sf_dir, "lineitem")
-    li.createOrReplaceTempView("gs_lineitem_v")
-    return spark.sql("""
+    view = f"gs_lineitem_{uuid.uuid4().hex[:8]}"
+    li.createOrReplaceTempView(view)
+    return spark.sql(f"""
         SELECT l_returnflag, l_linestatus,
                sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
                count(*) AS n
-        FROM gs_lineitem_v
+        FROM {view}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
 
