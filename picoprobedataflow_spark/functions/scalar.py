@@ -210,3 +210,17 @@ def portable_hash64(col: Column, salt: int = 0) -> Column:
     """
     salted = F.concat(F.lit(str(salt)), col) if salt else col
     return F.conv(F.substring(F.md5(salted.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def fast_hash64(col: Column, salt: int = 0) -> Column:
+    """Scale-path 64-bit hash: ``xxhash64`` — a JVM intrinsic inside
+    whole-stage codegen, no string materialization (measured ~2× faster
+    than :func:`portable_hash64` on a per-token aggregate at sf0.1).
+
+    NOT oracle-reproducible (DuckDB cannot replay Spark's xxhash64
+    seed), so the oracle-gated catalog queries keep
+    :func:`portable_hash64`; production dedup at 100 TB should pass
+    this as ``hash_fn``. May be negative — reduce with ``pmod``, never
+    ``%``.
+    """
+    return F.xxhash64(F.lit(salt), col) if salt else F.xxhash64(col)

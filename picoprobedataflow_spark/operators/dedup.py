@@ -24,12 +24,20 @@ reproduce signatures bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from picoprobedataflow_spark.functions.scalar import portable_hash64
 from picoprobedataflow_spark.functions.text import fingerprint_md5, words
+
+#: Signature of the pluggable token/shingle hash. Default everywhere is
+#: :func:`..functions.scalar.portable_hash64` (oracle-reproducible);
+#: pass :func:`..functions.scalar.fast_hash64` for the xxhash64 scale
+#: path (~2× faster vote/signature aggregates, not oracle-checkable).
+HashFn = Callable[[Column], Column]
 
 
 # --------------------------------------------------------------------------
@@ -145,7 +153,8 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int, int]]:
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3,
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       hash_fn: HashFn = portable_hash64) -> DataFrame:
     """Long-form signatures: (doc_id, salt, minhash) — min over the
     doc's shingles of the salted hash.
 
@@ -156,7 +165,9 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3,
     — not |shingles|×num_hashes — which is the difference between a
     corpus-scale minhash and an accidental 16× data explosion."""
     sh = shingle_table(docs, k, text_col, id_col)
-    base = (portable_hash64(F.col("shingle")) % MINHASH_PRIME).alias("hbase")
+    # pmod, not %: portable_hash64 is non-negative (identical result)
+    # but fast_hash64 spans the full int64 range and % would go negative.
+    base = F.pmod(hash_fn(F.col("shingle")), F.lit(MINHASH_PRIME)).alias("hbase")
     hashed = sh.select(F.col(id_col), base)
     mins = hashed.groupBy(id_col).agg(*[
         F.min((F.lit(a) * F.col("hbase") + F.lit(b)) % MINHASH_PRIME)
@@ -193,12 +204,14 @@ def lsh_candidate_pairs(sigs: DataFrame, band_size: int = 4,
 
 def minhash_lsh_dedup(docs: DataFrame, num_hashes: int = 16, k: int = 3,
                       band_size: int = 4, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      hash_fn: HashFn = portable_hash64) -> DataFrame:
     """Composed MinHash→LSH→estimate flow. The signature table feeds
     three consumers (banding + both sides of the estimate join), so it
     is persisted — without this Spark recomputes the shingle+hash
     pipeline once per consumer, tripling the dominant cost."""
-    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col).persist()
+    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col,
+                              hash_fn).persist()
     pairs = lsh_candidate_pairs(sigs, band_size, id_col)
     return minhash_jaccard_estimate(sigs, pairs, num_hashes, id_col)
 
@@ -224,13 +237,14 @@ def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame,
 
 def simhash_signatures(docs: DataFrame, bits: int = 32,
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       hash_fn: HashFn = portable_hash64) -> DataFrame:
     """32-bit SimHash: per token (with multiplicity), hash once; bit b
     of the signature is the sign of Σ ±1 over tokens. One explode, one
     hash aggregate with ``bits`` conditional sums."""
     toks = docs.select(F.col(id_col),
                        F.explode(words(text_col)).alias("tok"))
-    h = portable_hash64(F.col("tok"))
+    h = hash_fn(F.col("tok"))
     bit_votes = [
         F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
                      F.lit(1)).otherwise(F.lit(-1))).alias(f"v{b}")

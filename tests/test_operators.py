@@ -71,6 +71,34 @@ def test_simhash_identical_zero_hamming(spark):
     assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(0, 1, 0)]
 
 
+def test_fast_hash_scale_path_same_semantics(spark):
+    """The xxhash64 scale path must change only signature VALUES, not
+    dedup semantics: identical docs still collide, minhash estimates
+    still track overlap, and the LSH flow still surfaces the dup."""
+    from picoprobedataflow_spark.functions.scalar import fast_hash64
+
+    t0 = " ".join(f"w{i}" for i in range(60))
+    docs = _docs(spark, [t0, t0, " ".join(f"z{i}" for i in range(60))])
+
+    sigs = DD.simhash_signatures(docs, bits=32, hash_fn=fast_hash64)
+    vals = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert vals[0] == vals[1] != vals[2]
+    assert all(0 <= v < 2 ** 32 for v in vals.values())
+
+    mh = DD.minhash_signatures(docs, num_hashes=16, k=3,
+                               hash_fn=fast_hash64)
+    assert mh.filter(
+        (F.col("minhash") < 0)
+        | (F.col("minhash") >= DD.MINHASH_PRIME)).count() == 0
+
+    est = {(r.doc_a, r.doc_b): r.est_jaccard
+           for r in DD.minhash_lsh_dedup(
+               docs, num_hashes=16, k=3, band_size=4,
+               hash_fn=fast_hash64).collect()}
+    assert est[(0, 1)] == 1.0
+    assert (0, 2) not in est and (1, 2) not in est
+
+
 def test_topk_cosine_hand_vectors(spark):
     emb = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
