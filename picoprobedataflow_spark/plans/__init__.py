@@ -22,4 +22,5 @@ from picoprobedataflow_spark.plans import (  # noqa: F401,E402
     scientific,
     windows_extra,
     streaming_query,
+    subqueries,
 )

@@ -1,0 +1,173 @@
+"""Subquery surface — EXISTS / NOT EXISTS / IN / correlated scalar
+subqueries, executed through the SQL API so **Catalyst's decorrelation
+does the planning**: EXISTS becomes a left-semi join, NOT EXISTS a
+left-anti join, the correlated scalar aggregate a grouped join
+(RewriteCorrelatedScalarSubquery) — none of them a per-row re-execution
+the way the reference's dict-lookup correlation works
+(`picoprobe/flow_analyzer.py:174-196` fetches logs per run in a Python
+loop; these queries are the relational generalization of that access
+pattern).
+
+Scale posture: each subquery decorrelates to one join whose build side
+is an aggregate over the fact table (bounded by |keys|, not |rows|);
+nothing here is a nested-loop at any SF. Money/quantity math follows
+the exact-integer discipline from ``relational.py``.
+
+Views are registered under per-call unique names so driver session
+state never collides across queries.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from picoprobedataflow_spark.plans.catalog import query
+from picoprobedataflow_spark.plans.common import tbl
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, str]:
+    """Register per-call uniquely named temp views; returns name map."""
+    out = {}
+    for n in names:
+        v = f"{n}_{uuid.uuid4().hex[:8]}"
+        tbl(spark, sf_dir, n).createOrReplaceTempView(v)
+        out[n] = v
+    return out
+
+
+@query(
+    "exists_urgent_open_by_segment",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'O'
+                AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""",
+    tags=("J5", "subquery", "exists"),
+)
+def exists_urgent_open_by_segment(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Correlated EXISTS → left-semi join (Catalyst decorrelation):
+    customers holding at least one open urgent order, counted per
+    market segment. The orders side is filtered before the semi join,
+    so the build side is the selective subset, not the fact table."""
+    v = _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(f"""
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM {v['customer']} c
+        WHERE EXISTS (SELECT 1 FROM {v['orders']} o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'O'
+                        AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+    """)
+
+
+@query(
+    "not_exists_dormant_by_nation",
+    oracle="""
+SELECT c.c_nationkey, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c.c_nationkey
+""",
+    tags=("J5", "subquery", "not-exists"),
+)
+def not_exists_dormant_by_nation(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS → left-anti join: customers with no order
+    since 1999, per nation — the seen-set anti-membership pattern
+    (SURVEY J5) in its declarative form."""
+    v = _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(f"""
+        SELECT c.c_nationkey, count(*) AS n_customers
+        FROM {v['customer']} c
+        WHERE NOT EXISTS (SELECT 1 FROM {v['orders']} o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        GROUP BY c.c_nationkey
+    """)
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+           / 700.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.2 * (CAST(sum(CAST(round(l2.l_quantity) AS BIGINT))
+                                       AS DOUBLE) / count(*))
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+""",
+    tags=("A1", "subquery", "tpch-q17"),
+)
+def q17_small_quantity_revenue(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar aggregate subquery
+    (avg quantity per part) driving a fact filter. Catalyst
+    decorrelates it into a per-partkey aggregate joined back to the
+    fact scan — one pass, no per-row re-aggregation. The threshold is
+    written as sum/count over exact integer quantities so both engines
+    compute the identical IEEE double before the single comparison
+    (the round-boundary hazard lives in the aggregate, not here)."""
+    v = _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(f"""
+        SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 700.0 AS avg_yearly
+        FROM {v['lineitem']}
+        JOIN {v['part']} ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (SELECT 0.2 * (CAST(sum(CAST(round(l2.l_quantity)
+                                                        AS BIGINT))
+                                               AS DOUBLE) / count(*))
+                            FROM {v['lineitem']} l2
+                            WHERE l2.l_partkey = p_partkey)
+    """)
+
+
+@query(
+    "q18_large_volume_orders",
+    oracle="""
+SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey
+                     HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)
+GROUP BY c_name, o_orderkey, o_orderdate
+ORDER BY sum_qty DESC, o_orderkey
+LIMIT 100
+""",
+    tags=("A1", "O2", "subquery", "tpch-q18"),
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — IN over a grouped-HAVING subquery. The
+    subquery aggregates the fact table down to qualifying orderkeys
+    (a left-semi join after decorrelation) before the 3-way join, so
+    the join input is pre-reduced — the order that survives 1000×."""
+    v = _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(f"""
+        SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+               sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+        FROM {v['customer']}
+        JOIN {v['orders']}   ON c_custkey = o_custkey
+        JOIN {v['lineitem']} ON l_orderkey = o_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM {v['lineitem']}
+                             GROUP BY l_orderkey
+                             HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)
+        GROUP BY c_name, o_orderkey, o_orderdate
+        ORDER BY sum_qty DESC, o_orderkey
+        LIMIT 100
+    """)

@@ -151,3 +151,25 @@ def test_overhead_nonnegative_property(spark, spans):
     ov = fa.overhead().collect()[0]
     assert ov.overhead >= -1e-9
     assert abs(ov.flow_runtime - (ov.active_time + ov.overhead)) < 1e-9
+
+
+def test_subqueries_decorrelate_no_nested_loop(spark):
+    """EXISTS/NOT EXISTS/IN/correlated-scalar subqueries must compile
+    to semi/anti/hash joins (Catalyst decorrelation) — a nested-loop
+    or per-row subquery re-execution would be quadratic at scale."""
+    from picoprobedataflow_spark.plans import subqueries as SQ
+
+    sf = "/root/testdata/sf0.001"
+    plans = {
+        "exists": SQ.exists_urgent_open_by_segment(spark, sf),
+        "not_exists": SQ.not_exists_dormant_by_nation(spark, sf),
+        "scalar": SQ.q17_small_quantity_revenue(spark, sf),
+        "in_having": SQ.q18_large_volume_orders(spark, sf),
+    }
+    texts = {k: df._jdf.queryExecution().executedPlan().toString()
+             for k, df in plans.items()}
+    assert "LeftSemi" in texts["exists"]
+    assert "LeftAnti" in texts["not_exists"]
+    assert "LeftSemi" in texts["in_having"]
+    for k, t in texts.items():
+        assert "NestedLoop" not in t, f"{k} fell back to a nested loop"
