@@ -46,6 +46,8 @@ CATALOG_BENCH = (
     "top3_orders_per_priority",
     "lineitem_rollup",
     "windowed_event_rates",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
 )
 
 
@@ -81,6 +83,14 @@ def _uncapped_pipeline_queries():
         return SIM.topk_cosine(emb.filter(F.col("vec_id") > 0),
                                [float(x) for x in qvec], k=10)
 
+    def ann_srp_topk(spark, sf_dir):
+        emb = tbl(spark, sf_dir, "embeddings")
+        qvec = (emb.filter(F.col("vec_id") == 0)
+                   .select("embedding").head()[0])
+        return SIM.srp_ann_search(emb.filter(F.col("vec_id") > 0),
+                                  [float(x) for x in qvec], k=10,
+                                  n_planes=8, dim=64)
+
     def text_quality_full(spark, sf_dir):
         from picoprobedataflow_spark.functions import text as TX
         docs = tbl(spark, sf_dir, "documents")
@@ -96,6 +106,7 @@ def _uncapped_pipeline_queries():
         "dedup_simhash_full": simhash_pairs,
         "dedup_jaccard_full": jaccard_neardup,
         "ann_cosine_topk_full": ann_topk,
+        "ann_srp_topk_full": ann_srp_topk,
         "text_quality_full": text_quality_full,
     }
 

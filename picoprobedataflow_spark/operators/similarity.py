@@ -112,24 +112,36 @@ def ivf_ann_search(emb: DataFrame, query_vec: list[float], k: int = 5,
                .limit(k))
 
 
-def srp_plane(plane: int, dim: int) -> F.Column:
+def srp_plane_entry(plane: int, dim: int) -> float:
     """Deterministic ±1 hyperplane entry for (plane, dim): parity of
-    the portable hash of 'p:<plane>:<dim>'. Pure expression — no
-    broadcast state, identical on every engine."""
-    key = F.lit(f"p:{plane}:{dim}")
-    h = F.conv(F.substring(F.md5(key.cast("binary")), 1, 8), 16, 10) \
-         .cast("long")
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    the portable md5 hash of 'p:<plane>:<dim>'. Computed driver-side
+    once and inlined as literals — no broadcast state, identical on
+    every engine, and the plan stays O(planes) expressions instead of
+    O(planes×dim) md5 nodes (the expression-per-entry formulation cost
+    ~9 s of plan compilation per call at 8×64)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"p:{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
 
 
 def srp_bucket(vec_col: F.Column, n_planes: int = 8, dim: int = 64) -> F.Column:
-    """SRP bucket id: bit p set iff plane_p · v > 0."""
+    """SRP bucket id: bit p set iff plane_p · v > 0.
+
+    The dot product is a ``zip_with`` + left-fold ``aggregate`` over
+    the literal plane array — same ascending-dim, left-associative
+    double arithmetic as a chained ``+`` (the IEEE identity
+    ``0.0 + x == x`` holds for every x; a -0.0 sum still fails
+    ``> 0``), so bucket assignment is bit-reproducible against the
+    oracle's chained-sum form."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        dot = None
-        for d in range(dim):
-            term = F.element_at(vec_col, d + 1).cast("double") * srp_plane(p, d)
-            dot = term if dot is None else dot + term
+        plane = F.array(*[F.lit(srp_plane_entry(p, d)) for d in range(dim)])
+        dot = F.aggregate(
+            F.zip_with(vec_col, plane,
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, t: acc + t)
         bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
 
@@ -142,16 +154,13 @@ def srp_ann_search(emb: DataFrame, query_vec: list[float], k: int = 5,
     then exact cosine top-k inside it. At scale the bucket column is
     precomputed/partitioned-on at write time, so a query touches
     1/2^n_planes of the data."""
-    # Driver-side bucket of the constant query vector (same formula).
-    import hashlib
-
-    def plane_entry(p: int, d: int) -> float:
-        h = int(hashlib.md5(f"p:{p}:{d}".encode()).hexdigest()[:8], 16)
-        return 1.0 if h % 2 == 0 else -1.0
-
+    # Driver-side bucket of the constant query vector (same formula,
+    # same ascending-dim left fold).
     qbucket = 0
     for p in range(n_planes):
-        dot = sum(plane_entry(p, d) * float(query_vec[d]) for d in range(dim))
+        dot = 0.0
+        for d in range(dim):
+            dot += srp_plane_entry(p, d) * float(query_vec[d])
         if dot > 0:
             qbucket |= 1 << p
     bucketed = emb.withColumn("bucket",

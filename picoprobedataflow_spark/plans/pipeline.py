@@ -313,6 +313,62 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            [float(x) for x in qvec], k=10)
 
 
+def _srp_dot_sql(v: str, p: int, dim: int) -> str:
+    """Chained left-associative plane·v sum — term order and double
+    arithmetic identical to :func:`..operators.similarity.srp_bucket`,
+    so the sign decision is bit-reproducible across engines. Plane
+    entries are md5-derived constants, precomputed here into literals."""
+    import hashlib
+
+    terms = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"p:{p}:{d}".encode()).hexdigest()[:8], 16)
+        terms.append(f"{v}[{d + 1}]*{'1.0' if h % 2 == 0 else '-1.0'}")
+    return " + ".join(terms)
+
+
+def _srp_bucket_sql(v: str, n_planes: int, dim: int) -> str:
+    cases = [f"CASE WHEN ({_srp_dot_sql(v, p, dim)}) > 0"
+             f" THEN {1 << p} ELSE 0 END" for p in range(n_planes)]
+    return "(" + " + ".join(cases) + ")"
+
+
+_SRP_PLANES, _SRP_DIM = 4, 64
+
+
+@query(
+    "ann_srp_bucket_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       {_srp_bucket_sql('embedding', _SRP_PLANES, _SRP_DIM)} AS bucket,
+       round({_COS.format(a='embedding', b='(SELECT qv FROM q)')}, 6) AS cosine
+FROM embeddings
+WHERE vec_id > 0
+  AND {_srp_bucket_sql('embedding', _SRP_PLANES, _SRP_DIM)}
+      = (SELECT {_srp_bucket_sql('qv', _SRP_PLANES, _SRP_DIM)} FROM q)
+ORDER BY round({_COS.format(a='embedding', b='(SELECT qv FROM q)')}, 6) DESC,
+         vec_id
+LIMIT 10
+""",
+    tags=("ann", "similarity", "lsh"),
+)
+def ann_srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH ANN — the scale path: restrict the scan to the query's
+    sign-random-projection bucket (1/2^planes of the data when the
+    bucket is a partition key at write time), exact cosine top-k
+    inside. The ±1 hyperplanes derive from md5 of (plane, dim), so the
+    oracle replays them as literal chained sums — bucket assignment is
+    bit-identical across engines, no float-boundary hazard. 4 planes
+    here so small-SF buckets stay populated; production uses 8-16."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    qvec = (emb.filter(F.col("vec_id") == 0)
+               .select("embedding").head()[0])
+    return SIM.srp_ann_search(emb.filter(F.col("vec_id") > 0),
+                              [float(x) for x in qvec], k=10,
+                              n_planes=_SRP_PLANES, dim=_SRP_DIM)
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
