@@ -171,3 +171,94 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY sum_qty DESC, o_orderkey
         LIMIT 100
     """)
+
+
+@query(
+    "q21_last_shipper_per_order",
+    oracle="""
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders    ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""",
+    tags=("subquery", "exists", "not-exists", "tpch-q21"),
+)
+def q21_last_shipper_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — two correlated subqueries on the SAME query
+    (EXISTS + NOT EXISTS), each with an inequality predicate riding the
+    orderkey equi-correlation: suppliers who shipped last on finished
+    multi-supplier orders. Decorrelation keeps the orderkey as the join
+    key, so both become hash semi/anti joins with a residual non-equi
+    condition — never a nested loop (l_receiptdate/commitdate do not
+    exist in this schema; shipdate carries the lateness semantics)."""
+    v = _views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(f"""
+        SELECT s_name, count(*) AS numwait
+        FROM {v['supplier']}
+        JOIN {v['lineitem']} l1 ON s_suppkey = l1.l_suppkey
+        JOIN {v['orders']}      ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM {v['lineitem']} l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM {v['lineitem']} l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """)
+
+
+@query(
+    "q22_rich_dormant_customers",
+    oracle="""
+SELECT c_nationkey, count(*) AS numcust,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+FROM customer c
+WHERE c_nationkey IN (1, 3, 5, 7, 9)
+  AND CAST(round(c_acctbal * 100) AS BIGINT)
+      > (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                / count(*)
+         FROM customer c2 WHERE c2.c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+""",
+    tags=("subquery", "scalar-subquery", "not-exists", "tpch-q22"),
+)
+def q22_rich_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — uncorrelated scalar aggregate subquery as a
+    filter threshold plus NOT EXISTS anti-membership: above-average-
+    balance customers in selected nations who never ordered. The
+    threshold compares exact integer cents against a sum/count double
+    that both engines compute identically (exact int64 sum, one
+    division), sidestepping float-avg drift at the comparison
+    boundary. (This schema has no phone column; nationkey stands in
+    for the country-code prefix.)"""
+    v = _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(f"""
+        SELECT c_nationkey, count(*) AS numcust,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0
+                   AS totacctbal
+        FROM {v['customer']} c
+        WHERE c_nationkey IN (1, 3, 5, 7, 9)
+          AND CAST(round(c_acctbal * 100) AS BIGINT)
+              > (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+                             AS DOUBLE) / count(*)
+                 FROM {v['customer']} c2 WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM {v['orders']} o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_nationkey
+    """)

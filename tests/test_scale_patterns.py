@@ -165,11 +165,17 @@ def test_subqueries_decorrelate_no_nested_loop(spark):
         "not_exists": SQ.not_exists_dormant_by_nation(spark, sf),
         "scalar": SQ.q17_small_quantity_revenue(spark, sf),
         "in_having": SQ.q18_large_volume_orders(spark, sf),
+        "double_corr": SQ.q21_last_shipper_per_order(spark, sf),
+        "scalar_anti": SQ.q22_rich_dormant_customers(spark, sf),
     }
     texts = {k: df._jdf.queryExecution().executedPlan().toString()
              for k, df in plans.items()}
     assert "LeftSemi" in texts["exists"]
     assert "LeftAnti" in texts["not_exists"]
     assert "LeftSemi" in texts["in_having"]
+    # Q21: both subqueries in one query, inequality riding the equi key
+    assert "LeftSemi" in texts["double_corr"]
+    assert "LeftAnti" in texts["double_corr"]
+    assert "LeftAnti" in texts["scalar_anti"]
     for k, t in texts.items():
         assert "NestedLoop" not in t, f"{k} fell back to a nested loop"
