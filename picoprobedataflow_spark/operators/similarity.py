@@ -101,7 +101,9 @@ def ivf_ann_search(emb: DataFrame, query_vec: list[float], k: int = 5,
         return num / (na * nb) if na and nb else 0.0
 
     ranked = sorted(cents,
-                    key=lambda r: -cos(r.centroid, [float(x) for x in query_vec]))
+                    key=lambda r: (-cos(r.centroid,
+                                        [float(x) for x in query_vec]),
+                                   r.cell))
     probe_cells = [r.cell for r in ranked[:n_probe]]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (emb.filter(F.col(cell_col).isin(probe_cells))

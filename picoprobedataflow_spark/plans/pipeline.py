@@ -369,6 +369,48 @@ def ann_srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                               n_planes=_SRP_PLANES, dim=_SRP_DIM)
 
 
+_IVF_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+longf AS (SELECT label AS cell, generate_subscripts(embedding, 1) AS dim,
+                 unnest(CAST(embedding AS DOUBLE[])) AS val
+          FROM embeddings WHERE vec_id > 0),
+cents AS (SELECT cell, list(m ORDER BY dim) AS centroid
+          FROM (SELECT cell, dim, avg(val) AS m FROM longf GROUP BY cell, dim)
+          GROUP BY cell),
+probe AS (SELECT cell FROM cents
+          ORDER BY list_cosine_similarity(centroid,
+                     CAST((SELECT qv FROM q) AS DOUBLE[])) DESC, cell
+          LIMIT 2)
+SELECT vec_id, label AS cell,
+       round({_COS.format(a='embedding', b='(SELECT qv FROM q)')}, 6) AS cosine
+FROM embeddings
+WHERE vec_id > 0 AND label IN (SELECT cell FROM probe)
+ORDER BY round({_COS.format(a='embedding', b='(SELECT qv FROM q)')}, 6) DESC,
+         vec_id
+LIMIT 5
+"""
+
+
+@query(
+    "ann_ivf_probe_topk",
+    oracle=_IVF_ORACLE,
+    tags=("ann", "similarity", "ivf"),
+)
+def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: rank cells by centroid cosine to the query
+    (centroid table is |cells| rows — driver-side), scan only the 2
+    nearest cells, exact top-5 inside them. With the cell as a
+    partition key at write time the cell restriction is partition
+    pruning — a query touches n_probe/|cells| of the data. Centroid
+    ranking tolerates last-ulp float-average drift because cluster
+    margins dwarf it; the emitted scores are exact cosines, rounded."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    qvec = (emb.filter(F.col("vec_id") == 0)
+               .select("embedding").head()[0])
+    return SIM.ivf_ann_search(emb.filter(F.col("vec_id") > 0),
+                              [float(x) for x in qvec], k=5, n_probe=2)
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

@@ -179,3 +179,30 @@ def test_subqueries_decorrelate_no_nested_loop(spark):
     assert "LeftAnti" in texts["scalar_anti"]
     for k, t in texts.items():
         assert "NestedLoop" not in t, f"{k} fell back to a nested loop"
+
+
+def test_headline_plans_have_scale_shapes(spark):
+    """Lock in the physical-plan properties SCALE.md claims: predicate
+    pushdown into the parquet scan, broadcast joins for dims, and
+    per-partition top-k (TakeOrderedAndProject) for ordered limits."""
+    from picoprobedataflow_spark.plans import catalog
+
+    sf = "/root/testdata/sf0.001"
+    specs = catalog.specs()
+
+    def plan(name):
+        return (specs[name].fn(spark, sf)
+                ._jdf.queryExecution().executedPlan().toString())
+
+    q1 = plan("q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in q1
+    # column pruning: the 11-col table reads only what Q1 needs
+    assert "l_orderkey" not in q1.split("ReadSchema")[1][:400]
+
+    q5 = plan("q5_region_nation_revenue")
+    assert q5.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in q5
+
+    topk = plan("recent_events_topk")
+    assert "TakeOrderedAndProject" in topk
+    assert "Sort " not in topk  # no global sort for an ordered limit
