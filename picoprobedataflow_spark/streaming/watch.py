@@ -75,6 +75,35 @@ def run_ingest_stream(stream: DataFrame, checkpoint_dir: str,
     return writer.start()
 
 
+def interval_attribution_join(clicks: DataFrame, purchases: DataFrame,
+                              max_delay: str = "1 hour",
+                              watermark: str = "2 hours") -> DataFrame:
+    """ST extension: stream-stream interval join — attribute each
+    purchase to a same-user click at most ``max_delay`` earlier.
+
+    Both sides carry a watermark and the join condition bounds
+    ``purchase_ts`` inside ``[click_ts, click_ts + max_delay]``, which
+    is exactly what lets Spark expire join state: click rows older
+    than ``watermark + max_delay`` can never match again and are
+    dropped, so state is bounded by the delay window, not the stream
+    length. Works identically on batch inputs (the equivalence-test /
+    oracle twin — watermarks are simply skipped)."""
+    c = clicks.select(F.col("user_id"), F.col("ts").alias("click_ts"))
+    p = purchases.select(F.col("user_id").alias("p_user_id"),
+                         F.col("ts").alias("purchase_ts"),
+                         F.col("value").alias("purchase_value"))
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = ((c.user_id == p.p_user_id)
+            & (p.purchase_ts >= c.click_ts)
+            & (p.purchase_ts <= c.click_ts + F.expr(f"INTERVAL {max_delay}")))
+    return (c.join(p, cond, "inner")
+             .select("user_id", "click_ts", "purchase_ts",
+                     "purchase_value"))
+
+
 def windowed_event_rates(events: DataFrame, window: str = "1 hour",
                          watermark: str = "2 hours",
                          ts_col: str = "ts") -> DataFrame:

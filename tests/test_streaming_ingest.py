@@ -89,3 +89,49 @@ def test_windowed_rates_stream_equals_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.sql("SELECT * FROM rates").collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_interval_attribution_join_stream_equals_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join drains (availableNow)
+    to the same rows the batch form produces; out-of-window purchases
+    attribute to nothing."""
+    from datetime import datetime
+
+    from picoprobedataflow_spark.streaming.watch import (
+        interval_attribution_join,
+    )
+
+    def t(minute):
+        return datetime(2024, 1, 1, 10, minute)
+
+    clicks = spark.createDataFrame(
+        [(1, t(0)), (1, t(30)), (2, t(5))],
+        "user_id long, ts timestamp")
+    purchases = spark.createDataFrame(
+        # u1 buys at :40 (matches both :0(+1h) and :30 clicks),
+        # u2 buys at :50 (within :5+1h), u2 again 11:50 (no click in window)
+        [(1, t(40), 9.5), (2, t(50), 3.25),
+         (2, datetime(2024, 1, 1, 11, 50), 7.0)],
+        "user_id long, ts timestamp, value double")
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    clicks.write.parquet(cdir)
+    purchases.write.parquet(pdir)
+
+    batch = {tuple(map(str, r)) for r in
+             interval_attribution_join(clicks, purchases).collect()}
+    assert len(batch) == 3  # (1,:0)->:40, (1,:30)->:40, (2,:5)->:50
+
+    cs = (spark.readStream.schema("user_id long, ts timestamp")
+          .parquet(cdir))
+    ps = (spark.readStream
+          .schema("user_id long, ts timestamp, value double")
+          .parquet(pdir))
+    joined = interval_attribution_join(cs, ps)
+    q = (joined.writeStream.format("memory")
+         .queryName("attrib_sink").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = {tuple(map(str, r)) for r in
+                spark.sql("SELECT * FROM attrib_sink").collect()}
+    assert streamed == batch
