@@ -58,3 +58,44 @@ def streaming_hourly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
          .trigger(availableNow=True).start())
     q.awaitTermination(300)
     return spark.table(name)
+
+
+@query(
+    "click_purchase_attribution",
+    oracle="""
+WITH c AS (SELECT user_id, epoch_us(ts) AS click_us
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, epoch_us(ts) AS purchase_us,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, click_us, purchase_us, purchase_value
+FROM c JOIN p ON c.user_id = p.user_id
+ AND purchase_us >= click_us
+ AND purchase_us <= click_us + 3600000000
+""",
+    tags=("ST", "stream-stream-join", "J1"),
+)
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join in its batch form (same code
+    path — :func:`..streaming.watch.interval_attribution_join` skips
+    watermarks on batch inputs): purchases attributed to a same-user
+    click at most 1 hour earlier. Timestamps round-trip through exact
+    int64 µs (events_us → timestamp_micros → unix_micros) so the
+    oracle's epoch_us arithmetic is bit-identical."""
+    from picoprobedataflow_spark.plans.common import events_us
+    from picoprobedataflow_spark.streaming.watch import (
+        interval_attribution_join,
+    )
+
+    ev = events_us(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+                .select("user_id", F.timestamp_micros("ts").alias("ts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("user_id", F.timestamp_micros("ts").alias("ts"),
+                           "value"))
+    joined = interval_attribution_join(clicks, purchases, max_delay="1 hour")
+    return joined.select(
+        "user_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        "purchase_value")
