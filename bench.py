@@ -67,8 +67,8 @@ def _uncapped_pipeline_queries():
 
     def simhash_pairs(spark, sf_dir):
         docs = tbl(spark, sf_dir, "documents")
-        sigs = DD.simhash_signatures(docs, bits=32, hash_fn=SC.fast_hash64)
-        return DD.simhash_near_pairs(sigs, max_hamming=6)
+        return DD.simhash_dedup(docs, max_hamming=6,
+                                hash_fn=SC.fast_hash64)
 
     def jaccard_neardup(spark, sf_dir):
         docs = tbl(spark, sf_dir, "documents")

@@ -259,6 +259,21 @@ def simhash_signatures(docs: DataFrame, bits: int = 32,
     return voted.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_dedup(docs: DataFrame, max_hamming: int = 6,
+                  n_chunks: int = 4, bits: int = 32,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  hash_fn: HashFn = portable_hash64) -> DataFrame:
+    """Composed SimHash flow: signatures → chunk-join candidates →
+    hamming verify. The signature table feeds BOTH sides of the
+    candidate self-join, and Spark plans them as two independent
+    subtrees (no ReusedExchange for a broadcast side), so without the
+    persist the tokenize+vote aggregate runs twice — measured 2 scans
+    / doubled aggregates in the physical plan."""
+    sigs = simhash_signatures(docs, bits, text_col, id_col,
+                              hash_fn).persist()
+    return simhash_near_pairs(sigs, max_hamming, n_chunks, bits, id_col)
+
+
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 6,
                        n_chunks: int = 4, bits: int = 32,
                        id_col: str = "doc_id") -> DataFrame:

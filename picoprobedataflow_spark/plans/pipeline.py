@@ -256,8 +256,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: byte-chunk pigeonhole candidates, then
     hamming ≤ 6 verification (Manku-style)."""
     docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sigs = DD.simhash_signatures(docs, bits=32)
-    return DD.simhash_near_pairs(sigs, max_hamming=6, n_chunks=4, bits=32)
+    return DD.simhash_dedup(docs, max_hamming=6, n_chunks=4, bits=32)
 
 
 # --------------------------------------------------------------------------
