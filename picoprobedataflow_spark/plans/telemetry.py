@@ -455,6 +455,30 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "props_variant_extract",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       count(DISTINCT user_id) AS n_users,
+       max(CAST(round(value * 100) AS BIGINT)) / 100.0 AS max_value
+FROM events GROUP BY 1
+""",
+    tags=("F13", "F14", "variant"),
+)
+def props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path #2 (SURVEY §1.1): ``parse_json`` into
+    Spark 4's VariantType and ``variant_get`` extraction — the
+    open-schema alternative to ``get_json_object`` string probing.
+    Variant parses the JSON once into a binary encoding instead of
+    re-parsing per path access, which is the right trade at 100 TB
+    when several keys are pulled from one document."""
+    ev = events_us(spark, sf_dir)
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (ev.groupBy(k.alias("k"))
+              .agg(F.countDistinct("user_id").alias("n_users"),
+                   (F.max(cents()) / 100.0).alias("max_value")))
+
+
+@query(
     "last_event_per_user",
     oracle="""
 SELECT user_id,
