@@ -469,3 +469,85 @@ def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (od.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
               .agg(F.count("*").alias("n_orders"),
                    (F.sum(_c("o_totalprice")) / 100.0).alias("sum_total")))
+
+
+@query(
+    "q14_promo_revenue_share",
+    oracle=f"""
+SELECT CAST(100 * sum(CASE WHEN p_type = 'PROMO'
+                           THEN {_csql('l_extendedprice')}
+                                * (100 - {_csql('l_discount')})
+                           ELSE 0 END) AS DOUBLE)
+           / sum({_csql('l_extendedprice')} * (100 - {_csql('l_discount')}))
+           AS promo_revenue_pct,
+       sum({_csql('l_extendedprice')} * (100 - {_csql('l_discount')})) / 1e4
+           AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-03-01 00:00:00'
+""",
+    tags=("J3", "A3", "tpch-q14"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact⋈dim join —
+    the share of revenue from PROMO parts in a two-month shipdate
+    window. part broadcasts (O(MB) at any SF); the shipdate range
+    pushes into the lineitem scan, so the join input is the window,
+    not the table. Percentage = double(100·promo)/total over exact
+    int64 cents×bp sums — bit-identical across engines."""
+    li = tbl(spark, sf_dir, "lineitem")
+    pt = tbl(spark, sf_dir, "part")
+    disc = _c("l_extendedprice") * (100 - _c("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0))
+    total = F.sum(disc)
+    return (
+        li.filter((F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1998-03-01 00:00:00").cast("timestamp")))
+          .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+          .agg(((100 * promo).cast("double") / total).alias("promo_revenue_pct"),
+               (total / 1e4).alias("total_revenue"))
+    )
+
+
+@query(
+    "q19_disjunctive_brand_revenue",
+    oracle=f"""
+SELECT sum({_csql('l_extendedprice')} * (100 - {_csql('l_discount')})) / 1e4
+           AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+    tags=("J3", "P3", "tpch-q19"),
+)
+def q19_disjunctive_brand_revenue(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a three-branch disjunctive predicate spanning
+    both join sides. Catalyst extracts the common join key (equi
+    p_partkey = l_partkey, so this stays a hash join, not a nested
+    loop) and pushes the per-side disjunction fragments
+    (p_brand IN (...), quantity range hull) below the join as
+    partial filters — the classic OR-predicate factoring test."""
+    li = tbl(spark, sf_dir, "lineitem")
+    pt = tbl(spark, sf_dir, "part")
+    qty, size = F.col("l_quantity"), F.col("p_size")
+    branch = (
+        ((F.col("p_brand") == "Brand#11") & size.between(1, 5)
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & size.between(1, 10)
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#20") & size.between(1, 15)
+           & qty.between(20, 30))
+    )
+    return (li.join(F.broadcast(pt), F.col("p_partkey") == F.col("l_partkey"))
+              .filter(branch)
+              .agg((F.sum(_c("l_extendedprice") * (100 - _c("l_discount")))
+                    / 1e4).alias("revenue"),
+                   F.count("*").alias("n_items")))

@@ -262,3 +262,38 @@ def q22_rich_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                           WHERE o.o_custkey = c.c_custkey)
         GROUP BY c_nationkey
     """)
+
+
+@query(
+    "q4_priority_with_late_ship",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+    tags=("subquery", "exists", "tpch-q4"),
+)
+def q4_priority_with_late_ship(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a NON-equi correlated predicate
+    (l_shipdate > o_orderdate, the commit/receipt-date analog on this
+    schema) — decorrelates to a left-semi join whose condition mixes
+    the equi key with the inequality, so the semi join still hashes on
+    l_orderkey and evaluates the date comparison as a residual. One
+    quarter of orders per priority bucket."""
+    v = _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(f"""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM {v['orders']} o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM {v['lineitem']} l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """)
