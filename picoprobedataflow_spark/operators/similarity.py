@@ -16,6 +16,7 @@ identical planes.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -146,6 +147,65 @@ def srp_bucket(vec_col: F.Column, n_planes: int = 8, dim: int = 64) -> F.Column:
             lambda acc, t: acc + t)
         bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
+
+
+def srp_plane_matrix(n_planes: int, dim: int):
+    """The full ±1 plane matrix (n_planes × dim) as a numpy array —
+    same ``srp_plane_entry`` formula, materialized once instead of
+    inlined as literals."""
+    import numpy as np
+
+    return np.array([[srp_plane_entry(p, d) for d in range(dim)]
+                     for p in range(n_planes)], dtype="float64")
+
+
+def srp_bucket_matrix(emb: DataFrame, n_planes: int = 8, dim: int = 64,
+                      vec_col: str = "embedding",
+                      out_col: str = "bucket") -> DataFrame:
+    """High-dim scale path for :func:`srp_bucket` (the SCALE.md "known
+    limit"): at 1024-dim the literal-array fold is O(planes×dim)
+    expression nodes per plane; here the planes ride along as one
+    broadcast numpy matrix and each Arrow batch does a single
+    ``planes @ batchᵀ`` matmul in the Python worker — O(1) plan size
+    in dim, BLAS-vectorized, one kernel per batch instead of per row.
+
+    Bucket contract is identical (bit p set iff plane_p·v > 0); the
+    matmul may sum in a different order than the fold, so agreement at
+    exact sign boundaries is not guaranteed — irrelevant for LSH
+    correctness (any consistent bucketing works) but why the
+    oracle-gated catalog queries stay on the fold form."""
+    from pyspark.sql import functions as sf
+
+    spark = emb.sparkSession
+    planes_bc = spark.sparkContext.broadcast(srp_plane_matrix(n_planes, dim))
+
+    @sf.pandas_udf("long")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        planes = planes_bc.value
+        mat = np.stack(vecs.to_numpy()).astype("float64")  # rows × dim
+        dots = mat @ planes.T                              # rows × planes
+        bits = (dots > 0).astype("int64")
+        weights = (1 << np.arange(planes.shape[0])).astype("int64")
+        return pd.Series(bits @ weights)
+
+    return emb.withColumn(out_col, _bucket(F.col(vec_col)))
+
+
+def _register_for_shipping() -> None:
+    """Ship this module by value so the pandas-UDF kernel above works
+    when the driver imports from outside the repo (see
+    io/emd.py:_register_for_shipping and the executor-code-shipping
+    note: driver-side sys.path never reaches Python workers)."""
+    import sys
+
+    import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+
+
+_register_for_shipping()
 
 
 def srp_ann_search(emb: DataFrame, query_vec: list[float], k: int = 5,

@@ -134,6 +134,26 @@ def test_srp_ann_search_finds_neighbor(spark):
     assert got[0].vec_id == 99 and got[0].cosine > 0.999
 
 
+def test_srp_bucket_matrix_matches_fold(spark):
+    """The pandas-UDF plane-matrix path (1024-dim scale variant) must
+    assign the same buckets as the literal-array fold on the real
+    embeddings table — same planes, same >0 contract; only the dot
+    summation order differs, which real-valued data never notices."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fold = emb.withColumn("bucket", SIM.srp_bucket(F.col("embedding"),
+                                                   n_planes=8, dim=64))
+    mat = SIM.srp_bucket_matrix(emb, n_planes=8, dim=64)
+    joined = (fold.select("vec_id", F.col("bucket").alias("b_fold"))
+                  .join(mat.select("vec_id", F.col("bucket").alias("b_mat")),
+                        "vec_id"))
+    n_total = joined.count()
+    n_agree = joined.filter(F.col("b_fold") == F.col("b_mat")).count()
+    assert n_total > 0
+    assert n_agree == n_total
+
+
 def test_ivf_ann_finds_in_cluster_neighbor(spark):
     """IVF with 2 cells: the query sits in cell 0; n_probe=1 must find
     the in-cell neighbor and never scan cell 1."""
