@@ -48,6 +48,9 @@ CATALOG_BENCH = (
     "windowed_event_rates",
     "q17_small_quantity_revenue",
     "q18_large_volume_orders",
+    "q4_priority_with_late_ship",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_brand_revenue",
 )
 
 
