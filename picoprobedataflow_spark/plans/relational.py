@@ -97,7 +97,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_orderkey,
        sum({_csql('l_extendedprice')} * (100 - {_csql('l_discount')})) / 1e4
            AS revenue,
-       CAST(o_orderdate AS DATE) AS o_orderdate,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -132,7 +132,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
           .limit(10)
           .select("l_orderkey",
                   (F.col("_rev_bp") / 1e4).alias("revenue"),
-                  F.to_date("o_orderdate").alias("o_orderdate"),
+                  F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
                   "o_orderpriority")
     )
 

@@ -138,15 +138,15 @@ def q17_small_quantity_revenue(spark: SparkSession,
 @query(
     "q18_large_volume_orders",
     oracle="""
-SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
-       sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
 WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                      GROUP BY l_orderkey
                      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)
-GROUP BY c_name, o_orderkey, o_orderdate
+GROUP BY c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
 ORDER BY sum_qty DESC, o_orderkey
 LIMIT 100
 """,
@@ -156,10 +156,13 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape — IN over a grouped-HAVING subquery. The
     subquery aggregates the fact table down to qualifying orderkeys
     (a left-semi join after decorrelation) before the 3-way join, so
-    the join input is pre-reduced — the order that survives 1000×."""
+    the join input is pre-reduced — the order that survives 1000×.
+    The date is emitted as a yyyy-MM-dd STRING on both sides (catalog
+    encoding rule: never raw DATE values through the hash gate)."""
     v = _views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(f"""
-        SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        SELECT c_name, o_orderkey,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
                sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
         FROM {v['customer']}
         JOIN {v['orders']}   ON c_custkey = o_custkey
@@ -167,7 +170,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey IN (SELECT l_orderkey FROM {v['lineitem']}
                              GROUP BY l_orderkey
                              HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)
-        GROUP BY c_name, o_orderkey, o_orderdate
+        GROUP BY c_name, o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd')
         ORDER BY sum_qty DESC, o_orderkey
         LIMIT 100
     """)
