@@ -94,22 +94,30 @@ def shingle_table(docs: DataFrame, k: int = 3, text_col: str = "text",
 
 def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
                   text_col: str = "text", id_col: str = "doc_id",
-                  max_df: int | None = None) -> DataFrame:
+                  max_df: int | None = None,
+                  shingles: DataFrame | None = None) -> DataFrame:
     """Pairs with shingle-set Jaccard ≥ threshold.
 
     |A∩B| comes from the shingle-equality self-join; |A∪B| =
     |A|+|B|−|A∩B|. ``max_df`` (document frequency cap) drops
     stop-shingles before the join — at corpus scale this is the knob
     that keeps the join linear-ish; exact mode (None) is for oracles.
+    Pass a prebuilt ``shingles`` table to share the tokenize cost with
+    other shingle consumers (e.g. minhash over the same corpus).
     """
-    sh = shingle_table(docs, k, text_col, id_col)
+    sh = shingles if shingles is not None \
+        else shingle_table(docs, k, text_col, id_col)
     if max_df is not None:
         keep = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
                   .filter(F.col("df") <= max_df).select("shingle"))
         sh = sh.join(keep, "shingle")
-    # sh feeds three consumers (sizes + both join sides); persist so the
-    # tokenize→window→distinct chain runs once, not three times.
-    sh = sh.persist()
+    # sh feeds three consumers (sizes + both join sides); materialize it
+    # once (localCheckpoint, not persist: blocks are released when the
+    # plan is garbage-collected, so long-lived driver sessions don't
+    # accumulate cached partitions across catalog/bench invocations).
+    # A caller-provided unfiltered table is assumed pre-materialized.
+    if shingles is None or max_df is not None:
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -154,7 +162,8 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int, int]]:
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3,
                        text_col: str = "text",
                        id_col: str = "doc_id",
-                       hash_fn: HashFn = portable_hash64) -> DataFrame:
+                       hash_fn: HashFn = portable_hash64,
+                       shingles: DataFrame | None = None) -> DataFrame:
     """Long-form signatures: (doc_id, salt, minhash) — min over the
     doc's shingles of the salted hash.
 
@@ -164,7 +173,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3,
     then unpivoted with ``stack``. The shuffle carries one row per doc
     — not |shingles|×num_hashes — which is the difference between a
     corpus-scale minhash and an accidental 16× data explosion."""
-    sh = shingle_table(docs, k, text_col, id_col)
+    sh = shingles if shingles is not None \
+        else shingle_table(docs, k, text_col, id_col)
     # pmod, not %: portable_hash64 is non-negative (identical result)
     # but fast_hash64 spans the full int64 range and % would go negative.
     base = F.pmod(hash_fn(F.col("shingle")), F.lit(MINHASH_PRIME)).alias("hbase")
@@ -208,10 +218,13 @@ def minhash_lsh_dedup(docs: DataFrame, num_hashes: int = 16, k: int = 3,
                       hash_fn: HashFn = portable_hash64) -> DataFrame:
     """Composed MinHash→LSH→estimate flow. The signature table feeds
     three consumers (banding + both sides of the estimate join), so it
-    is persisted — without this Spark recomputes the shingle+hash
-    pipeline once per consumer, tripling the dominant cost."""
+    is materialized once via localCheckpoint — without this Spark
+    recomputes the shingle+hash pipeline once per consumer, tripling
+    the dominant cost. (localCheckpoint rather than persist: the
+    blocks free themselves on GC, so repeated catalog/bench calls in
+    one driver session don't accumulate storage memory.)"""
     sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col,
-                              hash_fn).persist()
+                              hash_fn).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(sigs, band_size, id_col)
     return minhash_jaccard_estimate(sigs, pairs, num_hashes, id_col)
 
@@ -267,10 +280,11 @@ def simhash_dedup(docs: DataFrame, max_hamming: int = 6,
     hamming verify. The signature table feeds BOTH sides of the
     candidate self-join, and Spark plans them as two independent
     subtrees (no ReusedExchange for a broadcast side), so without the
-    persist the tokenize+vote aggregate runs twice — measured 2 scans
-    / doubled aggregates in the physical plan."""
+    materialization the tokenize+vote aggregate runs twice — measured
+    2 scans / doubled aggregates in the physical plan. localCheckpoint
+    (GC-released) instead of persist (leaks across invocations)."""
     sigs = simhash_signatures(docs, bits, text_col, id_col,
-                              hash_fn).persist()
+                              hash_fn).localCheckpoint(eager=True)
     return simhash_near_pairs(sigs, max_hamming, n_chunks, bits, id_col)
 
 
@@ -308,3 +322,79 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 6,
                      F.col(f"b.{id_col}").alias("doc_b"),
                      ham.cast("long").alias("hamming"))
              .distinct())
+
+
+# --------------------------------------------------------------------------
+# Cluster resolution: connected components → survivor map
+# --------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, id_a: str = "doc_a",
+                         id_b: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """(node, comp): min-id label propagation over an undirected pair
+    graph, iterated to fixpoint.
+
+    Each round is one equi-join (edge ⋈ label on the source node) plus
+    one min-aggregate — both hash-partitioned on the node id, so a
+    round costs two shuffles of |edges| + |nodes| rows regardless of
+    cluster shape. Rounds needed = graph diameter, which for dedup
+    graphs is tiny (near-dup clusters are dense); the fixpoint test is
+    a count of changed labels per round. At extreme scale the same
+    loop upgrades to the large-star/small-star formulation
+    (Kiveris et al., "Connected Components in MapReduce"), which
+    bounds rounds at O(log²  n) on adversarial chains — the operator
+    contract (edges in, (node, comp) out) is unchanged.
+
+    The result is the unique fixpoint (min reachable id per node), so
+    it is deterministic regardless of iteration schedule — which is
+    what lets a recursive-CTE oracle replay it exactly.
+
+    Reference analog: the seen-set "skip the duplicate" semantics
+    (picoprobe/utils.py:126-131) generalized from exact-key equality
+    to transitive near-dup closure. Intermediate rounds are
+    materialized with localCheckpoint (lineage would otherwise grow
+    by two joins per round and blow up plan compilation).
+    """
+    sym = (edges.select(F.col(id_a).cast("long").alias("src"),
+                        F.col(id_b).cast("long").alias("dst"))
+           .union(edges.select(F.col(id_b).cast("long").alias("src"),
+                               F.col(id_a).cast("long").alias("dst")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+                 .withColumn("comp", F.col("node"))
+                 .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        prop = (sym.join(labels, sym["src"] == labels["node"])
+                   .select(F.col("dst").alias("node"), F.col("comp")))
+        new_labels = (labels.unionByName(prop)
+                      .groupBy("node").agg(F.min("comp").alias("comp"))
+                      .localCheckpoint(eager=True))
+        changed = (labels.alias("o")
+                   .join(new_labels.alias("n"), "node")
+                   .filter(F.col("o.comp") != F.col("n.comp"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def near_dup_survivors(docs: DataFrame, edges: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canonical_id, keep): per-document survivor map under
+    keep-min-id policy over the transitive closure of ``edges``.
+
+    Documents in no pair are their own canonical (keep = true) via the
+    left join — the full corpus gets a verdict, which is what a
+    training-data filter stage consumes (mirrors ``exact_dup_mapping``
+    for the exact case)."""
+    comps = connected_components(edges, max_iter=25)
+    return (docs.select(F.col(id_col).cast("long").alias(id_col))
+                .join(comps.withColumnRenamed("node", id_col),
+                      id_col, "left")
+                .select(F.col(id_col),
+                        F.coalesce("comp", F.col(id_col))
+                         .alias("canonical_id"),
+                        (F.coalesce("comp", F.col(id_col))
+                         == F.col(id_col)).alias("keep")))

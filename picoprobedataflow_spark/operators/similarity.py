@@ -234,3 +234,124 @@ def srp_ann_search(emb: DataFrame, query_vec: list[float], k: int = 5,
                                     round_digits).alias("cosine"))
                     .orderBy(F.desc("cosine"), id_col)
                     .limit(k))
+
+
+# --------------------------------------------------------------------------
+# k-means coarse quantizer (IVF build pass)
+# --------------------------------------------------------------------------
+
+def sqdist(a: F.Column, b: F.Column) -> F.Column:
+    """Σ (aᵢ−bᵢ)² as an ascending-dim left fold in double precision —
+    same accumulation shape as the oracle's chained-term sum, so the
+    argmin assignment below is bit-reproducible across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_centroids(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     vecs: DataFrame | None = None) -> DataFrame:
+    """(cell, centroid): deterministic DataFrame Lloyd's iteration —
+    the IVF coarse-quantizer *build* pass, no gold labels anywhere.
+
+    Seeding is md5-derived like the SRP planes: the ``n_clusters``
+    vectors with the smallest ``(md5(vec_id), vec_id)`` rank become
+    centroids 0..k-1 — deterministic across runs, engines and
+    partitionings, so an oracle can replay the whole build. Each
+    iteration is the classic two-step as narrow DataFrame ops:
+
+    - **assign**: cross join against the broadcast centroid table
+      (k rows — the only "table" that moves), squared-distance argmin
+      via ``min_by`` with a (distance, cell) tie-break;
+    - **update**: posexplode to (cell, dim, val), per-dim mean,
+      re-assemble ordered by dim.
+
+    Cost/scale shape: per iteration one broadcast join over the corpus
+    plus one (cell, dim) aggregate — no all-pairs anything; k·dim
+    values cross the driver only at the end. Iterations are
+    intentionally few (quantizer quality needs single digits;
+    production IVF builds sample the corpus for the build pass)."""
+    from pyspark.sql.window import Window as W
+
+    if vecs is None:
+        vecs = emb.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col),
+                        lambda x: x.cast("double")).alias("_v")
+        ).localCheckpoint(eager=True)
+    seed_rank = F.row_number().over(
+        W.orderBy(F.md5(F.col("_id").cast("string").cast("binary")), "_id"))
+    cents = (vecs.withColumn("_r", seed_rank)
+                 .filter(F.col("_r") <= n_clusters)
+                 .select((F.col("_r") - 1).cast("int").alias("cell"),
+                         F.col("_v").alias("centroid"))
+                 .localCheckpoint(eager=True))
+    for _ in range(n_iter):
+        assigned = kmeans_assign(vecs, cents, vec_col="_v", id_col="_id")
+        longf = (assigned.join(vecs, "_id")
+                 .select("cell", F.posexplode("_v").alias("dim", "val")))
+        means = longf.groupBy("cell", "dim").agg(F.avg("val").alias("m"))
+        ordered = F.array_sort(F.collect_list(F.struct("dim", "m")))
+        cents = (means.groupBy("cell")
+                      .agg(F.transform(ordered, lambda s: s.m)
+                            .alias("centroid"))
+                      .localCheckpoint(eager=True))
+    return cents
+
+
+def kmeans_assign(vecs: DataFrame, cents: DataFrame,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """(id, cell): nearest-centroid assignment — broadcast the k-row
+    centroid table, squared-distance argmin with deterministic
+    (distance, cell) tie-break."""
+    d = sqdist(F.col(vec_col), F.col("centroid"))
+    return (vecs.crossJoin(F.broadcast(cents))
+                .withColumn("_d", d)
+                .groupBy(F.col(id_col).alias("_id"))
+                .agg(F.min_by("cell", F.struct("_d", "cell")).alias("cell")))
+
+
+def ivf_kmeans_search(emb: DataFrame, query_vec: list[float], k: int = 5,
+                      n_probe: int = 2, n_clusters: int = 8,
+                      n_iter: int = 2, vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      round_digits: int = 6) -> DataFrame:
+    """IVF search over a k-means-built quantizer: build centroids
+    (no gold labels), assign every vector under the final centroids,
+    rank cells by centroid·query cosine (k rows, driver-side), scan
+    only the ``n_probe`` nearest cells, exact cosine top-k inside.
+    With the learned cell as a partition key at write time the cell
+    restriction is partition pruning, same as the label-IVF path."""
+    vecs = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
+    ).localCheckpoint(eager=True)
+    cents_df = kmeans_centroids(emb, n_clusters, n_iter, vec_col, id_col,
+                                vecs=vecs)
+    cents = cents_df.collect()
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    qd = [float(x) for x in query_vec]
+    ranked = sorted(cents, key=lambda r: (-cos(r.centroid, qd), r.cell))
+    probe_cells = [r.cell for r in ranked[:n_probe]]
+
+    assigned = kmeans_assign(vecs, cents_df, vec_col="_v", id_col="_id")
+    q = F.array(*[F.lit(x) for x in qd])
+    return (assigned.filter(F.col("cell").isin(probe_cells))
+            .join(vecs, "_id")
+            .select(F.col("_id").alias(id_col), "cell",
+                    F.round(V.cosine(F.col("_v"), q),
+                            round_digits).alias("cosine"))
+            .orderBy(F.desc("cosine"), id_col)
+            .limit(k))

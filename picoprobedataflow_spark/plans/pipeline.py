@@ -48,28 +48,6 @@ _HASH64 = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 # --------------------------------------------------------------------------
 
 @query(
-    "dedup_exact_summary",
-    oracle="""
-SELECT count(*)                                    AS n_docs,
-       count(DISTINCT md5(text))                   AS n_distinct,
-       count(*) - count(DISTINCT md5(text))        AS n_dups
-FROM documents
-""",
-    tags=("dedup-exact",),
-)
-def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level exact-duplicate accounting (hash-groupBy dedup).
-    approx_count_distinct is the 100 TB variant; exact here for the
-    oracle."""
-    docs = tbl(spark, sf_dir, "documents")
-    return docs.agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct(TX.fingerprint_md5("text")).alias("n_distinct"),
-        (F.count("*") - F.countDistinct(TX.fingerprint_md5("text")))
-        .alias("n_dups"))
-
-
-@query(
     "dedup_exact_groups",
     oracle="""
 SELECT md5(text) AS fingerprint,
@@ -82,48 +60,30 @@ FROM documents GROUP BY 1
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fingerprint groups with keep-first canonical id — the dedup
     survivor map (reference analog: checkpoint seen-set keyed by
-    content instead of path)."""
+    content instead of path). The corpus-level duplicate summary
+    (n_docs / n_distinct / n_dups) is the count/sum of these rows, so
+    this one query carries both checks; approx_count_distinct is the
+    100 TB summary variant."""
     return DD.exact_dedup_groups(tbl(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------
-# n-gram Jaccard near-dup
+# Near-dup candidate pairs — Jaccard + MinHash-LSH + SimHash, one query
 # --------------------------------------------------------------------------
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle="WITH " + _SHINGLES_CTE.format(limit=150) + """,
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-)
-SELECT doc_a, doc_b, n_common,
-       s1.n AS n_a, s2.n AS n_b,
-       round(n_common * 1.0 / (s1.n + s2.n - n_common), 6) AS jaccard
-FROM common
-JOIN sizes s1 ON doc_a = s1.doc_id
-JOIN sizes s2 ON doc_b = s2.doc_id
-WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.02
-""",
-    tags=("dedup-jaccard",),
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-word-shingle Jaccard pairs via the shingle-equality join
-    (never an all-pairs product). Low threshold so the synthetic
-    corpus yields a meaningful candidate set; production threshold
-    ~0.8 with ``max_df`` stop-shingle pruning."""
-    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    pairs = DD.jaccard_pairs(docs, k=3, threshold=0.02)
-    return pairs.withColumn("jaccard", F.round("jaccard", 6))
+#: Doc-id cap shared by every near-dup oracle: bounds the candidate
+#: joins so the DuckDB replay stays tractable at sf0.01. The *bench*
+#: exercises the uncapped operators over the whole corpus.
+_DOC_CAP = 150
 
 
-# --------------------------------------------------------------------------
-# MinHash + LSH
-# --------------------------------------------------------------------------
-
-def _minhash_cte() -> str:
+def _pairs_ctes() -> str:
+    """CTE block (no WITH keyword) computing all three candidate-pair
+    families over the capped corpus: ``jpairs`` (shingle Jaccard ≥
+    0.02), ``mpairs`` (MinHash 4×4 LSH banding + estimate), ``spairs``
+    (SimHash byte-chunk pigeonhole, hamming ≤ 6). The shingle table
+    ``sh`` is shared by Jaccard and MinHash exactly as the Spark side
+    shares one materialized shingle DataFrame."""
     from picoprobedataflow_spark.operators.dedup import (
         MINHASH_PRIME,
         minhash_params,
@@ -131,36 +91,35 @@ def _minhash_cte() -> str:
 
     values = ", ".join(f"({i}, {a}, {b})" for i, a, b in minhash_params(16))
     base = _HASH64.format(expr="shingle")
-    return ("WITH " + _SHINGLES_CTE.format(limit="{limit}") + f""",
+    h = _HASH64.format(expr="tok")
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32))
+    sig = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END"
+        for b in range(32))
+    return _SHINGLES_CTE.format(limit=_DOC_CAP) + f""",
+jsizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+jcommon AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jpairs AS (
+  SELECT doc_a, doc_b,
+         round(n_common * 1.0 / (s1.n + s2.n - n_common), 6) AS score
+  FROM jcommon
+  JOIN jsizes s1 ON doc_a = s1.doc_id
+  JOIN jsizes s2 ON doc_b = s2.doc_id
+  WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.02
+),
 sigs AS (
   SELECT doc_id, salt,
          min((a * ({base} % {MINHASH_PRIME}) + b) % {MINHASH_PRIME})
            AS minhash
   FROM sh CROSS JOIN (VALUES {values}) params(salt, a, b)
   GROUP BY doc_id, salt
-)""")
-
-
-_MINHASH_CTE = _minhash_cte()
-
-
-@query(
-    "dedup_minhash_signatures",
-    oracle=_MINHASH_CTE.format(limit=50) + """
-SELECT doc_id, salt, minhash FROM sigs
-""",
-    tags=("dedup-minhash",),
-)
-def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Long-form MinHash signatures (16 salted md5-hashes, min over
-    shingles) — bit-identical across engines by construction."""
-    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return DD.minhash_signatures(docs, num_hashes=16, k=3)
-
-
-@query(
-    "dedup_minhash_lsh_pairs",
-    oracle=_MINHASH_CTE.format(limit=200) + """,
+),
 bands AS (
   SELECT doc_id, salt // 4 AS band,
          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY salt))
@@ -172,91 +131,131 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_sig = b.band_sig
    AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b,
-       sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16.0
-         AS est_jaccard
-FROM cand
-JOIN sigs sa ON sa.doc_id = doc_a
-JOIN sigs sb ON sb.doc_id = doc_b AND sb.salt = sa.salt
-GROUP BY doc_a, doc_b
-""",
-    tags=("dedup-minhash", "lsh"),
-)
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (4 bands × 4 rows) + estimated
-    Jaccard — the scalable near-dup path: only band-colliding docs are
-    ever compared."""
-    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sigs = DD.minhash_signatures(docs, num_hashes=16, k=3)
-    pairs = DD.lsh_candidate_pairs(sigs, band_size=4)
-    return DD.minhash_jaccard_estimate(sigs, pairs, num_hashes=16)
-
-
-# --------------------------------------------------------------------------
-# SimHash
-# --------------------------------------------------------------------------
-
-def _simhash_oracle(limit: int) -> str:
-    h = _HASH64.format(expr="tok")
-    votes = ",\n         ".join(
-        f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(32))
-    sig = " + ".join(
-        f"CASE WHEN v{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END"
-        for b in range(32))
-    return f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_WORDS}) AS tok
-  FROM documents WHERE doc_id < {limit}
 ),
-votes AS (
+mpairs AS (
+  SELECT doc_a, doc_b,
+         sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16.0
+           AS score
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = doc_a
+  JOIN sigs sb ON sb.doc_id = doc_b AND sb.salt = sa.salt
+  GROUP BY doc_a, doc_b
+),
+stoks AS (
+  SELECT doc_id, unnest({_WORDS}) AS tok
+  FROM documents WHERE doc_id < {_DOC_CAP}
+),
+svotes AS (
   SELECT doc_id,
          {votes}
-  FROM toks GROUP BY doc_id
-)
-SELECT doc_id, {sig} AS simhash FROM votes
-"""
-
-
-@query(
-    "dedup_simhash_signatures",
-    oracle=_simhash_oracle(100),
-    tags=("dedup-simhash",),
-)
-def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per doc — per-bit ±1 votes over token hashes,
-    one explode + one hash aggregate."""
-    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return DD.simhash_signatures(docs, bits=32)
-
-
-@query(
-    "dedup_simhash_pairs",
-    oracle=f"""
-WITH sigs AS ({_simhash_oracle(200)}),
-chunks AS (
-  SELECT doc_id, simhash, j, (simhash >> (8 * j)) & 255 AS chunk
-  FROM sigs CROSS JOIN range(4) t(j)
+  FROM stoks GROUP BY doc_id
 ),
-cand AS (
+ssigs AS (SELECT doc_id, {sig} AS simhash FROM svotes),
+schunks AS (
+  SELECT doc_id, simhash, j, (simhash >> (8 * j)) & 255 AS chunk
+  FROM ssigs CROSS JOIN range(4) t(j)
+),
+spairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sig_a, b.simhash AS sig_b
-  FROM chunks a JOIN chunks b
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM schunks a JOIN schunks b
     ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-)
-SELECT doc_a, doc_b,
-       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
-FROM cand
-WHERE bit_count(xor(sig_a, sig_b)) <= 6
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+)"""
+
+
+_PAIRS_CTES = _pairs_ctes()
+
+
+def _spark_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(method, doc_a, doc_b, score) — the three candidate generators
+    over one shared shingle materialization."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < _DOC_CAP)
+    sh = DD.shingle_table(docs, k=3).localCheckpoint(eager=True)
+    jp = (DD.jaccard_pairs(docs, k=3, threshold=0.02, shingles=sh)
+            .select(F.lit("jaccard").alias("method"), "doc_a", "doc_b",
+                    F.round("jaccard", 6).alias("score")))
+    sigs = (DD.minhash_signatures(docs, num_hashes=16, k=3, shingles=sh)
+              .localCheckpoint(eager=True))
+    cand = DD.lsh_candidate_pairs(sigs, band_size=4)
+    mp = (DD.minhash_jaccard_estimate(sigs, cand, num_hashes=16)
+            .select(F.lit("minhash_lsh").alias("method"), "doc_a", "doc_b",
+                    F.col("est_jaccard").alias("score")))
+    sp = (DD.simhash_dedup(docs, max_hamming=6, n_chunks=4, bits=32)
+            .select(F.lit("simhash").alias("method"), "doc_a", "doc_b",
+                    F.col("hamming").cast("double").alias("score")))
+    return jp.unionByName(mp).unionByName(sp)
+
+
+@query(
+    "dedup_candidate_pairs",
+    oracle="WITH " + _PAIRS_CTES + """
+SELECT 'jaccard' AS method, doc_a, doc_b, score FROM jpairs
+UNION ALL
+SELECT 'minhash_lsh' AS method, doc_a, doc_b, score FROM mpairs
+UNION ALL
+SELECT 'simhash' AS method, doc_a, doc_b, CAST(hamming AS DOUBLE) AS score
+FROM spairs
 """,
-    tags=("dedup-simhash", "lsh"),
+    tags=("dedup-jaccard", "dedup-minhash", "dedup-simhash", "lsh"),
 )
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: byte-chunk pigeonhole candidates, then
-    hamming ≤ 6 verification (Manku-style)."""
-    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return DD.simhash_dedup(docs, max_hamming=6, n_chunks=4, bits=32)
+def dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs from all three sub-quadratic
+    generators, tagged by method: 3-shingle Jaccard (score = exact
+    Jaccard, threshold 0.02 for the synthetic corpus), MinHash 4×4 LSH
+    banding (score = estimated Jaccard over 16 salted md5 minhashes),
+    and 32-bit SimHash byte-chunk pigeonhole (score = hamming
+    distance ≤ 6). Every generator is a blocked equi-join — shingle
+    equality, (band, band_sig), (chunk_ix, chunk) — never an all-pairs
+    product, and Jaccard + MinHash share one materialized shingle
+    table. Signature correctness is implied by the hash gate: every
+    minhash/simhash bit participates in the banding keys and scores."""
+    return _spark_candidate_pairs(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Cluster resolution: connected components → survivor map
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_cluster_survivors",
+    oracle="WITH RECURSIVE " + _PAIRS_CTES + f""",
+allp AS (
+  SELECT doc_a, doc_b FROM jpairs
+  UNION SELECT doc_a, doc_b FROM mpairs
+  UNION SELECT doc_a, doc_b FROM spairs
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM allp
+  UNION SELECT doc_b, doc_a FROM allp
+),
+walk(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+),
+comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
+SELECT d.doc_id,
+       CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS canonical_id,
+       COALESCE(c.comp, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+WHERE d.doc_id < {_DOC_CAP}
+""",
+    tags=("dedup-clusters", "connected-components"),
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document survivor map: union the three methods' candidate
+    pairs into one near-dup graph, resolve transitive clusters by
+    min-id label propagation to fixpoint (connected components), keep
+    the minimum doc_id per cluster — the reference's seen-set "skip
+    the duplicate" policy (picoprobe/utils.py:126-131) generalized to
+    transitive near-dup closure. Docs in no pair survive untouched.
+    The fixpoint is unique, so the DuckDB oracle replays it with a
+    recursive reachability CTE and min-per-node."""
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < _DOC_CAP)
+    edges = (_spark_candidate_pairs(spark, sf_dir)
+             .select("doc_a", "doc_b").distinct())
+    return DD.near_dup_survivors(docs, edges)
 
 
 # --------------------------------------------------------------------------
@@ -267,23 +266,62 @@ _COS = ("list_cosine_similarity(CAST({a} AS DOUBLE[]), "
         "CAST({b} AS DOUBLE[]))")
 
 
+def _srp_dot_sql(v: str, p: int, dim: int) -> str:
+    """Chained left-associative plane·v sum — term order and double
+    arithmetic identical to :func:`..operators.similarity.srp_bucket`,
+    so the sign decision is bit-reproducible across engines. Plane
+    entries are md5-derived constants, precomputed here into literals."""
+    import hashlib
+
+    terms = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"p:{p}:{d}".encode()).hexdigest()[:8], 16)
+        terms.append(f"{v}[{d + 1}]*{'1.0' if h % 2 == 0 else '-1.0'}")
+    return " + ".join(terms)
+
+
+def _srp_bucket_sql(v: str, n_planes: int, dim: int) -> str:
+    cases = [f"CASE WHEN ({_srp_dot_sql(v, p, dim)}) > 0"
+             f" THEN {1 << p} ELSE 0 END" for p in range(n_planes)]
+    return "(" + " + ".join(cases) + ")"
+
+
+_SRP_PLANES, _SRP_DIM = 4, 64
+
+_NEARDUP_PLANES = 4
+
+_NEARDUP_ORACLE = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {_srp_bucket_sql('embedding', _NEARDUP_PLANES, 64)} AS bucket
+  FROM embeddings
+)
+SELECT a.bucket AS block, a.vec_id AS id_a, b2.vec_id AS id_b,
+       round({_COS.format(a='a.embedding', b='b2.embedding')}, 6) AS cosine
+FROM b a JOIN b b2
+  ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE {_COS.format(a='a.embedding', b='b2.embedding')} >= 0.4
+"""
+
+
 @query(
     "embedding_cosine_neardup",
-    oracle=f"""
-SELECT a.label AS block, a.vec_id AS id_a, b.vec_id AS id_b,
-       round({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
-""",
-    tags=("embedding-neardup",),
+    oracle=_NEARDUP_ORACLE,
+    tags=("embedding-neardup", "lsh"),
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs, blocked on the cluster label —
-    the blocking join keeps this sub-quadratic; at 100 TB the block key
-    is an LSH bucket instead of a gold label."""
+    """Embedding near-duplicate pairs, blocked on the vector's own
+    SRP-LSH bucket (4 md5-derived ±1 hyperplanes → 16 buckets) — no
+    gold label anywhere: the same blocking a production pipeline uses
+    at 100 TB, where the bucket is a partition key at write time and
+    the self-join is partition-local. Cosine evaluates only on
+    co-bucketed pairs."""
     emb = tbl(spark, sf_dir, "embeddings")
-    pairs = SIM.blocked_near_pairs(emb, threshold=0.4, block_col="label")
+    bucketed = emb.withColumn(
+        "bucket", SIM.srp_bucket(F.col("embedding"),
+                                 n_planes=_NEARDUP_PLANES, dim=64))
+    pairs = SIM.blocked_near_pairs(bucketed, threshold=0.4,
+                                   block_col="bucket")
     return pairs.withColumn("cosine", F.round("cosine", 6))
 
 
@@ -312,31 +350,9 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            [float(x) for x in qvec], k=10)
 
 
-def _srp_dot_sql(v: str, p: int, dim: int) -> str:
-    """Chained left-associative plane·v sum — term order and double
-    arithmetic identical to :func:`..operators.similarity.srp_bucket`,
-    so the sign decision is bit-reproducible across engines. Plane
-    entries are md5-derived constants, precomputed here into literals."""
-    import hashlib
-
-    terms = []
-    for d in range(dim):
-        h = int(hashlib.md5(f"p:{p}:{d}".encode()).hexdigest()[:8], 16)
-        terms.append(f"{v}[{d + 1}]*{'1.0' if h % 2 == 0 else '-1.0'}")
-    return " + ".join(terms)
-
-
-def _srp_bucket_sql(v: str, n_planes: int, dim: int) -> str:
-    cases = [f"CASE WHEN ({_srp_dot_sql(v, p, dim)}) > 0"
-             f" THEN {1 << p} ELSE 0 END" for p in range(n_planes)]
-    return "(" + " + ".join(cases) + ")"
-
-
-_SRP_PLANES, _SRP_DIM = 4, 64
-
 
 @query(
-    "ann_srp_bucket_topk",
+    "ann_srp_matrix_topk",
     oracle=f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
@@ -352,62 +368,127 @@ LIMIT 10
 """,
     tags=("ann", "similarity", "lsh"),
 )
-def ann_srp_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH ANN — the scale path: restrict the scan to the query's
-    sign-random-projection bucket (1/2^planes of the data when the
-    bucket is a partition key at write time), exact cosine top-k
-    inside. The ±1 hyperplanes derive from md5 of (plane, dim), so the
-    oracle replays them as literal chained sums — bucket assignment is
-    bit-identical across engines, no float-boundary hazard. 4 planes
-    here so small-SF buckets stay populated; production uses 8-16."""
+def ann_srp_matrix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH ANN through the HIGH-DIM scale path: bucket assignment
+    via the broadcast plane-matrix pandas-UDF matmul
+    (:func:`..operators.similarity.srp_bucket_matrix` — O(1) plan size
+    in dim, one BLAS kernel per Arrow batch), then exact cosine top-k
+    inside the query's bucket. The oracle replays the bucket with the
+    literal chained-sum FOLD form — a hash match here *proves*
+    matmul ≡ fold bucket assignment end-to-end inside the driver's
+    gate, which is exactly the equivalence the fold form's
+    bit-reproducibility argument promises (matmul may re-order the
+    sum; at exact sign boundaries they could differ — absent in this
+    corpus, and immaterial for LSH correctness). 4 planes so small-SF
+    buckets stay populated; production uses 8-16."""
     emb = tbl(spark, sf_dir, "embeddings")
-    qvec = (emb.filter(F.col("vec_id") == 0)
-               .select("embedding").head()[0])
-    return SIM.srp_ann_search(emb.filter(F.col("vec_id") > 0),
-                              [float(x) for x in qvec], k=10,
-                              n_planes=_SRP_PLANES, dim=_SRP_DIM)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qbucket = 0
+    for pl in range(_SRP_PLANES):
+        dot = sum(SIM.srp_plane_entry(pl, d) * qvec[d]
+                  for d in range(_SRP_DIM))
+        if dot > 0:
+            qbucket |= 1 << pl
+    bucketed = SIM.srp_bucket_matrix(emb.filter(F.col("vec_id") > 0),
+                                     n_planes=_SRP_PLANES, dim=_SRP_DIM)
+    from picoprobedataflow_spark.functions import vectors as V
+
+    q = F.array(*[F.lit(x) for x in qvec])
+    return (bucketed.filter(F.col("bucket") == qbucket)
+            .select("vec_id", "bucket",
+                    F.round(V.cosine(F.col("embedding"), q), 6)
+                     .alias("cosine"))
+            .orderBy(F.desc("cosine"), "vec_id")
+            .limit(10))
 
 
-_IVF_ORACLE = f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-longf AS (SELECT label AS cell, generate_subscripts(embedding, 1) AS dim,
-                 unnest(CAST(embedding AS DOUBLE[])) AS val
-          FROM embeddings WHERE vec_id > 0),
-cents AS (SELECT cell, list(m ORDER BY dim) AS centroid
-          FROM (SELECT cell, dim, avg(val) AS m FROM longf GROUP BY cell, dim)
-          GROUP BY cell),
-probe AS (SELECT cell FROM cents
-          ORDER BY list_cosine_similarity(centroid,
-                     CAST((SELECT qv FROM q) AS DOUBLE[])) DESC, cell
-          LIMIT 2)
-SELECT vec_id, label AS cell,
-       round({_COS.format(a='embedding', b='(SELECT qv FROM q)')}, 6) AS cosine
-FROM embeddings
-WHERE vec_id > 0 AND label IN (SELECT cell FROM probe)
-ORDER BY round({_COS.format(a='embedding', b='(SELECT qv FROM q)')}, 6) DESC,
-         vec_id
-LIMIT 5
+# --------------------------------------------------------------------------
+# IVF with a k-means-built coarse quantizer
+# --------------------------------------------------------------------------
+
+_KM_K, _KM_ITER, _KM_PROBE, _KM_TOPK = 8, 2, 2, 5
+
+
+def _kmeans_oracle(k: int, n_iter: int, n_probe: int, topk: int,
+                   dim: int = 64) -> str:
+    """Replay the deterministic Lloyd's build: md5-ranked seeds, then
+    per-iteration argmin assign (squared distance as a chained
+    left-associative sum — bit-identical to the Spark fold) and
+    per-dim mean update. Means drift by ulps between engines
+    (summation order); cluster margins dwarf that, same tolerance
+    argument as centroid ranking."""
+    dist = " + ".join(f"(e.v[{i}] - c.c[{i}]) * (e.v[{i}] - c.c[{i}])"
+                      for i in range(1, dim + 1))
+    ctes = [
+        "ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v\n"
+        "       FROM embeddings WHERE vec_id > 0)",
+        f"""cents0 AS (
+  SELECT cell, v AS c FROM (
+    SELECT vec_id, v,
+           row_number() OVER (
+             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+    FROM ve) WHERE cell < {k})""",
+    ]
+    for it in range(1, n_iter + 1):
+        ctes.append(f"""assign{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, c.cell) AS rn
+    FROM ve e CROSS JOIN cents{it - 1} c) WHERE rn = 1)""")
+        ctes.append(f"""cents{it} AS (
+  SELECT cell, list(m ORDER BY dim) AS c
+  FROM (SELECT cell, dim, avg(val) AS m
+        FROM (SELECT a.cell, generate_subscripts(e.v, 1) AS dim,
+                     unnest(e.v) AS val
+              FROM assign{it} a JOIN ve e USING (vec_id))
+        GROUP BY cell, dim)
+  GROUP BY cell)""")
+    ctes.append(f"""assignf AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist}, c.cell) AS rn
+    FROM ve e CROSS JOIN cents{n_iter} c) WHERE rn = 1)""")
+    ctes.append("q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv\n"
+                "     FROM embeddings WHERE vec_id = 0)")
+    ctes.append(f"""probe AS (
+  SELECT cell FROM cents{n_iter}
+  ORDER BY list_cosine_similarity(c, (SELECT qv FROM q)) DESC, cell
+  LIMIT {n_probe})""")
+    cos = "list_cosine_similarity(e.v, (SELECT qv FROM q))"
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT a.vec_id, a.cell, round({cos}, 6) AS cosine
+FROM assignf a JOIN ve e USING (vec_id)
+WHERE a.cell IN (SELECT cell FROM probe)
+ORDER BY round({cos}, 6) DESC, a.vec_id
+LIMIT {topk}
 """
 
 
 @query(
-    "ann_ivf_probe_topk",
-    oracle=_IVF_ORACLE,
-    tags=("ann", "similarity", "ivf"),
+    "ann_ivf_kmeans_topk",
+    oracle=_kmeans_oracle(_KM_K, _KM_ITER, _KM_PROBE, _KM_TOPK),
+    tags=("ann", "similarity", "ivf", "kmeans"),
 )
-def ann_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: rank cells by centroid cosine to the query
-    (centroid table is |cells| rows — driver-side), scan only the 2
-    nearest cells, exact top-5 inside them. With the cell as a
-    partition key at write time the cell restriction is partition
-    pruning — a query touches n_probe/|cells| of the data. Centroid
-    ranking tolerates last-ulp float-average drift because cluster
-    margins dwarf it; the emitted scores are exact cosines, rounded."""
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a k-means-BUILT coarse quantizer (8 cells, 2
+    deterministic Lloyd iterations seeded by md5(vec_id) rank — no
+    gold labels anywhere): assign every vector under the final
+    centroids, rank cells by centroid·query cosine (8 rows,
+    driver-side), scan only the 2 nearest cells, exact top-5 inside.
+    The build is broadcast-assign + (cell, dim) mean per iteration —
+    nothing all-pairs; at scale the build pass runs on a corpus
+    sample and the learned cell becomes the partition key, making the
+    probe restriction partition pruning."""
     emb = tbl(spark, sf_dir, "embeddings")
-    qvec = (emb.filter(F.col("vec_id") == 0)
-               .select("embedding").head()[0])
-    return SIM.ivf_ann_search(emb.filter(F.col("vec_id") > 0),
-                              [float(x) for x in qvec], k=5, n_probe=2)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    res = SIM.ivf_kmeans_search(emb.filter(F.col("vec_id") > 0), qvec,
+                                k=_KM_TOPK, n_probe=_KM_PROBE,
+                                n_clusters=_KM_K, n_iter=_KM_ITER)
+    return res.withColumn("cell", F.col("cell").cast("long"))
 
 
 # --------------------------------------------------------------------------
@@ -434,15 +515,22 @@ SELECT doc_id,
                   * 1.0 / greatest(len({_WORDS}), 1) * 5.0, 1.0)
            - 0.25 * least(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
                   * 1.0 / greatest(length(text), 1) * 4.0, 1.0), 6)
-         AS quality
+         AS quality,
+       md5(text) AS md5_full,
+       md5(substr(text, 1, 64)) || ':' || md5(substr(reverse(text), 1, 64))
+         || ':' || CAST(length(text) AS VARCHAR) AS rolling_fp
 FROM documents WHERE doc_id < 200
 """,
-    tags=("text-quality",),
+    tags=("text-quality", "fingerprint"),
 )
 def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality scoring: token counts (whitespace + BPE-ish
-    regex), punctuation ratio, mean word length, stopword ratio, and
-    the composite quality score — all JVM regex/array expressions."""
+    """Per-document quality scoring + fingerprinting in one pass, the
+    way a real pipeline stage emits them: token counts (whitespace +
+    BPE-ish regex), punctuation ratio, mean word length, stopword
+    ratio, the composite quality score, full-content md5 and the
+    head/tail rolling fingerprint (sync_level=checksum analog —
+    catches append edits without rehashing the body). All JVM
+    regex/array/hash expressions, one scan."""
     docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     nw = TX.n_words("text")
     return docs.select(
@@ -453,10 +541,12 @@ def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.mean_word_len("text").alias("mean_word_len"),
         TX.stopword_ratio("text").alias("stopword_ratio"),
         TX.quality_score("text").alias("quality"),
+        TX.fingerprint_md5("text").alias("md5_full"),
+        TX.fingerprint_rolling("text").alias("rolling_fp"),
     )
 
 
-def _langid_oracle() -> str:
+def _langid_scored_ctes() -> str:
     hits = {
         lang: ("len(list_filter(" + _WORDS + ", t -> list_contains(["
                + ",".join(f"'{w}'" for w in TX.STOPWORDS[lang])
@@ -468,96 +558,114 @@ def _langid_oracle() -> str:
         f"WHEN s_{l} = {g} THEN '{l}'" for l in TX.STOPWORDS) + " END"
     scores = ",\n         ".join(f"{e} AS s_{l}" for l, e in hits.items())
     return f"""
-WITH scored AS (
+scored AS (
   SELECT lang,
          {scores}
   FROM documents
+),
+langid AS (
+  SELECT lang, {pred} AS predicted_lang, count(*) AS n
+  FROM scored GROUP BY 1, 2
+)"""
+
+
+@query(
+    "corpus_group_stats",
+    oracle="WITH " + _langid_scored_ctes() + f""",
+toksrc AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(len({_WORDS})) AS BIGINT) AS total_words,
+         CAST(sum(len({_WORDS})) AS DOUBLE) / count(*) AS mean_words,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source
+),
+splits AS (
+  SELECT CASE
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 < 80 THEN 'train'
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 < 90 THEN 'val'
+           ELSE 'test' END AS split,
+         count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars
+  FROM documents GROUP BY 1
 )
-SELECT lang, {pred} AS predicted_lang, count(*) AS n
-FROM scored GROUP BY 1, 2
-"""
-
-
-@query("langid_confusion", oracle=_langid_oracle(), tags=("lang-id",))
-def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-hit language-ID heuristic: argmax over per-language
-    stopword counts (deterministic fixed-priority tie-break), reported
-    as a labeled-vs-predicted confusion matrix."""
+SELECT 'langid' AS family, lang AS k, predicted_lang AS k2,
+       n, CAST(NULL AS BIGINT) AS total_words,
+       CAST(NULL AS DOUBLE) AS mean_words,
+       CAST(NULL AS BIGINT) AS total_chars
+FROM langid
+UNION ALL
+SELECT 'token_stats', source, NULL, n_docs, total_words, mean_words,
+       total_chars
+FROM toksrc
+UNION ALL
+SELECT 'split', split, NULL, n_docs, NULL, NULL, total_chars
+FROM splits
+""",
+    tags=("lang-id", "token-count", "dataset-split", "sampling"),
+)
+def corpus_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level grouped accounting, three families in one scan
+    union: (a) language-ID confusion — stopword-hit argmax heuristic
+    vs gold label; (b) per-source token budget (exact-integer sums →
+    exact means); (c) deterministic md5(doc_id) 80/10/10
+    train/val/test split counts (never ``rand()`` — stable across
+    runs, engines, partitionings). Long-form (family, k, k2) keys
+    with per-family measure columns."""
     docs = tbl(spark, sf_dir, "documents")
+    nulls = lambda t: F.lit(None).cast(t)  # noqa: E731
+
     scores = TX.langid_scores("text")
-    scored = docs.select("lang", *[s.alias(f"s_{l}")
-                                   for l, s in scores.items()])
+    scored = docs.select("lang", *[sc.alias(f"s_{l}")
+                                   for l, sc in scores.items()])
     g = F.greatest(*[F.col(f"s_{l}") for l in TX.STOPWORDS])
     expr = None
     for l in TX.STOPWORDS:
         cond = F.when(F.col(f"s_{l}") == g, F.lit(l))
-        expr = cond if expr is None else expr.when(F.col(f"s_{l}") == g,
-                                                   F.lit(l))
-    return (scored.withColumn("predicted_lang", expr)
-                  .groupBy("lang", "predicted_lang")
-                  .agg(F.count("*").alias("n")))
+        expr = cond if expr is None else expr.when(
+            F.col(f"s_{l}") == g, F.lit(l))
+    langid = (scored.withColumn("predicted_lang", expr)
+              .groupBy("lang", "predicted_lang")
+              .agg(F.count("*").alias("n"))
+              .select(F.lit("langid").alias("family"),
+                      F.col("lang").alias("k"),
+                      F.col("predicted_lang").alias("k2"),
+                      "n", nulls("long").alias("total_words"),
+                      nulls("double").alias("mean_words"),
+                      nulls("long").alias("total_chars")))
 
-
-@query(
-    "token_stats_per_source",
-    oracle=f"""
-SELECT source,
-       count(*) AS n_docs,
-       CAST(sum(len({_WORDS})) AS BIGINT) AS total_words,
-       CAST(sum(len({_WORDS})) AS DOUBLE) / count(*) AS mean_words,
-       CAST(sum(length(text)) AS BIGINT) AS total_chars
-FROM documents GROUP BY source
-""",
-    tags=("token-count",),
-)
-def token_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token accounting per source — the budget query of a
-    training-data pipeline (exact-integer sums → exact means)."""
-    docs = tbl(spark, sf_dir, "documents")
     nw = TX.n_words("text")
-    return docs.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
+    toksrc = (docs.groupBy("source").agg(
+        F.count("*").alias("n"),
         F.sum(nw).cast("long").alias("total_words"),
         (F.sum(nw).cast("double") / F.count("*")).alias("mean_words"),
         F.sum(F.length("text")).cast("long").alias("total_chars"))
+        .select(F.lit("token_stats").alias("family"),
+                F.col("source").alias("k"), nulls("string").alias("k2"),
+                "n", "total_words", "mean_words", "total_chars"))
 
-
-@query(
-    "dataset_split_assignment",
-    oracle="""
-SELECT CASE
-         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-              AS BIGINT) % 100 < 80 THEN 'train'
-         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-              AS BIGINT) % 100 < 90 THEN 'val'
-         ELSE 'test' END AS split,
-       count(*) AS n_docs,
-       CAST(sum(length(text)) AS BIGINT) AS total_chars
-FROM documents GROUP BY 1
-""",
-    tags=("dataset-split", "sampling"),
-)
-def dataset_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash-based train/val/test split (80/10/10) — the
-    reproducible-sampling primitive of a training-data pipeline: the
-    assignment depends only on doc_id, so it is stable across runs,
-    engines, and re-partitioning (never ``rand()``)."""
-    docs = tbl(spark, sf_dir, "documents")
     bucket = (F.conv(F.substring(
         F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
         .cast("long") % 100)
     split = (F.when(bucket < 80, "train")
               .when(bucket < 90, "val")
               .otherwise("test"))
-    return (docs.groupBy(split.alias("split"))
-                .agg(F.count("*").alias("n_docs"),
-                     F.sum(F.length("text")).cast("long")
-                      .alias("total_chars")))
+    splits = (docs.groupBy(split.alias("k"))
+              .agg(F.count("*").alias("n"),
+                   F.sum(F.length("text")).cast("long").alias("total_chars"))
+              .select(F.lit("split").alias("family"), "k",
+                      nulls("string").alias("k2"), "n",
+                      nulls("long").alias("total_words"),
+                      nulls("double").alias("mean_words"), "total_chars"))
+
+    return langid.unionByName(toksrc).unionByName(splits)
 
 
 @query(
-    "text_normalize_chunks",
-    oracle="""
+    "text_explode_suite",
+    oracle=f"""
 WITH norm AS (
   SELECT doc_id,
          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
@@ -574,80 +682,58 @@ chunks AS (
              i -> substr(t, CAST(i * 80 + 1 AS INT), 100)), 1) - 1
            AS chunk_idx
   FROM norm
+),
+toks AS (
+  SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok, count(*) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY tok
+  HAVING count(DISTINCT doc_id) >= 5
 )
-SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk,
-       CAST(length(chunk) AS BIGINT) AS chunk_len
+SELECT 'chunk' AS kind, doc_id, CAST(chunk_idx AS BIGINT) AS idx,
+       chunk AS s, CAST(length(chunk) AS BIGINT) AS n1,
+       CAST(NULL AS BIGINT) AS n2
 FROM chunks
+UNION ALL
+SELECT 'vocab', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), tok, tf, df
+FROM vocab
 """,
-    tags=("chunking", "normalize"),
+    tags=("chunking", "normalize", "vocabulary", "token-count"),
 )
-def text_normalize_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalize (lowercase, whitespace-collapse) then chunk into
-    100-char windows with stride 80 (20-char overlap) — the
-    context-window prep stage of an LLM data pipeline, as pure array
-    expressions + one explode."""
-    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    norm = docs.select(
+def text_explode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two explode-shaped text stages in one union: (a) normalize
+    (lowercase, whitespace-collapse) then chunk into 100-char windows
+    with stride 80 — the context-window prep of an LLM pipeline, as
+    array expressions + one posexplode; (b) corpus vocabulary with
+    term/document frequencies (df ≥ 5) — one explode + one aggregate
+    with map-side combine. Long-form (kind, doc_id, idx, s, n1, n2)."""
+    docs50 = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    nulls = lambda t: F.lit(None).cast(t)  # noqa: E731
+    norm = docs50.select(
         "doc_id",
         F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").alias("t"))
     n_chunks = F.floor((F.length("t") - 1) / 80).cast("int")
-    chunks = F.transform(
+    chunk_arr = F.transform(
         F.sequence(F.lit(0), n_chunks),
         lambda i: F.substr(F.col("t"), i * 80 + 1, F.lit(100)))
-    return (norm.select("doc_id", F.posexplode(chunks)
-                        .alias("chunk_idx", "chunk"))
-                .select("doc_id",
-                        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-                        "chunk",
-                        F.length("chunk").cast("long").alias("chunk_len")))
-
-
-@query(
-    "vocabulary_stats",
-    oracle=f"""
-WITH toks AS (
-  SELECT doc_id, unnest({_WORDS}) AS tok FROM documents
-)
-SELECT tok,
-       count(*) AS tf,
-       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-FROM toks
-GROUP BY tok
-HAVING count(DISTINCT doc_id) >= 5
-""",
-    tags=("vocabulary", "token-count"),
-)
-def vocabulary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary with term/document frequencies (df ≥ 5) —
-    the word-count of training-data engineering; one explode + one
-    aggregate with map-side combine."""
+    chunks = (norm.select("doc_id", F.posexplode(chunk_arr)
+                          .alias("chunk_idx", "chunk"))
+              .select(F.lit("chunk").alias("kind"), "doc_id",
+                      F.col("chunk_idx").cast("long").alias("idx"),
+                      F.col("chunk").alias("s"),
+                      F.length("chunk").cast("long").alias("n1"),
+                      nulls("long").alias("n2")))
     docs = tbl(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(TX.words("text")).alias("tok"))
-    return (toks.groupBy("tok")
-                .agg(F.count("*").alias("tf"),
-                     F.countDistinct("doc_id").alias("df"))
-                .filter(F.col("df") >= 5))
-
-
-@query(
-    "doc_fingerprints",
-    oracle="""
-SELECT doc_id,
-       md5(text) AS md5_full,
-       md5(substr(text, 1, 64)) || ':' || md5(substr(reverse(text), 1, 64))
-         || ':' || CAST(length(text) AS VARCHAR) AS rolling_fp,
-       CAST(length(text) AS BIGINT) AS n_chars_actual
-FROM documents WHERE doc_id < 100
-""",
-    tags=("fingerprint",),
-)
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: full-content md5 + head/tail rolling
-    fingerprint (sync_level=checksum analog — catches append edits
-    without rehashing the body)."""
-    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return docs.select(
-        "doc_id",
-        TX.fingerprint_md5("text").alias("md5_full"),
-        TX.fingerprint_rolling("text").alias("rolling_fp"),
-        F.length("text").cast("long").alias("n_chars_actual"))
+    vocab = (toks.groupBy("tok")
+             .agg(F.count("*").alias("tf"),
+                  F.countDistinct("doc_id").alias("df"))
+             .filter(F.col("df") >= 5)
+             .select(F.lit("vocab").alias("kind"),
+                     nulls("long").alias("doc_id"),
+                     nulls("long").alias("idx"),
+                     F.col("tok").alias("s"),
+                     F.col("tf").alias("n1"), F.col("df").alias("n2")))
+    return chunks.unionByName(vocab)
