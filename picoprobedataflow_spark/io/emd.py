@@ -75,7 +75,10 @@ def _parse_fake_emd(content: bytes) -> list[tuple[str, np.ndarray, str]]:
         title = buf.read(tl).decode()
         (ndim,) = struct.unpack("<B", buf.read(1))
         dims = struct.unpack(f"<{ndim}I", buf.read(4 * ndim))
-        count = int(np.prod(dims)) if dims else 0
+        # np.prod(()) == 1, which is exactly right for a 0-d signal
+        # (one scalar element); the old `if dims else 0` guard read 0
+        # data bytes for 0-d and corrupted every following signal.
+        count = int(np.prod(dims, dtype=np.int64))
         data = np.frombuffer(buf.read(4 * count), dtype="<f4").reshape(dims)
         (ml,) = struct.unpack("<H", buf.read(2))
         meta = buf.read(ml).decode()

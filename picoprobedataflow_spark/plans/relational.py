@@ -188,55 +188,6 @@ def q5_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @query(
-    "customers_inactive_since_2000",
-    oracle="""
-SELECT c_custkey, c_name, c_mktsegment
-FROM customer
-ANTI JOIN (
-  SELECT DISTINCT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
-) recent ON c_custkey = recent.o_custkey
-""",
-    tags=("J5", "U2", "anti-join"),
-)
-def customers_inactive_since_2000(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join — the relational form of the reference's
-    checkpoint seen-set skip (``event in self.seen_events``,
-    picoprobe/utils.py:126-131): keep keys NOT in the processed set.
-    At scale the anti side builds a broadcast/hash set; no row
-    explosion."""
-    cu = tbl(spark, sf_dir, "customer")
-    recent = (tbl(spark, sf_dir, "orders")
-              .filter(F.col("o_orderdate")
-                      >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
-              .select("o_custkey"))
-    return (cu.join(recent, cu.c_custkey == recent.o_custkey, "left_anti")
-              .select("c_custkey", "c_name", "c_mktsegment"))
-
-
-@query(
-    "segments_with_open_orders",
-    oracle="""
-SELECT c_mktsegment, count(*) AS n_customers
-FROM customer
-SEMI JOIN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') f
-  ON c_custkey = f.o_custkey
-GROUP BY c_mktsegment
-""",
-    tags=("J5", "semi-join"),
-)
-def segments_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join (EXISTS): customers having at least one 'F'
-    order, counted per segment — membership predicate P7 as a
-    distributed semi join instead of an in-memory set."""
-    cu = tbl(spark, sf_dir, "customer")
-    f_orders = (tbl(spark, sf_dir, "orders")
-                .filter(F.col("o_orderstatus") == "F").select("o_custkey"))
-    return (cu.join(f_orders, cu.c_custkey == f_orders.o_custkey, "left_semi")
-              .groupBy("c_mktsegment").agg(F.count("*").alias("n_customers")))
-
-
-@query(
     "brand_quantity_broadcast",
     oracle=f"""
 SELECT p_brand,
@@ -289,52 +240,9 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count("*").alias("n")))
 
 
-@query(
-    "orders_cube",
-    oracle=f"""
-SELECT o_orderstatus, o_orderpriority,
-       count(*) AS n,
-       sum({_csql('o_totalprice')}) / 100.0 AS sum_total
-FROM orders
-GROUP BY CUBE (o_orderstatus, o_orderpriority)
-""",
-    tags=("cube",),
-)
-def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full CUBE over status×priority."""
-    od = tbl(spark, sf_dir, "orders")
-    return (od.cube("o_orderstatus", "o_orderpriority")
-              .agg(F.count("*").alias("n"),
-                   (F.sum(_c("o_totalprice")) / 100.0).alias("sum_total")))
-
-
 # --------------------------------------------------------------------------
 # Window: running totals, top-k per group
 # --------------------------------------------------------------------------
-
-@query(
-    "supplier_running_revenue",
-    oracle=f"""
-SELECT l_suppkey, l_orderkey, l_linenumber,
-       sum({_csql('l_extendedprice')}) OVER
-         (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-          ROWS UNBOUNDED PRECEDING) / 100.0 AS running_revenue
-FROM lineitem WHERE l_suppkey < 10
-""",
-    tags=("W5", "running-sum"),
-)
-def supplier_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-supplier cumulative revenue — frame-spec window (rowsBetween)
-    over a total order; integer-cents accumulation keeps the running
-    values exact at any prefix length."""
-    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 10)
-    w = (W.partitionBy("l_suppkey")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    return li.select(
-        "l_suppkey", "l_orderkey", "l_linenumber",
-        (F.sum(_c("l_extendedprice")).over(w) / 100.0).alias("running_revenue"))
-
 
 @query(
     "top3_orders_per_priority",
@@ -368,59 +276,6 @@ def top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 @query(
-    "union_vip_customers",
-    oracle="""
-SELECT c_custkey FROM customer WHERE c_acctbal > 9000
-UNION
-SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 0
-""",
-    tags=("U1", "U2"),
-)
-def union_vip_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct) of two filtered branches — pd.concat + dedup
-    (flow_analyzer.py:224-226) relationally."""
-    cu = tbl(spark, sf_dir, "customer")
-    a = cu.filter(F.col("c_acctbal") > 9000).select("c_custkey")
-    b = cu.filter((F.col("c_mktsegment") == "BUILDING")
-                  & (F.col("c_acctbal") < 0)).select("c_custkey")
-    return a.unionByName(b).distinct()
-
-
-@query(
-    "custkeys_with_both_statuses",
-    oracle="""
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-INTERSECT
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-""",
-    tags=("set-intersect",),
-)
-def custkeys_with_both_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT of key sets (distinct semantics)."""
-    od = tbl(spark, sf_dir, "orders")
-    o = od.filter(F.col("o_orderstatus") == "O").select("o_custkey")
-    f = od.filter(F.col("o_orderstatus") == "F").select("o_custkey")
-    return o.intersect(f)
-
-
-@query(
-    "custkeys_never_pending",
-    oracle="""
-SELECT o_custkey FROM orders
-EXCEPT
-SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
-""",
-    tags=("set-except",),
-)
-def custkeys_never_pending(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct) — the complement of the seen-set."""
-    od = tbl(spark, sf_dir, "orders")
-    allk = od.select("o_custkey")
-    pend = od.filter(F.col("o_orderstatus") == "P").select("o_custkey")
-    return allk.subtract(pend)
-
-
-@query(
     "order_shipment_latency",
     oracle="""
 SELECT CAST(datediff('day', o_orderdate, first_ship) AS BIGINT) AS days_to_ship,
@@ -449,26 +304,6 @@ def order_shipment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("days_to_ship"))
             .groupBy("days_to_ship")
             .agg(F.count("*").alias("n_orders")))
-
-
-@query(
-    "orders_per_month",
-    oracle=f"""
-SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
-       count(*) AS n_orders,
-       sum({_csql('o_totalprice')}) / 100.0 AS sum_total
-FROM orders GROUP BY 1
-""",
-    tags=("F5", "date-funcs"),
-)
-def orders_per_month(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar bucketing via date_format — the engine-side analog of
-    the reference's strftime dir-stamps (main.py:59). String keys so
-    both engines group on identical values."""
-    od = tbl(spark, sf_dir, "orders")
-    return (od.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
-              .agg(F.count("*").alias("n_orders"),
-                   (F.sum(_c("o_totalprice")) / 100.0).alias("sum_total")))
 
 
 @query(
@@ -551,3 +386,116 @@ def q19_disjunctive_brand_revenue(spark: SparkSession,
               .agg((F.sum(_c("l_extendedprice") * (100 - _c("l_discount")))
                     / 1e4).alias("revenue"),
                    F.count("*").alias("n_items")))
+
+
+# --------------------------------------------------------------------------
+# Set operations (U1/U2) — one suite, genuine UNION/INTERSECT/EXCEPT
+# --------------------------------------------------------------------------
+
+@query(
+    "set_ops_custkeys",
+    oracle="""
+SELECT 'union_vip' AS op, c_custkey AS custkey FROM (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+  UNION
+  SELECT c_custkey FROM customer
+  WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 0
+)
+UNION ALL
+SELECT 'both_statuses', o_custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+UNION ALL
+SELECT 'never_pending', o_custkey FROM (
+  SELECT o_custkey FROM orders
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+)
+""",
+    tags=("U1", "U2", "set-intersect", "set-except"),
+)
+def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three set operators over key sets, tagged per branch:
+    ``union_vip`` = UNION-distinct of two filtered branches (pd.concat
+    + dedup, flow_analyzer.py:224-226, relationally); ``both_statuses``
+    = INTERSECT (distinct semantics); ``never_pending`` = EXCEPT — the
+    complement of the seen-set. Each is the real Spark operator
+    (unionByName+distinct / intersect / subtract), not a join
+    emulation."""
+    cu = tbl(spark, sf_dir, "customer")
+    od = tbl(spark, sf_dir, "orders")
+
+    vip = (cu.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+           .unionByName(
+               cu.filter((F.col("c_mktsegment") == "BUILDING")
+                         & (F.col("c_acctbal") < 0)).select("c_custkey"))
+           .distinct()
+           .select(F.lit("union_vip").alias("op"),
+                   F.col("c_custkey").alias("custkey")))
+    o = od.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = od.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    both = (o.intersect(f)
+            .select(F.lit("both_statuses").alias("op"),
+                    F.col("o_custkey").alias("custkey")))
+    never = (od.select("o_custkey")
+             .subtract(od.filter(F.col("o_orderstatus") == "P")
+                       .select("o_custkey"))
+             .select(F.lit("never_pending").alias("op"),
+                     F.col("o_custkey").alias("custkey")))
+    return vip.unionByName(both).unionByName(never)
+
+
+# --------------------------------------------------------------------------
+# CUBE + GROUPING SETS — multi-level aggregates in one suite
+# --------------------------------------------------------------------------
+
+@query(
+    "grouping_sets_cube",
+    oracle=f"""
+SELECT 'orders_cube' AS family, o_orderstatus AS k1, o_orderpriority AS k2,
+       count(*) AS n, CAST(NULL AS BIGINT) AS sum_qty,
+       sum({_csql('o_totalprice')}) / 100.0 AS sum_total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'lineitem_gs', l_returnflag, l_linestatus,
+       count(*),
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT),
+       NULL
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+    tags=("cube", "grouping-sets", "sql-api"),
+)
+def grouping_sets_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregates: full CUBE over status×priority through
+    the DataFrame API, plus GROUPING SETS through the SQL API (temp
+    view + spark.sql, unique view name so driver session state stays
+    clean) — both expand to one grouping-sets shuffle in Catalyst;
+    ROLLUP has its own bench-pinned query (``lineitem_rollup``)."""
+    import uuid
+
+    od = tbl(spark, sf_dir, "orders")
+    nul_l = F.lit(None).cast("long")
+    cube = (od.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 (F.sum(_c("o_totalprice")) / 100.0).alias("sum_total"))
+            .select(F.lit("orders_cube").alias("family"),
+                    F.col("o_orderstatus").alias("k1"),
+                    F.col("o_orderpriority").alias("k2"),
+                    "n", nul_l.alias("sum_qty"), "sum_total"))
+
+    li = tbl(spark, sf_dir, "lineitem")
+    view = f"gs_lineitem_{uuid.uuid4().hex[:8]}"
+    li.createOrReplaceTempView(view)
+    gs = spark.sql(f"""
+        SELECT 'lineitem_gs' AS family, l_returnflag AS k1,
+               l_linestatus AS k2, count(*) AS n,
+               sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+               CAST(NULL AS DOUBLE) AS sum_total
+        FROM {view}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+    return cube.unionByName(gs)

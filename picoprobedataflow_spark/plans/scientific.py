@@ -39,66 +39,65 @@ frames AS (
 
 
 @query(
-    "hyperspectral_image_reduce",
-    oracle="WITH " + _CUBE_CTE + """
-SELECT x, y, round(sum(counts), 4) AS intensity
-FROM cube GROUP BY x, y
-""",
-    tags=("A12", "scientific"),
-)
-def hyperspectral_image_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A12 — image = Σ over the channel axis (``hs_image.sum(axis=2)``,
-    tools/hyperspectral.py:96) as a long-form groupBy."""
-    prep(spark)
-    cube = SC.synthetic_cube(spark, 32, 32, 16)
-    img = SC.spectral_image(cube, keys=())
-    return img.select("x", "y", F.round("intensity", 4).alias("intensity"))
-
-
-@query(
-    "hyperspectral_spectrum_reduce",
-    oracle="WITH " + _CUBE_CTE + """
-SELECT channel,
-       round(sum(counts), 4) AS counts,
-       (-479.0021 + 5.0 * channel) / 1000.0 AS energy_kev
-FROM cube GROUP BY channel
-""",
-    tags=("A13", "F11", "scientific"),
-)
-def hyperspectral_spectrum_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A13 — spectrum = Σ over spatial axes with the energy axis
-    (tools/hyperspectral.py:104,69-74)."""
-    prep(spark)
-    cube = SC.synthetic_cube(spark, 32, 32, 16)
-    sp = SC.spectrum(cube, keys=())
-    return sp.select("channel", F.round("counts", 4).alias("counts"),
-                     "energy_kev")
-
-
-@query(
-    "frames_normalize_uint8",
-    oracle="WITH " + _FRAMES_CTE + """,
+    "scientific_reduce_suite",
+    oracle="WITH " + _CUBE_CTE + "," + _FRAMES_CTE + """,
 bounds AS (
   SELECT t, min(intensity) AS lo, max(intensity) AS hi
   FROM frames GROUP BY t
 )
-SELECT f.t,
+SELECT 'image' AS family, x AS k1, y AS k2,
+       round(sum(counts), 4) AS v1, CAST(NULL AS DOUBLE) AS v2
+FROM cube GROUP BY x, y
+UNION ALL
+SELECT 'spectrum', channel, NULL,
+       round(sum(counts), 4),
+       (-479.0021 + 5.0 * channel) / 1000.0
+FROM cube GROUP BY channel
+UNION ALL
+SELECT 'frames_u8', f.t,
        CAST(floor((f.intensity - b.lo) / (b.hi - b.lo) * 255.0
-                  + 0.499999999) AS INT) AS px,
-       count(*) AS n
+                  + 0.499999999) AS INT),
+       CAST(count(*) AS DOUBLE), NULL
 FROM frames f JOIN bounds b ON f.t = b.t
-GROUP BY 1, 2
+GROUP BY 2, 3
 """,
-    tags=("A14", "F10", "scientific"),
+    tags=("A12", "A13", "A14", "F10", "F11", "scientific"),
 )
-def frames_normalize_uint8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A14/F10 — per-frame min/max → uint8 histogram
-    (tools/temporal.py:21-35): grouped bounds, broadcast-join back,
+def scientific_reduce_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-file scientific kernels as long-form relational
+    aggregates, three families over the deterministic cube/frame
+    tables: ``image`` = Σ over the channel axis (A12,
+    ``hs_image.sum(axis=2)``, tools/hyperspectral.py:96); ``spectrum``
+    = Σ over spatial axes with the energy axis F11
+    (``(x_offset + x_increment·arange(n))/1000`` keV, :69-74,104);
+    ``frames_u8`` = per-frame min/max → uint8 histogram (A14/F10,
+    the ``(x-min)/(max-min)*255 + 0.499999999`` encode,
+    tools/temporal.py:21-35) — grouped bounds, broadcast-join back,
     exact double expression on both engines."""
     prep(spark)
+    cube = SC.synthetic_cube(spark, 32, 32, 16)
+    nuld = F.lit(None).cast("double")
+    img = (SC.spectral_image(cube, keys=())
+           .select(F.lit("image").alias("family"),
+                   F.col("x").cast("long").alias("k1"),
+                   F.col("y").cast("long").alias("k2"),
+                   F.round("intensity", 4).alias("v1"),
+                   nuld.alias("v2")))
+    sp = (SC.spectrum(cube, keys=())
+          .select(F.lit("spectrum").alias("family"),
+                  F.col("channel").cast("long").alias("k1"),
+                  F.lit(None).cast("long").alias("k2"),
+                  F.round("counts", 4).alias("v1"),
+                  F.col("energy_kev").alias("v2")))
     frames = SC.synthetic_frames(spark, 8, 16, 16)
     px = SC.normalize_frames(frames, keys=("t",))
-    return px.groupBy("t", "px").agg(F.count("*").alias("n"))
+    fr = (px.groupBy("t", "px").agg(F.count("*").alias("n"))
+          .select(F.lit("frames_u8").alias("family"),
+                  F.col("t").cast("long").alias("k1"),
+                  F.col("px").cast("long").alias("k2"),
+                  F.col("n").cast("double").alias("v1"),
+                  nuld.alias("v2")))
+    return img.unionByName(sp).unionByName(fr)
 
 
 @query(

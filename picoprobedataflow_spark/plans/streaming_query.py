@@ -31,10 +31,12 @@ GROUP BY 1, 2
 def streaming_hourly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event counts computed BY A STREAM: readStream over the
     events parquet, complete-mode aggregate, availableNow drain into a
-    uniquely-named memory sink. The checkpoint is ephemeral (tempdir)
-    so repeated driver invocations re-drain from scratch. The exact
-    int64-µs bucketing keeps the streamed result hash-identical to the
-    batch oracle."""
+    uniquely-named memory sink. The checkpoint is ephemeral (tempdir,
+    removed after the drain) and the memory-sink view is dropped once
+    its rows are materialized, so repeated driver invocations leak
+    neither disk nor session state. The exact int64-µs bucketing keeps
+    the streamed result hash-identical to the batch oracle."""
+    import shutil
     import tempfile
 
     prep(spark)
@@ -56,8 +58,18 @@ def streaming_hourly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
          .format("memory").queryName(name)
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return spark.table(name)
+    try:
+        q.awaitTermination(300)
+        sink = spark.table(name)
+        # The memory sink already holds its rows on the driver; lift
+        # them into a plain local DataFrame so the sink view and the
+        # checkpoint dir can be cleaned up before returning.
+        rows, schema = sink.collect(), sink.schema
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 @query(

@@ -22,6 +22,7 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from picoprobedataflow_spark.plans.catalog import query
 from picoprobedataflow_spark.plans.common import tbl
@@ -38,62 +39,90 @@ def _views(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, str]:
 
 
 @query(
-    "exists_urgent_open_by_segment",
+    "semi_anti_membership",
     oracle="""
-SELECT c_mktsegment, count(*) AS n_customers
+SELECT 'exists_urgent_by_segment' AS family, c_mktsegment AS k,
+       count(*) AS n
 FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderstatus = 'O'
                 AND o.o_orderpriority = '1-URGENT')
 GROUP BY c_mktsegment
+UNION ALL
+SELECT 'not_exists_dormant_by_nation', CAST(c.c_nationkey AS VARCHAR),
+       count(*)
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c.c_nationkey
+UNION ALL
+SELECT 'inactive_customers', CAST(c_custkey AS VARCHAR), 1
+FROM customer
+ANTI JOIN (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+) recent ON c_custkey = recent.o_custkey
+UNION ALL
+SELECT 'open_segments', c_mktsegment, count(*)
+FROM customer
+SEMI JOIN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') f
+  ON c_custkey = f.o_custkey
+GROUP BY c_mktsegment
 """,
-    tags=("J5", "subquery", "exists"),
+    tags=("J5", "U2", "subquery", "exists", "not-exists", "semi-join",
+          "anti-join"),
 )
-def exists_urgent_open_by_segment(spark: SparkSession,
-                                  sf_dir: str) -> DataFrame:
-    """Correlated EXISTS → left-semi join (Catalyst decorrelation):
-    customers holding at least one open urgent order, counted per
-    market segment. The orders side is filtered before the semi join,
-    so the build side is the selective subset, not the fact table."""
+def semi_anti_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seen-set membership pattern (SURVEY J5/P7,
+    picoprobe/utils.py:126-131) through BOTH API surfaces in one
+    union: correlated EXISTS / NOT EXISTS via the SQL API (Catalyst
+    decorrelates to left-semi / left-anti hash joins — never per-row
+    re-execution) and explicit ``left_semi`` / ``left_anti``
+    DataFrame joins. Branches: customers with an open urgent order
+    per segment; nations' customers with no order since 1999;
+    row-level inactive-since-2000 customers (anti); segments with a
+    finished order (semi). At scale every branch builds a hash set
+    from the selective side — no row explosion."""
     v = _views(spark, sf_dir, "customer", "orders")
-    return spark.sql(f"""
-        SELECT c_mktsegment, count(*) AS n_customers
+    sql_part = spark.sql(f"""
+        SELECT 'exists_urgent_by_segment' AS family, c_mktsegment AS k,
+               count(*) AS n
         FROM {v['customer']} c
         WHERE EXISTS (SELECT 1 FROM {v['orders']} o
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderstatus = 'O'
                         AND o.o_orderpriority = '1-URGENT')
         GROUP BY c_mktsegment
-    """)
-
-
-@query(
-    "not_exists_dormant_by_nation",
-    oracle="""
-SELECT c.c_nationkey, count(*) AS n_customers
-FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o
-                  WHERE o.o_custkey = c.c_custkey
-                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
-GROUP BY c.c_nationkey
-""",
-    tags=("J5", "subquery", "not-exists"),
-)
-def not_exists_dormant_by_nation(spark: SparkSession,
-                                 sf_dir: str) -> DataFrame:
-    """Correlated NOT EXISTS → left-anti join: customers with no order
-    since 1999, per nation — the seen-set anti-membership pattern
-    (SURVEY J5) in its declarative form."""
-    v = _views(spark, sf_dir, "customer", "orders")
-    return spark.sql(f"""
-        SELECT c.c_nationkey, count(*) AS n_customers
+        UNION ALL
+        SELECT 'not_exists_dormant_by_nation',
+               CAST(c.c_nationkey AS STRING), count(*)
         FROM {v['customer']} c
         WHERE NOT EXISTS (SELECT 1 FROM {v['orders']} o
                           WHERE o.o_custkey = c.c_custkey
-                            AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+                            AND o.o_orderdate
+                                >= TIMESTAMP '1999-01-01 00:00:00')
         GROUP BY c.c_nationkey
     """)
+    cu = tbl(spark, sf_dir, "customer")
+    od = tbl(spark, sf_dir, "orders")
+    recent = (od.filter(F.col("o_orderdate")
+                        >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+              .select("o_custkey"))
+    inactive = (cu.join(recent, cu.c_custkey == recent.o_custkey,
+                        "left_anti")
+                .select(F.lit("inactive_customers").alias("family"),
+                        F.col("c_custkey").cast("string").alias("k"),
+                        F.lit(1).cast("long").alias("n")))
+    f_orders = (od.filter(F.col("o_orderstatus") == "F")
+                .select("o_custkey"))
+    open_seg = (cu.join(f_orders, cu.c_custkey == f_orders.o_custkey,
+                        "left_semi")
+                .groupBy(F.col("c_mktsegment").alias("k"))
+                .agg(F.count("*").alias("n"))
+                .select(F.lit("open_segments").alias("family"), "k", "n"))
+    return sql_part.unionByName(inactive).unionByName(open_seg)
 
 
 @query(

@@ -161,8 +161,7 @@ def test_subqueries_decorrelate_no_nested_loop(spark):
 
     sf = "/root/testdata/sf0.001"
     plans = {
-        "exists": SQ.exists_urgent_open_by_segment(spark, sf),
-        "not_exists": SQ.not_exists_dormant_by_nation(spark, sf),
+        "membership": SQ.semi_anti_membership(spark, sf),
         "scalar": SQ.q17_small_quantity_revenue(spark, sf),
         "in_having": SQ.q18_large_volume_orders(spark, sf),
         "double_corr": SQ.q21_last_shipper_per_order(spark, sf),
@@ -170,8 +169,10 @@ def test_subqueries_decorrelate_no_nested_loop(spark):
     }
     texts = {k: df._jdf.queryExecution().executedPlan().toString()
              for k, df in plans.items()}
-    assert "LeftSemi" in texts["exists"]
-    assert "LeftAnti" in texts["not_exists"]
+    # the membership suite carries EXISTS (semi) and NOT EXISTS (anti)
+    # branches through both the SQL and DataFrame APIs
+    assert "LeftSemi" in texts["membership"]
+    assert "LeftAnti" in texts["membership"]
     assert "LeftSemi" in texts["in_having"]
     # Q21: both subqueries in one query, inequality riding the equi key
     assert "LeftSemi" in texts["double_corr"]
@@ -203,6 +204,15 @@ def test_headline_plans_have_scale_shapes(spark):
     assert q5.count("BroadcastHashJoin") >= 4
     assert "SortMergeJoin" not in q5
 
-    topk = plan("recent_events_topk")
+    # the recent50 family of event_order_suite is an ordered limit —
+    # asserted standalone so the union's window sorts don't mask it
+    from picoprobedataflow_spark.plans.common import events_us
+    from pyspark.sql import functions as F
+
+    topk_df = (events_us(spark, sf)
+               .orderBy(F.desc("ts"), F.desc("event_id")).limit(50))
+    topk = topk_df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in topk
     assert "Sort " not in topk  # no global sort for an ordered limit
+    suite = plan("event_order_suite")
+    assert "TakeOrderedAndProject" in suite

@@ -170,3 +170,48 @@ def test_flow_config_yaml_roundtrip(tmp_path):
     p2.write_text("input_dir: /x\nnot_a_key: 1\n")
     with _pytest.raises(ValueError, match="not_a_key"):
         FlowConfig.from_yaml(p2)
+
+
+def test_fake_emd_0d_signal_roundtrip():
+    """A 0-d signal (one scalar) must round-trip: np.prod(()) == 1, so
+    the parser reads exactly 4 data bytes and the following signals
+    stay aligned (regression: the old `if dims else 0` guard read 0
+    bytes and corrupted every subsequent signal)."""
+    payload = emd.write_fake_emd([
+        ("scalar", np.array(7.5, dtype="f4"), {"kind": "0d"}),
+        ("cube", np.arange(8, dtype="f4").reshape(2, 2, 2), {"kind": "3d"}),
+    ])
+    parsed = emd._parse_fake_emd(payload)
+    assert [t for t, _, _ in parsed] == ["scalar", "cube"]
+    assert parsed[0][1].shape == ()
+    assert float(parsed[0][1]) == 7.5
+    assert parsed[1][1].shape == (2, 2, 2)
+    assert json.loads(parsed[1][2])["kind"] == "3d"
+
+
+@pytest.mark.skipif(not emd.HAS_H5PY,
+                    reason="h5py not installed in this container; the "
+                           "FAKE-EMD branch exercises the same plumbing")
+def test_parse_hdf5_real_branch(tmp_path):
+    """Light up the real-HDF5 branch the moment the dependency appears:
+    craft a tiny HDF5 in-memory via h5py, feed its bytes to
+    ``_parse_hdf5``, and check the (title, array, metadata-json)
+    contract matches the FAKE-EMD branch's."""
+    import io as _io
+
+    import h5py
+
+    buf = _io.BytesIO()
+    with h5py.File(buf, "w") as f:
+        d = f.create_dataset("experiment/signal3d",
+                             data=np.arange(24, dtype="f4").reshape(2, 3, 4))
+        d.attrs["beam_energy"] = 200.0
+        f.create_dataset("experiment/axis", data=np.arange(4, dtype="f4"))
+    signals = emd._parse_hdf5(buf.getvalue())
+    by_name = {t: (a, m) for t, a, m in signals}
+    assert "experiment/signal3d" in by_name
+    arr, meta = by_name["experiment/signal3d"]
+    assert arr.shape == (2, 3, 4)
+    assert json.loads(meta)["beam_energy"] == 200.0
+    # the 3-D signal-of-interest predicate (S5) finds exactly one
+    assert sum(1 for _, a, _ in signals if a.ndim == 3) == 1
