@@ -29,6 +29,7 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+from pyspark.storagelevel import StorageLevel
 
 from picoprobedataflow_spark.functions.scalar import portable_hash64
 from picoprobedataflow_spark.functions.text import fingerprint_md5, words
@@ -111,13 +112,16 @@ def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
         keep = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
                   .filter(F.col("df") <= max_df).select("shingle"))
         sh = sh.join(keep, "shingle")
-    # sh feeds three consumers (sizes + both join sides); materialize it
-    # once (localCheckpoint, not persist: blocks are released when the
-    # plan is garbage-collected, so long-lived driver sessions don't
-    # accumulate cached partitions across catalog/bench invocations).
-    # A caller-provided unfiltered table is assumed pre-materialized.
+    # sh feeds three consumers (sizes + both join sides); persist so
+    # the tokenize->window->distinct chain runs once, not three times.
+    # MEMORY_ONLY, not the spilling default: the blocks are only hot
+    # for the seconds this query runs, and under storage pressure the
+    # LRU simply drops them (recompute, no disk leak) — so repeated
+    # catalog/bench invocations in one long-lived driver session stay
+    # bounded. A caller-provided unfiltered table is assumed
+    # pre-materialized.
     if shingles is None or max_df is not None:
-        sh = sh.localCheckpoint(eager=True)
+        sh = sh.persist(StorageLevel.MEMORY_ONLY)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -218,13 +222,13 @@ def minhash_lsh_dedup(docs: DataFrame, num_hashes: int = 16, k: int = 3,
                       hash_fn: HashFn = portable_hash64) -> DataFrame:
     """Composed MinHash→LSH→estimate flow. The signature table feeds
     three consumers (banding + both sides of the estimate join), so it
-    is materialized once via localCheckpoint — without this Spark
-    recomputes the shingle+hash pipeline once per consumer, tripling
-    the dominant cost. (localCheckpoint rather than persist: the
-    blocks free themselves on GC, so repeated catalog/bench calls in
-    one driver session don't accumulate storage memory.)"""
+    is persisted once — without this Spark recomputes the
+    shingle+hash pipeline once per consumer, tripling the dominant
+    cost. MEMORY_ONLY so long-lived driver sessions stay bounded:
+    under pressure the LRU drops the blocks instead of spilling
+    them."""
     sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col,
-                              hash_fn).localCheckpoint(eager=True)
+                              hash_fn).persist(StorageLevel.MEMORY_ONLY)
     pairs = lsh_candidate_pairs(sigs, band_size, id_col)
     return minhash_jaccard_estimate(sigs, pairs, num_hashes, id_col)
 
@@ -281,10 +285,10 @@ def simhash_dedup(docs: DataFrame, max_hamming: int = 6,
     candidate self-join, and Spark plans them as two independent
     subtrees (no ReusedExchange for a broadcast side), so without the
     materialization the tokenize+vote aggregate runs twice — measured
-    2 scans / doubled aggregates in the physical plan. localCheckpoint
-    (GC-released) instead of persist (leaks across invocations)."""
+    2 scans / doubled aggregates in the physical plan. MEMORY_ONLY
+    persist: evictable, never spills — bounded across invocations."""
     sigs = simhash_signatures(docs, bits, text_col, id_col,
-                              hash_fn).localCheckpoint(eager=True)
+                              hash_fn).persist(StorageLevel.MEMORY_ONLY)
     return simhash_near_pairs(sigs, max_hamming, n_chunks, bits, id_col)
 
 
