@@ -297,9 +297,17 @@ def kmeans_centroids(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
                  .select("cell", F.posexplode("_v").alias("dim", "val")))
         means = longf.groupBy("cell", "dim").agg(F.avg("val").alias("m"))
         ordered = F.array_sort(F.collect_list(F.struct("dim", "m")))
-        cents = (means.groupBy("cell")
-                      .agg(F.transform(ordered, lambda s: s.m)
-                            .alias("centroid"))
+        new_cents = (means.groupBy("cell")
+                     .agg(F.transform(ordered, lambda s: s.m)
+                           .alias("_new")))
+        # Empty-cell rule: a cell that captured no vectors keeps its
+        # previous centroid (deterministic; the oracle replays the
+        # same left-join + coalesce) instead of silently vanishing
+        # from the mean aggregate and shrinking k.
+        cents = (cents.join(new_cents, "cell", "left")
+                      .select("cell",
+                              F.coalesce("_new", "centroid")
+                               .alias("centroid"))
                       .localCheckpoint(eager=True))
     return cents
 

@@ -437,7 +437,7 @@ def _kmeans_oracle(k: int, n_iter: int, n_probe: int, topk: int,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {dist}, c.cell) AS rn
     FROM ve e CROSS JOIN cents{it - 1} c) WHERE rn = 1)""")
-        ctes.append(f"""cents{it} AS (
+        ctes.append(f"""newc{it} AS (
   SELECT cell, list(m ORDER BY dim) AS c
   FROM (SELECT cell, dim, avg(val) AS m
         FROM (SELECT a.cell, generate_subscripts(e.v, 1) AS dim,
@@ -445,6 +445,9 @@ def _kmeans_oracle(k: int, n_iter: int, n_probe: int, topk: int,
               FROM assign{it} a JOIN ve e USING (vec_id))
         GROUP BY cell, dim)
   GROUP BY cell)""")
+        ctes.append(f"""cents{it} AS (
+  SELECT o.cell, COALESCE(n.c, o.c) AS c
+  FROM cents{it - 1} o LEFT JOIN newc{it} n USING (cell))""")
     ctes.append(f"""assignf AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,

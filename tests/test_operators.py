@@ -8,6 +8,8 @@ from __future__ import annotations
 import math
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from picoprobedataflow_spark.operators import dedup as DD
@@ -192,3 +194,154 @@ def test_funnel_pivot_equals_selfjoin(spark):
     a = sorted((r.user_id, r.delta) for r in pivot.collect())
     b = sorted((r.user_id, r.delta) for r in selfjoin.collect())
     assert a == b and len(a) > 0
+
+
+# --------------------------------------------------------------------------
+# Connected components / survivors (cluster resolution)
+# --------------------------------------------------------------------------
+
+def _union_find_components(edges, nodes):
+    """Reference implementation: plain union-find, min id per set."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # union-by-min keeps each set's root at its minimum id
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation must agree with a driver-side union-find
+    on a graph with chains, a triangle, and singletons-by-absence."""
+    edges = [(1, 2), (2, 3), (3, 4),          # chain -> comp 1
+             (10, 11), (11, 12), (10, 12),    # triangle -> comp 10
+             (20, 21),                        # pair -> comp 20
+             (7, 7)]                          # self-loop, harmless
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.comp
+           for r in DD.connected_components(df).collect()}
+    nodes = sorted({n for e in edges for n in e})
+    want = _union_find_components(edges, nodes)
+    assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 24), st.integers(0, 24)),
+                min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_random_graphs(spark, raw_edges):
+    """Property: on random small graphs the fixpoint equals union-find
+    — including multi-edges, self-loops and duplicate pairs."""
+    edges = [(a, b) for a, b in raw_edges if a != b] or [(0, 1)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.comp
+           for r in DD.connected_components(df).collect()}
+    nodes = sorted({n for e in edges for n in e})
+    want = _union_find_components(edges, nodes)
+    assert got == want
+
+
+def test_near_dup_survivors_semantics(spark):
+    """Survivor map: min id per cluster keeps, everyone else maps to
+    it; docs in no pair survive as their own canonical."""
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    edges = spark.createDataFrame([(1, 2), (2, 5), (6, 7)],
+                                  "doc_a long, doc_b long")
+    rows = {r.doc_id: (r.canonical_id, r.keep)
+            for r in DD.near_dup_survivors(docs, edges).collect()}
+    assert rows[1] == (1, True)
+    assert rows[2] == (1, False)
+    assert rows[5] == (1, False)
+    assert rows[6] == (6, True)
+    assert rows[7] == (6, False)
+    for singleton in (0, 3, 4):
+        assert rows[singleton] == (singleton, True)
+    # exactly one survivor per cluster
+    keeps = [d for d, (_, k) in rows.items() if k]
+    assert sorted(keeps) == [0, 1, 3, 4, 6]
+
+
+# --------------------------------------------------------------------------
+# k-means coarse quantizer
+# --------------------------------------------------------------------------
+
+def _toy_embeddings(spark, n=60, dim=8, clusters=3):
+    """Deterministic separated clusters (center c at 10*c per dim),
+    laid out so the k-means seeding — the ``clusters`` ids with the
+    smallest (md5(id), id) rank, same formula as the operator — lands
+    one seed in each cluster. That makes 2-iteration Lloyd's converge
+    exactly, so the tests assert recovery rather than luck."""
+    import hashlib
+
+    ranked = sorted(range(n),
+                    key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(),
+                                   i))
+    label = {}
+    for c, seed in enumerate(ranked[:clusters]):
+        label[seed] = c
+    rest = [i for i in range(n) if i not in label]
+    for j, i in enumerate(rest):
+        label[i] = j % clusters
+    rows = []
+    for i in range(n):
+        c = label[i]
+        vec = [float(10 * c + ((i * 7 + d) % 3) * 0.1) for d in range(dim)]
+        rows.append((i, vec, c))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_kmeans_deterministic_across_partitionings(spark):
+    """Same centroids regardless of input partitioning — the md5-rank
+    seeding and argmin tie-breaks must not depend on row order."""
+    emb = _toy_embeddings(spark)
+    c1 = {r.cell: r.centroid for r in
+          SIM.kmeans_centroids(emb, n_clusters=3, n_iter=2).collect()}
+    c2 = {r.cell: r.centroid for r in
+          SIM.kmeans_centroids(emb.repartition(7), n_clusters=3,
+                               n_iter=2).collect()}
+    assert set(c1) == set(c2) == {0, 1, 2}
+    for cell in c1:
+        assert c1[cell] == c2[cell]
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """With well-separated clusters, 2 Lloyd iterations converge to
+    one centroid per true cluster and the final assignment matches the
+    generating label exactly (no gold label used in the build)."""
+    emb = _toy_embeddings(spark)
+    cents = SIM.kmeans_centroids(emb, n_clusters=3, n_iter=2)
+    vecs = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_v"))
+    assigned = {r._id: r.cell
+                for r in SIM.kmeans_assign(vecs, cents, vec_col="_v",
+                                           id_col="_id").collect()}
+    by_label = {}
+    for r in emb.select("vec_id", "label").collect():
+        by_label.setdefault(r.label, set()).add(assigned[r.vec_id])
+    # each true cluster maps to exactly one learned cell, all distinct
+    cells = [next(iter(s)) for s in by_label.values()]
+    assert all(len(s) == 1 for s in by_label.values())
+    assert len(set(cells)) == 3
+
+
+def test_ivf_kmeans_search_finds_nearest(spark):
+    """Probing the 2 nearest learned cells must return the true
+    brute-force top-k when the query sits inside a cluster."""
+    emb = _toy_embeddings(spark)
+    q = [float(10 * 2 + 0.05)] * 8  # inside cluster 2's region
+    got = SIM.ivf_kmeans_search(emb, q, k=3, n_probe=2, n_clusters=3,
+                                n_iter=2).collect()
+    brute = (SIM.topk_cosine(emb, q, k=3).collect())
+    assert [r.vec_id for r in got] == [r.vec_id for r in brute]
+    assert all(abs(a.cosine - b.cosine) < 1e-9
+               for a, b in zip(got, brute))
