@@ -216,3 +216,55 @@ def test_headline_plans_have_scale_shapes(spark):
     assert "Sort " not in topk  # no global sort for an ordered limit
     suite = plan("event_order_suite")
     assert "TakeOrderedAndProject" in suite
+
+
+def test_srp_bucket_partition_pruning_at_write(spark, tmp_path):
+    """The ANN scale story made concrete: write embeddings partitioned
+    by their SRP bucket, query one bucket, and assert the scan prunes
+    to that partition (PartitionFilters on the parquet relation, only
+    the matching directory read) — at 100 TB this is the difference
+    between touching 1/2^planes of the data and all of it."""
+    from picoprobedataflow_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bucketed = emb.withColumn(
+        "bucket", SIM.srp_bucket(F.col("embedding"), n_planes=4, dim=64))
+    out = str(tmp_path / "emb_by_bucket")
+    bucketed.write.partitionBy("bucket").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("bucket") == 3)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan \
+        or "PartitionFilters: [(bucket" in plan, plan
+    rows = back.collect()
+    assert all(r.bucket == 3 for r in rows)
+    # and the same filter on the unpartitioned table returns the same
+    # vec_ids — partition layout changes I/O, never results
+    want = sorted(r.vec_id for r in bucketed
+                  .filter(F.col("bucket") == 3).collect())
+    assert sorted(r.vec_id for r in rows) == want
+
+
+def test_kmeans_cell_partition_pruning_at_write(spark, tmp_path):
+    """Same story for the learned IVF quantizer: assign cells with
+    k-means, write partitioned by cell, probe one cell — partition
+    pruning, identical results to the unpartitioned filter."""
+    from picoprobedataflow_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_v")
+    ).localCheckpoint(eager=True)
+    cents = SIM.kmeans_centroids(emb, n_clusters=4, n_iter=1, vecs=vecs)
+    assigned = (SIM.kmeans_assign(vecs, cents, vec_col="_v", id_col="_id")
+                .withColumnRenamed("_id", "vec_id"))
+    out = str(tmp_path / "emb_by_cell")
+    (emb.join(assigned, "vec_id")
+        .write.partitionBy("cell").parquet(out))
+
+    back = spark.read.parquet(out).filter(F.col("cell") == 1)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters")[1][:80], plan
+    assert all(r.cell == 1 for r in back.collect())
