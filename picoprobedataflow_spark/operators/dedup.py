@@ -402,3 +402,91 @@ def near_dup_survivors(docs: DataFrame, edges: DataFrame,
                          .alias("canonical_id"),
                         (F.coalesce("comp", F.col(id_col))
                          == F.col(id_col)).alias("keep")))
+
+
+def _sym(e: DataFrame) -> DataFrame:
+    """Both directions of an edge list, self-loops dropped."""
+    return (e.select(F.col("u"), F.col("v"))
+             .union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+             .filter(F.col("u") != F.col("v"))
+             .distinct())
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: connect every strictly-larger neighbor of u to the
+    minimum of u's closed neighborhood."""
+    sym = _sym(e)
+    m = (sym.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+    return (sym.join(m, "u")
+               .filter(F.col("v") > F.col("u"))
+               .select(F.col("v").alias("u"), F.col("m").alias("v"))
+               .filter(F.col("u") != F.col("v"))
+               .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: canonicalize edges toward the larger endpoint, then
+    connect u and all its ≤ neighbors to the neighborhood minimum."""
+    canon = (e.select(F.greatest("u", "v").alias("u"),
+                      F.least("u", "v").alias("v"))
+              .filter(F.col("u") != F.col("v"))
+              .distinct())
+    m = (canon.groupBy("u")
+              .agg(F.least(F.min("v"), F.first("u")).alias("m")))
+    joined = canon.join(m, "u")
+    out = (joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+           .union(joined.select(F.col("u"), F.col("m").alias("v")))
+           .filter(F.col("u") != F.col("v"))
+           .distinct())
+    return out
+
+
+def connected_components_star(edges: DataFrame, id_a: str = "doc_a",
+                              id_b: str = "doc_b",
+                              max_iter: int = 20) -> DataFrame:
+    """(node, comp) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the adversarial-graph path :func:`connected_components` documents:
+    min-label propagation needs diameter rounds, which a 10⁶-node
+    chain turns into 10⁶ shuffles; star rounds contract the graph
+    toward per-component stars in O(log² n) rounds regardless of
+    shape. Each round is a groupBy-min plus an equi-join — the same
+    per-round cost shape as label propagation, so for typical dense
+    dedup clusters either works; this one also survives pathological
+    chains. Fixpoint = identical edge multiset two rounds running
+    (count + containment check — driver-side scalars only).
+
+    Returns the same (node, comp) contract as
+    :func:`connected_components`, comp = min id of the component;
+    isolated self-loop-only nodes map to themselves.
+    """
+    nodes = (edges.select(F.col(id_a).cast("long").alias("n"))
+             .union(edges.select(F.col(id_b).cast("long").alias("n")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    e = (edges.select(F.col(id_a).cast("long").alias("u"),
+                      F.col(id_b).cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct()
+         .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        if e.limit(1).count() == 0:
+            break
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        unchanged = (new_e.count() == e.count()
+                     and new_e.exceptAll(e).limit(1).count() == 0)
+        e = new_e
+        if unchanged:
+            break
+    # at the star fixpoint every edge points child -> component root
+    comp = (e.groupBy("u").agg(F.min("v").alias("comp"))
+             .select(F.col("u").alias("node"), "comp"))
+    roots = (e.select(F.col("v").alias("node")).distinct()
+              .join(comp, "node", "left_anti")
+              .withColumn("comp", F.col("node")))
+    labeled = comp.unionByName(roots)
+    isolated = (nodes.join(labeled, nodes.n == labeled.node, "left_anti")
+                .select(F.col("n").alias("node"),
+                        F.col("n").alias("comp")))
+    return labeled.unionByName(isolated)

@@ -345,3 +345,36 @@ def test_ivf_kmeans_search_finds_nearest(spark):
     assert [r.vec_id for r in got] == [r.vec_id for r in brute]
     assert all(abs(a.cosine - b.cosine) < 1e-9
                for a, b in zip(got, brute))
+
+
+def test_star_components_equal_label_propagation(spark):
+    """The large-star/small-star formulation (adversarial-diameter
+    path) must produce the identical (node, comp) map as min-label
+    propagation — including on a long chain, the shape that motivates
+    it."""
+    chain = [(i, i + 1) for i in range(30)]            # diameter 30
+    extra = [(100, 101), (101, 102), (100, 102), (200, 200)]
+    edges = chain + extra
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    lp = {r.node: r.comp for r in DD.connected_components(
+        df, max_iter=40).collect()}
+    star = {r.node: r.comp for r in DD.connected_components_star(
+        df).collect()}
+    # 200 has only a self-loop: label propagation drops self-loops the
+    # same way; both must map it to itself
+    assert star == lp
+    assert star[30] == 0 and star[102] == 100 and star[200] == 200
+
+
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 20)),
+                min_size=1, max_size=30))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_star_components_random_graphs(spark, raw_edges):
+    edges = [(a, b) for a, b in raw_edges if a != b] or [(0, 1)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    star = {r.node: r.comp
+            for r in DD.connected_components_star(df).collect()}
+    nodes = sorted({n for e in edges for n in e})
+    want = _union_find_components(edges, nodes)
+    assert star == want
