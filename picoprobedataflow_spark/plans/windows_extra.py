@@ -57,36 +57,40 @@ def window_frames_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     RANGE frame over a day-number order column (30-day trailing
     revenue — the rolling-rate frame the reference's telemetry
     analysis would need); ``lead_lag`` = neighbor deltas (null-safe
-    integer arithmetic). One shuffle on l_suppkey serves all three
-    windows."""
+    integer arithmetic). All three window columns are computed on ONE
+    projection and unpivoted with ``stack`` — the physical plan has a
+    single scan and a single l_suppkey Exchange feeding three
+    in-partition sorts (a UNION of three branches re-scanned and
+    re-shuffled 3×; plan-asserted in test_scale_patterns)."""
     li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 5)
     c = cents("l_extendedprice")
-    nul = F.lit(None).cast("long")
+    day = F.datediff(F.col("l_shipdate"),
+                     F.lit("1995-01-01 00:00:00").cast("timestamp"))
+    base = li.select("l_suppkey", "l_orderkey", "l_linenumber",
+                     "l_shipdate", c.alias("cents_v"),
+                     day.cast("long").alias("day_n"))
 
     wrow = (W.partitionBy("l_suppkey")
              .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
              .rowsBetween(W.unboundedPreceding, W.currentRow))
-    running = li.select(
-        F.lit("running").alias("family"), "l_suppkey", "l_orderkey",
-        "l_linenumber", F.sum(c).over(wrow).alias("v1"), nul.alias("v2"))
-
-    day = F.datediff(F.col("l_shipdate"),
-                     F.lit("1995-01-01 00:00:00").cast("timestamp"))
-    wrange = (W.partitionBy("l_suppkey").orderBy(day.cast("long"))
+    wrange = (W.partitionBy("l_suppkey").orderBy("day_n")
                .rangeBetween(-30, 0))
-    trailing = li.select(
-        F.lit("trailing30d").alias("family"), "l_suppkey", "l_orderkey",
-        "l_linenumber", F.sum(c).over(wrange).cast("long").alias("v1"),
-        nul.alias("v2"))
-
     wlag = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey",
                                               "l_linenumber")
-    leadlag = li.select(
-        F.lit("lead_lag").alias("family"), "l_suppkey", "l_orderkey",
-        "l_linenumber", (c - F.lag(c).over(wlag)).alias("v1"),
-        (F.lead(c).over(wlag) - c).alias("v2"))
-
-    return running.unionByName(trailing).unionByName(leadlag)
+    cv = F.col("cents_v")
+    wide = base.select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.sum("cents_v").over(wrow).alias("run_c"),
+        F.sum("cents_v").over(wrange).cast("long").alias("tr_c"),
+        (cv - F.lag("cents_v").over(wlag)).alias("dprev"),
+        (F.lead("cents_v").over(wlag) - cv).alias("dnext"))
+    return wide.selectExpr(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        "stack(3, 'running', run_c, CAST(NULL AS BIGINT), "
+        "'trailing30d', tr_c, CAST(NULL AS BIGINT), "
+        "'lead_lag', dprev, dnext) AS (family, v1, v2)"
+    ).select("family", "l_suppkey", "l_orderkey", "l_linenumber",
+             "v1", "v2")
 
 
 @query(

@@ -268,3 +268,17 @@ def test_kmeans_cell_partition_pruning_at_write(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan.split(
         "PartitionFilters")[1][:80], plan
     assert all(r.cell == 1 for r in back.collect())
+
+
+def test_window_frames_suite_single_exchange(spark):
+    """The three frame specs in window_frames_suite must share one
+    l_suppkey Exchange (stack-unpivot formulation) — not re-scan and
+    re-shuffle per family."""
+    from picoprobedataflow_spark.plans import windows_extra as WX
+
+    plan = (WX.window_frames_suite(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    n_scan = plan.count("Scan parquet")
+    n_exchange = plan.count("Exchange") - plan.count("ReusedExchange")
+    assert n_scan == 1, plan
+    assert n_exchange == 1, plan
