@@ -365,22 +365,25 @@ def connected_components(edges: DataFrame, id_a: str = "doc_a",
                                F.col(id_a).cast("long").alias("dst")))
            .distinct()
            .localCheckpoint(eager=True))
-    labels = (sym.select(F.col("src").alias("node")).distinct()
-                 .withColumn("comp", F.col("node"))
+    # Seed with one propagation round fused into the init: comp0(n) =
+    # min(n, direct neighbors) — same fixpoint, one fewer iteration.
+    labels = (sym.groupBy(F.col("src").alias("node"))
+                 .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
                  .localCheckpoint(eager=True))
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
     for _ in range(max_iter):
         prop = (sym.join(labels, sym["src"] == labels["node"])
                    .select(F.col("dst").alias("node"), F.col("comp")))
-        new_labels = (labels.unionByName(prop)
-                      .groupBy("node").agg(F.min("comp").alias("comp"))
-                      .localCheckpoint(eager=True))
-        changed = (labels.alias("o")
-                   .join(new_labels.alias("n"), "node")
-                   .filter(F.col("o.comp") != F.col("n.comp"))
-                   .limit(1).count())
-        labels = new_labels
-        if changed == 0:
+        labels = (labels.unionByName(prop)
+                  .groupBy("node").agg(F.min("comp").alias("comp"))
+                  .localCheckpoint(eager=True))
+        # Labels only ever decrease, so Σcomp is strictly monotone
+        # until the fixpoint: equality IS convergence — a one-row
+        # aggregate over the just-materialized table, no join.
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
