@@ -493,3 +493,15 @@ def connected_components_star(edges: DataFrame, id_a: str = "doc_a",
                 .select(F.col("n").alias("node"),
                         F.col("n").alias("comp")))
     return labeled.unionByName(isolated)
+
+
+def apply_survivors(docs: DataFrame, survivors: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Filter the corpus down to cluster survivors — the actual "skip
+    the duplicate" act (picoprobe/utils.py:126-131) as a left-semi
+    join against the keep set. At scale the keep set is the smaller
+    side by construction (one row per cluster + singletons) and
+    builds the semi join's hash table; the corpus never re-shuffles
+    if it is already partitioned on the id."""
+    keep = survivors.filter(F.col("keep")).select(id_col)
+    return docs.join(keep, id_col, "left_semi")

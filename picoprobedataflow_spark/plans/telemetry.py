@@ -352,7 +352,7 @@ def event_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = cents()
     nul = lambda: F.lit(None).cast("double")  # noqa: E731
 
-    describe = ev.groupBy(F.col("event_type").alias("k")).agg(
+    desc_agg = ev.groupBy(F.col("event_type").alias("k")).agg(
         F.count("*").alias("n"),
         F.round(F.sum(c).cast("double")
                 / (F.lit(100.0) * F.count("*")), 4).alias("v1"),
@@ -360,8 +360,9 @@ def event_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(c) / 100.0, 4).alias("v3"),
         F.round(F.max(c) / 100.0, 4).alias("v4"),
         F.round(F.sum(c) / 100.0 / 1024.0, 4).alias("v5"),
-    ).select(F.lit("describe").alias("family"), "k", "n",
-             "v1", "v2", "v3", "v4", "v5")
+    )
+    describe = desc_agg.select(F.lit("describe").alias("family"), "k", "n",
+                               "v1", "v2", "v3", "v4", "v5")
 
     hist = (ev.groupBy(F.floor(F.col("value") / 10.0).cast("string")
                        .alias("k"))
@@ -387,13 +388,15 @@ def event_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.lit(None).cast("string").alias("k"), "n", "v1", "v2",
              nul().alias("v3"), nul().alias("v4"), nul().alias("v5"))
 
-    types = (ev.select("event_type").distinct()
-             .select(F.lit("event_types").alias("family"),
-                     F.col("event_type").alias("k"),
-                     F.lit(None).cast("long").alias("n"),
-                     nul().alias("v1"), nul().alias("v2"),
-                     nul().alias("v3"), nul().alias("v4"),
-                     nul().alias("v5")))
+    # distinct event types == the describe aggregate's group keys —
+    # derived from the same subtree so the plan reuses the exchange
+    # instead of re-scanning events for a separate distinct.
+    types = desc_agg.select(F.lit("event_types").alias("family"),
+                            F.col("k"),
+                            F.lit(None).cast("long").alias("n"),
+                            nul().alias("v1"), nul().alias("v2"),
+                            nul().alias("v3"), nul().alias("v4"),
+                            nul().alias("v5"))
 
     salted = salted_agg(
         ev.select("event_type", c.alias("vc")),

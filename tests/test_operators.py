@@ -378,3 +378,19 @@ def test_star_components_random_graphs(spark, raw_edges):
     nodes = sorted({n for e in edges for n in e})
     want = _union_find_components(edges, nodes)
     assert star == want
+
+
+def test_apply_survivors_filters_corpus(spark):
+    """End-to-end dedup loop: pairs -> survivors -> filtered corpus
+    keeps exactly one doc per cluster plus all singletons."""
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string")
+    edges = spark.createDataFrame([(0, 3), (3, 5)],
+                                  "doc_a long, doc_b long")
+    surv = DD.near_dup_survivors(docs, edges)
+    kept = sorted(r.doc_id
+                  for r in DD.apply_survivors(docs, surv).collect())
+    assert kept == [0, 1, 2, 4]
+    plan = (DD.apply_survivors(docs, surv)
+            ._jdf.queryExecution().analyzed().toString())
+    assert "LeftSemi" in plan
