@@ -19,6 +19,8 @@ so the analyzer queries run on it unchanged.
 from __future__ import annotations
 
 import time
+
+from pyspark.storagelevel import StorageLevel
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -82,7 +84,7 @@ def _ingest(spark: SparkSession, input_dir: str, glob: str,
     with log("Transfer"):
         files = BF.scan_binary_dir(spark, input_dir, glob=glob)
         manifest = BF.incremental_ingest(files, processed)
-        manifest = manifest.persist()
+        manifest = manifest.persist(StorageLevel.MEMORY_ONLY)
         manifest.count()  # materialize inside the step boundary
     return manifest
 
@@ -99,7 +101,7 @@ def hyperspectral_flow(spark: SparkSession, input_dir: str,
         manifest.select("path"), "path", "left_semi")
 
     with log("HyperspectralImageTool"):
-        cube = EMD.extract_cube_longform(files).persist()
+        cube = EMD.extract_cube_longform(files).persist(StorageLevel.MEMORY_ONLY)
         image = SC.spectral_image(cube)
         spect = SC.spectrum(cube)
         image.count(), spect.count()
@@ -107,7 +109,7 @@ def hyperspectral_flow(spark: SparkSession, input_dir: str,
     with log("Publishv2GatherMetadata"):
         signals = EMD.extract_signals(files)
         docs = BF.publish_documents(files, exp_type="hyperspectral_imaging")
-        docs = docs.persist()
+        docs = docs.persist(StorageLevel.MEMORY_ONLY)
         docs.count()
 
     with log("Publishv2Ingest"):
@@ -139,12 +141,12 @@ def spatiotemporal_flow(spark: SparkSession, input_dir: str,
                              F.col("y").alias("x"),
                              F.col("channel").alias("y"),
                              F.col("counts").alias("intensity"))
-        px = SC.normalize_frames(frames, keys=("path", "t")).persist()
+        px = SC.normalize_frames(frames, keys=("path", "t")).persist(StorageLevel.MEMORY_ONLY)
         px.count()
 
     with log("Publishv2GatherMetadata"):
         docs = BF.publish_documents(files, exp_type="spatiotemporal_imaging")
-        docs = docs.persist()
+        docs = docs.persist(StorageLevel.MEMORY_ONLY)
         docs.count()
 
     with log("Publishv2Ingest"):
