@@ -40,6 +40,11 @@ class FlowAnalyzer:
         self.runs = runs
         self.step_events = step_events
         self.transfers = transfers
+        # Driver-side collect is bounded by |distinct step names| — the
+        # flow DEFINITION's state count (single digits in the reference,
+        # never data-scale). Callers with unbounded event vocabularies
+        # must pass `steps` explicitly; the dynamic pivot needs the
+        # column set on the driver by construction.
         self.steps = steps or tuple(
             r.state_name
             for r in step_events.select("state_name").distinct()
