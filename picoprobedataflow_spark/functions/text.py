@@ -126,3 +126,34 @@ def fingerprint_rolling(text: Column | str, window: int = 64) -> Column:
 def langid_scores(text: Column | str) -> dict[str, Column]:
     """Stopword-hit score per language (language-ID heuristic)."""
     return {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+
+
+def tfidf_vectors(docs, min_df: int = 1, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Sparse TF-IDF vectors per document as
+    (doc_id, array<struct<term, weight>>), the classic
+    log-scaled idf = ln((N+1)/(df+1)) + 1 with raw term counts.
+
+    Shape at scale: one explode → (doc, term) count aggregate → join
+    against the (term, df) vocabulary (broadcast when it fits, else a
+    term-hash shuffle both sides share) → collect_list per doc. The
+    corpus size N is a scalar aggregate broadcast by Catalyst, not a
+    driver round-trip. Terms below ``min_df`` drop — the same
+    vocabulary floor `vocabulary stats` applies."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_tbl = (toks.groupBy("term")
+              .agg(F.countDistinct(id_col).alias("df"))
+              .filter(F.col("df") >= min_df))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n"))
+    idf = (df_tbl.crossJoin(n_docs)
+           .select("term",
+                   (F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1.0)
+                   .alias("idf")))
+    weighted = (tf.join(idf, "term")
+                .select(F.col(id_col), "term",
+                        (F.col("tf") * F.col("idf")).alias("weight")))
+    vec = F.array_sort(F.collect_list(F.struct("term", "weight")))
+    return weighted.groupBy(id_col).agg(vec.alias("tfidf"))

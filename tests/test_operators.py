@@ -394,3 +394,62 @@ def test_apply_survivors_filters_corpus(spark):
     plan = (DD.apply_survivors(docs, surv)
             ._jdf.queryExecution().analyzed().toString())
     assert "LeftSemi" in plan
+
+
+# --------------------------------------------------------------------------
+# int8 quantization + TF-IDF (training-data storage/featurization)
+# --------------------------------------------------------------------------
+
+def test_quantize_int8_roundtrip_and_ann_agreement(spark):
+    """Quantize → dequantize must bound error by 0.5/scale_inv per
+    element, and cosine top-k over dequantized int8 vectors must agree
+    with float top-k on separated data (the 4x-storage ANN path)."""
+    from picoprobedataflow_spark.functions import vectors as V
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # corpus scale: 127 / max abs value
+    max_abs = emb.select(F.max(F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0), lambda a, b: F.greatest(a, b))).alias("m")).head().m
+    si = 127.0 / max_abs
+    q = emb.select("vec_id", "embedding",
+                   V.quantize_int8(F.col("embedding"), si).alias("q8"))
+    deq = q.select("vec_id", "embedding",
+                   V.dequantize_int8(F.col("q8"), si).alias("back"))
+    err = deq.select(F.max(F.aggregate(
+        F.zip_with("embedding", "back",
+                   lambda a, b: F.abs(a.cast("double") - b)),
+        F.lit(0.0), lambda a, b: F.greatest(a, b))).alias("e")).head().e
+    assert err <= 0.5 / si + 1e-12
+
+    from picoprobedataflow_spark.operators import similarity as SIM
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).head().embedding]
+    top_f = [r.vec_id for r in SIM.topk_cosine(
+        emb.filter(F.col("vec_id") > 0), qvec, k=5).collect()]
+    deq_emb = deq.filter(F.col("vec_id") > 0).select(
+        "vec_id", F.col("back").alias("embedding"))
+    top_q = [r.vec_id for r in SIM.topk_cosine(deq_emb, qvec, k=5).collect()]
+    assert top_f == top_q
+
+
+def test_tfidf_vectors_hand_check(spark):
+    """TF-IDF on a 3-doc corpus: shared terms get idf
+    ln(4/df+1-ish)+1, doc-unique terms weigh more; values match the
+    hand formula."""
+    import math
+
+    from picoprobedataflow_spark.functions.text import tfidf_vectors
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "apple cherry"), (2, "durian")],
+        "doc_id long, text string")
+    out = {r.doc_id: {t.term: t.weight for t in r.tfidf}
+           for r in tfidf_vectors(docs).collect()}
+    idf = lambda df: math.log((3 + 1) / (df + 1)) + 1.0  # noqa: E731
+    assert abs(out[0]["apple"] - 2 * idf(2)) < 1e-9
+    assert abs(out[0]["banana"] - 1 * idf(1)) < 1e-9
+    assert abs(out[1]["cherry"] - idf(1)) < 1e-9
+    assert abs(out[2]["durian"] - idf(1)) < 1e-9
+    # doc-unique beats corpus-common at equal tf
+    assert out[1]["cherry"] > out[1]["apple"]
