@@ -157,3 +157,29 @@ def tfidf_vectors(docs, min_df: int = 1, text_col: str = "text",
                         (F.col("tf") * F.col("idf")).alias("weight")))
     vec = F.array_sort(F.collect_list(F.struct("term", "weight")))
     return weighted.groupBy(id_col).agg(vec.alias("tfidf"))
+
+
+def mixture_sample(docs, weights: dict[str, float],
+                   by_col: str = "source", id_col: str = "doc_id",
+                   salt: str = "mix"):
+    """Deterministic data-mixture sampling: keep a ``weights[source]``
+    fraction of each source's documents (weights in [0, 1]; missing
+    sources drop). The keep decision is md5(salt:doc_id) mod 10000 <
+    weight*10000 — a pure function of the id, so the mixture is stable
+    across runs, engines, partitionings and repeated epochs (never
+    ``rand()``), and changing one source's weight never reshuffles
+    which documents another source keeps. This is the corpus-mixing
+    primitive of LLM training-data prep (upweight code, downweight
+    crawl, ...), composed from the same hash-bucket trick as the
+    train/val/test split."""
+    from pyspark.sql import functions as F
+
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + ":"),
+                       F.col(id_col).cast("string")).cast("binary")),
+        1, 8), 16, 10).cast("long") % 10000)
+    thresh = F.create_map(*[
+        F.lit(x) for kv in weights.items()
+        for x in (kv[0], int(round(kv[1] * 10000)))])
+    return docs.filter(bucket < F.coalesce(thresh[F.col(by_col)],
+                                           F.lit(0)))

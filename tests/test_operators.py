@@ -453,3 +453,39 @@ def test_tfidf_vectors_hand_check(spark):
     assert abs(out[2]["durian"] - idf(1)) < 1e-9
     # doc-unique beats corpus-common at equal tf
     assert out[1]["cherry"] > out[1]["apple"]
+
+
+def test_mixture_sample_deterministic_and_proportional(spark):
+    """Mixture sampling: stable across partitionings, roughly
+    proportional to the weights, exact-zero for unlisted sources, and
+    per-doc decisions independent of other sources' weights."""
+    from picoprobedataflow_spark.functions.text import mixture_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    weights = {"src0": 0.5, "src1": 1.0, "src2": 0.25}
+    a = {r.doc_id for r in mixture_sample(docs, weights).select("doc_id").collect()}
+    b = {r.doc_id for r in mixture_sample(docs.repartition(13), weights)
+         .select("doc_id").collect()}
+    assert a == b and a
+    srcs = {r.source for r in docs.select("source").distinct().collect()}
+    kept_by_src = {s: 0 for s in srcs}
+    base_by_src = {r.source: r.n for r in
+                   docs.groupBy("source").count()
+                       .withColumnRenamed("count", "n").collect()}
+    for r in mixture_sample(docs, weights).groupBy("source").count().collect():
+        kept_by_src[r.source] = r["count"]
+    for s in srcs:
+        w = weights.get(s, 0.0)
+        if w == 0.0:
+            assert kept_by_src[s] == 0
+        else:
+            frac = kept_by_src[s] / base_by_src[s]
+            assert abs(frac - w) < 0.15, (s, frac, w)
+    # independence: changing src1's weight leaves src0's kept set alone
+    a_src = {r.doc_id for r in mixture_sample(
+        docs, {"src0": 0.5, "src1": 0.2}).filter(F.col("source") == "src0")
+        .select("doc_id").collect()}
+    b_src = {r.doc_id for r in mixture_sample(
+        docs, {"src0": 0.5, "src1": 0.9}).filter(F.col("source") == "src0")
+        .select("doc_id").collect()}
+    assert a_src == b_src
