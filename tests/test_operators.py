@@ -489,3 +489,44 @@ def test_mixture_sample_deterministic_and_proportional(spark):
         docs, {"src0": 0.5, "src1": 0.9}).filter(F.col("source") == "src0")
         .select("doc_id").collect()}
     assert a_src == b_src
+
+
+# --------------------------------------------------------------------------
+# Binned range join
+# --------------------------------------------------------------------------
+
+def test_bin_range_join_equals_theta_join(spark):
+    """The binned formulation must return exactly the rows of the
+    naive non-equi containment join, for intervals shorter AND longer
+    than the bin width, and its physical plan must be a hash/merge
+    equi-join on the bin — never a nested loop."""
+    from picoprobedataflow_spark.operators.rangejoin import bin_range_join
+
+    W_US = 100
+    points = spark.createDataFrame(
+        [(i, i * 17 % 1000) for i in range(200)], "pid long, ts long")
+    intervals = spark.createDataFrame(
+        [(0, 10, 60),        # inside one bin
+         (1, 90, 110),       # straddles a bin edge
+         (2, 100, 640),      # 6 bins long
+         (3, 995, 999),      # tail
+         (4, 400, 400)],     # degenerate single-tick
+        "iid long, start long, end long")
+    got = sorted((r.pid, r.iid) for r in bin_range_join(
+        points, intervals, bin_width=W_US).collect())
+    want = sorted((p, i) for p, t in [(r.pid, r.ts)
+                                      for r in points.collect()]
+                  for i, s, e in [(r.iid, r.start, r.end)
+                                  for r in intervals.collect()]
+                  if s <= t <= e)
+    assert got == want and got
+
+    plan = (bin_range_join(points, intervals, bin_width=W_US)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "NestedLoop" not in plan, plan
+    # the naive theta join, for contrast, IS quadratic (nested loop /
+    # cartesian product with a residual predicate)
+    naive = points.join(intervals, (F.col("ts") >= F.col("start"))
+                        & (F.col("ts") <= F.col("end")))
+    nplan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" in nplan or "CartesianProduct" in nplan
