@@ -183,3 +183,61 @@ def mixture_sample(docs, weights: dict[str, float],
         for x in (kv[0], int(round(kv[1] * 10000)))])
     return docs.filter(bucket < F.coalesce(thresh[F.col(by_col)],
                                            F.lit(0)))
+
+
+def _lang_trigram_profiles() -> dict[str, tuple[str, ...]]:
+    """Discriminative character trigrams per language, derived
+    deterministically from the stopword lists: the trigrams of the
+    space-joined stopword string that occur in no other language's
+    profile. Module-level constant — identical on driver, executors
+    and any oracle."""
+    # trigrams of the space-joined list PLUS the bare stopwords —
+    # the bare forms are what carry scripts without word boundaries
+    # (zh: single-char stopwords appear unpadded in running text).
+    raw = {lang: {(" " + " ".join(ws) + " ")[i:i + 3]
+                  for i in range(len(" " + " ".join(ws) + " ") - 2)}
+           | set(ws)
+           for lang, ws in STOPWORDS.items()}
+    out = {}
+    for lang, tris in raw.items():
+        others = set().union(*(t for l2, t in raw.items() if l2 != lang))
+        out[lang] = tuple(sorted(tris - others))
+    return out
+
+
+LANG_TRIGRAMS = _lang_trigram_profiles()
+
+
+def langid_ngram_scores(text: Column | str) -> dict[str, Column]:
+    """Character-n-gram language-ID scores: per language, total
+    occurrences of its discriminative trigrams in the lowercased,
+    space-padded text — the n-gram-profile heuristic (Cavnar &
+    Trenkle-style, reduced to discriminative trigrams so scoring is a
+    handful of ``regexp_count`` expressions, all JVM-side). Unlike the
+    stopword variant this needs no tokenizer, so it survives scripts
+    without word boundaries (zh)."""
+    import re as _re
+
+    c = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), F.lower(F.trim(c)), F.lit(" "))
+    out = {}
+    for lang, tris in LANG_TRIGRAMS.items():
+        score = None
+        for t in tris:
+            cnt = F.regexp_count(padded, F.lit(_re.escape(t)))
+            score = cnt if score is None else score + cnt
+        out[lang] = (score if score is not None else F.lit(0)).cast("long")
+    return out
+
+
+def langid_ngram(text: Column | str) -> Column:
+    """argmax over :func:`langid_ngram_scores` with the same
+    fixed-priority tie-break as the stopword variant."""
+    scores = langid_ngram_scores(text)
+    g = F.greatest(*scores.values())
+    expr = None
+    for lang in STOPWORDS:
+        cond = scores[lang] == g
+        expr = (F.when(cond, F.lit(lang)) if expr is None
+                else expr.when(cond, F.lit(lang)))
+    return expr

@@ -530,3 +530,22 @@ def test_bin_range_join_equals_theta_join(spark):
                         & (F.col("ts") <= F.col("end")))
     nplan = naive._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" in nplan or "CartesianProduct" in nplan
+
+
+def test_langid_ngram_on_crafted_multilingual_text(spark):
+    """Character-trigram LID: tokenizer-free, must classify crafted
+    sentences in all five profile languages (incl. zh, which has no
+    space-delimited words for the stopword variant to hit)."""
+    from picoprobedataflow_spark.functions.text import langid_ngram
+
+    samples = [
+        ("en", "the cat is in the house and the dog is of the street"),
+        ("de", "der hund ist nicht ein tier und das haus ist die stadt"),
+        ("fr", "le chat est un animal et les maisons est une ville"),
+        ("es", "el perro es un animal y los gatos es una ciudad"),
+        ("zh", "的是不了在人有的是在"),
+    ]
+    df = spark.createDataFrame(samples, "lang string, text string")
+    got = {r.lang: r.pred for r in
+           df.select("lang", langid_ngram("text").alias("pred")).collect()}
+    assert got == {lang: lang for lang, _ in samples}, got
