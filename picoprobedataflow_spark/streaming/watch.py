@@ -119,3 +119,20 @@ def windowed_event_rates(events: DataFrame, window: str = "1 hour",
                    .select(F.col("window.start").alias("window_start"),
                            F.col("window.end").alias("window_end"),
                            "event_type", "n", "sum_value"))
+
+
+def content_dedup_stream(files: DataFrame, watermark: str = "10 minutes",
+                         time_col: str = "modificationTime") -> DataFrame:
+    """ST4 scalable variant: suppress CONTENT duplicates (md5 of the
+    bytes) within a watermark window — the bounded-state replacement
+    for the reference's forever-growing seen-set (picoprobe/utils.py
+    :114-119). State holds only fingerprints younger than the
+    watermark; a duplicate arriving later than the window re-admits,
+    which is the explicit trade the reference's unbounded set never
+    had to make. Works on both streaming (stateful) and batch
+    (plain dropDuplicates semantics) inputs."""
+    with_fp = files.withColumn("fingerprint", F.md5(F.col("content")))
+    if not with_fp.isStreaming:
+        return with_fp.dropDuplicates(["fingerprint"])
+    return (with_fp.withWatermark(time_col, watermark)
+                   .dropDuplicatesWithinWatermark(["fingerprint"]))

@@ -135,3 +135,40 @@ def test_interval_attribution_join_stream_equals_batch(spark, tmp_path):
     streamed = {tuple(map(str, r)) for r in
                 spark.sql("SELECT * FROM attrib_sink").collect()}
     assert streamed == batch
+
+
+def test_content_dedup_within_watermark(spark, tmp_path):
+    """ST4 scalable variant EXECUTED through a stream: two files with
+    identical bytes inside one micro-batch window — only one survives
+    dropDuplicatesWithinWatermark; distinct content passes. Batch
+    input takes the plain dropDuplicates path with the same result."""
+    from picoprobedataflow_spark.streaming.watch import (
+        content_dedup_stream,
+        file_watch_stream,
+    )
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    _drop(str(watch), "simulator-0-a.emd", b"same-bytes")
+    _drop(str(watch), "simulator-1-b.emd", b"same-bytes")      # dup content
+    _drop(str(watch), "simulator-2-c.emd", b"other-bytes")
+
+    stream = file_watch_stream(spark, str(watch), glob="*.emd")
+    deduped = content_dedup_stream(stream, watermark="10 minutes")
+    out = str(tmp_path / "out")
+    q = (deduped.select("path", "fingerprint")
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    fps = sorted(r.fingerprint for r in rows)
+    assert len(rows) == 2 and len(set(fps)) == 2
+
+    # batch twin: same operator, same outcome, no streaming machinery
+    import picoprobedataflow_spark.io.binary_files as BF
+    batch = BF.scan_binary_dir(spark, str(watch), glob="*.emd")
+    got = content_dedup_stream(batch).select("fingerprint").collect()
+    assert len(got) == 2
