@@ -614,6 +614,70 @@ def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.repetition_metrics(docs)
 
 
+_SPLIT_SQL = """CASE
+    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         AS BIGINT) % 100 < 80 THEN 'train'
+    WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+         AS BIGINT) % 100 < 90 THEN 'val'
+    ELSE 'test' END"""
+
+_PACK_CTX = 512
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id,
+         {_SPLIT_SQL} AS split,
+         CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, split, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY split ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS cum_before
+  FROM d
+)
+SELECT doc_id, split, n_tokens, cum_before,
+       cum_before // {_PACK_CTX} AS bin_first,
+       (cum_before + greatest(n_tokens, 1) - 1) // {_PACK_CTX} AS bin_last,
+       (cum_before + greatest(n_tokens, 1) - 1) // {_PACK_CTX}
+         - cum_before // {_PACK_CTX} + 1 AS n_bins,
+       cum_before % {_PACK_CTX} AS offset_in_bin
+FROM c
+""",
+    tags=("sequence-packing", "training-batch", "window"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing: within each deterministic
+    train/val/test split, documents are concatenated in doc_id order
+    and chopped into {_PACK_CTX}-token context windows; each doc gets
+    its global token offset, first/last bin and in-bin offset — the
+    loader-facing map of LLM batch prep. Runs the scale path
+    (:func:`~..operators.packing.pack_sequences`): two-phase cumsum —
+    parallel within-shard windows + broadcast shard offsets — never
+    the single-reducer global window the oracle uses (two-phase ≡
+    single-window is also pytest-asserted). All-int64 arithmetic."""
+    docs = tbl(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100)
+    split = (F.when(bucket < 80, "train")
+              .when(bucket < 90, "val")
+              .otherwise("test"))
+    d = docs.select("doc_id", split.alias("split"),
+                    TX.n_words("text").cast("long").alias("n_tokens"))
+    from picoprobedataflow_spark.operators.packing import pack_sequences
+    packed = pack_sequences(d, ctx_len=_PACK_CTX, shard_span=64,
+                            part_cols=("split",))
+    return packed.select("doc_id", "split", "n_tokens", "cum_before",
+                         "bin_first", "bin_last", "n_bins",
+                         "offset_in_bin")
+
+
 def _langid_scored_ctes() -> str:
     hits = {
         lang: ("len(list_filter(" + _WORDS + ", t -> list_contains(["

@@ -615,3 +615,68 @@ def test_c4_line_filter(spark):
     assert all("javascript" not in ln and "{" not in ln for ln in lines)
     assert "short line." not in lines
     assert "Another good sentence survives the filter!" in lines
+
+
+def _pack_fixture(spark, n=200, parts=2):
+    rows = [(i, f"p{i % parts}", (i * 37) % 90 + 10) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id long, part string, n_tokens long")
+
+
+def test_pack_two_phase_equals_single_window(spark):
+    """The deployed two-phase cumsum (parallel shard windows +
+    broadcast offsets) must be value-identical to the single-reducer
+    global window, for several shard widths incl. ones that don't
+    divide the key range."""
+    from picoprobedataflow_spark.operators.packing import (
+        pack_sequences, pack_sequences_single_window)
+
+    df = _pack_fixture(spark)
+    want = sorted(pack_sequences_single_window(
+        df, ctx_len=128, part_cols=("part",)).collect())
+    for span in (1, 7, 64, 1000):
+        got = sorted(pack_sequences(
+            df, ctx_len=128, shard_span=span,
+            part_cols=("part",)).collect())
+        assert got == want, f"span={span}"
+
+
+def test_pack_invariants(spark):
+    """Packing semantics: per partition, cum_before is the exact
+    running total in doc_id order, offsets stay inside the context
+    window, and bins advance monotonically without gaps."""
+    from picoprobedataflow_spark.operators.packing import pack_sequences
+
+    ctx = 100
+    rows = pack_sequences(_pack_fixture(spark), ctx_len=ctx,
+                          shard_span=16, part_cols=("part",)).collect()
+    by_part = {}
+    for r in sorted(rows, key=lambda r: (r.part, r.doc_id)):
+        by_part.setdefault(r.part, []).append(r)
+    for part, seq in by_part.items():
+        run = 0
+        prev_last = 0
+        for r in seq:
+            assert r.cum_before == run
+            assert 0 <= r.offset_in_bin < ctx
+            assert r.offset_in_bin == r.cum_before % ctx
+            assert r.bin_first == r.cum_before // ctx
+            assert r.bin_last == (r.cum_before + max(r.n_tokens, 1) - 1) // ctx
+            assert r.n_bins == r.bin_last - r.bin_first + 1 >= 1
+            # streams are gapless: next doc starts in the same or next bin
+            assert r.bin_first - prev_last <= 1
+            prev_last = r.bin_last
+            run += r.n_tokens
+
+
+def test_pack_no_single_reducer_window(spark):
+    """The deployed plan's windows must all be keyed by (part, shard) —
+    no global-order Window without a shard key (the 100 TB trap)."""
+    from picoprobedataflow_spark.operators.packing import pack_sequences
+
+    plan = (pack_sequences(_pack_fixture(spark), ctx_len=128,
+                           shard_span=16, part_cols=("part",))
+            ._jdf.queryExecution().executedPlan().toString())
+    import re
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "_shard" in spec, plan
