@@ -194,19 +194,26 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3,
         f"stack({num_hashes}, {stack_args}) AS (salt, minhash)")
 
 
+def band_signatures(sigs: DataFrame, band_size: int = 4,
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band, band_sig): md5 of the band's minhashes
+    concatenated in salt order — the single-string LSH join key, and
+    the table a production pipeline PERSISTS (it is all incremental
+    dedup needs to band a new batch against the corpus). Oracle twin:
+    md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY salt))."""
+    banded = sigs.withColumn("band", F.expr(f"salt div {band_size}"))
+    ordered = F.array_sort(F.collect_list(F.struct("salt", "minhash")))
+    return (banded.groupBy(id_col, "band")
+            .agg(F.md5(F.concat_ws(",", F.transform(
+                ordered, lambda s: s.minhash.cast("string")))
+                .cast("binary")).alias("band_sig")))
+
+
 def lsh_candidate_pairs(sigs: DataFrame, band_size: int = 4,
                         id_col: str = "doc_id") -> DataFrame:
     """LSH banding: docs agreeing on all rows of ≥1 band become
-    candidates. Band signature = md5 of the ordered sig concat, so the
-    join key is a single string."""
-    banded = sigs.withColumn("band", F.expr(f"salt div {band_size}"))
-    # Band signature: md5 of the minhashes concatenated in salt order —
-    # oracle twin: md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY salt)).
-    ordered = F.array_sort(F.collect_list(F.struct("salt", "minhash")))
-    band_sig = (banded.groupBy(id_col, "band")
-                .agg(F.md5(F.concat_ws(",", F.transform(
-                    ordered, lambda s: s.minhash.cast("string")))
-                    .cast("binary")).alias("band_sig")))
+    candidates."""
+    band_sig = band_signatures(sigs, band_size, id_col)
     a, b = band_sig.alias("a"), band_sig.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_sig") == F.col("b.band_sig"))
@@ -246,6 +253,68 @@ def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame,
                   .agg((F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1)
                               .otherwise(0))
                         / F.lit(float(num_hashes))).alias("est_jaccard")))
+
+
+def incremental_minhash_dedup(new_docs: DataFrame,
+                              corpus_sigs: DataFrame,
+                              corpus_bands: DataFrame,
+                              num_hashes: int = 16, k: int = 3,
+                              band_size: int = 4,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              hash_fn: HashFn = portable_hash64
+                              ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incremental near-dup detection: dedup a NEW batch against an
+    already-signed corpus without touching the corpus's documents.
+
+    This is the shape a daily ingest needs at 100 TB: the corpus side
+    contributes only its stored signature/band tables (written by
+    previous runs — `minhash_signatures` + `band_signatures`), so the
+    work scales with |new| + the candidate fan-in, never with |corpus|
+    re-hashing. Partition both stored tables by ``band`` (band join)
+    and ``salt`` at write time and the joins co-locate.
+
+    Returns ``(new_sigs, new_bands, pairs)``:
+
+    - ``new_sigs`` / ``new_bands`` — the new batch's rows, ready to be
+      APPENDED to the stored tables (the next increment's corpus);
+    - ``pairs`` — (doc_a, doc_b, est_jaccard) where at least one side
+      is new: new×corpus via the band equi-join, new×new via standard
+      LSH banding. doc_a < doc_b; estimates come from the salt-wise
+      signature agreement over the union signature table.
+
+    Equivalence contract (pytest-asserted): identical to running
+    `minhash_lsh_dedup` over corpus ∪ batch and keeping the pairs that
+    touch the batch."""
+    new_sigs = minhash_signatures(new_docs, num_hashes, k, text_col,
+                                  id_col, hash_fn)
+    new_sigs = new_sigs.persist(StorageLevel.MEMORY_ONLY)
+    new_bands = band_signatures(new_sigs, band_size, id_col)
+    new_bands = new_bands.persist(StorageLevel.MEMORY_ONLY)
+
+    n, c = new_bands.alias("n"), corpus_bands.alias("c")
+    cross = (n.join(c, (F.col("n.band") == F.col("c.band"))
+                    & (F.col("n.band_sig") == F.col("c.band_sig"))
+                    & (F.col(f"n.{id_col}") != F.col(f"c.{id_col}")))
+             .select(F.least(F.col(f"n.{id_col}"),
+                             F.col(f"c.{id_col}")).alias("doc_a"),
+                     F.greatest(F.col(f"n.{id_col}"),
+                                F.col(f"c.{id_col}")).alias("doc_b"))
+             .distinct())
+
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    intra = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.band_sig") == F.col("b.band_sig"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"))
+             .distinct())
+
+    all_sigs = corpus_sigs.unionByName(new_sigs)
+    pairs = minhash_jaccard_estimate(all_sigs,
+                                     cross.unionByName(intra).distinct(),
+                                     num_hashes, id_col)
+    return new_sigs, new_bands, pairs
 
 
 # --------------------------------------------------------------------------

@@ -680,3 +680,43 @@ def test_pack_no_single_reducer_window(spark):
     import re
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "_shard" in spec, plan
+
+
+def test_incremental_minhash_equals_full_recompute(spark):
+    """Incremental dedup (new batch vs stored corpus signature/band
+    tables) must produce exactly the batch-touching pairs of a full
+    recompute over corpus ∪ batch — same pairs, same estimates."""
+    from picoprobedataflow_spark.operators.dedup import (
+        band_signatures, incremental_minhash_dedup, minhash_lsh_dedup,
+        minhash_signatures)
+
+    base = ["the quick brown fox jumps over the lazy dog today",
+            "a completely different document about spark shuffles",
+            "rows columns partitions and the shuffle boundary story"]
+    corpus = _docs(spark, base * 2)            # ids 0-5, exact dup texts
+    new = spark.createDataFrame(
+        [(100, base[0]),                        # dup of corpus docs 0/3
+         (101, "the quick brown fox jumps over the lazy dog tonight"),
+         (102, "an entirely unrelated new record with fresh words"),
+         (103, "an entirely unrelated new record with fresh words")],
+        "doc_id long, text string")
+
+    corpus_sigs = minhash_signatures(corpus)
+    corpus_bands = band_signatures(corpus_sigs)
+    _, new_bands, pairs = incremental_minhash_dedup(
+        new, corpus_sigs, corpus_bands)
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs.collect()}
+
+    full = minhash_lsh_dedup(corpus.unionByName(new))
+    new_ids = {100, 101, 102, 103}
+    want = {(r.doc_a, r.doc_b): r.est_jaccard
+            for r in full.collect()
+            if r.doc_a in new_ids or r.doc_b in new_ids}
+
+    assert got == want and got  # non-empty: dups straddle the batches
+    assert (100, 103) not in got  # sanity: 102/103 pair exists though
+    assert (102, 103) in got and got[(102, 103)] == 1.0
+    # appended tables equal what a fresh full signing would store
+    assert sorted(map(tuple, new_bands.collect())) == \
+        sorted(map(tuple, band_signatures(minhash_signatures(new))
+                   .collect()))
