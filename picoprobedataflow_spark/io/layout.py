@@ -1,0 +1,182 @@
+"""Physical data layout for parquet output: file sizing (compaction)
+and z-order clustering.
+
+Why this is an engine feature, not an ops afterthought: at 100 TB the
+two silent killers of downstream scans are (a) millions of small files
+— every one is a task, a footer fetch, an open/close — and (b) files
+whose min/max column ranges span the whole domain, so predicate-driven
+row-group pruning never skips anything. Both are fixed at WRITE time;
+no amount of read-side tuning recovers them.
+
+- :func:`estimate_row_bytes` / :func:`write_sized` — pick the
+  partition (= output file) count from measured bytes, not guesses, so
+  files land near a target size (default 128 MB, the same unit
+  ``spark.sql.files.maxPartitionBytes`` splits reads into).
+- :func:`zorder_key` / :func:`write_zordered` — interleave the bits of
+  bucketized sort dimensions (Morton order) and range-partition +
+  sort by that key, so every output file covers a tight hyper-rectangle
+  of the filter space and multi-dimension predicates prune files, not
+  just row groups. The bucket bounds come from one scalar min/max
+  aggregate (Catalyst folds it in as a broadcast scalar subquery — no
+  driver collect of data rows).
+
+Reference analog: the publication flow batches files into
+fixed-count transfer groups (picoprobe/utils.py:93-104 batch_files) —
+the same "bound the unit of work at write time" discipline, applied
+here to bytes and value locality instead of file counts.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as _W
+
+
+def _whole_frame():
+    """Whole-frame window: turns min/max into per-row scalars in one
+    pass (one all-to-one exchange of TINY 2-value state, broadcast
+    back). Built lazily — constructing a WindowSpec needs an active
+    session. For 100 TB writes prefer precomputed bounds
+    (``write_zordered(bounds=...)``)."""
+    return _W.partitionBy()
+
+#: Fixed-width column byte estimates (parquet plain encoding, before
+#: compression — deliberately conservative: compression helps but
+#: varies, and oversized files hurt less than tiny ones).
+_FIXED_WIDTH: dict[type, int] = {
+    T.BooleanType: 1, T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4,
+    T.LongType: 8, T.FloatType: 4, T.DoubleType: 8, T.DateType: 4,
+    T.TimestampType: 8, T.TimestampNTZType: 8,
+}
+
+
+def _col_bytes(field: T.StructField) -> Column:
+    dt = field.dataType
+    name = field.name
+    if type(dt) in _FIXED_WIDTH:
+        return F.lit(_FIXED_WIDTH[type(dt)])
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+        return F.coalesce(F.length(F.col(name)), F.lit(0)) + 4
+    if isinstance(dt, T.DecimalType):
+        return F.lit(16)
+    if isinstance(dt, T.ArrayType) and type(dt.elementType) in _FIXED_WIDTH:
+        return (F.coalesce(F.size(F.col(name)), F.lit(0))
+                * _FIXED_WIDTH[type(dt.elementType)] + 4)
+    # nested/map/struct: serialize-to-json length as the estimate
+    return F.coalesce(F.length(F.to_json(F.col(name))), F.lit(0)) + 4
+
+
+def estimate_row_bytes(df: DataFrame, sample_rows: int = 10_000) -> float:
+    """Mean uncompressed bytes/row, measured on a bounded head sample
+    (one partial scan; never a full pass). Good enough to size files —
+    being 2× off yields 64 or 256 MB files, both fine."""
+    size_expr = None
+    for field in df.schema.fields:
+        c = _col_bytes(field)
+        size_expr = c if size_expr is None else size_expr + c
+    row = (df.limit(sample_rows)
+           .select(F.avg(size_expr).alias("b"), F.count("*").alias("n"))
+           .head())
+    return float(row.b or 0.0)
+
+
+def write_sized(df: DataFrame, path: str, target_mb: int = 128,
+                row_count: int | None = None,
+                partition_by: tuple[str, ...] = (),
+                mode: str = "overwrite") -> int:
+    """Write parquet with data-derived file sizing; returns the file
+    count used. ``row_count`` skips the count job if the caller already
+    knows it (e.g. from a previous stage's metrics).
+
+    Two guards compose: the partition count targets ``target_mb`` per
+    file, and ``maxRecordsPerFile`` caps stragglers if rows are wider
+    than the sample suggested. With ``partition_by``, rows are
+    pre-shuffled by the partition columns so each directory gets
+    whole-file writes instead of one open file per task per key —
+    the classic small-files explosion of partitioned writes."""
+    bytes_per_row = max(estimate_row_bytes(df), 1.0)
+    n = row_count if row_count is not None else df.count()
+    target_bytes = target_mb * 1024 * 1024
+    n_files = max(1, math.ceil(n * bytes_per_row / target_bytes))
+    rows_per_file = max(1, int(target_bytes / bytes_per_row))
+
+    if partition_by:
+        out = df.repartition(n_files, *[F.col(c) for c in partition_by])
+    else:
+        out = df.repartition(n_files)
+    (out.write.mode(mode)
+        .option("maxRecordsPerFile", rows_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path))
+    return n_files
+
+
+def zorder_key(cols: tuple[Column | str, ...],
+               bits_per_dim: int = 8,
+               bounds: dict[str, tuple[float, float]] | None = None
+               ) -> Column:
+    """Morton (z-order) key over up to 4 dimensions: each column is
+    bucketized to ``bits_per_dim`` bits over its min/max range, then
+    the bucket bits are interleaved so nearby keys are nearby in EVERY
+    dimension. Pure JVM bit arithmetic, no UDF.
+
+    ``bounds`` ({col: (lo, hi)}) makes the key a pure row-local
+    expression — the 100 TB path (bounds from table stats or a prior
+    aggregate). Without it, min/max come from the data via a
+    whole-frame window: one all-to-one exchange of tiny 2-value state,
+    fine below the terabyte range. Same bounds → bit-identical keys
+    either way (pytest-asserted)."""
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder_key supports 1-4 dimensions")
+    n_buckets = 1 << bits_per_dim
+    key = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        name = c if isinstance(c, str) else None
+        c = F.col(c) if isinstance(c, str) else c
+        v = c.cast("double")
+        if bounds is not None:
+            if name is None or name not in bounds:
+                raise ValueError("bounds requires named columns")
+            lo_v, hi_v = bounds[name]
+            lo = F.lit(float(lo_v))
+            span = F.lit(float(hi_v - lo_v) or 1.0)
+        else:
+            w = _whole_frame()
+            lo = F.min(v).over(w)
+            hi = F.max(v).over(w)
+            span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        bucket = F.least(
+            F.floor((v - lo) / span * n_buckets).cast("long"),
+            F.lit(n_buckets - 1))
+        bucket = F.greatest(bucket, F.lit(0))
+        for b in range(bits_per_dim):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))
+            key = key + F.shiftleft(bit.cast("long"),
+                                    b * len(cols) + d)
+    return key
+
+
+def write_zordered(df: DataFrame, path: str,
+                   zorder_by: tuple[str, ...],
+                   n_files: int = 8,
+                   bits_per_dim: int = 8,
+                   bounds: dict[str, tuple[float, float]] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Cluster rows by Morton key and write parquet so multi-dimension
+    range predicates prune whole files via parquet min/max stats.
+
+    ``bounds`` ({col: (lo, hi)}) is the 100 TB path: bounds from table
+    stats or a prior aggregate, making the key a pure row-local
+    expression (no window). Without it, min/max come from the data via
+    a whole-frame window — fine below the terabyte range, one tiny
+    all-to-one exchange."""
+    key = zorder_key(tuple(zorder_by), bits_per_dim, bounds)
+    (df.withColumn("_zkey", key)
+       .repartitionByRange(n_files, "_zkey")
+       .sortWithinPartitions("_zkey")
+       .drop("_zkey")
+       .write.mode(mode).parquet(path))

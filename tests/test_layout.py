@@ -1,0 +1,140 @@
+"""Physical-layout tests: data-derived file sizing and z-order
+clustering, with the pruning claim MEASURED from parquet footers (per
+file min/max bounding boxes), not asserted by fiat."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from picoprobedataflow_spark.io.layout import (
+    estimate_row_bytes, write_sized, write_zordered, zorder_key)
+
+
+def _parquet_files(path):
+    return sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                            recursive=True))
+
+
+def test_estimate_row_bytes_tracks_schema(spark):
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.lpad(F.lit("x"), 100, "x").alias("s"))
+    est = estimate_row_bytes(df)
+    # 8 (long) + 100 (string) + 4 (len prefix) = 112
+    assert 100 <= est <= 130
+
+
+def test_write_sized_hits_target(spark, tmp_path):
+    lineitem = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    out = str(tmp_path / "sized")
+    n_files = write_sized(lineitem, out, target_mb=1)
+    files = _parquet_files(out)
+    assert len(files) == n_files > 1
+    sizes_mb = [os.path.getsize(f) / 2**20 for f in files]
+    # uncompressed estimate vs snappy on disk: accept a wide band, but
+    # every file must be in the same order of magnitude as the target
+    assert all(0.1 <= s <= 3 for s in sizes_mb), sizes_mb
+
+
+def test_write_sized_partitioned_no_small_file_explosion(spark, tmp_path):
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    out = str(tmp_path / "byprio")
+    write_sized(orders, out, target_mb=1,
+                partition_by=("o_orderpriority",))
+    # pre-shuffling by the partition column keeps it to ~1 file per key
+    by_dir: dict[str, int] = {}
+    for f in _parquet_files(out):
+        by_dir.setdefault(os.path.dirname(f), 0)
+        by_dir[os.path.dirname(f)] += 1
+    assert len(by_dir) == 5  # 5 priorities
+    assert all(n <= 2 for n in by_dir.values()), by_dir
+
+
+def _file_boxes(path, xcol, ycol):
+    """Per-file normalized (x, y) bounding boxes from parquet stats."""
+    boxes = []
+    for f in _parquet_files(path):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.row_group(0).column(i).path_in_schema: i
+               for i in range(md.num_columns)}
+        lo = [float("inf")] * 2
+        hi = [float("-inf")] * 2
+        for rg in range(md.num_row_groups):
+            for j, c in enumerate((xcol, ycol)):
+                st = md.row_group(rg).column(idx[c]).statistics
+                lo[j] = min(lo[j], st.min)
+                hi[j] = max(hi[j], st.max)
+        boxes.append((lo, hi))
+    return boxes
+
+
+def test_zorder_prunes_on_every_dimension(spark, tmp_path):
+    """The point of z-order: a 1-D range layout prunes files only on
+    its sort column — a predicate on any OTHER dimension touches every
+    file. The z-ordered layout keeps per-file bounding boxes tight in
+    BOTH dims, so both predicates skip files. Measured from real
+    parquet footer min/max stats, the same stats Spark's scan uses."""
+    n = 40_000
+    grid = spark.range(n).select(
+        (F.col("id") % 200).cast("long").alias("x"),
+        (F.col("id") / 200).cast("long").alias("y"),
+        F.col("id").alias("payload"))
+
+    z_out = str(tmp_path / "zorder")
+    write_zordered(grid, z_out, zorder_by=("x", "y"), n_files=16)
+    x_out = str(tmp_path / "xrange")
+    (grid.repartitionByRange(16, "x").sortWithinPartitions("x")
+         .write.parquet(x_out))
+
+    def hits(path, lo_p, hi_p, dim):
+        h = 0
+        for lo, hi in _file_boxes(path, "x", "y"):
+            if not (hi[dim] < lo_p or lo[dim] > hi_p):
+                h += 1
+        return h
+
+    n_z = len(_file_boxes(z_out, "x", "y"))
+    n_x = len(_file_boxes(x_out, "x", "y"))
+    # predicate on y (the non-sort dim): x-layout reads EVERYTHING,
+    # z-layout skips at least half the files
+    assert hits(x_out, 50, 99, dim=1) == n_x
+    assert hits(z_out, 50, 99, dim=1) <= n_z // 2
+    # predicate on x: both layouts prune
+    assert hits(x_out, 50, 99, dim=0) <= n_x // 2
+    assert hits(z_out, 50, 99, dim=0) <= n_z // 2
+    # and per-file coverage of the plane is bounded (quadrant slop
+    # from cutting the curve at arbitrary key ranges stays < 4x the
+    # ideal 1/16 area)
+    areas = [((hi[0] - lo[0]) / 200) * ((hi[1] - lo[1]) / 200)
+             for lo, hi in _file_boxes(z_out, "x", "y")]
+    assert sum(areas) / len(areas) < 4 / 16, sum(areas) / len(areas)
+
+
+def test_zorder_bounds_path_matches_window_path(spark):
+    """Precomputed-bounds keys (the 100 TB path — pure row-local
+    arithmetic, no window) must equal the window-derived keys when
+    given the true min/max."""
+    df = spark.range(5_000).select(
+        (F.col("id") % 71).alias("x"),
+        ((F.col("id") * 13) % 97).alias("y"))
+    win = df.select(zorder_key(("x", "y")).alias("z")).collect()
+    fix = df.select(zorder_key(("x", "y"),
+                               bounds={"x": (0, 70), "y": (0, 96)})
+                    .alias("z")).collect()
+    assert [r.z for r in win] == [r.z for r in fix]
+
+
+def test_zorder_key_single_dim_is_rank_order(spark):
+    """Degenerate 1-D z-order must preserve value order (bit
+    interleaving of one dim is the identity on buckets)."""
+    df = spark.range(256).select(F.col("id").alias("x"))
+    out = df.select("x", zorder_key(("x",), bits_per_dim=8).alias("z"))
+    rows = out.orderBy("x").collect()
+    zs = [r.z for r in rows]
+    assert zs == sorted(zs)
+    assert zs[0] == 0 and zs[-1] == 255
