@@ -1,0 +1,103 @@
+"""Streaming incremental near-dup detection: a document stream is
+deduplicated per micro-batch against the signature/band state written
+by all previous batches — the daily-crawl dedup loop, run continuously.
+
+Shape: ``foreachBatch`` + parquet state tables. Flink-style keyed
+operator state would cap at executor memory; the signature store for a
+100 TB corpus is itself terabytes, so it lives as a TABLE (partition
+by ``band`` at write time and the candidate equi-join co-locates).
+Each epoch:
+
+1. read the accumulated ``sigs``/``bands`` state (batch read — the
+   stream never holds corpus state in memory);
+2. :func:`~..operators.dedup.incremental_minhash_dedup` — work scales
+   with the batch, never re-hashes the corpus;
+3. write pairs + new state rows, all partitioned by epoch with
+   DYNAMIC partition overwrite — a replayed epoch (failure recovery)
+   overwrites its own partition instead of appending duplicates, which
+   is what makes foreachBatch exactly-once here.
+
+Equivalence contract (pytest): after draining N batches, the union of
+per-epoch pair outputs equals a single full-corpus
+``minhash_lsh_dedup`` — every near-dup pair is emitted exactly once,
+in the epoch its LATER member arrived.
+
+Reference analog: the watcher's seen-set skip semantics
+(picoprobe/utils.py:126-131), upgraded from an in-memory set of exact
+checksums to durable LSH state with near-dup semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from picoprobedataflow_spark.operators.dedup import (
+    HashFn, incremental_minhash_dedup, portable_hash64)
+
+SIG_SCHEMA = "doc_id long, salt bigint, minhash bigint"
+BAND_SCHEMA = "doc_id long, band bigint, band_sig string"
+
+
+def _state(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Accumulated state table; typed-empty before the first epoch."""
+    if os.path.isdir(path):
+        return spark.read.schema(schema + ", epoch long").parquet(path) \
+                    .drop("epoch")
+    return spark.createDataFrame([], schema)
+
+
+def _write_epoch(df: DataFrame, path: str, epoch_id: int) -> None:
+    (df.withColumn("epoch", F.lit(epoch_id))
+       .write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy("epoch")
+       .parquet(path))
+
+
+def run_incremental_dedup_stream(doc_stream: DataFrame, state_dir: str,
+                                 checkpoint_dir: str,
+                                 num_hashes: int = 16, k: int = 3,
+                                 band_size: int = 4,
+                                 hash_fn: HashFn = portable_hash64,
+                                 available_now: bool = True
+                                 ) -> StreamingQuery:
+    """Run the loop over a streaming DataFrame of (doc_id, text).
+
+    Writes under ``state_dir``: ``sigs/`` and ``bands/`` (the growing
+    corpus state, append semantics via per-epoch partitions) and
+    ``pairs/`` (doc_a, doc_b, est_jaccard per epoch)."""
+    spark = doc_stream.sparkSession
+    sig_dir = os.path.join(state_dir, "sigs")
+    band_dir = os.path.join(state_dir, "bands")
+    pair_dir = os.path.join(state_dir, "pairs")
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.head(1):
+            return
+        corpus_sigs = _state(spark, sig_dir, SIG_SCHEMA)
+        corpus_bands = _state(spark, band_dir, BAND_SCHEMA)
+        new_sigs, new_bands, pairs = incremental_minhash_dedup(
+            batch, corpus_sigs, corpus_bands,
+            num_hashes=num_hashes, k=k, band_size=band_size,
+            hash_fn=hash_fn)
+        # pairs BEFORE state: if the epoch replays after a partial
+        # failure, recomputing against pre-epoch state stays correct
+        # (its own partitions are simply overwritten)
+        _write_epoch(pairs, pair_dir, epoch_id)
+        _write_epoch(new_sigs, sig_dir, epoch_id)
+        _write_epoch(new_bands, band_dir, epoch_id)
+        new_sigs.unpersist()
+        new_bands.unpersist()
+
+    writer = (doc_stream.writeStream
+              .foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start()

@@ -172,3 +172,56 @@ def test_content_dedup_within_watermark(spark, tmp_path):
     batch = BF.scan_binary_dir(spark, str(watch), glob="*.emd")
     got = content_dedup_stream(batch).select("fingerprint").collect()
     assert len(got) == 2
+
+
+def test_incremental_dedup_stream_equals_full_recompute(spark, tmp_path):
+    """Drain a 3-batch document stream through the incremental dedup
+    loop: the union of per-epoch pair outputs must equal one full
+    minhash_lsh_dedup over the whole corpus — every near-dup pair
+    emitted exactly once, in the epoch its later member arrived — and
+    the accumulated signature state must equal a fresh full signing."""
+    from picoprobedataflow_spark.operators.dedup import (
+        minhash_lsh_dedup, minhash_signatures)
+    from picoprobedataflow_spark.streaming.dedup_stream import (
+        run_incremental_dedup_stream)
+
+    texts = ["the quick brown fox jumps over the lazy dog today",
+             "spark shuffles partition rows across the cluster nodes",
+             "an entirely unrelated record with very fresh words here"]
+    batches = [
+        [(0, texts[0]), (1, texts[1])],
+        [(2, texts[0]), (3, texts[2])],          # 2 dups 0
+        [(4, texts[2]), (5, texts[0] + " nearly")],  # 4 dups 3, 5 near 0/2
+    ]
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    all_rows = []
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string") \
+             .coalesce(1).write.parquet(str(in_dir / f"b{i}"))
+        all_rows += rows
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(in_dir)))
+    q = run_incremental_dedup_stream(stream, str(tmp_path / "state"),
+                                     str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got_pairs = spark.read.parquet(str(tmp_path / "state" / "pairs"))
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in got_pairs.collect()}
+    # >= 3 epochs ran (one file per trigger)
+    assert got_pairs.select("epoch").distinct().count() >= 2
+
+    full = minhash_lsh_dedup(
+        spark.createDataFrame(all_rows, "doc_id long, text string"))
+    want = {(r.doc_a, r.doc_b): r.est_jaccard for r in full.collect()}
+    assert got == want and (0, 2) in got and got[(0, 2)] == 1.0
+
+    got_sigs = (spark.read.parquet(str(tmp_path / "state" / "sigs"))
+                .drop("epoch"))
+    fresh = minhash_signatures(
+        spark.createDataFrame(all_rows, "doc_id long, text string"))
+    assert sorted(map(tuple, got_sigs.collect())) == \
+        sorted(map(tuple, fresh.collect()))
