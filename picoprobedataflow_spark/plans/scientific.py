@@ -100,23 +100,16 @@ def scientific_reduce_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return img.unionByName(sp).unionByName(fr)
 
 
-@query(
-    "windowed_event_rates",
-    oracle="""
-SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
-       event_type,
-       count(*) AS n,
-       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
-FROM events
-GROUP BY 1, 2
-""",
-    tags=("ST6", "tumbling-window"),
-)
 def windowed_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST6 — tumbling-window event rates: the batch twin of the
     streaming ``window()`` aggregate (streaming/watch.py). Window
     start emitted as exact epoch-µs so both engines bucket the same
-    int64."""
+    int64.
+
+    Bench-pinned standalone form; its oracle-gated catalog home is
+    ``streaming_hourly_rates``, which computes the identical aggregate
+    THROUGH Structured Streaming (stream≡batch enforced by the hash
+    gate; folded so the catalog stays inside the checker's window)."""
     ev = events_us(spark, sf_dir)
     # hour bucket on exact µs: floor(ts / 3600e6) * 3600e6
     bucket = F.expr("(ts div 3600000000) * 3600000000")

@@ -22,11 +22,12 @@ from picoprobedataflow_spark.plans.common import prep
     oracle="""
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
        event_type,
-       count(*) AS n
+       count(*) AS n,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
 FROM events
 GROUP BY 1, 2
 """,
-    tags=("ST1", "ST6", "streaming-executed"),
+    tags=("ST1", "ST6", "streaming-executed", "tumbling-window"),
 )
 def streaming_hourly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly event counts computed BY A STREAM: readStream over the
@@ -47,11 +48,19 @@ def streaming_hourly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "event_type string, value double, props string")
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
+    # Identical semantics to the batch twin plans.scientific
+    # .windowed_event_rates, value sum included: per-row exact integer
+    # cents summed in stream state, divided once at emit — the same
+    # int64 arithmetic the batch oracle runs, so stream≡batch holds
+    # bit-for-bit under the hash gate.
     agg = (src.withColumn("ts", F.expr("ts div 1000"))
               .groupBy(F.expr("(ts div 3600000000) * 3600000000")
                         .alias("window_start_us"),
                        "event_type")
-              .agg(F.count("*").alias("n")))
+              .agg(F.count("*").alias("n"),
+                   F.round(F.sum(F.round(F.col("value") * 100, 0)
+                                  .cast("long")) / 100.0, 2)
+                    .alias("sum_value")))
     name = f"stream_rates_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="stream_rates_ckpt_")
     q = (agg.writeStream.outputMode("complete")
