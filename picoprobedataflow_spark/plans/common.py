@@ -41,18 +41,31 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``events`` with ``ts`` as exact int64 epoch-microseconds.
+def ts_to_us(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a timestamp-ish column to exact int64 epoch-µs.
 
-    Spark reads the TIMESTAMP(NANOS) column as int64 ns
-    (``nanosAsLong``); DuckDB 1.x downcasts the same column to
-    microseconds by truncation. ``ts div 1000`` (integer division — a
-    double division would lose precision at 1.7e18) reproduces the
-    truncation exactly, so both engines then run identical int64
-    arithmetic: the oracle twin of any ``ts`` math here is
-    ``epoch_us(ts)``."""
-    return (tbl(spark, sf_dir, "events")
-            .withColumn("ts", F.expr("ts div 1000")))
+    Two physical layouts exist in the wild for the ``events`` table:
+
+    - TIMESTAMP(NANOS) parquet read as int64 ns (``nanosAsLong``) —
+      ``ts div 1000`` (integer division; a double division would lose
+      precision at 1.7e18) reproduces DuckDB's truncation to µs.
+    - TIMESTAMP(MICROS) / TIMESTAMP_NTZ — ``unix_micros`` after a cast
+      to session-tz timestamp (the session is pinned UTC by
+      :func:`prep`, so the NTZ→TZ cast is the identity on the wire
+      value and matches DuckDB's ``epoch_us`` on the naive timestamp).
+
+    Either way both engines then run identical int64 arithmetic: the
+    oracle twin of any ``ts`` math downstream is ``epoch_us(ts)``."""
+    dt = dict(df.dtypes).get(col)
+    if dt in ("bigint", "long"):
+        return df.withColumn(col, F.expr(f"{col} div 1000"))
+    return df.withColumn(col, F.unix_micros(F.col(col).cast("timestamp")))
+
+
+def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with ``ts`` as exact int64 epoch-microseconds
+    (see :func:`ts_to_us` for the layout-adaptive conversion)."""
+    return ts_to_us(tbl(spark, sf_dir, "events"))
 
 
 def cents(col="value") -> F.Column:
