@@ -168,14 +168,45 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_runtime",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # Regression guardrail: compare per-query against the newest
+    # BENCH_r*.json next to this script so a >1.5x slowdown is visible
+    # at build time, not judge time. stderr only — stdout stays the one
+    # JSON line the driver parses.
+    prev = _load_prev_bench()
+    if prev:
+        prev_q = prev.get("queries", {})
+        deltas = {n: round(t / prev_q[n], 2)
+                  for n, t in timings.items()
+                  if prev_q.get(n)}
+        out["delta_vs_prev"] = deltas
+        regressed = {n: d for n, d in deltas.items() if d >= 1.5}
+        if regressed:
+            print(f"WARNING: >=1.5x regression vs {prev['_file']}: "
+                  f"{regressed}", file=sys.stderr)
+    print(json.dumps(out))
     spark.stop()
+
+
+def _load_prev_bench() -> dict | None:
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for f in reversed(files):
+        try:
+            with open(f) as fh:
+                d = json.load(fh)
+            d["_file"] = os.path.basename(f)
+            return d
+        except (OSError, json.JSONDecodeError):
+            continue
+    return None
 
 
 if __name__ == "__main__":

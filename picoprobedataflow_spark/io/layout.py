@@ -173,10 +173,30 @@ def write_zordered(df: DataFrame, path: str,
     stats or a prior aggregate, making the key a pure row-local
     expression (no window). Without it, min/max come from the data via
     a whole-frame window — fine below the terabyte range, one tiny
-    all-to-one exchange."""
+    all-to-one exchange.
+
+    File boundaries are PREFIX-ALIGNED, not row-count-derived: the key
+    space is cut into ``2^ceil(log2(n_files))`` top-bit cells and each
+    file is assigned a contiguous run of whole cells. Range-partitioning
+    the raw key draws boundaries wherever the row-count sampler lands —
+    one file then straddles a cell and its bounding box doubles, which
+    is exactly the file a range predicate fails to prune. Cell-aligned
+    boundaries make the per-file hyper-rectangle guarantee real rather
+    than statistical (pytest-measured from parquet footer stats)."""
     key = zorder_key(tuple(zorder_by), bits_per_dim, bounds)
-    (df.withColumn("_zkey", key)
-       .repartitionByRange(n_files, "_zkey")
-       .sortWithinPartitions("_zkey")
-       .drop("_zkey")
-       .write.mode(mode).parquet(path))
+    total_bits = bits_per_dim * len(zorder_by)
+    k = max(0, math.ceil(math.log2(max(1, n_files))))
+    shift = max(0, total_bits - k)
+    # _zfile: floor(cell * n_files / 2^k) — contiguous whole cells per
+    # file, exact when n_files is a power of two. Range-partition on the
+    # file id alone so a sampling wobble can only merge ADJACENT cells
+    # (still one tight box), never split a cell across files.
+    out = (df.withColumn("_zkey", key)
+             .withColumn(
+                 "_zfile",
+                 (F.shiftright(F.col("_zkey"), shift)
+                  * n_files / F.lit(1 << k)).cast("long"))
+             .repartitionByRange(n_files, "_zfile")
+             .sortWithinPartitions("_zkey")
+             .drop("_zkey", "_zfile"))
+    out.write.mode(mode).parquet(path)

@@ -5,11 +5,14 @@ driver owns the session) so runtime SQL confs critical for oracle
 parity are in force:
 
 - ``session.timeZone=UTC`` — DuckDB timestamps are UTC-naive.
-- ``legacy.parquet.nanosAsLong=true`` — the ``events`` table stores
-  TIMESTAMP(NANOS) which Spark's vectorized reader rejects; reading it
-  as int64 epoch-nanos matches the reference's transitions-log
-  semantics anyway (epoch-ns ints, performance.ipynb cell 8) and all
-  time math is done as ``ns/1e9`` double seconds on both engines.
+- ``legacy.parquet.nanosAsLong=true`` — compatibility with the legacy
+  TIMESTAMP(NANOS) layout of the ``events`` table, which Spark's
+  vectorized reader otherwise rejects; under that layout ``ts`` reads
+  as int64 epoch-ns. The current testdata layout is TIMESTAMP(MICROS),
+  which this conf does not touch. :func:`ts_to_us` is the single
+  layout-adaptive conversion contract — ALL ``ts`` math (batch and
+  stream) goes through it to exact int64 epoch-µs, the unit DuckDB's
+  ``epoch_us`` produces.
 """
 
 from __future__ import annotations
@@ -55,9 +58,17 @@ def ts_to_us(df: DataFrame, col: str = "ts") -> DataFrame:
       value and matches DuckDB's ``epoch_us`` on the naive timestamp).
 
     Either way both engines then run identical int64 arithmetic: the
-    oracle twin of any ``ts`` math downstream is ``epoch_us(ts)``."""
-    dt = dict(df.dtypes).get(col)
-    if dt in ("bigint", "long"):
+    oracle twin of any ``ts`` math downstream is ``epoch_us(ts)``.
+
+    Works on batch AND streaming DataFrames (pure column expressions).
+    The session timezone is pinned to UTC here (not just in callers'
+    ``prep``) because the NTZ→TZ cast is only the wire-value identity
+    under UTC — without the pin, a non-UTC session would silently skew
+    every timestamp."""
+    from pyspark.sql.types import LongType
+
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    if isinstance(df.schema[col].dataType, LongType):
         return df.withColumn(col, F.expr(f"{col} div 1000"))
     return df.withColumn(col, F.unix_micros(F.col(col).cast("timestamp")))
 

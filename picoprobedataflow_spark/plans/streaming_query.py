@@ -40,12 +40,18 @@ def streaming_hourly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from picoprobedataflow_spark.plans.common import tbl, ts_to_us
+
     prep(spark)
-    # The streaming file source requires a directory basePath; select
-    # just the events file out of the table dir with the glob filter.
+    # The streaming file source requires a user-supplied schema; take it
+    # from the BATCH read of the same table so the stream sees exactly
+    # the physical layout the batch path sees (TIMESTAMP(MICROS) today,
+    # int64-ns under the legacy NANOS layout + nanosAsLong). The shared
+    # ts_to_us then applies the one layout-adaptive unit conversion —
+    # a single source of truth, so a future layout change cannot skew
+    # the stream while the batch oracle stays correct.
     src = (spark.readStream
-           .schema("event_id long, ts long, user_id long, "
-                   "event_type string, value double, props string")
+           .schema(tbl(spark, sf_dir, "events").schema)
            .option("pathGlobFilter", "events.parquet")
            .parquet(sf_dir))
     # Identical semantics to the batch twin plans.scientific
@@ -53,7 +59,7 @@ def streaming_hourly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cents summed in stream state, divided once at emit — the same
     # int64 arithmetic the batch oracle runs, so stream≡batch holds
     # bit-for-bit under the hash gate.
-    agg = (src.withColumn("ts", F.expr("ts div 1000"))
+    agg = (ts_to_us(src)
               .groupBy(F.expr("(ts div 3600000000) * 3600000000")
                         .alias("window_start_us"),
                        "event_type")

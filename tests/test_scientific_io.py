@@ -129,12 +129,41 @@ def test_multimodal_features_and_detection(spark):
 
 
 def test_real_codec_branch_is_marked(spark):
-    MM.USE_REAL_CODECS = True
-    try:
-        with pytest.raises(NotImplementedError, match="STUB"):
-            MM.decode_image(b"", 1, 1)
-    finally:
-        MM.USE_REAL_CODECS = False
+    """PNG/JPEG magic bytes route to the PIL branch; with PIL absent
+    that branch must fail loudly as a marked stub, never fall back to
+    the fake layout silently."""
+    if MM.HAS_PIL:
+        pytest.skip("PIL installed - the real branch is live")
+    png_header = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8
+    with pytest.raises(NotImplementedError, match="STUB"):
+        MM.decode_image(png_header, 4, 4)
+
+
+@pytest.mark.skipif(not MM.HAS_PIL, reason="PIL not installed")
+def test_real_png_decode_branch(spark):
+    """Lights up the moment PIL appears: encode a known grayscale array
+    to PNG, decode through the real branch, get the array back."""
+    import io as _io
+
+    from PIL import Image
+
+    a = np.frombuffer(MM.make_fake_image(16, 12, seed=3),
+                      dtype=np.uint8).reshape(12, 16)
+    buf = _io.BytesIO()
+    Image.fromarray(a, mode="L").save(buf, format="PNG")
+    assert np.array_equal(MM.decode_image(buf.getvalue(), 16, 12), a)
+
+
+@pytest.mark.skipif(not MM.HAS_IMAGEIO, reason="imageio not installed")
+def test_real_mp4_encode_branch(spark):
+    """Lights up the moment imageio appears: the applyInPandas encode
+    path emits a real ISO-BMFF container instead of the fake concat."""
+    f0, f1 = MM.make_fake_image(16, 16, 1), MM.make_fake_image(16, 16, 2)
+    frames = spark.createDataFrame(
+        [("v", 16, 16, 0, bytearray(f0)), ("v", 16, 16, 1, bytearray(f1))],
+        "path string, width int, height int, frame_index int, frame binary")
+    vid = MM.encode_frames_to_video(frames, real_mp4=True).collect()[0]
+    assert bytes(vid.video)[4:8] == b"ftyp"  # ISO-BMFF brand box
 
 
 def test_encode_frames_roundtrip(spark):
