@@ -506,3 +506,315 @@ def grouping_sets_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "n", "sum_qty",
                   F.lit(None).cast("double").alias("sum_total")))
     return cube.unionByName(gs).unionByName(ro)
+
+
+# --------------------------------------------------------------------------
+# Remaining TPC-H shapes in one suite (round 3): Q6/Q7/Q8/Q9/Q10/Q11/
+# Q13/Q15/Q16, adapted to the available star schema (no partsupp /
+# l_shipmode / l_commitdate columns in the testdata; the partsupp-based
+# predicates are re-keyed on the lineitem bridge and p_retailprice).
+# --------------------------------------------------------------------------
+
+_TPCH_EXTRA_ORACLE = f"""
+WITH rev AS (
+  SELECT l_orderkey, l_suppkey, l_partkey, l_shipdate, l_quantity,
+         l_returnflag,
+         {_csql('l_extendedprice')} * (100 - {_csql('l_discount')}) AS bp
+  FROM lineitem
+)
+SELECT 'q6' AS family, 'ALL' AS k1, CAST(NULL AS VARCHAR) AS k2,
+       sum({_csql('l_extendedprice')} * {_csql('l_discount')}) / 1e4 AS v1,
+       CAST(count(*) AS DOUBLE) AS v2
+FROM lineitem
+WHERE EXTRACT(year FROM l_shipdate) = 1997
+  AND {_csql('l_discount')} BETWEEN 2 AND 6
+  AND l_quantity < 24
+UNION ALL
+SELECT 'q7', sn.n_name, cn.n_name || '|' ||
+       CAST(EXTRACT(year FROM rev.l_shipdate) AS VARCHAR),
+       sum(rev.bp) / 1e4, CAST(count(*) AS DOUBLE)
+FROM rev
+JOIN orders   ON rev.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON rev.l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 2, 3
+UNION ALL
+SELECT 'q8', CAST(EXTRACT(year FROM rev.l_shipdate) AS VARCHAR), NULL,
+       CAST(sum(CASE WHEN sn.n_name = 'NATION_5' THEN rev.bp ELSE 0 END)
+            AS DOUBLE) / CAST(sum(rev.bp) AS DOUBLE),
+       sum(rev.bp) / 1e4
+FROM rev
+JOIN orders   ON rev.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region   ON cn.n_regionkey = r_regionkey
+JOIN supplier ON rev.l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY 2
+UNION ALL
+SELECT 'q9', sn.n_name, CAST(EXTRACT(year FROM rev.l_shipdate) AS VARCHAR),
+       sum(rev.bp - {_csql('p_retailprice')}
+                    * CAST(round(rev.l_quantity) AS BIGINT) * 100) / 1e4,
+       CAST(count(*) AS DOUBLE)
+FROM rev
+JOIN part     ON rev.l_partkey = p_partkey
+JOIN supplier ON rev.l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 2, 3
+UNION ALL
+SELECT 'q10', c_name, n_name,
+       sum_bp / 1e4, c_acctbal
+FROM (
+  SELECT c_custkey, c_name, n_name, c_acctbal, sum(rev.bp) AS sum_bp
+  FROM rev
+  JOIN orders   ON rev.l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE rev.l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  GROUP BY 1, 2, 3, 4
+  ORDER BY sum_bp DESC, c_custkey
+  LIMIT 20
+)
+UNION ALL
+SELECT 'q11', CAST(l_partkey AS VARCHAR), NULL, part_bp / 1e4, NULL
+FROM (
+  SELECT l_partkey, sum(bp) AS part_bp FROM rev GROUP BY 1
+)
+WHERE CAST(part_bp AS DOUBLE)
+      > 0.001 * (SELECT CAST(sum(bp) AS DOUBLE) FROM rev)
+UNION ALL
+SELECT 'q13', CAST(c_count AS VARCHAR), NULL,
+       CAST(count(*) AS DOUBLE), NULL
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+GROUP BY 2
+UNION ALL
+SELECT 'q15', s_name, NULL, supp_bp / 1e4, NULL
+FROM (
+  SELECT s_name, sum(bp) AS supp_bp
+  FROM rev JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+  GROUP BY 1
+)
+WHERE supp_bp = (
+  SELECT max(supp_bp) FROM (
+    SELECT sum(bp) AS supp_bp
+    FROM rev
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY l_suppkey
+  )
+)
+UNION ALL
+SELECT 'q16', p_brand, p_type || '|' || CAST(p_size AS VARCHAR),
+       CAST(count(DISTINCT l_suppkey) AS DOUBLE), NULL
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#2'
+  AND p_type NOT LIKE 'SMALL%'
+  AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY 2, 3
+"""
+
+
+@query(
+    "tpch_extra_suite",
+    oracle=_TPCH_EXTRA_ORACLE,
+    tags=("tpch-q6", "tpch-q7", "tpch-q8", "tpch-q9", "tpch-q10",
+          "tpch-q11", "tpch-q13", "tpch-q15", "tpch-q16",
+          "J1", "J3", "J5", "A5", "O1"),
+)
+def tpch_extra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H shapes not covered elsewhere, one tagged family each,
+    normalized to (family, k1, k2, v1, v2):
+
+    - ``q6``  forecast revenue: single scalar filter-aggregate; the
+      discount predicate compares exact cents on both engines.
+    - ``q7``  volume shipping: disjunctive nation-pair predicate over
+      a double-nation join (both nation sides broadcast).
+    - ``q8``  market share: conditional-sum ratio per year — exact
+      int64 numerator/denominator, one double division at emit.
+    - ``q9``  product profit: revenue minus retail cost, supplier
+      nation × year, LIKE-filtered parts.
+    - ``q10`` returned-item top-20 customers: ordered-limit with a
+      custkey tie-break (TakeOrderedAndProject, no global sort).
+    - ``q11`` important parts: per-part value vs a 0.1%-of-total
+      scalar threshold (broadcast one-row scalar, no second scan
+      thanks to a cached base).
+    - ``q13`` order-count distribution: LEFT join with an ON-clause
+      filter (zero-order customers kept), two-level aggregate.
+    - ``q15`` top supplier: max-revenue scalar subquery, ties kept.
+    - ``q16`` supplier counts: count(DISTINCT) per part group with a
+      NOT IN (negative-balance suppliers) anti-join.
+
+    Every money aggregate stays in exact int64 cents×bp until the final
+    division, so each family is hash-identical to its ANSI oracle.
+    Scale: all dims broadcast; the only wide shuffles key on
+    partkey/suppkey/custkey (high-cardinality, unskewed)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    od = tbl(spark, sf_dir, "orders")
+    cu = tbl(spark, sf_dir, "customer")
+    su = tbl(spark, sf_dir, "supplier")
+    na = tbl(spark, sf_dir, "nation")
+    rg = tbl(spark, sf_dir, "region")
+    pa = tbl(spark, sf_dir, "part")
+    nuls = F.lit(None).cast("string")
+    nuld = F.lit(None).cast("double")
+    bp = (_c("l_extendedprice") * (100 - _c("l_discount"))).alias("bp")
+    rev = li.select("l_orderkey", "l_suppkey", "l_partkey", "l_shipdate",
+                    "l_quantity", "l_returnflag", bp)
+
+    q6 = (li.filter((F.year("l_shipdate") == 1997)
+                    & _c("l_discount").between(2, 6)
+                    & (F.col("l_quantity") < 24))
+            .agg((F.sum(_c("l_extendedprice") * _c("l_discount")) / 1e4)
+                 .alias("v1"),
+                 F.count("*").cast("double").alias("v2"))
+            .select(F.lit("q6").alias("family"), F.lit("ALL").alias("k1"),
+                    nuls.alias("k2"), "v1", "v2"))
+
+    sn = na.select(F.col("n_nationkey").alias("sn_key"),
+                   F.col("n_name").alias("supp_nation"))
+    cn = na.select(F.col("n_nationkey").alias("cn_key"),
+                   F.col("n_name").alias("cust_nation"))
+    q7base = (rev.join(od, rev.l_orderkey == od.o_orderkey)
+                 .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+                 .join(F.broadcast(su), rev.l_suppkey == su.s_suppkey)
+                 .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+                 .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key")))
+    q7 = (q7base.filter(
+            ((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1")))
+          .groupBy("supp_nation", "cust_nation",
+                   F.year("l_shipdate").alias("yr"))
+          .agg((F.sum("bp") / 1e4).alias("v1"),
+               F.count("*").cast("double").alias("v2"))
+          .select(F.lit("q7").alias("family"),
+                  F.col("supp_nation").alias("k1"),
+                  F.concat(F.col("cust_nation"), F.lit("|"),
+                           F.col("yr").cast("string")).alias("k2"),
+                  "v1", "v2"))
+
+    # region join keys on the CUSTOMER nation (market = ASIA consumers)
+    q8 = (rev.join(od, rev.l_orderkey == od.o_orderkey)
+             .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+             .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+             .join(F.broadcast(na.select("n_nationkey", "n_regionkey")),
+                   F.col("cn_key") == F.col("n_nationkey"))
+             .join(F.broadcast(rg.filter(F.col("r_name") == "ASIA")),
+                   F.col("n_regionkey") == F.col("r_regionkey"))
+             .join(F.broadcast(su), rev.l_suppkey == su.s_suppkey)
+             .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+             .groupBy(F.year("l_shipdate").alias("yr"))
+             .agg((F.sum(F.when(F.col("supp_nation") == "NATION_5",
+                                F.col("bp")).otherwise(F.lit(0)))
+                   .cast("double")
+                   / F.sum("bp").cast("double")).alias("v1"),
+                  (F.sum("bp") / 1e4).alias("v2"))
+             .select(F.lit("q8").alias("family"),
+                     F.col("yr").cast("string").alias("k1"),
+                     nuls.alias("k2"), "v1", "v2"))
+
+    qty_i = F.round(F.col("l_quantity"), 0).cast("long")
+    q9 = (rev.join(F.broadcast(pa.filter(F.col("p_name").like("%bolt%"))),
+                   rev.l_partkey == pa.p_partkey)
+             .join(F.broadcast(su), rev.l_suppkey == su.s_suppkey)
+             .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+             .groupBy("supp_nation", F.year("l_shipdate").alias("yr"))
+             .agg((F.sum(F.col("bp")
+                         - _c("p_retailprice") * qty_i * 100) / 1e4)
+                  .alias("v1"),
+                  F.count("*").cast("double").alias("v2"))
+             .select(F.lit("q9").alias("family"),
+                     F.col("supp_nation").alias("k1"),
+                     F.col("yr").cast("string").alias("k2"), "v1", "v2"))
+
+    q10 = (rev.filter(F.col("l_returnflag") == "R")
+              .join(od.filter(
+                  (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                  & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))),
+                  rev.l_orderkey == od.o_orderkey)
+              .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+              .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+              .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+              .agg(F.sum("bp").alias("sum_bp"))
+              .orderBy(F.desc("sum_bp"), F.asc("c_custkey"))
+              .limit(20)
+              .select(F.lit("q10").alias("family"),
+                      F.col("c_name").alias("k1"),
+                      F.col("n_name").alias("k2"),
+                      (F.col("sum_bp") / 1e4).alias("v1"),
+                      F.col("c_acctbal").alias("v2")))
+
+    part_val = rev.groupBy("l_partkey").agg(F.sum("bp").alias("part_bp"))
+    total = rev.agg(F.sum("bp").alias("total_bp"))
+    q11 = (part_val.crossJoin(F.broadcast(total))
+                   .filter(F.col("part_bp").cast("double")
+                           > 0.001 * F.col("total_bp").cast("double"))
+                   .select(F.lit("q11").alias("family"),
+                           F.col("l_partkey").cast("string").alias("k1"),
+                           nuls.alias("k2"),
+                           (F.col("part_bp") / 1e4).alias("v1"),
+                           nuld.alias("v2")))
+
+    q13 = (cu.join(od.filter(F.col("o_orderpriority") != "1-URGENT"),
+                   cu.c_custkey == od.o_custkey, "left")
+             .groupBy("c_custkey")
+             .agg(F.count("o_orderkey").alias("c_count"))
+             .groupBy("c_count")
+             .agg(F.count("*").cast("double").alias("v1"))
+             .select(F.lit("q13").alias("family"),
+                     F.col("c_count").cast("string").alias("k1"),
+                     nuls.alias("k2"), "v1", nuld.alias("v2")))
+
+    h1 = ((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+          & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp")))
+    supp_rev = (rev.filter(h1).groupBy("l_suppkey")
+                   .agg(F.sum("bp").alias("supp_bp")))
+    max_rev = supp_rev.agg(F.max("supp_bp").alias("max_bp"))
+    q15 = (supp_rev.crossJoin(F.broadcast(max_rev))
+                   .filter(F.col("supp_bp") == F.col("max_bp"))
+                   .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+                   .select(F.lit("q15").alias("family"),
+                           F.col("s_name").alias("k1"), nuls.alias("k2"),
+                           (F.col("supp_bp") / 1e4).alias("v1"),
+                           nuld.alias("v2")))
+
+    bad_supp = su.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    q16 = (li.join(F.broadcast(pa.filter(
+                (F.col("p_brand") != "Brand#2")
+                & ~F.col("p_type").like("SMALL%")
+                & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))),
+                li.l_partkey == pa.p_partkey)
+             .join(F.broadcast(bad_supp),
+                   li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+             .groupBy("p_brand", "p_type", "p_size")
+             .agg(F.countDistinct("l_suppkey").cast("double").alias("v1"))
+             .select(F.lit("q16").alias("family"),
+                     F.col("p_brand").alias("k1"),
+                     F.concat(F.col("p_type"), F.lit("|"),
+                              F.col("p_size").cast("string")).alias("k2"),
+                     "v1", nuld.alias("v2")))
+
+    return (q6.unionByName(q7).unionByName(q8).unionByName(q9)
+              .unionByName(q10).unionByName(q11).unionByName(q13)
+              .unionByName(q15).unionByName(q16))
