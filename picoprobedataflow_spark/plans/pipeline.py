@@ -869,3 +869,74 @@ def text_explode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("tok").alias("s"),
                      F.col("tf").alias("n1"), F.col("df").alias("n2")))
     return chunks.unionByName(vocab)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF featurization under the oracle gate (round 3) — previously
+# pytest-only (hand-formula check); the driver now hash-compares the
+# full explode → tf/df aggregate → idf join → per-doc top-k pipeline.
+# --------------------------------------------------------------------------
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+toks AS (
+  SELECT doc_id, unnest({_WORDS}) AS term FROM d
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+dfq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM d),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf * (ln((n + 1) / (df + 1.0)) + 1.0), 6) AS weight
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+)
+SELECT doc_id, term, weight
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY weight DESC, term) AS rk
+  FROM w
+)
+WHERE rk <= 3
+""",
+    tags=("tfidf", "featurization", "top-k-per-group"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (doc_id < 200 for oracle
+    tractability; :func:`functions.text.tfidf_vectors` is the uncapped
+    operator). Weights are rounded to 6 dp BEFORE ranking on both
+    engines so a last-ulp ``ln`` difference can never flip the top-k
+    boundary — exact ties then break on the term string.
+
+    Scale shape: explode → (doc, term) tf aggregate → broadcast idf
+    join → per-doc window top-k. The corpus count is a 1-row broadcast,
+    never a driver round-trip; the window partitions by doc_id (high
+    cardinality, no skew)."""
+    from pyspark.sql.window import Window as W
+
+    docs = (tbl(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 200))
+    toks = docs.select("doc_id", F.explode(TX.words("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfq = (toks.groupBy("term")
+           .agg(F.countDistinct("doc_id").alias("df"))
+           .filter(F.col("df") >= 2))
+    n = docs.agg(F.countDistinct("doc_id").alias("n"))
+    weighted = (tf.join(F.broadcast(dfq), "term")
+                .crossJoin(F.broadcast(n))
+                .select("doc_id", "term",
+                        F.round(F.col("tf")
+                                * (F.log((F.col("n") + 1)
+                                         / (F.col("df") + 1.0)) + 1.0),
+                                6).alias("weight")))
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("term")))
+    return (weighted.withColumn("rk", rk)
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "term", "weight"))
