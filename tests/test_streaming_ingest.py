@@ -225,3 +225,24 @@ def test_incremental_dedup_stream_equals_full_recompute(spark, tmp_path):
         spark.createDataFrame(all_rows, "doc_id long, text string"))
     assert sorted(map(tuple, got_sigs.collect())) == \
         sorted(map(tuple, fresh.collect()))
+
+
+def test_catalog_stream_query_equals_batch_twin(spark):
+    """streaming_hourly_rates (executes through a real stream) and
+    plans.scientific.windowed_event_rates (its batch twin) must emit
+    identical rows. Both normalize ts through the ONE shared helper
+    (plans.common.ts_to_us — the stream takes its source schema from
+    the batch read), so a future events-layout change hits both paths
+    or neither; this is the regression test for the round-2 ts-unit
+    skew where the stream hardcoded its own conversion."""
+    from picoprobedataflow_spark.plans.scientific import (
+        windowed_event_rates,
+    )
+    from picoprobedataflow_spark.plans.streaming_query import (
+        streaming_hourly_rates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in streaming_hourly_rates(spark, sf).collect()}
+    want = {tuple(r) for r in windowed_event_rates(spark, sf).collect()}
+    assert got == want and len(want) > 0
