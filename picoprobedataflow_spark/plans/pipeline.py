@@ -76,6 +76,11 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: exercises the uncapped operators over the whole corpus.
 _DOC_CAP = 150
 
+#: Corpus/batch boundary for the incremental-dedup family: docs below
+#: are the "already-signed corpus", docs at/above arrive as the new
+#: batch deduped against stored signature/band tables only.
+_DOC_SPLIT = 100
+
 
 def _pairs_ctes() -> str:
     """CTE block (no WITH keyword) computing all three candidate-pair
@@ -184,20 +189,39 @@ def _spark_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = (DD.simhash_dedup(docs, max_hamming=6, n_chunks=4, bits=32)
             .select(F.lit("simhash").alias("method"), "doc_a", "doc_b",
                     F.col("hamming").cast("double").alias("score")))
-    return jp.unionByName(mp).unionByName(sp)
+    # minhash_incr (round 3): the INCREMENTAL path under the oracle
+    # gate. Docs >= _DOC_SPLIT arrive as a "daily batch" deduped
+    # against only the stored signature/band tables of the earlier
+    # corpus; per-doc signatures are deterministic, so its pairs must
+    # equal exactly the full-run LSH pairs that touch the batch — the
+    # oracle is that restriction of mpairs.
+    corpus_sigs = sigs.filter(F.col("doc_id") < _DOC_SPLIT)
+    corpus_bands = DD.band_signatures(corpus_sigs, band_size=4)
+    new_docs = docs.filter(F.col("doc_id") >= _DOC_SPLIT)
+    _, _, incr_pairs = DD.incremental_minhash_dedup(
+        new_docs, corpus_sigs, corpus_bands,
+        num_hashes=16, k=3, band_size=4)
+    ip = incr_pairs.select(F.lit("minhash_incr").alias("method"),
+                           "doc_a", "doc_b",
+                           F.col("est_jaccard").alias("score"))
+    return jp.unionByName(mp).unionByName(sp).unionByName(ip)
 
 
 @query(
     "dedup_candidate_pairs",
-    oracle="WITH " + _PAIRS_CTES + """
+    oracle="WITH " + _PAIRS_CTES + f"""
 SELECT 'jaccard' AS method, doc_a, doc_b, score FROM jpairs
 UNION ALL
 SELECT 'minhash_lsh' AS method, doc_a, doc_b, score FROM mpairs
 UNION ALL
 SELECT 'simhash' AS method, doc_a, doc_b, CAST(hamming AS DOUBLE) AS score
 FROM spairs
+UNION ALL
+SELECT 'minhash_incr' AS method, doc_a, doc_b, score FROM mpairs
+WHERE doc_a >= {_DOC_SPLIT} OR doc_b >= {_DOC_SPLIT}
 """,
-    tags=("dedup-jaccard", "dedup-minhash", "dedup-simhash", "lsh"),
+    tags=("dedup-jaccard", "dedup-minhash", "dedup-simhash", "lsh",
+          "dedup-incremental"),
 )
 def dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidate pairs from all three sub-quadratic
@@ -209,7 +233,14 @@ def dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality, (band, band_sig), (chunk_ix, chunk) — never an all-pairs
     product, and Jaccard + MinHash share one materialized shingle
     table. Signature correctness is implied by the hash gate: every
-    minhash/simhash bit participates in the banding keys and scores."""
+    minhash/simhash bit participates in the banding keys and scores.
+
+    The ``minhash_incr`` family (round 3) runs the INCREMENTAL path
+    (`operators.dedup.incremental_minhash_dedup`): docs ≥ _DOC_SPLIT
+    arrive as a new batch deduped against only the stored corpus
+    signature/band tables. Its oracle is the full-run mpairs
+    restricted to pairs touching the batch — the incremental ≡ full
+    contract enforced by the driver's hash gate, not just pytest."""
     return _spark_candidate_pairs(spark, sf_dir)
 
 
