@@ -529,10 +529,42 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis
 # --------------------------------------------------------------------------
 
+# PII/C4 under the oracle gate (round 3): the testdata corpus has no
+# PII, so both engines synthesize the SAME PII-bearing variant of each
+# doc (email/phone/IP derived from doc_id) and the same junk-line
+# suffix, then the scrub regexes and the C4 line filter run on it.
+# The SQL twins are built from the one PII_PATTERNS constant so the
+# patterns can never drift between engines.
+_PII_SQL = {kind: pat for kind, pat, _ in TX.PII_PATTERNS}
+_SYNTH_SQL = ("'u' || CAST(doc_id AS VARCHAR) || "
+              "'@example.com +1 (555) 010-1234 at 10.0.0.' || "
+              "CAST(doc_id % 256 AS VARCHAR) || ' ' || text")
+_SCRUB_SQL = _SYNTH_SQL
+for _kind, _pat, _tok in TX.PII_PATTERNS:
+    _SCRUB_SQL = f"regexp_replace({_SCRUB_SQL}, '{_pat}', '{_tok}', 'g')"
+_C4_SYNTH_SQL = ("text || chr(10) || 'buy now javascript click' || "
+                 "chr(10) || 'Short line!' || chr(10) || "
+                 "'This line definitely has enough words to survive.'")
+_C4_KEPT_SQL = f"""array_to_string(list_filter(
+    string_split({_C4_SYNTH_SQL}, chr(10)),
+    ln -> regexp_matches(ln, '[.!?"'']\\s*$')
+          AND len(string_split_regex(trim(ln), '\\s+')) >= 4
+          AND NOT regexp_matches(lower(ln), 'javascript|lorem ipsum|cookie')
+          AND NOT contains(ln, '{{')), chr(10))"""
+
+
 @query(
     "text_quality_metrics",
     oracle=f"""
 SELECT doc_id,
+       CAST(len(regexp_extract_all({_SYNTH_SQL},
+            '{_PII_SQL["email"]}')) AS BIGINT)
+         + CAST(len(regexp_extract_all({_SYNTH_SQL},
+            '{_PII_SQL["ipv4"]}')) AS BIGINT)
+         + CAST(len(regexp_extract_all({_SYNTH_SQL},
+            '{_PII_SQL["phone"]}')) AS BIGINT)      AS n_pii,
+       CAST(length({_SCRUB_SQL}) AS BIGINT)         AS scrub_len,
+       CAST(length({_C4_KEPT_SQL}) AS BIGINT)       AS c4_kept_len,
        CAST(len({_WORDS}) AS BIGINT) AS n_words,
        CAST(len(regexp_extract_all(text,
             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
@@ -564,11 +596,33 @@ def text_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio, the composite quality score, full-content md5 and the
     head/tail rolling fingerprint (sync_level=checksum analog —
     catches append edits without rehashing the body). All JVM
-    regex/array/hash expressions, one scan."""
+    regex/array/hash expressions, one scan.
+
+    Round 3 adds the PII scrub + C4 line filter under the hash gate:
+    the corpus carries no PII, so each doc gets a deterministic
+    synthesized email/phone/IP prefix (and a junk-line suffix for C4)
+    built identically in both engines; ``n_pii`` pins the detector
+    counts, ``scrub_len`` pins every redaction byte-for-byte,
+    ``c4_kept_len`` pins the surviving-line reconstruction."""
     docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     nw = TX.n_words("text")
+    synth = F.concat(
+        F.lit("u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com +1 (555) 010-1234 at 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(" "), F.col("text"))
+    pii = TX.pii_counts(synth)
+    n_pii = (pii["email"] + pii["ipv4"] + pii["phone"]).cast("long")
+    c4_synth = F.concat(
+        F.col("text"),
+        F.lit("\nbuy now javascript click\nShort line!\n"
+              "This line definitely has enough words to survive."))
     return docs.select(
         "doc_id",
+        n_pii.alias("n_pii"),
+        F.length(TX.scrub_pii(synth)).cast("long").alias("scrub_len"),
+        F.length(TX.c4_clean_lines(c4_synth)).cast("long")
+         .alias("c4_kept_len"),
         nw.cast("long").alias("n_words"),
         TX.n_tokens_bpe("text").cast("long").alias("n_tokens"),
         TX.punct_ratio("text").alias("punct_ratio"),
