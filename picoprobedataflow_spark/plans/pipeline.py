@@ -359,26 +359,70 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_cosine_topk",
     oracle=f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-SELECT vec_id,
-       round({_COS.format(a='embedding', b='(SELECT qv FROM q)')}, 6) AS cosine
-FROM embeddings
-WHERE vec_id > 0
-ORDER BY round({_COS.format(a='embedding', b='(SELECT qv FROM q)')}, 6) DESC,
-         vec_id
-LIMIT 10
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+dqt AS (
+  SELECT vec_id,
+         list_transform(list_transform(embedding,
+             x -> greatest(-127.0, least(127.0, round(
+                 CAST(x AS DOUBLE) * (127.0 / list_max(
+                     list_transform(embedding, v -> abs(v)))))))),
+             y -> y / (127.0 / list_max(
+                     list_transform(embedding, v -> abs(v))))) AS dv
+  FROM embeddings
+)
+SELECT * FROM (
+  SELECT 'exact' AS family, vec_id,
+         round({_COS.format(a='embedding', b='(SELECT qv FROM q)')}, 6)
+           AS cosine
+  FROM embeddings
+  WHERE vec_id > 0
+  ORDER BY cosine DESC, vec_id
+  LIMIT 10
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'int8' AS family, vec_id,
+         round(list_cosine_similarity(CAST(dv AS DOUBLE[]),
+             (SELECT CAST(dv AS DOUBLE[]) FROM dqt WHERE vec_id = 0)), 6)
+           AS cosine
+  FROM dqt
+  WHERE vec_id > 0
+  ORDER BY cosine DESC, vec_id
+  LIMIT 10
+)
 """,
-    tags=("ann", "similarity"),
+    tags=("ann", "similarity", "int8-quantization"),
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 against the vec_id=0 query vector —
-    the exact-ANN baseline; single scan, JVM fold dot product,
-    TakeOrderedAndProject top-k."""
+    """Brute-force cosine top-10 against the vec_id=0 query vector,
+    two families: ``exact`` over the raw float32 embeddings — the
+    exact-ANN baseline; single scan, JVM fold dot product,
+    TakeOrderedAndProject top-k — and ``int8`` (round 3) over
+    symmetric per-row int8 quantize→dequantize
+    (:func:`functions.vectors.quantize_int8`, scale_inv = 127/max|x|),
+    putting the 4× storage lever's arithmetic under the hash gate: the
+    oracle replays clamp/round/dequantize in SQL, so every quantized
+    byte and the quantized ranking must agree cross-engine."""
+    from picoprobedataflow_spark.functions import vectors as VEC
+
     emb = tbl(spark, sf_dir, "embeddings")
     qvec = (emb.filter(F.col("vec_id") == 0)
                .select("embedding").head()[0])
-    return SIM.topk_cosine(emb.filter(F.col("vec_id") > 0),
-                           [float(x) for x in qvec], k=10)
+    exact = (SIM.topk_cosine(emb.filter(F.col("vec_id") > 0),
+                             [float(x) for x in qvec], k=10)
+             .select(F.lit("exact").alias("family"), "vec_id", "cosine"))
+
+    si = 127.0 / F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    dq = VEC.dequantize_int8(VEC.quantize_int8(F.col("embedding"), si), si)
+    qv8 = (emb.filter(F.col("vec_id") == 0)
+              .select(dq.alias("dv")).head()[0])
+    int8 = (SIM.topk_cosine(
+                emb.filter(F.col("vec_id") > 0)
+                   .select("vec_id", dq.alias("embedding")),
+                [float(x) for x in qv8], k=10)
+            .select(F.lit("int8").alias("family"), "vec_id", "cosine"))
+    return exact.unionByName(int8)
 
 
 
