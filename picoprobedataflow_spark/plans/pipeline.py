@@ -851,6 +851,17 @@ splits AS (
          count(*) AS n_docs,
          CAST(sum(length(text)) AS BIGINT) AS total_chars
   FROM documents GROUP BY 1
+),
+mixture AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars
+  FROM documents
+  WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             AS BIGINT) % 10000
+        < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                      WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000
+                      ELSE 0 END
+  GROUP BY 1
 )
 SELECT 'langid' AS family, lang AS k, predicted_lang AS k2,
        n, CAST(NULL AS BIGINT) AS total_words,
@@ -864,8 +875,12 @@ FROM toksrc
 UNION ALL
 SELECT 'split', split, NULL, n_docs, NULL, NULL, total_chars
 FROM splits
+UNION ALL
+SELECT 'mixture', source, NULL, n_docs, NULL, NULL, total_chars
+FROM mixture
 """,
-    tags=("lang-id", "token-count", "dataset-split", "sampling"),
+    tags=("lang-id", "token-count", "dataset-split", "sampling",
+          "mixture-sampling"),
 )
 def corpus_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level grouped accounting, three families in one scan
@@ -921,7 +936,24 @@ def corpus_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       nulls("long").alias("total_words"),
                       nulls("double").alias("mean_words"), "total_chars"))
 
-    return langid.unionByName(toksrc).unionByName(splits)
+    # mixture family (round 3): the mixture_sample operator itself —
+    # upweight src0, keep src1 at half, thin src2/src3, drop the rest —
+    # with the kept-set accounting hash-gated against the SQL replay of
+    # the salted-md5 keep rule.
+    kept = TX.mixture_sample(docs, {"src0": 1.0, "src1": 0.5,
+                                    "src2": 0.25, "src3": 0.1})
+    mixture = (kept.groupBy("source")
+               .agg(F.count("*").alias("n"),
+                    F.sum(F.length("text")).cast("long")
+                     .alias("total_chars"))
+               .select(F.lit("mixture").alias("family"),
+                       F.col("source").alias("k"),
+                       nulls("string").alias("k2"), "n",
+                       nulls("long").alias("total_words"),
+                       nulls("double").alias("mean_words"), "total_chars"))
+
+    return (langid.unionByName(toksrc).unionByName(splits)
+                  .unionByName(mixture))
 
 
 @query(
