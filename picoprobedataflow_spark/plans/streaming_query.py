@@ -94,21 +94,36 @@ WITH c AS (SELECT user_id, epoch_us(ts) AS click_us
            FROM events WHERE event_type = 'click'),
 p AS (SELECT user_id, epoch_us(ts) AS purchase_us,
              value AS purchase_value
-      FROM events WHERE event_type = 'purchase')
-SELECT c.user_id, click_us, purchase_us, purchase_value
-FROM c JOIN p ON c.user_id = p.user_id
- AND purchase_us >= click_us
- AND purchase_us <= click_us + 3600000000
+      FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT c.user_id, click_us, purchase_us, purchase_value
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND purchase_us >= click_us
+   AND purchase_us <= click_us + 3600000000
+)
+SELECT 'stream' AS family, * FROM pairs
+UNION ALL
+SELECT 'binned' AS family, * FROM pairs
 """,
-    tags=("ST", "stream-stream-join", "J1"),
+    tags=("ST", "stream-stream-join", "J1", "range-join"),
 )
 def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The stream-stream interval join in its batch form (same code
-    path — :func:`..streaming.watch.interval_attribution_join` skips
-    watermarks on batch inputs): purchases attributed to a same-user
-    click at most 1 hour earlier. Timestamps round-trip through exact
-    int64 µs (events_us → timestamp_micros → unix_micros) so the
-    oracle's epoch_us arithmetic is bit-identical."""
+    """Purchases attributed to a same-user click at most 1 hour
+    earlier, computed TWO ways that must agree under the hash gate:
+
+    - ``stream`` — the stream-stream interval join in its batch form
+      (same code path; :func:`..streaming.watch
+      .interval_attribution_join` skips watermarks on batch inputs);
+    - ``binned`` (round 3) — :func:`..operators.rangejoin
+      .bin_range_join`: the non-equi containment expressed as a time-
+      bin hash equi-join + residual filter (the scale formulation; the
+      same-user predicate joins the residual here, while a production
+      deployment would fold user_id into the bin key).
+
+    Timestamps round-trip through exact int64 µs (events_us →
+    timestamp_micros → unix_micros) so the oracle's epoch_us
+    arithmetic is bit-identical."""
+    from picoprobedataflow_spark.operators.rangejoin import bin_range_join
     from picoprobedataflow_spark.plans.common import events_us
     from picoprobedataflow_spark.streaming.watch import (
         interval_attribution_join,
@@ -121,8 +136,25 @@ def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .select("user_id", F.timestamp_micros("ts").alias("ts"),
                            "value"))
     joined = interval_attribution_join(clicks, purchases, max_delay="1 hour")
-    return joined.select(
+    stream = joined.select(
+        F.lit("stream").alias("family"),
         "user_id",
         F.unix_micros("click_ts").alias("click_us"),
         F.unix_micros("purchase_ts").alias("purchase_us"),
         "purchase_value")
+
+    pts = (ev.filter(F.col("event_type") == "purchase")
+             .select(F.col("user_id").alias("p_user"),
+                     F.col("ts").alias("purchase_us"),
+                     F.col("value").alias("purchase_value")))
+    ivs = (ev.filter(F.col("event_type") == "click")
+             .select(F.col("user_id").alias("user_id"),
+                     F.col("ts").alias("click_us"),
+                     F.col("ts").alias("win_start"),
+                     (F.col("ts") + 3_600_000_000).alias("win_end")))
+    binned = (bin_range_join(pts, ivs, ts_col="purchase_us",
+                             start_col="win_start", end_col="win_end")
+              .filter(F.col("p_user") == F.col("user_id"))
+              .select(F.lit("binned").alias("family"), "user_id",
+                      "click_us", "purchase_us", "purchase_value"))
+    return stream.unionByName(binned)
