@@ -406,8 +406,27 @@ SELECT 'never_pending', o_custkey FROM (
   EXCEPT
   SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
 )
+UNION ALL
+SELECT op, custkey FROM (
+  WITH src AS (
+    SELECT c_custkey, c_acctbal + 100 AS c_acctbal
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey + 1000000, c_acctbal
+    FROM customer WHERE c_custkey % 13 = 0
+  ),
+  merged AS (
+    SELECT c.c_custkey, c.c_acctbal FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.c_custkey = c.c_custkey)
+    UNION ALL
+    SELECT * FROM src
+  )
+  SELECT 'merge_keys' AS op, c_custkey AS custkey FROM merged
+  UNION ALL
+  SELECT 'merge_cents', CAST(round(c_acctbal * 100) AS BIGINT) FROM merged
+)
 """,
-    tags=("U1", "U2", "set-intersect", "set-except"),
+    tags=("U1", "U2", "set-intersect", "set-except", "merge-upsert"),
 )
 def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three set operators over key sets, tagged per branch:
@@ -437,7 +456,29 @@ def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .select("o_custkey"))
              .select(F.lit("never_pending").alias("op"),
                      F.col("o_custkey").alias("custkey")))
-    return vip.unionByName(both).unionByName(never)
+
+    # merge_* families (round 3): MERGE INTO semantics under the hash
+    # gate — updates bump %7 keys' balance, inserts land %13 keys under
+    # new ids; merge_keys pins membership (anti-join + insert set),
+    # merge_cents pins every merged balance (updates must take the
+    # SOURCE value, not the target's).
+    from picoprobedataflow_spark.operators.merge import merge_upsert
+    tgt = cu.select("c_custkey", "c_acctbal")
+    src = (tgt.filter(F.col("c_custkey") % 7 == 0)
+              .select("c_custkey",
+                      (F.col("c_acctbal") + 100).alias("c_acctbal"))
+           .unionByName(
+               tgt.filter(F.col("c_custkey") % 13 == 0)
+                  .select((F.col("c_custkey") + 1_000_000)
+                          .alias("c_custkey"), "c_acctbal")))
+    merged = merge_upsert(tgt, src, ["c_custkey"])
+    mk = merged.select(F.lit("merge_keys").alias("op"),
+                       F.col("c_custkey").alias("custkey"))
+    mc = merged.select(F.lit("merge_cents").alias("op"),
+                       F.round(F.col("c_acctbal") * 100, 0).cast("long")
+                        .alias("custkey"))
+    return (vip.unionByName(both).unionByName(never)
+               .unionByName(mk).unionByName(mc))
 
 
 # --------------------------------------------------------------------------
