@@ -425,8 +425,40 @@ SELECT op, custkey FROM (
   UNION ALL
   SELECT 'merge_cents', CAST(round(c_acctbal * 100) AS BIGINT) FROM merged
 )
+UNION ALL
+SELECT op, custkey FROM (
+  WITH chg AS (
+    SELECT c_custkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) + 5000 AS cents,
+           1000.0 AS eff
+    FROM customer WHERE c_custkey % 7 = 0
+  ),
+  dim0 AS (
+    SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+           0.0 AS valid_from, 253402300799.0 AS valid_to, TRUE AS cur
+    FROM customer
+  ),
+  scd AS (
+    SELECT d.c_custkey, d.cents, d.valid_from, c.eff AS valid_to,
+           FALSE AS cur
+    FROM dim0 d JOIN chg c USING (c_custkey)
+    UNION ALL
+    SELECT * FROM dim0 d
+    WHERE NOT EXISTS (SELECT 1 FROM chg WHERE chg.c_custkey = d.c_custkey)
+    UNION ALL
+    SELECT c_custkey, cents, eff, 253402300799.0, TRUE FROM chg
+  )
+  SELECT 'scd2_keys' AS op,
+         c_custkey * 10 + CASE WHEN cur THEN 1 ELSE 0 END AS custkey
+  FROM scd
+  UNION ALL
+  SELECT 'scd2_to', CAST(valid_to AS BIGINT) FROM scd
+  UNION ALL
+  SELECT 'scd2_cents', cents FROM scd
+)
 """,
-    tags=("U1", "U2", "set-intersect", "set-except", "merge-upsert"),
+    tags=("U1", "U2", "set-intersect", "set-except", "merge-upsert",
+          "scd2"),
 )
 def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three set operators over key sets, tagged per branch:
@@ -477,8 +509,37 @@ def set_ops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     mc = merged.select(F.lit("merge_cents").alias("op"),
                        F.round(F.col("c_acctbal") * 100, 0).cast("long")
                         .alias("custkey"))
+
+    # scd2_* families (round 3): type-2 history under the hash gate —
+    # %7 keys change balance (+50.00) at effective_ts=1000; the open
+    # row must close AT the change ts, the new version opens, everyone
+    # else passes through. scd2_keys pins (key, is_current) membership,
+    # scd2_to pins every closing timestamp, scd2_cents every version's
+    # balance.
+    from picoprobedataflow_spark.operators.merge import (
+        SCD2_OPEN_END, scd2_apply,
+    )
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    dim0 = cu.select("c_custkey", cents.alias("cents"),
+                     F.lit(0.0).alias("valid_from"),
+                     F.lit(SCD2_OPEN_END).alias("valid_to"),
+                     F.lit(True).alias("is_current"))
+    chg = (cu.filter(F.col("c_custkey") % 7 == 0)
+             .select("c_custkey", (cents + 5000).alias("cents"),
+                     F.lit(1000.0).alias("effective_ts")))
+    scd = scd2_apply(dim0, chg, ["c_custkey"])
+    sk = scd.select(
+        F.lit("scd2_keys").alias("op"),
+        (F.col("c_custkey") * 10
+         + F.when(F.col("is_current"), 1).otherwise(0)).cast("long")
+        .alias("custkey"))
+    st = scd.select(F.lit("scd2_to").alias("op"),
+                    F.col("valid_to").cast("long").alias("custkey"))
+    sc2 = scd.select(F.lit("scd2_cents").alias("op"),
+                     F.col("cents").alias("custkey"))
     return (vip.unionByName(both).unionByName(never)
-               .unionByName(mk).unionByName(mc))
+               .unionByName(mk).unionByName(mc)
+               .unionByName(sk).unionByName(st).unionByName(sc2))
 
 
 # --------------------------------------------------------------------------
