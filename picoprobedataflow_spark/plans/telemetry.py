@@ -206,35 +206,11 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sessionization (ST6 extension) — gap > 30 min starts a new session
 # --------------------------------------------------------------------------
 
-@query(
-    "sessionize_events",
-    oracle="""
-WITH flagged AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
-                (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
-              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                 IS NULL
-              THEN 1 ELSE 0 END AS new_session
-  FROM events
-),
-sess AS (
-  SELECT user_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_id
-  FROM flagged
-)
-SELECT user_id,
-       CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
-       CAST(count(*) AS BIGINT)                   AS n_events
-FROM sess GROUP BY user_id
-""",
-    tags=("ST6", "sessionization"),
-)
-def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization via lag + running sum of session-start flags —
-    the batch twin of ``session_window`` (streaming module provides the
-    streaming form). Single shuffle on user_id shared by both windows."""
+def sessionize_lag_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-pinned standalone form of the lag+cumsum sessionization
+    (one user_id shuffle shared by both windows); its oracle-gated
+    catalog home is the ``lag_cumsum`` family of
+    :func:`sessionize_events`."""
     ev = events_us(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.col("ts") - F.lag("ts").over(w)
@@ -242,12 +218,74 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_session",
         F.when(gap_us.isNull() | (gap_us > F.lit(1_800_000_000)), 1)
          .otherwise(0))
-    wsum = (W.partitionBy("user_id").orderBy("ts", "event_id")
-             .rowsBetween(W.unboundedPreceding, W.currentRow))
-    sess = flagged.withColumn("session_id", F.sum("new_session").over(wsum))
-    return sess.groupBy("user_id").agg(
-        F.countDistinct("session_id").alias("n_sessions"),
-        F.count("*").alias("n_events"))
+    return (flagged.groupBy("user_id")
+            .agg(F.sum("new_session").cast("long").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+WITH deltas AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+),
+lagf AS (
+  SELECT user_id,
+         CASE WHEN gap_us > 1800000000 OR gap_us IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM deltas
+),
+natf AS (
+  SELECT user_id,
+         CASE WHEN gap_us >= 1800000000 OR gap_us IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM deltas
+)
+SELECT 'lag_cumsum' AS family, user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT)         AS n_events
+FROM lagf GROUP BY user_id
+UNION ALL
+SELECT 'session_window', user_id,
+       CAST(sum(new_session) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM natf GROUP BY user_id
+""",
+    tags=("ST6", "sessionization", "session-window"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization two ways that the hash gate pins independently:
+
+    - ``lag_cumsum`` — lag + running sum of session-start flags
+      (single shuffle on user_id shared by both windows); a new
+      session starts when the gap EXCEEDS 30 min.
+    - ``session_window`` (round 3) — Spark's native
+      ``F.session_window`` batch aggregation, the same operator the
+      streaming form uses. Its merge rule is half-open ([start,
+      start+gap)), so a gap of EXACTLY 30 min starts a new session —
+      the oracle replays that boundary with ``>=`` where the
+      hand-rolled family uses ``>``, making the one-microsecond
+      semantic difference explicit instead of papered over.
+
+    Per-user session counts come out of one user_id shuffle either
+    way; at scale session_window is the streaming-capable form while
+    lag_cumsum generalizes to arbitrary session predicates."""
+    ev = events_us(spark, sf_dir)
+    lag_fam = (sessionize_lag_cumsum(spark, sf_dir)
+               .select(F.lit("lag_cumsum").alias("family"), "user_id",
+                       "n_sessions", "n_events"))
+    sw = (ev.select("user_id", F.timestamp_micros("ts").alias("tst"))
+            .groupBy("user_id", F.session_window("tst", "30 minutes"))
+            .agg(F.count("*").alias("n")))
+    native = (sw.groupBy("user_id")
+              .agg(F.count("*").cast("long").alias("n_sessions"),
+                   F.sum("n").cast("long").alias("n_events"))
+              .select(F.lit("session_window").alias("family"), "user_id",
+                      "n_sessions", "n_events"))
+    return lag_fam.unionByName(native)
 
 
 # --------------------------------------------------------------------------
