@@ -314,3 +314,40 @@ def test_tfidf_top_terms_scale_shapes(spark):
     assert "SortMergeJoin" not in plan
     assert "partitionBy=[doc_id" in plan.replace(" ", "") \
         or "Window" in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    """Spark's runtime bloom-filter injection — the engine-level semi-
+    join pushdown that matters at 100 TB: a selective filter on the
+    creation side (orders) plants a bloom_filter_agg subquery whose
+    might_contain() prunes fact rows (lineitem) BEFORE the join
+    shuffle. At production scale the default size thresholds trigger
+    this automatically; at test SF we lower them to prove the plan
+    shape, then restore the session confs."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        od = (spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+              .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(od, li.l_orderkey == od.o_orderkey)
+               .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
