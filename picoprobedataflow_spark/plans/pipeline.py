@@ -28,11 +28,17 @@ from picoprobedataflow_spark.plans.common import tbl
 #: words per doc (docs always have ≥10 tokens in the testdata).
 _WORDS = ("string_split_regex(trim(text), '\\s+')")
 
+#: MATERIALIZED matters: DuckDB 1.0 inlines CTEs at every reference,
+#: so without it the shingle explode re-runs once per consumer
+#: (jsizes + both sides of the jcommon self-join + sigs). Materializing
+#: ``sh`` once keeps the oracle's peak memory and runtime a fraction of
+#: the inlined plan — these oracles must survive the driver sandbox's
+#: constrained-memory DuckDB session (round-3 OOM lesson).
 _SHINGLES_CTE = f"""
-toks AS (
+toks AS MATERIALIZED (
   SELECT doc_id, {_WORDS} AS w FROM documents WHERE doc_id < {{limit}}
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT DISTINCT doc_id,
          unnest(list_transform(generate_series(1, len(w) - 2),
                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
@@ -118,7 +124,7 @@ jpairs AS (
   JOIN jsizes s2 ON doc_b = s2.doc_id
   WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.02
 ),
-sigs AS (
+sigs AS MATERIALIZED (
   SELECT doc_id, salt,
          min((a * ({base} % {MINHASH_PRIME}) + b) % {MINHASH_PRIME})
            AS minhash
@@ -156,7 +162,7 @@ svotes AS (
   FROM stoks GROUP BY doc_id
 ),
 ssigs AS (SELECT doc_id, {sig} AS simhash FROM svotes),
-schunks AS (
+schunks AS MATERIALIZED (
   SELECT doc_id, simhash, j, (simhash >> (8 * j)) & 255 AS chunk
   FROM ssigs CROSS JOIN range(4) t(j)
 ),
@@ -170,6 +176,94 @@ spairs AS (
 
 
 _PAIRS_CTES = _pairs_ctes()
+
+
+def _pairs_slim_ctes() -> str:
+    """Memory-lean variant of :func:`_pairs_ctes` for the survivors
+    oracle: one CTE chain ending in ``allp`` with bare
+    ``(doc_a, doc_b)`` pairs and nothing else. Two deliberate
+    differences from the scored chain, both score-free by
+    construction:
+
+    - the MinHash family contributes its LSH *banding candidates*
+      directly (``cand``) — ``mpairs`` is ``cand`` joined back to the
+      16-salt signature table purely to attach an estimate column, so
+      its pair set is identical and the heaviest join in the scored
+      chain is dropped;
+    - every branch projects to two BIGINTs before the union, so the
+      recursion below never carries score/hamming columns.
+
+    Round-3 driver lesson: the scored chain + recursive CTE OOM'd
+    DuckDB under the sandbox's memory pressure (engine side was
+    correct). This chain passes at a 50 MB ``memory_limit`` where the
+    old oracle needed >100 MB, and runs ~15x faster."""
+    from picoprobedataflow_spark.operators.dedup import (
+        MINHASH_PRIME,
+        minhash_params,
+    )
+
+    values = ", ".join(f"({i}, {a}, {b})" for i, a, b in minhash_params(16))
+    base = _HASH64.format(expr="shingle")
+    h = _HASH64.format(expr="tok")
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32))
+    sig = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END"
+        for b in range(32))
+    return _SHINGLES_CTE.format(limit=_DOC_CAP) + f""",
+jsizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+jp AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2) jc
+  JOIN jsizes s1 ON doc_a = s1.doc_id
+  JOIN jsizes s2 ON doc_b = s2.doc_id
+  WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.02
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, salt // 4 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY salt))
+           AS band_sig
+  FROM (
+    SELECT doc_id, salt,
+           min((a * ({base} % {MINHASH_PRIME}) + b) % {MINHASH_PRIME})
+             AS minhash
+    FROM sh CROSS JOIN (VALUES {values}) params(salt, a, b)
+    GROUP BY doc_id, salt)
+  GROUP BY doc_id, salt // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+),
+schunks AS MATERIALIZED (
+  SELECT doc_id, simhash, j, (simhash >> (8 * j)) & 255 AS chunk
+  FROM (SELECT doc_id, {sig} AS simhash FROM (
+          SELECT doc_id,
+                 {votes}
+          FROM (SELECT doc_id, unnest({_WORDS}) AS tok
+                FROM documents WHERE doc_id < {_DOC_CAP})
+          GROUP BY doc_id))
+  CROSS JOIN range(4) t(j)
+),
+sp AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM schunks a JOIN schunks b
+    ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+),
+allp AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM jp
+  UNION SELECT doc_a, doc_b FROM cand
+  UNION SELECT doc_a, doc_b FROM sp
+)"""
+
+
+_PAIRS_SLIM_CTES = _pairs_slim_ctes()
 
 
 def _spark_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,13 +344,8 @@ def dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_cluster_survivors",
-    oracle="WITH RECURSIVE " + _PAIRS_CTES + f""",
-allp AS (
-  SELECT doc_a, doc_b FROM jpairs
-  UNION SELECT doc_a, doc_b FROM mpairs
-  UNION SELECT doc_a, doc_b FROM spairs
-),
-edges AS (
+    oracle="WITH RECURSIVE " + _PAIRS_SLIM_CTES + f""",
+edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM allp
   UNION SELECT doc_b, doc_a FROM allp
 ),
@@ -264,6 +353,7 @@ walk(node, comp) AS (
   SELECT src, src FROM edges
   UNION
   SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.comp < e.dst
 ),
 comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
 SELECT d.doc_id,
@@ -282,7 +372,14 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the duplicate" policy (picoprobe/utils.py:126-131) generalized to
     transitive near-dup closure. Docs in no pair survive untouched.
     The fixpoint is unique, so the DuckDB oracle replays it with a
-    recursive reachability CTE and min-per-node."""
+    recursive reachability CTE and min-per-node. The recursion prunes
+    to strictly-decreasing labels (``w.comp < e.dst``) — sound because
+    the component minimum ``m`` still reaches every node (``m`` is
+    below every intermediate hop on any path out of it), and each
+    node ``n`` seeds ``(n, n)``, so any pruned label ``c > n`` could
+    never have been ``n``'s minimum; this bounds the recursive working
+    set to the decreasing-label wavefront instead of full
+    reachability."""
     docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < _DOC_CAP)
     edges = (_spark_candidate_pairs(spark, sf_dir)
              .select("doc_a", "doc_b").distinct())
@@ -321,17 +418,24 @@ _SRP_PLANES, _SRP_DIM = 4, 64
 
 _NEARDUP_PLANES = 4
 
+# MATERIALIZED + one pre-cast DOUBLE[] per row + a single cosine
+# evaluation per pair (the old form evaluated the 64-term cast+cosine
+# twice per pair and re-ran the 256-term bucket expression per join
+# side) — same round-3 oracle-memory lesson as the dedup chain.
 _NEARDUP_ORACLE = f"""
-WITH b AS (
-  SELECT vec_id, embedding,
+WITH b AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          {_srp_bucket_sql('embedding', _NEARDUP_PLANES, 64)} AS bucket
   FROM embeddings
 )
-SELECT a.bucket AS block, a.vec_id AS id_a, b2.vec_id AS id_b,
-       round({_COS.format(a='a.embedding', b='b2.embedding')}, 6) AS cosine
-FROM b a JOIN b b2
-  ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-WHERE {_COS.format(a='a.embedding', b='b2.embedding')} >= 0.4
+SELECT block, id_a, id_b, round(cos, 6) AS cosine
+FROM (
+  SELECT a.bucket AS block, a.vec_id AS id_a, b2.vec_id AS id_b,
+         list_cosine_similarity(a.v, b2.v) AS cos
+  FROM b a JOIN b b2
+    ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+WHERE cos >= 0.4
 """
 
 
