@@ -91,6 +91,17 @@ def _uncapped_pipeline_queries():
                                   [float(x) for x in qvec], k=10,
                                   n_planes=8, dim=64)
 
+    def minhash_md5(spark, sf_dir):
+        # Oracle-parity md5 variant of dedup_minhash_lsh_full: same
+        # plan, portable hash. The pair quantifies what oracle parity
+        # costs vs the xxhash64 production hash instead of asserting it.
+        docs = tbl(spark, sf_dir, "documents")
+        return DD.minhash_lsh_dedup(docs, num_hashes=16, k=3, band_size=4)
+
+    def simhash_md5(spark, sf_dir):
+        docs = tbl(spark, sf_dir, "documents")
+        return DD.simhash_dedup(docs, max_hamming=6)
+
     def text_quality_full(spark, sf_dir):
         from picoprobedataflow_spark.functions import text as TX
         docs = tbl(spark, sf_dir, "documents")
@@ -103,7 +114,9 @@ def _uncapped_pipeline_queries():
     return {
         "dedup_exact_full": dedup_exact,
         "dedup_minhash_lsh_full": minhash_lsh,
+        "dedup_minhash_md5_full": minhash_md5,
         "dedup_simhash_full": simhash_pairs,
+        "dedup_simhash_md5_full": simhash_md5,
         "dedup_jaccard_full": jaccard_neardup,
         "ann_cosine_topk_full": ann_topk,
         "ann_srp_topk_full": ann_srp_topk,
@@ -185,12 +198,19 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "bench_rev": _BENCH_REV,
     }
     # Regression guardrail: compare per-query against the newest
     # BENCH_r*.json next to this script so a >1.5x slowdown is visible
     # at build time, not judge time. stderr only — stdout stays the one
     # JSON line the driver parses.
     prev = _load_prev_bench()
+    if prev and prev.get("bench_rev") != _BENCH_REV:
+        print(f"NOTE: {prev['_file']} was recorded under bench "
+              f"methodology rev {prev.get('bench_rev')} (current "
+              f"{_BENCH_REV}); skipping delta_vs_prev — not "
+              "like-for-like.", file=sys.stderr)
+        prev = None
     if prev:
         prev_q = prev.get("queries", {})
         deltas = {n: round(t / prev_q[n], 2)
@@ -203,6 +223,20 @@ def main() -> None:
                   f"{regressed}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
+
+
+#: Bench methodology revision, stamped into the output JSON so
+#: delta_vs_prev only ever compares like-for-like. rev 2 = untimed
+#: warmup + clearCache between timed queries (landed round 3;
+#: BENCH_r03 is the first file recorded under it — earlier files
+#: predate the cache clearing and are not comparable).
+_BENCH_REV = 2
+
+
+def _bench_rev_of(d: dict, fname: str) -> int:
+    if "bench_rev" in d:
+        return d["bench_rev"]
+    return 2 if fname >= "BENCH_r03" else 1
 
 
 def _load_prev_bench() -> dict | None:
@@ -231,6 +265,7 @@ def _load_prev_bench() -> dict | None:
                         break
         if "queries" in d:
             d["_file"] = os.path.basename(f)
+            d["bench_rev"] = _bench_rev_of(d, d["_file"])
             return d
     return None
 

@@ -73,26 +73,49 @@ def _decode_fake(image: bytes, width: int, height: int) -> np.ndarray:
     return np.frombuffer(image, dtype=np.uint8).reshape(height, width)
 
 
-def _decode_real(image: bytes) -> np.ndarray:  # pragma: no cover
+def _decode_real(image: bytes, width: int,
+                 height: int) -> np.ndarray:  # pragma: no cover
     """PNG/JPEG → uint8 grayscale array via PIL (the library the
-    reference's matplotlib PNG path sits on, hyperspectral.py:78-107)."""
+    reference's matplotlib PNG path sits on, hyperspectral.py:78-107).
+    The decoded shape is validated against the row's declared
+    (width, height) metadata so a misrouted buffer or stale sidecar
+    fails loudly instead of flowing a wrongly-shaped array downstream."""
     if not HAS_PIL:
         _require_real_codec("image decode")
     import io as _io
 
     with _pil_image.open(_io.BytesIO(image)) as im:
-        return np.asarray(im.convert("L"), dtype=np.uint8)
+        a = np.asarray(im.convert("L"), dtype=np.uint8)
+    if a.shape != (height, width):
+        raise ValueError(
+            f"decoded image shape {a.shape} != declared (h,w)="
+            f"({height}, {width})")
+    return a
 
 
-def decode_image(image: bytes, width: int, height: int) -> np.ndarray:
-    """Codec boundary: PNG/JPEG magic bytes route to the PIL branch
-    (import-gated), anything else is the deterministic fake layout."""
+def decode_image(image: bytes, width: int, height: int,
+                 codec: str = "auto") -> np.ndarray:
+    """Codec boundary. ``codec`` picks the branch explicitly:
+
+    - ``"fake"`` — the deterministic width*height layout, never PIL;
+    - ``"image"`` — force the PIL branch (PNG/JPEG);
+    - ``"auto"`` — route on PNG/JPEG magic bytes, for mixed columns
+      where provenance is untracked. Note arbitrary uint8 pixel data
+      collides with the 3-byte JPEG magic at ~2^-24 per image, so
+      pipelines that know their format should pass it explicitly; the
+      real branch's shape validation catches the misroute either way.
+    """
+    if codec == "fake":
+        return _decode_fake(image, width, height)
+    if codec == "image":
+        return _decode_real(image, width, height)  # pragma: no cover
     if image[:8] == _PNG_MAGIC or image[:3] == _JPEG_MAGIC:
-        return _decode_real(image)  # pragma: no cover
+        return _decode_real(image, width, height)  # pragma: no cover
     return _decode_fake(image, width, height)
 
 
-def extract_image_features(images: DataFrame) -> DataFrame:
+def extract_image_features(images: DataFrame,
+                           codec: str = "auto") -> DataFrame:
     """Per-image features (mean/std/edge energy) via ``mapInPandas`` —
     the shape of any decode→featurize stage: bytes in, numerics out,
     executed where the bytes live, Arrow both ways."""
@@ -101,7 +124,8 @@ def extract_image_features(images: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                a = decode_image(bytes(r.image), r.width, r.height).astype("f8")
+                a = decode_image(bytes(r.image), r.width, r.height,
+                                 codec).astype("f8")
                 gx = np.abs(np.diff(a, axis=1)).mean() if a.shape[1] > 1 else 0.0
                 gy = np.abs(np.diff(a, axis=0)).mean() if a.shape[0] > 1 else 0.0
                 rows.append((r.path, r.width, r.height,
@@ -114,7 +138,8 @@ def extract_image_features(images: DataFrame) -> DataFrame:
                   .mapInPandas(gen, FEATURES_SCHEMA))
 
 
-def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+def resize_images(images: DataFrame, out_w: int, out_h: int,
+                  codec: str = "auto") -> DataFrame:
     """Nearest-neighbor resize on the fake layout (real branch would
     call the codec); output schema identical to input so stages chain."""
 
@@ -122,7 +147,7 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                a = decode_image(bytes(r.image), r.width, r.height)
+                a = decode_image(bytes(r.image), r.width, r.height, codec)
                 yi = (np.arange(out_h) * r.height // out_h)
                 xi = (np.arange(out_w) * r.width // out_w)
                 small = a[np.ix_(yi, xi)]
@@ -174,13 +199,16 @@ def _encode_mp4(pdf: pd.DataFrame, fps: int = 100) -> bytes:  # pragma: no cover
 
 
 def encode_frames_to_video(frames: DataFrame,
-                           real_mp4: bool = HAS_IMAGEIO) -> DataFrame:
+                           real_mp4: bool = False) -> DataFrame:
     """S14 — per-file frame stack → 'video' (``create_mp4_from_array``,
     tools/temporal.py:21-35): group by path, order frames, concatenate
-    (fake codec; the real branch — on by default whenever imageio is
-    importable — hands the ordered uint8 array to imageio's H.264
-    writer). ``applyInPandas`` per file-group — the one shuffle is on
-    path, which is exactly the unit of encode."""
+    (fake codec; ``real_mp4=True`` hands the ordered uint8 array to
+    imageio's H.264 writer instead — explicit opt-in, NOT defaulted on
+    imageio's presence, because :func:`sample_video_frames` has no MP4
+    *decode* branch yet: a real container fed back through the fake
+    frame-slicer would produce garbage frames). ``applyInPandas`` per
+    file-group — the one shuffle is on path, which is exactly the unit
+    of encode."""
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("frame_index")
@@ -198,7 +226,8 @@ def encode_frames_to_video(frames: DataFrame,
                   .groupBy("path").applyInPandas(encode, VIDEO_SCHEMA))
 
 
-def detect_objects(images: DataFrame, conf_threshold: float = 0.5) -> DataFrame:
+def detect_objects(images: DataFrame, conf_threshold: float = 0.5,
+                   codec: str = "auto") -> DataFrame:
     """YOLO-style batched inference stub (temporal.py:37-55 runs a CLI
     subprocess per file; here the 'model' loads once per executor —
     the predict_batch_udf pattern). The fake model proposes a box
@@ -212,7 +241,8 @@ def detect_objects(images: DataFrame, conf_threshold: float = 0.5) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                a = decode_image(bytes(r.image), r.width, r.height).astype("f8")
+                a = decode_image(bytes(r.image), r.width, r.height,
+                                 codec).astype("f8")
                 th, tw = max(1, r.height // 8), max(1, r.width // 8)
                 best, bij = -1.0, (0, 0)
                 for i in range(0, r.height, th):

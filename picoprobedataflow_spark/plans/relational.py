@@ -768,8 +768,15 @@ def tpch_extra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Every money aggregate stays in exact int64 cents×bp until the final
     division, so each family is hash-identical to its ANSI oracle.
-    Scale: all dims broadcast; the only wide shuffles key on
-    partkey/suppkey/custkey (high-cardinality, unskewed)."""
+    Scale: only the truly fixed-size sides carry an explicit broadcast
+    hint — nation/region (25/5 rows at every SF), the LIKE/size-filtered
+    part subsets, and the 1-row scalars (q11 threshold, q15 max).
+    customer and supplier scale linearly with SF, so they carry NO
+    hint: at test SF the planner broadcasts them anyway (under
+    autoBroadcastJoinThreshold), and at 100 TB AQE falls back to a
+    shuffle join instead of OOMing on a forced broadcast. The wide
+    shuffles key on partkey/suppkey/custkey (high-cardinality,
+    unskewed)."""
     li = tbl(spark, sf_dir, "lineitem")
     od = tbl(spark, sf_dir, "orders")
     cu = tbl(spark, sf_dir, "customer")
@@ -797,8 +804,8 @@ def tpch_extra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = na.select(F.col("n_nationkey").alias("cn_key"),
                    F.col("n_name").alias("cust_nation"))
     q7base = (rev.join(od, rev.l_orderkey == od.o_orderkey)
-                 .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
-                 .join(F.broadcast(su), rev.l_suppkey == su.s_suppkey)
+                 .join(cu, od.o_custkey == cu.c_custkey)
+                 .join(su, rev.l_suppkey == su.s_suppkey)
                  .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
                  .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key")))
     q7 = (q7base.filter(
@@ -818,13 +825,13 @@ def tpch_extra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # region join keys on the CUSTOMER nation (market = ASIA consumers)
     q8 = (rev.join(od, rev.l_orderkey == od.o_orderkey)
-             .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+             .join(cu, od.o_custkey == cu.c_custkey)
              .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
              .join(F.broadcast(na.select("n_nationkey", "n_regionkey")),
                    F.col("cn_key") == F.col("n_nationkey"))
              .join(F.broadcast(rg.filter(F.col("r_name") == "ASIA")),
                    F.col("n_regionkey") == F.col("r_regionkey"))
-             .join(F.broadcast(su), rev.l_suppkey == su.s_suppkey)
+             .join(su, rev.l_suppkey == su.s_suppkey)
              .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
              .groupBy(F.year("l_shipdate").alias("yr"))
              .agg((F.sum(F.when(F.col("supp_nation") == "NATION_5",
@@ -839,7 +846,7 @@ def tpch_extra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     qty_i = F.round(F.col("l_quantity"), 0).cast("long")
     q9 = (rev.join(F.broadcast(pa.filter(F.col("p_name").like("%bolt%"))),
                    rev.l_partkey == pa.p_partkey)
-             .join(F.broadcast(su), rev.l_suppkey == su.s_suppkey)
+             .join(su, rev.l_suppkey == su.s_suppkey)
              .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
              .groupBy("supp_nation", F.year("l_shipdate").alias("yr"))
              .agg((F.sum(F.col("bp")
@@ -855,7 +862,7 @@ def tpch_extra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
                   & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))),
                   rev.l_orderkey == od.o_orderkey)
-              .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+              .join(cu, od.o_custkey == cu.c_custkey)
               .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
               .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
               .agg(F.sum("bp").alias("sum_bp"))
@@ -895,7 +902,7 @@ def tpch_extra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = supp_rev.agg(F.max("supp_bp").alias("max_bp"))
     q15 = (supp_rev.crossJoin(F.broadcast(max_rev))
                    .filter(F.col("supp_bp") == F.col("max_bp"))
-                   .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+                   .join(su, F.col("l_suppkey") == su.s_suppkey)
                    .select(F.lit("q15").alias("family"),
                            F.col("s_name").alias("k1"), nuls.alias("k2"),
                            (F.col("supp_bp") / 1e4).alias("v1"),
@@ -907,7 +914,7 @@ def tpch_extra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & ~F.col("p_type").like("SMALL%")
                 & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45))),
                 li.l_partkey == pa.p_partkey)
-             .join(F.broadcast(bad_supp),
+             .join(bad_supp,
                    li.l_suppkey == bad_supp.s_suppkey, "left_anti")
              .groupBy("p_brand", "p_type", "p_size")
              .agg(F.countDistinct("l_suppkey").cast("double").alias("v1"))

@@ -285,20 +285,32 @@ def test_window_frames_suite_single_exchange(spark):
 
 
 def test_tpch_extra_suite_scale_shapes(spark):
-    """The nine-family TPC-H suite keeps its scale posture: every
-    dimension join broadcasts (no sort-merge at test SF), the top-20
-    family is a per-partition top-k, and nothing degenerates to a
-    Cartesian product — the only nested-loop joins are the two
-    single-row scalar broadcasts (q11 threshold, q15 max)."""
+    """The nine-family TPC-H suite keeps its scale posture: at test SF
+    every dimension join broadcasts (no sort-merge), the top-20 family
+    is a per-partition top-k, and nothing degenerates to a Cartesian
+    product — the only nested-loop joins are the two single-row scalar
+    broadcasts (q11 threshold, q15 max). Explicit broadcast HINTS are
+    reserved for the fixed-size sides (nation/region, filtered part
+    subsets, 1-row scalars); customer/supplier scale with SF and must
+    reach the planner hint-free, so their broadcasts below are
+    autoBroadcastJoinThreshold decisions that flip to shuffle joins at
+    production scale instead of forcing an OOM."""
+    from pyspark.sql import functions as F
+
     from picoprobedataflow_spark.plans import catalog
 
-    plan = (catalog.specs()["tpch_extra_suite"]
-            .fn(spark, "/root/testdata/sf0.001")
-            ._jdf.queryExecution().executedPlan().toString())
+    df = catalog.specs()["tpch_extra_suite"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject(limit=20" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert plan.count("BroadcastHashJoin") >= 15
+    # No hint on the SF-scaling tables: the analyzed plan's ResolvedHint
+    # nodes must all sit over fixed-size sides, never customer/supplier.
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    for chunk in analyzed.split("ResolvedHint")[1:]:
+        head = chunk[:400]
+        assert "c_mktsegment" not in head and "s_address" not in head, head
 
 
 def test_tfidf_top_terms_scale_shapes(spark):

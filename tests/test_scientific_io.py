@@ -139,6 +139,47 @@ def test_real_codec_branch_is_marked(spark):
         MM.decode_image(png_header, 4, 4)
 
 
+def test_explicit_codec_overrides_magic_sniffing(spark):
+    """codec='fake' must never route to PIL, even when the pixel bytes
+    collide with the JPEG/PNG magic (~2^-24 per arbitrary uint8 image):
+    the explicit parameter is the fix for sniffing misroutes."""
+    w, h = 4, 4
+    collider = b"\xff\xd8\xff" + b"\x07" * (w * h - 3)  # JPEG magic prefix
+    a = MM.decode_image(collider, w, h, codec="fake")
+    assert a.shape == (h, w)
+    assert bytes(a.tobytes()) == collider
+    # codec='image' forces the real branch - a marked stub without PIL
+    if not MM.HAS_PIL:
+        with pytest.raises(NotImplementedError, match="STUB"):
+            MM.decode_image(collider, w, h, codec="image")
+
+
+def test_real_mp4_requires_explicit_opt_in(spark):
+    """encode_frames_to_video must default to the fake concat codec
+    regardless of imageio's presence: sample_video_frames has no MP4
+    decode branch, so silently flipping on install would break every
+    fake-layout consumer downstream."""
+    import inspect
+
+    sig = inspect.signature(MM.encode_frames_to_video)
+    assert sig.parameters["real_mp4"].default is False
+
+
+@pytest.mark.skipif(not MM.HAS_PIL, reason="PIL not installed")
+def test_real_decode_validates_declared_shape(spark):
+    """A decoded image whose true shape disagrees with the row's
+    (width, height) metadata must fail loudly, not flow on."""
+    import io as _io
+
+    from PIL import Image
+
+    a = np.zeros((6, 5), dtype=np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(a, mode="L").save(buf, format="PNG")
+    with pytest.raises(ValueError, match="declared"):
+        MM.decode_image(buf.getvalue(), 99, 99, codec="image")
+
+
 @pytest.mark.skipif(not MM.HAS_PIL, reason="PIL not installed")
 def test_real_png_decode_branch(spark):
     """Lights up the moment PIL appears: encode a known grayscale array
