@@ -73,6 +73,54 @@ def ts_to_us(df: DataFrame, col: str = "ts") -> DataFrame:
     return df.withColumn(col, F.unix_micros(F.col(col).cast("timestamp")))
 
 
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` as a STREAMING DataFrame. The streaming file source
+    requires a user-supplied schema; take it from the batch read of the
+    same table so the stream sees exactly the physical layout the batch
+    path sees (TIMESTAMP(MICROS) today, int64-ns under the legacy NANOS
+    layout + nanosAsLong), then :func:`ts_to_us` applies the one
+    layout-adaptive unit conversion — a single source of truth, so a
+    future layout change cannot skew a stream while its batch oracle
+    stays correct (the round-2 ts-unit lesson)."""
+    prep(spark)
+    return (spark.readStream
+            .schema(tbl(spark, sf_dir, "events").schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir))
+
+
+def drain_stream_to_local(spark: SparkSession, agg: DataFrame,
+                          output_mode: str = "complete",
+                          timeout: int = 300) -> DataFrame:
+    """Execute a streaming aggregate to completion and return its rows
+    as a plain local DataFrame: availableNow drain into a uniquely-
+    named memory sink, ephemeral checkpoint (tempdir, removed after the
+    drain), sink view dropped once its rows are materialized — so
+    repeated driver invocations leak neither disk nor session state."""
+    import shutil
+    import tempfile
+    import uuid
+
+    name = f"stream_sink_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"{name}_ckpt_")
+    q = (agg.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(timeout)
+        sink = spark.table(name)
+        # The memory sink already holds its rows on the driver; lift
+        # them into a local DataFrame so the sink view and checkpoint
+        # dir can be cleaned up before returning.
+        rows, schema = sink.collect(), sink.schema
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 def events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` with ``ts`` as exact int64 epoch-microseconds
     (see :func:`ts_to_us` for the layout-adaptive conversion)."""

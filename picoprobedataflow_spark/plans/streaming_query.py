@@ -8,8 +8,6 @@ driver's own hash gate (SURVEY ST1/ST6).
 
 from __future__ import annotations
 
-import uuid
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -37,23 +35,14 @@ def streaming_hourly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     its rows are materialized, so repeated driver invocations leak
     neither disk nor session state. The exact int64-µs bucketing keeps
     the streamed result hash-identical to the batch oracle."""
-    import shutil
-    import tempfile
-
-    from picoprobedataflow_spark.plans.common import tbl, ts_to_us
+    from picoprobedataflow_spark.plans.common import (
+        drain_stream_to_local,
+        stream_events,
+        ts_to_us,
+    )
 
     prep(spark)
-    # The streaming file source requires a user-supplied schema; take it
-    # from the BATCH read of the same table so the stream sees exactly
-    # the physical layout the batch path sees (TIMESTAMP(MICROS) today,
-    # int64-ns under the legacy NANOS layout + nanosAsLong). The shared
-    # ts_to_us then applies the one layout-adaptive unit conversion —
-    # a single source of truth, so a future layout change cannot skew
-    # the stream while the batch oracle stays correct.
-    src = (spark.readStream
-           .schema(tbl(spark, sf_dir, "events").schema)
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir))
+    src = stream_events(spark, sf_dir)
     # Identical semantics to the batch twin plans.scientific
     # .windowed_event_rates, value sum included: per-row exact integer
     # cents summed in stream state, divided once at emit — the same
@@ -67,24 +56,7 @@ def streaming_hourly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.round(F.sum(F.round(F.col("value") * 100, 0)
                                   .cast("long")) / 100.0, 2)
                     .alias("sum_value")))
-    name = f"stream_rates_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="stream_rates_ckpt_")
-    q = (agg.writeStream.outputMode("complete")
-         .format("memory").queryName(name)
-         .option("checkpointLocation", ckpt)
-         .trigger(availableNow=True).start())
-    try:
-        q.awaitTermination(300)
-        sink = spark.table(name)
-        # The memory sink already holds its rows on the driver; lift
-        # them into a plain local DataFrame so the sink view and the
-        # checkpoint dir can be cleaned up before returning.
-        rows, schema = sink.collect(), sink.schema
-    finally:
-        q.stop()
-        spark.catalog.dropTempView(name)
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return drain_stream_to_local(spark, agg)
 
 
 @query(

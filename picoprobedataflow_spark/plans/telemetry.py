@@ -262,25 +262,42 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``lag_cumsum`` — lag + running sum of session-start flags
       (single shuffle on user_id shared by both windows); a new
       session starts when the gap EXCEEDS 30 min.
-    - ``session_window`` (round 3) — Spark's native
-      ``F.session_window`` batch aggregation, the same operator the
-      streaming form uses. Its merge rule is half-open ([start,
-      start+gap)), so a gap of EXACTLY 30 min starts a new session —
-      the oracle replays that boundary with ``>=`` where the
-      hand-rolled family uses ``>``, making the one-microsecond
-      semantic difference explicit instead of papered over.
+    - ``session_window`` (round 3; STREAM-EXECUTED since round 4) —
+      Spark's native ``F.session_window``, computed by an actual
+      Structured Streaming query: readStream over the events parquet,
+      stateful session-window aggregation, availableNow drain into a
+      memory sink (the ``streaming_hourly_rates`` pattern). SURVEY
+      §2.9's stateful-session generalization thus runs under the
+      driver's hash gate as a real stream, not a batch stand-in. The
+      merge rule is half-open ([start, start+gap)), so a gap of
+      EXACTLY 30 min starts a new session — the oracle replays that
+      boundary with ``>=`` where the hand-rolled family uses ``>``,
+      making the one-microsecond semantic difference explicit instead
+      of papered over.
 
     Per-user session counts come out of one user_id shuffle either
-    way; at scale session_window is the streaming-capable form while
-    lag_cumsum generalizes to arbitrary session predicates."""
-    ev = events_us(spark, sf_dir)
+    way; at scale session_window is the streaming-capable form (state
+    keyed by user_id, sessions merged incrementally per microbatch)
+    while lag_cumsum generalizes to arbitrary session predicates."""
+    from picoprobedataflow_spark.plans.common import (
+        drain_stream_to_local,
+        stream_events,
+        ts_to_us,
+    )
+
     lag_fam = (sessionize_lag_cumsum(spark, sf_dir)
                .select(F.lit("lag_cumsum").alias("family"), "user_id",
                        "n_sessions", "n_events"))
-    sw = (ev.select("user_id", F.timestamp_micros("ts").alias("tst"))
-            .groupBy("user_id", F.session_window("tst", "30 minutes"))
-            .agg(F.count("*").alias("n")))
-    native = (sw.groupBy("user_id")
+    src = ts_to_us(stream_events(spark, sf_dir))
+    # Complete output mode: every session stays in state until the
+    # drain finishes, so trailing sessions (whose close the watermark
+    # never passes under availableNow) are emitted too — append mode
+    # would silently hold them back and break stream≡batch.
+    sw = (src.select("user_id", F.timestamp_micros("ts").alias("tst"))
+             .groupBy("user_id", F.session_window("tst", "30 minutes"))
+             .agg(F.count("*").alias("n")))
+    sessions = drain_stream_to_local(spark, sw)
+    native = (sessions.groupBy("user_id")
               .agg(F.count("*").cast("long").alias("n_sessions"),
                    F.sum("n").cast("long").alias("n_events"))
               .select(F.lit("session_window").alias("family"), "user_id",

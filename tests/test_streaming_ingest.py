@@ -246,3 +246,28 @@ def test_catalog_stream_query_equals_batch_twin(spark):
     got = {tuple(r) for r in streaming_hourly_rates(spark, sf).collect()}
     want = {tuple(r) for r in windowed_event_rates(spark, sf).collect()}
     assert got == want and len(want) > 0
+
+
+def test_session_window_stream_equals_batch(spark):
+    """sessionize_events' session_window family executes through a
+    REAL stateful stream (round 4); its per-user session counts must
+    equal the plain batch session_window aggregation — stream≡batch
+    for merging session state, SURVEY §2.9's flagged generalization."""
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.plans.common import events_us
+    from picoprobedataflow_spark.plans.telemetry import sessionize_events
+
+    sf = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in sessionize_events(spark, sf)
+           .filter(F.col("family") == "session_window").collect()}
+    ev = events_us(spark, sf)
+    batch = (ev.select("user_id", F.timestamp_micros("ts").alias("tst"))
+               .groupBy("user_id", F.session_window("tst", "30 minutes"))
+               .agg(F.count("*").alias("n"))
+               .groupBy("user_id")
+               .agg(F.count("*").cast("long").alias("n_sessions"),
+                    F.sum("n").cast("long").alias("n_events")))
+    want = {("session_window", r.user_id, r.n_sessions, r.n_events)
+            for r in batch.collect()}
+    assert got == want and len(want) > 0
