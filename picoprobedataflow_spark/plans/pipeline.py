@@ -56,21 +56,53 @@ _HASH64 = "CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
 @query(
     "dedup_exact_groups",
     oracle="""
-SELECT md5(text) AS fingerprint,
+SELECT 'groups' AS family,
+       md5(text) AS fingerprint,
        count(*)  AS n_docs,
        min(doc_id) AS canonical_id
-FROM documents GROUP BY 1
+FROM documents GROUP BY 2
+UNION ALL
+SELECT 'watermark' AS family,
+       md5(CAST(user_id AS VARCHAR) || ':' || event_type) AS fingerprint,
+       count(*) AS n_docs,
+       min(event_id) AS canonical_id
+FROM events
+GROUP BY epoch_us(ts) // 3600000000,
+         md5(CAST(user_id AS VARCHAR) || ':' || event_type)
 """,
-    tags=("dedup-exact",),
+    tags=("dedup-exact", "ST4", "watermark-dedup"),
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fingerprint groups with keep-first canonical id — the dedup
-    survivor map (reference analog: checkpoint seen-set keyed by
-    content instead of path). The corpus-level duplicate summary
-    (n_docs / n_distinct / n_dups) is the count/sum of these rows, so
-    this one query carries both checks; approx_count_distinct is the
-    100 TB summary variant."""
-    return DD.exact_dedup_groups(tbl(spark, sf_dir, "documents"))
+    """Exact dedup, two families under one hash gate:
+
+    - ``groups`` — fingerprint groups with keep-first canonical id —
+      the dedup survivor map (reference analog: checkpoint seen-set
+      keyed by content instead of path). The corpus-level duplicate
+      summary (n_docs / n_distinct / n_dups) is the count/sum of these
+      rows, so this one query carries both checks;
+      approx_count_distinct is the 100 TB summary variant.
+    - ``watermark`` (round 4) — :func:`..streaming.watch
+      .bucketed_content_dedup` over events: duplicate suppression
+      within a bounded 1-hour horizon, the deterministic batch twin of
+      ST4's ``dropDuplicatesWithinWatermark`` (whose streaming
+      keep-set depends on microbatch arrival order and is pytest-
+      covered; the bounded-state *semantics* — state keyed by
+      fingerprint, expiring after the horizon — hash-compare here).
+      The fingerprint is md5(user_id:event_type), giving real
+      within-horizon duplicates in the synthetic stream."""
+    import picoprobedataflow_spark.streaming.watch as WCH
+
+    groups = (DD.exact_dedup_groups(tbl(spark, sf_dir, "documents"))
+              .select(F.lit("groups").alias("family"), "fingerprint",
+                      "n_docs", "canonical_id"))
+    from picoprobedataflow_spark.plans.common import events_us
+
+    fp = F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":"),
+                        F.col("event_type")).cast("binary"))
+    wm = (WCH.bucketed_content_dedup(events_us(spark, sf_dir), fp)
+          .select(F.lit("watermark").alias("family"), "fingerprint",
+                  "n_docs", "canonical_id"))
+    return groups.unionByName(wm)
 
 
 # --------------------------------------------------------------------------

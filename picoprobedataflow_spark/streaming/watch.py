@@ -136,3 +136,32 @@ def content_dedup_stream(files: DataFrame, watermark: str = "10 minutes",
         return with_fp.dropDuplicates(["fingerprint"])
     return (with_fp.withWatermark(time_col, watermark)
                    .dropDuplicatesWithinWatermark(["fingerprint"]))
+
+
+def bucketed_content_dedup(df: DataFrame, fp_col,
+                           ts_us_col: str = "ts",
+                           id_col: str = "event_id",
+                           horizon_us: int = 3_600_000_000) -> DataFrame:
+    """ST4's deterministic batch twin: duplicate suppression within a
+    bounded time horizon, the oracle-checkable determinization of
+    :func:`content_dedup_stream`'s ``dropDuplicatesWithinWatermark``.
+
+    The streaming form's exact keep-set depends on watermark progress
+    across microbatch boundaries (arrival order), so it can never be
+    hash-compared against a batch oracle. This form fixes the horizon
+    as tumbling ``horizon_us`` buckets over event time: within each
+    (fingerprint, bucket) all rows collapse to one group whose
+    ``canonical_id`` = min id — the same bounded-state guarantee
+    (a duplicate arriving more than one horizon later re-admits, the
+    explicit trade vs the reference's unbounded seen-set,
+    picoprobe/utils.py:114-119), with an engine-portable keep rule.
+
+    One hash-partition shuffle on (fingerprint, bucket); map-side
+    combine does the collapsing, so a hot fingerprint never
+    concentrates — bucket is in the key. Returns one row per
+    (fingerprint, bucket): (fingerprint, n_docs, canonical_id)."""
+    bucket = F.expr(f"{ts_us_col} div {horizon_us}").alias("bucket")
+    return (df.groupBy(bucket, fp_col.alias("fingerprint"))
+              .agg(F.count("*").alias("n_docs"),
+                   F.min(id_col).alias("canonical_id"))
+              .select("fingerprint", "n_docs", "canonical_id"))
