@@ -111,12 +111,14 @@ def _uncapped_pipeline_queries():
             TX.n_tokens_bpe("text").alias("n_tokens"),
             TX.quality_score("text").alias("quality"))
 
-    return {
+    variants = {
+        "dedup_minhash_md5_full": minhash_md5,
+        "dedup_simhash_md5_full": simhash_md5,
+    }
+    return variants, {
         "dedup_exact_full": dedup_exact,
         "dedup_minhash_lsh_full": minhash_lsh,
-        "dedup_minhash_md5_full": minhash_md5,
         "dedup_simhash_full": simhash_pairs,
-        "dedup_simhash_md5_full": simhash_md5,
         "dedup_jaccard_full": jaccard_neardup,
         "ann_cosine_topk_full": ann_topk,
         "ann_srp_topk_full": ann_srp_topk,
@@ -154,7 +156,8 @@ def main() -> None:
     # session_window twin); the bench key keeps measuring the original
     # single-pass lag+cumsum plan so the number stays comparable.
     bench["sessionize_events"] = sessionize_lag_cumsum
-    bench.update(_uncapped_pipeline_queries())
+    variants, uncapped = _uncapped_pipeline_queries()
+    bench.update(uncapped)
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
     # shouldn't be charged to the first query. Each headline query is
@@ -168,7 +171,7 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name, fn in bench.items():
+    for name, fn in {**bench, **variants}.items():
         try:
             run_query(fn(spark, warm_dir))
         except Exception:
@@ -192,6 +195,19 @@ def main() -> None:
         # measured 1.6x inflation on the dedup trio without this.
         spark.catalog.clearCache()
 
+    # A/B variant keys (round 4): the dedup signature queries under the
+    # oracle-parity md5 hash, timed identically but reported OUTSIDE
+    # the headline total/queries so `value` stays comparable across
+    # rounds — these quantify the md5-vs-xxhash64 delta (measured
+    # ~none at sf0.1; SCALE.md "Round-4 changes" #4), they are not new
+    # headline workloads.
+    variant_timings: dict[str, float] = {}
+    for name, fn in variants.items():
+        t0 = time.perf_counter()
+        run_query(fn(spark, sf_dir))
+        variant_timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(total, 3),
@@ -199,6 +215,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "bench_rev": _BENCH_REV,
+        "variants": variant_timings,
     }
     # Regression guardrail: compare per-query against the newest
     # BENCH_r*.json next to this script so a >1.5x slowdown is visible
