@@ -271,3 +271,24 @@ def test_session_window_stream_equals_batch(spark):
     want = {("session_window", r.user_id, r.n_sessions, r.n_events)
             for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_catalog_queries_reinvokable_no_leaks(spark):
+    """The driver may invoke a catalog query any number of times in
+    one session; the stream-executed entries must return identical
+    rows on a second run and leave no memory-sink temp view behind
+    (each drain uses a unique name + ephemeral checkpoint, both
+    cleaned up in drain_stream_to_local's finally block)."""
+    from picoprobedataflow_spark.plans.streaming_query import (
+        streaming_hourly_rates,
+    )
+    from picoprobedataflow_spark.plans.telemetry import sessionize_events
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (sessionize_events, streaming_hourly_rates):
+        first = sorted(map(tuple, fn(spark, sf).collect()))
+        second = sorted(map(tuple, fn(spark, sf).collect()))
+        assert first == second and len(first) > 0
+    leaked = [t.name for t in spark.catalog.listTables()
+              if t.name.startswith("stream_sink_")]
+    assert leaked == []
