@@ -292,3 +292,28 @@ def test_stream_catalog_queries_reinvokable_no_leaks(spark):
     leaked = [t.name for t in spark.catalog.listTables()
               if t.name.startswith("stream_sink_")]
     assert leaked == []
+
+
+def test_bucketed_content_dedup_bounded_state_semantics(spark):
+    """The ST4 batch twin's explicit trade: duplicates inside one
+    horizon bucket collapse (canonical = min id), a duplicate landing
+    in a later bucket re-admits — state is bounded by the horizon, not
+    by history (vs the reference's unbounded seen-set)."""
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.streaming.watch import (
+        bucketed_content_dedup,
+    )
+
+    h = 1_000_000  # 1s horizon in µs
+    rows = [
+        (1, 100, "a"),          # bucket 0
+        (2, 200, "a"),          # bucket 0 dup -> collapses into id 1
+        (3, h + 100, "a"),      # bucket 1 -> re-admitted
+        (4, 300, "b"),          # bucket 0, different content
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts long, fp string")
+    out = bucketed_content_dedup(df, F.col("fp"), horizon_us=h)
+    got = {(r.fingerprint, r.n_docs, r.canonical_id)
+           for r in out.collect()}
+    assert got == {("a", 2, 1), ("a", 1, 3), ("b", 1, 4)}
