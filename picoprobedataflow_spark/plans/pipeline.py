@@ -629,12 +629,18 @@ def _kmeans_oracle(k: int, n_iter: int, n_probe: int, topk: int,
     per-dim mean update. Means drift by ulps between engines
     (summation order); cluster margins dwarf that, same tolerance
     argument as centroid ranking."""
+    # MATERIALIZED throughout: DuckDB 1.0 inlines CTEs at every
+    # reference, and cents{it} is referenced twice per iteration
+    # (assign{it+1} and the next cents' LEFT JOIN), so the inlined
+    # Lloyd's chain re-expands geometrically with n_iter — this oracle
+    # was the next-most-fragile after the round-3 OOM pair (failed a
+    # 100 MB memory_limit probe; passes ~50 MB materialized).
     dist = " + ".join(f"(e.v[{i}] - c.c[{i}]) * (e.v[{i}] - c.c[{i}])"
                       for i in range(1, dim + 1))
     ctes = [
-        "ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v\n"
+        "ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v\n"
         "       FROM embeddings WHERE vec_id > 0)",
-        f"""cents0 AS (
+        f"""cents0 AS MATERIALIZED (
   SELECT cell, v AS c FROM (
     SELECT vec_id, v,
            row_number() OVER (
@@ -642,7 +648,7 @@ def _kmeans_oracle(k: int, n_iter: int, n_probe: int, topk: int,
     FROM ve) WHERE cell < {k})""",
     ]
     for it in range(1, n_iter + 1):
-        ctes.append(f"""assign{it} AS (
+        ctes.append(f"""assign{it} AS MATERIALIZED (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,
            row_number() OVER (PARTITION BY e.vec_id
@@ -656,7 +662,7 @@ def _kmeans_oracle(k: int, n_iter: int, n_probe: int, topk: int,
               FROM assign{it} a JOIN ve e USING (vec_id))
         GROUP BY cell, dim)
   GROUP BY cell)""")
-        ctes.append(f"""cents{it} AS (
+        ctes.append(f"""cents{it} AS MATERIALIZED (
   SELECT o.cell, COALESCE(n.c, o.c) AS c
   FROM cents{it - 1} o LEFT JOIN newc{it} n USING (cell))""")
     ctes.append(f"""assignf AS (
