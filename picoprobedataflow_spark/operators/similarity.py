@@ -252,6 +252,20 @@ def sqdist(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+def kmeans_seed_query(vecs: DataFrame, n_clusters: int) -> DataFrame:
+    """The k seed rows as a distributed top-k: orderBy+limit compiles
+    to TakeOrderedAndProject (per-partition heaps merged at the
+    driver), never a single-partition sort of the corpus the way a
+    global no-partition row_number window would. ``vecs`` is the
+    normalized (_id, _v) projection."""
+    return (vecs
+            .select("_id", "_v",
+                    F.md5(F.col("_id").cast("string")
+                           .cast("binary")).alias("_h"))
+            .orderBy("_h", "_id")
+            .limit(n_clusters))
+
+
 def kmeans_centroids(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
                      vec_col: str = "embedding",
                      id_col: str = "vec_id",
@@ -271,26 +285,26 @@ def kmeans_centroids(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
     - **update**: posexplode to (cell, dim, val), per-dim mean,
       re-assemble ordered by dim.
 
-    Cost/scale shape: per iteration one broadcast join over the corpus
-    plus one (cell, dim) aggregate — no all-pairs anything; k·dim
-    values cross the driver only at the end. Iterations are
+    Cost/scale shape: seeding is a distributed top-k
+    (TakeOrderedAndProject) with a k-row driver hop; per iteration one
+    broadcast join over the corpus plus one (cell, dim) aggregate — no
+    all-pairs anything, and never more than k·dim values at the
+    driver. Iterations are
     intentionally few (quantizer quality needs single digits;
     production IVF builds sample the corpus for the build pass)."""
-    from pyspark.sql.window import Window as W
-
     if vecs is None:
         vecs = emb.select(
             F.col(id_col).alias("_id"),
             F.transform(F.col(vec_col),
                         lambda x: x.cast("double")).alias("_v")
         ).localCheckpoint(eager=True)
-    seed_rank = F.row_number().over(
-        W.orderBy(F.md5(F.col("_id").cast("string").cast("binary")), "_id"))
-    cents = (vecs.withColumn("_r", seed_rank)
-                 .filter(F.col("_r") <= n_clusters)
-                 .select((F.col("_r") - 1).cast("int").alias("cell"),
-                         F.col("_v").alias("centroid"))
-                 .localCheckpoint(eager=True))
+    seed_rows = kmeans_seed_query(vecs, n_clusters).collect()
+    seed_rows.sort(key=lambda r: (r._h, r._id))
+    cents = (vecs.sparkSession.createDataFrame(
+                 [(i, [float(x) for x in r._v])
+                  for i, r in enumerate(seed_rows)],
+                 schema="cell int, centroid array<double>")
+             .localCheckpoint(eager=True))
     for _ in range(n_iter):
         assigned = kmeans_assign(vecs, cents, vec_col="_v", id_col="_id")
         longf = (assigned.join(vecs, "_id")

@@ -328,6 +328,42 @@ def test_tfidf_top_terms_scale_shapes(spark):
         or "Window" in plan
 
 
+def test_similarity_no_single_partition_window(spark):
+    """The similarity module must never rank through a no-partition
+    Window (a single-partition sort of the full embeddings corpus —
+    the 100 TB trap test_pack_no_single_reducer_window pins for
+    packing). The k-means seeding is a distributed top-k
+    (TakeOrderedAndProject), and none of the ANN catalog entries may
+    carry a partition-less windowspecdefinition."""
+    import re
+
+    from picoprobedataflow_spark.operators import similarity as SIM
+    from picoprobedataflow_spark.plans import catalog
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_v"))
+    seed_plan = (SIM.kmeans_seed_query(vecs, 4)
+                 ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in seed_plan, seed_plan
+    assert "Window" not in seed_plan, seed_plan
+
+    specs = catalog.specs()
+    sf = "/root/testdata/sf0.001"
+    for name in ("ann_cosine_topk", "ann_srp_matrix_topk",
+                 "ann_ivf_kmeans_topk"):
+        plan = (specs[name].fn(spark, sf)
+                ._jdf.queryExecution().executedPlan().toString())
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            # a partitioned spec lists partition columns before the
+            # first "col ASC/DESC" ordering expression; a global spec
+            # starts with the ordering directly
+            first = spec.split(",")[0]
+            assert " ASC" not in first and " DESC" not in first, (
+                f"{name} has a partition-less window: {spec}")
+
+
 def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
     """Spark's runtime bloom-filter injection — the engine-level semi-
     join pushdown that matters at 100 TB: a selective filter on the
