@@ -17,8 +17,9 @@ no amount of read-side tuning recovers them.
   sort by that key, so every output file covers a tight hyper-rectangle
   of the filter space and multi-dimension predicates prune files, not
   just row groups. The bucket bounds come from one scalar min/max
-  aggregate (Catalyst folds it in as a broadcast scalar subquery — no
-  driver collect of data rows).
+  aggregate (:func:`compute_bounds` — 2 values per dimension cross the
+  driver, inlined as literals so the key is a pure row-local
+  expression) or from caller-supplied table stats.
 
 Reference analog: the publication flow batches files into
 fixed-count transfer groups (picoprobe/utils.py:93-104 batch_files) —
@@ -33,16 +34,22 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window as _W
 
 
-def _whole_frame():
-    """Whole-frame window: turns min/max into per-row scalars in one
-    pass (one all-to-one exchange of TINY 2-value state, broadcast
-    back). Built lazily — constructing a WindowSpec needs an active
-    session. For 100 TB writes prefer precomputed bounds
-    (``write_zordered(bounds=...)``)."""
-    return _W.partitionBy()
+def compute_bounds(df: DataFrame,
+                   cols: tuple[str, ...]) -> dict[str, tuple[float, float]]:
+    """Per-column (min, max) from ONE scalar aggregate — 2·len(cols)
+    values cross the driver, nothing else. The default bounds source
+    for :func:`write_zordered`; at 100 TB prefer table stats or a
+    prior stage's metrics and pass ``bounds=`` directly. (A
+    whole-frame window would compute the same scalars but funnel
+    every row through a single WindowExec partition.)"""
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        aggs += [F.min(v).alias(f"_lo_{c}"), F.max(v).alias(f"_hi_{c}")]
+    row = df.agg(*aggs).head()
+    return {c: (row[f"_lo_{c}"], row[f"_hi_{c}"]) for c in cols}
 
 #: Fixed-width column byte estimates (parquet plain encoding, before
 #: compression — deliberately conservative: compression helps but
@@ -125,30 +132,30 @@ def zorder_key(cols: tuple[Column | str, ...],
     dimension. Pure JVM bit arithmetic, no UDF.
 
     ``bounds`` ({col: (lo, hi)}) makes the key a pure row-local
-    expression — the 100 TB path (bounds from table stats or a prior
-    aggregate). Without it, min/max come from the data via a
-    whole-frame window: one all-to-one exchange of tiny 2-value state,
-    fine below the terabyte range. Same bounds → bit-identical keys
-    either way (pytest-asserted)."""
+    expression; :func:`compute_bounds` derives it from the data with
+    one scalar aggregate (what :func:`write_zordered` does when the
+    caller has none), table stats or a prior stage's metrics are the
+    100 TB sources. Requiring bounds keeps the key expression free of
+    whole-frame windows — a no-partition WindowExec would funnel every
+    row through one partition. Same bounds → bit-identical keys from
+    either source (pytest-asserted)."""
     if not 1 <= len(cols) <= 4:
         raise ValueError("zorder_key supports 1-4 dimensions")
+    if bounds is None:
+        raise ValueError(
+            "zorder_key needs bounds; derive them with "
+            "compute_bounds(df, cols) or pass table-stats values")
     n_buckets = 1 << bits_per_dim
     key = F.lit(0).cast("long")
     for d, c in enumerate(cols):
         name = c if isinstance(c, str) else None
         c = F.col(c) if isinstance(c, str) else c
         v = c.cast("double")
-        if bounds is not None:
-            if name is None or name not in bounds:
-                raise ValueError("bounds requires named columns")
-            lo_v, hi_v = bounds[name]
-            lo = F.lit(float(lo_v))
-            span = F.lit(float(hi_v - lo_v) or 1.0)
-        else:
-            w = _whole_frame()
-            lo = F.min(v).over(w)
-            hi = F.max(v).over(w)
-            span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        if name is None or name not in bounds:
+            raise ValueError("bounds requires named columns")
+        lo_v, hi_v = bounds[name]
+        lo = F.lit(float(lo_v))
+        span = F.lit(float(hi_v - lo_v) or 1.0)
         bucket = F.least(
             F.floor((v - lo) / span * n_buckets).cast("long"),
             F.lit(n_buckets - 1))
@@ -171,9 +178,9 @@ def write_zordered(df: DataFrame, path: str,
 
     ``bounds`` ({col: (lo, hi)}) is the 100 TB path: bounds from table
     stats or a prior aggregate, making the key a pure row-local
-    expression (no window). Without it, min/max come from the data via
-    a whole-frame window — fine below the terabyte range, one tiny
-    all-to-one exchange.
+    expression. Without it, :func:`compute_bounds` measures min/max
+    with one scalar aggregate first — one extra bounded-output pass,
+    never a whole-frame window.
 
     File boundaries are PREFIX-ALIGNED, not row-count-derived: the key
     space is cut into ``2^ceil(log2(n_files))`` top-bit cells and each
@@ -183,6 +190,8 @@ def write_zordered(df: DataFrame, path: str,
     is exactly the file a range predicate fails to prune. Cell-aligned
     boundaries make the per-file hyper-rectangle guarantee real rather
     than statistical (pytest-measured from parquet footer stats)."""
+    if bounds is None:
+        bounds = compute_bounds(df, tuple(zorder_by))
     key = zorder_key(tuple(zorder_by), bits_per_dim, bounds)
     total_bits = bits_per_dim * len(zorder_by)
     k = max(0, math.ceil(math.log2(max(1, n_files))))

@@ -512,9 +512,9 @@ def event_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort at any scale); ``seq`` = per-run sequential index (W5,
     reset_index as row_number); ``rebase`` = relative-time rebase to
     the global minimum (W3, the Gantt ``tasks[c] - start``,
-    flow_analyzer.py:402-408 — empty-frame window min, exact integer
-    µs delta); ``gantt`` = per-(run, step) spans rebased to the
-    earliest start (plot_gantt, :379-444)."""
+    flow_analyzer.py:402-408 — broadcast 1-row scalar-agg min, exact
+    integer µs delta); ``gantt`` = per-(run, step) spans rebased to
+    the earliest start (plot_gantt, :379-444)."""
     ev = events_us(spark, sf_dir)
     nul = lambda t: F.lit(None).cast(t)  # noqa: E731
 
@@ -531,24 +531,28 @@ def event_order_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.row_number().over(w).cast("double").alias("num1"),
                    nul("double").alias("num2")))
 
+    # Global minima as broadcast 1-row scalar aggs (the SURVEY W3
+    # "crossJoin of scalar agg" form q11/q15/run_overhead use) — a
+    # whole-frame window min would funnel every row through one
+    # WindowExec partition.
     ev5 = ev.filter(F.col("user_id") < 5)
-    wall = W.partitionBy()
-    rebase = ev5.select(
+    ev5_t0 = ev5.agg(F.min("ts").alias("_t0"))
+    rebase = ev5.crossJoin(F.broadcast(ev5_t0)).select(
         F.lit("rebase").alias("family"), "event_id",
         nul("long").alias("user_id"), nul("string").alias("s"),
-        F.round((F.col("ts") - F.min("ts").over(wall)) / 1e6, 6)
+        F.round((F.col("ts") - F.col("_t0")) / 1e6, 6)
          .alias("num1"),
         nul("double").alias("num2"))
 
     ev8 = ev.filter(F.col("user_id") < 8)
     spans = (ev8.groupBy("user_id", "event_type")
              .agg(F.min("ts").alias("s_us"), F.max("ts").alias("e_us")))
-    t0 = F.min("s_us").over(W.partitionBy())
-    gantt = spans.select(
+    spans_t0 = spans.agg(F.min("s_us").alias("_t0"))
+    gantt = spans.crossJoin(F.broadcast(spans_t0)).select(
         F.lit("gantt").alias("family"), nul("long").alias("event_id"),
         "user_id", F.col("event_type").alias("s"),
-        (F.col("s_us") - t0).cast("double").alias("num1"),
-        (F.col("e_us") - t0).cast("double").alias("num2"))
+        (F.col("s_us") - F.col("_t0")).cast("double").alias("num1"),
+        (F.col("e_us") - F.col("_t0")).cast("double").alias("num2"))
 
     return recent.unionByName(seq).unionByName(rebase).unionByName(gantt)
 

@@ -12,7 +12,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from picoprobedataflow_spark.io.layout import (
-    estimate_row_bytes, write_sized, write_zordered, zorder_key)
+    compute_bounds, estimate_row_bytes, write_sized, write_zordered,
+    zorder_key)
 
 
 def _parquet_files(path):
@@ -115,25 +116,33 @@ def test_zorder_prunes_on_every_dimension(spark, tmp_path):
     assert sum(areas) / len(areas) < 4 / 16, sum(areas) / len(areas)
 
 
-def test_zorder_bounds_path_matches_window_path(spark):
-    """Precomputed-bounds keys (the 100 TB path — pure row-local
-    arithmetic, no window) must equal the window-derived keys when
-    given the true min/max."""
+def test_zorder_measured_bounds_match_fixed(spark):
+    """compute_bounds-derived keys (the default path — one scalar
+    aggregate, pure row-local key) must equal keys built from
+    caller-supplied true min/max, and zorder_key without bounds must
+    refuse rather than fall back to a whole-frame window."""
     df = spark.range(5_000).select(
         (F.col("id") % 71).alias("x"),
         ((F.col("id") * 13) % 97).alias("y"))
-    win = df.select(zorder_key(("x", "y")).alias("z")).collect()
+    measured = compute_bounds(df, ("x", "y"))
+    assert measured == {"x": (0.0, 70.0), "y": (0.0, 96.0)}
+    got = df.select(zorder_key(("x", "y"), bounds=measured)
+                    .alias("z")).collect()
     fix = df.select(zorder_key(("x", "y"),
                                bounds={"x": (0, 70), "y": (0, 96)})
                     .alias("z")).collect()
-    assert [r.z for r in win] == [r.z for r in fix]
+    assert [r.z for r in got] == [r.z for r in fix]
+    with pytest.raises(ValueError, match="bounds"):
+        zorder_key(("x", "y"))
 
 
 def test_zorder_key_single_dim_is_rank_order(spark):
     """Degenerate 1-D z-order must preserve value order (bit
     interleaving of one dim is the identity on buckets)."""
     df = spark.range(256).select(F.col("id").alias("x"))
-    out = df.select("x", zorder_key(("x",), bits_per_dim=8).alias("z"))
+    out = df.select("x", zorder_key(("x",), bits_per_dim=8,
+                                    bounds=compute_bounds(df, ("x",)))
+                    .alias("z"))
     rows = out.orderBy("x").collect()
     zs = [r.z for r in rows]
     assert zs == sorted(zs)
