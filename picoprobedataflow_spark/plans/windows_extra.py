@@ -158,13 +158,55 @@ def balance_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("approx_sketches", oracle=None, tags=("approx", "sketch"))
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB monitoring aggregates: HyperLogLog distinct counts
-    and quantile sketches. Rows-only check by design — sketch
+    and quantile sketches. No cross-engine oracle by design — sketch
     algorithms are engine-specific (Spark HLL++ vs DuckDB HLL), so a
     value-hash comparison would be wrong; the exact twins are the
     ``event_types`` family of ``event_stats_suite`` and the
-    ``percentiles`` family of ``balance_rank_percentiles``."""
+    ``percentiles`` family of ``balance_rank_percentiles``.
+
+    SELF-VALIDATING instead: each sketch is checked against its own
+    published error bound inside the query, and any violation
+    collapses the result to ZERO rows — the driver's rows>0 check is
+    thereby a real accuracy gate, not a smoke test. Bounds:
+
+    - HLL++ at rsd=0.05: |approx − exact| ≤ max(4·rsd·exact, 3) —
+      four standard errors plus small-cardinality slack (tiny groups
+      use the exact sparse path anyway).
+    - approx_percentile at accuracy=100 guarantees a RANK error ≤
+      1/accuracy (not a value distance), so the check joins the
+      sketch median back to the events and measures its true rank:
+      frac(value ≤ m) ≥ 0.5 − ε and frac(value < m) ≤ 0.5 + ε with
+      ε = 1/accuracy + 1/n (discretization slack). The join is a
+      broadcast of the k-row sketch table; the extra pass is the
+      price of validation, both passes scale-safe hash aggs."""
+    rsd, accuracy = 0.05, 100
     ev = events_us(spark, sf_dir)
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_median"),
-        F.count("*").alias("n"))
+    sk = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.percentile_approx("value", F.lit(0.5),
+                            F.lit(accuracy)).alias("approx_median"),
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("exact_users"))
+    rankchk = (ev.join(F.broadcast(
+                   sk.select("event_type", "approx_median")),
+                   "event_type")
+               .groupBy("event_type")
+               .agg(F.avg((F.col("value") <= F.col("approx_median"))
+                          .cast("double")).alias("frac_le"),
+                    F.avg((F.col("value") < F.col("approx_median"))
+                          .cast("double")).alias("frac_lt")))
+    eps = F.lit(1.0 / accuracy) + 1.0 / F.col("n")
+    out = (sk.join(rankchk, "event_type")
+           .withColumn(
+               "users_ok",
+               F.abs(F.col("approx_users") - F.col("exact_users"))
+               <= F.greatest(F.lit(4 * rsd) * F.col("exact_users"),
+                             F.lit(3.0)))
+           .withColumn(
+               "median_ok",
+               (F.col("frac_le") >= 0.5 - eps)
+               & (F.col("frac_lt") <= 0.5 + eps)))
+    all_ok = out.agg(
+        F.min(F.col("users_ok") & F.col("median_ok")).alias("_all_ok"))
+    return (out.crossJoin(F.broadcast(all_ok))
+            .filter(F.col("_all_ok")).drop("_all_ok"))

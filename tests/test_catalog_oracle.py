@@ -42,6 +42,23 @@ def test_query_matches_oracle_sf001(spark, name):
     assert_matches_oracle(df, con, spec.oracle)
 
 
+def test_approx_sketches_self_validates(spark):
+    """approx_sketches has no cross-engine oracle (sketches are
+    engine-specific); the entry instead validates its own error
+    bounds and collapses to zero rows on violation. Assert the bounds
+    hold at test SF — rows survive, every ok flag is true, and the
+    recomputed bounds agree with the in-query ones."""
+    rows = SPECS["approx_sketches"].fn(spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.users_ok and r.median_ok, r
+        assert abs(r.approx_users - r.exact_users) \
+            <= max(0.2 * r.exact_users, 3.0), r
+        eps = 1.0 / 100 + 1.0 / r.n
+        assert r.frac_le >= 0.5 - eps - 1e-9, r
+        assert r.frac_lt <= 0.5 + eps + 1e-9, r
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
