@@ -108,7 +108,9 @@ def drain_stream_to_local(spark: SparkSession, agg: DataFrame,
          .option("checkpointLocation", ckpt)
          .trigger(availableNow=True).start())
     try:
-        q.awaitTermination(timeout)
+        if not q.awaitTermination(timeout):
+            raise TimeoutError(
+                f"stream drain {name} did not finish in {timeout}s")
         sink = spark.table(name)
         # The memory sink already holds its rows on the driver; lift
         # them into a local DataFrame so the sink view and checkpoint

@@ -273,6 +273,62 @@ def test_session_window_stream_equals_batch(spark):
     assert got == want and len(want) > 0
 
 
+def test_session_window_append_mode_holds_back_trailing_sessions(spark):
+    """The production sessionization path is append mode + watermark
+    into a real sink (not the gate's complete-mode memory drain); this
+    pins EXACTLY how its emissions differ. Append emits a session only
+    once the watermark (max event time − delay) passes its end, so the
+    trailing sessions — each user's last session landing within the
+    delay of the stream's max timestamp — are withheld until more data
+    arrives, while complete mode emits every session in state:
+
+    - append output is a subset of the complete output;
+    - every session that closed strictly before the watermark IS
+      emitted (no silent loss);
+    - every appended session closed at-or-before the watermark (no
+      early emission);
+    - the withheld set is exactly the complete-mode sessions at or
+      past the watermark, and is non-empty here by construction."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.plans.common import (
+        drain_stream_to_local, events_us, stream_events, ts_to_us)
+
+    sf = "/root/testdata/sf0.001"
+    gap, delay = "30 minutes", "2 hours"
+    src = (ts_to_us(stream_events(spark, sf))
+           .select("user_id", F.timestamp_micros("ts").alias("tst")))
+
+    sessions = lambda df: df.groupBy(  # noqa: E731
+        "user_id", F.session_window("tst", gap)).agg(
+        F.count("*").alias("n"))
+    complete = drain_stream_to_local(spark, sessions(src)).collect()
+    append = drain_stream_to_local(
+        spark, sessions(src.withWatermark("tst", delay)),
+        output_mode="append").collect()
+
+    max_ts = events_us(spark, sf).agg(F.max("ts")).head()[0]
+    wm = (timedelta(microseconds=max_ts) - timedelta(hours=2)).total_seconds()
+
+    key = lambda r: (r.user_id, r.session_window.start,  # noqa: E731
+                     r.session_window.end, r.n)
+    end_s = lambda r: r.session_window.end.timestamp()  # noqa: E731
+    got_a, got_c = {key(r) for r in append}, {key(r) for r in complete}
+    assert got_a < got_c  # proper subset: something is withheld
+    for r in complete:
+        if end_s(r) < wm:
+            assert key(r) in got_a, ("session closed before the "
+                                     "watermark must be emitted", key(r))
+    for r in append:
+        assert end_s(r) <= wm, ("session past the watermark must be "
+                                "withheld in append mode", key(r))
+    withheld = got_c - got_a
+    assert withheld == {key(r) for r in complete if end_s(r) >= wm}
+    assert len(withheld) > 0 and len(got_a) > 0
+
+
 def test_stream_catalog_queries_reinvokable_no_leaks(spark):
     """The driver may invoke a catalog query any number of times in
     one session; the stream-executed entries must return identical
