@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -130,6 +131,23 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _time_reps(fn, spark, sf_dir, reps: int) -> list[float]:
+    """Time ``reps`` independent executions, clearCache between reps
+    (a rep's evictable persisted blocks must not become the next
+    rep's head start or GC pressure). Returns all rep times; callers
+    report min — single-shot timings of sub-second queries in a
+    shared sandbox swing ±50% (BENCH_r04's five phantom ≥1.5×
+    deltas on untouched code), and the minimum is the standard
+    low-noise estimator of the code's actual cost."""
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_query(fn(spark, sf_dir))
+        times.append(round(time.perf_counter() - t0, 3))
+        spark.catalog.clearCache()
+    return times
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -181,32 +199,37 @@ def main() -> None:
     # memory; codegen/JVM warmup — the point of the pre-run — survives.
     spark.catalog.clearCache()
 
+    # bench_rev 3: each headline key is timed best-of-N (N=3;
+    # clearCache between reps). The headline value is Σ per-key min;
+    # all reps land in the side "reps" field so the spread is
+    # auditable.
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    reps_out: dict[str, list[float]] = {}
     total = 0.0
     for name, fn in bench.items():
-        t0 = time.perf_counter()
-        run_query(fn(spark, sf_dir))
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        # Queries are independent: drop blocks a query persisted
-        # (shingle/signature tables) OUTSIDE the timer so one query's
-        # evictable cache doesn't become the next one's GC pressure —
-        # measured 1.6x inflation on the dedup trio without this.
-        spark.catalog.clearCache()
+        times = _time_reps(fn, spark, sf_dir, n_reps)
+        reps_out[name] = times
+        timings[name] = min(times)
+        total += min(times)
 
     # A/B variant keys (round 4): the dedup signature queries under the
     # oracle-parity md5 hash, timed identically but reported OUTSIDE
     # the headline total/queries so `value` stays comparable across
     # rounds — these quantify the md5-vs-xxhash64 delta (measured
     # ~none at sf0.1; SCALE.md "Round-4 changes" #4), they are not new
-    # headline workloads.
+    # headline workloads. Failures here must not cost the headline
+    # stdout line: each variant is fenced, a failed key is skipped
+    # with a stderr note.
     variant_timings: dict[str, float] = {}
     for name, fn in variants.items():
-        t0 = time.perf_counter()
-        run_query(fn(spark, sf_dir))
-        variant_timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        try:
+            variant_timings[name] = min(
+                _time_reps(fn, spark, sf_dir, n_reps))
+        except Exception as exc:  # noqa: BLE001
+            print(f"NOTE: variant {name} failed ({exc!r}); skipping "
+                  "its key — headline output unaffected.",
+                  file=sys.stderr)
 
     out = {
         "metric": "headline_queries_total_runtime",
@@ -215,6 +238,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "bench_rev": _BENCH_REV,
+        "n_reps": n_reps,
+        "reps": reps_out,
         "variants": variant_timings,
     }
     # Regression guardrail: compare per-query against the newest
@@ -222,12 +247,27 @@ def main() -> None:
     # at build time, not judge time. stderr only — stdout stays the one
     # JSON line the driver parses.
     prev = _load_prev_bench()
-    if prev and prev.get("bench_rev") != _BENCH_REV:
+    if prev and prev.get("sf") != out["sf"]:
+        print(f"NOTE: {prev['_file']} was recorded at sf="
+              f"{prev.get('sf')} (current {out['sf']}); skipping "
+              "delta_vs_prev.", file=sys.stderr)
+        prev = None
+    if prev and prev.get("bench_rev", 0) < 2:
+        # rev 1 predates warmup + inter-query clearCache — per-key
+        # numbers are not comparable at all.
         print(f"NOTE: {prev['_file']} was recorded under bench "
               f"methodology rev {prev.get('bench_rev')} (current "
               f"{_BENCH_REV}); skipping delta_vs_prev — not "
               "like-for-like.", file=sys.stderr)
         prev = None
+    if prev and prev.get("bench_rev") == 2:
+        # rev 2 timed single-shot; rev 3 reports best-of-N. min ≤
+        # single-shot, so deltas vs a rev-2 file are biased DOWN —
+        # safe for regression detection (a flagged regression is
+        # real), noted for honesty.
+        print(f"NOTE: {prev['_file']} is single-shot (rev 2); current "
+              "keys are best-of-N minima, so delta_vs_prev is biased "
+              "downward.", file=sys.stderr)
     if prev:
         prev_q = prev.get("queries", {})
         deltas = {n: round(t / prev_q[n], 2)
@@ -243,17 +283,21 @@ def main() -> None:
 
 
 #: Bench methodology revision, stamped into the output JSON so
-#: delta_vs_prev only ever compares like-for-like. rev 2 = untimed
-#: warmup + clearCache between timed queries (landed round 3;
-#: BENCH_r03 is the first file recorded under it — earlier files
-#: predate the cache clearing and are not comparable).
-_BENCH_REV = 2
+#: delta_vs_prev compares like-for-like (or says how it doesn't).
+#: rev 2 = untimed warmup + clearCache between timed queries (landed
+#: round 3; earlier files predate the cache clearing and are not
+#: comparable). rev 3 = per-key best-of-N (N=3 default) with all reps
+#: recorded in the "reps" side field — single-shot sub-second timings
+#: in a shared sandbox swing ±50% and produced BENCH_r04's phantom
+#: ≥1.5× deltas on untouched code.
+_BENCH_REV = 3
 
 
 def _bench_rev_of(d: dict, fname: str) -> int:
     if "bench_rev" in d:
         return d["bench_rev"]
-    return 2 if fname >= "BENCH_r03" else 1
+    m = re.search(r"r(\d+)", fname)
+    return 2 if m and int(m.group(1)) >= 3 else 1
 
 
 def _load_prev_bench() -> dict | None:
