@@ -1,0 +1,90 @@
+"""Measure the time-vs-scale-factor slope of the heavy pipeline
+operators — evidence for SCALE.md's "scales" claims instead of
+assertion.
+
+Runs the uncapped dedup/similarity bench queries at every
+``/root/testdata/sf*`` directory given (default all three shipped
+SFs), best-of-N reps each (clearCache between reps, same discipline
+as bench.py rev 3), and prints one JSON line::
+
+    {"keys": {name: {sf: best_sec, ...}}, "exponents": {name: e},
+     "n_reps": N}
+
+The exponent is fit on the largest SF decade (sf0.01 → sf0.1 with the
+default data): e = log(t_hi/t_lo) / log(sf_hi/sf_lo). e ≈ 1 is
+linear; the smallest SF's times are reported too because they expose
+the per-job fixed overhead (~0.2 s scheduler/codegen floor) that
+flattens small-SF ratios — read the decade exponent, not the tiny-SF
+one.
+
+Usage: python scripts/measure_scaling.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from picoprobedataflow_spark.session import get_spark  # noqa: E402
+
+#: The operators whose 100 TB posture SCALE.md claims: the dedup trio,
+#: the shingle-join jaccard, and both ANN search paths.
+KEYS = (
+    "dedup_exact_full",
+    "dedup_minhash_lsh_full",
+    "dedup_simhash_full",
+    "dedup_jaccard_full",
+    "ann_cosine_topk_full",
+    "ann_srp_topk_full",
+)
+
+
+def main() -> None:
+    sf_dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ]
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    spark = get_spark(app_name="picoprobedataflow-scaling")
+    _, uncapped = bench._uncapped_pipeline_queries()
+    fns = {k: uncapped[k] for k in KEYS}
+
+    # warmup (codegen/JVM) at the smallest SF, untimed
+    for fn in fns.values():
+        try:
+            bench.run_query(fn(spark, sf_dirs[0]))
+        except Exception:  # noqa: BLE001
+            pass
+    spark.catalog.clearCache()
+
+    results: dict[str, dict[str, float]] = {k: {} for k in KEYS}
+    for sf_dir in sf_dirs:
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        for name, fn in fns.items():
+            times = bench._time_reps(fn, spark, sf_dir, n_reps)
+            results[name][sf] = min(times)
+            print(f"  {name} @ sf{sf}: {times} -> {min(times)}",
+                  file=sys.stderr)
+
+    exponents: dict[str, float] = {}
+    for name, by_sf in results.items():
+        sfs = sorted(by_sf, key=float)
+        if len(sfs) >= 2:
+            lo, hi = sfs[-2], sfs[-1]
+            exponents[name] = round(
+                math.log(by_sf[hi] / by_sf[lo])
+                / math.log(float(hi) / float(lo)), 2)
+
+    print(json.dumps({"keys": results, "exponents": exponents,
+                      "n_reps": n_reps}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
