@@ -279,19 +279,21 @@ def kmeans_centroids(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
     partitionings, so an oracle can replay the whole build. Each
     iteration is the classic two-step as narrow DataFrame ops:
 
-    - **assign**: cross join against the broadcast centroid table
-      (k rows — the only "table" that moves), squared-distance argmin
-      via ``min_by`` with a (distance, cell) tie-break;
-    - **update**: posexplode to (cell, dim, val), per-dim mean,
-      re-assemble ordered by dim.
+    - **assign**: the centroids are k·dim driver-side constants, so
+      nearest-cell is the shuffle-free map-side expression of
+      :func:`kmeans_assign_expr` — squared-distance argmin with a
+      (distance, cell) tie-break, no join;
+    - **update**: posexplode to (cell, dim, val), per-dim mean — the
+      iteration's ONE shuffle — then the k·dim means come back to the
+      driver and re-assemble ordered by dim.
 
     Cost/scale shape: seeding is a distributed top-k
     (TakeOrderedAndProject) with a k-row driver hop; per iteration one
-    broadcast join over the corpus plus one (cell, dim) aggregate — no
-    all-pairs anything, and never more than k·dim values at the
-    driver. Iterations are
-    intentionally few (quantizer quality needs single digits;
-    production IVF builds sample the corpus for the build pass)."""
+    (cell, dim) aggregate over the corpus — no joins, no all-pairs
+    anything, and never more than k·dim values at the driver.
+    Iterations are intentionally few (quantizer quality needs single
+    digits; production IVF builds sample the corpus for the build
+    pass)."""
     if vecs is None:
         vecs = emb.select(
             F.col(id_col).alias("_id"),
@@ -300,38 +302,85 @@ def kmeans_centroids(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
         ).localCheckpoint(eager=True)
     seed_rows = kmeans_seed_query(vecs, n_clusters).collect()
     seed_rows.sort(key=lambda r: (r._h, r._id))
-    cents = (vecs.sparkSession.createDataFrame(
-                 [(i, [float(x) for x in r._v])
-                  for i, r in enumerate(seed_rows)],
-                 schema="cell int, centroid array<double>")
-             .localCheckpoint(eager=True))
+    cent_rows = [(i, [float(x) for x in r._v])
+                 for i, r in enumerate(seed_rows)]
     for _ in range(n_iter):
-        assigned = kmeans_assign(vecs, cents, vec_col="_v", id_col="_id")
-        longf = (assigned.join(vecs, "_id")
-                 .select("cell", F.posexplode("_v").alias("dim", "val")))
-        means = longf.groupBy("cell", "dim").agg(F.avg("val").alias("m"))
-        ordered = F.array_sort(F.collect_list(F.struct("dim", "m")))
-        new_cents = (means.groupBy("cell")
-                     .agg(F.transform(ordered, lambda s: s.m)
-                           .alias("_new")))
+        # Assignment is the map-side centroid-literal expression (no
+        # crossJoin, no shuffle) and _v never leaves the row, so one
+        # iteration is exactly ONE shuffle: the (cell, dim) mean.
+        assigned = vecs.withColumn(
+            "cell", kmeans_assign_expr(cent_rows, vec_col="_v"))
+        longf = assigned.select("cell",
+                                F.posexplode("_v").alias("dim", "val"))
+        means = (longf.groupBy("cell", "dim")
+                 .agg(F.avg("val").alias("m")).collect())
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.dim] = r.m
         # Empty-cell rule: a cell that captured no vectors keeps its
         # previous centroid (deterministic; the oracle replays the
-        # same left-join + coalesce) instead of silently vanishing
-        # from the mean aggregate and shrinking k.
-        cents = (cents.join(new_cents, "cell", "left")
-                      .select("cell",
-                              F.coalesce("_new", "centroid")
-                               .alias("centroid"))
-                      .localCheckpoint(eager=True))
-    return cents
+        # same coalesce) instead of silently vanishing from the mean
+        # aggregate and shrinking k.
+        cent_rows = [
+            (cell,
+             [by_cell[cell][d] for d in sorted(by_cell[cell])]
+             if cell in by_cell else centroid)
+            for cell, centroid in cent_rows]
+    return vecs.sparkSession.createDataFrame(
+        cent_rows, schema="cell int, centroid array<double>")
+
+
+#: Above this k the inlined centroid-literal expression risks blowing
+#: whole-stage-codegen method limits; fall back to the broadcast-join
+#: formulation. Real IVF quantizers (k ≤ a few thousand cells over
+#: billions of vectors) mostly sit under it.
+MAX_EXPR_CENTROIDS = 256
+
+
+def kmeans_assign_expr(cent_rows, vec_col: str = "embedding") -> F.Column:
+    """Nearest-centroid cell as a PURE MAP-SIDE expression: the k
+    collected (cell, centroid) rows are inlined as literals, distance
+    per centroid uses the same ascending-dim :func:`sqdist` fold as
+    the join formulation, and argmin-with-(distance, cell)-tie-break
+    is ``array_min`` over (d, cell) structs — bit-identical to
+    ``min_by(cell, struct(d, cell))``, with zero joins and zero
+    shuffles. This is what assignment over 100 TB of vectors should
+    plan as: a narrow projection, k·dim constants per task."""
+    pairs = [
+        F.struct(
+            sqdist(F.col(vec_col),
+                   F.array(*[F.lit(float(x)) for x in centroid])).alias("d"),
+            F.lit(int(cell)).cast("int").alias("cell"))
+        for cell, centroid in
+        ((r[0], r[1]) for r in cent_rows)]
+    return F.array_min(F.array(*pairs)).getField("cell")
 
 
 def kmeans_assign(vecs: DataFrame, cents: DataFrame,
                   vec_col: str = "embedding",
                   id_col: str = "vec_id") -> DataFrame:
-    """(id, cell): nearest-centroid assignment — broadcast the k-row
-    centroid table, squared-distance argmin with deterministic
-    (distance, cell) tie-break."""
+    """(id, cell): nearest-centroid assignment, squared-distance
+    argmin with deterministic (distance, cell) tie-break. For k ≤
+    :data:`MAX_EXPR_CENTROIDS` the k-row centroid table is collected
+    (bounded: k·dim values) and assignment runs as the shuffle-free
+    map-side expression; beyond that, the broadcast crossJoin +
+    ``min_by`` aggregation — same results either way
+    (pytest-asserted)."""
+    cent_rows = sorted((r.cell, list(r.centroid)) for r in cents.collect())
+    if len(cent_rows) <= MAX_EXPR_CENTROIDS:
+        return vecs.select(
+            F.col(id_col).alias("_id"),
+            kmeans_assign_expr(cent_rows, vec_col).alias("cell"))
+    return kmeans_assign_shuffle(vecs, cents, vec_col, id_col)
+
+
+def kmeans_assign_shuffle(vecs: DataFrame, cents: DataFrame,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """The broadcast-join assignment formulation — k rows per vector
+    through the ``min_by`` aggregation's shuffle. Only preferable when
+    k is too large to inline as an expression; kept callable so the
+    equivalence with :func:`kmeans_assign_expr` stays pytest-pinned."""
     d = sqdist(F.col(vec_col), F.col("centroid"))
     return (vecs.crossJoin(F.broadcast(cents))
                 .withColumn("_d", d)
@@ -368,10 +417,12 @@ def ivf_kmeans_search(emb: DataFrame, query_vec: list[float], k: int = 5,
     ranked = sorted(cents, key=lambda r: (-cos(r.centroid, qd), r.cell))
     probe_cells = [r.cell for r in ranked[:n_probe]]
 
-    assigned = kmeans_assign(vecs, cents_df, vec_col="_v", id_col="_id")
+    # Map-side assignment keeps _v on the row, so the probe is
+    # scan → filter → cosine → TakeOrderedAndProject: no join at all.
+    cent_rows = sorted((r.cell, list(r.centroid)) for r in cents)
     q = F.array(*[F.lit(x) for x in qd])
-    return (assigned.filter(F.col("cell").isin(probe_cells))
-            .join(vecs, "_id")
+    return (vecs.withColumn("cell", kmeans_assign_expr(cent_rows, "_v"))
+            .filter(F.col("cell").isin(probe_cells))
             .select(F.col("_id").alias(id_col), "cell",
                     F.round(V.cosine(F.col("_v"), q),
                             round_digits).alias("cosine"))

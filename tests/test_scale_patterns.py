@@ -364,6 +364,35 @@ def test_similarity_no_single_partition_window(spark):
                 f"{name} has a partition-less window: {spec}")
 
 
+def test_kmeans_assign_mapside_equals_shuffle_and_plans_narrow(spark):
+    """Nearest-centroid assignment under the inlined centroid-literal
+    expression must (a) produce exactly the shuffle formulation's
+    (id, cell) pairs — same sqdist fold, same (distance, cell)
+    tie-break — and (b) plan as a narrow projection: no Exchange, no
+    join anywhere. At 100 TB this is assignment as a map over the
+    scan instead of k rows per vector through a shuffle."""
+    from picoprobedataflow_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_v")
+    ).localCheckpoint(eager=True)
+    cents = SIM.kmeans_centroids(emb, n_clusters=5, n_iter=1, vecs=vecs)
+
+    mapside = SIM.kmeans_assign(vecs, cents, vec_col="_v", id_col="_id")
+    shuffled = SIM.kmeans_assign_shuffle(vecs, cents,
+                                         vec_col="_v", id_col="_id")
+    got = sorted((r._id, r.cell) for r in mapside.collect())
+    want = sorted((r._id, r.cell) for r in shuffled.collect())
+    assert got == want and len(got) > 0
+    assert len({c for _, c in got}) > 1  # non-degenerate clustering
+
+    plan = mapside._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
     """Spark's runtime bloom-filter injection — the engine-level semi-
     join pushdown that matters at 100 TB: a selective filter on the
