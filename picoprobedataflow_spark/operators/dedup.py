@@ -141,6 +141,44 @@ def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
                   .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"))
 
 
+def contamination_overlap(train_docs: DataFrame | None = None,
+                          bench_docs: DataFrame | None = None,
+                          k: int = 3, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          threshold: float = 0.0,
+                          train_shingles: DataFrame | None = None,
+                          bench_shingles: DataFrame | None = None
+                          ) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction
+    of its distinct k-word shingles that occur ANYWHERE in a held-out
+    benchmark corpus — the n-gram-overlap check LLM pipelines run
+    before training so eval data doesn't leak into the train set.
+    Returns (doc_id, n_shingles, n_overlap, overlap_frac) for docs
+    with overlap_frac ≥ ``threshold`` (0.0 keeps every doc).
+
+    Scale shape: the benchmark shingle UNIVERSE is deduped to one row
+    per shingle, then matched with a shingle-equality LEFT SEMI join —
+    bucketed by shingle like every other generator here, never
+    doc×doc. Benchmark corpora are tiny next to training corpora, so
+    AQE broadcasts the semi join's right side; the two aggregates are
+    doc_id-keyed (skew-free). Pass prebuilt ``*_shingles`` tables to
+    share tokenization with other shingle consumers."""
+    tr = train_shingles if train_shingles is not None \
+        else shingle_table(train_docs, k, text_col, id_col)
+    bs = (bench_shingles if bench_shingles is not None
+          else shingle_table(bench_docs, k, text_col, id_col))
+    bench_universe = bs.select("shingle").distinct()
+    sizes = tr.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (tr.join(bench_universe, "shingle", "left_semi")
+              .groupBy(id_col).agg(F.count("*").alias("n_overlap")))
+    frac = F.col("n_overlap") / F.col("n_shingles")
+    return (sizes.join(hits, id_col, "left")
+            .na.fill({"n_overlap": 0})
+            .filter(frac >= threshold)
+            .select(id_col, "n_shingles", "n_overlap",
+                    F.round(frac, 6).alias("overlap_frac")))
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

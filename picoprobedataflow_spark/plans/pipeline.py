@@ -119,6 +119,10 @@ _DOC_CAP = 150
 #: batch deduped against stored signature/band tables only.
 _DOC_SPLIT = 100
 
+#: Minimum benchmark-shingle overlap fraction for the ``contam``
+#: family — docs below it are considered clean and emit no row.
+_CONTAM_MIN = 0.05
+
 
 def _pairs_ctes() -> str:
     """CTE block (no WITH keyword) computing all three candidate-pair
@@ -204,6 +208,21 @@ spairs AS (
   FROM schunks a JOIN schunks b
     ON a.j = b.j AND a.chunk = b.chunk AND a.doc_id < b.doc_id
   WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+),
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 13 = 0),
+csize AS (
+  SELECT doc_id, count(*) AS n FROM sh WHERE doc_id % 13 <> 0
+  GROUP BY doc_id
+),
+chit AS (
+  SELECT s.doc_id, count(*) AS h
+  FROM sh s JOIN bsh USING (shingle)
+  WHERE s.doc_id % 13 <> 0 GROUP BY s.doc_id
+),
+cpairs AS (
+  SELECT c.doc_id, round(COALESCE(h, 0) * 1.0 / n, 6) AS score
+  FROM csize c LEFT JOIN chit USING (doc_id)
+  WHERE COALESCE(h, 0) * 1.0 / n >= {_CONTAM_MIN}
 )"""
 
 
@@ -330,7 +349,23 @@ def _spark_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ip = incr_pairs.select(F.lit("minhash_incr").alias("method"),
                            "doc_a", "doc_b",
                            F.col("est_jaccard").alias("score"))
-    return jp.unionByName(mp).unionByName(sp).unionByName(ip)
+    # contam (round 5): benchmark decontamination over the same
+    # shared shingle table — docs with doc_id % 13 == 0 stand in for
+    # the held-out eval corpus, every other doc reports the fraction
+    # of its shingles found in that benchmark universe (kept when
+    # ≥ 0.05). doc_b is NULL: contamination is doc-vs-corpus, not a
+    # pair.
+    is_bench = (F.col("doc_id") % 13) == 0
+    cont = DD.contamination_overlap(
+        threshold=_CONTAM_MIN,
+        train_shingles=sh.filter(~is_bench),
+        bench_shingles=sh.filter(is_bench))
+    cp = cont.select(F.lit("contam").alias("method"),
+                     F.col("doc_id").alias("doc_a"),
+                     F.lit(None).cast("long").alias("doc_b"),
+                     F.col("overlap_frac").alias("score"))
+    return (jp.unionByName(mp).unionByName(sp).unionByName(ip)
+              .unionByName(cp))
 
 
 @query(
@@ -345,9 +380,13 @@ FROM spairs
 UNION ALL
 SELECT 'minhash_incr' AS method, doc_a, doc_b, score FROM mpairs
 WHERE doc_a >= {_DOC_SPLIT} OR doc_b >= {_DOC_SPLIT}
+UNION ALL
+SELECT 'contam' AS method, doc_id AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+       score
+FROM cpairs
 """,
     tags=("dedup-jaccard", "dedup-minhash", "dedup-simhash", "lsh",
-          "dedup-incremental"),
+          "dedup-incremental", "decontamination"),
 )
 def dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate candidate pairs from all three sub-quadratic
@@ -366,7 +405,16 @@ def dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrive as a new batch deduped against only the stored corpus
     signature/band tables. Its oracle is the full-run mpairs
     restricted to pairs touching the batch — the incremental ≡ full
-    contract enforced by the driver's hash gate, not just pytest."""
+    contract enforced by the driver's hash gate, not just pytest.
+
+    The ``contam`` family (round 5) is benchmark DECONTAMINATION
+    (`operators.dedup.contamination_overlap`): docs with
+    doc_id % 13 == 0 stand in for a held-out eval corpus, and every
+    other doc reports the fraction of its distinct 3-shingles found
+    in that benchmark's shingle universe (emitted when ≥ 0.05,
+    doc_b NULL — doc-vs-corpus, not a pair). One LEFT SEMI
+    shingle-equality join against the deduped benchmark universe,
+    sharing the suite's materialized shingle table."""
     return _spark_candidate_pairs(spark, sf_dir)
 
 
@@ -413,7 +461,10 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     set to the decreasing-label wavefront instead of full
     reachability."""
     docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < _DOC_CAP)
+    # contam rows are doc-vs-corpus diagnostics (doc_b NULL), not
+    # duplicate edges — only real pairs enter the cluster graph.
     edges = (_spark_candidate_pairs(spark, sf_dir)
+             .filter(F.col("method") != "contam")
              .select("doc_a", "doc_b").distinct())
     return DD.near_dup_survivors(docs, edges)
 

@@ -28,6 +28,31 @@ def test_exact_dup_mapping(spark):
     assert mapping == {2: 0, 3: 0}
 
 
+def test_contamination_overlap_known_fractions(spark):
+    """Decontamination on a crafted corpus: a doc equal to a benchmark
+    doc scores 1.0, a half-overlapping doc scores its exact shingle
+    fraction, a disjoint doc scores 0 and is dropped by a positive
+    threshold; the benchmark docs themselves are not scored."""
+    bench = _docs(spark, ["alpha beta gamma delta epsilon zeta"])
+    train = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),   # full copy
+         (11, "alpha beta gamma delta nine ten eleven"),  # partial
+         (12, "one two three four five six")],            # clean
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in DD.contamination_overlap(
+        train, bench, k=3).collect()}
+    assert set(rows) == {10, 11, 12}
+    assert rows[10].overlap_frac == 1.0
+    # doc 11: shingles = 5 total, 2 of them (alpha beta gamma /
+    # beta gamma delta) occur in the benchmark
+    assert rows[11].n_shingles == 5 and rows[11].n_overlap == 2
+    assert rows[11].overlap_frac == 0.4
+    assert rows[12].n_overlap == 0 and rows[12].overlap_frac == 0.0
+    kept = {r.doc_id for r in DD.contamination_overlap(
+        train, bench, k=3, threshold=0.05).collect()}
+    assert kept == {10, 11}
+
+
 def test_jaccard_identical_and_disjoint(spark):
     docs = _docs(spark, [
         "the quick brown fox jumps over the lazy dog",
