@@ -185,6 +185,41 @@ def mixture_sample(docs, weights: dict[str, float],
                                            F.lit(0)))
 
 
+def stratified_sample(docs, n_per_stratum: int,
+                      by_col: str = "source", id_col: str = "doc_id",
+                      salt: str = "strat", shard_span: int = 32):
+    """Deterministic EXACT-QUOTA stratified sampling: the
+    ``n_per_stratum`` documents with the smallest
+    (md5(salt:id), id) rank within each stratum — strata with fewer
+    docs keep them all. Complements :func:`mixture_sample` (which
+    keeps a *fraction*): quotas are what you want when balancing
+    strata of wildly different sizes (cap the crawl, keep all the
+    code). Pure function of the ids — stable across runs, engines,
+    partitionings.
+
+    Scale shape: TWO-PHASE top-N, the per-group generalization of
+    TakeOrderedAndProject (same discipline as
+    ``operators.packing.pack_sequences``). A per-(stratum, shard)
+    window takes each shard's local top-N in parallel, then the
+    per-stratum window ranks only the surviving ≤ N·shards candidate
+    rows — a single-window form would instead total-order every
+    stratum's full membership through one partition (a handful of
+    strata = a handful of reducers sorting the whole corpus).
+    Single-window ≡ two-phase is pytest-asserted."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    h = F.md5(F.concat(F.lit(salt + ":"),
+                       F.col(id_col).cast("string")).cast("binary"))
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(shard_span))
+    w1 = W.partitionBy(by_col, shard).orderBy(h, id_col)
+    cand = (docs.withColumn("_r1", F.row_number().over(w1))
+                .filter(F.col("_r1") <= n_per_stratum).drop("_r1"))
+    w2 = W.partitionBy(by_col).orderBy(h, id_col)
+    return (cand.withColumn("_r", F.row_number().over(w2))
+                .filter(F.col("_r") <= n_per_stratum).drop("_r"))
+
+
 #: Gopher-style repetition-filter thresholds (calibrated on the test
 #: corpus so the keep/drop split is non-degenerate; the shapes follow
 #: Rae et al. 2021 §A1.1 "repetition removal").

@@ -1055,6 +1055,18 @@ mixture AS (
                       WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000
                       ELSE 0 END
   GROUP BY 1
+),
+strat AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars
+  FROM (
+    SELECT source, text,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS r
+    FROM documents)
+  WHERE r <= 40 GROUP BY 1
 )
 SELECT 'langid' AS family, lang AS k, predicted_lang AS k2,
        n, CAST(NULL AS BIGINT) AS total_words,
@@ -1071,18 +1083,23 @@ FROM splits
 UNION ALL
 SELECT 'mixture', source, NULL, n_docs, NULL, NULL, total_chars
 FROM mixture
+UNION ALL
+SELECT 'strat_sample', source, NULL, n_docs, NULL, NULL, total_chars
+FROM strat
 """,
     tags=("lang-id", "token-count", "dataset-split", "sampling",
-          "mixture-sampling"),
+          "mixture-sampling", "stratified-sampling"),
 )
 def corpus_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level grouped accounting, three families in one scan
+    """Corpus-level grouped accounting, five families in one scan
     union: (a) language-ID confusion — stopword-hit argmax heuristic
     vs gold label; (b) per-source token budget (exact-integer sums →
     exact means); (c) deterministic md5(doc_id) 80/10/10
     train/val/test split counts (never ``rand()`` — stable across
-    runs, engines, partitionings). Long-form (family, k, k2) keys
-    with per-family measure columns."""
+    runs, engines, partitionings); (d) ``mixture`` — fractional
+    mixture sampling accounting; (e) ``strat_sample`` — exact-quota
+    stratified sampling accounting (round 5). Long-form (family, k,
+    k2) keys with per-family measure columns."""
     docs = tbl(spark, sf_dir, "documents")
     nulls = lambda t: F.lit(None).cast(t)  # noqa: E731
 
@@ -1145,8 +1162,23 @@ def corpus_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                        nulls("long").alias("total_words"),
                        nulls("double").alias("mean_words"), "total_chars"))
 
+    # strat_sample family (round 5): the exact-quota stratified
+    # sampler (two-phase sharded top-N per source — never a
+    # full-stratum total order); the oracle replays the selection
+    # with the equivalent single-window form.
+    strat = (TX.stratified_sample(docs, n_per_stratum=40)
+             .groupBy("source")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.length("text")).cast("long")
+                   .alias("total_chars"))
+             .select(F.lit("strat_sample").alias("family"),
+                     F.col("source").alias("k"),
+                     nulls("string").alias("k2"), "n",
+                     nulls("long").alias("total_words"),
+                     nulls("double").alias("mean_words"), "total_chars"))
+
     return (langid.unionByName(toksrc).unionByName(splits)
-                  .unionByName(mixture))
+                  .unionByName(mixture).unionByName(strat))
 
 
 @query(

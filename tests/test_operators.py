@@ -516,6 +516,58 @@ def test_mixture_sample_deterministic_and_proportional(spark):
     assert a_src == b_src
 
 
+def test_stratified_sample_exact_quota_and_two_phase_equivalence(spark):
+    """Exact-quota stratified sampling: every stratum keeps exactly
+    min(quota, |stratum|) docs, the kept set is a pure function of
+    the ids (stable across partitionings and shard widths — the
+    two-phase sharded top-N must equal the single-window selection),
+    and all windows in the deployed plan carry the shard key."""
+    import re
+
+    from pyspark.sql.window import Window as W
+
+    from picoprobedataflow_spark.functions.text import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sizes = {r.source: r.n for r in docs.groupBy("source").count()
+             .withColumnRenamed("count", "n").collect()}
+    quota = 30
+
+    h = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))
+              .cast("binary"))
+    single = (docs.withColumn(
+        "_r", F.row_number().over(
+            W.partitionBy("source").orderBy(h, "doc_id")))
+        .filter(F.col("_r") <= quota))
+    want = {r.doc_id for r in single.select("doc_id").collect()}
+
+    for span in (1, 7, 32):
+        got_df = stratified_sample(docs, quota, shard_span=span)
+        got = {r.doc_id for r in got_df.select("doc_id").collect()}
+        assert got == want, f"span={span}"
+    by_src = {r.source: r.n for r in
+              stratified_sample(docs.repartition(11), quota)
+              .groupBy("source").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert by_src == {s: min(quota, n) for s, n in sizes.items()}
+
+    plan = (stratified_sample(docs, quota)
+            ._jdf.queryExecution().executedPlan().toString())
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    # phase-1's window partitions by (source, shard) — two partition
+    # columns before the first ordering expression; phase-2's
+    # per-stratum window ranks only the <= quota*shards survivors
+    def n_part_cols(spec):
+        n = 0
+        for field in spec.split(", "):
+            if " ASC" in field or " DESC" in field:
+                break
+            n += 1
+        return n
+    assert max(n_part_cols(s) for s in specs) >= 2, specs
+
+
 # --------------------------------------------------------------------------
 # Binned range join
 # --------------------------------------------------------------------------
