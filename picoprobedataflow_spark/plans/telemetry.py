@@ -243,7 +243,21 @@ natf AS (
          CASE WHEN gap_us >= 1800000000 OR gap_us IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM deltas
-)
+),
+sess AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         sum(CASE WHEN gap_us >= 1800000000 OR gap_us IS NULL
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM deltas
+),
+spans AS (
+  SELECT user_id, sid, count(*) AS n,
+         max(us) + 1800000000 AS end_us
+  FROM sess GROUP BY 1, 2
+),
+wm AS (SELECT max(epoch_us(ts)) - 7200000000 AS w FROM events)
 SELECT 'lag_cumsum' AS family, user_id,
        CAST(sum(new_session) AS BIGINT) AS n_sessions,
        CAST(count(*) AS BIGINT)         AS n_events
@@ -253,11 +267,19 @@ SELECT 'session_window', user_id,
        CAST(sum(new_session) AS BIGINT),
        CAST(count(*) AS BIGINT)
 FROM natf GROUP BY user_id
+UNION ALL
+SELECT 'session_window_append', user_id,
+       CAST(count(*) AS BIGINT),
+       CAST(sum(n) AS BIGINT)
+FROM spans, wm WHERE end_us < w GROUP BY user_id
 """,
-    tags=("ST6", "sessionization", "session-window"),
+    tags=("ST6", "sessionization", "session-window", "watermark",
+          "append-mode"),
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization two ways that the hash gate pins independently:
+    """Sessionization three ways that the hash gate pins
+    independently (the third being the production append-mode
+    emission semantics — see the family notes below):
 
     - ``lag_cumsum`` — lag + running sum of session-start flags
       (single shuffle on user_id shared by both windows); a new
@@ -289,12 +311,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.lit("lag_cumsum").alias("family"), "user_id",
                        "n_sessions", "n_events"))
     src = ts_to_us(stream_events(spark, sf_dir))
+    evt = src.select("user_id", F.timestamp_micros("ts").alias("tst"))
     # Complete output mode: every session stays in state until the
     # drain finishes, so trailing sessions (whose close the watermark
-    # never passes under availableNow) are emitted too — append mode
-    # would silently hold them back and break stream≡batch.
-    sw = (src.select("user_id", F.timestamp_micros("ts").alias("tst"))
-             .groupBy("user_id", F.session_window("tst", "30 minutes"))
+    # never passes under availableNow) are emitted too.
+    sw = (evt.groupBy("user_id", F.session_window("tst", "30 minutes"))
              .agg(F.count("*").alias("n")))
     sessions = drain_stream_to_local(spark, sw)
     native = (sessions.groupBy("user_id")
@@ -302,7 +323,22 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.sum("n").cast("long").alias("n_events"))
               .select(F.lit("session_window").alias("family"), "user_id",
                       "n_sessions", "n_events"))
-    return lag_fam.unionByName(native)
+    # session_window_append (round 5): the PRODUCTION shape — append
+    # mode + watermark, each session emitted exactly once when the
+    # watermark (max event time − 2 h) passes its end. The oracle
+    # replays the eviction rule (session end < watermark) over the
+    # same gap-≥-30-min session reconstruction, so the driver's hash
+    # gate pins the append/withheld split, not just the pytest.
+    sw_app = (evt.withWatermark("tst", "2 hours")
+              .groupBy("user_id", F.session_window("tst", "30 minutes"))
+              .agg(F.count("*").alias("n")))
+    appended = drain_stream_to_local(spark, sw_app, output_mode="append")
+    app_fam = (appended.groupBy("user_id")
+               .agg(F.count("*").cast("long").alias("n_sessions"),
+                    F.sum("n").cast("long").alias("n_events"))
+               .select(F.lit("session_window_append").alias("family"),
+                       "user_id", "n_sessions", "n_events"))
+    return lag_fam.unionByName(native).unionByName(app_fam)
 
 
 # --------------------------------------------------------------------------
