@@ -329,3 +329,150 @@ def q4_priority_with_late_ship(spark: SparkSession,
                         AND l.l_shipdate > o.o_orderdate)
         GROUP BY o_orderpriority
     """)
+
+
+# --------------------------------------------------------------------------
+# The last three TPC-H shapes (round 5): Q2 / Q12 / Q20, adapted to the
+# star schema the testdata ships (no partsupp / l_shipmode /
+# l_commitdate — lineitem is the part↔supplier bridge, the
+# late-shipment predicate stands in for commit<receipt, and
+# l_linestatus stands in for l_shipmode). With these the catalog
+# carries all 22 TPC-H query shapes oracle-gated.
+# --------------------------------------------------------------------------
+
+_TPCH_GAP_ORACLE = """
+WITH cost AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS supply_cost
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY 1, 2
+)
+SELECT 'q2' AS family, CAST(p_partkey AS VARCHAR) AS k1, s_name AS k2,
+       c.supply_cost / 1e2 AS v1, s_acctbal AS v2
+FROM part p
+JOIN cost c ON p.p_partkey = c.partkey
+JOIN supplier ON c.suppkey = s_suppkey
+WHERE p_size IN (9, 19, 36) AND p_type IN ('STANDARD', 'ECONOMY')
+  AND c.supply_cost = (SELECT min(c2.supply_cost) FROM cost c2
+                       WHERE c2.partkey = p.p_partkey)
+UNION ALL
+SELECT 'q12', l_linestatus, NULL,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS DOUBLE),
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND EXTRACT(year FROM l_shipdate) = 1997
+GROUP BY 2
+UNION ALL
+SELECT 'q20', s_name, n_name, s_acctbal, CAST(NULL AS DOUBLE)
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part
+                        WHERE p_name LIKE '%bolt%')
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_partkey, l_suppkey
+    HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 30
+  )
+"""
+
+
+@query(
+    "tpch_gap_suite",
+    oracle=_TPCH_GAP_ORACLE,
+    tags=("tpch-q2", "tpch-q12", "tpch-q20", "J1", "J5", "A5",
+          "subquery"),
+)
+def tpch_gap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three TPC-H shapes the catalog lacked, normalized to
+    (family, k1, k2, v1, v2):
+
+    - ``q2`` minimum-cost supplier: the supply cost of a
+      (part, supplier) pair is the minimum exact-cents extended price
+      over their lineitems (lineitem is this schema's partsupp
+      bridge), restricted to EUROPE suppliers; the correlated scalar
+      ``min`` picks each part's cheapest supplier. Catalyst
+      decorrelates the scalar subquery into a per-partkey aggregate
+      joined back on (partkey, supply_cost) — the CTE's grouped
+      aggregate is computed once, not per part row, and ties emit all
+      minimum-cost suppliers (deterministic, no arbitrary pick).
+    - ``q12`` late-shipment priority split: conditional-sum pivot of
+      high- vs low-priority order counts per l_linestatus (the
+      schema's ship-mode stand-in) over lineitems shipped ≥60 days
+      after the order date — one equi-join + one hash aggregate; the
+      CASE sums are map-side partial.
+    - ``q20`` excess-volume suppliers: nested IN subqueries (part
+      name slice → grouped HAVING over shipped quantity → supplier
+      membership) — both INs decorrelate to left-semi joins; the
+      inner aggregate reduces lineitem to qualifying suppkeys before
+      touching supplier, so the semi-join build side is bounded by
+      |suppliers|, not |lineitems|.
+
+    Exact-integer money/quantity discipline throughout
+    (cents / rounded-quantity BIGINTs) so both engines compare
+    identical integers; doubles appear only in final emitted values.
+    Reference parity: the flow analyzer's per-run cheapest/excess
+    lookups (picoprobe/flow_analyzer.py:174-196) are dict-probe
+    loops; these are their decorrelated relational generalizations.
+    """
+    v = _views(spark, sf_dir, "region", "nation", "supplier", "part",
+               "orders", "lineitem")
+    return spark.sql(f"""
+        WITH cost AS (
+          SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                 min(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     AS supply_cost
+          FROM {v['lineitem']}
+          JOIN {v['supplier']} ON l_suppkey = s_suppkey
+          JOIN {v['nation']}   ON s_nationkey = n_nationkey
+          JOIN {v['region']}   ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+          GROUP BY 1, 2
+        )
+        SELECT 'q2' AS family, CAST(p_partkey AS STRING) AS k1,
+               s_name AS k2, c.supply_cost / 1e2 AS v1, s_acctbal AS v2
+        FROM {v['part']} p
+        JOIN cost c ON p.p_partkey = c.partkey
+        JOIN {v['supplier']} ON c.suppkey = s_suppkey
+        WHERE p_size IN (9, 19, 36) AND p_type IN ('STANDARD', 'ECONOMY')
+          AND c.supply_cost = (SELECT min(c2.supply_cost) FROM cost c2
+                               WHERE c2.partkey = p.p_partkey)
+        UNION ALL
+        SELECT 'q12', l_linestatus, NULL,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS DOUBLE),
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT',
+                                                          '2-HIGH')
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+        FROM {v['lineitem']}
+        JOIN {v['orders']} ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+          AND EXTRACT(year FROM l_shipdate) = 1997
+        GROUP BY 2
+        UNION ALL
+        SELECT 'q20', s_name, n_name, s_acctbal, CAST(NULL AS DOUBLE)
+        FROM {v['supplier']}
+        JOIN {v['nation']} ON s_nationkey = n_nationkey
+        JOIN {v['region']} ON n_regionkey = r_regionkey
+        WHERE r_name = 'AMERICA'
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM {v['lineitem']}
+            WHERE l_partkey IN (SELECT p_partkey FROM {v['part']}
+                                WHERE p_name LIKE '%bolt%')
+              AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_partkey, l_suppkey
+            HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 30
+          )
+    """)

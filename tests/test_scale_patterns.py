@@ -428,3 +428,22 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_gap_suite_scale_shapes(spark):
+    """Q2/Q12/Q20 keep their decorrelated shapes: the correlated
+    scalar min (q2) and both nested INs (q20) become aggregate-built
+    hash joins — no per-row re-execution, no Cartesian product — and
+    the only window-free global structure is hash aggregation."""
+    from picoprobedataflow_spark.plans import catalog
+
+    df = catalog.specs()["tpch_gap_suite"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # q20's membership INs decorrelate to left-semi hash joins.
+    assert "LeftSemi" in plan
+    # the correlated scalar subquery is gone from the physical plan:
+    # no nested-loop join anywhere (the scalar min became a grouped
+    # aggregate joined back on partkey).
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
