@@ -386,3 +386,54 @@ def langid_ngram(text: Column | str) -> Column:
         expr = (F.when(cond, F.lit(lang)) if expr is None
                 else expr.when(cond, F.lit(lang)))
     return expr
+
+
+def bm25_scores(docs, query_terms, k1: float = 1.2, b: float = 0.75,
+                text_col: str = "text", id_col: str = "doc_id"):
+    """Okapi BM25 relevance of every document against a fixed query
+    term set: ``sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+    with the Lucene non-negative idf ``ln((N-df+0.5)/(df+0.5) + 1)``.
+    Returns (id_col, score), unrounded — callers round before ranking
+    (catalog encoding rule) so a last-ulp ``ln`` difference cannot
+    flip a top-k boundary.
+
+    Scale shape: the token stream is filtered to the |Q| query terms
+    BEFORE any aggregate (an ``isin`` over a literal array inside the
+    explode projection — the dominant data reduction, |Q| terms not
+    |vocab|), and the document length rides along the explode so tf
+    and dl come out of ONE (doc, term) hash aggregate — no separate
+    per-doc length join. df/N/avgdl are |Q|-row / 1-row aggregates
+    broadcast back (Catalyst scalar broadcasts, never a driver
+    round-trip); the per-doc score sum is the only other shuffle.
+    This is the retrieval scorer of a training-data search/filter
+    loop (the reference greps its run logs for marker strings,
+    flow_analyzer.py:113-121; BM25 is the ranked generalization).
+    """
+    from pyspark.sql import functions as F
+
+    terms = [str(t) for t in query_terms]
+    toks = docs.select(
+        F.col(id_col),
+        n_words(text_col).cast("double").alias("dl"),
+        F.explode(words(text_col)).alias("term"),
+    ).filter(F.col("term").isin(terms))
+    tf = (toks.groupBy(id_col, "term")
+          .agg(F.count("*").cast("double").alias("tf"),
+               F.max("dl").alias("dl")))
+    dfq = toks.groupBy("term").agg(
+        F.countDistinct(id_col).cast("double").alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(n_words(text_col).cast("double")).alias("avgdl"))
+    idf = (dfq.crossJoin(F.broadcast(stats))
+           .select("term", "avgdl",
+                   F.log((F.col("n_docs") - F.col("df") + 0.5)
+                         / (F.col("df") + 0.5) + 1.0).alias("idf")))
+    per_term = (tf.join(F.broadcast(idf), "term")
+                .select(F.col(id_col),
+                        (F.col("idf") * F.col("tf") * (k1 + 1.0)
+                         / (F.col("tf")
+                            + k1 * (1.0 - b
+                                    + b * F.col("dl") / F.col("avgdl"))))
+                        .alias("s")))
+    return per_term.groupBy(id_col).agg(F.sum("s").alias("score"))

@@ -1326,3 +1326,73 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (weighted.withColumn("rk", rk)
             .filter(F.col("rk") <= 3)
             .select("doc_id", "term", "weight"))
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval (round 5) — the ranked generalization of the
+# reference's log-grep (flow_analyzer.py:113-121): score every
+# document against a fixed query term set, return the top 25.
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len({_WORDS}) AS DOUBLE) AS dl,
+         unnest({_WORDS}) AS term
+  FROM documents
+),
+ft AS (SELECT * FROM toks WHERE term IN ('spark','join','window','stream')),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+  FROM ft GROUP BY 1, 2
+),
+dfq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+  FROM ft GROUP BY 1
+),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(CAST(len({_WORDS}) AS DOUBLE)) AS avgdl
+  FROM documents
+),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * ({_BM25_K1} + 1.0)
+                   / (tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                          + {_BM25_B} * tf.dl / avgdl))), 6) AS score
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, score FROM scored
+ORDER BY score DESC, doc_id
+LIMIT 25
+"""
+
+
+@query(
+    "bm25_retrieval",
+    oracle=_BM25_ORACLE,
+    tags=("bm25", "retrieval", "ranking", "top-k", "llm-pipeline"),
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 documents by Okapi BM25 relevance to a fixed 4-term
+    query (:func:`functions.text.bm25_scores` is the operator).
+    Scores are rounded to 6 dp BEFORE ranking on both engines (same
+    rule as ``tfidf_top_terms``) so a last-ulp ``ln`` difference can
+    never flip the cut line; exact ties break on doc_id.
+
+    Scale shape: token stream filtered to the |Q|=4 query terms
+    inside the explode projection (the reduction happens at the scan,
+    not after a vocabulary-wide aggregate), dl rides the explode so
+    tf+dl come from one hash aggregate, df/N/avgdl are broadcast
+    scalar aggregates, and the final top-25 compiles to
+    TakeOrderedAndProject — a per-partition top-k, no global sort."""
+    docs = tbl(spark, sf_dir, "documents")
+    scored = TX.bm25_scores(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
+    return (scored.select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(25))

@@ -797,3 +797,50 @@ def test_incremental_minhash_equals_full_recompute(spark):
     assert sorted(map(tuple, new_bands.collect())) == \
         sorted(map(tuple, band_signatures(minhash_signatures(new))
                    .collect()))
+
+
+def test_bm25_scores_hand_check(spark):
+    """BM25 on a 3-doc corpus vs the hand formula (Lucene idf,
+    k1=1.2, b=0.75): tf saturation and length normalization both
+    move scores the right way."""
+    import math
+
+    from picoprobedataflow_spark.functions.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "apple cherry"), (2, "durian pear")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.score
+           for r in bm25_scores(docs, ["apple", "durian"]).collect()}
+    n, avgdl, k1, b = 3.0, (3 + 2 + 2) / 3.0, 1.2, 0.75
+
+    def bm25(tf, df, dl):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert abs(out[0] - bm25(2, 2, 3)) < 1e-9
+    assert abs(out[1] - bm25(1, 2, 2)) < 1e-9
+    assert abs(out[2] - bm25(1, 1, 2)) < 1e-9
+    # rarer term (df=1) outranks the common one at equal tf and dl
+    assert out[2] > out[1]
+    # docs with no query term don't appear
+    assert set(out) == {0, 1, 2}
+
+
+def test_bm25_retrieval_scale_shapes(spark):
+    """The BM25 entry's plan: query-term filter evaluated before any
+    aggregate (the |Q|-term reduction happens at the token stream,
+    not post-vocabulary), broadcast joins only for the |Q|-row idf
+    and 1-row stats sides, and a TakeOrderedAndProject top-k — no
+    global Sort, no SortMergeJoin."""
+    from picoprobedataflow_spark.plans import catalog
+
+    df = catalog.specs()["bm25_retrieval"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject(limit=25" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the isin filter sits below the first hash aggregate
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos > 0 and "term" in plan[agg_pos:]
+    assert df.count() > 0
