@@ -126,3 +126,91 @@ def pack_sequences_single_window(df: DataFrame, ctx_len: int = 512,
                         .cast("long"))
             .withColumn("offset_in_bin",
                         F.col("cum_before") % F.lit(int(ctx_len))))
+
+
+def select_token_budget(df: DataFrame, budget: int,
+                        order_col: str = "qb", id_col: str = "doc_id",
+                        tok_col: str = "n_tokens",
+                        shard_span: int = 64) -> DataFrame:
+    """Curriculum selection under a token budget: walk the corpus in
+    (``order_col`` DESC, ``id_col`` ASC) order — highest-quality
+    first — and keep every document that starts before ``budget``
+    cumulative tokens. The greedy prefix is what data-mixture recipes
+    mean by "take the best N tokens"; ``order_col`` must be an exact
+    integer key (e.g. a 1e6-scaled rounded quality score) so the
+    ordering can never disagree across engines or partitionings.
+
+    Adds ``cum_before`` (tokens ahead of this doc in curriculum
+    order) and filters to ``cum_before < budget``.
+
+    Scale shape: THREE-level scan parallelization, a strictly
+    stronger form of :func:`pack_sequences`'s two-phase stitch whose
+    sequential stage is bounded by the KEY DOMAIN, not the corpus:
+
+    1. within-(bucket, id-range) cumsum — windows keyed by
+       (``order_col``, shard), parallel across the whole corpus;
+    2. shard offsets within each bucket — a window keyed by
+       ``order_col`` over the |corpus|/``shard_span``-row shard
+       totals, still parallel across buckets;
+    3. bucket offsets — the ONLY partition-less window, over the
+       per-bucket grand totals: ≤|``order_col`` domain| rows (a
+       1e6-scaled score has ≤1.25M possible values) REGARDLESS of
+       corpus size — the same boundedness argument as a k-row
+       centroid table.
+
+    ``cum = bucket_off + shard_off + within_cum`` — exact int64,
+    value-identical to the single-window form (pytest-asserted).
+    No corpus-proportional data ever crosses a single partition."""
+    sh = F.expr(f"CAST({id_col} AS BIGINT) div {int(shard_span)}")
+    base = df.withColumn("_sh", sh)
+
+    sh_totals = (base.groupBy(order_col, "_sh")
+                 .agg(F.sum(tok_col).cast("long").alias("_t")))
+    w_sh = (W.partitionBy(order_col).orderBy("_sh")
+            .rowsBetween(W.unboundedPreceding, -1))
+    sh_off = (sh_totals
+              .withColumn("_shoff",
+                          F.coalesce(F.sum("_t").over(w_sh),
+                                     F.lit(0)).cast("long")))
+
+    qb_totals = sh_totals.groupBy(order_col).agg(
+        F.sum("_t").cast("long").alias("_qt"))
+    w_qb = (W.orderBy(F.desc(order_col))
+            .rowsBetween(W.unboundedPreceding, -1))
+    qb_off = (qb_totals
+              .withColumn("_qboff",
+                          F.coalesce(F.sum("_qt").over(w_qb),
+                                     F.lit(0)).cast("long"))
+              .drop("_qt"))
+
+    offsets = (sh_off.join(F.broadcast(qb_off), order_col)
+               .withColumn("_off", (F.col("_qboff") + F.col("_shoff"))
+                           .cast("long"))
+               .select(order_col, "_sh", "_off"))
+
+    w_in = (W.partitionBy(order_col, "_sh").orderBy(id_col)
+            .rowsBetween(W.unboundedPreceding, -1))
+    out = (base
+           .withColumn("_cin", F.coalesce(F.sum(tok_col).over(w_in),
+                                          F.lit(0)).cast("long"))
+           .join(F.broadcast(offsets), [order_col, "_sh"])
+           .withColumn("cum_before", (F.col("_off") + F.col("_cin"))
+                       .cast("long"))
+           .drop("_sh", "_cin", "_off"))
+    return (out.select(*df.columns, "cum_before")
+            .filter(F.col("cum_before") < int(budget)))
+
+
+def select_token_budget_single_window(df: DataFrame, budget: int,
+                                      order_col: str = "qb",
+                                      id_col: str = "doc_id",
+                                      tok_col: str = "n_tokens"
+                                      ) -> DataFrame:
+    """Single global-window formulation — equivalence baseline only
+    (the single-reducer plan), never the deployed path."""
+    w = (W.orderBy(F.desc(order_col), F.asc(id_col))
+         .rowsBetween(W.unboundedPreceding, -1))
+    return (df.withColumn("cum_before",
+                          F.coalesce(F.sum(tok_col).over(w), F.lit(0))
+                          .cast("long"))
+            .filter(F.col("cum_before") < int(budget)))

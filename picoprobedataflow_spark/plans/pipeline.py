@@ -28,6 +28,20 @@ from picoprobedataflow_spark.plans.common import tbl
 #: words per doc (docs always have ≥10 tokens in the testdata).
 _WORDS = ("string_split_regex(trim(text), '\\s+')")
 
+#: DuckDB twin of ``functions.text.quality_score`` — ONE constant so
+#: the composite formula can never drift between the quality-metrics
+#: and curriculum-selection oracles.
+_QUALITY_SQL = f"""round(0.5 * least(length(text) / 500.0, 1.0)
+           + 0.5 * least(len(list_filter({_WORDS}, t -> list_contains(
+                  ['the','a','of','and','to','is','in'], lower(t))))
+                  * 1.0 / greatest(len({_WORDS}), 1) * 5.0, 1.0)
+           - 0.25 * least(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
+                  * 1.0 / greatest(length(text), 1) * 4.0, 1.0), 6)"""
+
+#: DuckDB twin of ``functions.text.n_tokens_bpe``.
+_NTOK_SQL = ("CAST(len(regexp_extract_all(text,"
+             " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)")
+
 #: MATERIALIZED matters: DuckDB 1.0 inlines CTEs at every reference,
 #: so without it the shingle explode re-runs once per consumer
 #: (jsizes + both sides of the jcommon self-join + sigs). Materializing
@@ -812,12 +826,7 @@ SELECT doc_id,
        len(list_filter({_WORDS}, t -> list_contains(
             ['the','a','of','and','to','is','in'], lower(t))))
          * 1.0 / greatest(len({_WORDS}), 1) AS stopword_ratio,
-       round(0.5 * least(length(text) / 500.0, 1.0)
-           + 0.5 * least(len(list_filter({_WORDS}, t -> list_contains(
-                  ['the','a','of','and','to','is','in'], lower(t))))
-                  * 1.0 / greatest(len({_WORDS}), 1) * 5.0, 1.0)
-           - 0.25 * least(length(regexp_replace(text, '[^.,!?;:]', '', 'g'))
-                  * 1.0 / greatest(length(text), 1) * 4.0, 1.0), 6)
+       {_QUALITY_SQL}
          AS quality,
        md5(text) AS md5_full,
        md5(substr(text, 1, 64)) || ':' || md5(substr(reverse(text), 1, 64))
@@ -1396,3 +1405,63 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.select("doc_id", F.round("score", 6).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(25))
+
+
+# --------------------------------------------------------------------------
+# Token-budget curriculum selection (round 5): "take the best 10k
+# tokens" — quality-ordered greedy prefix under a global token budget,
+# computed with the two-phase sharded cumsum (never a single-partition
+# window; same discipline as sequence_packing).
+# --------------------------------------------------------------------------
+
+_CURRICULUM_BUDGET = 10_000
+
+_CURRICULUM_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(round(({_QUALITY_SQL}) * 1e6) AS BIGINT) AS qb,
+         {_NTOK_SQL} AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+              ORDER BY qb DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_before
+  FROM q
+)
+SELECT doc_id, qb, n_tokens, cum_before
+FROM c WHERE cum_before < {_CURRICULUM_BUDGET}
+"""
+
+
+@query(
+    "token_budget_curriculum",
+    oracle=_CURRICULUM_ORACLE,
+    tags=("curriculum", "token-budget", "cumsum", "llm-pipeline",
+          "W3"),
+)
+def token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents selected highest-quality-first until a 10k-token
+    budget: the corpus is walked in (quality DESC, doc_id) order and
+    every doc that STARTS before the budget line is kept (greedy
+    prefix — the "best N tokens" primitive of data-mixture recipes).
+    The ordering key is the 1e6-scaled rounded quality score cast to
+    int64, so curriculum order is exact-integer on both engines —
+    no float comparison anywhere in the ordering or the cut.
+
+    Scale shape: :func:`operators.packing.select_token_budget` — the
+    two-phase sharded cumsum (per-(quality-bucket, id-range) windows
+    in parallel, per-shard totals stitched through a
+    |corpus|/span-row broadcast table). The oracle replays the
+    single-window formulation; two-phase ≡ single-window is also
+    pytest-asserted, same as sequence_packing."""
+    from picoprobedataflow_spark.operators.packing import \
+        select_token_budget
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(TX.quality_score("text") * 1e6, 0).cast("long")
+         .alias("qb"),
+        TX.n_tokens_bpe("text").cast("long").alias("n_tokens"))
+    return select_token_budget(docs, _CURRICULUM_BUDGET)

@@ -844,3 +844,54 @@ def test_bm25_retrieval_scale_shapes(spark):
     agg_pos = plan.find("HashAggregate")
     assert agg_pos > 0 and "term" in plan[agg_pos:]
     assert df.count() > 0
+
+
+def test_token_budget_three_phase_equals_single_window(spark):
+    """select_token_budget's three-level stitch is value-identical to
+    the single-global-window form across shard widths (incl. widths
+    that don't divide the corpus and span=1), and the kept set is the
+    exact greedy prefix: sorted by (qb DESC, doc_id), every kept doc
+    starts under budget, the first dropped one doesn't."""
+    from picoprobedataflow_spark.operators.packing import (
+        select_token_budget, select_token_budget_single_window)
+
+    rows = [(i, (i * 7919) % 23, 1 + (i * 31) % 40) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, qb long, n_tokens long")
+    budget = 2000
+    want = sorted(select_token_budget_single_window(df, budget)
+                  .collect())
+    for span in (1, 7, 64, 1000):
+        got = sorted(select_token_budget(df, budget, shard_span=span)
+                     .collect())
+        assert got == want, f"span={span}"
+    # greedy-prefix semantics
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum, kept = 0, []
+    for i, qb, t in ordered:
+        if cum < budget:
+            kept.append((i, qb, t, cum))
+        cum += t
+    assert sorted(kept) == [tuple(r) for r in want]
+
+
+def test_token_budget_windows_keyed_or_domain_bounded(spark):
+    """Plan discipline: every window over corpus-proportional data is
+    keyed by (qb, _sh); exactly one partition-less window exists and
+    it runs over the per-bucket grand totals (ordered by qb alone —
+    the domain-bounded stitch stage)."""
+    import re
+
+    from picoprobedataflow_spark.plans import catalog
+
+    df = catalog.specs()["token_budget_curriculum"].fn(
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    partitionless = []
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = spec.split(",")[0]
+        if " ASC" in first or " DESC" in first:
+            partitionless.append(spec)
+        else:
+            assert "_sh" in spec or "qb" in spec, spec
+    assert len(partitionless) == 1, partitionless
+    assert partitionless[0].startswith("qb"), partitionless
