@@ -428,3 +428,62 @@ def ivf_kmeans_search(emb: DataFrame, query_vec: list[float], k: int = 5,
                             round_digits).alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)
             .limit(k))
+
+
+def semantic_dedup(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
+                   threshold: float = 0.4, vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   round_digits: int = 6) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space with the deterministic k-means build, evaluate cosine only
+    WITHIN each cluster, and greedily keep the smallest-id member of
+    every near-duplicate neighborhood — a vector is pruned iff some
+    smaller-id vector in its cluster sits at cosine ≥ ``threshold``.
+    Returns one verdict row per vector:
+    (id, cell, n_similar, keep).
+
+    Cosines are rounded to ``round_digits`` BEFORE thresholding
+    (catalog rule: never let a last-ulp difference flip a boundary
+    decision).
+
+    Scale shape: the build is the sampled-corpus k-means pass
+    (:func:`kmeans_centroids` — one (cell, dim) aggregate per
+    iteration); assignment is the shuffle-free map-side expression;
+    the only quadratic work is the within-cell self-join, which is
+    the SemDeDup trick — with the learned cell as a partition key the
+    join is partition-local, and cell population is corpus/k, never
+    the corpus. The neighbor aggregate is one hash shuffle keyed by
+    the high-cardinality vector id."""
+    vecs = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
+    ).localCheckpoint(eager=True)
+    cents = kmeans_centroids(emb, n_clusters, n_iter, vec_col, id_col,
+                             vecs=vecs)
+    cent_rows = sorted((r.cell, list(r.centroid)) for r in cents.collect())
+    assigned = vecs.withColumn("cell", kmeans_assign_expr(cent_rows, "_v"))
+
+    a = assigned.select(F.col("_id").alias("id_a"),
+                        F.col("_v").alias("v_a"), "cell")
+    b = assigned.select(F.col("_id").alias("id_b"),
+                        F.col("_v").alias("v_b"), "cell")
+    pairs = (a.join(b, "cell")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cos", F.round(V.cosine(F.col("v_a"),
+                                                 F.col("v_b")),
+                                        round_digits))
+             .filter(F.col("cos") >= threshold)
+             .select("id_a", "id_b"))
+    nbrs = (pairs.select(F.col("id_a").alias("_id"),
+                         F.col("id_b").alias("nbr"))
+            .unionAll(pairs.select(F.col("id_b").alias("_id"),
+                                   F.col("id_a").alias("nbr"))))
+    agg = nbrs.groupBy("_id").agg(
+        F.count("*").cast("long").alias("n_similar"),
+        F.min("nbr").alias("_mn"))
+    return (assigned.join(agg, "_id", "left")
+            .select(F.col("_id").alias(id_col), "cell",
+                    F.coalesce("n_similar", F.lit(0)).cast("long")
+                     .alias("n_similar"),
+                    F.coalesce(F.col("_mn") > F.col("_id"), F.lit(True))
+                     .alias("keep")))

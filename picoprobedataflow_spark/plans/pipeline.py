@@ -686,14 +686,16 @@ def ann_srp_matrix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K, _KM_ITER, _KM_PROBE, _KM_TOPK = 8, 2, 2, 5
 
 
-def _kmeans_oracle(k: int, n_iter: int, n_probe: int, topk: int,
-                   dim: int = 64) -> str:
-    """Replay the deterministic Lloyd's build: md5-ranked seeds, then
+def _kmeans_build_ctes(k: int, n_iter: int, dim: int = 64) -> list[str]:
+    """The deterministic Lloyd's-build CTE chain shared by the IVF
+    search oracle and the SemDeDup oracle: md5-ranked seeds, then
     per-iteration argmin assign (squared distance as a chained
     left-associative sum — bit-identical to the Spark fold) and
-    per-dim mean update. Means drift by ulps between engines
-    (summation order); cluster margins dwarf that, same tolerance
-    argument as centroid ranking."""
+    per-dim mean update. Ends with ``assignf`` (final per-vector
+    cell) over the ``ve`` vectors and ``cents{n_iter}`` centroids.
+    Means drift by ulps between engines (summation order); cluster
+    margins dwarf that, same tolerance argument as centroid
+    ranking."""
     # MATERIALIZED throughout: DuckDB 1.0 inlines CTEs at every
     # reference, and cents{it} is referenced twice per iteration
     # (assign{it+1} and the next cents' LEFT JOIN), so the inlined
@@ -730,12 +732,20 @@ def _kmeans_oracle(k: int, n_iter: int, n_probe: int, topk: int,
         ctes.append(f"""cents{it} AS MATERIALIZED (
   SELECT o.cell, COALESCE(n.c, o.c) AS c
   FROM cents{it - 1} o LEFT JOIN newc{it} n USING (cell))""")
-    ctes.append(f"""assignf AS (
+    ctes.append(f"""assignf AS MATERIALIZED (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {dist}, c.cell) AS rn
     FROM ve e CROSS JOIN cents{n_iter} c) WHERE rn = 1)""")
+    return ctes
+
+
+def _kmeans_oracle(k: int, n_iter: int, n_probe: int, topk: int,
+                   dim: int = 64) -> str:
+    """IVF search oracle: the shared Lloyd's build plus probe-cell
+    ranking and the exact in-cell top-k."""
+    ctes = _kmeans_build_ctes(k, n_iter, dim)
     ctes.append("q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv\n"
                 "     FROM embeddings WHERE vec_id = 0)")
     ctes.append(f"""probe AS (
@@ -1465,3 +1475,58 @@ def token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("qb"),
         TX.n_tokens_bpe("text").cast("long").alias("n_tokens"))
     return select_token_budget(docs, _CURRICULUM_BUDGET)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (round 5): semantic dedup by k-means clustering + within-
+# cluster cosine pruning — the embedding-space complement of the
+# text-side MinHash/SimHash/Jaccard chain. Shares the Lloyd's-build
+# CTE chain with the IVF oracle so the two replays can never drift.
+# --------------------------------------------------------------------------
+
+_SEMDEDUP_THR = 0.4
+
+
+def _semdedup_oracle(k: int, n_iter: int, thr: float,
+                     dim: int = 64) -> str:
+    ctes = _kmeans_build_ctes(k, n_iter, dim)
+    ctes.append(f"""pairs AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM assignf a
+  JOIN assignf b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN ve ea ON ea.vec_id = a.vec_id
+  JOIN ve eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {thr})""")
+    ctes.append("""nbrs AS (
+  SELECT ia AS vid, ib AS nbr FROM pairs
+  UNION ALL
+  SELECT ib, ia FROM pairs)""")
+    ctes.append("""agg AS (
+  SELECT vid, count(*) AS n_similar, min(nbr) AS mn
+  FROM nbrs GROUP BY 1)""")
+    return "WITH " + ",\n".join(ctes) + """
+SELECT a.vec_id, a.cell,
+       CAST(COALESCE(g.n_similar, 0) AS BIGINT) AS n_similar,
+       COALESCE(g.mn > a.vec_id, TRUE) AS keep
+FROM assignf a LEFT JOIN agg g ON g.vid = a.vec_id
+"""
+
+
+@query(
+    "semdedup_embedding_prune",
+    oracle=_semdedup_oracle(_KM_K, _KM_ITER, _SEMDEDUP_THR),
+    tags=("semdedup", "dedup-embedding", "kmeans", "llm-pipeline"),
+)
+def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings corpus (vec 0 is the reserved
+    query vector, excluded): k-means the embedding space (8 cells, 2
+    deterministic md5-seeded Lloyd iterations — the same build the
+    IVF entry replays, one shared CTE chain in the oracle), then
+    prune any vector with a smaller-id cluster-mate at rounded cosine
+    ≥ 0.4. One verdict row per vector: (vec_id, cell, n_similar,
+    keep). Cosine evaluates ONLY within cells — the SemDeDup
+    sub-quadratic trick; with the learned cell as a partition key the
+    self-join is partition-local at 100 TB."""
+    emb = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+    return SIM.semantic_dedup(emb, n_clusters=_KM_K, n_iter=_KM_ITER,
+                              threshold=_SEMDEDUP_THR)

@@ -895,3 +895,50 @@ def test_token_budget_windows_keyed_or_domain_bounded(spark):
             assert "_sh" in spec or "qb" in spec, spec
     assert len(partitionless) == 1, partitionless
     assert partitionless[0].startswith("qb"), partitionless
+
+
+def test_semantic_dedup_prunes_exact_and_keeps_distinct(spark):
+    """SemDeDup on a crafted corpus: identical vectors collapse to
+    the smallest id; near-orthogonal vectors all survive; n_similar
+    counts cluster-mates over the rounded-cosine threshold; and the
+    verdict covers every input vector exactly once."""
+    from picoprobedataflow_spark.operators.similarity import \
+        semantic_dedup
+
+    dim = 8
+    def vec(axis, eps=0.0):
+        v = [eps] * dim
+        v[axis] = 1.0
+        return v
+    rows = [(1, vec(0)), (2, vec(0)), (3, vec(0)),   # triple dup
+            (4, vec(1)), (5, vec(1, 0.01)),          # near-dup pair
+            (6, vec(2)), (7, vec(3))]                # singletons
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in
+           semantic_dedup(emb, n_clusters=2, n_iter=2,
+                          threshold=0.9).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+    assert out[1].keep and not out[2].keep and not out[3].keep
+    assert out[1].n_similar == 2
+    assert out[4].keep and not out[5].keep
+    assert out[6].keep and out[7].keep and out[6].n_similar == 0
+    # pruned vectors always point at a smaller kept-or-pruned mate:
+    # the greedy keep rule is "no smaller-id similar cluster-mate".
+    for vid, r in out.items():
+        if not r.keep:
+            assert r.n_similar >= 1
+
+
+def test_semdedup_entry_scale_shapes(spark):
+    """The SemDeDup entry's plan: assignment is the narrow map-side
+    centroid expression (no window anywhere), the self-join is an
+    equi-join on cell (never a Cartesian product), and the neighbor
+    aggregate keys on the high-cardinality vector id."""
+    from picoprobedataflow_spark.plans import catalog
+
+    df = catalog.specs()["semdedup_embedding_prune"].fn(
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert df.count() > 0
