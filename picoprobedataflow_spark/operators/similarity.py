@@ -487,3 +487,84 @@ def semantic_dedup(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
                      .alias("n_similar"),
                     F.coalesce(F.col("_mn") > F.col("_id"), F.lit(True))
                      .alias("keep")))
+
+
+def pq_encode(emb: DataFrame, m: int = 4, n_codes: int = 8,
+              n_iter: int = 2, dim: int = 64,
+              vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Product-quantization encode: split the ``dim``-d space into
+    ``m`` contiguous subspaces, run the deterministic k-means build
+    in EACH subspace (md5-seeded, same Lloyd's as the IVF quantizer),
+    and store each vector as ``m`` one-byte codes — the
+    dim·4-bytes → m-bytes compression lever (64-d float32 → 4 bytes
+    here, a 64× storage cut; int8 quantization's big sibling).
+
+    Returns ``(codes_df, codebooks)``: codes_df is
+    (_id, c0..c{m-1}); codebooks is the list of per-subspace
+    (cell, centroid) rows (m·k·(dim/m) doubles — driver-bounded, the
+    k-row centroid-table argument).
+
+    Scale shape: each subspace build is the sampled-corpus k-means
+    pass (one (cell, dim) aggregate per iteration); encoding is m
+    map-side centroid-literal expressions over ONE scan — no joins,
+    no shuffles, the narrow projection a 100 TB encode pass must be."""
+    sub = dim // m
+    vecs = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
+    ).localCheckpoint(eager=True)
+    out = vecs
+    codebooks = []
+    for i in range(m):
+        sliced = vecs.select(
+            "_id", F.slice("_v", i * sub + 1, sub).alias("_v"))
+        cents = kmeans_centroids(None, n_codes, n_iter, vecs=sliced)
+        cent_rows = sorted((r.cell, list(r.centroid))
+                           for r in cents.collect())
+        codebooks.append(cent_rows)
+        out = (out
+               .withColumn("_sl", F.slice("_v", i * sub + 1, sub))
+               .withColumn(f"c{i}", kmeans_assign_expr(cent_rows, "_sl"))
+               .drop("_sl"))
+    return out.select("_id", *[f"c{i}" for i in range(m)]), codebooks
+
+
+def pq_adc_search(emb: DataFrame, query_vec: list[float], k: int = 10,
+                  m: int = 4, n_codes: int = 8, n_iter: int = 2,
+                  dim: int = 64, vec_col: str = "embedding",
+                  id_col: str = "vec_id",
+                  round_digits: int = 6) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query
+    precomputes an m×k lookup table of squared distances to every
+    codebook centroid (driver-side, m·k doubles), and each vector's
+    approximate distance is the sum of m table lookups on its codes —
+    never touching the original vectors. Distances are rounded before
+    ranking (catalog rule) with an id tie-break.
+
+    Scale shape: scan of the (m+1)-column code table → m
+    ``element_at`` lookups against literal arrays → chained sum →
+    TakeOrderedAndProject. No join, no shuffle, no window; the fat
+    vector column never enters the search plan at all — the whole
+    point of PQ at 100 TB."""
+    codes, codebooks = pq_encode(emb, m, n_codes, n_iter, dim,
+                                 vec_col, id_col)
+    sub = dim // m
+    qd = [float(x) for x in query_vec]
+    adc = None
+    for i, cent_rows in enumerate(codebooks):
+        qs = qd[i * sub:(i + 1) * sub]
+        lut = []
+        for _cell, cent in cent_rows:       # cell order 0..k-1
+            d = 0.0
+            for a, b in zip(qs, cent):      # ascending dim, left-assoc
+                d = d + (a - b) * (a - b)
+            lut.append(d)
+        term = F.element_at(F.array(*[F.lit(x) for x in lut]),
+                            F.col(f"c{i}") + 1)
+        adc = term if adc is None else adc + term
+    return (codes
+            .withColumn("adc", F.round(adc, round_digits))
+            .select(F.col("_id").alias(id_col),
+                    *[f"c{i}" for i in range(m)], "adc")
+            .orderBy(F.asc("adc"), F.asc(id_col))
+            .limit(k))

@@ -686,16 +686,22 @@ def ann_srp_matrix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K, _KM_ITER, _KM_PROBE, _KM_TOPK = 8, 2, 2, 5
 
 
-def _kmeans_build_ctes(k: int, n_iter: int, dim: int = 64) -> list[str]:
+def _kmeans_build_ctes(k: int, n_iter: int, dim: int = 64,
+                       suffix: str = "",
+                       slice_lo: int | None = None) -> list[str]:
     """The deterministic Lloyd's-build CTE chain shared by the IVF
-    search oracle and the SemDeDup oracle: md5-ranked seeds, then
+    search, SemDeDup and PQ oracles: md5-ranked seeds, then
     per-iteration argmin assign (squared distance as a chained
     left-associative sum — bit-identical to the Spark fold) and
-    per-dim mean update. Ends with ``assignf`` (final per-vector
-    cell) over the ``ve`` vectors and ``cents{n_iter}`` centroids.
-    Means drift by ulps between engines (summation order); cluster
-    margins dwarf that, same tolerance argument as centroid
-    ranking."""
+    per-dim mean update. Ends with ``assignf{suffix}`` (final
+    per-vector cell) over the ``ve{suffix}`` vectors and
+    ``cents{n_iter}{suffix}`` centroids. With ``slice_lo`` the build
+    runs on the 1-based inclusive subvector
+    ``embedding[slice_lo : slice_lo+dim-1]`` — the product-quantizer
+    subspace case; ``suffix`` disambiguates the CTE names so several
+    builds can coexist in one query. Means drift by ulps between
+    engines (summation order); cluster margins dwarf that, same
+    tolerance argument as centroid ranking."""
     # MATERIALIZED throughout: DuckDB 1.0 inlines CTEs at every
     # reference, and cents{it} is referenced twice per iteration
     # (assign{it+1} and the next cents' LEFT JOIN), so the inlined
@@ -704,40 +710,43 @@ def _kmeans_build_ctes(k: int, n_iter: int, dim: int = 64) -> list[str]:
     # 100 MB memory_limit probe; passes ~50 MB materialized).
     dist = " + ".join(f"(e.v[{i}] - c.c[{i}]) * (e.v[{i}] - c.c[{i}])"
                       for i in range(1, dim + 1))
+    sfx = suffix
+    vexpr = ("CAST(embedding AS DOUBLE[])" if slice_lo is None else
+             f"CAST(embedding AS DOUBLE[])[{slice_lo}:{slice_lo + dim - 1}]")
     ctes = [
-        "ve AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v\n"
+        f"ve{sfx} AS MATERIALIZED (SELECT vec_id, {vexpr} AS v\n"
         "       FROM embeddings WHERE vec_id > 0)",
-        f"""cents0 AS MATERIALIZED (
+        f"""cents0{sfx} AS MATERIALIZED (
   SELECT cell, v AS c FROM (
     SELECT vec_id, v,
            row_number() OVER (
              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
-    FROM ve) WHERE cell < {k})""",
+    FROM ve{sfx}) WHERE cell < {k})""",
     ]
     for it in range(1, n_iter + 1):
-        ctes.append(f"""assign{it} AS MATERIALIZED (
+        ctes.append(f"""assign{it}{sfx} AS MATERIALIZED (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {dist}, c.cell) AS rn
-    FROM ve e CROSS JOIN cents{it - 1} c) WHERE rn = 1)""")
-        ctes.append(f"""newc{it} AS (
+    FROM ve{sfx} e CROSS JOIN cents{it - 1}{sfx} c) WHERE rn = 1)""")
+        ctes.append(f"""newc{it}{sfx} AS (
   SELECT cell, list(m ORDER BY dim) AS c
   FROM (SELECT cell, dim, avg(val) AS m
         FROM (SELECT a.cell, generate_subscripts(e.v, 1) AS dim,
                      unnest(e.v) AS val
-              FROM assign{it} a JOIN ve e USING (vec_id))
+              FROM assign{it}{sfx} a JOIN ve{sfx} e USING (vec_id))
         GROUP BY cell, dim)
   GROUP BY cell)""")
-        ctes.append(f"""cents{it} AS MATERIALIZED (
+        ctes.append(f"""cents{it}{sfx} AS MATERIALIZED (
   SELECT o.cell, COALESCE(n.c, o.c) AS c
-  FROM cents{it - 1} o LEFT JOIN newc{it} n USING (cell))""")
-    ctes.append(f"""assignf AS MATERIALIZED (
+  FROM cents{it - 1}{sfx} o LEFT JOIN newc{it}{sfx} n USING (cell))""")
+    ctes.append(f"""assignf{sfx} AS MATERIALIZED (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cell,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {dist}, c.cell) AS rn
-    FROM ve e CROSS JOIN cents{n_iter} c) WHERE rn = 1)""")
+    FROM ve{sfx} e CROSS JOIN cents{n_iter}{sfx} c) WHERE rn = 1)""")
     return ctes
 
 
@@ -1530,3 +1539,68 @@ def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
     return SIM.semantic_dedup(emb, n_clusters=_KM_K, n_iter=_KM_ITER,
                               threshold=_SEMDEDUP_THR)
+
+
+# --------------------------------------------------------------------------
+# Product quantization + ADC search (round 5): the storage-compression
+# ANN path — m subspace codebooks (one deterministic Lloyd's build
+# each, the SAME shared CTE chain), vectors stored as m codes,
+# query-time asymmetric distance = sum of m lookup-table terms.
+# --------------------------------------------------------------------------
+
+_PQ_M, _PQ_CODES, _PQ_ITER, _PQ_TOPK = 4, 8, 2, 10
+
+
+def _pq_oracle(m: int, k: int, n_iter: int, topk: int,
+               dim: int = 64) -> str:
+    sub = dim // m
+    ctes: list[str] = []
+    for i in range(m):
+        ctes += _kmeans_build_ctes(k, n_iter, dim=sub, suffix=f"_s{i}",
+                                   slice_lo=i * sub + 1)
+        ctes.append(
+            f"q_s{i} AS (SELECT CAST(embedding AS DOUBLE[])"
+            f"[{i * sub + 1}:{(i + 1) * sub}] AS qv\n"
+            "     FROM embeddings WHERE vec_id = 0)")
+        qdist = " + ".join(
+            f"(q.qv[{j}] - c.c[{j}]) * (q.qv[{j}] - c.c[{j}])"
+            for j in range(1, sub + 1))
+        ctes.append(f"""lut_s{i} AS (
+  SELECT c.cell, {qdist} AS d
+  FROM cents{n_iter}_s{i} c CROSS JOIN q_s{i} q)""")
+    joins = "\n".join(
+        [f"JOIN assignf_s{i} a{i} USING (vec_id)" for i in range(1, m)]
+        + [f"JOIN lut_s{i} l{i} ON l{i}.cell = a{i}.cell"
+           for i in range(m)])
+    cols = ", ".join(f"a{i}.cell AS c{i}" for i in range(m))
+    dsum = " + ".join(f"l{i}.d" for i in range(m))
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT a0.vec_id, {cols}, round({dsum}, 6) AS adc
+FROM assignf_s0 a0
+{joins}
+ORDER BY round({dsum}, 6), a0.vec_id
+LIMIT {topk}
+"""
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=_pq_oracle(_PQ_M, _PQ_CODES, _PQ_ITER, _PQ_TOPK),
+    tags=("ann", "product-quantization", "adc", "kmeans",
+          "compression"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 nearest vectors to the reserved query vector (vec 0)
+    by product-quantization asymmetric distance: 4 subspaces × 8
+    codes, each codebook a deterministic md5-seeded 2-iteration
+    Lloyd's build (the oracle replays all four via the shared CTE
+    chain). The search plan never reads the vector column — codes +
+    literal lookup tables + TakeOrderedAndProject — which is the
+    64×-compressed scan a 100 TB ANN store runs; distances rounded
+    to 6 dp before ranking, id tie-break."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return SIM.pq_adc_search(emb.filter(F.col("vec_id") > 0), qvec,
+                             k=_PQ_TOPK, m=_PQ_M, n_codes=_PQ_CODES,
+                             n_iter=_PQ_ITER)

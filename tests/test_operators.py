@@ -942,3 +942,43 @@ def test_semdedup_entry_scale_shapes(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert df.count() > 0
+
+
+def test_pq_encode_deterministic_and_bounded_codes(spark):
+    """PQ encode: one code column per subspace, every code in
+    [0, n_codes), coverage of all input ids, and bit-identical codes
+    across two independent builds (the md5-seeded build has no
+    nondeterminism to leak)."""
+    from picoprobedataflow_spark.operators.similarity import pq_encode
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter("vec_id > 0"))
+    codes1, books = pq_encode(emb, m=4, n_codes=8, n_iter=1)
+    codes2, _ = pq_encode(emb, m=4, n_codes=8, n_iter=1)
+    r1 = sorted(map(tuple, codes1.collect()))
+    r2 = sorted(map(tuple, codes2.collect()))
+    assert r1 == r2
+    assert len(r1) == emb.count()
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    for row in r1:
+        assert all(0 <= c < 8 for c in row[1:])
+
+
+def test_pq_adc_plan_is_codes_only(spark):
+    """The ADC search plan must never touch the vector column: no
+    join, no window, no shuffle Exchange — map-side code lookups into
+    literal tables feeding one TakeOrderedAndProject."""
+    from picoprobedataflow_spark.plans import catalog
+
+    df = catalog.specs()["ann_pq_adc_topk"].fn(
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert len(rows) == 10
+    # adc is a sum of squared distances: non-negative, ascending
+    adcs = [r.adc for r in rows]
+    assert adcs == sorted(adcs) and all(a >= 0 for a in adcs)
