@@ -612,3 +612,46 @@ def apply_survivors(docs: DataFrame, survivors: DataFrame,
     if it is already partitioned on the id."""
     keep = survivors.filter(F.col("keep")).select(id_col)
     return docs.join(keep, id_col, "left_semi")
+
+
+def cross_doc_span_dedup(docs: DataFrame, span_w: int = 4,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Exact substring-dedup approximation (the Lee et al.
+    "Deduplicating Training Data" passage-level idea, restricted to
+    aligned windows so it stays one aggregate): chop each document's
+    token stream into non-overlapping ``span_w``-token windows and
+    mark every window whose exact text occurred at an earlier
+    (doc, window) position anywhere in the corpus. Returns one row
+    per window: (id, idx, span, first_key, is_dup) where
+    ``first_key`` is the corpus-wide first occurrence encoded as
+    ``doc_id·1e6 + idx`` (exact int64 — windows per doc are far
+    below 1e6).
+
+    Scale shape: one explode (corpus token count / span_w rows), one
+    hash aggregate keyed by the span text (high cardinality, skew
+    bounded by how often a span can repeat), one equi-join back on
+    the same key — Catalyst reuses the aggregate's shuffle
+    partitioning for the join side. Nothing quadratic; the span text
+    itself can be replaced by its md5 in the shuffle key at scale
+    (same trick as content_fingerprints)."""
+    from picoprobedataflow_spark.functions.text import words
+
+    toks = (docs.select(F.col(id_col), words(text_col).alias("_w"))
+            .filter(F.size("_w") >= span_w))
+    n_sp = (F.floor(F.size("_w") / span_w)).cast("int")
+    spans = (toks
+             .select(F.col(id_col),
+                     F.posexplode(F.transform(
+                         F.sequence(F.lit(0), n_sp - 1),
+                         lambda i: F.concat_ws(
+                             " ", F.slice("_w", i * span_w + 1, span_w))))
+                     .alias("idx", "span")))
+    key = (F.col(id_col).cast("long") * 1_000_000
+           + F.col("idx").cast("long"))
+    spans = spans.withColumn("_key", key)
+    firsts = (spans.groupBy("span")
+              .agg(F.min("_key").alias("first_key")))
+    return (spans.join(firsts, "span")
+            .select(F.col(id_col), "idx", "span", "first_key",
+                    (F.col("_key") != F.col("first_key")).alias("is_dup")))

@@ -1604,3 +1604,67 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_adc_search(emb.filter(F.col("vec_id") > 0), qvec,
                              k=_PQ_TOPK, m=_PQ_M, n_codes=_PQ_CODES,
                              n_iter=_PQ_ITER)
+
+
+# --------------------------------------------------------------------------
+# Cross-document span dedup (round 5): the passage-level complement of
+# the whole-doc dedup chain — repeated 4-token windows anywhere in the
+# corpus are flagged against their first occurrence.
+# --------------------------------------------------------------------------
+
+_SPAN_W = 4
+
+_SPAN_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+  WHERE len({_WORDS}) >= {_SPAN_W}
+),
+ids AS (
+  SELECT doc_id, unnest(range(len(w) // {_SPAN_W})) AS idx, w FROM toks
+),
+spans AS (
+  SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+         array_to_string(w[idx * {_SPAN_W} + 1 : idx * {_SPAN_W} + {_SPAN_W}],
+                         ' ') AS span,
+         doc_id * 1000000 + idx AS key
+  FROM ids
+),
+firsts AS (
+  SELECT span, min(key) AS first_key FROM spans GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN s.key <> f.first_key THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup,
+       round(sum(CASE WHEN s.key <> f.first_key THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS dup_ratio
+FROM spans s JOIN firsts f USING (span)
+GROUP BY 1
+"""
+
+
+@query(
+    "span_dedup_stats",
+    oracle=_SPAN_DEDUP_ORACLE,
+    tags=("span-dedup", "substring-dedup", "llm-pipeline"),
+)
+def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-passage accounting: every non-overlapping
+    4-token window is checked for an earlier exact occurrence
+    anywhere in the corpus
+    (:func:`operators.dedup.cross_doc_span_dedup`), and each doc
+    reports its window count, duplicated-window count and ratio —
+    the signal a pipeline uses to drop or trim boilerplate-heavy
+    documents rather than whole near-dups. One explode + one span
+    aggregate + one same-key join + one doc aggregate; first
+    occurrence is the exact-int min of doc_id·1e6+idx on both
+    engines."""
+    docs = tbl(spark, sf_dir, "documents")
+    marks = DD.cross_doc_span_dedup(docs, span_w=_SPAN_W)
+    n_dup = F.sum(F.col("is_dup").cast("int")).cast("long")
+    return (marks.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_spans"),
+                 n_dup.alias("n_dup"))
+            .select("doc_id", "n_spans", "n_dup",
+                    F.round(F.col("n_dup") / F.col("n_spans"), 6)
+                     .alias("dup_ratio")))

@@ -982,3 +982,29 @@ def test_pq_adc_plan_is_codes_only(spark):
     # adc is a sum of squared distances: non-negative, ascending
     adcs = [r.adc for r in rows]
     assert adcs == sorted(adcs) and all(a >= 0 for a in adcs)
+
+
+def test_cross_doc_span_dedup_first_occurrence_semantics(spark):
+    """Span dedup on a crafted corpus: a window repeated across docs
+    is flagged everywhere except its (doc, idx)-smallest occurrence,
+    including intra-doc repeats; distinct windows are never flagged;
+    short docs (< span_w tokens) contribute no windows."""
+    from picoprobedataflow_spark.operators.dedup import \
+        cross_doc_span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d x y z w"),          # spans: 'a b c d', 'x y z w'
+         (2, "a b c d q r s t"),          # first span dups doc 1
+         (3, "x y z w x y z w"),          # both spans dup doc 1's 2nd
+         (4, "p q"),                      # too short: no windows
+         (5, "unique tokens only here")],
+        "doc_id long, text string")
+    rows = cross_doc_span_dedup(docs, span_w=4).collect()
+    by = {(r.doc_id, r.idx): r for r in rows}
+    assert not by[(1, 0)].is_dup and not by[(1, 1)].is_dup
+    assert by[(2, 0)].is_dup and not by[(2, 1)].is_dup
+    assert by[(3, 0)].is_dup and by[(3, 1)].is_dup
+    assert by[(3, 0)].first_key == 1 * 1_000_000 + 1
+    assert not by[(5, 0)].is_dup
+    assert not any(d == 4 for d, _ in by)
+    assert len(by) == 7
