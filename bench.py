@@ -176,6 +176,16 @@ def main() -> None:
     bench["sessionize_events"] = sessionize_lag_cumsum
     variants, uncapped = _uncapped_pipeline_queries()
     bench.update(uncapped)
+    # Round-5 families, timed but reported OUTSIDE the headline total
+    # so the 25-key series stays comparable round-over-round. These
+    # entries are already uncapped (full documents/embeddings tables).
+    for key, qname in (("bm25_full", "bm25_retrieval"),
+                       ("semdedup_full", "semdedup_embedding_prune"),
+                       ("span_dedup_full", "span_dedup_stats"),
+                       ("pq_adc_full", "ann_pq_adc_topk"),
+                       ("token_budget_full", "token_budget_curriculum"),
+                       ("tpch_gap_full", "tpch_gap_suite")):
+        variants[key] = specs[qname].fn
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
     # shouldn't be charged to the first query. Each headline query is

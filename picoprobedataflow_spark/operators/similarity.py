@@ -504,28 +504,66 @@ def pq_encode(emb: DataFrame, m: int = 4, n_codes: int = 8,
     (cell, centroid) rows (m·k·(dim/m) doubles — driver-bounded, the
     k-row centroid-table argument).
 
-    Scale shape: each subspace build is the sampled-corpus k-means
-    pass (one (cell, dim) aggregate per iteration); encoding is m
-    map-side centroid-literal expressions over ONE scan — no joins,
-    no shuffles, the narrow projection a 100 TB encode pass must be."""
+    Scale shape: the m builds run JOINTLY — per Lloyd iteration, all
+    m subspace assignments are map-side centroid-literal expressions
+    over one scan, and all m codebooks update through ONE
+    (subspace, cell, dim) mean aggregate (m·k·(dim/m) = k·dim output
+    rows — driver-bounded like any centroid table). So the whole
+    build costs ``n_iter`` corpus aggregates + one seed top-k,
+    independent of m — not m separate build passes. Encoding is m
+    map-side expressions over one scan — no joins, no shuffles, the
+    narrow projection a 100 TB encode pass must be. Per-subspace
+    means equal the independent-build means exactly (same value
+    multisets per (subspace, cell, dim) group)."""
     sub = dim // m
     vecs = emb.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
     ).localCheckpoint(eager=True)
-    out = vecs
-    codebooks = []
-    for i in range(m):
-        sliced = vecs.select(
-            "_id", F.slice("_v", i * sub + 1, sub).alias("_v"))
-        cents = kmeans_centroids(None, n_codes, n_iter, vecs=sliced)
-        cent_rows = sorted((r.cell, list(r.centroid))
-                           for r in cents.collect())
-        codebooks.append(cent_rows)
-        out = (out
-               .withColumn("_sl", F.slice("_v", i * sub + 1, sub))
-               .withColumn(f"c{i}", kmeans_assign_expr(cent_rows, "_sl"))
-               .drop("_sl"))
+    # One seed top-k for all subspaces: the md5(_id) rank picks the
+    # SAME seed vectors in every subspace (the oracle's per-subspace
+    # row_number over identical ids), so slicing the k full seed
+    # vectors driver-side reproduces every subspace's seeds.
+    seed_rows = kmeans_seed_query(vecs, n_codes).collect()
+    seed_rows.sort(key=lambda r: (r._h, r._id))
+    codebooks = [
+        [(c, [float(x) for x in r._v[i * sub:(i + 1) * sub]])
+         for c, r in enumerate(seed_rows)]
+        for i in range(m)]
+
+    def with_codes(df):
+        for i in range(m):
+            df = (df
+                  .withColumn("_sl", F.slice("_v", i * sub + 1, sub))
+                  .withColumn(f"c{i}",
+                              kmeans_assign_expr(codebooks[i], "_sl"))
+                  .drop("_sl"))
+        return df
+
+    for _ in range(n_iter):
+        assigned = with_codes(vecs)
+        cell = F.element_at(
+            F.array(*[F.col(f"c{i}") for i in range(m)]),
+            (F.floor(F.col("_p") / sub) + 1).cast("int"))
+        longf = (assigned
+                 .select(F.posexplode("_v").alias("_p", "_val"),
+                         *[f"c{i}" for i in range(m)])
+                 .select(F.floor(F.col("_p") / sub).cast("int")
+                         .alias("_sp"),
+                         cell.alias("_cell"),
+                         (F.col("_p") % sub).cast("int").alias("_dim"),
+                         "_val"))
+        means = (longf.groupBy("_sp", "_cell", "_dim")
+                 .agg(F.avg("_val").alias("_m")).collect())
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_key.setdefault((r._sp, r._cell), {})[r._dim] = r._m
+        codebooks = [
+            [(c, [by_key[(i, c)][d] for d in sorted(by_key[(i, c)])]
+              if (i, c) in by_key else cent)
+             for c, cent in codebooks[i]]
+            for i in range(m)]
+    out = with_codes(vecs)
     return out.select("_id", *[f"c{i}" for i in range(m)]), codebooks
 
 
