@@ -54,6 +54,14 @@ def main() -> None:
     spark = get_spark(app_name="picoprobedataflow-scaling")
     _, uncapped = bench._uncapped_pipeline_queries()
     fns = {k: uncapped[k] for k in KEYS}
+    # Round-5 families (already uncapped in the catalog).
+    from picoprobedataflow_spark.plans import catalog
+    specs = catalog.specs()
+    for key, qname in (("bm25_full", "bm25_retrieval"),
+                       ("semdedup_full", "semdedup_embedding_prune"),
+                       ("span_dedup_full", "span_dedup_stats"),
+                       ("pq_adc_full", "ann_pq_adc_topk")):
+        fns[key] = specs[qname].fn
 
     # warmup (codegen/JVM) at the smallest SF, untimed
     for fn in fns.values():
@@ -63,7 +71,7 @@ def main() -> None:
             pass
     spark.catalog.clearCache()
 
-    results: dict[str, dict[str, float]] = {k: {} for k in KEYS}
+    results: dict[str, dict[str, float]] = {k: {} for k in fns}
     for sf_dir in sf_dirs:
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         for name, fn in fns.items():
