@@ -209,3 +209,40 @@ def write_zordered(df: DataFrame, path: str,
              .sortWithinPartitions("_zkey")
              .drop("_zkey", "_zfile"))
     out.write.mode(mode).parquet(path)
+
+
+def epoch_shuffle(df: DataFrame, epoch: int, n_shards: int = 8,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic training-epoch shuffle: every row gets a
+    (shard, pos) coordinate that is a pure function of
+    (epoch, id) — md5("ep{epoch}:{id}") orders the epoch, its low
+    bits pick the shard, and ``pos`` is the rank within the shard.
+    Re-running any epoch reproduces the exact order (resumable
+    training, no ``rand()`` anywhere); different epochs give
+    decorrelated orders from the same corpus. A loader reads shards
+    in shard order, rows in pos order: concatenated, that IS the
+    epoch's global hash order, because the shard key is the hash
+    PREFIX — shard boundaries are contiguous ranges of the global
+    order (the same contiguity trick as the packing shards).
+
+    Scale shape: one hash projection (map-side) + one window keyed by
+    the shard (corpus/n_shards rows per partition, n_shards chosen so
+    a shard fits an executor — at 100 TB you'd also write
+    ``partitionBy(shard)`` so each shard lands as its own file set,
+    making epoch reads sequential). No global window, no sort, no
+    shuffle beyond the one the window needs."""
+    from pyspark.sql.window import Window as W
+
+    h = F.md5(F.concat(F.lit(f"ep{int(epoch)}:"),
+                       F.col(id_col).cast("string")).cast("binary"))
+    # Hash-PREFIX sharding keeps shard ⇒ contiguous global-order range:
+    # first 32 hash bits scaled to n_shards. Exact int64 arithmetic
+    # ((v·n) >> 32) — a float divide would round differently across
+    # engines at bucket boundaries.
+    v = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    shard = F.shiftright(v * n_shards, 32).cast("int")
+    base = df.withColumn("_h", h).withColumn("shard", shard)
+    w = W.partitionBy("shard").orderBy("_h", id_col)
+    return (base
+            .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+            .select(F.col(id_col), "shard", "pos"))

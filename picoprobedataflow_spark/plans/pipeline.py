@@ -1668,3 +1668,54 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_spans", "n_dup",
                     F.round(F.col("n_dup") / F.col("n_spans"), 6)
                      .alias("dup_ratio")))
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle (round 5): the training-loader layout
+# primitive — every epoch is a reproducible pseudo-random permutation
+# addressed as (shard, pos), no rand() anywhere.
+# --------------------------------------------------------------------------
+
+_EPOCH, _EPOCH_SHARDS = 1, 8
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id,
+         md5('ep{_EPOCH}:' || CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents
+),
+s AS (
+  SELECT doc_id, hh,
+         CAST((CAST(('0x' || substr(hh, 1, 8)) AS BIGINT)
+               * {_EPOCH_SHARDS}) >> 32 AS INT) AS shard
+  FROM h
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+FROM s
+"""
+
+
+@query(
+    "epoch_shuffle_layout",
+    oracle=_EPOCH_SHUFFLE_ORACLE,
+    tags=("epoch-shuffle", "training-layout", "llm-pipeline"),
+)
+def epoch_shuffle_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-1 deterministic shuffle coordinates for every document
+    (:func:`io.layout.epoch_shuffle`): md5("ep1:"+id) orders the
+    epoch, the top 32 hash bits pick one of 8 shards by exact-int
+    ``(v·n) >> 32`` scaling (hash-PREFIX sharding — shard boundaries
+    are contiguous ranges of the global order, so shard-then-pos
+    reads ARE the global permutation), and pos ranks within the
+    shard. Pure function of (epoch, id): resumable, engine- and
+    partitioning-independent; different epochs decorrelate
+    (pytest-pinned). The only shuffle is the shard-keyed window —
+    n_shards is the knob that sizes a shard to an executor at
+    100 TB, and ``partitionBy(shard)`` at write time makes epoch
+    reads sequential."""
+    from picoprobedataflow_spark.io.layout import epoch_shuffle
+
+    docs = tbl(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, epoch=_EPOCH, n_shards=_EPOCH_SHARDS)

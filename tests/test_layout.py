@@ -147,3 +147,35 @@ def test_zorder_key_single_dim_is_rank_order(spark):
     zs = [r.z for r in rows]
     assert zs == sorted(zs)
     assert zs[0] == 0 and zs[-1] == 255
+
+
+def test_epoch_shuffle_deterministic_decorrelated_complete(spark):
+    """Epoch shuffle: (a) two invocations of the same epoch are
+    identical under any input partitioning; (b) every (shard, pos)
+    coordinate is unique and dense per shard; (c) different epochs
+    produce different orders; (d) concatenating shards in shard
+    order reproduces the global md5 order (hash-prefix contiguity)."""
+    from picoprobedataflow_spark.io.layout import epoch_shuffle
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = sorted(map(tuple, epoch_shuffle(docs, 1, 8).collect()))
+    b = sorted(map(tuple,
+                   epoch_shuffle(docs.repartition(13), 1, 8).collect()))
+    assert a == b
+    assert len(a) == docs.count()
+    by_shard: dict[int, list[int]] = {}
+    for _id, shard, pos in a:
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    c = sorted(map(tuple, epoch_shuffle(docs, 2, 8).collect()))
+    assert [r[0] for r in a] == [r[0] for r in c]   # same ids
+    order1 = [r[0] for r in sorted(a, key=lambda r: (r[1], r[2]))]
+    order2 = [r[0] for r in sorted(c, key=lambda r: (r[1], r[2]))]
+    assert order1 != order2                          # epochs decorrelate
+    # global-order contiguity: shard-major order == full-hash order
+    import hashlib
+    want = sorted(order1,
+                  key=lambda i: (hashlib.md5(f"ep1:{i}".encode())
+                                 .hexdigest(), i))
+    assert order1 == want
