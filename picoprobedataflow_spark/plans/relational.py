@@ -618,7 +618,7 @@ def grouping_sets_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _TPCH_EXTRA_ORACLE = f"""
-WITH rev AS (
+WITH rev AS MATERIALIZED (
   SELECT l_orderkey, l_suppkey, l_partkey, l_shipdate, l_quantity,
          l_returnflag,
          {_csql('l_extendedprice')} * (100 - {_csql('l_discount')}) AS bp
