@@ -448,3 +448,29 @@ def test_tpch_gap_suite_scale_shapes(spark):
     # aggregate joined back on partkey).
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_round5_entries_prune_scans(spark):
+    """Column pruning reaches the parquet scans of the round-5
+    families: BM25 and span-dedup read only (doc_id, text) from the
+    5-column documents table; SemDeDup and PQ read only
+    (vec_id, embedding) from embeddings — the label column never
+    enters an unsupervised plan."""
+    from picoprobedataflow_spark.plans import catalog
+
+    sf = "/root/testdata/sf0.001"
+    specs = catalog.specs()
+
+    def scan_schemas(name):
+        plan = (specs[name].fn(spark, sf)
+                ._jdf.queryExecution().executedPlan().toString())
+        return [seg[:400] for seg in plan.split("ReadSchema")[1:]]
+
+    for name in ("bm25_retrieval", "span_dedup_stats",
+                 "token_budget_curriculum"):
+        for schema in scan_schemas(name):
+            assert "lang" not in schema and "source" not in schema, (
+                name, schema)
+    for name in ("semdedup_embedding_prune", "ann_pq_adc_topk"):
+        for schema in scan_schemas(name):
+            assert "label" not in schema, (name, schema)
