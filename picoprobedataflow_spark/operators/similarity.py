@@ -491,7 +491,8 @@ def semantic_dedup(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
 
 def pq_encode(emb: DataFrame, m: int = 4, n_codes: int = 8,
               n_iter: int = 2, dim: int = 64,
-              vec_col: str = "embedding", id_col: str = "vec_id"):
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              vecs: DataFrame | None = None):
     """Product-quantization encode: split the ``dim``-d space into
     ``m`` contiguous subspaces, run the deterministic k-means build
     in EACH subspace (md5-seeded, same Lloyd's as the IVF quantizer),
@@ -516,10 +517,12 @@ def pq_encode(emb: DataFrame, m: int = 4, n_codes: int = 8,
     means equal the independent-build means exactly (same value
     multisets per (subspace, cell, dim) group)."""
     sub = dim // m
-    vecs = emb.select(
-        F.col(id_col).alias("_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
-    ).localCheckpoint(eager=True)
+    if vecs is None:
+        vecs = emb.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col),
+                        lambda x: x.cast("double")).alias("_v")
+        ).localCheckpoint(eager=True)
     # One seed top-k for all subspaces: the md5(_id) rank picks the
     # SAME seed vectors in every subspace (the oracle's per-subspace
     # row_number over identical ids), so slicing the k full seed
@@ -603,6 +606,71 @@ def pq_adc_search(emb: DataFrame, query_vec: list[float], k: int = 10,
     return (codes
             .withColumn("adc", F.round(adc, round_digits))
             .select(F.col("_id").alias(id_col),
+                    *[f"c{i}" for i in range(m)], "adc")
+            .orderBy(F.asc("adc"), F.asc(id_col))
+            .limit(k))
+
+
+def ivfpq_search(emb: DataFrame, query_vec: list[float], k: int = 10,
+                 n_cells: int = 8, n_probe: int = 2, m: int = 4,
+                 n_codes: int = 8, n_iter: int = 2, dim: int = 64,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 round_digits: int = 6) -> DataFrame:
+    """IVF-PQ composed search (the FAISS IVFPQ architecture, raw-
+    vector PQ — no residual encoding): a full-space k-means coarse
+    quantizer restricts the scan to the ``n_probe`` cells nearest the
+    query, and WITHIN those cells ranking is by PQ asymmetric
+    distance — the memory-compressed probe a 100 TB vector store
+    actually runs (cell = partition key → the probe is partition
+    pruning; ADC reads codes, never vectors).
+
+    Everything after the builds is one narrow pass: coarse cell and
+    the m PQ codes are all map-side centroid-literal expressions over
+    a SHARED scan, the probe filter is an ``isin`` over n_probe
+    literals, and the top-k is TakeOrderedAndProject — zero joins,
+    zero windows, zero extra shuffles. Both builds share one
+    checkpointed (_id, _v) projection. Distances round before
+    ranking, id tie-break."""
+    vecs = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
+    ).localCheckpoint(eager=True)
+    coarse = kmeans_centroids(None, n_cells, n_iter, vecs=vecs)
+    coarse_rows = sorted((r.cell, list(r.centroid))
+                         for r in coarse.collect())
+    _, codebooks = pq_encode(None, m, n_codes, n_iter, dim, vecs=vecs)
+
+    qd = [float(x) for x in query_vec]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(coarse_rows, key=lambda r: (-cos(r[1], qd), r[0]))
+    probe_cells = [c for c, _ in ranked[:n_probe]]
+
+    sub = dim // m
+    df = vecs.withColumn("cell", kmeans_assign_expr(coarse_rows, "_v"))
+    adc = None
+    for i, book in enumerate(codebooks):
+        qs = qd[i * sub:(i + 1) * sub]
+        lut = []
+        for _cell, cent in book:
+            d = 0.0
+            for a, b in zip(qs, cent):
+                d = d + (a - b) * (a - b)
+            lut.append(d)
+        df = (df.withColumn("_sl", F.slice("_v", i * sub + 1, sub))
+              .withColumn(f"c{i}", kmeans_assign_expr(book, "_sl"))
+              .drop("_sl"))
+        term = F.element_at(F.array(*[F.lit(x) for x in lut]),
+                            F.col(f"c{i}") + 1)
+        adc = term if adc is None else adc + term
+    return (df.filter(F.col("cell").isin(probe_cells))
+            .withColumn("adc", F.round(adc, round_digits))
+            .select(F.col("_id").alias(id_col), "cell",
                     *[f"c{i}" for i in range(m)], "adc")
             .orderBy(F.asc("adc"), F.asc(id_col))
             .limit(k))

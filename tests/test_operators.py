@@ -1008,3 +1008,22 @@ def test_cross_doc_span_dedup_first_occurrence_semantics(spark):
     assert not by[(5, 0)].is_dup
     assert not any(d == 4 for d, _ in by)
     assert len(by) == 7
+
+
+def test_ivfpq_plan_and_probe_semantics(spark):
+    """IVF-PQ: the search plan is joins/windows-free (codes +
+    literal LUTs + TakeOrderedAndProject), results come only from
+    probed cells (≤ n_probe distinct cells), and the adc ranking is
+    ascending with deterministic id tie-breaks."""
+    from picoprobedataflow_spark.plans import catalog
+
+    df = catalog.specs()["ann_ivfpq_topk"].fn(
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan and "Window" not in plan
+    rows = df.collect()
+    assert len(rows) == 10
+    assert len({r.cell for r in rows}) <= 2
+    adcs = [r.adc for r in rows]
+    assert adcs == sorted(adcs) and all(a >= 0 for a in adcs)
