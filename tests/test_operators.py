@@ -1027,3 +1027,28 @@ def test_ivfpq_plan_and_probe_semantics(spark):
     assert len({r.cell for r in rows}) <= 2
     adcs = [r.adc for r in rows]
     assert adcs == sorted(adcs) and all(a >= 0 for a in adcs)
+
+
+def test_ann_probe_all_recovers_exact_topk(spark):
+    """Approximation-quality mechanism pins: (a) IVF-k-means with
+    n_probe = n_cells is EXACT — probing every cell degenerates to
+    brute force, so the top-k equals topk_cosine's; (b) IVF-PQ with
+    probe-all still ranks by ADC (approximate), but returns k rows
+    from the full corpus with every coarse cell eligible. This is the
+    recall knob's boundary condition: recall@k → 1 as n_probe → k."""
+    from pyspark.sql import functions as F
+
+    emb = (spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet"))
+    corpus = emb.filter(F.col("vec_id") > 0)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    exact = [r.vec_id for r in
+             SIM.topk_cosine(corpus, qvec, k=10).collect()]
+    ivf_all = [r.vec_id for r in
+               SIM.ivf_kmeans_search(corpus, qvec, k=10, n_probe=8,
+                                     n_clusters=8, n_iter=2).collect()]
+    assert ivf_all == exact
+    ivfpq_all = SIM.ivfpq_search(corpus, qvec, k=10, n_cells=8,
+                                 n_probe=8, m=4, n_codes=8,
+                                 n_iter=2).collect()
+    assert len(ivfpq_all) == 10
