@@ -184,7 +184,9 @@ def main() -> None:
                        ("span_dedup_full", "span_dedup_stats"),
                        ("pq_adc_full", "ann_pq_adc_topk"),
                        ("token_budget_full", "token_budget_curriculum"),
-                       ("tpch_gap_full", "tpch_gap_suite")):
+                       ("tpch_gap_full", "tpch_gap_suite"),
+                       ("ivfpq_full", "ann_ivfpq_topk"),
+                       ("epoch_shuffle_full", "epoch_shuffle_layout")):
         variants[key] = specs[qname].fn
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads

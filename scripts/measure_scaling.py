@@ -60,7 +60,8 @@ def main() -> None:
     for key, qname in (("bm25_full", "bm25_retrieval"),
                        ("semdedup_full", "semdedup_embedding_prune"),
                        ("span_dedup_full", "span_dedup_stats"),
-                       ("pq_adc_full", "ann_pq_adc_topk")):
+                       ("pq_adc_full", "ann_pq_adc_topk"),
+                       ("ivfpq_full", "ann_ivfpq_topk")):
         fns[key] = specs[qname].fn
 
     # warmup (codegen/JVM) at the smallest SF, untimed
