@@ -474,3 +474,53 @@ def test_round5_entries_prune_scans(spark):
     for name in ("semdedup_embedding_prune", "ann_pq_adc_topk"):
         for schema in scan_schemas(name):
             assert "label" not in schema, (name, schema)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(
+    st.text(alphabet="ab ", min_size=4, max_size=30), min_size=1,
+    max_size=10))
+def test_span_dedup_accounting_property(spark, texts):
+    """Span-dedup invariants on arbitrary corpora: every span row is
+    flagged OR is the first occurrence of its text; per span text,
+    exactly one row is unflagged; Σ is_dup = n_rows − n_distinct
+    span texts."""
+    from picoprobedataflow_spark.operators.dedup import \
+        cross_doc_span_dedup
+
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    rows = cross_doc_span_dedup(docs, span_w=2).collect()
+    by_span: dict[str, list] = {}
+    for r in rows:
+        by_span.setdefault(r.span, []).append(r)
+    for span, grp in by_span.items():
+        keys = sorted(r.doc_id * 1_000_000 + r.idx for r in grp)
+        unflagged = [r for r in grp if not r.is_dup]
+        assert len(unflagged) == 1
+        assert (unflagged[0].doc_id * 1_000_000 + unflagged[0].idx
+                == keys[0] == grp[0].first_key)
+    assert sum(r.is_dup for r in rows) == len(rows) - len(by_span)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(n=st.integers(1, 60), epoch=st.integers(0, 3),
+       shards=st.integers(1, 9))
+def test_epoch_shuffle_bijection_property(spark, n, epoch, shards):
+    """Epoch shuffle is a bijection onto dense per-shard positions
+    for any corpus size, epoch and shard count; shards stay in
+    [0, n_shards)."""
+    from picoprobedataflow_spark.io.layout import epoch_shuffle
+
+    docs = spark.createDataFrame([(i,) for i in range(n)],
+                                 "doc_id long")
+    rows = epoch_shuffle(docs, epoch, shards).collect()
+    assert len(rows) == n and len({r.doc_id for r in rows}) == n
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < shards
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
