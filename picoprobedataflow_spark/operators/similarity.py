@@ -624,21 +624,71 @@ def ivfpq_search(emb: DataFrame, query_vec: list[float], k: int = 10,
     actually runs (cell = partition key → the probe is partition
     pruning; ADC reads codes, never vectors).
 
-    Everything after the builds is one narrow pass: coarse cell and
-    the m PQ codes are all map-side centroid-literal expressions over
-    a SHARED scan, the probe filter is an ``isin`` over n_probe
-    literals, and the top-k is TakeOrderedAndProject — zero joins,
-    zero windows, zero extra shuffles. Both builds share one
-    checkpointed (_id, _v) projection. Distances round before
-    ranking, id tie-break."""
+    The FIVE builds (coarse + m subspaces) run jointly: per Lloyd
+    iteration, every assignment is a map-side centroid-literal
+    expression over one scan, and ALL codebooks update through a
+    single (builder, cell, dim) mean aggregate — one corpus pass per
+    iteration, independent of m, over one checkpointed (_id, _v)
+    projection. Per-(builder, cell, dim) value multisets equal the
+    independent builds', so the shared oracle CTE chain replays
+    unchanged. Everything after the builds is one narrow pass: probe
+    ``isin`` filter, literal-LUT lookups, TakeOrderedAndProject —
+    zero joins, zero windows, zero extra shuffles. Distances round
+    before ranking, id tie-break."""
     vecs = emb.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
     ).localCheckpoint(eager=True)
-    coarse = kmeans_centroids(None, n_cells, n_iter, vecs=vecs)
-    coarse_rows = sorted((r.cell, list(r.centroid))
-                         for r in coarse.collect())
-    _, codebooks = pq_encode(None, m, n_codes, n_iter, dim, vecs=vecs)
+    sub = dim // m
+    # One seed top-k serves every builder (md5(_id) rank is
+    # space-independent): full seed vectors for the coarse book,
+    # their slices for the subspace books.
+    seed_rows = kmeans_seed_query(vecs, max(n_cells, n_codes)).collect()
+    seed_rows.sort(key=lambda r: (r._h, r._id))
+    coarse_rows = [(c, [float(x) for x in r._v])
+                   for c, r in enumerate(seed_rows[:n_cells])]
+    codebooks = [
+        [(c, [float(x) for x in r._v[i * sub:(i + 1) * sub]])
+         for c, r in enumerate(seed_rows[:n_codes])]
+        for i in range(m)]
+
+    def assigned_df():
+        df = vecs.withColumn("cell", kmeans_assign_expr(coarse_rows, "_v"))
+        for i in range(m):
+            df = (df.withColumn("_sl", F.slice("_v", i * sub + 1, sub))
+                  .withColumn(f"c{i}",
+                              kmeans_assign_expr(codebooks[i], "_sl"))
+                  .drop("_sl"))
+        return df
+
+    for _ in range(n_iter):
+        ex = assigned_df().select(
+            "cell", *[f"c{i}" for i in range(m)],
+            F.posexplode("_v").alias("_p", "_val"))
+        coarse_part = ex.select(
+            F.lit(-1).alias("_b"), F.col("cell").alias("_cell"),
+            F.col("_p").alias("_dim"), "_val")
+        sub_part = ex.select(
+            F.floor(F.col("_p") / sub).cast("int").alias("_b"),
+            F.element_at(F.array(*[F.col(f"c{i}") for i in range(m)]),
+                         (F.floor(F.col("_p") / sub) + 1).cast("int"))
+             .alias("_cell"),
+            (F.col("_p") % sub).cast("int").alias("_dim"), "_val")
+        means = (coarse_part.unionAll(sub_part)
+                 .groupBy("_b", "_cell", "_dim")
+                 .agg(F.avg("_val").alias("_m")).collect())
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_key.setdefault((r._b, r._cell), {})[r._dim] = r._m
+        coarse_rows = [
+            (c, [by_key[(-1, c)][d] for d in sorted(by_key[(-1, c)])]
+             if (-1, c) in by_key else cent)
+            for c, cent in coarse_rows]
+        codebooks = [
+            [(c, [by_key[(i, c)][d] for d in sorted(by_key[(i, c)])]
+              if (i, c) in by_key else cent)
+             for c, cent in codebooks[i]]
+            for i in range(m)]
 
     qd = [float(x) for x in query_vec]
 
@@ -651,8 +701,7 @@ def ivfpq_search(emb: DataFrame, query_vec: list[float], k: int = 10,
     ranked = sorted(coarse_rows, key=lambda r: (-cos(r[1], qd), r[0]))
     probe_cells = [c for c, _ in ranked[:n_probe]]
 
-    sub = dim // m
-    df = vecs.withColumn("cell", kmeans_assign_expr(coarse_rows, "_v"))
+    df = assigned_df()
     adc = None
     for i, book in enumerate(codebooks):
         qs = qd[i * sub:(i + 1) * sub]
@@ -662,9 +711,6 @@ def ivfpq_search(emb: DataFrame, query_vec: list[float], k: int = 10,
             for a, b in zip(qs, cent):
                 d = d + (a - b) * (a - b)
             lut.append(d)
-        df = (df.withColumn("_sl", F.slice("_v", i * sub + 1, sub))
-              .withColumn(f"c{i}", kmeans_assign_expr(book, "_sl"))
-              .drop("_sl"))
         term = F.element_at(F.array(*[F.lit(x) for x in lut]),
                             F.col(f"c{i}") + 1)
         adc = term if adc is None else adc + term
