@@ -437,3 +437,41 @@ def bm25_scores(docs, query_terms, k1: float = 1.2, b: float = 0.75,
                                     + b * F.col("dl") / F.col("avgdl"))))
                         .alias("s")))
     return per_term.groupBy(id_col).agg(F.sum("s").alias("score"))
+
+
+def unigram_logprob(docs, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Corpus-unigram language-model score per document — the
+    CCNet-style LM quality filter: fit add-one-smoothed unigram
+    probabilities on the corpus itself, then score each document by
+    its mean token log-probability (higher = more typical; the
+    filter's drop-tail is the atypical-junk end). Returns
+    (id, n_tok, avg_logprob) with ``avg_logprob`` unrounded — the
+    catalog entry rounds before the gate.
+
+    Scale shape: one explode → (doc, term) tf aggregate; the unigram
+    table is (term, count) — true-vocabulary-bounded (Heaps' law),
+    broadcast back; corpus totals are 1-row scalar aggregates. The
+    per-doc score is one more hash aggregate keyed by the
+    high-cardinality doc id. Nothing touches the driver but k-row
+    literals."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(F.col(id_col),
+                       F.explode(words(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    uni = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    totals = uni.agg(F.sum("cnt").alias("n_total"),
+                     F.count("*").alias("n_vocab"))
+    logp = (uni.crossJoin(F.broadcast(totals))
+            .select("term",
+                    F.log((F.col("cnt") + 1.0)
+                          / (F.col("n_total") + F.col("n_vocab")))
+                    .alias("lp")))
+    scored = (tf.join(F.broadcast(logp), "term")
+              .groupBy(id_col)
+              .agg(F.sum("tf").cast("long").alias("n_tok"),
+                   F.sum(F.col("tf") * F.col("lp")).alias("sum_lp")))
+    return scored.select(
+        F.col(id_col), "n_tok",
+        (F.col("sum_lp") / F.col("n_tok")).alias("avg_logprob"))

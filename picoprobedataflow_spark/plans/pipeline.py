@@ -1873,3 +1873,54 @@ def vocab_coverage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("oov_rate"),
                  F.round(F.avg(1.0 - F.col("n_cov") / F.col("n_tok")),
                          6).alias("mean_doc_oov")))
+
+
+# --------------------------------------------------------------------------
+# Unigram LM quality scoring (round 5): the CCNet-style perplexity
+# filter — corpus-fit add-one unigram LM, mean token log-prob per doc.
+# --------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+uni AS (
+  SELECT term, count(*) AS cnt FROM toks GROUP BY 1
+),
+tot AS (
+  SELECT sum(cnt) AS n_total, count(*) AS n_vocab FROM uni
+),
+logp AS (
+  SELECT term, ln((cnt + 1.0) / (n_total + n_vocab)) AS lp
+  FROM uni CROSS JOIN tot
+)
+SELECT tf.doc_id,
+       CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+       round(sum(tf.tf * l.lp) / sum(tf.tf), 6) AS avg_logprob
+FROM tf JOIN logp l ON tf.term = l.term
+GROUP BY 1
+"""
+
+
+@query(
+    "unigram_lm_scores",
+    oracle=_UNIGRAM_ORACLE,
+    tags=("lm-filter", "perplexity", "quality", "llm-pipeline"),
+)
+def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean token log-probability of every document under the
+    corpus-fit add-one unigram LM
+    (:func:`functions.text.unigram_logprob`) — the CCNet-style LM
+    quality filter's score column (its keep/drop is a threshold on
+    this). The unigram table is true-vocabulary-bounded and
+    broadcasts; corpus totals are 1-row scalars; per-doc scoring is
+    one hash aggregate. ``avg_logprob`` rounds to 6 dp on both
+    engines (the per-doc sum's term order differs across engines by
+    ulps; 6 dp dwarfs that)."""
+    docs = tbl(spark, sf_dir, "documents")
+    scored = TX.unigram_logprob(docs)
+    return scored.select("doc_id", "n_tok",
+                         F.round("avg_logprob", 6).alias("avg_logprob"))

@@ -1081,3 +1081,26 @@ def test_vocab_coverage_hand_check(spark):
                     F.sum(F.coalesce("_in", F.lit(0))).alias("n_cov")))
     got = {r.doc_id: (r.n_tok, r.n_cov) for r in per_doc.collect()}
     assert got == {0: (3, 2), 1: (2, 1), 2: (3, 0)}
+
+
+def test_unigram_logprob_hand_check(spark):
+    """Add-one unigram LM on a 2-doc corpus vs hand math: common
+    tokens score higher than rare ones, probabilities are properly
+    smoothed over (total + vocab), and n_tok is the doc's token
+    count."""
+    import math
+
+    from picoprobedataflow_spark.functions.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    # corpus: a=3, b=1, c=1; total=5, vocab=3 → denom 8
+    lp = {t: math.log((c + 1) / 8.0) for t, c in
+          {"a": 3, "b": 1, "c": 1}.items()}
+    assert out[0].n_tok == 3 and out[1].n_tok == 2
+    assert abs(out[0].avg_logprob - (2 * lp["a"] + lp["b"]) / 3) < 1e-9
+    assert abs(out[1].avg_logprob - (lp["a"] + lp["c"]) / 2) < 1e-9
+    # the all-common-token doc scores higher than the rare-token one
+    assert out[0].avg_logprob > out[1].avg_logprob
