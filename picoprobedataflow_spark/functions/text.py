@@ -417,11 +417,19 @@ def bm25_scores(docs, query_terms, k1: float = 1.2, b: float = 0.75,
         n_words(text_col).cast("double").alias("dl"),
         F.explode(words(text_col)).alias("term"),
     ).filter(F.col("term").isin(terms))
+    # tf is tiny (≤ |docs|·|Q| rows after the query-term filter) and
+    # feeds BOTH the df aggregate and the score join; materialize it
+    # so the tokenize/explode pipeline runs exactly once (column
+    # pruning gives the two consumers different scan schemas, so
+    # ReuseExchange alone would not deduplicate them).
     tf = (toks.groupBy(id_col, "term")
           .agg(F.count("*").cast("double").alias("tf"),
-               F.max("dl").alias("dl")))
-    dfq = toks.groupBy("term").agg(
-        F.countDistinct(id_col).cast("double").alias("df"))
+               F.max("dl").alias("dl"))
+          ).localCheckpoint(eager=True)
+    # df from the tf aggregate: one row per (doc, term), so the
+    # per-term row count IS the document frequency.
+    dfq = tf.groupBy("term").agg(
+        F.count("*").cast("double").alias("df"))
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(n_words(text_col).cast("double")).alias("avgdl"))
@@ -459,8 +467,15 @@ def unigram_logprob(docs, text_col: str = "text",
 
     toks = docs.select(F.col(id_col),
                        F.explode(words(text_col)).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    uni = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    # tf feeds the unigram counts AND the scoring join; materialize
+    # so the corpus explodes exactly once (at 100 TB this is a
+    # persist-to-storage of the (doc, term, tf) table — the standard
+    # shape for multi-consumer featurization intermediates).
+    tf = (toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=True))
+    # Corpus counts from the tf aggregate (Σ per-term tf), not a
+    # second explode.
+    uni = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     totals = uni.agg(F.sum("cnt").alias("n_total"),
                      F.count("*").alias("n_vocab"))
     logp = (uni.crossJoin(F.broadcast(totals))

@@ -154,6 +154,10 @@ def zorder_key(cols: tuple[Column | str, ...],
         if name is None or name not in bounds:
             raise ValueError("bounds requires named columns")
         lo_v, hi_v = bounds[name]
+        if lo_v is None or hi_v is None:
+            raise ValueError(
+                f"zorder_key: bounds for {name!r} are null — empty "
+                "input or all-null column; nothing to bucketize")
         lo = F.lit(float(lo_v))
         span = F.lit(float(hi_v - lo_v) or 1.0)
         bucket = F.least(
@@ -192,6 +196,13 @@ def write_zordered(df: DataFrame, path: str,
     than statistical (pytest-measured from parquet footer stats)."""
     if bounds is None:
         bounds = compute_bounds(df, tuple(zorder_by))
+    if any(lo is None or hi is None for lo, hi in bounds.values()):
+        # Empty input (or an all-null key column): there is nothing to
+        # cluster — write the data as-is instead of crashing inside
+        # float(None). An incremental stage whose filter matched no
+        # rows still produces its (empty) output dataset.
+        df.write.mode(mode).parquet(path)
+        return
     key = zorder_key(tuple(zorder_by), bits_per_dim, bounds)
     total_bits = bits_per_dim * len(zorder_by)
     k = max(0, math.ceil(math.log2(max(1, n_files))))
@@ -215,8 +226,10 @@ def epoch_shuffle(df: DataFrame, epoch: int, n_shards: int = 8,
                   id_col: str = "doc_id") -> DataFrame:
     """Deterministic training-epoch shuffle: every row gets a
     (shard, pos) coordinate that is a pure function of
-    (epoch, id) — md5("ep{epoch}:{id}") orders the epoch, its low
-    bits pick the shard, and ``pos`` is the rank within the shard.
+    (epoch, id) — md5("ep{epoch}:{id}") orders the epoch, its
+    TOP-32-bit prefix picks the shard (never `pmod` over low bits —
+    only a prefix key keeps shards contiguous in the global order),
+    and ``pos`` is the rank within the shard.
     Re-running any epoch reproduces the exact order (resumable
     training, no ``rand()`` anywhere); different epochs give
     decorrelated orders from the same corpus. A loader reads shards

@@ -625,8 +625,9 @@ def cross_doc_span_dedup(docs: DataFrame, span_w: int = 4,
     (doc, window) position anywhere in the corpus. Returns one row
     per window: (id, idx, span, first_key, is_dup) where
     ``first_key`` is the corpus-wide first occurrence encoded as
-    ``doc_id·1e6 + idx`` (exact int64 — windows per doc are far
-    below 1e6).
+    ``(doc_id << 32) + idx`` (exact int64: supports 4B windows per
+    doc — ~17B tokens at span_w=4 — and doc ids below 2^31;
+    corpora beyond either bound need a struct-min key instead).
 
     Scale shape: one explode (corpus token count / span_w rows), one
     hash aggregate keyed by the span text (high cardinality, skew
@@ -647,7 +648,7 @@ def cross_doc_span_dedup(docs: DataFrame, span_w: int = 4,
                          lambda i: F.concat_ws(
                              " ", F.slice("_w", i * span_w + 1, span_w))))
                      .alias("idx", "span")))
-    key = (F.col(id_col).cast("long") * 1_000_000
+    key = (F.shiftleft(F.col(id_col).cast("long"), 32)
            + F.col("idx").cast("long"))
     spans = spans.withColumn("_key", key)
     firsts = (spans.groupBy("span")

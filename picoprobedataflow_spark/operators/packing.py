@@ -161,6 +161,18 @@ def select_token_budget(df: DataFrame, budget: int,
     ``cum = bucket_off + shard_off + within_cum`` — exact int64,
     value-identical to the single-window form (pytest-asserted).
     No corpus-proportional data ever crosses a single partition."""
+    # The shard key MUST be order-contiguous in id_col (shard order ≡
+    # within-bucket order), so it is integer division of the id — a
+    # hash would break contiguity. Validate instead of letting a
+    # non-numeric id silently cast to NULL (the stitch join would
+    # then drop every row under non-ANSI, or throw under ANSI).
+    id_type = dict(df.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"select_token_budget needs an integral {id_col!r} "
+            f"(got {id_type}); for non-numeric ids, "
+            "repartitionByRange on (order_col, id) first and use "
+            "spark_partition_id() as the shard key")
     sh = F.expr(f"CAST({id_col} AS BIGINT) div {int(shard_span)}")
     base = df.withColumn("_sh", sh)
 

@@ -23,6 +23,38 @@ from pyspark.sql import functions as F
 from picoprobedataflow_spark.functions import vectors as V
 
 
+def _cos_py(a, b) -> float:
+    """Driver-side cosine for ranking k-row centroid tables (the one
+    shared implementation — cell ranking must agree everywhere it is
+    computed)."""
+    num = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(y * y for y in b) ** 0.5
+    return num / (na * nb) if na and nb else 0.0
+
+
+def _adc_expr(codebooks, qd: list[float], sub: int) -> F.Column:
+    """The PQ asymmetric-distance expression over code columns
+    ``c0..c{m-1}``: per subspace, the query→centroid squared
+    distances (ascending-dim LEFT-ASSOCIATIVE accumulation — the
+    fold order is load-bearing for cross-engine parity, so it lives
+    in exactly one place) become an m·k literal lookup table, and the
+    ADC sum chains the m lookups left-associatively."""
+    adc = None
+    for i, book in enumerate(codebooks):
+        qs = qd[i * sub:(i + 1) * sub]
+        lut = []
+        for _cell, cent in book:            # cell order 0..k-1
+            d = 0.0
+            for a, b in zip(qs, cent):      # ascending dim, left-assoc
+                d = d + (a - b) * (a - b)
+            lut.append(d)
+        term = F.element_at(F.array(*[F.lit(x) for x in lut]),
+                            F.col(f"c{i}") + 1)
+        adc = term if adc is None else adc + term
+    return adc
+
+
 def cosine_to_query(emb: DataFrame, query_vec: list[float],
                     vec_col: str = "embedding",
                     id_col: str = "vec_id") -> DataFrame:
@@ -94,16 +126,9 @@ def ivf_ann_search(emb: DataFrame, query_vec: list[float], k: int = 5,
     with the cell column as a partition key at write time, that
     pruning is partition pruning."""
     cents = ivf_centroids(emb, cell_col, vec_col).collect()
-
-    def cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return num / (na * nb) if na and nb else 0.0
-
     ranked = sorted(cents,
-                    key=lambda r: (-cos(r.centroid,
-                                        [float(x) for x in query_vec]),
+                    key=lambda r: (-_cos_py(r.centroid,
+                                            [float(x) for x in query_vec]),
                                    r.cell))
     probe_cells = [r.cell for r in ranked[:n_probe]]
     q = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -406,15 +431,9 @@ def ivf_kmeans_search(emb: DataFrame, query_vec: list[float], k: int = 5,
     cents_df = kmeans_centroids(emb, n_clusters, n_iter, vec_col, id_col,
                                 vecs=vecs)
     cents = cents_df.collect()
-
-    def cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return num / (na * nb) if na and nb else 0.0
-
     qd = [float(x) for x in query_vec]
-    ranked = sorted(cents, key=lambda r: (-cos(r.centroid, qd), r.cell))
+    ranked = sorted(cents,
+                    key=lambda r: (-_cos_py(r.centroid, qd), r.cell))
     probe_cells = [r.cell for r in ranked[:n_probe]]
 
     # Map-side assignment keeps _v on the row, so the probe is
@@ -591,18 +610,7 @@ def pq_adc_search(emb: DataFrame, query_vec: list[float], k: int = 10,
                                  vec_col, id_col)
     sub = dim // m
     qd = [float(x) for x in query_vec]
-    adc = None
-    for i, cent_rows in enumerate(codebooks):
-        qs = qd[i * sub:(i + 1) * sub]
-        lut = []
-        for _cell, cent in cent_rows:       # cell order 0..k-1
-            d = 0.0
-            for a, b in zip(qs, cent):      # ascending dim, left-assoc
-                d = d + (a - b) * (a - b)
-            lut.append(d)
-        term = F.element_at(F.array(*[F.lit(x) for x in lut]),
-                            F.col(f"c{i}") + 1)
-        adc = term if adc is None else adc + term
+    adc = _adc_expr(codebooks, qd, sub)
     return (codes
             .withColumn("adc", F.round(adc, round_digits))
             .select(F.col("_id").alias(id_col),
@@ -691,29 +699,12 @@ def ivfpq_search(emb: DataFrame, query_vec: list[float], k: int = 10,
             for i in range(m)]
 
     qd = [float(x) for x in query_vec]
-
-    def cos(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return num / (na * nb) if na and nb else 0.0
-
-    ranked = sorted(coarse_rows, key=lambda r: (-cos(r[1], qd), r[0]))
+    ranked = sorted(coarse_rows,
+                    key=lambda r: (-_cos_py(r[1], qd), r[0]))
     probe_cells = [c for c, _ in ranked[:n_probe]]
 
     df = assigned_df()
-    adc = None
-    for i, book in enumerate(codebooks):
-        qs = qd[i * sub:(i + 1) * sub]
-        lut = []
-        for _cell, cent in book:
-            d = 0.0
-            for a, b in zip(qs, cent):
-                d = d + (a - b) * (a - b)
-            lut.append(d)
-        term = F.element_at(F.array(*[F.lit(x) for x in lut]),
-                            F.col(f"c{i}") + 1)
-        adc = term if adc is None else adc + term
+    adc = _adc_expr(codebooks, qd, sub)
     return (df.filter(F.col("cell").isin(probe_cells))
             .withColumn("adc", F.round(adc, round_digits))
             .select(F.col("_id").alias(id_col), "cell",

@@ -1364,6 +1364,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ("spark", "join", "window", "stream")
 _BM25_K1, _BM25_B = 1.2, 0.75
+#: the oracle's IN list is built from the SAME constant as the Spark
+#: side (the _QUALITY_SQL no-drift rule).
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 
 _BM25_ORACLE = f"""
 WITH toks AS (
@@ -1372,7 +1375,7 @@ WITH toks AS (
          unnest({_WORDS}) AS term
   FROM documents
 ),
-ft AS (SELECT * FROM toks WHERE term IN ('spark','join','window','stream')),
+ft AS (SELECT * FROM toks WHERE term IN ({_BM25_TERMS_SQL})),
 tf AS (
   SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
   FROM ft GROUP BY 1, 2
@@ -1626,7 +1629,7 @@ spans AS (
   SELECT doc_id, CAST(idx AS BIGINT) AS idx,
          array_to_string(w[idx * {_SPAN_W} + 1 : idx * {_SPAN_W} + {_SPAN_W}],
                          ' ') AS span,
-         doc_id * 1000000 + idx AS key
+         (doc_id << 32) + idx AS key
   FROM ids
 ),
 firsts AS (
@@ -1657,7 +1660,7 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signal a pipeline uses to drop or trim boilerplate-heavy
     documents rather than whole near-dups. One explode + one span
     aggregate + one same-key join + one doc aggregate; first
-    occurrence is the exact-int min of doc_id·1e6+idx on both
+    occurrence is the exact-int min of (doc_id << 32) + idx on both
     engines."""
     docs = tbl(spark, sf_dir, "documents")
     marks = DD.cross_doc_span_dedup(docs, span_w=_SPAN_W)

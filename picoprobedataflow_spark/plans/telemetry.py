@@ -257,7 +257,13 @@ spans AS (
          max(us) + 1800000000 AS end_us
   FROM sess GROUP BY 1, 2
 ),
-wm AS (SELECT max(epoch_us(ts)) - 7200000000 AS w FROM events)
+-- Spark's EventTimeWatermarkExec tracks event-time stats at
+-- MILLISECOND precision (us // 1000), so the replay truncates the
+-- max timestamp to ms before subtracting the delay — without this
+-- the two engines' watermarks differ by up to 999 us and a session
+-- ending inside that gap would split emitted/withheld differently.
+wm AS (SELECT (max(epoch_us(ts)) // 1000) * 1000 - 7200000000 AS w
+       FROM events)
 SELECT 'lag_cumsum' AS family, user_id,
        CAST(sum(new_session) AS BIGINT) AS n_sessions,
        CAST(count(*) AS BIGINT)         AS n_events

@@ -181,12 +181,19 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
       price of validation, both passes scale-safe hash aggs."""
     rsd, accuracy = 0.05, 100
     ev = events_us(spark, sf_dir)
+    # localCheckpoint: `sk` feeds BOTH the rank-check join and the
+    # final output. Without materialization each consumer re-evaluates
+    # the sketch aggregate, and QuantileSummaries merging is
+    # shuffle-arrival-order-dependent — the median validated in `out`
+    # could differ from the median `rankchk` measured, flipping
+    # median_ok spuriously. One evaluation, one median.
     sk = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd).alias("approx_users"),
         F.percentile_approx("value", F.lit(0.5),
                             F.lit(accuracy)).alias("approx_median"),
         F.count("*").alias("n"),
-        F.countDistinct("user_id").alias("exact_users"))
+        F.countDistinct("user_id").alias("exact_users")
+    ).localCheckpoint(eager=True)
     rankchk = (ev.join(F.broadcast(
                    sk.select("event_type", "approx_median")),
                    "event_type")
