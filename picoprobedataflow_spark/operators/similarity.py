@@ -711,3 +711,43 @@ def ivfpq_search(emb: DataFrame, query_vec: list[float], k: int = 10,
                     *[f"c{i}" for i in range(m)], "adc")
             .orderBy(F.asc("adc"), F.asc(id_col))
             .limit(k))
+
+
+def batch_topk_cosine(queries: DataFrame, corpus: DataFrame,
+                      k: int = 5, shard_span: int = 32,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      round_digits: int = 6) -> DataFrame:
+    """Top-k cosine neighbors for EVERY query in a batch (the
+    many-queries retrieval shape: eval-set contamination probes,
+    nearest-neighbor labeling, RAG batch lookup). The query side
+    broadcasts (it is the small side by construction); scores are
+    rounded before ranking with an id tie-break.
+
+    Scale shape: a naive per-query window would funnel |corpus| rows
+    through |queries| partitions — the few-huge-groups trap. This is
+    the TWO-PHASE sharded top-N instead (same discipline as
+    stratified_sample): phase 1 ranks within (query, id-shard) —
+    parallel across the whole corpus — and keeps k per shard; phase
+    2 ranks the ≤ k·shards survivors per query. No corpus-
+    proportional data ever crosses one partition."""
+    from pyspark.sql.window import Window as W
+
+    q = queries.select(F.col(id_col).alias("qid"),
+                       F.col(vec_col).alias("_qv"))
+    scored = (corpus.select(F.col(id_col), F.col(vec_col))
+              .join(F.broadcast(q))
+              .select("qid", id_col,
+                      F.round(V.cosine(F.col(vec_col), F.col("_qv")),
+                              round_digits).alias("cosine")))
+    sh = F.expr(f"CAST({id_col} AS BIGINT) div {int(shard_span)}")
+    w1 = (W.partitionBy("qid", "_sh")
+          .orderBy(F.desc("cosine"), F.asc(id_col)))
+    survivors = (scored.withColumn("_sh", sh)
+                 .withColumn("_r1", F.row_number().over(w1))
+                 .filter(F.col("_r1") <= k))
+    w2 = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (survivors
+            .withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= k)
+            .select("qid", id_col, "cosine", "rk"))

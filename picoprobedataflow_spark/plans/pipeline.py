@@ -1927,3 +1927,58 @@ def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = TX.unigram_logprob(docs)
     return scored.select("doc_id", "n_tok",
                          F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
+# --------------------------------------------------------------------------
+# Batch multi-query ANN (round 5): top-k neighbors for every query in
+# a set, via the two-phase sharded top-N (never |corpus| rows through
+# |queries| partitions).
+# --------------------------------------------------------------------------
+
+_BATCH_ANN_NQ, _BATCH_ANN_K = 5, 5
+
+_BATCH_ANN_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_BATCH_ANN_NQ}
+),
+c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= {_BATCH_ANN_NQ}
+),
+s AS (
+  SELECT qid, c.vec_id,
+         round(list_cosine_similarity(v, qv), 6) AS cosine
+  FROM c CROSS JOIN q
+)
+SELECT qid, vec_id, cosine, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+  FROM s
+)
+WHERE rk <= {_BATCH_ANN_K}
+"""
+
+
+@query(
+    "batch_ann_topk",
+    oracle=_BATCH_ANN_ORACLE,
+    tags=("ann", "batch-retrieval", "top-k-per-group",
+          "llm-pipeline"),
+)
+def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors for each of the first 5 vectors,
+    searched against the rest of the corpus in ONE pass
+    (:func:`operators.similarity.batch_topk_cosine`) — the batch
+    retrieval shape of eval-contamination probes and RAG lookups.
+    The query side broadcasts; ranking is the two-phase sharded
+    top-N (per-(query, id-shard) windows, then a window over the
+    ≤ k·shards survivors per query), so the few-huge-groups trap of
+    a naive per-query window never materializes. The oracle replays
+    the single-window form; scores round before ranking."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return SIM.batch_topk_cosine(
+        emb.filter(F.col("vec_id") < _BATCH_ANN_NQ),
+        emb.filter(F.col("vec_id") >= _BATCH_ANN_NQ),
+        k=_BATCH_ANN_K)

@@ -1104,3 +1104,43 @@ def test_unigram_logprob_hand_check(spark):
     assert abs(out[1].avg_logprob - (lp["a"] + lp["c"]) / 2) < 1e-9
     # the all-common-token doc scores higher than the rare-token one
     assert out[0].avg_logprob > out[1].avg_logprob
+
+
+def test_batch_topk_two_phase_equals_single_window(spark):
+    """Batch top-k: the two-phase sharded ranking must equal the
+    single-window formulation across shard widths (incl. widths that
+    don't divide the corpus), and every window in the deployed plan
+    carries a shard or query key (no whole-frame spec)."""
+    import re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+
+    from picoprobedataflow_spark.functions import vectors as V
+
+    q = queries.select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("_qv"))
+    scored = (corpus.join(F.broadcast(q))
+              .select("qid", "vec_id",
+                      F.round(V.cosine(F.col("embedding"),
+                                       F.col("_qv")), 6)
+                       .alias("cosine")))
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    want = sorted(map(tuple,
+                      scored.withColumn("rk", F.row_number().over(w))
+                      .filter(F.col("rk") <= 5)
+                      .select("qid", "vec_id", "cosine", "rk")
+                      .collect()))
+    for span in (1, 7, 32, 10_000):
+        got = sorted(map(tuple, SIM.batch_topk_cosine(
+            queries, corpus, k=5, shard_span=span).collect()))
+        assert got == want, f"span={span}"
+    plan = (SIM.batch_topk_cosine(queries, corpus, k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = spec.split(",")[0]
+        assert " ASC" not in first and " DESC" not in first, spec
