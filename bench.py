@@ -186,7 +186,10 @@ def main() -> None:
                        ("token_budget_full", "token_budget_curriculum"),
                        ("tpch_gap_full", "tpch_gap_suite"),
                        ("ivfpq_full", "ann_ivfpq_topk"),
-                       ("epoch_shuffle_full", "epoch_shuffle_layout")):
+                       ("epoch_shuffle_full", "epoch_shuffle_layout"),
+                       ("batch_ann_full", "batch_ann_topk"),
+                       ("unigram_lm_full", "unigram_lm_scores"),
+                       ("vocab_coverage_full", "vocab_coverage_stats")):
         variants[key] = specs[qname].fn
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
