@@ -751,3 +751,91 @@ def batch_topk_cosine(queries: DataFrame, corpus: DataFrame,
             .withColumn("rk", F.row_number().over(w2))
             .filter(F.col("rk") <= k)
             .select("qid", id_col, "cosine", "rk"))
+
+
+def ivfpq_residual_search(emb: DataFrame, query_vec: list[float],
+                          k: int = 10, n_cells: int = 8,
+                          n_probe: int = 2, m: int = 4,
+                          n_codes: int = 8, n_iter: int = 2,
+                          dim: int = 64, vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          round_digits: int = 6) -> DataFrame:
+    """RESIDUAL-encoded IVF-PQ (FAISS's ``by_residual=True`` default):
+    the PQ codebooks quantize ``v − coarse_centroid(cell(v))`` instead
+    of the raw vector, so all of the codebook's resolution is spent on
+    the within-cell displacement — the accuracy upgrade over
+    :func:`ivfpq_search` at identical storage. Query-time the lookup
+    table becomes PER PROBED CELL (the query residual differs per
+    cell): n_probe·m·k entries, still driver-bounded literals.
+
+    Scale shape: coarse build + m subspace builds over the residual
+    stream — the residual is a pure map (zip_with against the k
+    centroid literals selected by the map-side cell), so the extra
+    encode stage adds ZERO shuffles; search stays codes-only with a
+    cell-dispatched CASE over the probed cells' lookup tables,
+    TakeOrderedAndProject at the end. Distances round before
+    ranking."""
+    vecs = emb.select(
+        F.col(id_col).alias("_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
+    ).localCheckpoint(eager=True)
+    coarse = kmeans_centroids(None, n_cells, n_iter, vecs=vecs)
+    coarse_rows = sorted((r.cell, list(r.centroid))
+                         for r in coarse.collect())
+    cents_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in cent])
+        for _c, cent in coarse_rows])         # ordered by cell 0..k-1
+
+    def with_residual(df):
+        cell = kmeans_assign_expr(coarse_rows, "_v")
+        cent = F.element_at(cents_arr, F.col("cell") + 1)
+        return (df.withColumn("cell", cell)
+                .withColumn("_r", F.zip_with("_v", cent,
+                                             lambda a, b: a - b)))
+
+    residuals = (with_residual(vecs)
+                 .select("_id", F.col("_r").alias("_v"))
+                 .localCheckpoint(eager=True))
+    _, codebooks = pq_encode(None, m, n_codes, n_iter, dim,
+                             vecs=residuals)
+
+    qd = [float(x) for x in query_vec]
+    ranked = sorted(coarse_rows,
+                    key=lambda r: (-_cos_py(r[1], qd), r[0]))
+    probe_cells = [c for c, _ in ranked[:n_probe]]
+    coarse_by_cell = dict(coarse_rows)
+    sub = dim // m
+
+    # codes over the residual stream, cell kept on the row
+    df = with_residual(vecs)
+    for i in range(m):
+        df = (df.withColumn("_sl", F.slice("_r", i * sub + 1, sub))
+              .withColumn(f"c{i}",
+                          kmeans_assign_expr(codebooks[i], "_sl"))
+              .drop("_sl"))
+
+    # per-probed-cell ADC: query residual differs per cell, so each
+    # subspace term dispatches on the row's cell over n_probe tables.
+    adc = None
+    for i, book in enumerate(codebooks):
+        term = None
+        for cell in probe_cells:
+            qres = [qd[j] - coarse_by_cell[cell][j]
+                    for j in range(i * sub, (i + 1) * sub)]
+            lut = []
+            for _code, cent in book:
+                d = 0.0
+                for a, b in zip(qres, cent):   # ascending dim, left-assoc
+                    d = d + (a - b) * (a - b)
+                lut.append(d)
+            hit = F.element_at(F.array(*[F.lit(x) for x in lut]),
+                               F.col(f"c{i}") + 1)
+            term = (F.when(F.col("cell") == cell, hit) if term is None
+                    else term.when(F.col("cell") == cell, hit))
+        adc = term if adc is None else adc + term
+    return (df.filter(F.col("cell").isin(probe_cells))
+            .withColumn("adc", F.round(adc, round_digits))
+            .select(F.col("_id").alias(id_col), "cell",
+                    *[f"c{i}" for i in range(m)], "adc")
+            .orderBy(F.asc("adc"), F.asc(id_col))
+            .limit(k))

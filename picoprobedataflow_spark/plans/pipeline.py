@@ -688,7 +688,8 @@ _KM_K, _KM_ITER, _KM_PROBE, _KM_TOPK = 8, 2, 2, 5
 
 def _kmeans_build_ctes(k: int, n_iter: int, dim: int = 64,
                        suffix: str = "",
-                       slice_lo: int | None = None) -> list[str]:
+                       slice_lo: int | None = None,
+                       source: str | None = None) -> list[str]:
     """The deterministic Lloyd's-build CTE chain shared by the IVF
     search, SemDeDup and PQ oracles: md5-ranked seeds, then
     per-iteration argmin assign (squared distance as a chained
@@ -711,11 +712,17 @@ def _kmeans_build_ctes(k: int, n_iter: int, dim: int = 64,
     dist = " + ".join(f"(e.v[{i}] - c.c[{i}]) * (e.v[{i}] - c.c[{i}])"
                       for i in range(1, dim + 1))
     sfx = suffix
-    vexpr = ("CAST(embedding AS DOUBLE[])" if slice_lo is None else
-             f"CAST(embedding AS DOUBLE[])[{slice_lo}:{slice_lo + dim - 1}]")
+    if source is None:
+        base, where = "CAST(embedding AS DOUBLE[])", "WHERE vec_id > 0"
+    else:
+        # `source` is a prior CTE exposing (vec_id, v DOUBLE[]) —
+        # e.g. the residual vectors of a coarse quantizer.
+        base, where = "v", ""
+    vexpr = (base if slice_lo is None else
+             f"{base}[{slice_lo}:{slice_lo + dim - 1}]")
     ctes = [
         f"ve{sfx} AS MATERIALIZED (SELECT vec_id, {vexpr} AS v\n"
-        "       FROM embeddings WHERE vec_id > 0)",
+        f"       FROM {source or 'embeddings'} {where})",
         f"""cents0{sfx} AS MATERIALIZED (
   SELECT cell, v AS c FROM (
     SELECT vec_id, v,
@@ -1982,3 +1989,86 @@ def batch_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < _BATCH_ANN_NQ),
         emb.filter(F.col("vec_id") >= _BATCH_ANN_NQ),
         k=_BATCH_ANN_K)
+
+
+# --------------------------------------------------------------------------
+# Residual-encoded IVF-PQ (round 5): FAISS's by_residual default —
+# the codebooks quantize v − coarse_centroid(cell), the lookup table
+# becomes per-probed-cell. The oracle chains the coarse build, a
+# residual CTE, and four subspace builds OVER the residual stream.
+# --------------------------------------------------------------------------
+
+
+def _ivfpq_residual_oracle(n_cells: int, n_probe: int, m: int, k: int,
+                           n_iter: int, topk: int,
+                           dim: int = 64) -> str:
+    sub = dim // m
+    ctes = _kmeans_build_ctes(n_cells, n_iter, dim)          # coarse
+    ctes.append("q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv\n"
+                "     FROM embeddings WHERE vec_id = 0)")
+    ctes.append(f"""probe AS (
+  SELECT cell FROM cents{n_iter}
+  ORDER BY list_cosine_similarity(c, (SELECT qv FROM q)) DESC, cell
+  LIMIT {n_probe})""")
+    ctes.append(f"""rve AS MATERIALIZED (
+  SELECT e.vec_id,
+         list_transform(range(1, {dim + 1}), i -> e.v[i] - c.c[i]) AS v
+  FROM ve e
+  JOIN assignf a USING (vec_id)
+  JOIN cents{n_iter} c ON a.cell = c.cell)""")
+    for i in range(m):
+        o = i * sub
+        ctes += _kmeans_build_ctes(k, n_iter, dim=sub, suffix=f"_r{i}",
+                                   slice_lo=o + 1, source="rve")
+        qdist = " + ".join(
+            f"((q.qv[{o + j}] - cc.c[{o + j}]) - c.c[{j}])"
+            f" * ((q.qv[{o + j}] - cc.c[{o + j}]) - c.c[{j}])"
+            for j in range(1, sub + 1))
+        ctes.append(f"""lut_r{i} AS (
+  SELECT p.cell, c.cell AS code, {qdist} AS d
+  FROM probe p
+  JOIN cents{n_iter} cc ON cc.cell = p.cell
+  CROSS JOIN cents{n_iter}_r{i} c
+  CROSS JOIN q)""")
+    joins = "\n".join(
+        [f"JOIN assignf_r{i} a{i} USING (vec_id)" for i in range(m)]
+        + [f"JOIN lut_r{i} l{i} ON l{i}.cell = a.cell"
+           f" AND l{i}.code = a{i}.cell" for i in range(m)])
+    cols = ", ".join(f"a{i}.cell AS c{i}" for i in range(m))
+    dsum = " + ".join(f"l{i}.d" for i in range(m))
+    return "WITH " + ",\n".join(ctes) + f"""
+SELECT a.vec_id, a.cell, {cols}, round({dsum}, 6) AS adc
+FROM assignf a
+{joins}
+WHERE a.cell IN (SELECT cell FROM probe)
+ORDER BY round({dsum}, 6), a.vec_id
+LIMIT {topk}
+"""
+
+
+@query(
+    "ann_ivfpq_residual_topk",
+    oracle=_ivfpq_residual_oracle(_KM_K, _IVFPQ_PROBE, _PQ_M,
+                                  _PQ_CODES, _KM_ITER, _IVFPQ_TOPK),
+    tags=("ann", "ivf", "product-quantization", "residual", "adc",
+          "kmeans"),
+)
+def ann_ivfpq_residual_topk(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ top-10 (FAISS ``by_residual``): PQ
+    codebooks trained on ``v − coarse_centroid(cell)``, spending all
+    codebook resolution on within-cell displacement; the query
+    lookup table is per-probed-cell (n_probe·m·k literals). The
+    oracle replays the coarse build, the residual stream, and all
+    four subspace builds over residuals through the shared CTE
+    chain — the deepest replay in the catalog. The residual encode
+    is a pure map (zip_with against cell-dispatched centroid
+    literals): zero extra shuffles over the raw-vector IVF-PQ, and
+    the search plan is still codes-only → TakeOrderedAndProject."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return SIM.ivfpq_residual_search(
+        emb.filter(F.col("vec_id") > 0), qvec, k=_IVFPQ_TOPK,
+        n_cells=_KM_K, n_probe=_IVFPQ_PROBE, m=_PQ_M,
+        n_codes=_PQ_CODES, n_iter=_KM_ITER)

@@ -1144,3 +1144,27 @@ def test_batch_topk_two_phase_equals_single_window(spark):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         first = spec.split(",")[0]
         assert " ASC" not in first and " DESC" not in first, spec
+
+
+def test_ivfpq_residual_plan_and_quality(spark):
+    """Residual IVF-PQ: codes-only search plan (no Join/Window after
+    the builds), results confined to probed cells, ascending
+    non-negative ADC, and a genuinely different ranking than the
+    raw-vector variant (the residual codebooks are trained on a
+    different stream — identical output would mean the residual
+    path silently fell through to raw)."""
+    from picoprobedataflow_spark.plans import catalog
+
+    sf = "/root/testdata/sf0.001"
+    df = catalog.specs()["ann_ivfpq_residual_topk"].fn(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan and "Window" not in plan
+    rows = df.collect()
+    assert len(rows) == 10
+    assert len({r.cell for r in rows}) <= 2
+    adcs = [r.adc for r in rows]
+    assert adcs == sorted(adcs) and all(a >= 0 for a in adcs)
+    raw = catalog.specs()["ann_ivfpq_topk"].fn(spark, sf).collect()
+    assert ([(r.vec_id, r.c0, r.c1, r.c2, r.c3, r.adc) for r in rows]
+            != [(r.vec_id, r.c0, r.c1, r.c2, r.c3, r.adc) for r in raw])
