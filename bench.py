@@ -189,7 +189,9 @@ def main() -> None:
                        ("epoch_shuffle_full", "epoch_shuffle_layout"),
                        ("batch_ann_full", "batch_ann_topk"),
                        ("unigram_lm_full", "unigram_lm_scores"),
-                       ("vocab_coverage_full", "vocab_coverage_stats")):
+                       ("vocab_coverage_full", "vocab_coverage_stats"),
+                       ("ivfpq_residual_full",
+                        "ann_ivfpq_residual_topk")):
         variants[key] = specs[qname].fn
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads

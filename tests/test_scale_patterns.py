@@ -353,6 +353,7 @@ def test_similarity_no_single_partition_window(spark):
     sf = "/root/testdata/sf0.001"
     for name in ("ann_cosine_topk", "ann_srp_matrix_topk",
                  "ann_ivf_kmeans_topk", "ann_pq_adc_topk",
+                 "ann_ivfpq_topk", "ann_ivfpq_residual_topk",
                  "semdedup_embedding_prune"):
         plan = (specs[name].fn(spark, sf)
                 ._jdf.queryExecution().executedPlan().toString())
