@@ -1623,6 +1623,9 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _SPAN_W = 4
+#: bounded-horizon bucket width (docs per ingestion chunk) for the
+#: ST4-style n_dup_bounded column.
+_SPAN_BUCKET_DOCS = 100
 
 _SPAN_DEDUP_ORACLE = f"""
 WITH toks AS (
@@ -1641,14 +1644,24 @@ spans AS (
 ),
 firsts AS (
   SELECT span, min(key) AS first_key FROM spans GROUP BY 1
+),
+b_firsts AS (
+  SELECT doc_id // {_SPAN_BUCKET_DOCS} AS bucket, span,
+         min(key) AS b_first_key
+  FROM spans GROUP BY 1, 2
 )
 SELECT s.doc_id,
        CAST(count(*) AS BIGINT) AS n_spans,
        CAST(sum(CASE WHEN s.key <> f.first_key THEN 1 ELSE 0 END)
             AS BIGINT) AS n_dup,
        round(sum(CASE WHEN s.key <> f.first_key THEN 1 ELSE 0 END)
-             * 1.0 / count(*), 6) AS dup_ratio
-FROM spans s JOIN firsts f USING (span)
+             * 1.0 / count(*), 6) AS dup_ratio,
+       CAST(sum(CASE WHEN s.key <> b.b_first_key THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_bounded
+FROM spans s
+JOIN firsts f USING (span)
+JOIN b_firsts b
+  ON b.bucket = s.doc_id // {_SPAN_BUCKET_DOCS} AND b.span = s.span
 GROUP BY 1
 """
 
@@ -1668,16 +1681,40 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents rather than whole near-dups. One explode + one span
     aggregate + one same-key join + one doc aggregate; first
     occurrence is the exact-int min of (doc_id << 32) + idx on both
-    engines."""
+    engines.
+
+    ``n_dup_bounded`` is the ST4-style bounded-state variant: first
+    occurrences scoped to tumbling 100-doc ingestion buckets, the
+    deterministic twin of what a streaming span-dedup with a
+    dropDuplicatesWithinWatermark-style horizon keeps — a span
+    recurring in a LATER bucket re-admits (bounded state, the
+    explicit trade vs corpus-wide suppression; same determinization
+    argument as ``bucketed_content_dedup``). Bucket rides in the
+    aggregate key, so a hot span never concentrates. Invariant
+    (pytest-pinned): bounded-dup ⇒ global-dup, n_dup_bounded ≤
+    n_dup."""
     docs = tbl(spark, sf_dir, "documents")
     marks = DD.cross_doc_span_dedup(docs, span_w=_SPAN_W)
+    key = (F.shiftleft(F.col("doc_id").cast("long"), 32)
+           + F.col("idx").cast("long"))
+    bucket = F.expr(f"doc_id div {_SPAN_BUCKET_DOCS}")
+    with_b = (marks.withColumn("_key", key)
+              .withColumn("_bucket", bucket))
+    b_firsts = (with_b.groupBy("_bucket", "span")
+                .agg(F.min("_key").alias("_b_first")))
+    joined = (with_b.join(b_firsts, ["_bucket", "span"])
+              .withColumn("is_dup_bounded",
+                          F.col("_key") != F.col("_b_first")))
     n_dup = F.sum(F.col("is_dup").cast("int")).cast("long")
-    return (marks.groupBy("doc_id")
+    n_dup_b = F.sum(F.col("is_dup_bounded").cast("int")).cast("long")
+    return (joined.groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_spans"),
-                 n_dup.alias("n_dup"))
+                 n_dup.alias("n_dup"),
+                 n_dup_b.alias("n_dup_bounded"))
             .select("doc_id", "n_spans", "n_dup",
                     F.round(F.col("n_dup") / F.col("n_spans"), 6)
-                     .alias("dup_ratio")))
+                     .alias("dup_ratio"),
+                    "n_dup_bounded"))
 
 
 # --------------------------------------------------------------------------

@@ -1168,3 +1168,20 @@ def test_ivfpq_residual_plan_and_quality(spark):
     raw = catalog.specs()["ann_ivfpq_topk"].fn(spark, sf).collect()
     assert ([(r.vec_id, r.c0, r.c1, r.c2, r.c3, r.adc) for r in rows]
             != [(r.vec_id, r.c0, r.c1, r.c2, r.c3, r.adc) for r in raw])
+
+
+def test_span_dedup_bounded_subset_of_global(spark):
+    """The bounded-horizon family: bounded dups are a subset of
+    global dups per doc (a same-bucket predecessor is also a global
+    predecessor), equality holds for docs whose dups are all
+    intra-bucket, and a span recurring only across buckets re-admits
+    (bounded 0 < global)."""
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.plans import catalog
+
+    rows = (catalog.specs()["span_dedup_stats"]
+            .fn(spark, "/root/testdata/sf0.01").collect())
+    assert all(r.n_dup_bounded <= r.n_dup for r in rows)
+    assert any(r.n_dup_bounded < r.n_dup for r in rows)  # re-admits
+    assert sum(r.n_dup_bounded for r in rows) > 0        # still catches
