@@ -2109,3 +2109,90 @@ def ann_ivfpq_residual_topk(spark: SparkSession,
         emb.filter(F.col("vec_id") > 0), qvec, k=_IVFPQ_TOPK,
         n_cells=_KM_K, n_probe=_IVFPQ_PROBE, m=_PQ_M,
         n_codes=_PQ_CODES, n_iter=_KM_ITER)
+
+
+# --------------------------------------------------------------------------
+# Packing window manifest (round 5): the loader-side INVERSE of
+# sequence_packing — one row per context window, with how many docs
+# span it and exactly how many of its token slots are occupied.
+# --------------------------------------------------------------------------
+
+_MANIFEST_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         {_SPLIT_SQL} AS split,
+         CAST(len({_WORDS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, split, greatest(n_tokens, 1) AS tok,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY split ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS cum_before
+  FROM d
+),
+b AS (
+  SELECT doc_id, split, tok, cum_before,
+         unnest(range(cum_before // {_PACK_CTX},
+                      (cum_before + tok - 1) // {_PACK_CTX} + 1)) AS bin
+  FROM c
+)
+SELECT split, CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       CAST(sum(least(cum_before + tok, (bin + 1) * {_PACK_CTX})
+                - greatest(cum_before, bin * {_PACK_CTX}))
+            AS BIGINT) AS occupancy
+FROM b
+GROUP BY 1, 2
+"""
+
+
+@query(
+    "packing_window_manifest",
+    oracle=_MANIFEST_ORACLE,
+    tags=("sequence-packing", "training-batch", "manifest",
+          "llm-pipeline"),
+)
+def packing_window_manifest(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Per-context-window manifest of the packed token stream: for
+    every {_PACK_CTX}-token window of each split, the number of
+    documents spanning it, the first/last doc, and the exact count
+    of occupied token slots (= {_PACK_CTX} for every interior
+    window; the split's tail window is partial) — what a training
+    loader consults to assemble batch N without re-walking the
+    corpus. Built from the SAME two-phase packed placement as
+    ``sequence_packing`` (shared exact-int64 arithmetic), then one
+    explode of each doc's bin range and one (split, bin) hash
+    aggregate — bin count is Σtokens/ctx, so the explode grows the
+    data by ~1 row per {_PACK_CTX} tokens, not per token. The
+    oracle replays the single-window form plus generate_series."""
+    docs = tbl(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % 100)
+    split = (F.when(bucket < 80, "train")
+              .when(bucket < 90, "val")
+              .otherwise("test"))
+    d = docs.select("doc_id", split.alias("split"),
+                    TX.n_words("text").cast("long").alias("n_tokens"))
+    from picoprobedataflow_spark.operators.packing import pack_sequences
+    packed = pack_sequences(d, ctx_len=_PACK_CTX, shard_span=64,
+                            part_cols=("split",))
+    tok = F.greatest(F.col("n_tokens"), F.lit(1))
+    exploded = (packed
+                .withColumn("_tok", tok.cast("long"))
+                .select("doc_id", "split", "_tok", "cum_before",
+                        F.explode(F.sequence("bin_first", "bin_last"))
+                        .alias("bin")))
+    lo = F.greatest(F.col("cum_before"), F.col("bin") * _PACK_CTX)
+    hi = F.least(F.col("cum_before") + F.col("_tok"),
+                 (F.col("bin") + 1) * _PACK_CTX)
+    return (exploded
+            .groupBy("split", "bin")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"),
+                 F.sum(hi - lo).cast("long").alias("occupancy")))

@@ -1185,3 +1185,36 @@ def test_span_dedup_bounded_subset_of_global(spark):
     assert all(r.n_dup_bounded <= r.n_dup for r in rows)
     assert any(r.n_dup_bounded < r.n_dup for r in rows)  # re-admits
     assert sum(r.n_dup_bounded for r in rows) > 0        # still catches
+
+
+def test_packing_window_manifest_invariants(spark):
+    """Manifest invariants per split: bins are contiguous 0..max,
+    every non-tail window is exactly full (occupancy == ctx_len),
+    occupancy sums to the split's clamped token total, and doc spans
+    are consistent (first_doc <= last_doc)."""
+    from collections import defaultdict
+
+    from picoprobedataflow_spark.plans import catalog
+    from picoprobedataflow_spark.plans.pipeline import _PACK_CTX
+
+    sf = "/root/testdata/sf0.01"
+    rows = (catalog.specs()["packing_window_manifest"]
+            .fn(spark, sf).collect())
+    packed = (catalog.specs()["sequence_packing"].fn(spark, sf)
+              .collect())
+    tok_by_split = defaultdict(int)
+    for p in packed:
+        tok_by_split[p.split] += max(p.n_tokens, 1)
+    by_split = defaultdict(list)
+    for r in rows:
+        assert r.first_doc <= r.last_doc
+        by_split[r.split].append(r)
+    for split, grp in by_split.items():
+        bins = sorted(r.bin for r in grp)
+        assert bins == list(range(len(bins)))
+        tail = max(bins)
+        for r in grp:
+            assert 1 <= r.occupancy <= _PACK_CTX
+            if r.bin < tail:
+                assert r.occupancy == _PACK_CTX, (split, r.bin)
+        assert sum(r.occupancy for r in grp) == tok_by_split[split]
