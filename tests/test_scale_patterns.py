@@ -525,3 +525,29 @@ def test_epoch_shuffle_bijection_property(spark, n, epoch, shards):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for poss in by_shard.values():
         assert sorted(poss) == list(range(len(poss)))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=st.lists(st.tuples(st.integers(0, 20),      # qb (dups!)
+                               st.integers(1, 50)),      # n_tokens
+                     min_size=1, max_size=40),
+       budget=st.integers(1, 600))
+def test_token_budget_greedy_property(spark, rows, budget):
+    """Greedy-prefix property on arbitrary corpora: the kept set is
+    exactly the docs that start under budget when walking
+    (qb DESC, doc_id ASC), for any duplicate-heavy qb distribution
+    and any budget (incl. budgets beyond the corpus)."""
+    from picoprobedataflow_spark.operators.packing import \
+        select_token_budget
+
+    data = [(i, qb, t) for i, (qb, t) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, qb long, n_tokens long")
+    got = sorted(map(tuple, select_token_budget(
+        df, budget, shard_span=5).collect()))
+    cum, want = 0, []
+    for i, qb, t in sorted(data, key=lambda r: (-r[1], r[0])):
+        if cum < budget:
+            want.append((i, qb, t, cum))
+        cum += t
+    assert got == sorted(want)
