@@ -656,3 +656,55 @@ def cross_doc_span_dedup(docs: DataFrame, span_w: int = 4,
     return (spans.join(firsts, "span")
             .select(F.col(id_col), "idx", "span", "first_key",
                     (F.col("_key") != F.col("first_key")).alias("is_dup")))
+
+
+def cdc_chunk_dedup(docs: DataFrame, n_buckets: int = 8,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Content-defined chunking dedup (the FastCDC/rsync idea at
+    token granularity): chunk boundaries fall where the TOKEN's hash
+    lands in bucket 0 — a pure function of content, so inserting or
+    deleting text shifts only the chunks it touches, unlike the
+    aligned windows of :func:`cross_doc_span_dedup` where one
+    insertion re-phases every later window. Each chunk's exact text
+    is then deduplicated corpus-wide against its first occurrence.
+    Returns one row per chunk:
+    (id, chunk_id, n_toks, chunk_text, first_key, is_dup).
+
+    Scale shape: one explode, a doc-keyed cumulative sum (windows
+    partitioned by the high-cardinality doc id — never global), one
+    (doc, chunk) aggregate whose ordering is an ``array_sort`` over
+    collected (idx, term) structs (deterministic under any partition
+    order), one chunk-text aggregate + same-key join. Expected chunk
+    length = ``n_buckets`` tokens; the chunk text can be replaced by
+    its md5 in the shuffle key at scale."""
+    from pyspark.sql.window import Window as W
+
+    from picoprobedataflow_spark.functions.text import words
+
+    toks = (docs.select(F.col(id_col),
+                        F.posexplode(words(text_col))
+                        .alias("idx", "term")))
+    bucket = (F.conv(F.substring(F.md5(F.col("term").cast("binary")),
+                                 1, 8), 16, 10).cast("long")
+              % n_buckets)
+    w = (W.partitionBy(id_col).orderBy("idx")
+         .rowsBetween(W.unboundedPreceding, 0))
+    chunked = (toks.withColumn("_b", (bucket == 0).cast("int"))
+               .withColumn("chunk_id", F.sum("_b").over(w)))
+    chunks = (chunked.groupBy(id_col, "chunk_id")
+              .agg(F.count("*").cast("long").alias("n_toks"),
+                   F.concat_ws(" ", F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("idx", "term"))),
+                       lambda s: s.term)).alias("chunk_text")))
+    key = (F.shiftleft(F.col(id_col).cast("long"), 32)
+           + F.col("chunk_id").cast("long"))
+    chunks = chunks.withColumn("_key", key)
+    firsts = (chunks.groupBy("chunk_text")
+              .agg(F.min("_key").alias("first_key")))
+    return (chunks.join(firsts, "chunk_text")
+            .select(F.col(id_col), "chunk_id", "n_toks", "chunk_text",
+                    "first_key",
+                    (F.col("_key") != F.col("first_key"))
+                    .alias("is_dup")))

@@ -2196,3 +2196,79 @@ def packing_window_manifest(spark: SparkSession,
                  F.min("doc_id").alias("first_doc"),
                  F.max("doc_id").alias("last_doc"),
                  F.sum(hi - lo).cast("long").alias("occupancy")))
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking dedup (round 5): FastCDC-style boundaries —
+# insertion-robust chunking, then corpus-wide chunk dedup. The
+# complement of the aligned-window span dedup.
+# --------------------------------------------------------------------------
+
+_CDC_BUCKETS = 8
+
+_CDC_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, CAST(idx - 1 AS BIGINT) AS idx, term
+  FROM (SELECT doc_id, unnest({_WORDS}) AS term,
+               generate_subscripts({_WORDS}, 1) AS idx
+        FROM documents)
+),
+marked AS (
+  SELECT doc_id, idx, term,
+         CASE WHEN CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+                   % {_CDC_BUCKETS} = 0 THEN 1 ELSE 0 END AS b
+  FROM toks
+),
+chunked AS (
+  SELECT doc_id, idx, term,
+         SUM(b) OVER (PARTITION BY doc_id ORDER BY idx
+                      ROWS UNBOUNDED PRECEDING) AS chunk_id
+  FROM marked
+),
+chunks AS (
+  SELECT doc_id, chunk_id,
+         CAST(count(*) AS BIGINT) AS n_toks,
+         string_agg(term, ' ' ORDER BY idx) AS chunk_text,
+         (doc_id << 32) + chunk_id AS key
+  FROM chunked GROUP BY 1, 2
+),
+firsts AS (
+  SELECT chunk_text, min(key) AS first_key FROM chunks GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN c.key <> f.first_key THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_chunks,
+       round(sum(CASE WHEN c.key <> f.first_key THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS dup_ratio
+FROM chunks c JOIN firsts f USING (chunk_text)
+GROUP BY 1
+"""
+
+
+@query(
+    "cdc_chunk_dedup_stats",
+    oracle=_CDC_ORACLE,
+    tags=("cdc", "content-defined-chunking", "span-dedup",
+          "llm-pipeline"),
+)
+def cdc_chunk_dedup_stats(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Per-document content-defined-chunk dedup accounting
+    (:func:`operators.dedup.cdc_chunk_dedup`): chunk boundaries are
+    content-addressed (token hash bucket 0, expected chunk ≈ 8
+    tokens), so an insertion shifts only the chunk it lands in —
+    the insertion-robust complement of ``span_dedup_stats``'s
+    aligned windows. Each doc reports chunk count, corpus-wide
+    duplicated-chunk count and ratio. Doc-keyed windows only; the
+    chunk reassembly orders by (idx, term) structs through
+    array_sort, deterministic under any partitioning."""
+    docs = tbl(spark, sf_dir, "documents")
+    marks = DD.cdc_chunk_dedup(docs, n_buckets=_CDC_BUCKETS)
+    n_dup = F.sum(F.col("is_dup").cast("int")).cast("long")
+    return (marks.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_chunks"),
+                 n_dup.alias("n_dup_chunks"))
+            .select("doc_id", "n_chunks", "n_dup_chunks",
+                    F.round(F.col("n_dup_chunks") / F.col("n_chunks"),
+                            6).alias("dup_ratio")))

@@ -1218,3 +1218,38 @@ def test_packing_window_manifest_invariants(spark):
             if r.bin < tail:
                 assert r.occupancy == _PACK_CTX, (split, r.bin)
         assert sum(r.occupancy for r in grp) == tok_by_split[split]
+
+
+def test_cdc_chunking_insertion_robust(spark):
+    """The CDC property that aligned windows lack: inserting one
+    token near the start of a doc leaves every chunk AFTER the next
+    content boundary identical, so the copy still collapses against
+    the original beyond the edit point — while its aligned 4-token
+    windows would all re-phase. Also: chunks partition the token
+    stream (Σ n_toks = doc token count) and identical docs collapse
+    entirely."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu")
+    edited = "INSERTED " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited)],
+        "doc_id long, text string")
+    rows = DD.cdc_chunk_dedup(docs, n_buckets=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # chunks partition each doc's token stream
+    for d, grp in by_doc.items():
+        n_tok = len((base if d < 3 else edited).split())
+        assert sum(r.n_toks for r in grp) == n_tok
+    # identical doc: every chunk a dup of doc 1
+    assert all(r.is_dup for r in by_doc[2])
+    # edited doc: everything after the first content boundary dedups
+    texts1 = {r.chunk_text for r in by_doc[1]}
+    dup3 = [r for r in by_doc[3] if r.chunk_text in texts1]
+    assert dup3, "no shared chunk survived the insertion"
+    assert all(r.is_dup for r in dup3)
+    # and the shared suffix is most of the doc
+    shared_toks = sum(r.n_toks for r in dup3)
+    assert shared_toks >= len(base.split()) // 2
