@@ -191,7 +191,10 @@ def main() -> None:
                        ("unigram_lm_full", "unigram_lm_scores"),
                        ("vocab_coverage_full", "vocab_coverage_stats"),
                        ("ivfpq_residual_full",
-                        "ann_ivfpq_residual_topk")):
+                        "ann_ivfpq_residual_topk"),
+                       ("cdc_dedup_full", "cdc_chunk_dedup_stats"),
+                       ("pack_manifest_full",
+                        "packing_window_manifest")):
         variants[key] = specs[qname].fn
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
