@@ -177,25 +177,30 @@ def main() -> None:
     variants, uncapped = _uncapped_pipeline_queries()
     bench.update(uncapped)
     # Round-5 families, timed but reported OUTSIDE the headline total
-    # so the 25-key series stays comparable round-over-round. These
-    # entries are already uncapped (full documents/embeddings tables).
-    for key, qname in (("bm25_full", "bm25_retrieval"),
-                       ("semdedup_full", "semdedup_embedding_prune"),
-                       ("span_dedup_full", "span_dedup_stats"),
-                       ("pq_adc_full", "ann_pq_adc_topk"),
-                       ("token_budget_full", "token_budget_curriculum"),
-                       ("tpch_gap_full", "tpch_gap_suite"),
-                       ("ivfpq_full", "ann_ivfpq_topk"),
-                       ("epoch_shuffle_full", "epoch_shuffle_layout"),
-                       ("batch_ann_full", "batch_ann_topk"),
-                       ("unigram_lm_full", "unigram_lm_scores"),
-                       ("vocab_coverage_full", "vocab_coverage_stats"),
-                       ("ivfpq_residual_full",
-                        "ann_ivfpq_residual_topk"),
-                       ("cdc_dedup_full", "cdc_chunk_dedup_stats"),
-                       ("pack_manifest_full",
-                        "packing_window_manifest")):
-        variants[key] = specs[qname].fn
+    # so the 25-key series stays comparable round-over-round. After
+    # the round-5 window fold these are plain pipeline functions
+    # (their catalog homes are llm_curation_suite / tpch_extra /
+    # ann_quantized_suite / embedding_cosine_neardup families), so
+    # the per-family timing keys stay stable.
+    from picoprobedataflow_spark.plans import pipeline as PL
+    from picoprobedataflow_spark.plans.subqueries import tpch_gap_suite
+    for key, fn in (("bm25_full", PL.bm25_retrieval),
+                    ("semdedup_full", PL.semdedup_embedding_prune),
+                    ("span_dedup_full", PL.span_dedup_stats),
+                    ("pq_adc_full", PL.ann_pq_adc_topk),
+                    ("token_budget_full", PL.token_budget_curriculum),
+                    ("tpch_gap_full", tpch_gap_suite),
+                    ("ivfpq_full", PL.ann_ivfpq_topk),
+                    ("epoch_shuffle_full", PL.epoch_shuffle_layout),
+                    ("batch_ann_full", PL.batch_ann_topk),
+                    ("unigram_lm_full", PL.unigram_lm_scores),
+                    ("vocab_coverage_full", PL.vocab_coverage_stats),
+                    ("ivfpq_residual_full",
+                     PL.ann_ivfpq_residual_topk),
+                    ("cdc_dedup_full", PL.cdc_chunk_dedup_stats),
+                    ("pack_manifest_full",
+                     PL.packing_window_manifest)):
+        variants[key] = fn
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
     # shouldn't be charged to the first query. Each headline query is

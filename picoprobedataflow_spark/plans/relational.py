@@ -617,6 +617,9 @@ def grouping_sets_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # predicates are re-keyed on the lineitem bridge and p_retailprice).
 # --------------------------------------------------------------------------
 
+from picoprobedataflow_spark.plans.subqueries import \
+    _TPCH_GAP_ORACLE as _TPCH_GAP_SQL  # noqa: E402
+
 _TPCH_EXTRA_ORACLE = f"""
 WITH rev AS MATERIALIZED (
   SELECT l_orderkey, l_suppkey, l_partkey, l_shipdate, l_quantity,
@@ -733,15 +736,20 @@ WHERE p_brand <> 'Brand#2'
     SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
   )
 GROUP BY 2, 3
+UNION ALL
+SELECT family, k1, k2, v1, v2 FROM (
+{_TPCH_GAP_SQL}
+)
 """
 
 
 @query(
     "tpch_extra_suite",
     oracle=_TPCH_EXTRA_ORACLE,
-    tags=("tpch-q6", "tpch-q7", "tpch-q8", "tpch-q9", "tpch-q10",
-          "tpch-q11", "tpch-q13", "tpch-q15", "tpch-q16",
-          "J1", "J3", "J5", "A5", "O1"),
+    tags=("tpch-q2", "tpch-q6", "tpch-q7", "tpch-q8", "tpch-q9",
+          "tpch-q10", "tpch-q11", "tpch-q12", "tpch-q13", "tpch-q15",
+          "tpch-q16", "tpch-q20",
+          "J1", "J3", "J5", "A5", "O1", "subquery"),
 )
 def tpch_extra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TPC-H shapes not covered elsewhere, one tagged family each,
@@ -924,6 +932,11 @@ def tpch_extra_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("p_size").cast("string")).alias("k2"),
                      "v1", nuld.alias("v2")))
 
+    # Round-5 window fold: Q2/Q12/Q20 (the tpch_gap shapes) ride in
+    # this suite so the catalog stays inside the checker's ~50-entry
+    # correctness window; identical (family, k1, k2, v1, v2) schema.
+    from picoprobedataflow_spark.plans.subqueries import tpch_gap_suite
     return (q6.unionByName(q7).unionByName(q8).unionByName(q9)
               .unionByName(q10).unionByName(q11).unionByName(q13)
-              .unionByName(q15).unionByName(q16))
+              .unionByName(q15).unionByName(q16)
+              .unionByName(tpch_gap_suite(spark, sf_dir)))

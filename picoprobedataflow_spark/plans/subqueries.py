@@ -388,12 +388,6 @@ WHERE r_name = 'AMERICA'
 """
 
 
-@query(
-    "tpch_gap_suite",
-    oracle=_TPCH_GAP_ORACLE,
-    tags=("tpch-q2", "tpch-q12", "tpch-q20", "J1", "J5", "A5",
-          "subquery"),
-)
 def tpch_gap_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The three TPC-H shapes the catalog lacked, normalized to
     (family, k1, k2, v1, v2):

@@ -54,15 +54,15 @@ def main() -> None:
     spark = get_spark(app_name="picoprobedataflow-scaling")
     _, uncapped = bench._uncapped_pipeline_queries()
     fns = {k: uncapped[k] for k in KEYS}
-    # Round-5 families (already uncapped in the catalog).
-    from picoprobedataflow_spark.plans import catalog
-    specs = catalog.specs()
-    for key, qname in (("bm25_full", "bm25_retrieval"),
-                       ("semdedup_full", "semdedup_embedding_prune"),
-                       ("span_dedup_full", "span_dedup_stats"),
-                       ("pq_adc_full", "ann_pq_adc_topk"),
-                       ("ivfpq_full", "ann_ivfpq_topk")):
-        fns[key] = specs[qname].fn
+    # Round-5 families (plain pipeline functions after the window
+    # fold; uncapped).
+    from picoprobedataflow_spark.plans import pipeline as PL
+    for key, fn in (("bm25_full", PL.bm25_retrieval),
+                    ("semdedup_full", PL.semdedup_embedding_prune),
+                    ("span_dedup_full", PL.span_dedup_stats),
+                    ("pq_adc_full", PL.ann_pq_adc_topk),
+                    ("ivfpq_full", PL.ann_ivfpq_topk)):
+        fns[key] = fn
 
     # warmup (codegen/JVM) at the smallest SF, untimed
     for fn in fns.values():

@@ -12,6 +12,8 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from picoprobedataflow_spark.plans import pipeline as PL
+
 from picoprobedataflow_spark.operators import dedup as DD
 from picoprobedataflow_spark.operators import similarity as SIM
 
@@ -835,7 +837,7 @@ def test_bm25_retrieval_scale_shapes(spark):
     global Sort, no SortMergeJoin."""
     from picoprobedataflow_spark.plans import catalog
 
-    df = catalog.specs()["bm25_retrieval"].fn(spark, "/root/testdata/sf0.001")
+    df = PL.bm25_retrieval(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject(limit=25" in plan
     assert "SortMergeJoin" not in plan
@@ -883,7 +885,7 @@ def test_token_budget_windows_keyed_or_domain_bounded(spark):
 
     from picoprobedataflow_spark.plans import catalog
 
-    df = catalog.specs()["token_budget_curriculum"].fn(
+    df = PL.token_budget_curriculum(
         spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     partitionless = []
@@ -936,7 +938,7 @@ def test_semdedup_entry_scale_shapes(spark):
     aggregate keys on the high-cardinality vector id."""
     from picoprobedataflow_spark.plans import catalog
 
-    df = catalog.specs()["semdedup_embedding_prune"].fn(
+    df = PL.semdedup_embedding_prune(
         spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
@@ -970,7 +972,7 @@ def test_pq_adc_plan_is_codes_only(spark):
     literal tables feeding one TakeOrderedAndProject."""
     from picoprobedataflow_spark.plans import catalog
 
-    df = catalog.specs()["ann_pq_adc_topk"].fn(
+    df = PL.ann_pq_adc_topk(
         spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
@@ -1017,7 +1019,7 @@ def test_ivfpq_plan_and_probe_semantics(spark):
     ascending with deterministic id tie-breaks."""
     from picoprobedataflow_spark.plans import catalog
 
-    df = catalog.specs()["ann_ivfpq_topk"].fn(
+    df = PL.ann_ivfpq_topk(
         spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
@@ -1156,7 +1158,7 @@ def test_ivfpq_residual_plan_and_quality(spark):
     from picoprobedataflow_spark.plans import catalog
 
     sf = "/root/testdata/sf0.001"
-    df = catalog.specs()["ann_ivfpq_residual_topk"].fn(spark, sf)
+    df = PL.ann_ivfpq_residual_topk(spark, sf)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan and "Window" not in plan
@@ -1165,7 +1167,7 @@ def test_ivfpq_residual_plan_and_quality(spark):
     assert len({r.cell for r in rows}) <= 2
     adcs = [r.adc for r in rows]
     assert adcs == sorted(adcs) and all(a >= 0 for a in adcs)
-    raw = catalog.specs()["ann_ivfpq_topk"].fn(spark, sf).collect()
+    raw = PL.ann_ivfpq_topk(spark, sf).collect()
     assert ([(r.vec_id, r.c0, r.c1, r.c2, r.c3, r.adc) for r in rows]
             != [(r.vec_id, r.c0, r.c1, r.c2, r.c3, r.adc) for r in raw])
 
@@ -1180,8 +1182,7 @@ def test_span_dedup_bounded_subset_of_global(spark):
 
     from picoprobedataflow_spark.plans import catalog
 
-    rows = (catalog.specs()["span_dedup_stats"]
-            .fn(spark, "/root/testdata/sf0.01").collect())
+    rows = (PL.span_dedup_stats(spark, "/root/testdata/sf0.01").collect())
     assert all(r.n_dup_bounded <= r.n_dup for r in rows)
     assert any(r.n_dup_bounded < r.n_dup for r in rows)  # re-admits
     assert sum(r.n_dup_bounded for r in rows) > 0        # still catches
@@ -1198,8 +1199,7 @@ def test_packing_window_manifest_invariants(spark):
     from picoprobedataflow_spark.plans.pipeline import _PACK_CTX
 
     sf = "/root/testdata/sf0.01"
-    rows = (catalog.specs()["packing_window_manifest"]
-            .fn(spark, sf).collect())
+    rows = (PL.packing_window_manifest(spark, sf).collect())
     packed = (catalog.specs()["sequence_packing"].fn(spark, sf)
               .collect())
     tok_by_split = defaultdict(int)

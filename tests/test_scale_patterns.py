@@ -11,6 +11,8 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from picoprobedataflow_spark.plans import pipeline as PL
+
 
 def test_bucketed_join_skips_shuffle(spark, tmp_path):
     """Writing both sides bucketed by the join key lets the sort-merge
@@ -319,8 +321,7 @@ def test_tfidf_top_terms_scale_shapes(spark):
     whole-frame window)."""
     from picoprobedataflow_spark.plans import catalog
 
-    plan = (catalog.specs()["tfidf_top_terms"]
-            .fn(spark, "/root/testdata/sf0.001")
+    plan = (PL.tfidf_top_terms(spark, "/root/testdata/sf0.001")
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
@@ -351,11 +352,15 @@ def test_similarity_no_single_partition_window(spark):
 
     specs = catalog.specs()
     sf = "/root/testdata/sf0.001"
-    for name in ("ann_cosine_topk", "ann_srp_matrix_topk",
-                 "ann_ivf_kmeans_topk", "ann_pq_adc_topk",
-                 "ann_ivfpq_topk", "ann_ivfpq_residual_topk",
-                 "semdedup_embedding_prune"):
-        plan = (specs[name].fn(spark, sf)
+    fns = {"ann_cosine_topk": specs["ann_cosine_topk"].fn,
+           "ann_srp_matrix_topk": specs["ann_srp_matrix_topk"].fn,
+           "ann_ivf_kmeans_topk": specs["ann_ivf_kmeans_topk"].fn,
+           "ann_pq_adc_topk": PL.ann_pq_adc_topk,
+           "ann_ivfpq_topk": PL.ann_ivfpq_topk,
+           "ann_ivfpq_residual_topk": PL.ann_ivfpq_residual_topk,
+           "semdedup_embedding_prune": PL.semdedup_embedding_prune}
+    for name, fn in fns.items():
+        plan = (fn(spark, sf)
                 ._jdf.queryExecution().executedPlan().toString())
         for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
             # a partitioned spec lists partition columns before the
@@ -439,7 +444,8 @@ def test_tpch_gap_suite_scale_shapes(spark):
     the only window-free global structure is hash aggregation."""
     from picoprobedataflow_spark.plans import catalog
 
-    df = catalog.specs()["tpch_gap_suite"].fn(spark, "/root/testdata/sf0.001")
+    from picoprobedataflow_spark.plans.subqueries import tpch_gap_suite
+    df = tpch_gap_suite(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     # q20's membership INs decorrelate to left-semi hash joins.
@@ -457,24 +463,21 @@ def test_round5_entries_prune_scans(spark):
     5-column documents table; SemDeDup and PQ read only
     (vec_id, embedding) from embeddings — the label column never
     enters an unsupervised plan."""
-    from picoprobedataflow_spark.plans import catalog
-
     sf = "/root/testdata/sf0.001"
-    specs = catalog.specs()
 
-    def scan_schemas(name):
-        plan = (specs[name].fn(spark, sf)
+    def scan_schemas(fn):
+        plan = (fn(spark, sf)
                 ._jdf.queryExecution().executedPlan().toString())
         return [seg[:400] for seg in plan.split("ReadSchema")[1:]]
 
-    for name in ("bm25_retrieval", "span_dedup_stats",
-                 "token_budget_curriculum"):
-        for schema in scan_schemas(name):
+    for fn in (PL.bm25_retrieval, PL.span_dedup_stats,
+               PL.token_budget_curriculum):
+        for schema in scan_schemas(fn):
             assert "lang" not in schema and "source" not in schema, (
-                name, schema)
-    for name in ("semdedup_embedding_prune", "ann_pq_adc_topk"):
-        for schema in scan_schemas(name):
-            assert "label" not in schema, (name, schema)
+                fn.__name__, schema)
+    for fn in (PL.semdedup_embedding_prune, PL.ann_pq_adc_topk):
+        for schema in scan_schemas(fn):
+            assert "label" not in schema, (fn.__name__, schema)
 
 
 @settings(max_examples=8, deadline=None,
