@@ -341,7 +341,7 @@ def q4_priority_with_late_ship(spark: SparkSession,
 # --------------------------------------------------------------------------
 
 _TPCH_GAP_ORACLE = """
-WITH cost AS (
+WITH cost AS MATERIALIZED (
   SELECT l_partkey AS partkey, l_suppkey AS suppkey,
          min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS supply_cost
   FROM lineitem
