@@ -616,7 +616,8 @@ def apply_survivors(docs: DataFrame, survivors: DataFrame,
 
 def cross_doc_span_dedup(docs: DataFrame, span_w: int = 4,
                          text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         stride: int | None = None) -> DataFrame:
     """Exact substring-dedup approximation (the Lee et al.
     "Deduplicating Training Data" passage-level idea, restricted to
     aligned windows so it stays one aggregate): chop each document's
@@ -638,15 +639,19 @@ def cross_doc_span_dedup(docs: DataFrame, span_w: int = 4,
     (same trick as content_fingerprints)."""
     from picoprobedataflow_spark.functions.text import words
 
+    # stride < span_w gives OVERLAPPING windows — catches duplicated
+    # passages that aligned non-overlapping windows miss when an edit
+    # re-phases the alignment (cost factor span_w/stride more rows).
+    st = span_w if stride is None else int(stride)
     toks = (docs.select(F.col(id_col), words(text_col).alias("_w"))
             .filter(F.size("_w") >= span_w))
-    n_sp = (F.floor(F.size("_w") / span_w)).cast("int")
+    n_sp = (F.floor((F.size("_w") - span_w) / st) + 1).cast("int")
     spans = (toks
              .select(F.col(id_col),
                      F.posexplode(F.transform(
                          F.sequence(F.lit(0), n_sp - 1),
                          lambda i: F.concat_ws(
-                             " ", F.slice("_w", i * span_w + 1, span_w))))
+                             " ", F.slice("_w", i * st + 1, span_w))))
                      .alias("idx", "span")))
     key = (F.shiftleft(F.col(id_col).cast("long"), 32)
            + F.col("idx").cast("long"))

@@ -2193,6 +2193,62 @@ def cdc_chunk_dedup_stats(spark: SparkSession,
                             6).alias("dup_ratio")))
 
 
+_SPAN_STRIDE = 2
+
+_SPAN_STRIDED_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+  WHERE len({_WORDS}) >= {_SPAN_W}
+),
+ids AS (
+  SELECT doc_id,
+         unnest(range((len(w) - {_SPAN_W}) // {_SPAN_STRIDE} + 1))
+           AS idx, w
+  FROM toks
+),
+spans AS (
+  SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+         array_to_string(
+           w[idx * {_SPAN_STRIDE} + 1 : idx * {_SPAN_STRIDE} + {_SPAN_W}],
+           ' ') AS span,
+         (doc_id << 32) + idx AS key
+  FROM ids
+),
+firsts AS (
+  SELECT span, min(key) AS first_key FROM spans GROUP BY 1
+)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN s.key <> f.first_key THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup,
+       round(sum(CASE WHEN s.key <> f.first_key THEN 1 ELSE 0 END)
+             * 1.0 / count(*), 6) AS dup_ratio
+FROM spans s JOIN firsts f USING (span)
+GROUP BY 1
+"""
+
+
+def span_dedup_strided_stats(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Overlapping-window variant of ``span_dedup_stats``: stride 2
+    under the same 4-token window, so a passage duplicated at ANY
+    even token offset is caught even when an edit re-phased the
+    aligned grid (the aligned family misses every odd-phase
+    duplicate; CDC chunking solves the same problem with
+    content-addressed boundaries — this is the fixed-cost middle
+    ground, span_w/stride = 2x the explode rows)."""
+    docs = tbl(spark, sf_dir, "documents")
+    marks = DD.cross_doc_span_dedup(docs, span_w=_SPAN_W,
+                                    stride=_SPAN_STRIDE)
+    n_dup = F.sum(F.col("is_dup").cast("int")).cast("long")
+    return (marks.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_spans"),
+                 n_dup.alias("n_dup"))
+            .select("doc_id", "n_spans", "n_dup",
+                    F.round(F.col("n_dup") / F.col("n_spans"), 6)
+                     .alias("dup_ratio")))
+
+
 # --------------------------------------------------------------------------
 # Round-5 catalog consolidation. The external checker's per-round
 # correctness window covers ~50 entries alphabetically (observed
@@ -2247,12 +2303,15 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
     _fam_sql("repetition", "{rep}", n=("doc_id",),
              v=("top_word_frac", "top_bigram_frac",
                 "dup_trigram_frac"), b1="keep"),
+    _fam_sql("span_strided", "{strided}",
+             n=("doc_id", "n_spans", "n_dup"), v=("dup_ratio",)),
 ]).format(bm25=_BM25_ORACLE, tfidf=_TFIDF_ORACLE,
           unigram=_UNIGRAM_ORACLE, vocab=_VOCAB_COVERAGE_ORACLE,
           span=_SPAN_DEDUP_ORACLE, cdc=_CDC_ORACLE,
           curriculum=_CURRICULUM_ORACLE, epoch=_EPOCH_SHUFFLE_ORACLE,
           manifest=_MANIFEST_ORACLE, batch=_BATCH_ANN_ORACLE,
-          rep=_REPETITION_ORACLE)
+          rep=_REPETITION_ORACLE,
+          strided=_SPAN_STRIDED_ORACLE)
 
 
 def _nulls_long():
@@ -2335,6 +2394,10 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "repetition", n=("doc_id",),
                              v=("top_word_frac", "top_bigram_frac",
                                 "dup_trigram_frac"), b1="keep"))
+        .unionByName(_fam_df(span_dedup_strided_stats(spark, sf_dir),
+                             "span_strided",
+                             n=("doc_id", "n_spans", "n_dup"),
+                             v=("dup_ratio",)))
     )
 
 

@@ -1253,3 +1253,24 @@ def test_cdc_chunking_insertion_robust(spark):
     # and the shared suffix is most of the doc
     shared_toks = sum(r.n_toks for r in dup3)
     assert shared_toks >= len(base.split()) // 2
+
+
+def test_strided_spans_catch_phase_shifted_dups(spark):
+    """Stride-2 windows catch a passage duplicated at an odd aligned
+    offset that the non-overlapping grid misses: doc 2 repeats doc
+    1's 4-token passage shifted by one leading token, so aligned
+    spans share nothing while strided spans flag the copy. Default
+    stride=span_w stays exactly the old aligned semantics."""
+    docs = spark.createDataFrame(
+        [(1, "p q r s a b c d"),           # passage 'a b c d' at 4
+         (2, "x a b c d m n o p")],        # same passage at offset 1
+        "doc_id long, text string")
+    aligned = DD.cross_doc_span_dedup(docs, span_w=4).collect()
+    assert not any(r.is_dup for r in aligned)          # grid miss
+    strided = DD.cross_doc_span_dedup(docs, span_w=4, stride=1).collect()
+    dups = [r for r in strided if r.is_dup]
+    assert dups and all(r.doc_id == 2 for r in dups)
+    assert any(r.span == "a b c d" for r in dups)
+    # stride=span_w ≡ the original aligned semantics
+    agg = DD.cross_doc_span_dedup(docs, span_w=4, stride=4).collect()
+    assert sorted(map(tuple, agg)) == sorted(map(tuple, aligned))
