@@ -2249,6 +2249,56 @@ def span_dedup_strided_stats(spark: SparkSession,
                      .alias("dup_ratio")))
 
 
+_QCUT_P = 0.25
+
+_QUALITY_CUT_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, source,
+         CAST(round(({_QUALITY_SQL}) * 1e6) AS BIGINT) AS qb
+  FROM documents
+),
+t AS (
+  SELECT CAST(quantile_cont(qb, {_QCUT_P}) AS DOUBLE) AS thr FROM q
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN qb >= thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       round(sum(CASE WHEN qb >= thr THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS kept_ratio,
+       round(thr / 1e6, 6) AS thr_q
+FROM q CROSS JOIN t
+GROUP BY source, thr
+"""
+
+
+def quality_percentile_cut(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Corpus-percentile quality pruning (the C4/CCNet "drop the
+    bottom quartile" step): the exact P25 of the 1e6-scaled quality
+    score is ONE scalar aggregate broadcast back over the scan
+    (never a sort, never a window), and each source reports how much
+    of its corpus survives the cut — the mixture-shift diagnostic a
+    pipeline checks before committing a global threshold. Exact-int
+    percentile input on both engines; the same
+    percentile ≡ quantile_cont parity the catalog's percentile
+    entry already pins."""
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.round(TX.quality_score("text") * 1e6, 0).cast("long")
+         .alias("qb"))
+    thr = docs.agg(F.percentile("qb", F.lit(_QCUT_P)).alias("thr"))
+    kept = (F.col("qb") >= F.col("thr")).cast("int")
+    return (docs.crossJoin(F.broadcast(thr))
+            .groupBy("source", "thr")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(kept).cast("long").alias("n_kept"))
+            .select("source", "n_docs", "n_kept",
+                    F.round(F.col("n_kept") / F.col("n_docs"), 6)
+                     .alias("kept_ratio"),
+                    F.round(F.col("thr") / 1e6, 6).alias("thr_q")))
+
+
 # --------------------------------------------------------------------------
 # Round-5 catalog consolidation. The external checker's per-round
 # correctness window covers ~50 entries alphabetically (observed
@@ -2305,13 +2355,16 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
                 "dup_trigram_frac"), b1="keep"),
     _fam_sql("span_strided", "{strided}",
              n=("doc_id", "n_spans", "n_dup"), v=("dup_ratio",)),
+    _fam_sql("quality_cut", "{qcut}", k1="source",
+             n=("n_docs", "n_kept"), v=("kept_ratio", "thr_q")),
 ]).format(bm25=_BM25_ORACLE, tfidf=_TFIDF_ORACLE,
           unigram=_UNIGRAM_ORACLE, vocab=_VOCAB_COVERAGE_ORACLE,
           span=_SPAN_DEDUP_ORACLE, cdc=_CDC_ORACLE,
           curriculum=_CURRICULUM_ORACLE, epoch=_EPOCH_SHUFFLE_ORACLE,
           manifest=_MANIFEST_ORACLE, batch=_BATCH_ANN_ORACLE,
           rep=_REPETITION_ORACLE,
-          strided=_SPAN_STRIDED_ORACLE)
+          strided=_SPAN_STRIDED_ORACLE,
+          qcut=_QUALITY_CUT_ORACLE)
 
 
 def _nulls_long():
@@ -2398,6 +2451,10 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "span_strided",
                              n=("doc_id", "n_spans", "n_dup"),
                              v=("dup_ratio",)))
+        .unionByName(_fam_df(quality_percentile_cut(spark, sf_dir),
+                             "quality_cut", k1="source",
+                             n=("n_docs", "n_kept"),
+                             v=("kept_ratio", "thr_q")))
     )
 
 

@@ -1274,3 +1274,23 @@ def test_strided_spans_catch_phase_shifted_dups(spark):
     # stride=span_w ≡ the original aligned semantics
     agg = DD.cross_doc_span_dedup(docs, span_w=4, stride=4).collect()
     assert sorted(map(tuple, agg)) == sorted(map(tuple, aligned))
+
+
+def test_quality_cut_threshold_semantics(spark):
+    """The P25 cut: kept fractions are in [0,1], the corpus-wide
+    kept count is ≥ 75% of docs (P25 ⇒ at most a quarter drops),
+    every source shares ONE global threshold, and the plan computes
+    it as a broadcast scalar (no Window, no Sort of the corpus)."""
+    from picoprobedataflow_spark.plans.pipeline import \
+        quality_percentile_cut
+
+    df = quality_percentile_cut(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = df.collect()
+    assert len({r.thr_q for r in rows}) == 1       # one global cut
+    n, k = sum(r.n_docs for r in rows), sum(r.n_kept for r in rows)
+    assert k >= 0.75 * n - 1
+    for r in rows:
+        assert 0.0 <= r.kept_ratio <= 1.0
+        assert r.n_kept <= r.n_docs
