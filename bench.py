@@ -199,7 +199,9 @@ def main() -> None:
                      PL.ann_ivfpq_residual_topk),
                     ("cdc_dedup_full", PL.cdc_chunk_dedup_stats),
                     ("pack_manifest_full",
-                     PL.packing_window_manifest)):
+                     PL.packing_window_manifest),
+                    ("bpe_train_full", PL.bpe_train_merges),
+                    ("knn_graph_full", PL._embedding_knn_graph)):
         variants[key] = fn
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads

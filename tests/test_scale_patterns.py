@@ -554,3 +554,37 @@ def test_token_budget_greedy_property(spark, rows, budget):
             want.append((i, qb, t, cum))
         cum += t
     assert got == sorted(want)
+
+
+def test_bpe_train_scale_shapes(spark):
+    """BPE training plans as the vocabulary-bounded design: NO window
+    anywhere (the argmax is orderBy+limit → TakeOrderedAndProject),
+    every per-iteration merge applies through a 1-row broadcast —
+    the ONLY join kind in the plan is BroadcastNestedLoopJoin
+    (never a Cartesian product, never a shuffle join), and the
+    corpus-facing stage is hash aggregation."""
+    df = PL.bpe_train_merges(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_knn_graph_window_partitions_by_source(spark):
+    """The k-NN graph ranking window must partition by the source id
+    (per-vector cardinality) — never a partition-less spec — and the
+    block self-join must be an equi-join (no Cartesian product)."""
+    import re
+
+    df = PL._embedding_knn_graph(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for spec in specs:
+        first = spec.split(",")[0]
+        assert " ASC" not in first and " DESC" not in first, spec
