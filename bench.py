@@ -201,6 +201,7 @@ def main() -> None:
                     ("pack_manifest_full",
                      PL.packing_window_manifest),
                     ("bpe_train_full", PL.bpe_train_merges),
+                    ("bpe_encode_full", PL.bpe_encode_stats),
                     ("knn_graph_full", PL._embedding_knn_graph)):
         variants[key] = fn
 

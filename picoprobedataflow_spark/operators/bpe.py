@@ -47,9 +47,12 @@ SYM_RE = "<[a-z]+>"
 
 def encode_words(wf: DataFrame, word_col: str = "word",
                  w_col: str = "w") -> DataFrame:
-    """(word, w) → (sym, w): each character wrapped as a delimited
-    symbol (``cat`` → ``<c><a><t>``)."""
+    """(word, w) → (word, sym, w): each character wrapped as a
+    delimited symbol (``cat`` → ``<c><a><t>``); the raw word rides
+    along so the trained table doubles as the word → segmentation
+    map the encode side joins on."""
     return wf.select(
+        F.col(word_col).alias("word"),
         F.regexp_replace(F.col(word_col), "(.)", "<$1>").alias("sym"),
         F.col(w_col).alias("w"))
 
@@ -76,8 +79,9 @@ def bpe_train(wf: DataFrame, n_merges: int) -> tuple[DataFrame, DataFrame]:
     - ``merges``: (step 1.., pair, cnt) — the learned merge at each
       step with its weighted pair count; argmax tie-breaks on
       (cnt DESC, pair ASC) so training is deterministic.
-    - ``final_syms``: (sym, w) — the vocabulary after all merges,
-      for downstream symbol-frequency / segmentation stats.
+    - ``final_syms``: (word, sym, w) — the vocabulary after all
+      merges, for downstream symbol-frequency / segmentation stats
+      (``word`` is the join key for encoding a corpus).
     """
     syms = encode_words(wf).persist(StorageLevel.MEMORY_ONLY)
     merges: list[DataFrame] = []
@@ -92,10 +96,23 @@ def bpe_train(wf: DataFrame, n_merges: int) -> tuple[DataFrame, DataFrame]:
             F.lit(i + 1).cast("long").alias("step"), "pair", "cnt"))
         syms = (syms
                 .crossJoin(F.broadcast(best.select("pair", "merged")))
-                .select(F.replace(F.col("sym"), F.col("pair"),
+                .select("word",
+                        F.replace(F.col("sym"), F.col("pair"),
                                   F.col("merged")).alias("sym"), "w")
                 .persist(StorageLevel.MEMORY_ONLY))
     return reduce(lambda a, b: a.unionByName(b), merges), syms
+
+
+def subword_counts(final_syms: DataFrame) -> DataFrame:
+    """(word, n_sym): how many subword symbols each vocabulary word
+    segments into under the learned merges — the broadcast map the
+    encode side joins against the corpus (the vocabulary is
+    Heaps'-law-bounded, so the join is a broadcast at any corpus
+    size)."""
+    return final_syms.select(
+        "word",
+        F.size(F.expr(f"regexp_extract_all(sym, '{SYM_RE}', 0)"))
+         .cast("long").alias("n_sym"))
 
 
 def vocab_frequencies(syms: DataFrame) -> DataFrame:

@@ -2303,18 +2303,21 @@ def quality_percentile_cut(spark: SparkSession,
 _BPE_MERGES, _BPE_TOPV = 4, 10
 
 
-def _bpe_oracle(n_merges: int, topv: int) -> str:
-    """Unrolled DuckDB replay of the BPE training loop: one
-    (pair-count → argmax → replace) CTE triple per merge step.
-    ``s{i}`` CTEs are MATERIALIZED — each feeds both its pair count
-    and the next merge, and DuckDB 1.0 inlines per reference, which
-    would make the chain re-derive the vocabulary 2^k times."""
+def _bpe_chain_ctes(n_merges: int) -> list[str]:
+    """The unrolled DuckDB replay of the BPE training loop: one
+    (pair-count → argmax → replace) CTE triple per merge step, each
+    ``s{i}`` carrying (word, sym, w) so consumers can map words to
+    their final symbolization. ``s{i}`` CTEs are MATERIALIZED — each
+    feeds both its pair count and the next merge, and DuckDB 1.0
+    inlines per reference, which would make the chain re-derive the
+    vocabulary 2^k times."""
     ctes = ["""wf AS (
   SELECT word, count(*) AS w FROM (
     SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
     FROM documents) GROUP BY 1)""",
             """s0 AS MATERIALIZED (
-  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS sym, w FROM wf)"""]
+  SELECT word, regexp_replace(word, '(.)', '<\\1>', 'g') AS sym, w
+  FROM wf)"""]
     for i in range(n_merges):
         ctes.append(f"""p{i} AS (
   SELECT pair, sum(w) AS cnt FROM (
@@ -2327,12 +2330,16 @@ def _bpe_oracle(n_merges: int, topv: int) -> str:
   SELECT pair, cnt, replace(pair, '><', '') AS merged
   FROM p{i} ORDER BY cnt DESC, pair LIMIT 1)""")
         ctes.append(f"""s{i + 1} AS MATERIALIZED (
-  SELECT replace(sym, (SELECT pair FROM b{i}),
+  SELECT word, replace(sym, (SELECT pair FROM b{i}),
                  (SELECT merged FROM b{i})) AS sym, w FROM s{i})""")
+    return ctes
+
+
+def _bpe_oracle(n_merges: int, topv: int) -> str:
     merge_rows = "\nUNION ALL\n".join(
         f"SELECT CAST({i + 1} AS BIGINT) AS step, pair, cnt FROM b{i}"
         for i in range(n_merges))
-    joined = ",\n".join(ctes)
+    joined = ",\n".join(_bpe_chain_ctes(n_merges))
     return f"""WITH {joined}
 {merge_rows}
 UNION ALL
@@ -2343,7 +2350,27 @@ SELECT CAST(NULL AS BIGINT) AS step, tok AS pair, freq AS cnt FROM (
   GROUP BY 1 ORDER BY freq DESC, tok LIMIT {topv})"""
 
 
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Segmentation replay: the same training chain, then every doc's
+    words joined to their final symbolization's subword count."""
+    joined = ",\n".join(_bpe_chain_ctes(n_merges) + [f"""wmap AS (
+  SELECT word,
+         len(regexp_extract_all(sym, '<[a-z]+>')) AS n_sym
+  FROM s{n_merges})""", """dw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents)"""])
+    return f"""WITH {joined}
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sym) AS BIGINT) AS n_subtok,
+       round(sum(n_sym) * 1.0 / count(*), 6) AS syms_per_word
+FROM dw JOIN wmap USING (word)
+GROUP BY 1"""
+
+
 _BPE_ORACLE = _bpe_oracle(_BPE_MERGES, _BPE_TOPV)
+_BPE_ENCODE_ORACLE = _bpe_encode_oracle(_BPE_MERGES)
 
 
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2358,17 +2385,50 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window; the oracle replays the identical training loop
     unrolled."""
     docs = tbl(spark, sf_dir, "documents")
-    wf = (docs.select(F.explode(F.expr(
-              "regexp_extract_all(lower(text), '[a-z]+', 0)"))
-               .alias("word"))
-          .groupBy("word").agg(F.count("*").alias("w")))
-    merges, syms = BPE.bpe_train(wf, _BPE_MERGES)
+    merges, syms = BPE.bpe_train(_doc_word_freqs(docs), _BPE_MERGES)
     topv = (BPE.vocab_frequencies(syms)
             .orderBy(F.desc("freq"), "tok").limit(_BPE_TOPV)
             .select(F.lit(None).cast("long").alias("step"),
                     F.col("tok").alias("pair"),
                     F.col("freq").alias("cnt")))
     return merges.unionByName(topv)
+
+
+def _doc_word_freqs(docs: DataFrame) -> DataFrame:
+    """(word, w) corpus word frequencies — the ONE corpus scan BPE
+    training consumes."""
+    return (docs.select(F.explode(F.expr(
+                "regexp_extract_all(lower(text), '[a-z]+', 0)"))
+                 .alias("word"))
+            .groupBy("word").agg(F.count("*").alias("w")))
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encode side of BPE: segment every document under the
+    merges just trained and report per-doc subword counts —
+    (doc_id, n_words, n_subtok, syms_per_word), the
+    tokens-per-document accounting a training pipeline feeds into
+    packing and budget selection. The word → subword-count map is
+    the trained vocabulary itself (:func:`operators.bpe.
+    subword_counts`), vocabulary-bounded and broadcast onto the
+    corpus word explode — encoding never re-runs merges over the
+    corpus. The oracle replays training + segmentation in one
+    chain."""
+    docs = tbl(spark, sf_dir, "documents")
+    _, syms = BPE.bpe_train(_doc_word_freqs(docs), _BPE_MERGES)
+    wmap = BPE.subword_counts(syms)
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "regexp_extract_all(lower(text), '[a-z]+', 0)"))
+         .alias("word"))
+    return (dw.join(F.broadcast(wmap), "word")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum("n_sym").cast("long").alias("n_subtok"))
+            .select("doc_id", "n_words", "n_subtok",
+                    F.round(F.col("n_subtok") / F.col("n_words"), 6)
+                     .alias("syms_per_word")))
 
 
 # --------------------------------------------------------------------------
@@ -2430,6 +2490,9 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
     _fam_sql("quality_cut", "{qcut}", k1="source",
              n=("n_docs", "n_kept"), v=("kept_ratio", "thr_q")),
     _fam_sql("bpe", "{bpe}", k1="pair", n=("step", "cnt")),
+    _fam_sql("bpe_encode", "{bpe_enc}",
+             n=("doc_id", "n_words", "n_subtok"),
+             v=("syms_per_word",)),
 ]).format(bm25=_BM25_ORACLE, tfidf=_TFIDF_ORACLE,
           unigram=_UNIGRAM_ORACLE, vocab=_VOCAB_COVERAGE_ORACLE,
           span=_SPAN_DEDUP_ORACLE, cdc=_CDC_ORACLE,
@@ -2438,7 +2501,7 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           rep=_REPETITION_ORACLE,
           strided=_SPAN_STRIDED_ORACLE,
           qcut=_QUALITY_CUT_ORACLE,
-          bpe=_BPE_ORACLE)
+          bpe=_BPE_ORACLE, bpe_enc=_BPE_ENCODE_ORACLE)
 
 
 def _nulls_long():
@@ -2471,7 +2534,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fourteen training-data curation families, one normalized
+    """Fifteen training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -2481,10 +2544,12 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (incl. the bounded-horizon n_dup_bounded column as n4),
     ``cdc_dedup``, ``curriculum``, ``epoch_shuffle``,
     ``pack_manifest``, ``batch_ann``, ``repetition``,
-    ``span_strided``, ``quality_cut``, and ``bpe``
+    ``span_strided``, ``quality_cut``, ``bpe``
     (:func:`bpe_train_merges` — distributed BPE tokenizer
-    training). See each underlying function's docstring for
-    semantics and 100 TB posture."""
+    training), and ``bpe_encode`` (:func:`bpe_encode_stats` —
+    per-doc segmentation under the learned merges). See each
+    underlying function's docstring for semantics and 100 TB
+    posture."""
     return (
         _fam_df(bm25_retrieval(spark, sf_dir), "bm25",
                 n=("doc_id",), v=("score",))
@@ -2534,6 +2599,10 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              v=("kept_ratio", "thr_q")))
         .unionByName(_fam_df(bpe_train_merges(spark, sf_dir), "bpe",
                              k1="pair", n=("step", "cnt")))
+        .unionByName(_fam_df(bpe_encode_stats(spark, sf_dir),
+                             "bpe_encode",
+                             n=("doc_id", "n_words", "n_subtok"),
+                             v=("syms_per_word",)))
     )
 
 

@@ -1420,3 +1420,21 @@ def test_knn_graph_is_blockwise_topk(spark):
     # every edge is intra-block
     blocks = {vid: b for vid, _, b in rows}
     assert all(blocks[s] == blocks[d] for s, d, _ in got)
+
+
+def test_bpe_subword_counts_match_reference_segmentation(spark):
+    """subword_counts maps every vocabulary word to the symbol count
+    of its reference segmentation, and the per-doc encode aggregate
+    is exactly Σ n_sym over the doc's words."""
+    from picoprobedataflow_spark.operators import bpe as BPE
+
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    wf = spark.createDataFrame(list(words.items()), "word string, w long")
+    _, syms = BPE.bpe_train(wf, 4)
+    got = {r.word: r.n_sym for r in BPE.subword_counts(syms).collect()}
+    _, exp_syms = _bpe_ref(words, 4)
+    exp_w = {}
+    for sym, cnt in exp_syms:
+        word = sym.replace("<", "").replace(">", "")
+        exp_w[word] = sym.count("<")
+    assert got == exp_w
