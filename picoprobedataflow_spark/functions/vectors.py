@@ -30,6 +30,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_prenorm(a: Column, b: Column,
+                   na: Column, nb: Column) -> Column:
+    """Cosine from precomputed norms — bit-identical to
+    :func:`cosine` (same dot fold, same norm fold upstream, same
+    product-then-divide), but in a blocked self-join the norm folds
+    run once per VECTOR in the pre-join projection instead of once
+    per PAIR (3 array folds per candidate pair → 1). At Σblock²
+    candidate pairs this is the dominant per-pair cost."""
+    return dot(a, b) / (na * nb)
+
+
 def euclidean(a: Column, b: Column) -> Column:
     diff = F.zip_with(a, b, lambda x, y: x.cast("double") - y.cast("double"))
     return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v))

@@ -88,13 +88,17 @@ def blocked_near_pairs(emb: DataFrame, threshold: float,
     on co-blocked pairs."""
     a = emb.select(F.col(block_col).alias("block"),
                    F.col(id_col).alias("id_a"),
-                   F.col(vec_col).alias("v_a"))
+                   F.col(vec_col).alias("v_a"),
+                   V.norm(F.col(vec_col)).alias("n_a"))
     b = emb.select(F.col(block_col).alias("block"),
                    F.col(id_col).alias("id_b"),
-                   F.col(vec_col).alias("v_b"))
+                   F.col(vec_col).alias("v_b"),
+                   V.norm(F.col(vec_col)).alias("n_b"))
     return (a.join(b, "block")
              .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cosine", V.cosine(F.col("v_a"), F.col("v_b")))
+             .withColumn("cosine",
+                         V.cosine_prenorm(F.col("v_a"), F.col("v_b"),
+                                          F.col("n_a"), F.col("n_b")))
              .filter(F.col("cosine") >= threshold)
              .select("block", "id_a", "id_b", "cosine"))
 
@@ -119,15 +123,18 @@ def block_knn_graph(emb: DataFrame, k: int,
 
     a = emb.select(F.col(block_col).alias("block"),
                    F.col(id_col).alias("src"),
-                   F.col(vec_col).alias("v_a"))
+                   F.col(vec_col).alias("v_a"),
+                   V.norm(F.col(vec_col)).alias("n_a"))
     b = emb.select(F.col(block_col).alias("block"),
                    F.col(id_col).alias("dst"),
-                   F.col(vec_col).alias("v_b"))
+                   F.col(vec_col).alias("v_b"),
+                   V.norm(F.col(vec_col)).alias("n_b"))
     pairs = (a.join(b, "block")
               .filter(F.col("src") != F.col("dst"))
               .withColumn("cosine",
-                          F.round(V.cosine(F.col("v_a"), F.col("v_b")),
-                                  6)))
+                          F.round(V.cosine_prenorm(
+                              F.col("v_a"), F.col("v_b"),
+                              F.col("n_a"), F.col("n_b")), 6)))
     w = W.partitionBy("src").orderBy(F.desc("cosine"), "dst")
     return (pairs.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
@@ -519,14 +526,16 @@ def semantic_dedup(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
     assigned = vecs.withColumn("cell", kmeans_assign_expr(cent_rows, "_v"))
 
     a = assigned.select(F.col("_id").alias("id_a"),
-                        F.col("_v").alias("v_a"), "cell")
+                        F.col("_v").alias("v_a"),
+                        V.norm(F.col("_v")).alias("n_a"), "cell")
     b = assigned.select(F.col("_id").alias("id_b"),
-                        F.col("_v").alias("v_b"), "cell")
+                        F.col("_v").alias("v_b"),
+                        V.norm(F.col("_v")).alias("n_b"), "cell")
     pairs = (a.join(b, "cell")
              .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cos", F.round(V.cosine(F.col("v_a"),
-                                                 F.col("v_b")),
-                                        round_digits))
+             .withColumn("cos", F.round(V.cosine_prenorm(
+                 F.col("v_a"), F.col("v_b"),
+                 F.col("n_a"), F.col("n_b")), round_digits))
              .filter(F.col("cos") >= threshold)
              .select("id_a", "id_b"))
     nbrs = (pairs.select(F.col("id_a").alias("_id"),
@@ -770,12 +779,16 @@ def batch_topk_cosine(queries: DataFrame, corpus: DataFrame,
     from pyspark.sql.window import Window as W
 
     q = queries.select(F.col(id_col).alias("qid"),
-                       F.col(vec_col).alias("_qv"))
-    scored = (corpus.select(F.col(id_col), F.col(vec_col))
+                       F.col(vec_col).alias("_qv"),
+                       V.norm(F.col(vec_col)).alias("_nq"))
+    scored = (corpus.select(F.col(id_col), F.col(vec_col),
+                            V.norm(F.col(vec_col)).alias("_nv"))
               .join(F.broadcast(q))
               .select("qid", id_col,
-                      F.round(V.cosine(F.col(vec_col), F.col("_qv")),
-                              round_digits).alias("cosine")))
+                      F.round(V.cosine_prenorm(
+                          F.col(vec_col), F.col("_qv"),
+                          F.col("_nv"), F.col("_nq")),
+                          round_digits).alias("cosine")))
     sh = F.expr(f"CAST({id_col} AS BIGINT) div {int(shard_span)}")
     w1 = (W.partitionBy("qid", "_sh")
           .orderBy(F.desc("cosine"), F.asc(id_col)))
