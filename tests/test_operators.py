@@ -1309,6 +1309,8 @@ def _bpe_ref(words: dict[str, int], n_merges: int):
         for s, cnt in vocab:
             for a, b in zip(s, s[1:]):
                 counts[(a, b)] = counts.get((a, b), 0) + cnt
+        if not counts:     # corpus exhausted: fewer merges than asked
+            break
         best = min(counts.items(),
                    key=lambda kv: (-kv[1], f"<{kv[0][0]}><{kv[0][1]}>"))
         (a, b), c = best
@@ -1438,3 +1440,28 @@ def test_bpe_subword_counts_match_reference_segmentation(spark):
         word = sym.replace("<", "").replace(">", "")
         exp_w[word] = sym.count("<")
     assert got == exp_w
+
+
+@given(st.dictionaries(st.text(alphabet="abcd", min_size=1, max_size=6),
+                       st.integers(1, 9), min_size=1, max_size=8),
+       st.integers(1, 3))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_train_property_matches_reference(spark, words, n_merges):
+    """Property: on arbitrary small corpora (duplicate-pair-heavy
+    alphabet to stress overlap and tie-break paths), distributed BPE
+    training reproduces the list-of-symbols reference exactly —
+    merges, counts, and every word's final segmentation."""
+    from picoprobedataflow_spark.operators import bpe as BPE
+
+    wf = spark.createDataFrame(list(words.items()), "word string, w long")
+    merges_df, syms_df = BPE.bpe_train(wf, n_merges)
+    got_merges = [(r.step, r.pair, r.cnt)
+                  for r in merges_df.orderBy("step").collect()]
+    got_syms = sorted((r.sym, r.w) for r in syms_df.collect())
+    exp_merges, exp_syms = _bpe_ref(words, n_merges)
+    # a corpus with fewer available merges than asked yields fewer
+    # merge rows on both sides (sentinel no-op path) and the
+    # vocabulary must survive unchanged — never come back empty.
+    assert got_merges == exp_merges
+    assert got_syms == exp_syms
