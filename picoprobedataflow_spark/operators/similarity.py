@@ -142,6 +142,19 @@ def block_knn_graph(emb: DataFrame, k: int,
                     "cosine"))
 
 
+def mutual_knn_edges(knn: DataFrame) -> DataFrame:
+    """Undirected mutual edges of a directed k-NN graph: (src, dst)
+    with src < dst kept only when BOTH directions exist — the
+    reciprocity filter that drops hub-to-outlier links (an outlier's
+    top-k reaches the hub, but the hub's top-k never reaches back).
+    One equi-join of the edge list with its own reversal — edge-
+    linear, shuffled on the pair key."""
+    rev = knn.select(F.col("dst").alias("src"),
+                     F.col("src").alias("dst"))
+    return (knn.select("src", "dst").join(rev, ["src", "dst"])
+            .filter(F.col("src") < F.col("dst")))
+
+
 def ivf_centroids(emb: DataFrame, cell_col: str = "label",
                   vec_col: str = "embedding") -> DataFrame:
     """Elementwise-mean centroid per cell: posexplode to (cell, dim,

@@ -2792,6 +2792,70 @@ def _embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.block_knn_graph(bucketed, k=_KNN_K)
 
 
+def _embedding_mutual_knn_clusters(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Mutual-kNN clustering: keep only RECIPROCATED k-NN edges
+    (b ∈ top-k(a) AND a ∈ top-k(b) — the standard density trick that
+    drops hub-to-outlier links a one-directional graph keeps), then
+    resolve connected components with the SAME min-id label
+    propagation the text dedup chain uses
+    (:func:`operators.dedup.connected_components` — two hash
+    shuffles per round, Σcomp-monotone convergence). One row per
+    clustered vector: (vec_id, comp = min member id, comp_size).
+    This is embedding-space cluster discovery WITHOUT k-means — no
+    fixed k, no centroids; the unique fixpoint is what lets the
+    oracle replay it as a recursive CTE over the same mutual
+    edges."""
+    mutual = SIM.mutual_knn_edges(_embedding_knn_graph(spark, sf_dir))
+    comps = DD.connected_components(mutual, id_a="src", id_b="dst")
+    sizes = comps.groupBy("comp").agg(
+        F.count("*").cast("long").alias("comp_size"))
+    return (comps.join(sizes, "comp")
+            .select(F.col("node").alias("vec_id"), "comp",
+                    "comp_size"))
+
+
+_KNN_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE b AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {_srp_bucket_sql('embedding', _NEARDUP_PLANES, 64)} AS bucket
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS src, b2.vec_id AS dst,
+         round(list_cosine_similarity(a.v, b2.v), 6) AS cosine
+  FROM b a JOIN b b2
+    ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+),
+k AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+    FROM p
+  ) WHERE rk <= {_KNN_K}
+),
+m AS (
+  SELECT a.src, a.dst FROM k a
+  JOIN k b2 ON a.src = b2.dst AND a.dst = b2.src
+  WHERE a.src < a.dst
+),
+edges AS MATERIALIZED (
+  SELECT src, dst FROM m UNION SELECT dst, src FROM m
+),
+walk(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.comp < e.dst
+),
+comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+sizes AS (SELECT comp, count(*) AS comp_size FROM comps GROUP BY 1)
+SELECT c.node AS vec_id, c.comp,
+       CAST(s.comp_size AS BIGINT) AS comp_size
+FROM comps c JOIN sizes s USING (comp)
+"""
+
+
 _EMBED_DEDUP_ORACLE = "\nUNION ALL\n".join([
     _fam_sql("neardup", "{near}",
              n=("id_a", "id_b", "block"), v=("cosine",)),
@@ -2799,9 +2863,12 @@ _EMBED_DEDUP_ORACLE = "\nUNION ALL\n".join([
              n=("vec_id", "NULL", "cell", "n_similar"), b1="keep"),
     _fam_sql("knn_graph", "{knn}",
              n=("src", "dst", "rk"), v=("cosine",)),
+    _fam_sql("knn_clusters", "{knncl}",
+             n=("vec_id", "comp", "comp_size")),
 ]).format(near=_NEARDUP_ORACLE,
           sem=_semdedup_oracle(_KM_K, _KM_ITER, _SEMDEDUP_THR),
-          knn=_KNN_GRAPH_ORACLE)
+          knn=_KNN_GRAPH_ORACLE,
+          knncl=_KNN_CLUSTERS_ORACLE)
 
 
 @query(
@@ -2825,7 +2892,12 @@ def embedding_cosine_neardup(spark: SparkSession,
       build via the shared CTE chain.
     - ``knn_graph`` — directed top-k neighbor graph within the same
       SRP blocks (:func:`_embedding_knn_graph`): n1 = src, n2 = dst,
-      n3 = rank, v1 = rounded cosine."""
+      n3 = rank, v1 = rounded cosine.
+    - ``knn_clusters`` — mutual-kNN connected components
+      (:func:`_embedding_mutual_knn_clusters`): n1 = vec_id,
+      n2 = comp (min member id), n3 = comp_size — centroid-free
+      cluster discovery; the oracle replays the unique fixpoint with
+      a decreasing-label recursive CTE."""
     near = _fam_df(_embedding_neardup_pairs(spark, sf_dir), "neardup",
                    n=("id_a", "id_b", "block"), v=("cosine",))
     sem = (semdedup_embedding_prune(spark, sf_dir)
@@ -2835,4 +2907,7 @@ def embedding_cosine_neardup(spark: SparkSession,
                   b1="keep")
     knn = _fam_df(_embedding_knn_graph(spark, sf_dir), "knn_graph",
                   n=("src", "dst", "rk"), v=("cosine",))
-    return near.unionByName(sem).unionByName(knn)
+    kcl = _fam_df(_embedding_mutual_knn_clusters(spark, sf_dir),
+                  "knn_clusters", n=("vec_id", "comp", "comp_size"))
+    return (near.unionByName(sem).unionByName(knn)
+            .unionByName(kcl))

@@ -1465,3 +1465,44 @@ def test_bpe_train_property_matches_reference(spark, words, n_merges):
     # vocabulary must survive unchanged — never come back empty.
     assert got_merges == exp_merges
     assert got_syms == exp_syms
+
+
+def test_mutual_knn_edges_drop_unreciprocated(spark):
+    """Reciprocity filter: a directed edge survives only when its
+    reverse exists, and each mutual pair is emitted once (src < dst).
+    The hub→outlier asymmetry — outlier's top-k reaches the hub, hub's
+    top-k never reaches back — must disappear."""
+    knn = spark.createDataFrame(
+        [(1, 2), (2, 1),        # mutual
+         (3, 1),                # outlier 3 reaches hub 1...
+         (1, 4), (4, 1),        # mutual
+         (5, 6)],               # one-directional
+        "src long, dst long")
+    got = sorted((r.src, r.dst)
+                 for r in SIM.mutual_knn_edges(knn).collect())
+    assert got == [(1, 2), (1, 4)]
+
+
+def test_mutual_knn_clusters_are_components_with_sizes(spark):
+    """The pipeline family at sf0.001: every comp is the min vec_id
+    of its members, sizes are consistent, membership is closed under
+    the mutual edge set, and only clustered vectors appear."""
+    from picoprobedataflow_spark.operators import dedup as DD
+
+    sf = "/root/testdata/sf0.001"
+    rows = PL._embedding_mutual_knn_clusters(spark, sf).collect()
+    assert rows
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.comp, []).append(r)
+    for comp, members in by_comp.items():
+        assert comp == min(m.vec_id for m in members)
+        assert all(m.comp_size == len(members) for m in members)
+    mutual = {tuple(sorted((r.src, r.dst))) for r in SIM.mutual_knn_edges(
+        PL._embedding_knn_graph(spark, sf)).collect()}
+    label = {r.vec_id: r.comp for r in rows}
+    # closure: both endpoints of every mutual edge share a component
+    for a, b in mutual:
+        assert label[a] == label[b]
+    # exactly the clustered vectors appear
+    assert set(label) == {v for e in mutual for v in e}
