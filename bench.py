@@ -202,7 +202,8 @@ def main() -> None:
                      PL.packing_window_manifest),
                     ("bpe_train_full", PL.bpe_train_merges),
                     ("bpe_encode_full", PL.bpe_encode_stats),
-                    ("knn_graph_full", PL._embedding_knn_graph)):
+                    ("knn_graph_full", PL._embedding_knn_graph),
+                    ("bigram_lm_full", PL.bigram_lm_scores)):
         variants[key] = fn
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads

@@ -490,3 +490,51 @@ def unigram_logprob(docs, text_col: str = "text",
     return scored.select(
         F.col(id_col), "n_tok",
         (F.col("sum_lp") / F.col("n_tok")).alias("avg_logprob"))
+
+
+def bigram_logprob(docs, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """Corpus-bigram language-model score per document — the
+    context-sensitive step up from :func:`unigram_logprob` (CCNet's
+    KenLM filter with the n-gram order an exact cross-engine replay
+    can carry): fit add-one-smoothed bigram probabilities
+    P(b|a) = (C(a,b) + 1) / (C(a) + V) on the corpus itself — C(a)
+    the context's total bigram occurrences, V the distinct-context
+    count — then score each doc by its mean bigram log-probability.
+    Every scored bigram is in the corpus table by construction (the
+    corpus contains the doc), so scoring is a broadcast join against
+    the observed-bigram table, never a dense vocab² surface.
+
+    Scale shape: one explode → (doc, a, b) tf aggregate,
+    materialized once for its two consumers (corpus counts and the
+    scoring join); the bigram and context tables are
+    observed-n-gram-bounded (Heaps' law), broadcast back; the
+    distinct-context count is a 1-row scalar. Per-doc scoring is one
+    hash aggregate keyed by the high-cardinality doc id."""
+    from pyspark.sql import functions as F
+
+    pairs = F.explode(F.expr(
+        f"transform(slice(_w, 1, greatest(size(_w) - 1, 0)),"
+        f" (x, i) -> struct(x AS a, element_at(_w, i + 2) AS b))"))
+    bi = (docs.select(F.col(id_col), words(text_col).alias("_w"))
+          .select(F.col(id_col), pairs.alias("_p"))
+          .select(F.col(id_col), F.col("_p.a").alias("a"),
+                  F.col("_p.b").alias("b")))
+    tf = (bi.groupBy(id_col, "a", "b").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=True))
+    big = tf.groupBy("a", "b").agg(F.sum("tf").alias("cnt"))
+    ctx = big.groupBy("a").agg(F.sum("cnt").alias("ctx_cnt"))
+    nv = ctx.agg(F.count("*").alias("n_ctx"))
+    logp = (big.join(F.broadcast(ctx), "a")
+            .crossJoin(F.broadcast(nv))
+            .select("a", "b",
+                    F.log((F.col("cnt") + 1.0)
+                          / (F.col("ctx_cnt") + F.col("n_ctx")))
+                    .alias("lp")))
+    scored = (tf.join(F.broadcast(logp), ["a", "b"])
+              .groupBy(id_col)
+              .agg(F.sum("tf").cast("long").alias("n_bigrams"),
+                   F.sum(F.col("tf") * F.col("lp")).alias("sum_lp")))
+    return scored.select(
+        F.col(id_col), "n_bigrams",
+        (F.col("sum_lp") / F.col("n_bigrams")).alias("avg_logprob"))

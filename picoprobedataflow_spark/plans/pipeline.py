@@ -2373,6 +2373,48 @@ _BPE_ORACLE = _bpe_oracle(_BPE_MERGES, _BPE_TOPV)
 _BPE_ENCODE_ORACLE = _bpe_encode_oracle(_BPE_MERGES)
 
 
+_BIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+),
+bi AS MATERIALIZED (
+  SELECT doc_id, w[i] AS a, w[i+1] AS b
+  FROM (SELECT doc_id, unnest(range(1, len(w))) AS i, w FROM toks)
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, a, b, count(*) AS tf FROM bi GROUP BY 1, 2, 3
+),
+big AS (SELECT a, b, sum(tf) AS cnt FROM tf GROUP BY 1, 2),
+ctx AS (SELECT a, sum(cnt) AS ctx_cnt FROM big GROUP BY 1),
+nv AS (SELECT count(*) AS n_ctx FROM ctx),
+logp AS (
+  SELECT g.a, g.b, ln((g.cnt + 1.0) / (c.ctx_cnt + n_ctx)) AS lp
+  FROM big g JOIN ctx c USING (a) CROSS JOIN nv
+)
+SELECT tf.doc_id,
+       CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+       round(sum(tf.tf * l.lp) / sum(tf.tf), 6) AS avg_logprob
+FROM tf JOIN logp l USING (a, b)
+GROUP BY 1
+"""
+
+
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram log-probability of every document under the
+    corpus-fit add-one bigram LM
+    (:func:`functions.text.bigram_logprob`) — the context-sensitive
+    LM quality score one n-gram order up from ``unigram_lm`` (CCNet
+    uses a KenLM n-gram filter; bigram is the order an exact
+    cross-engine replay carries). Observed-bigram and context tables
+    are Heaps'-law-bounded and broadcast; the per-doc score is one
+    hash aggregate. Rounds to 6 dp on both engines (per-doc fold
+    order differs by ulps)."""
+    docs = tbl(spark, sf_dir, "documents")
+    scored = TX.bigram_logprob(docs)
+    return scored.select("doc_id", "n_bigrams",
+                         F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training over the documents corpus
     (:mod:`operators.bpe`): the first ``_BPE_MERGES`` learned merges
@@ -2493,6 +2535,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
     _fam_sql("bpe_encode", "{bpe_enc}",
              n=("doc_id", "n_words", "n_subtok"),
              v=("syms_per_word",)),
+    _fam_sql("bigram_lm", "{bigram}", n=("doc_id", "n_bigrams"),
+             v=("avg_logprob",)),
 ]).format(bm25=_BM25_ORACLE, tfidf=_TFIDF_ORACLE,
           unigram=_UNIGRAM_ORACLE, vocab=_VOCAB_COVERAGE_ORACLE,
           span=_SPAN_DEDUP_ORACLE, cdc=_CDC_ORACLE,
@@ -2501,7 +2545,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           rep=_REPETITION_ORACLE,
           strided=_SPAN_STRIDED_ORACLE,
           qcut=_QUALITY_CUT_ORACLE,
-          bpe=_BPE_ORACLE, bpe_enc=_BPE_ENCODE_ORACLE)
+          bpe=_BPE_ORACLE, bpe_enc=_BPE_ENCODE_ORACLE,
+          bigram=_BIGRAM_ORACLE)
 
 
 def _nulls_long():
@@ -2534,7 +2579,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fifteen training-data curation families, one normalized
+    """Sixteen training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -2546,10 +2591,11 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pack_manifest``, ``batch_ann``, ``repetition``,
     ``span_strided``, ``quality_cut``, ``bpe``
     (:func:`bpe_train_merges` — distributed BPE tokenizer
-    training), and ``bpe_encode`` (:func:`bpe_encode_stats` —
-    per-doc segmentation under the learned merges). See each
-    underlying function's docstring for semantics and 100 TB
-    posture."""
+    training), ``bpe_encode`` (:func:`bpe_encode_stats` — per-doc
+    segmentation under the learned merges), and ``bigram_lm``
+    (:func:`bigram_lm_scores` — context-sensitive add-one bigram LM
+    quality scores). See each underlying function's docstring for
+    semantics and 100 TB posture."""
     return (
         _fam_df(bm25_retrieval(spark, sf_dir), "bm25",
                 n=("doc_id",), v=("score",))
@@ -2603,6 +2649,9 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "bpe_encode",
                              n=("doc_id", "n_words", "n_subtok"),
                              v=("syms_per_word",)))
+        .unionByName(_fam_df(bigram_lm_scores(spark, sf_dir),
+                             "bigram_lm", n=("doc_id", "n_bigrams"),
+                             v=("avg_logprob",)))
     )
 
 

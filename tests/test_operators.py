@@ -1506,3 +1506,34 @@ def test_mutual_knn_clusters_are_components_with_sizes(spark):
         assert label[a] == label[b]
     # exactly the clustered vectors appear
     assert set(label) == {v for e in mutual for v in e}
+
+
+def test_bigram_logprob_hand_math(spark):
+    """Add-one bigram LM on a 2-doc corpus, checked against a
+    hand-rolled Python model: P(b|a) = (C(a,b)+1)/(C(a)+V_ctx),
+    per-doc score = mean bigram log-prob."""
+    import math
+
+    from picoprobedataflow_spark.functions import text as TX
+
+    texts = {1: "a b a b c", 2: "b a b"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.avg_logprob)
+           for r in TX.bigram_logprob(docs).collect()}
+
+    big, ctx = {}, {}
+    doc_bis = {}
+    for d, t in texts.items():
+        w = t.split()
+        bis = list(zip(w, w[1:]))
+        doc_bis[d] = bis
+        for a, b in bis:
+            big[(a, b)] = big.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    V = len(ctx)
+    for d, bis in doc_bis.items():
+        lp = sum(math.log((big[p] + 1.0) / (ctx[p[0]] + V)) for p in bis)
+        n, avg = got[d]
+        assert n == len(bis)
+        assert abs(avg - lp / len(bis)) < 1e-9
