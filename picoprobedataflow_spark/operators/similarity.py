@@ -106,7 +106,8 @@ def blocked_near_pairs(emb: DataFrame, threshold: float,
 def block_knn_graph(emb: DataFrame, k: int,
                     block_col: str = "bucket",
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> DataFrame:
+                    id_col: str = "vec_id",
+                    exclude_col: str | None = None) -> DataFrame:
     """Directed k-NN graph within LSH blocks: every vector's top-k
     cosine neighbors among co-blocked vectors — the neighbor graph
     SemDeDup-style pruning, hard-negative mining and graph-clustering
@@ -118,23 +119,35 @@ def block_knn_graph(emb: DataFrame, k: int,
     drift would otherwise flip neighbor order at the tie boundary).
     At 100 TB the block is a write-time partition key and the
     self-join is partition-local, same posture as
-    :func:`blocked_near_pairs`."""
+    :func:`blocked_near_pairs`.
+
+    With ``exclude_col`` set, candidates must DIFFER on that column —
+    the hard-negative mining shape (top-k most-similar vectors of a
+    different class: similar enough to be hard, labeled different so
+    they are negatives)."""
     from pyspark.sql.window import Window as W
 
-    a = emb.select(F.col(block_col).alias("block"),
-                   F.col(id_col).alias("src"),
-                   F.col(vec_col).alias("v_a"),
-                   V.norm(F.col(vec_col)).alias("n_a"))
-    b = emb.select(F.col(block_col).alias("block"),
-                   F.col(id_col).alias("dst"),
-                   F.col(vec_col).alias("v_b"),
-                   V.norm(F.col(vec_col)).alias("n_b"))
+    a_cols = [F.col(block_col).alias("block"),
+              F.col(id_col).alias("src"),
+              F.col(vec_col).alias("v_a"),
+              V.norm(F.col(vec_col)).alias("n_a")]
+    b_cols = [F.col(block_col).alias("block"),
+              F.col(id_col).alias("dst"),
+              F.col(vec_col).alias("v_b"),
+              V.norm(F.col(vec_col)).alias("n_b")]
+    if exclude_col is not None:
+        a_cols.append(F.col(exclude_col).alias("x_a"))
+        b_cols.append(F.col(exclude_col).alias("x_b"))
+    a = emb.select(*a_cols)
+    b = emb.select(*b_cols)
     pairs = (a.join(b, "block")
-              .filter(F.col("src") != F.col("dst"))
-              .withColumn("cosine",
-                          F.round(V.cosine_prenorm(
-                              F.col("v_a"), F.col("v_b"),
-                              F.col("n_a"), F.col("n_b")), 6)))
+              .filter(F.col("src") != F.col("dst")))
+    if exclude_col is not None:
+        pairs = pairs.filter(F.col("x_a") != F.col("x_b"))
+    pairs = pairs.withColumn(
+        "cosine", F.round(V.cosine_prenorm(
+            F.col("v_a"), F.col("v_b"),
+            F.col("n_a"), F.col("n_b")), 6))
     w = W.partitionBy("src").orderBy(F.desc("cosine"), "dst")
     return (pairs.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)

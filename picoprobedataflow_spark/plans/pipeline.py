@@ -2841,6 +2841,46 @@ def _embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.block_knn_graph(bucketed, k=_KNN_K)
 
 
+_HARDNEG_K = 2
+
+_HARDNEG_ORACLE = f"""
+WITH b AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+         {_srp_bucket_sql('embedding', _NEARDUP_PLANES, 64)} AS bucket
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS src, b2.vec_id AS dst,
+         round(list_cosine_similarity(a.v, b2.v), 6) AS cosine
+  FROM b a JOIN b b2
+    ON a.bucket = b2.bucket AND a.vec_id <> b2.vec_id
+   AND a.label <> b2.label
+)
+SELECT src, dst, CAST(rk AS BIGINT) AS rk, cosine FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+  FROM p
+)
+WHERE rk <= {_HARDNEG_K}
+"""
+
+
+def _embedding_hard_negatives(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's
+    top-{k} most-similar DIFFERENT-label neighbors within its SRP
+    block (similar enough to be hard, labeled different so they are
+    negatives) — :func:`operators.similarity.block_knn_graph` with
+    the label-inequality candidate filter. Same blocking, ranking
+    and rounding discipline as ``knn_graph``."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    bucketed = emb.withColumn(
+        "bucket", SIM.srp_bucket(F.col("embedding"),
+                                 n_planes=_NEARDUP_PLANES, dim=64))
+    return SIM.block_knn_graph(bucketed, k=_HARDNEG_K,
+                               exclude_col="label")
+
+
 def _embedding_mutual_knn_clusters(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
     """Mutual-kNN clustering: keep only RECIPROCATED k-NN edges
@@ -2914,10 +2954,13 @@ _EMBED_DEDUP_ORACLE = "\nUNION ALL\n".join([
              n=("src", "dst", "rk"), v=("cosine",)),
     _fam_sql("knn_clusters", "{knncl}",
              n=("vec_id", "comp", "comp_size")),
+    _fam_sql("hard_negatives", "{hneg}",
+             n=("src", "dst", "rk"), v=("cosine",)),
 ]).format(near=_NEARDUP_ORACLE,
           sem=_semdedup_oracle(_KM_K, _KM_ITER, _SEMDEDUP_THR),
           knn=_KNN_GRAPH_ORACLE,
-          knncl=_KNN_CLUSTERS_ORACLE)
+          knncl=_KNN_CLUSTERS_ORACLE,
+          hneg=_HARDNEG_ORACLE)
 
 
 @query(
@@ -2946,7 +2989,10 @@ def embedding_cosine_neardup(spark: SparkSession,
       (:func:`_embedding_mutual_knn_clusters`): n1 = vec_id,
       n2 = comp (min member id), n3 = comp_size — centroid-free
       cluster discovery; the oracle replays the unique fixpoint with
-      a decreasing-label recursive CTE."""
+      a decreasing-label recursive CTE.
+    - ``hard_negatives`` — contrastive hard-negative mining
+      (:func:`_embedding_hard_negatives`): same surface as
+      ``knn_graph`` but candidates must differ on ``label``."""
     near = _fam_df(_embedding_neardup_pairs(spark, sf_dir), "neardup",
                    n=("id_a", "id_b", "block"), v=("cosine",))
     sem = (semdedup_embedding_prune(spark, sf_dir)
@@ -2958,5 +3004,8 @@ def embedding_cosine_neardup(spark: SparkSession,
                   n=("src", "dst", "rk"), v=("cosine",))
     kcl = _fam_df(_embedding_mutual_knn_clusters(spark, sf_dir),
                   "knn_clusters", n=("vec_id", "comp", "comp_size"))
+    hng = _fam_df(_embedding_hard_negatives(spark, sf_dir),
+                  "hard_negatives", n=("src", "dst", "rk"),
+                  v=("cosine",))
     return (near.unionByName(sem).unionByName(knn)
-            .unionByName(kcl))
+            .unionByName(kcl).unionByName(hng))

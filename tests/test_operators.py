@@ -1537,3 +1537,25 @@ def test_bigram_logprob_hand_math(spark):
         n, avg = got[d]
         assert n == len(bis)
         assert abs(avg - lp / len(bis)) < 1e-9
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    """With exclude_col set, every ranked neighbor has a different
+    label, and ranking is the top-k among different-label co-blocked
+    candidates only (a same-label nearer vector must not consume a
+    rank slot)."""
+    rows = [
+        (1, [1.0, 0.0], "A", 0),
+        (2, [0.99, 0.1], "A", 0),   # nearest to 1 but SAME label
+        (3, [0.9, 0.2], "A", 1),    # nearest different-label
+        (4, [0.0, 1.0], "A", 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, bucket string,"
+              " label int")
+    got = [(r.src, r.dst, r.rk) for r in
+           SIM.block_knn_graph(emb, k=1, exclude_col="label")
+           .collect()]
+    labels = {v: l for v, _, _, l in rows}
+    assert all(labels[s] != labels[d] for s, d, _ in got)
+    assert (1, 3, 1) in got       # not (1, 2, 1)
