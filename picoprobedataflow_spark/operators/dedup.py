@@ -602,6 +602,41 @@ def connected_components_star(edges: DataFrame, id_a: str = "doc_a",
     return labeled.unionByName(isolated)
 
 
+def leakage_safe_split(survivors: DataFrame, salt: str = "lsplit",
+                       cuts: tuple[int, int] = (80, 90)) -> DataFrame:
+    """Survivor map + (cluster_size, split): assign every near-dup
+    CLUSTER — not every document — to train/val/test, so two near
+    duplicates can never straddle the train/eval boundary (the
+    split-level form of benchmark decontamination: a paraphrase of a
+    val doc in train is train/eval leakage that a doc-hash split
+    happily commits).
+
+    The split is a pure function of ``canonical_id``:
+    md5(salt:canonical_id) mod 100 against ``cuts`` — same salted
+    hash-bucket trick as :func:`..functions.text.mixture_sample`, so
+    it is stable across runs/engines/partitionings, and membership of
+    one cluster never reshuffles another's. ``cluster_size`` rides
+    along (count over the canonical label) — the soft-dedup weight
+    1/cluster_size is derivable row-locally from it.
+
+    Scale shape: one window partitioned by ``canonical_id`` (corpus
+    cardinality, never partition-less) on top of the survivor map;
+    the split itself is a row-local expression — no extra shuffle
+    beyond the count."""
+    from pyspark.sql import Window as W
+
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + ":"),
+                       F.col("canonical_id").cast("string"))
+              .cast("binary")), 1, 8), 16, 10).cast("long") % 100)
+    split = (F.when(bucket < cuts[0], "train")
+              .when(bucket < cuts[1], "val")
+              .otherwise("test"))
+    size = F.count("*").over(W.partitionBy("canonical_id"))
+    return (survivors.withColumn("cluster_size", size)
+                     .withColumn("split", split))
+
+
 def apply_survivors(docs: DataFrame, survivors: DataFrame,
                     id_col: str = "doc_id") -> DataFrame:
     """Filter the corpus down to cluster survivors — the actual "skip

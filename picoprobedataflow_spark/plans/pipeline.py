@@ -450,12 +450,25 @@ walk(node, comp) AS (
   SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.node
   WHERE w.comp < e.dst
 ),
-comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
-SELECT d.doc_id,
-       CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS canonical_id,
-       COALESCE(c.comp, d.doc_id) = d.doc_id AS keep
-FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
-WHERE d.doc_id < {_DOC_CAP}
+comps AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node),
+surv AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.comp, d.doc_id) AS BIGINT) AS canonical_id,
+         COALESCE(c.comp, d.doc_id) = d.doc_id AS keep
+  FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+  WHERE d.doc_id < {_DOC_CAP}
+)
+SELECT doc_id, canonical_id, keep,
+       count(*) OVER (PARTITION BY canonical_id) AS cluster_size,
+       CASE
+         WHEN CAST(('0x' || substr(md5('lsplit:' ||
+                CAST(canonical_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 < 80 THEN 'train'
+         WHEN CAST(('0x' || substr(md5('lsplit:' ||
+                CAST(canonical_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+FROM surv
 """,
     tags=("dedup-clusters", "connected-components"),
 )
@@ -474,14 +487,21 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     node ``n`` seeds ``(n, n)``, so any pruned label ``c > n`` could
     never have been ``n``'s minimum; this bounds the recursive working
     set to the decreasing-label wavefront instead of full
-    reachability."""
+    reachability.
+
+    Round 5: the map also carries ``cluster_size`` and a
+    LEAKAGE-SAFE ``split`` (:func:`..operators.dedup
+    .leakage_safe_split`) — train/val/test assigned per CLUSTER via
+    md5(lsplit:canonical_id) buckets, so near-duplicates can never
+    straddle the train/eval boundary the way a doc-hash split lets
+    them; 1/cluster_size is the soft-dedup weight."""
     docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < _DOC_CAP)
     # contam rows are doc-vs-corpus diagnostics (doc_b NULL), not
     # duplicate edges — only real pairs enter the cluster graph.
     edges = (_spark_candidate_pairs(spark, sf_dir)
              .filter(F.col("method") != "contam")
              .select("doc_a", "doc_b").distinct())
-    return DD.near_dup_survivors(docs, edges)
+    return DD.leakage_safe_split(DD.near_dup_survivors(docs, edges))
 
 
 # --------------------------------------------------------------------------

@@ -296,6 +296,40 @@ def test_near_dup_survivors_semantics(spark):
     assert sorted(keeps) == [0, 1, 3, 4, 6]
 
 
+def test_leakage_safe_split_never_straddles_clusters(spark):
+    """Every member of a near-dup cluster lands in the SAME split (a
+    pure function of canonical_id), cluster_size counts the whole
+    cluster, and singletons spread across train/val/test roughly by
+    the 80/10/10 cuts."""
+    docs = spark.createDataFrame([(i,) for i in range(300)],
+                                 "doc_id long")
+    # 20 clusters of 3 (i, i+1, i+2 for i = 0, 15, 30, ...) + 240
+    # singletons
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 300, 15)]
+        + [(i + 1, i + 2) for i in range(0, 300, 15)],
+        "doc_a long, doc_b long")
+    out = DD.leakage_safe_split(
+        DD.near_dup_survivors(docs, edges)).collect()
+    by_id = {r.doc_id: r for r in out}
+    for i in range(0, 300, 15):
+        trio = [by_id[i], by_id[i + 1], by_id[i + 2]]
+        assert len({r.split for r in trio}) == 1
+        assert all(r.cluster_size == 3 for r in trio)
+        assert all(r.canonical_id == i for r in trio)
+    singles = [r for r in out if r.cluster_size == 1]
+    assert len(singles) == 240
+    frac = {s: sum(1 for r in singles if r.split == s) / 240
+            for s in ("train", "val", "test")}
+    assert 0.7 < frac["train"] < 0.9
+    assert 0.03 < frac["val"] < 0.2
+    assert 0.03 < frac["test"] < 0.2
+    # determinism: a pure id function, stable across recomputation
+    again = {(r.doc_id, r.split) for r in DD.leakage_safe_split(
+        DD.near_dup_survivors(docs, edges)).collect()}
+    assert again == {(r.doc_id, r.split) for r in out}
+
+
 # --------------------------------------------------------------------------
 # k-means coarse quantizer
 # --------------------------------------------------------------------------
