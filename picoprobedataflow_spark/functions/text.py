@@ -112,6 +112,27 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(c.cast("binary"))
 
 
+def normalize_text(text: Column | str) -> Column:
+    """Conservative dedup normalization: lowercase + collapse runs of
+    whitespace to single spaces + trim. Catches the trivially-edited
+    duplicates a raw-byte hash misses (case flips, reflowed
+    whitespace, trailing newlines) without the locale/Unicode-class
+    risk of aggressive punctuation stripping — the normalization is
+    byte-reproducible across engines, which is what lets
+    :func:`fingerprint_normalized` sit under a cross-engine hash
+    gate. Row-local, JVM-side."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint_normalized(text: Column | str) -> Column:
+    """Exact-dedup key over :func:`normalize_text` — the
+    normalized-dedup stage of a crawl pipeline (dedupe "same article,
+    different whitespace/case" before the near-dup passes spend
+    shingle joins on them)."""
+    return F.md5(normalize_text(text).cast("binary"))
+
+
 def fingerprint_rolling(text: Column | str, window: int = 64) -> Column:
     """Cheap rolling-style fingerprint: md5 of head window + md5 of tail
     window + length — catches append-only edits that a full-text hash

@@ -46,10 +46,17 @@ HashFn = Callable[[Column], Column]
 # --------------------------------------------------------------------------
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       fingerprint: Column | None = None) -> DataFrame:
     """(fingerprint, n_docs, canonical_id): one row per distinct text.
-    ``canonical_id`` = min id, the survivor under keep-first policy."""
-    return (docs.groupBy(fingerprint_md5(text_col).alias("fingerprint"))
+    ``canonical_id`` = min id, the survivor under keep-first policy.
+    ``fingerprint`` swaps the raw-byte md5 for another row-local key
+    (e.g. :func:`..functions.text.fingerprint_normalized` for
+    case/whitespace-insensitive dedup) without changing the
+    one-hash-agg shape."""
+    fp = fingerprint if fingerprint is not None \
+        else fingerprint_md5(text_col)
+    return (docs.groupBy(fp.alias("fingerprint"))
                 .agg(F.count("*").alias("n_docs"),
                      F.min(id_col).alias("canonical_id")))
 
@@ -623,8 +630,6 @@ def leakage_safe_split(survivors: DataFrame, salt: str = "lsplit",
     cardinality, never partition-less) on top of the survivor map;
     the split itself is a row-local expression — no extra shuffle
     beyond the count."""
-    from pyspark.sql import Window as W
-
     bucket = (F.conv(F.substring(
         F.md5(F.concat(F.lit(salt + ":"),
                        F.col("canonical_id").cast("string"))

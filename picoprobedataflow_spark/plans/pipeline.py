@@ -77,6 +77,13 @@ SELECT 'groups' AS family,
        min(doc_id) AS canonical_id
 FROM documents GROUP BY 2
 UNION ALL
+SELECT 'normalized' AS family,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+         AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS canonical_id
+FROM documents GROUP BY 2
+UNION ALL
 SELECT 'watermark' AS family,
        md5(CAST(user_id AS VARCHAR) || ':' || event_type) AS fingerprint,
        count(*) AS n_docs,
@@ -88,7 +95,7 @@ GROUP BY epoch_us(ts) // 3600000000,
     tags=("dedup-exact", "ST4", "watermark-dedup"),
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup, two families under one hash gate:
+    """Exact dedup, three families under one hash gate:
 
     - ``groups`` — fingerprint groups with keep-first canonical id —
       the dedup survivor map (reference analog: checkpoint seen-set
@@ -96,6 +103,12 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       summary (n_docs / n_distinct / n_dups) is the count/sum of these
       rows, so this one query carries both checks;
       approx_count_distinct is the 100 TB summary variant.
+    - ``normalized`` (round 5) — the same hash agg keyed by
+      :func:`..functions.text.fingerprint_normalized` (lowercase +
+      whitespace-collapse + trim): the normalized-dedup stage that
+      collapses "same article, different case/whitespace" duplicates
+      a raw-byte hash misses, BEFORE the shingle joins of the
+      near-dup passes spend work on them. Same one-shuffle shape.
     - ``watermark`` (round 4) — :func:`..streaming.watch
       .bucketed_content_dedup` over events: duplicate suppression
       within a bounded 1-hour horizon, the deterministic batch twin of
@@ -107,9 +120,14 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       within-horizon duplicates in the synthetic stream."""
     import picoprobedataflow_spark.streaming.watch as WCH
 
-    groups = (DD.exact_dedup_groups(tbl(spark, sf_dir, "documents"))
+    docs = tbl(spark, sf_dir, "documents")
+    groups = (DD.exact_dedup_groups(docs)
               .select(F.lit("groups").alias("family"), "fingerprint",
                       "n_docs", "canonical_id"))
+    norm = (DD.exact_dedup_groups(
+                docs, fingerprint=TX.fingerprint_normalized("text"))
+            .select(F.lit("normalized").alias("family"), "fingerprint",
+                    "n_docs", "canonical_id"))
     from picoprobedataflow_spark.plans.common import events_us
 
     fp = F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":"),
@@ -117,7 +135,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     wm = (WCH.bucketed_content_dedup(events_us(spark, sf_dir), fp)
           .select(F.lit("watermark").alias("family"), "fingerprint",
                   "n_docs", "canonical_id"))
-    return groups.unionByName(wm)
+    return groups.unionByName(norm).unionByName(wm)
 
 
 # --------------------------------------------------------------------------

@@ -296,6 +296,27 @@ def test_near_dup_survivors_semantics(spark):
     assert sorted(keeps) == [0, 1, 3, 4, 6]
 
 
+def test_normalized_fingerprint_collapses_case_and_whitespace(spark):
+    """fingerprint_normalized merges case flips / reflowed whitespace
+    / trailing newlines into one group; raw fingerprint_md5 keeps
+    them distinct; genuinely different texts stay separate."""
+    from picoprobedataflow_spark.functions.text import (
+        fingerprint_normalized,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world\n"), (3, " HELLO\tWORLD"),
+         (4, "goodbye world"), (5, "goodbye world")],
+        "doc_id long, text string")
+    raw = DD.exact_dedup_groups(docs).collect()
+    assert sorted(r.n_docs for r in raw) == [1, 1, 1, 2]
+    norm = DD.exact_dedup_groups(
+        docs, fingerprint=fingerprint_normalized("text")).collect()
+    assert sorted(r.n_docs for r in norm) == [2, 3]
+    by_n = {r.n_docs: r.canonical_id for r in norm}
+    assert by_n[3] == 1 and by_n[2] == 4
+
+
 def test_leakage_safe_split_never_straddles_clusters(spark):
     """Every member of a near-dup cluster lands in the SAME split (a
     pure function of canonical_id), cluster_size counts the whole
