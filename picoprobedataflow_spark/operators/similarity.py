@@ -168,6 +168,36 @@ def mutual_knn_edges(knn: DataFrame) -> DataFrame:
             .filter(F.col("src") < F.col("dst")))
 
 
+def centroid_outlier_scores(emb: DataFrame, threshold: float = 0.0,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            round_digits: int = 6) -> DataFrame:
+    """(vec_id, centroid_cos, keep): cosine of every vector to the
+    GLOBAL corpus centroid (per-dim mean), keep = rounded cosine ≥
+    ``threshold`` — off-manifold outlier pruning, the model-free
+    cousin of CLIP-score filtering: embedding junk (corrupt rows,
+    wrong-domain content, adversarial noise) sits far from the mass
+    of the corpus in embedding space and scores near/below 0.
+
+    Scale shape: the centroid is ONE (dim)-keyed aggregate over the
+    posexploded corpus (dim rows back to the driver — same bounded
+    k·dim hop as the Lloyd's builds), then the score is a map-side
+    literal expression over a single scan: no join, no shuffle on
+    the corpus beyond the 64-row mean. The keep decision compares
+    the ROUNDED cosine, so the boundary is reproducible across
+    engines."""
+    longf = emb.select(F.posexplode(vec_col).alias("dim", "val"))
+    means = (longf.groupBy("dim")
+             .agg(F.avg(F.col("val").cast("double")).alias("m"))
+             .collect())
+    centroid = [m for _, m in sorted((r.dim, r.m) for r in means)]
+    scored = cosine_to_query(emb, centroid, vec_col, id_col)
+    cos = F.round("cosine", round_digits)
+    return scored.select(
+        id_col, cos.alias("centroid_cos"),
+        (cos >= F.lit(threshold)).alias("keep"))
+
+
 def ivf_centroids(emb: DataFrame, cell_col: str = "label",
                   vec_col: str = "embedding") -> DataFrame:
     """Elementwise-mean centroid per cell: posexplode to (cell, dim,

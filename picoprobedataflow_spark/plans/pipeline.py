@@ -2983,6 +2983,40 @@ FROM comps c JOIN sizes s USING (comp)
 """
 
 
+_OUTLIER_THR = -0.15
+
+_OUTLIER_ORACLE = f"""
+WITH b AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT d, avg(v[d + 1]) AS m
+  FROM b CROSS JOIN range(64) t(d)
+  GROUP BY d
+),
+cl AS (SELECT list(m ORDER BY d) AS c FROM cent)
+SELECT vec_id,
+       round(list_cosine_similarity(v, (SELECT c FROM cl)), 6)
+         AS centroid_cos,
+       round(list_cosine_similarity(v, (SELECT c FROM cl)), 6)
+         >= {_OUTLIER_THR} AS keep
+FROM b
+"""
+
+
+def _embedding_centroid_outliers(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Global-centroid outlier pruning
+    (:func:`operators.similarity.centroid_outlier_scores`): cosine of
+    every vector to the corpus mean, keep = rounded cosine ≥ the
+    threshold — the model-free "off-manifold junk" filter (corrupt rows
+    and wrong-domain content score near/below 0 against the corpus
+    mass). One (dim)-keyed aggregate + a map-side literal scoring
+    scan — no corpus shuffle, no join."""
+    emb = tbl(spark, sf_dir, "embeddings")
+    return SIM.centroid_outlier_scores(emb, threshold=_OUTLIER_THR)
+
+
 _EMBED_DEDUP_ORACLE = "\nUNION ALL\n".join([
     _fam_sql("neardup", "{near}",
              n=("id_a", "id_b", "block"), v=("cosine",)),
@@ -2994,11 +3028,14 @@ _EMBED_DEDUP_ORACLE = "\nUNION ALL\n".join([
              n=("vec_id", "comp", "comp_size")),
     _fam_sql("hard_negatives", "{hneg}",
              n=("src", "dst", "rk"), v=("cosine",)),
+    _fam_sql("outliers", "{outl}",
+             n=("vec_id",), v=("centroid_cos",), b1="keep"),
 ]).format(near=_NEARDUP_ORACLE,
           sem=_semdedup_oracle(_KM_K, _KM_ITER, _SEMDEDUP_THR),
           knn=_KNN_GRAPH_ORACLE,
           knncl=_KNN_CLUSTERS_ORACLE,
-          hneg=_HARDNEG_ORACLE)
+          hneg=_HARDNEG_ORACLE,
+          outl=_OUTLIER_ORACLE)
 
 
 @query(
@@ -3030,7 +3067,10 @@ def embedding_cosine_neardup(spark: SparkSession,
       a decreasing-label recursive CTE.
     - ``hard_negatives`` — contrastive hard-negative mining
       (:func:`_embedding_hard_negatives`): same surface as
-      ``knn_graph`` but candidates must differ on ``label``."""
+      ``knn_graph`` but candidates must differ on ``label``.
+    - ``outliers`` (round 5) — global-centroid outlier pruning
+      (:func:`_embedding_centroid_outliers`): n1 = vec_id,
+      v1 = rounded centroid cosine, b1 = keep."""
     near = _fam_df(_embedding_neardup_pairs(spark, sf_dir), "neardup",
                    n=("id_a", "id_b", "block"), v=("cosine",))
     sem = (semdedup_embedding_prune(spark, sf_dir)
@@ -3045,5 +3085,8 @@ def embedding_cosine_neardup(spark: SparkSession,
     hng = _fam_df(_embedding_hard_negatives(spark, sf_dir),
                   "hard_negatives", n=("src", "dst", "rk"),
                   v=("cosine",))
+    outl = _fam_df(_embedding_centroid_outliers(spark, sf_dir),
+                   "outliers", n=("vec_id",), v=("centroid_cos",),
+                   b1="keep")
     return (near.unionByName(sem).unionByName(knn)
-            .unionByName(kcl).unionByName(hng))
+            .unionByName(kcl).unionByName(hng).unionByName(outl))

@@ -1538,6 +1538,27 @@ def test_mutual_knn_edges_drop_unreciprocated(spark):
     assert got == [(1, 2), (1, 4)]
 
 
+def test_centroid_outlier_scores_flags_off_manifold_vector(spark):
+    """A vector pointing AWAY from the corpus mass scores negative
+    cosine to the centroid and is pruned; on-manifold vectors keep.
+    The score is shuffle-free after one 64-row dim aggregate."""
+    on = [(i, [1.0, 1.0] + [0.0] * 62) for i in range(10)]
+    off = [(99, [-5.0, -5.0] + [0.0] * 62)]
+    emb = spark.createDataFrame(on + off,
+                                "vec_id long, embedding array<float>")
+    rows = {r.vec_id: r
+            for r in SIM.centroid_outlier_scores(
+                emb, threshold=-0.15).collect()}
+    assert rows[99].keep is False and rows[99].centroid_cos < -0.9
+    for i in range(10):
+        assert rows[i].keep is True and rows[i].centroid_cos > 0.9
+    # deterministic: recompute matches
+    again = {r.vec_id: r.centroid_cos
+             for r in SIM.centroid_outlier_scores(
+                 emb, threshold=-0.15).collect()}
+    assert again == {k: v.centroid_cos for k, v in rows.items()}
+
+
 def test_mutual_knn_clusters_are_components_with_sizes(spark):
     """The pipeline family at sf0.001: every comp is the min vec_id
     of its members, sizes are consistent, membership is closed under
