@@ -1956,6 +1956,56 @@ def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round("avg_logprob", 6).alias("avg_logprob"))
 
 
+_PPL_BUCKET_ORACLE = f"""
+WITH u AS (
+{_UNIGRAM_ORACLE}
+),
+q AS (
+  SELECT doc_id, avg_logprob,
+         CAST(round(avg_logprob * 1e6) AS BIGINT) AS qb
+  FROM u
+),
+t AS (
+  SELECT CAST(quantile_cont(qb, 0.25) AS DOUBLE) AS lo,
+         CAST(quantile_cont(qb, 0.75) AS DOUBLE) AS hi
+  FROM q
+)
+SELECT doc_id,
+       CASE WHEN qb >= hi THEN 'head'
+            WHEN qb < lo THEN 'tail'
+            ELSE 'middle' END AS bucket,
+       avg_logprob
+FROM q CROSS JOIN t
+"""
+
+
+def ppl_bucket_assignments(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: every document is
+    assigned a perplexity bucket by its corpus-unigram LM score
+    (:func:`unigram_lm_scores`) against the corpus P75/P25 — head =
+    most-typical quarter (lowest perplexity), tail = the
+    atypical-junk quarter, middle between. CCNet trains on
+    head+middle and drops or downweights tail; the bucket column is
+    the mixture knob. Thresholds are quarter quantiles of the
+    1e6-scaled integer score — exact binary fractions over integer
+    inputs, so the interpolated cutpoints are bit-identical across
+    engines (the same percentile ≡ quantile_cont discipline as
+    ``quality_cut``). Two scalar aggregates broadcast over the
+    scored table — no sort, no global window."""
+    scored = unigram_lm_scores(spark, sf_dir)
+    q = scored.select(
+        "doc_id", "avg_logprob",
+        F.round(F.col("avg_logprob") * 1e6, 0).cast("long").alias("qb"))
+    t = q.agg(F.percentile("qb", F.lit(0.25)).alias("lo"),
+              F.percentile("qb", F.lit(0.75)).alias("hi"))
+    bucket = (F.when(F.col("qb") >= F.col("hi"), "head")
+               .when(F.col("qb") < F.col("lo"), "tail")
+               .otherwise("middle"))
+    return (q.crossJoin(F.broadcast(t))
+            .select("doc_id", bucket.alias("bucket"), "avg_logprob"))
+
+
 # --------------------------------------------------------------------------
 # Batch multi-query ANN (round 5): top-k neighbors for every query in
 # a set, via the two-phase sharded top-N (never |corpus| rows through
@@ -2575,6 +2625,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              v=("syms_per_word",)),
     _fam_sql("bigram_lm", "{bigram}", n=("doc_id", "n_bigrams"),
              v=("avg_logprob",)),
+    _fam_sql("ppl_bucket", "{pplb}", k1="bucket", n=("doc_id",),
+             v=("avg_logprob",)),
 ]).format(bm25=_BM25_ORACLE, tfidf=_TFIDF_ORACLE,
           unigram=_UNIGRAM_ORACLE, vocab=_VOCAB_COVERAGE_ORACLE,
           span=_SPAN_DEDUP_ORACLE, cdc=_CDC_ORACLE,
@@ -2584,7 +2636,7 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           strided=_SPAN_STRIDED_ORACLE,
           qcut=_QUALITY_CUT_ORACLE,
           bpe=_BPE_ORACLE, bpe_enc=_BPE_ENCODE_ORACLE,
-          bigram=_BIGRAM_ORACLE)
+          bigram=_BIGRAM_ORACLE, pplb=_PPL_BUCKET_ORACLE)
 
 
 def _nulls_long():
@@ -2617,7 +2669,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sixteen training-data curation families, one normalized
+    """Seventeen training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -2630,10 +2682,13 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``span_strided``, ``quality_cut``, ``bpe``
     (:func:`bpe_train_merges` — distributed BPE tokenizer
     training), ``bpe_encode`` (:func:`bpe_encode_stats` — per-doc
-    segmentation under the learned merges), and ``bigram_lm``
+    segmentation under the learned merges), ``bigram_lm``
     (:func:`bigram_lm_scores` — context-sensitive add-one bigram LM
-    quality scores). See each underlying function's docstring for
-    semantics and 100 TB posture."""
+    quality scores), and ``ppl_bucket``
+    (:func:`ppl_bucket_assignments` — CCNet head/middle/tail
+    perplexity bucketing against corpus quartiles). See each
+    underlying function's docstring for semantics and 100 TB
+    posture."""
     return (
         _fam_df(bm25_retrieval(spark, sf_dir), "bm25",
                 n=("doc_id",), v=("score",))
@@ -2690,6 +2745,9 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_fam_df(bigram_lm_scores(spark, sf_dir),
                              "bigram_lm", n=("doc_id", "n_bigrams"),
                              v=("avg_logprob",)))
+        .unionByName(_fam_df(ppl_bucket_assignments(spark, sf_dir),
+                             "ppl_bucket", k1="bucket",
+                             n=("doc_id",), v=("avg_logprob",)))
     )
 
 

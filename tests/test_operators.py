@@ -1351,6 +1351,32 @@ def test_quality_cut_threshold_semantics(spark):
         assert r.n_kept <= r.n_docs
 
 
+def test_ppl_bucket_quartile_semantics(spark):
+    """CCNet head/middle/tail bucketing at sf0.01: roughly a quarter
+    of docs land in head (score ≥ P75) and tail (score < P25), head
+    scores strictly dominate middle dominate tail, every doc gets
+    exactly one bucket, and the plan has no Window / corpus Sort
+    (thresholds are broadcast scalars)."""
+    from picoprobedataflow_spark.plans.pipeline import \
+        ppl_bucket_assignments
+
+    df = ppl_bucket_assignments(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = df.collect()
+    n = len(rows)
+    by_b = {}
+    for r in rows:
+        by_b.setdefault(r.bucket, []).append(r.avg_logprob)
+    assert set(by_b) == {"head", "middle", "tail"}
+    # quartile cuts: head and tail each ~25% (interpolated threshold
+    # can shift membership by a couple of docs)
+    assert abs(len(by_b["head"]) - n / 4) <= 3
+    assert abs(len(by_b["tail"]) - n / 4) <= 3
+    assert min(by_b["head"]) >= max(by_b["middle"])
+    assert min(by_b["middle"]) >= max(by_b["tail"])
+
+
 def _bpe_ref(words: dict[str, int], n_merges: int):
     """Pure-Python list-of-symbols BPE reference: positional pair
     counts (overlaps counted), argmax tie-broken on the WRAPPED pair
