@@ -1154,20 +1154,36 @@ FROM mixture
 UNION ALL
 SELECT 'strat_sample', source, NULL, n_docs, NULL, NULL, total_chars
 FROM strat
+UNION ALL
+SELECT 'dup_stats', source, NULL, n_docs, n_distinct,
+       round(1.0 - n_distinct * 1.0 / n_docs, 6),
+       n_docs - n_distinct
+FROM (
+  SELECT source, count(*) AS n_docs,
+         CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+  FROM documents GROUP BY 1
+)
 """,
     tags=("lang-id", "token-count", "dataset-split", "sampling",
-          "mixture-sampling", "stratified-sampling"),
+          "mixture-sampling", "stratified-sampling", "dedup-telemetry"),
 )
 def corpus_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level grouped accounting, five families in one scan
+    """Corpus-level grouped accounting, six families in one scan
     union: (a) language-ID confusion — stopword-hit argmax heuristic
     vs gold label; (b) per-source token budget (exact-integer sums →
     exact means); (c) deterministic md5(doc_id) 80/10/10
     train/val/test split counts (never ``rand()`` — stable across
     runs, engines, partitionings); (d) ``mixture`` — fractional
     mixture sampling accounting; (e) ``strat_sample`` — exact-quota
-    stratified sampling accounting (round 5). Long-form (family, k,
-    k2) keys with per-family measure columns."""
+    stratified sampling accounting (round 5); (f) ``dup_stats``
+    (round 5) — per-source exact-duplicate telemetry, the dedup
+    observability dashboard a pipeline checks before/after a dedup
+    pass (which source is the dup factory?): n = n_docs,
+    total_words-slot = distinct fingerprints, mean_words-slot =
+    dup_rate, total_chars-slot = n_dup_docs. countDistinct plans as
+    the standard two-phase (source, fingerprint) partial-distinct
+    aggregate. Long-form (family, k, k2) keys with per-family
+    measure columns."""
     docs = tbl(spark, sf_dir, "documents")
     nulls = lambda t: F.lit(None).cast(t)  # noqa: E731
 
@@ -1245,8 +1261,24 @@ def corpus_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                      nulls("long").alias("total_words"),
                      nulls("double").alias("mean_words"), "total_chars"))
 
+    # dup_stats family (round 5): per-source exact-dup telemetry on
+    # the same fingerprint the dedup suite groups by.
+    dup = (docs.groupBy("source")
+           .agg(F.count("*").alias("n"),
+                F.countDistinct(TX.fingerprint_md5("text"))
+                 .cast("long").alias("n_distinct"))
+           .select(F.lit("dup_stats").alias("family"),
+                   F.col("source").alias("k"),
+                   nulls("string").alias("k2"), "n",
+                   F.col("n_distinct").alias("total_words"),
+                   F.round(1.0 - F.col("n_distinct") / F.col("n"), 6)
+                    .alias("mean_words"),
+                   (F.col("n") - F.col("n_distinct")).cast("long")
+                    .alias("total_chars")))
+
     return (langid.unionByName(toksrc).unionByName(splits)
-                  .unionByName(mixture).unionByName(strat))
+                  .unionByName(mixture).unionByName(strat)
+                  .unionByName(dup))
 
 
 @query(

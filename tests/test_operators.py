@@ -1351,6 +1351,27 @@ def test_quality_cut_threshold_semantics(spark):
         assert r.n_kept <= r.n_docs
 
 
+def test_dup_stats_family_accounting(spark):
+    """Per-source dup telemetry is self-consistent and sums to the
+    exact-dedup suite's corpus totals."""
+    from picoprobedataflow_spark.plans import pipeline as PL
+
+    rows = [r for r in PL.corpus_group_stats(
+        spark, "/root/testdata/sf0.01").collect()
+        if r.family == "dup_stats"]
+    assert rows
+    for r in rows:
+        n, nd, ndup = r.n, r.total_words, r.total_chars
+        assert 0 < nd <= n and ndup == n - nd
+        assert abs(r.mean_words - (1.0 - nd / n)) < 1e-6
+    total_distinct = sum(r.total_words for r in rows)
+    exact = PL.dedup_exact_groups(spark, "/root/testdata/sf0.01") \
+        .filter(F.col("family") == "groups").count()
+    # per-source distinct >= corpus-wide distinct (the same text in
+    # two sources counts once corpus-wide)
+    assert total_distinct >= exact
+
+
 def test_ppl_bucket_quartile_semantics(spark):
     """CCNet head/middle/tail bucketing at sf0.01: roughly a quarter
     of docs land in head (score ≥ P75) and tail (score < P25), head
