@@ -222,6 +222,42 @@ def write_zordered(df: DataFrame, path: str,
     out.write.mode(mode).parquet(path)
 
 
+def write_bucketed(df: DataFrame, table: str,
+                   bucket_cols: tuple[str, ...], n_buckets: int,
+                   sort_cols: tuple[str, ...] = (),
+                   path: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Write a BUCKETED table: rows are hash-partitioned into
+    ``n_buckets`` files per partition on ``bucket_cols`` (and
+    optionally sorted within each bucket) AT WRITE TIME, recorded in
+    the session catalog so later reads know the layout.
+
+    Why this is the biggest recurring-join lever at 100 TB: a fact
+    table joined on the same key every day (lineitem ⋈ orders on
+    orderkey, events ⋈ profile on user_id) pays a full shuffle of
+    both sides per run — unless both sides were bucketed on the join
+    key with the same bucket count, in which case Spark's planner
+    proves the co-partitioning from the catalog and plans the
+    sort-merge join with NO Exchange on either side (and with
+    ``sort_cols`` = join key, no Sort either side at read when each
+    bucket is a single file). The shuffle is paid ONCE at write,
+    then amortized over every downstream join/aggregation on that
+    key — the same trade the packing/epoch layouts make for
+    sequential reads, applied to join locality.
+    (:func:`~tests.test_layout` plan-asserts the no-Exchange join.)
+
+    ``path`` makes it an external table (data under ``path``,
+    catalog holds only the layout metadata) — at 100 TB the catalog
+    entry is what carries the bucketing contract between pipeline
+    stages. Bucket counts must match across join sides; pick
+    n_buckets so one bucket ≈ one task's worth (128-512 MB)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    w = w.sortBy(*(sort_cols or bucket_cols))
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
 def epoch_shuffle(df: DataFrame, epoch: int, n_shards: int = 8,
                   id_col: str = "doc_id") -> DataFrame:
     """Deterministic training-epoch shuffle: every row gets a

@@ -179,3 +179,43 @@ def test_epoch_shuffle_deterministic_decorrelated_complete(spark):
                   key=lambda i: (hashlib.md5(f"ep1:{i}".encode())
                                  .hexdigest(), i))
     assert order1 == want
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The write-once-shuffle-never lever: two tables bucketed on the
+    join key with equal bucket counts sort-merge-join with NO
+    Exchange on either side (the planner proves co-partitioning from
+    the catalog), while the same join over plain parquet shuffles
+    both sides. Within-bucket sortBy also removes the read-side Sort
+    when each bucket is one file."""
+    from picoprobedataflow_spark.io.layout import write_bucketed
+
+    orders = (spark.read
+              .parquet("/root/testdata/sf0.001/orders.parquet")
+              .select("o_orderkey", "o_custkey", "o_totalprice"))
+    li = (spark.read
+          .parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .select("l_orderkey", "l_quantity"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(orders.coalesce(1), "bkt_orders",
+                       ("o_orderkey",), 4,
+                       path=str(tmp_path / "bkt_orders"))
+        write_bucketed(li.coalesce(1), "bkt_lineitem",
+                       ("l_orderkey",), 4,
+                       path=str(tmp_path / "bkt_lineitem"))
+        bo, bl = spark.table("bkt_orders"), spark.table("bkt_lineitem")
+        j = bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # correctness: same result as the plain-parquet join
+        plain = orders.join(li, orders.o_orderkey == li.l_orderkey)
+        assert j.count() == plain.count()
+        pj = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in pj     # the cost bucketing removes
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
