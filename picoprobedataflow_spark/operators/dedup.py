@@ -100,6 +100,55 @@ def shingle_table(docs: DataFrame, k: int = 3, text_col: str = "text",
                 .distinct())
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, pos, fp): winnowed document fingerprints — the MOSS
+    algorithm (Schleimer, Wilkerson & Aiken, "Winnowing: Local
+    Algorithms for Document Fingerprinting", SIGMOD 2003): hash every
+    k-token gram, slide a window of ``w`` consecutive gram hashes,
+    select the window MINIMUM (leftmost on ties — fixed here so the
+    selection is a pure function of the text and a DuckDB oracle can
+    replay it), dedupe the selections. Guarantee: any shared run of
+    ≥ w+k-1 tokens between two documents shares at least one
+    selected fingerprint, while only ~2/(w+1) of gram hashes are
+    kept — position-robust partial-overlap detection at a fraction
+    of the full shingle table's size (the shingle join's candidate
+    generator, downsampled with a guarantee instead of randomly).
+
+    Scale shape: tokenization, gram hashing and window selection are
+    ALL row-local array ops (the token array materializes once per
+    row; no per-element re-split) — the only shuffle is the final
+    distinct on (doc_id, pos, fp). Docs with fewer than w+k-1 tokens
+    select nothing (no full window exists). ``pos`` is the 1-based
+    gram position, so matches can be located in the source text."""
+    d = docs.select(F.col(id_col), words(text_col).alias("_toks"))
+    ng = F.size("_toks") - (k - 1)
+    gram_idx = (F.when(ng >= 1, F.sequence(F.lit(1), ng))
+                 .otherwise(F.array().cast("array<int>")))
+    d = d.select(
+        F.col(id_col),
+        F.transform(
+            gram_idx,
+            lambda i: portable_hash64(
+                F.concat_ws(" ", F.slice("_toks", i, k)))).alias("_hs"))
+    m = F.size("_hs") - (w - 1)
+    win_idx = (F.when(m >= 1, F.sequence(F.lit(1), m))
+                .otherwise(F.array().cast("array<int>")))
+    sel = F.transform(
+        win_idx,
+        lambda s: F.struct(
+            (s.cast("long")
+             + F.array_position(F.slice("_hs", s, w),
+                                F.array_min(F.slice("_hs", s, w)))
+             - 1).alias("pos"),
+            F.array_min(F.slice("_hs", s, w)).alias("fp")))
+    return (d.select(F.col(id_col), F.explode(sel).alias("u"))
+             .select(id_col, F.col("u.pos").alias("pos"),
+                     F.col("u.fp").alias("fp"))
+             .distinct())
+
+
 def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
                   text_col: str = "text", id_col: str = "doc_id",
                   max_df: int | None = None,

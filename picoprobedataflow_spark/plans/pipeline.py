@@ -1988,6 +1988,51 @@ def unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round("avg_logprob", 6).alias("avg_logprob"))
 
 
+_WINNOW_K, _WINNOW_W = 3, 4
+
+_WINNOW_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(toks) - {_WINNOW_K} + 1, 0) + 1),
+           i -> CAST(('0x' || substr(md5(
+                  array_to_string(toks[i:i+{_WINNOW_K - 1}], ' ')), 1, 8))
+                AS BIGINT)) AS hs
+  FROM t
+),
+sel AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(hs) - {_WINNOW_W} + 1, 0) + 1),
+           s -> struct_pack(
+             pos := s + list_position(hs[s:s+{_WINNOW_W - 1}],
+                                      list_min(hs[s:s+{_WINNOW_W - 1}])) - 1,
+             fp := list_min(hs[s:s+{_WINNOW_W - 1}])))) AS u
+  FROM g
+)
+SELECT DISTINCT doc_id, CAST(u.pos AS BIGINT) AS pos, u.fp AS fp FROM sel
+"""
+
+
+def winnow_doc_fingerprints(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Winnowed (MOSS) document fingerprints
+    (:func:`..operators.dedup.winnow_fingerprints`, k={k}, w={w}):
+    the guaranteed-coverage downsampled fingerprint set — any shared
+    token run of ≥ w+k-1 tokens between two docs shares a selected
+    fingerprint, at ~2/(w+1) of the full gram-hash volume. All
+    row-local array ops until the final distinct."""
+    docs = tbl(spark, sf_dir, "documents")
+    return DD.winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
+
+
+winnow_doc_fingerprints.__doc__ = winnow_doc_fingerprints.__doc__.format(
+    k=_WINNOW_K, w=_WINNOW_W)
+
+
 _PPL_BUCKET_ORACLE = f"""
 WITH u AS (
 {_UNIGRAM_ORACLE}
@@ -2659,6 +2704,7 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              v=("avg_logprob",)),
     _fam_sql("ppl_bucket", "{pplb}", k1="bucket", n=("doc_id",),
              v=("avg_logprob",)),
+    _fam_sql("winnow", "{winnow}", n=("doc_id", "pos", "fp")),
 ]).format(bm25=_BM25_ORACLE, tfidf=_TFIDF_ORACLE,
           unigram=_UNIGRAM_ORACLE, vocab=_VOCAB_COVERAGE_ORACLE,
           span=_SPAN_DEDUP_ORACLE, cdc=_CDC_ORACLE,
@@ -2668,7 +2714,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           strided=_SPAN_STRIDED_ORACLE,
           qcut=_QUALITY_CUT_ORACLE,
           bpe=_BPE_ORACLE, bpe_enc=_BPE_ENCODE_ORACLE,
-          bigram=_BIGRAM_ORACLE, pplb=_PPL_BUCKET_ORACLE)
+          bigram=_BIGRAM_ORACLE, pplb=_PPL_BUCKET_ORACLE,
+          winnow=_WINNOW_ORACLE)
 
 
 def _nulls_long():
@@ -2701,7 +2748,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seventeen training-data curation families, one normalized
+    """Eighteen training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -2716,9 +2763,11 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     training), ``bpe_encode`` (:func:`bpe_encode_stats` — per-doc
     segmentation under the learned merges), ``bigram_lm``
     (:func:`bigram_lm_scores` — context-sensitive add-one bigram LM
-    quality scores), and ``ppl_bucket``
+    quality scores), ``ppl_bucket``
     (:func:`ppl_bucket_assignments` — CCNet head/middle/tail
-    perplexity bucketing against corpus quartiles). See each
+    perplexity bucketing against corpus quartiles), and ``winnow``
+    (:func:`winnow_doc_fingerprints` — MOSS winnowed fingerprints
+    with the ≥ w+k-1 shared-run coverage guarantee). See each
     underlying function's docstring for semantics and 100 TB
     posture."""
     return (
@@ -2780,6 +2829,8 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_fam_df(ppl_bucket_assignments(spark, sf_dir),
                              "ppl_bucket", k1="bucket",
                              n=("doc_id",), v=("avg_logprob",)))
+        .unionByName(_fam_df(winnow_doc_fingerprints(spark, sf_dir),
+                             "winnow", n=("doc_id", "pos", "fp")))
     )
 
 

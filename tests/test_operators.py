@@ -1351,6 +1351,34 @@ def test_quality_cut_threshold_semantics(spark):
         assert r.n_kept <= r.n_docs
 
 
+def test_winnow_fingerprint_guarantee_and_density(spark):
+    """Winnowing (MOSS): (a) any shared token run of >= w+k-1 tokens
+    yields a shared fingerprint even under position shift; (b) short
+    docs (< w+k-1 tokens) select nothing; (c) the selected set is a
+    small fraction of the full gram-hash set; (d) pure function of
+    text — recompute under different partitioning matches."""
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(1, "aa bb " + shared + " cc dd"),
+         (2, "zz " + shared),
+         (3, "one two three four five"),   # 5 tokens < w+k-1 = 6
+         (4, "completely different words here and there again now")],
+        "doc_id long, text string")
+    out = DD.winnow_fingerprints(docs, k=3, w=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2]                  # coverage guarantee
+    assert 3 not in by_doc                        # too short
+    assert not (by_doc.get(4, set()) & by_doc[1])
+    # density: far fewer selections than grams (13-token doc 1 has 11
+    # grams -> 8 windows; expected ~2/(w+1) of hashes selected)
+    assert len(by_doc[1]) < 11
+    again = {(r.doc_id, r.pos, r.fp) for r in DD.winnow_fingerprints(
+        docs.repartition(7), k=3, w=4).collect()}
+    assert again == {(r.doc_id, r.pos, r.fp) for r in out}
+
+
 def test_dup_stats_family_accounting(spark):
     """Per-source dup telemetry is self-consistent and sums to the
     exact-dedup suite's corpus totals."""
