@@ -203,7 +203,11 @@ def main() -> None:
                     ("bpe_train_full", PL.bpe_train_merges),
                     ("bpe_encode_full", PL.bpe_encode_stats),
                     ("knn_graph_full", PL._embedding_knn_graph),
-                    ("bigram_lm_full", PL.bigram_lm_scores)):
+                    ("bigram_lm_full", PL.bigram_lm_scores),
+                    ("winnow_full", PL.winnow_doc_fingerprints),
+                    ("ppl_bucket_full", PL.ppl_bucket_assignments),
+                    ("outliers_full",
+                     PL._embedding_centroid_outliers)):
         variants[key] = fn
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
