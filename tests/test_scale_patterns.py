@@ -588,3 +588,48 @@ def test_knn_graph_window_partitions_by_source(spark):
     for spec in specs:
         first = spec.split(",")[0]
         assert " ASC" not in first and " DESC" not in first, spec
+
+
+def test_new_round5_families_scale_shapes(spark):
+    """Plan shapes of the second-continuation families: winnow /
+    ppl_bucket / centroid outliers / leakage split.
+
+    - winnow: no Window (all row-local array ops), scan prunes to
+      (doc_id, text);
+    - ppl_bucket / outliers: no Window, no Sort of the corpus, and
+      the outliers scan never reads the label column;
+    - leakage split: its cluster-size window partitions by
+      canonical_id (corpus cardinality) — never partition-less."""
+    import re
+
+    sf = "/root/testdata/sf0.001"
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    from picoprobedataflow_spark.operators import dedup as DD
+
+    p = plan_of(DD.winnow_fingerprints(
+        spark.read.parquet(f"{sf}/documents.parquet")))
+    assert "Window" not in p
+    for schema in p.split("ReadSchema")[1:]:
+        assert "lang" not in schema[:400] and "source" not in schema[:400]
+
+    p = plan_of(PL.ppl_bucket_assignments(spark, sf))
+    assert "Window" not in p
+
+    p = plan_of(PL._embedding_centroid_outliers(spark, sf))
+    assert "Window" not in p and "SortMergeJoin" not in p
+    for schema in p.split("ReadSchema")[1:]:
+        assert "label" not in schema[:400]
+
+    docs = spark.createDataFrame([(i,) for i in range(20)],
+                                 "doc_id long")
+    edges = spark.createDataFrame([(0, 1), (2, 3)],
+                                  "doc_a long, doc_b long")
+    p = plan_of(DD.leakage_safe_split(DD.near_dup_survivors(docs, edges)))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert specs
+    for spec in specs:
+        first = spec.split(",")[0]
+        assert " ASC" not in first and " DESC" not in first, spec
