@@ -296,6 +296,29 @@ def test_near_dup_survivors_semantics(spark):
     assert sorted(keeps) == [0, 1, 3, 4, 6]
 
 
+@given(st.lists(st.tuples(st.integers(0, 24), st.integers(0, 24)),
+                min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_leakage_split_property_no_straddle(spark, raw_edges):
+    """Property: under ANY random near-dup graph, two documents
+    connected by an edge always land in the same split, and
+    cluster_size equals the true component size."""
+    edges = [(a, b) for a, b in raw_edges if a != b] or [(0, 1)]
+    docs = spark.createDataFrame([(i,) for i in range(25)],
+                                 "doc_id long")
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = {r.doc_id: r for r in DD.leakage_safe_split(
+        DD.near_dup_survivors(docs, df)).collect()}
+    for a, b in edges:
+        assert out[a].split == out[b].split, (a, b)
+        assert out[a].canonical_id == out[b].canonical_id
+    from collections import Counter
+    sizes = Counter(r.canonical_id for r in out.values())
+    for r in out.values():
+        assert r.cluster_size == sizes[r.canonical_id]
+
+
 def test_normalized_fingerprint_collapses_case_and_whitespace(spark):
     """fingerprint_normalized merges case flips / reflowed whitespace
     / trailing newlines into one group; raw fingerprint_md5 keeps
