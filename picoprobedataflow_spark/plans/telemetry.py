@@ -428,11 +428,36 @@ SELECT 'salted', event_type, count(*),
        CAST(min(round(value * 100)) AS DOUBLE),
        CAST(max(round(value * 100)) AS DOUBLE), NULL, NULL
 FROM events GROUP BY 2
+UNION ALL
+SELECT 'dq', k, n, v1, v2, NULL, NULL, NULL FROM (
+  WITH a AS (
+    SELECT count(*) AS n, count(props) AS np,
+           count(DISTINCT event_id) AS ni,
+           sum(CASE WHEN event_type IN
+                 ('click', 'error', 'purchase', 'signup', 'view')
+               THEN 1 ELSE 0 END) AS nd,
+           sum(CASE WHEN value BETWEEN 0 AND 1000
+               THEN 1 ELSE 0 END) AS nr
+    FROM events)
+  SELECT 'completeness_props' AS k, n, round(np * 1.0 / n, 6) AS v1,
+         CASE WHEN np * 1.0 / n >= 0.99 THEN 1.0 ELSE 0.0 END AS v2
+  FROM a
+  UNION ALL
+  SELECT 'uniqueness_event_id', n, round(ni * 1.0 / n, 6),
+         CASE WHEN ni = n THEN 1.0 ELSE 0.0 END FROM a
+  UNION ALL
+  SELECT 'domain_event_type', n, round(nd * 1.0 / n, 6),
+         CASE WHEN nd = n THEN 1.0 ELSE 0.0 END FROM a
+  UNION ALL
+  SELECT 'range_value', n, round(nr * 1.0 / n, 6),
+         CASE WHEN nr = n THEN 1.0 ELSE 0.0 END FROM a
+)
 """,
-    tags=("A3", "A8", "A9", "A11", "A15", "U2", "skew", "salting"),
+    tags=("A3", "A8", "A9", "A11", "A15", "U2", "skew", "salting",
+          "data-quality"),
 )
 def event_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Descriptive statistics over the event log, five families in one
+    """Descriptive statistics over the event log, six families in one
     union — each a distinct SURVEY aggregate with its own physical
     story: ``describe`` = per-type mean/std/min/max + bytes→KB unit
     conversion (A3/A8, flow_analyzer.py:143-147); ``histogram`` =
@@ -442,7 +467,10 @@ def event_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``salted`` = the SAME per-type totals computed through the
     two-phase salted aggregation (operators.skew, 16 salts) — its
     oracle is the plain group-by, because salting must rewrite the
-    physical plan without changing the answer."""
+    physical plan without changing the answer; ``dq`` (round 5) =
+    Deequ-style single-pass data-quality constraint metrics
+    (completeness / uniqueness / domain / range, each a
+    (check, n, metric, passed) row) — the declarative ingest gate."""
     from picoprobedataflow_spark.operators.skew import salted_agg
 
     ev = events_us(spark, sf_dir)
@@ -512,8 +540,61 @@ def event_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("max_cents").cast("double").alias("v3"),
              nul().alias("v4"), nul().alias("v5"))
 
+    dq = (dq_metrics(ev)
+          .select(F.lit("dq").alias("family"), "k", "n", "v1", "v2",
+                  nul().alias("v3"), nul().alias("v4"),
+                  nul().alias("v5")))
+
     return (describe.unionByName(hist).unionByName(overhead)
-            .unionByName(types).unionByName(salted))
+            .unionByName(types).unionByName(salted).unionByName(dq))
+
+
+#: Accepted event_type domain for the ``dq`` declarative checks.
+DQ_EVENT_DOMAIN = ("click", "error", "purchase", "signup", "view")
+
+
+def dq_metrics(ev: DataFrame,
+               domain: tuple[str, ...] = DQ_EVENT_DOMAIN,
+               value_lo: float = 0.0,
+               value_hi: float = 1000.0,
+               completeness_min: float = 0.99) -> DataFrame:
+    """Deequ-style declarative data-quality constraint metrics over
+    the event log — completeness(props) / uniqueness(event_id) /
+    domain(event_type) / range(value) — ALL measured in ONE pass
+    (one aggregate; the mixed distinct forces Spark's Expand, still
+    a single scan), emitted long-form as (k = check, n, v1 = metric,
+    v2 = passed 1.0/0.0). This is the ingest gate a pipeline runs
+    before trusting a day's partition: thresholds are declared a
+    priori, the 1-row metric aggregate is the entire driver-side
+    footprint at any corpus size, and a failed check is a row with
+    v2 = 0.0 — joinable, alertable, cheap enough for every batch."""
+    checks = F.array(
+        F.struct(F.lit("completeness_props").alias("k"),
+                 (F.col("np") / F.col("n")).alias("m"),
+                 ((F.col("np") / F.col("n")) >= completeness_min)
+                 .alias("p")),
+        F.struct(F.lit("uniqueness_event_id").alias("k"),
+                 (F.col("ni") / F.col("n")).alias("m"),
+                 (F.col("ni") == F.col("n")).alias("p")),
+        F.struct(F.lit("domain_event_type").alias("k"),
+                 (F.col("nd") / F.col("n")).alias("m"),
+                 (F.col("nd") == F.col("n")).alias("p")),
+        F.struct(F.lit("range_value").alias("k"),
+                 (F.col("nr") / F.col("n")).alias("m"),
+                 (F.col("nr") == F.col("n")).alias("p")),
+    )
+    in_range = ((F.col("value") >= value_lo)
+                & (F.col("value") <= value_hi))
+    return (ev.agg(F.count("*").alias("n"),
+                   F.count("props").alias("np"),
+                   F.countDistinct("event_id").alias("ni"),
+                   F.sum(F.col("event_type").isin(*domain).cast("int"))
+                    .alias("nd"),
+                   F.sum(in_range.cast("int")).alias("nr"))
+            .select(F.explode(checks).alias("c"), "n")
+            .select(F.col("c.k").alias("k"), "n",
+                    F.round("c.m", 6).alias("v1"),
+                    F.col("c.p").cast("double").alias("v2")))
 
 
 @query(

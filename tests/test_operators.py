@@ -1733,3 +1733,31 @@ def test_hard_negatives_exclude_same_label(spark):
     labels = {v: l for v, _, _, l in rows}
     assert all(labels[s] != labels[d] for s, d, _ in got)
     assert (1, 3, 1) in got       # not (1, 2, 1)
+
+
+def test_dq_metrics_flag_dirty_data(spark):
+    """The declarative data-quality gate on a deliberately dirty
+    batch: null props, duplicate event_id, out-of-domain type and
+    out-of-range value each fail exactly their own check with the
+    correct metric; a clean batch passes all four."""
+    from picoprobedataflow_spark.plans.telemetry import dq_metrics
+
+    dirty = spark.createDataFrame(
+        [(1, "click", 5.0, "{}"),
+         (1, "view", 10.0, None),          # dup id + null props
+         (2, "bogus", -3.0, "{}"),         # bad domain + bad range
+         (3, "purchase", 20.0, "{}")],
+        "event_id long, event_type string, value double, props string")
+    rows = {r.k: r for r in dq_metrics(dirty).collect()}
+    assert rows["completeness_props"].v2 == 0.0
+    assert abs(rows["completeness_props"].v1 - 0.75) < 1e-9
+    assert rows["uniqueness_event_id"].v2 == 0.0
+    assert abs(rows["uniqueness_event_id"].v1 - 0.75) < 1e-9
+    assert rows["domain_event_type"].v2 == 0.0
+    assert rows["range_value"].v2 == 0.0
+    assert all(r.n == 4 for r in rows.values())
+
+    clean = spark.createDataFrame(
+        [(1, "click", 5.0, "{}"), (2, "view", 10.0, "{}")],
+        "event_id long, event_type string, value double, props string")
+    assert all(r.v2 == 1.0 for r in dq_metrics(clean).collect())
