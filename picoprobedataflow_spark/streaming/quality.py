@@ -1,0 +1,53 @@
+"""Streaming data-quality gate: the ``dq`` declarative constraint
+metrics (:func:`..plans.telemetry.dq_metrics`), evaluated PER
+MICRO-BATCH over an arriving event stream — the continuous form of
+the batch ingest gate. Every batch appends its (batch_id, check, n,
+metric, passed) rows to a metrics table; a monitor alerts on any
+``passed = 0.0`` row without ever scanning the data stream itself.
+
+Shape: ``foreachBatch`` — the metrics are a 1-row aggregate per
+batch (then exploded to one row per check), so the gate's cost is
+one pass over each batch and its output is O(checks) rows
+regardless of batch size. State: none (each batch is judged alone;
+cross-batch trend detection is a batch query over the metrics
+table). Replayed batches (failure recovery) re-append their rows —
+dedupe on ``batch_id`` at read, the same idempotency contract the
+dedup stream documents for its epoch partitions.
+
+Reference analog: the watcher validates each arriving file before
+acting on it (picoprobe/utils.py:118-140 checks inside the event
+handler); here the validation is declarative, batched and emits an
+auditable metrics trail instead of log lines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def dq_gate_stream(spark: SparkSession, src_dir: str, ckpt_dir: str,
+                   out_dir: str, schema: StructType | str,
+                   timeout: int = 300) -> None:
+    """Drain all available files from ``src_dir`` through the
+    per-batch quality gate, appending each micro-batch's check rows
+    to ``out_dir``. Raises on drain timeout instead of silently
+    returning a partial metrics table."""
+    from picoprobedataflow_spark.plans.telemetry import dq_metrics
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (dq_metrics(batch_df)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    q = (spark.readStream.schema(schema).parquet(src_dir)
+         .writeStream
+         .option("checkpointLocation", ckpt_dir)
+         .foreachBatch(_process)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"dq gate drain did not finish in {timeout}s")

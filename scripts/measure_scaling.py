@@ -61,7 +61,9 @@ def main() -> None:
                     ("semdedup_full", PL.semdedup_embedding_prune),
                     ("span_dedup_full", PL.span_dedup_stats),
                     ("pq_adc_full", PL.ann_pq_adc_topk),
-                    ("ivfpq_full", PL.ann_ivfpq_topk)):
+                    ("ivfpq_full", PL.ann_ivfpq_topk),
+                    ("winnow_full", PL.winnow_doc_fingerprints),
+                    ("ppl_bucket_full", PL.ppl_bucket_assignments)):
         fns[key] = fn
 
     # warmup (codegen/JVM) at the smallest SF, untimed

@@ -373,3 +373,46 @@ def test_bucketed_content_dedup_bounded_state_semantics(spark):
     got = {(r.fingerprint, r.n_docs, r.canonical_id)
            for r in out.collect()}
     assert got == {("a", 2, 1), ("a", 1, 3), ("b", 1, 4)}
+
+
+def test_streaming_dq_gate_flags_dirty_batch(spark, tmp_path):
+    """The per-micro-batch quality gate: a clean batch passes all
+    four checks, a later dirty batch fails exactly its broken ones —
+    and the metrics table records both under distinct batch_ids with
+    exactly one row per (batch, check)."""
+    from picoprobedataflow_spark.streaming.quality import dq_gate_stream
+
+    schema = ("event_id long, event_type string, value double, "
+              "props string")
+    src = tmp_path / "events_in"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "metrics")
+
+    clean = spark.createDataFrame(
+        [(1, "click", 5.0, "{}"), (2, "view", 10.0, "{}")], schema)
+    clean.coalesce(1).write.mode("append").parquet(str(src))
+    dq_gate_stream(spark, str(src), ckpt, out, schema)
+
+    dirty = spark.createDataFrame(
+        [(3, "bogus", -1.0, None), (3, "view", 7.0, "{}")], schema)
+    dirty.coalesce(1).write.mode("append").parquet(str(src))
+    dq_gate_stream(spark, str(src), ckpt, out, schema)
+
+    rows = spark.read.parquet(out).collect()
+    batches = {r.batch_id for r in rows}
+    assert len(batches) == 2
+    by_batch = {b: {r.k: r for r in rows if r.batch_id == b}
+                for b in batches}
+    # one row per (batch, check)
+    assert all(len(ch) == 4 for ch in by_batch.values())
+    verdicts = {b: all(r.v2 == 1.0 for r in ch.values())
+                for b, ch in by_batch.items()}
+    clean_b = [b for b, ok in verdicts.items() if ok]
+    dirty_b = [b for b, ok in verdicts.items() if not ok]
+    assert len(clean_b) == 1 and len(dirty_b) == 1
+    bad = by_batch[dirty_b[0]]
+    assert bad["completeness_props"].v2 == 0.0
+    assert bad["uniqueness_event_id"].v2 == 0.0
+    assert bad["domain_event_type"].v2 == 0.0
+    assert bad["range_value"].v2 == 0.0
+    assert all(r.n == 2 for r in bad.values())
