@@ -224,3 +224,66 @@ def fast_hash64(col: Column, salt: int = 0) -> Column:
     ``%``.
     """
     return F.xxhash64(F.lit(salt), col) if salt else F.xxhash64(col)
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization — the web-corpus curation front door
+# --------------------------------------------------------------------------
+
+#: Query parameters dropped during canonicalization: tracking noise
+#: that makes the same page look like millions of distinct URLs.
+_URL_TRACKING_RE = r"(^|&)(utm_[A-Za-z]+|fbclid|gclid|ref)=[^&]*"
+
+
+def url_host(url: Column | str) -> Column:
+    """Canonical host of a URL: lowercased, leading ``www.`` and
+    default ports (:80/:443) stripped. Pure regexp projection —
+    row-local, JVM-side, replayable by the oracle engine (the
+    patterns avoid backreferences, whose replacement syntax differs
+    across regex dialects)."""
+    c = F.col(url) if isinstance(url, str) else url
+    host = F.lower(F.regexp_extract(
+        c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_replace(host, r":(443|80)$", "")
+
+
+def url_domain(url: Column | str) -> Column:
+    """Registrable-domain approximation: the last two host labels
+    (example.com from a.b.example.com). A true public-suffix-list
+    lookup is a broadcast join against the PSL table — same shape,
+    externally sourced data."""
+    return F.regexp_extract(url_host(url), r"([^.]+\.[^.]+)$", 1)
+
+
+def url_canonical(url: Column | str) -> Column:
+    """Canonical form of a URL — the dedup key of web-corpus
+    ingestion (the same page arrives as HTTP/HTTPS, with/without
+    ``www.``, with tracking params, fragments, default ports and
+    trailing slashes; URL-level dedup upstream of content dedup cuts
+    fetch volume before a byte of text is compared):
+
+    - scheme + host lowercased, ``www.`` and default ports stripped;
+    - fragment dropped (never sent to the server);
+    - tracking params (utm_*, fbclid, gclid, ref) dropped, other
+      params preserved in order;
+    - trailing slash stripped from non-root paths;
+    - path case PRESERVED (paths are case-sensitive; hosts are not).
+
+    Composed entirely of backreference-free regexps + CASE/concat,
+    so Spark and the SQL oracle compute byte-identical results."""
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(
+        c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = url_host(c)
+    path = F.regexp_extract(
+        c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(c, r"\?([^#]*)", 1)
+    q = F.regexp_replace(q, _URL_TRACKING_RE, "")
+    q = F.regexp_replace(q, r"&&+", "&")
+    q = F.regexp_replace(q, r"^&+|&+$", "")
+    return F.concat(scheme, F.lit("://"), host, path,
+                    F.when(q == "", F.lit(""))
+                     .otherwise(F.concat(F.lit("?"), q)))

@@ -25,10 +25,31 @@ from picoprobedataflow_spark.plans.common import events_us, tbl
 WITH docs AS (
   SELECT doc_id, source, text,
          '/data/' || source || '/doc_' || CAST(doc_id AS VARCHAR) || '.txt'
-           AS path
+           AS path,
+         'HTTPS://WWW.' || source || '.Example.COM:443/Docs/'
+           || (CASE WHEN doc_id % 2 = 0 THEN 'Item_' ELSE 'item_' END)
+           || CAST(doc_id AS VARCHAR)
+           || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+           || '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+           || (CASE WHEN doc_id % 5 = 0 THEN '&utm_campaign=x' ELSE '' END)
+           || '#sec' AS url
   FROM documents WHERE doc_id < 100
+),
+urls AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(regexp_replace(
+      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+      '^www\\.', ''), ':(443|80)$', '') AS host,
+    regexp_replace(regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '') AS path0,
+    regexp_replace(regexp_replace(regexp_replace(
+      regexp_extract(url, '\\?([^#]*)', 1),
+      '(^|&)(utm_[A-Za-z]+|fbclid|gclid|ref)=[^&]*', '', 'g'),
+      '&&+', '&', 'g'), '^&+|&+$', '', 'g') AS q
+  FROM docs
 )
-SELECT doc_id, path,
+SELECT d.doc_id, path,
        regexp_extract(path, '([^/]*)$', 1)           AS file_name,
        regexp_replace(path, '/[^/]*$', '')           AS parent_dir,
        regexp_replace(path, '\\.[^./]*$', '.json')   AS json_sidecar,
@@ -43,10 +64,16 @@ SELECT doc_id, path,
             ELSE 'application/octet-stream' END      AS mime_type,
        md5(text)    AS md5_hex,
        sha256(text) AS sha256_hex,
-       CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS hash64
-FROM docs
+       CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS hash64,
+       url,
+       u.scheme || '://' || u.host ||
+         (CASE WHEN u.path0 = '' THEN '/' ELSE u.path0 END) ||
+         (CASE WHEN u.q = '' THEN '' ELSE '?' || u.q END) AS canon_url,
+       u.host AS url_host,
+       regexp_extract(u.host, '([^.]+\\.[^.]+)$', 1) AS url_domain
+FROM docs d JOIN urls u ON d.doc_id = u.doc_id
 """,
-    tags=("F9", "F19", "F18", "S2"),
+    tags=("F9", "F19", "F18", "S2", "url-canonicalization"),
 )
 def path_checksum_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The publish-doc per-file scalar block in one projection: path
@@ -55,12 +82,32 @@ def path_checksum_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification F19, and content digests F18 (the ``files[]``
     sha256; sha512 also implemented but DuckDB lacks it, covered by
     pytest against hashlib) plus the portable md5-based 64-bit hash
-    the dedup operators build on."""
+    the dedup operators build on.
+
+    Round 5: URL canonicalization rides along — a deterministic
+    messy URL is synthesized per doc (mixed-case scheme/host, www.,
+    default port, tracking params, fragment, trailing slash — the
+    same deterministic-synthesis trick as the PII family) and
+    :func:`..functions.scalar.url_canonical` /:func:`url_host`
+    /:func:`url_domain` reduce it to the fetch-dedup key of
+    web-corpus ingestion. All backreference-free regexps, replayed
+    verbatim by the oracle."""
+    did = F.col("doc_id")
+    messy = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"),
+        F.lit(".Example.COM:443/Docs/"),
+        F.when(did % 2 == 0, "Item_").otherwise("item_"),
+        did.cast("string"),
+        F.when(did % 3 == 0, "/").otherwise(""),
+        F.lit("?utm_source=feed&id="), did.cast("string"),
+        F.when(did % 5 == 0, "&utm_campaign=x").otherwise(""),
+        F.lit("#sec"))
     docs = (tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
             .withColumn("path", F.concat(F.lit("/data/"), F.col("source"),
                                          F.lit("/doc_"),
                                          F.col("doc_id").cast("string"),
-                                         F.lit(".txt"))))
+                                         F.lit(".txt")))
+            .withColumn("url", messy))
     return docs.select(
         "doc_id", "path",
         S.path_name("path").alias("file_name"),
@@ -71,6 +118,10 @@ def path_checksum_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text").cast("binary")).alias("md5_hex"),
         S.sha256_hex("text").alias("sha256_hex"),
         S.portable_hash64(F.col("text")).alias("hash64"),
+        "url",
+        S.url_canonical("url").alias("canon_url"),
+        S.url_host("url").alias("url_host"),
+        S.url_domain("url").alias("url_domain"),
     )
 
 

@@ -1761,3 +1761,32 @@ def test_dq_metrics_flag_dirty_data(spark):
         [(1, "click", 5.0, "{}"), (2, "view", 10.0, "{}")],
         "event_id long, event_type string, value double, props string")
     assert all(r.v2 == 1.0 for r in dq_metrics(clean).collect())
+
+
+def test_url_canonicalization_edges(spark):
+    """URL canonicalization: case-folds scheme/host but preserves
+    path case, strips www./default ports/fragments/tracking params/
+    trailing slashes, keeps real params in order, and maps distinct
+    messy spellings of the same page to ONE canonical key."""
+    from picoprobedataflow_spark.functions.scalar import (
+        url_canonical, url_domain, url_host)
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&id=1#f",
+         "https://example.com/A/B?id=1"),
+        ("https://example.com/A/B?id=1",
+         "https://example.com/A/B?id=1"),        # already canonical
+        ("http://example.com:80/", "http://example.com/"),
+        ("https://sub.Example.com/p?a=1&utm_b=2&c=3&ref=r",
+         "https://sub.example.com/p?a=1&c=3"),
+        ("https://example.com/x/?fbclid=abc", "https://example.com/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(url_canonical("url")).collect()]
+    assert got == [want for _, want in cases]
+    # the first two rows are the SAME page -> same dedup key
+    assert got[0] == got[1]
+    hosts = [r[0] for r in df.select(url_host("url")).collect()]
+    assert hosts[3] == "sub.example.com"
+    doms = [r[0] for r in df.select(url_domain("url")).collect()]
+    assert set(doms) == {"example.com"}
