@@ -133,6 +133,37 @@ def fingerprint_normalized(text: Column | str) -> Column:
     return F.md5(normalize_text(text).cast("binary"))
 
 
+#: Elements dropped WITH their content during HTML→text extraction:
+#: navigation / footer / head are boilerplate that would otherwise
+#: dominate near-dup shingles across every page of a site.
+_HTML_BOILERPLATE_RE = r"<(head|nav|footer)>.*?</(head|nav|footer)>"
+
+
+def html_to_text(html: Column | str) -> Column:
+    """HTML → text extraction, the first stage of web-corpus
+    curation: drop boilerplate elements (head/nav/footer) WITH their
+    content, replace every remaining tag with a space, collapse
+    whitespace, trim. Regex-based (non-greedy element bodies, no
+    backtracking constructs) — deliberately the cheap row-local
+    JVM-side approximation: a DOM-accurate extractor is a Pandas-UDF
+    slot with the same column contract, this is the version that
+    runs at crawl scale without leaving codegen. Single-line HTML
+    assumption (``.`` does not cross newlines in either engine);
+    pre-collapse newlines first if the source is pretty-printed."""
+    c = F.col(html) if isinstance(html, str) else html
+    no_boiler = F.regexp_replace(c, _HTML_BOILERPLATE_RE, "")
+    no_tags = F.regexp_replace(no_boiler, r"<[^>]*>", " ")
+    return F.trim(F.regexp_replace(no_tags, r"\s+", " "))
+
+
+def html_tag_count(html: Column | str) -> Column:
+    """Number of HTML tags in the raw markup — the markup-density
+    signal (tag count vs extracted-text length separates content
+    pages from link farms)."""
+    c = F.col(html) if isinstance(html, str) else html
+    return (F.size(F.split(c, r"<[^>]*>")) - 1).cast("long")
+
+
 def fingerprint_rolling(text: Column | str, window: int = 64) -> Column:
     """Cheap rolling-style fingerprint: md5 of head window + md5 of tail
     window + length — catches append-only edits that a full-text hash

@@ -1317,16 +1317,40 @@ FROM chunks
 UNION ALL
 SELECT 'vocab', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), tok, tf, df
 FROM vocab
+UNION ALL
+SELECT 'html', doc_id, NULL,
+       trim(regexp_replace(regexp_replace(regexp_replace(html,
+         '<(head|nav|footer)>.*?</(head|nav|footer)>', '', 'g'),
+         '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS s,
+       CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(html,
+         '<(head|nav|footer)>.*?</(head|nav|footer)>', '', 'g'),
+         '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))) AS BIGINT),
+       CAST(len(regexp_split_to_array(html, '<[^>]*>')) - 1 AS BIGINT)
+FROM (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+           || '</title></head><body><nav>Home | About | Contact</nav><p>'
+           || text || '</p><footer>(c) 2026 Example</footer></body></html>'
+           AS html
+  FROM documents WHERE doc_id < 50
+)
 """,
-    tags=("chunking", "normalize", "vocabulary", "token-count"),
+    tags=("chunking", "normalize", "vocabulary", "token-count",
+          "html-extraction"),
 )
 def text_explode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two explode-shaped text stages in one union: (a) normalize
-    (lowercase, whitespace-collapse) then chunk into 100-char windows
-    with stride 80 — the context-window prep of an LLM pipeline, as
-    array expressions + one posexplode; (b) corpus vocabulary with
+    """Three text stages in one union: (a) normalize (lowercase,
+    whitespace-collapse) then chunk into 100-char windows with
+    stride 80 — the context-window prep of an LLM pipeline, as array
+    expressions + one posexplode; (b) corpus vocabulary with
     term/document frequencies (df ≥ 5) — one explode + one aggregate
-    with map-side combine. Long-form (kind, doc_id, idx, s, n1, n2)."""
+    with map-side combine; (c) ``html`` (round 5) — HTML→text
+    extraction (:func:`..functions.text.html_to_text`): boilerplate
+    elements dropped with content, tags stripped, whitespace
+    collapsed, plus the raw markup's tag count
+    (:func:`html_tag_count`, the markup-density signal); the HTML
+    is synthesized deterministically around each doc's text. All
+    row-local. Long-form (kind, doc_id, idx, s, n1, n2)."""
     docs50 = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     nulls = lambda t: F.lit(None).cast(t)  # noqa: E731
     norm = docs50.select(
@@ -1354,7 +1378,22 @@ def text_explode_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                      nulls("long").alias("idx"),
                      F.col("tok").alias("s"),
                      F.col("tf").alias("n1"), F.col("df").alias("n2")))
-    return chunks.unionByName(vocab)
+    wrapped = docs50.select(
+        "doc_id",
+        F.concat(F.lit("<html><head><title>Doc "),
+                 F.col("doc_id").cast("string"),
+                 F.lit("</title></head><body><nav>Home | About | "
+                       "Contact</nav><p>"),
+                 F.col("text"),
+                 F.lit("</p><footer>(c) 2026 Example</footer>"
+                       "</body></html>")).alias("html"))
+    html = wrapped.select(
+        F.lit("html").alias("kind"), "doc_id",
+        nulls("long").alias("idx"),
+        TX.html_to_text("html").alias("s"),
+        F.length(TX.html_to_text("html")).cast("long").alias("n1"),
+        TX.html_tag_count("html").alias("n2"))
+    return chunks.unionByName(vocab).unionByName(html)
 
 
 # --------------------------------------------------------------------------

@@ -1790,3 +1790,25 @@ def test_url_canonicalization_edges(spark):
     assert hosts[3] == "sub.example.com"
     doms = [r[0] for r in df.select(url_domain("url")).collect()]
     assert set(doms) == {"example.com"}
+
+
+def test_html_to_text_strips_boilerplate_and_tags(spark):
+    """HTML extraction: head/nav/footer vanish WITH content, body
+    text survives with whitespace collapsed, tag count measures the
+    raw markup, and tag-free text passes through unchanged."""
+    from picoprobedataflow_spark.functions.text import (
+        html_tag_count, html_to_text)
+
+    rows = spark.createDataFrame([
+        (1, "<html><head><title>T</title></head><body>"
+            "<nav>Home | About</nav><p>real   content</p>"
+            "<footer>(c)</footer></body></html>"),
+        (2, "plain text, no markup"),
+        (3, "<body><div>a</div><div>b</div></body>"),
+    ], "i long, h string").select(
+        "i", html_to_text("h").alias("t"),
+        html_tag_count("h").alias("n")).collect()
+    got = {r.i: (r.t, r.n) for r in rows}
+    assert got[1] == ("real content", 14)
+    assert got[2] == ("plain text, no markup", 0)
+    assert got[3] == ("a b", 6)
