@@ -219,3 +219,22 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitionBy at write time turns a source filter
+    into partition PRUNING at read: the scan's PartitionFilters
+    carry the predicate and only the matching directory is read —
+    at 100 TB this is the difference between scanning one source
+    and scanning the lake. Row counts must match the unpartitioned
+    filter."""
+    import pyspark.sql.functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "by_source")
+    docs.write.partitionBy("source").parquet(out)
+    part = spark.read.parquet(out).filter(F.col("source") == "src1")
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "src1" in seg, plan
+    assert part.count() == docs.filter(F.col("source") == "src1").count()
