@@ -658,6 +658,28 @@ def connected_components_star(edges: DataFrame, id_a: str = "doc_a",
     return labeled.unionByName(isolated)
 
 
+def quality_survivors(docs: DataFrame, survivors: DataFrame,
+                      quality: Column,
+                      id_col: str = "doc_id") -> DataFrame:
+    """(canonical_id, best_id): QUALITY-AWARE survivor per near-dup
+    cluster — the highest-``quality`` member wins (doc-id ascending
+    on ties), instead of keep-first/min-id. Production pipelines
+    keep the longest / cleanest / highest-LM-scored duplicate, not
+    the one that happened to arrive first; the policy is pluggable
+    because the cluster labels and the survivor choice are separate
+    passes. One window partitioned by the cluster label (corpus
+    cardinality, never partition-less) over (id, label, quality) —
+    no extra corpus shuffle beyond the label join."""
+    scored = docs.select(F.col(id_col), quality.alias("_q"))
+    labeled = (survivors.select(id_col, "canonical_id")
+               .join(scored, id_col))
+    w = W.partitionBy("canonical_id").orderBy(F.desc("_q"),
+                                              F.asc(id_col))
+    return (labeled.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("canonical_id", F.col(id_col).alias("best_id")))
+
+
 def leakage_safe_split(survivors: DataFrame, salt: str = "lsplit",
                        cuts: tuple[int, int] = (80, 90)) -> DataFrame:
     """Survivor map + (cluster_size, split): assign every near-dup

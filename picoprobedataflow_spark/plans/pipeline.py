@@ -475,6 +475,18 @@ surv AS (
          COALESCE(c.comp, d.doc_id) = d.doc_id AS keep
   FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
   WHERE d.doc_id < {_DOC_CAP}
+),
+qs AS (
+  SELECT doc_id, CAST(round(({_QUALITY_SQL}) * 1e6) AS BIGINT) AS qb
+  FROM documents WHERE doc_id < {_DOC_CAP}
+),
+best AS (
+  SELECT canonical_id, doc_id AS best_id FROM (
+    SELECT s.canonical_id, s.doc_id,
+           row_number() OVER (PARTITION BY s.canonical_id
+                              ORDER BY q.qb DESC, s.doc_id) AS r
+    FROM surv s JOIN qs q USING (doc_id))
+  WHERE r = 1
 )
 SELECT doc_id, canonical_id, keep,
        count(*) OVER (PARTITION BY canonical_id) AS cluster_size,
@@ -485,8 +497,10 @@ SELECT doc_id, canonical_id, keep,
          WHEN CAST(('0x' || substr(md5('lsplit:' ||
                 CAST(canonical_id AS VARCHAR)), 1, 8))
               AS BIGINT) % 100 < 90 THEN 'val'
-         ELSE 'test' END AS split
-FROM surv
+         ELSE 'test' END AS split,
+       b.best_id,
+       doc_id = b.best_id AS keep_best
+FROM surv JOIN best b USING (canonical_id)
 """,
     tags=("dedup-clusters", "connected-components"),
 )
@@ -512,14 +526,26 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     .leakage_safe_split`) — train/val/test assigned per CLUSTER via
     md5(lsplit:canonical_id) buckets, so near-duplicates can never
     straddle the train/eval boundary the way a doc-hash split lets
-    them; 1/cluster_size is the soft-dedup weight."""
+    them; 1/cluster_size is the soft-dedup weight — plus the
+    QUALITY-AWARE survivor policy (:func:`..operators.dedup
+    .quality_survivors`): ``best_id``/``keep_best`` name each
+    cluster's highest-quality-score member (1e6-scaled integer
+    score, id tie-break) — keep-the-cleanest-duplicate instead of
+    keep-first, the policy production pipelines actually want."""
     docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < _DOC_CAP)
     # contam rows are doc-vs-corpus diagnostics (doc_b NULL), not
     # duplicate edges — only real pairs enter the cluster graph.
     edges = (_spark_candidate_pairs(spark, sf_dir)
              .filter(F.col("method") != "contam")
              .select("doc_a", "doc_b").distinct())
-    return DD.leakage_safe_split(DD.near_dup_survivors(docs, edges))
+    surv = DD.leakage_safe_split(DD.near_dup_survivors(docs, edges))
+    qb = F.round(TX.quality_score("text") * 1e6, 0).cast("long")
+    best = DD.quality_survivors(docs, surv, qb)
+    return (surv.join(best, "canonical_id")
+            .select("doc_id", "canonical_id", "keep", "cluster_size",
+                    "split", "best_id",
+                    (F.col("doc_id") == F.col("best_id"))
+                    .alias("keep_best")))
 
 
 # --------------------------------------------------------------------------

@@ -1812,3 +1812,28 @@ def test_html_to_text_strips_boilerplate_and_tags(spark):
     assert got[1] == ("real content", 14)
     assert got[2] == ("plain text, no markup", 0)
     assert got[3] == ("a b", 6)
+
+
+def test_quality_survivors_keep_best_not_first(spark):
+    """Quality-aware survivor policy: the highest-quality cluster
+    member wins regardless of id order (id ascending breaks ties),
+    singletons are their own best, and exactly one best per
+    cluster."""
+    docs = spark.createDataFrame(
+        [(1, "x!!!"),                                  # junk
+         (2, "the quick brown fox is a fine animal and the dog "
+             "sleeps in the sun all day long"),        # clean
+         (3, "mid text of a sort"),
+         (7, "solo document standing alone")],
+        "doc_id long, text string")
+    edges = spark.createDataFrame([(1, 2), (2, 3)],
+                                  "doc_a long, doc_b long")
+    from picoprobedataflow_spark.functions.text import quality_score
+
+    surv = DD.near_dup_survivors(docs, edges)
+    qb = F.round(quality_score("text") * 1e6, 0).cast("long")
+    best = {r.canonical_id: r.best_id
+            for r in DD.quality_survivors(docs, surv, qb).collect()}
+    assert best[1] == 2        # min-id keeps 1; quality keeps 2
+    assert best[7] == 7
+    assert len(best) == 2
