@@ -1837,3 +1837,38 @@ def test_quality_survivors_keep_best_not_first(spark):
     assert best[1] == 2        # min-id keeps 1; quality keeps 2
     assert best[7] == 7
     assert len(best) == 2
+
+
+def test_minhash_lsh_recall_s_curve(spark):
+    """Measured LSH quality on a crafted controlled-overlap corpus:
+    with 16 hashes in 4x4 bands the s-curve predicts capture
+    probability 1-(1-j^4)^4 — near-identical pairs (shingle jaccard
+    >= 0.8) must be recalled at >= 75%, while far pairs
+    (j < 0.2) are candidates at < 30%: the banding is doing
+    selection, not passing everything through."""
+    base = [[f"w{i}_{j}" for j in range(60)] for i in range(30)]
+    rows = []
+    for i, toks in enumerate(base):
+        rows.append((i * 10, " ".join(toks)))
+        near = list(toks)
+        near[20] = "XX"                      # ~3 shingles differ
+        rows.append((i * 10 + 1, " ".join(near)))
+        far = list(toks)
+        for p in range(0, 60, 4):            # heavy mutation
+            far[p] = f"Y{p}"
+        rows.append((i * 10 + 2, " ".join(far)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = DD.shingle_table(docs, k=3).localCheckpoint(eager=True)
+    truth = {(r.doc_a, r.doc_b): r.jaccard
+             for r in DD.jaccard_pairs(docs, k=3, threshold=0.01,
+                                       shingles=sh).collect()}
+    sigs = DD.minhash_signatures(docs, num_hashes=16, k=3, shingles=sh)
+    cand = {(r.doc_a, r.doc_b)
+            for r in DD.lsh_candidate_pairs(sigs, band_size=4).collect()}
+    high = [p for p, j in truth.items() if j >= 0.8]
+    low = [p for p, j in truth.items() if j < 0.2]
+    assert len(high) >= 25 and len(low) >= 25   # both bands populated
+    recall_high = sum(p in cand for p in high) / len(high)
+    rate_low = sum(p in cand for p in low) / len(low)
+    assert recall_high >= 0.75, recall_high
+    assert rate_low < 0.3, rate_low
