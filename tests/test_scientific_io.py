@@ -285,3 +285,45 @@ def test_parse_hdf5_real_branch(tmp_path):
     assert json.loads(meta)["beam_energy"] == 200.0
     # the 3-D signal-of-interest predicate (S5) finds exactly one
     assert sum(1 for _, a, _ in signals if a.ndim == 3) == 1
+
+
+def test_jsonl_roundtrip_with_corrupt_lines(spark, tmp_path):
+    """JSONL corpus io: schema-pinned read (no inference pass),
+    gzip-sharded write round-trips all rows, and a corrupt line
+    becomes a countable _corrupt_record row instead of an
+    exception — the ingest-health contract of crawl-shard reads."""
+    import gzip
+
+    from picoprobedataflow_spark.io.jsonl import (
+        corrupt_line_stats, read_jsonl_corpus, write_jsonl_corpus)
+
+    docs = (spark.read
+            .parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text", "source"))
+    n = docs.count()
+    out = str(tmp_path / "shards")
+    write_jsonl_corpus(docs, out, n_shards=3)
+    schema = "doc_id long, text string, source string"
+    back = read_jsonl_corpus(spark, out, schema)
+    clean_stats = corrupt_line_stats(back).collect()[0]
+    assert clean_stats.n_corrupt == 0
+    assert clean_stats.n_rows == n
+    assert sorted(r.doc_id for r in back.select("doc_id").collect()) \
+        == sorted(r.doc_id for r in docs.select("doc_id").collect())
+
+    # inject a corrupt shard line
+    bad = tmp_path / "shards" / "zz-bad.json.gz"
+    with gzip.open(bad, "wt") as f:
+        f.write('{"doc_id": 999999, "text": "ok", "source": "x"}\n')
+        f.write('{"doc_id": broken-json\n')
+    again = read_jsonl_corpus(spark, out, schema)
+    stats = corrupt_line_stats(again).collect()[0]
+    assert stats.n_rows == n + 2
+    assert stats.n_corrupt == 1
+    # data-column projection alongside the corrupt column (Spark
+    # disallows corrupt-only references over raw JSON)
+    rows = again.select("doc_id", "_corrupt_record").collect()
+    good = [r for r in rows if r._corrupt_record is None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert sum(1 for r in good if r.doc_id == 999999) == 1
+    assert len(bad) == 1 and "broken-json" in bad[0]._corrupt_record
