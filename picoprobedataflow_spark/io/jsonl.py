@@ -15,11 +15,12 @@ corpora (C4, RedPajama, Dolma and most crawl releases ship as
   same data-quality gate as everything else (a crawl release
   ALWAYS has a few). ``mode="FAILFAST"`` is the opt-in for curated
   inputs.
-- **Compression is transparent** on read (``.gz``/``.zst`` by file
-  extension); writes default to gzip — line-oriented gzip shards
-  are splittable at the FILE level, so shard count (not codec)
-  sets read parallelism: write many medium shards, never one giant
-  one.
+- **Compression is transparent** on read by file extension; writes
+  default to gzip (this runtime's text codecs: gzip/bzip2/deflate/
+  lz4/snappy — zstd text shards need the hadoop zstd codec on the
+  cluster classpath). Line-oriented gzip shards are splittable at
+  the FILE level, so shard count (not codec) sets read parallelism:
+  write many medium shards, never one giant one.
 """
 
 from __future__ import annotations
