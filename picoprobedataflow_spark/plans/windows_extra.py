@@ -178,7 +178,16 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
       frac(value ≤ m) ≥ 0.5 − ε and frac(value < m) ≤ 0.5 + ε with
       ε = 1/accuracy + 1/n (discretization slack). The join is a
       broadcast of the k-row sketch table; the extra pass is the
-      price of validation, both passes scale-safe hash aggs."""
+      price of validation, both passes scale-safe hash aggs.
+    - Datasketches HLL MERGEABILITY (round 5): per-type
+      ``hll_sketch_agg`` sketches are ``hll_union_agg``-merged and
+      the merged estimate must land within 4 standard errors
+      (lgConfigK=12 → rsd ≈ 1.6%) of the exact GLOBAL distinct —
+      the property that matters at 100 TB, where per-partition/
+      per-day partial sketches union into corpus totals without
+      ever re-scanning; ``merged_est``/``merged_exact`` ride along
+      on every row and a violation empties the result like the
+      other bounds."""
     rsd, accuracy = 0.05, 100
     ev = events_us(spark, sf_dir)
     # localCheckpoint: `sk` feeds BOTH the rank-check join and the
@@ -192,8 +201,19 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", F.lit(0.5),
                             F.lit(accuracy)).alias("approx_median"),
         F.count("*").alias("n"),
-        F.countDistinct("user_id").alias("exact_users")
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_agg("user_id").alias("_hll")
     ).localCheckpoint(eager=True)
+    merged = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_hll"))
+         .alias("merged_est"))
+    mexact = ev.agg(F.countDistinct("user_id").alias("merged_exact"))
+    mrow = (merged.crossJoin(F.broadcast(mexact))
+            .withColumn(
+                "merged_ok",
+                F.abs(F.col("merged_est") - F.col("merged_exact"))
+                <= F.greatest(0.064 * F.col("merged_exact"),
+                              F.lit(3.0))))
     rankchk = (ev.join(F.broadcast(
                    sk.select("event_type", "approx_median")),
                    "event_type")
@@ -203,7 +223,8 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.avg((F.col("value") < F.col("approx_median"))
                           .cast("double")).alias("frac_lt")))
     eps = F.lit(1.0 / accuracy) + 1.0 / F.col("n")
-    out = (sk.join(rankchk, "event_type")
+    out = (sk.drop("_hll").join(rankchk, "event_type")
+           .crossJoin(F.broadcast(mrow))
            .withColumn(
                "users_ok",
                F.abs(F.col("approx_users") - F.col("exact_users"))
@@ -214,6 +235,7 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                (F.col("frac_le") >= 0.5 - eps)
                & (F.col("frac_lt") <= 0.5 + eps)))
     all_ok = out.agg(
-        F.min(F.col("users_ok") & F.col("median_ok")).alias("_all_ok"))
+        F.min(F.col("users_ok") & F.col("median_ok")
+              & F.col("merged_ok")).alias("_all_ok"))
     return (out.crossJoin(F.broadcast(all_ok))
             .filter(F.col("_all_ok")).drop("_all_ok"))

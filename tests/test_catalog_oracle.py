@@ -51,12 +51,18 @@ def test_approx_sketches_self_validates(spark):
     rows = SPECS["approx_sketches"].fn(spark, SF_DIR).collect()
     assert len(rows) > 0
     for r in rows:
-        assert r.users_ok and r.median_ok, r
+        assert r.users_ok and r.median_ok and r.merged_ok, r
         assert abs(r.approx_users - r.exact_users) \
             <= max(0.2 * r.exact_users, 3.0), r
         eps = 1.0 / 100 + 1.0 / r.n
         assert r.frac_le >= 0.5 - eps - 1e-9, r
         assert r.frac_lt <= 0.5 + eps + 1e-9, r
+        # mergeability: the union of per-type HLL sketches estimates
+        # the GLOBAL distinct within 4 standard errors
+        assert abs(r.merged_est - r.merged_exact) \
+            <= max(0.064 * r.merged_exact, 3.0), r
+    # the merged estimate is one number repeated on every row
+    assert len({r.merged_est for r in rows}) == 1
 
 
 def test_entry_contract(spark):
