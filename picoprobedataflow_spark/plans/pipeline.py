@@ -1559,6 +1559,86 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(25))
 
 
+_RRF_K, _RRF_TOPN, _RRF_OUT = 60, 25, 10
+
+_RRF_ORACLE = f"""
+WITH lex AS (
+{_BM25_ORACLE}
+),
+lexr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+           AS lex_rank
+  FROM lex
+),
+qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id = 0
+),
+vecr AS (
+  SELECT doc_id, vec_rank FROM (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY c DESC, vec_id) AS vec_rank
+    FROM (
+      SELECT vec_id,
+             round(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]), (SELECT v FROM qv)), 6) AS c
+      FROM embeddings)
+  ) WHERE vec_rank <= {_RRF_TOPN}
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       l.lex_rank, v.vec_rank,
+       round(COALESCE(1.0 / ({_RRF_K} + l.lex_rank), 0)
+             + COALESCE(1.0 / ({_RRF_K} + v.vec_rank), 0), 6) AS rrf
+FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT {_RRF_OUT}
+"""
+
+
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by Reciprocal Rank
+    Fusion (Cormack et al. 2009, the default fusion of every modern
+    RAG stack): the BM25 top-{topn} list and the cosine top-{topn}
+    list (query = vector 0; vec_id ≡ doc_id is the corpus id
+    contract) each contribute 1/({k} + rank), missing-from-one-list
+    docs keep their single term, fused top-{out} returned. RRF needs
+    no score calibration between the two retrievers — only ranks —
+    which is exactly why it survives at scale where score fusion
+    needs per-collection tuning.
+
+    Scale shape: both retrievers end in TakeOrderedAndProject
+    top-{topn}; ranking the two {topn}-row lists is a bounded
+    single-partition window (k-row, same boundedness argument as the
+    k-means seed assignment); the fusion is a {topn}-row full outer
+    join. Everything upstream is the retrievers' own scale-safe
+    plans."""
+    from pyspark.sql.window import Window as W
+
+    lex = bm25_retrieval(spark, sf_dir)
+    wl = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    lexr = lex.select("doc_id",
+                      F.row_number().over(wl).alias("lex_rank"))
+    emb = tbl(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).head().embedding]
+    vec = SIM.topk_cosine(emb, qv, k=_RRF_TOPN)
+    wv = W.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    vecr = (vec.select(F.col("vec_id").alias("doc_id"),
+                       F.row_number().over(wv).alias("vec_rank")))
+    fused = lexr.join(vecr, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("vec_rank")), F.lit(0.0)), 6)
+    return (fused.select("doc_id", "lex_rank", "vec_rank",
+                         rrf.alias("rrf"))
+            .orderBy(F.desc("rrf"), F.asc("doc_id"))
+            .limit(_RRF_OUT))
+
+
+rrf_hybrid_retrieval.__doc__ = rrf_hybrid_retrieval.__doc__.format(
+    topn=_RRF_TOPN, k=_RRF_K, out=_RRF_OUT)
+
+
 # --------------------------------------------------------------------------
 # Token-budget curriculum selection (round 5): "take the best 10k
 # tokens" — quality-ordered greedy prefix under a global token budget,
@@ -2770,6 +2850,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
     _fam_sql("ppl_bucket", "{pplb}", k1="bucket", n=("doc_id",),
              v=("avg_logprob",)),
     _fam_sql("winnow", "{winnow}", n=("doc_id", "pos", "fp")),
+    _fam_sql("rrf", "{rrf}", n=("doc_id", "lex_rank", "vec_rank"),
+             v=("rrf",)),
 ]).format(bm25=_BM25_ORACLE, tfidf=_TFIDF_ORACLE,
           unigram=_UNIGRAM_ORACLE, vocab=_VOCAB_COVERAGE_ORACLE,
           span=_SPAN_DEDUP_ORACLE, cdc=_CDC_ORACLE,
@@ -2780,7 +2862,7 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           qcut=_QUALITY_CUT_ORACLE,
           bpe=_BPE_ORACLE, bpe_enc=_BPE_ENCODE_ORACLE,
           bigram=_BIGRAM_ORACLE, pplb=_PPL_BUCKET_ORACLE,
-          winnow=_WINNOW_ORACLE)
+          winnow=_WINNOW_ORACLE, rrf=_RRF_ORACLE)
 
 
 def _nulls_long():
@@ -2813,7 +2895,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eighteen training-data curation families, one normalized
+    """Nineteen training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -2830,11 +2912,12 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`bigram_lm_scores` — context-sensitive add-one bigram LM
     quality scores), ``ppl_bucket``
     (:func:`ppl_bucket_assignments` — CCNet head/middle/tail
-    perplexity bucketing against corpus quartiles), and ``winnow``
+    perplexity bucketing against corpus quartiles), ``winnow``
     (:func:`winnow_doc_fingerprints` — MOSS winnowed fingerprints
-    with the ≥ w+k-1 shared-run coverage guarantee). See each
-    underlying function's docstring for semantics and 100 TB
-    posture."""
+    with the ≥ w+k-1 shared-run coverage guarantee), and ``rrf``
+    (:func:`rrf_hybrid_retrieval` — BM25 + vector reciprocal-rank
+    fusion, the RAG-stack hybrid retriever). See each underlying
+    function's docstring for semantics and 100 TB posture."""
     return (
         _fam_df(bm25_retrieval(spark, sf_dir), "bm25",
                 n=("doc_id",), v=("score",))
@@ -2896,6 +2979,10 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              n=("doc_id",), v=("avg_logprob",)))
         .unionByName(_fam_df(winnow_doc_fingerprints(spark, sf_dir),
                              "winnow", n=("doc_id", "pos", "fp")))
+        .unionByName(_fam_df(rrf_hybrid_retrieval(spark, sf_dir),
+                             "rrf",
+                             n=("doc_id", "lex_rank", "vec_rank"),
+                             v=("rrf",)))
     )
 
 

@@ -1872,3 +1872,34 @@ def test_minhash_lsh_recall_s_curve(spark):
     rate_low = sum(p in cand for p in low) / len(low)
     assert recall_high >= 0.75, recall_high
     assert rate_low < 0.3, rate_low
+
+
+def test_rrf_fusion_semantics(spark):
+    """RRF at sf0.01: the fused list is ordered by rrf desc with
+    doc_id tie-break; every fused score equals the recomputed
+    1/(60+lex)+1/(60+vec) from the row's own ranks; docs in BOTH
+    lists outrank docs with a comparable single-list rank (the
+    fusion effect); ranks are unique within each list."""
+    from picoprobedataflow_spark.plans.pipeline import (
+        _RRF_K, rrf_hybrid_retrieval)
+
+    rows = rrf_hybrid_retrieval(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 10
+    scores = [r.rrf for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        want = 0.0
+        if r.lex_rank is not None:
+            want += 1.0 / (_RRF_K + r.lex_rank)
+        if r.vec_rank is not None:
+            want += 1.0 / (_RRF_K + r.vec_rank)
+        assert abs(r.rrf - round(want, 6)) < 1e-9, r
+    both = [r for r in rows
+            if r.lex_rank is not None and r.vec_rank is not None]
+    single = [r for r in rows
+              if r.lex_rank is None or r.vec_rank is None]
+    if both and single:
+        assert max(r.rrf for r in both) > max(r.rrf for r in single)
+    lex = [r.lex_rank for r in rows if r.lex_rank is not None]
+    vec = [r.vec_rank for r in rows if r.vec_rank is not None]
+    assert len(lex) == len(set(lex)) and len(vec) == len(set(vec))
