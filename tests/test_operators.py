@@ -1903,3 +1903,35 @@ def test_rrf_fusion_semantics(spark):
     lex = [r.lex_rank for r in rows if r.lex_rank is not None]
     vec = [r.vec_rank for r in rows if r.vec_rank is not None]
     assert len(lex) == len(set(lex)) and len(vec) == len(set(vec))
+
+
+def _winnow_ref(tokens, k=3, w=4):
+    """Pure-Python winnowing reference: md5-prefix gram hashes,
+    per-window min with LEFTMOST tie-break, deduped selections."""
+    import hashlib
+
+    grams = [" ".join(tokens[i:i + k])
+             for i in range(len(tokens) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+          for g in grams]
+    out = set()
+    for s in range(len(hs) - w + 1):
+        win = hs[s:s + w]
+        m = min(win)
+        out.add((s + win.index(m) + 1, m))
+    return out
+
+
+@given(st.lists(st.sampled_from("abcdef"), min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_winnow_matches_python_reference(spark, letters):
+    """Property: Spark winnowing equals the pure-Python reference on
+    arbitrary token streams — including heavy hash ties from a tiny
+    alphabet (the tie-break path) and too-short docs."""
+    tokens = list(letters)
+    docs = spark.createDataFrame([(0, " ".join(tokens))],
+                                 "doc_id long, text string")
+    got = {(r.pos, r.fp)
+           for r in DD.winnow_fingerprints(docs, k=3, w=4).collect()}
+    assert got == _winnow_ref(tokens)
