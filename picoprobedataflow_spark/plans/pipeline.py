@@ -2178,6 +2178,50 @@ winnow_doc_fingerprints.__doc__ = winnow_doc_fingerprints.__doc__.format(
     k=_WINNOW_K, w=_WINNOW_W)
 
 
+#: Minimum shared winnow fingerprints for a partial-overlap pair.
+_WINNOW_MIN_SHARED = 2
+
+_WINNOW_PAIRS_ORACLE = f"""
+WITH wsel AS (
+{_WINNOW_ORACLE}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM (SELECT DISTINCT doc_id, fp FROM wsel) a
+JOIN (SELECT DISTINCT doc_id, fp FROM wsel) b
+  ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_WINNOW_MIN_SHARED}
+"""
+
+
+def winnow_partial_overlap_pairs(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs from the winnowed fingerprint
+    set: documents sharing ≥ {m} selected fingerprints (distinct per
+    doc first, so a fingerprint repeated inside one doc counts
+    once). This is what winnowing exists FOR — plagiarism-style
+    passage-overlap candidates from a table ~2/(w+1) the size of
+    the full shingle table, via the same blocked fp-equality
+    self-join shape as every other candidate generator (never
+    all-pairs; hot fingerprints bound the join the way stop-shingles
+    do, and the same ``max_df`` cap applies at corpus scale)."""
+    sel = (winnow_doc_fingerprints(spark, sf_dir)
+           .select("doc_id", "fp").distinct())
+    a = sel.alias("a")
+    b = sel.alias("b")
+    return (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED))
+
+
+winnow_partial_overlap_pairs.__doc__ = \
+    winnow_partial_overlap_pairs.__doc__.format(m=_WINNOW_MIN_SHARED)
+
+
 _PPL_BUCKET_ORACLE = f"""
 WITH u AS (
 {_UNIGRAM_ORACLE}
@@ -2852,6 +2896,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
     _fam_sql("winnow", "{winnow}", n=("doc_id", "pos", "fp")),
     _fam_sql("rrf", "{rrf}", n=("doc_id", "lex_rank", "vec_rank"),
              v=("rrf",)),
+    _fam_sql("winnow_pairs", "{wpairs}",
+             n=("doc_a", "doc_b", "n_shared")),
 ]).format(bm25=_BM25_ORACLE, tfidf=_TFIDF_ORACLE,
           unigram=_UNIGRAM_ORACLE, vocab=_VOCAB_COVERAGE_ORACLE,
           span=_SPAN_DEDUP_ORACLE, cdc=_CDC_ORACLE,
@@ -2862,7 +2908,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           qcut=_QUALITY_CUT_ORACLE,
           bpe=_BPE_ORACLE, bpe_enc=_BPE_ENCODE_ORACLE,
           bigram=_BIGRAM_ORACLE, pplb=_PPL_BUCKET_ORACLE,
-          winnow=_WINNOW_ORACLE, rrf=_RRF_ORACLE)
+          winnow=_WINNOW_ORACLE, rrf=_RRF_ORACLE,
+          wpairs=_WINNOW_PAIRS_ORACLE)
 
 
 def _nulls_long():
@@ -2895,7 +2942,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nineteen training-data curation families, one normalized
+    """Twenty training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -2914,10 +2961,13 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`ppl_bucket_assignments` — CCNet head/middle/tail
     perplexity bucketing against corpus quartiles), ``winnow``
     (:func:`winnow_doc_fingerprints` — MOSS winnowed fingerprints
-    with the ≥ w+k-1 shared-run coverage guarantee), and ``rrf``
+    with the ≥ w+k-1 shared-run coverage guarantee), ``rrf``
     (:func:`rrf_hybrid_retrieval` — BM25 + vector reciprocal-rank
-    fusion, the RAG-stack hybrid retriever). See each underlying
-    function's docstring for semantics and 100 TB posture."""
+    fusion, the RAG-stack hybrid retriever), and ``winnow_pairs``
+    (:func:`winnow_partial_overlap_pairs` — plagiarism-style
+    partial-overlap candidates from the winnowed set). See each
+    underlying function's docstring for semantics and 100 TB
+    posture."""
     return (
         _fam_df(bm25_retrieval(spark, sf_dir), "bm25",
                 n=("doc_id",), v=("score",))
@@ -2983,6 +3033,9 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "rrf",
                              n=("doc_id", "lex_rank", "vec_rank"),
                              v=("rrf",)))
+        .unionByName(_fam_df(
+            winnow_partial_overlap_pairs(spark, sf_dir),
+            "winnow_pairs", n=("doc_a", "doc_b", "n_shared")))
     )
 
 

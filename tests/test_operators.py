@@ -1935,3 +1935,29 @@ def test_winnow_matches_python_reference(spark, letters):
     got = {(r.pos, r.fp)
            for r in DD.winnow_fingerprints(docs, k=3, w=4).collect()}
     assert got == _winnow_ref(tokens)
+
+
+def test_winnow_pairs_find_shared_passages(spark):
+    """Partial-overlap candidates from winnowed fingerprints: two
+    docs sharing a long passage at different offsets pair up with
+    n_shared >= 2; unrelated docs never pair; per-doc repeats of the
+    same fingerprint count once (the DISTINCT before the join)."""
+    shared = " ".join(f"s{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc " + shared),
+         (2, shared + " zz yy"),
+         (3, " ".join(f"u{i}" for i in range(25))),
+         (4, "rep " * 30)],         # internal repetition only
+        "doc_id long, text string")
+    sel = DD.winnow_fingerprints(docs, k=3, w=4) \
+            .select("doc_id", "fp").distinct()
+    a, b = sel.alias("a"), sel.alias("b")
+    pairs = {(r.doc_a, r.doc_b): r.n_shared for r in
+             (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count("*").alias("n_shared"))
+              .filter(F.col("n_shared") >= 2)).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p or 4 in p for p in pairs)
