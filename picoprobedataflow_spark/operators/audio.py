@@ -145,3 +145,44 @@ def make_fake_audio(sample_rate: int, n_samples: int,
                                         & 0x7FFFFFFFFFFFFFFF))[0]
     rng = np.random.default_rng(h)
     return encode_pcm16(tone + 0.01 * rng.standard_normal(n_samples))
+
+
+AUDIO_FP_SCHEMA = "path string, fp long, n_frames int"
+
+
+def audio_fingerprints(audio_df: DataFrame,
+                       frame: int = 1024) -> DataFrame:
+    """Per-clip 64-bit acoustic fingerprint — the audio analog of
+    SimHash: frame the waveform (``frame`` samples, no overlap),
+    take per-frame log-energies, and set one bit per consecutive
+    energy DELTA sign (rising=1), folding frames beyond 64 deltas
+    by XOR into the 64-bit word. Robust to small amplitude noise
+    (sign of an energy delta survives jitter that flips raw sample
+    bits), so re-encoded or slightly-noised copies of a clip
+    collide — exact-match dedup on the fingerprint column then
+    rides the SAME hash-groupBy as text exact dedup
+    (:func:`..dedup.exact_dedup_groups` with this as the
+    fingerprint). Arrow-batched ``mapInPandas``, one pass per
+    clip."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_pcm16(bytes(r.audio), r.n_samples)
+                n_fr = len(a) // frame
+                fp = 0
+                if n_fr >= 2:
+                    e = (a[:n_fr * frame].reshape(n_fr, frame) ** 2) \
+                        .mean(axis=1)
+                    loge = np.log10(e + 1e-12)
+                    bits = (np.diff(loge) > 0).astype(np.uint64)
+                    for i, b in enumerate(bits):
+                        fp ^= int(b) << (i % 64)
+                rows.append((r.path, fp - (1 << 63)
+                             if fp >= (1 << 63) else fp, n_fr))
+            yield pd.DataFrame(rows, columns=[
+                "path", "fp", "n_frames"])
+
+    return (audio_df.select("path", "n_samples", "audio")
+                    .mapInPandas(gen, AUDIO_FP_SCHEMA))

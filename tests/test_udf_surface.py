@@ -128,3 +128,37 @@ def test_audio_lane_real_pcm_pipeline(spark):
     a0 = decode_pcm16(bytes(half[clips[0][0]].audio), 8000)
     r0 = feats[clips[0][0]].rms
     assert abs(float(np.sqrt(np.mean(a0 * a0))) - r0) < 0.02
+
+
+def test_audio_fingerprint_noise_robust_dedup(spark):
+    """Acoustic fingerprints: a clip and its lightly-noised copy
+    collide (energy-delta signs survive jitter), clips with
+    different tone structure differ, and the fingerprint joins the
+    standard exact-dedup groupBy unchanged."""
+    import numpy as np
+
+    from picoprobedataflow_spark.operators.audio import (
+        audio_fingerprints, decode_pcm16, encode_pcm16,
+        make_fake_audio)
+
+    sr, n = 16000, 16384
+    base = make_fake_audio(sr, n, freq=440.0, seed=1)
+    wavef = decode_pcm16(base, n)
+    rng = np.random.default_rng(7)
+    noised = encode_pcm16(wavef + 0.002 * rng.standard_normal(n))
+    # different STRUCTURE: amplitude-modulated sweep, not just
+    # another pure tone (pure tones share near-flat energy curves)
+    t = np.arange(n) / sr
+    sweep = encode_pcm16(
+        0.5 * np.sin(2 * np.pi * (200 + 3000 * t) * t)
+        * (0.2 + 0.8 * (np.sin(2 * np.pi * 3 * t) > 0)))
+    df = spark.createDataFrame(
+        [("a.wav", sr, n, base), ("a2.wav", sr, n, noised),
+         ("b.wav", sr, n, sweep)],
+        "path string, sample_rate int, n_samples int, audio binary")
+    fps = {r.path: r.fp for r in audio_fingerprints(df).collect()}
+    assert fps["a.wav"] == fps["a2.wav"]
+    assert fps["a.wav"] != fps["b.wav"]
+    groups = (audio_fingerprints(df)
+              .groupBy("fp").count().collect())
+    assert sorted(r["count"] for r in groups) == [1, 2]
