@@ -3363,6 +3363,57 @@ def _embedding_centroid_outliers(spark: SparkSession,
     return SIM.centroid_outlier_scores(emb, threshold=_OUTLIER_THR)
 
 
+_MRL_DIMS = (16, 32, 64)
+_MRL_TOPK = 10
+
+_MRL_ORACLE = "\nUNION ALL\n".join(f"""
+SELECT CAST({d} AS BIGINT) AS trunc_dim, vec_id,
+       CAST(rk AS BIGINT) AS rk, cosine
+FROM (
+  SELECT vec_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, vec_id) AS rk
+  FROM (
+    SELECT vec_id,
+           round(list_cosine_similarity(
+             CAST(embedding AS DOUBLE[])[1:{d}],
+             (SELECT CAST(embedding AS DOUBLE[])[1:{d}]
+              FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+    FROM embeddings WHERE vec_id <> 0)
+) WHERE rk <= {_MRL_TOPK}""" for d in _MRL_DIMS)
+
+
+def _embedding_mrl_truncation(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Matryoshka truncation retrieval: the SAME query (vector 0)
+    retrieved with the embedding truncated to its first 16/32/64
+    dims — the measurement behind MRL-style serving, where a prefix
+    of the stored vector answers cheap first-pass retrieval and the
+    full vector re-ranks. Overlap between the per-dim top-10 lists
+    IS the quality-vs-cost curve; storage never changes (a prefix
+    slice is free — that is the point of matryoshka layouts).
+    Each truncation is one scan + fold + TakeOrderedAndProject;
+    ranking the 10-row lists is bounded."""
+    from pyspark.sql.window import Window as W
+
+    emb = (tbl(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") != 0))
+    full = tbl(spark, sf_dir, "embeddings")
+    out = None
+    for d in _MRL_DIMS:
+        qv = [float(x) for x in
+              full.filter(F.col("vec_id") == 0).head().embedding][:d]
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        topd = SIM.topk_cosine(sliced, qv, k=_MRL_TOPK)
+        wd = W.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        ranked = topd.select(
+            F.lit(d).cast("long").alias("trunc_dim"), "vec_id",
+            F.row_number().over(wd).cast("long").alias("rk"),
+            "cosine")
+        out = ranked if out is None else out.unionByName(ranked)
+    return out
+
+
 _EMBED_DEDUP_ORACLE = "\nUNION ALL\n".join([
     _fam_sql("neardup", "{near}",
              n=("id_a", "id_b", "block"), v=("cosine",)),
@@ -3376,12 +3427,14 @@ _EMBED_DEDUP_ORACLE = "\nUNION ALL\n".join([
              n=("src", "dst", "rk"), v=("cosine",)),
     _fam_sql("outliers", "{outl}",
              n=("vec_id",), v=("centroid_cos",), b1="keep"),
+    _fam_sql("mrl", "{mrl}",
+             n=("trunc_dim", "vec_id", "rk"), v=("cosine",)),
 ]).format(near=_NEARDUP_ORACLE,
           sem=_semdedup_oracle(_KM_K, _KM_ITER, _SEMDEDUP_THR),
           knn=_KNN_GRAPH_ORACLE,
           knncl=_KNN_CLUSTERS_ORACLE,
           hneg=_HARDNEG_ORACLE,
-          outl=_OUTLIER_ORACLE)
+          outl=_OUTLIER_ORACLE, mrl=_MRL_ORACLE)
 
 
 @query(
@@ -3416,7 +3469,11 @@ def embedding_cosine_neardup(spark: SparkSession,
       ``knn_graph`` but candidates must differ on ``label``.
     - ``outliers`` (round 5) — global-centroid outlier pruning
       (:func:`_embedding_centroid_outliers`): n1 = vec_id,
-      v1 = rounded centroid cosine, b1 = keep."""
+      v1 = rounded centroid cosine, b1 = keep.
+    - ``mrl`` (round 5) — matryoshka truncation retrieval
+      (:func:`_embedding_mrl_truncation`): the same query answered
+      at dims 16/32/64; n1 = trunc_dim, n2 = vec_id, n3 = rank,
+      v1 = rounded truncated cosine."""
     near = _fam_df(_embedding_neardup_pairs(spark, sf_dir), "neardup",
                    n=("id_a", "id_b", "block"), v=("cosine",))
     sem = (semdedup_embedding_prune(spark, sf_dir)
@@ -3434,5 +3491,8 @@ def embedding_cosine_neardup(spark: SparkSession,
     outl = _fam_df(_embedding_centroid_outliers(spark, sf_dir),
                    "outliers", n=("vec_id",), v=("centroid_cos",),
                    b1="keep")
+    mrl = _fam_df(_embedding_mrl_truncation(spark, sf_dir), "mrl",
+                  n=("trunc_dim", "vec_id", "rk"), v=("cosine",))
     return (near.unionByName(sem).unionByName(knn)
-            .unionByName(kcl).unionByName(hng).unionByName(outl))
+            .unionByName(kcl).unionByName(hng).unionByName(outl)
+            .unionByName(mrl))

@@ -1961,3 +1961,27 @@ def test_winnow_pairs_find_shared_passages(spark):
               .filter(F.col("n_shared") >= 2)).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 2
     assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_mrl_truncation_overlap_monotone(spark):
+    """Matryoshka truncation at sf0.01: each truncated list has 10
+    unique ranked rows, the full-dim (64) list equals brute-force
+    topk_cosine, and overlap with the full list does not decrease
+    when going from 16 -> 32 dims ... the quality-vs-cost curve the
+    family exists to measure."""
+    from picoprobedataflow_spark.plans.pipeline import \
+        _embedding_mrl_truncation
+
+    rows = _embedding_mrl_truncation(
+        spark, "/root/testdata/sf0.01").collect()
+    by_d = {}
+    for r in rows:
+        by_d.setdefault(r.trunc_dim, []).append(r)
+    assert set(by_d) == {16, 32, 64}
+    for d, rs in by_d.items():
+        assert sorted(r.rk for r in rs) == list(range(1, 11)), d
+        assert len({r.vec_id for r in rs}) == 10
+    full = {r.vec_id for r in by_d[64]}
+    o16 = len({r.vec_id for r in by_d[16]} & full)
+    o32 = len({r.vec_id for r in by_d[32]} & full)
+    assert o16 <= o32 <= 10
