@@ -3398,10 +3398,11 @@ def _embedding_mrl_truncation(spark: SparkSession,
     emb = (tbl(spark, sf_dir, "embeddings")
            .filter(F.col("vec_id") != 0))
     full = tbl(spark, sf_dir, "embeddings")
+    qfull = [float(x) for x in
+             full.filter(F.col("vec_id") == 0).head().embedding]
     out = None
     for d in _MRL_DIMS:
-        qv = [float(x) for x in
-              full.filter(F.col("vec_id") == 0).head().embedding][:d]
+        qv = qfull[:d]
         sliced = emb.select(
             "vec_id", F.slice("embedding", 1, d).alias("embedding"))
         topd = SIM.topk_cosine(sliced, qv, k=_MRL_TOPK)
