@@ -516,19 +516,30 @@ def ivf_kmeans_search(emb: DataFrame, query_vec: list[float], k: int = 5,
                       n_probe: int = 2, n_clusters: int = 8,
                       n_iter: int = 2, vec_col: str = "embedding",
                       id_col: str = "vec_id",
-                      round_digits: int = 6) -> DataFrame:
+                      round_digits: int = 6,
+                      cents_df: DataFrame | None = None) -> DataFrame:
     """IVF search over a k-means-built quantizer: build centroids
     (no gold labels), assign every vector under the final centroids,
     rank cells by centroid·query cosine (k rows, driver-side), scan
     only the ``n_probe`` nearest cells, exact cosine top-k inside.
     With the learned cell as a partition key at write time the cell
-    restriction is partition pruning, same as the label-IVF path."""
+    restriction is partition pruning, same as the label-IVF path.
+
+    ``cents_df`` (round 5) is the INDEX-AMORTIZATION hook: pass a
+    previously-built (cell, centroid) table — e.g. read back from
+    the parquet a build job persisted — and the Lloyd's build is
+    skipped entirely. At 100 TB the quantizer is built once (on a
+    sample) and served to every query; a search that rebuilds its
+    index per call is a benchmark artifact, not a serving path.
+    Reuse ≡ inline-build is pytest-pinned via a parquet round-trip
+    of the centroid table."""
     vecs = emb.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
     ).localCheckpoint(eager=True)
-    cents_df = kmeans_centroids(emb, n_clusters, n_iter, vec_col, id_col,
-                                vecs=vecs)
+    if cents_df is None:
+        cents_df = kmeans_centroids(emb, n_clusters, n_iter, vec_col,
+                                    id_col, vecs=vecs)
     cents = cents_df.collect()
     qd = [float(x) for x in query_vec]
     ranked = sorted(cents,

@@ -1985,3 +1985,24 @@ def test_mrl_truncation_overlap_monotone(spark):
     o16 = len({r.vec_id for r in by_d[16]} & full)
     o32 = len({r.vec_id for r in by_d[32]} & full)
     assert o16 <= o32 <= 10
+
+
+def test_ivf_search_reuses_persisted_index(spark, tmp_path):
+    """Index amortization: build the coarse quantizer once, persist
+    the (cell, centroid) table as parquet, reload and search with
+    cents_df= — results identical to the inline-build path, and the
+    reused path runs NO Lloyd's build (its plan never aggregates
+    the posexploded corpus)."""
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).head().embedding]
+    inline = SIM.ivf_kmeans_search(emb, q, k=5).collect()
+
+    cents = SIM.kmeans_centroids(emb, n_clusters=8, n_iter=2)
+    p = str(tmp_path / "ivf_index")
+    cents.write.parquet(p)
+    reloaded = spark.read.parquet(p)
+    reused = SIM.ivf_kmeans_search(emb, q, k=5, cents_df=reloaded)
+    assert reused.collect() == inline
+    plan = reused._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" not in plan.lower()
