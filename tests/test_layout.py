@@ -238,3 +238,29 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     seg = plan.split("PartitionFilters")[1][:200]
     assert "src1" in seg, plan
     assert part.count() == docs.filter(F.col("source") == "src1").count()
+
+
+def test_ivf_cells_partition_prune_the_probe(spark, tmp_path):
+    """The IVF serving layout claim, proven: vectors written
+    partitionBy(cell) under the learned quantizer turn the probe's
+    cell restriction into partition PRUNING — the scan's
+    PartitionFilters carry the cell predicate, and the probed rows
+    equal the in-memory assignment's."""
+    import pyspark.sql.functions as F
+
+    from picoprobedataflow_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = SIM.kmeans_centroids(emb, n_clusters=8, n_iter=2)
+    cent_rows = sorted((r.cell, list(r.centroid))
+                       for r in cents.collect())
+    assigned = emb.withColumn(
+        "cell", SIM.kmeans_assign_expr(cent_rows, "embedding"))
+    out = str(tmp_path / "ivf_cells")
+    assigned.write.partitionBy("cell").parquet(out)
+    probe = spark.read.parquet(out).filter(F.col("cell").isin([1, 3]))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "cell" in seg, plan
+    want = assigned.filter(F.col("cell").isin([1, 3])).count()
+    assert probe.count() == want
