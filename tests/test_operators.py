@@ -2006,3 +2006,37 @@ def test_ivf_search_reuses_persisted_index(spark, tmp_path):
     assert reused.collect() == inline
     plan = reused._jdf.queryExecution().executedPlan().toString()
     assert "posexplode" not in plan.lower()
+
+
+def test_leakage_audit_cluster_split_vs_doc_hash_split(spark):
+    """The measurable claim behind the leakage-safe split, at
+    sf0.01: under a naive per-DOC hash split, some near-dup pairs
+    straddle the train/eval boundary; under the per-CLUSTER split,
+    straddles are zero by construction."""
+    from picoprobedataflow_spark.plans.pipeline import (
+        _spark_candidate_pairs, dedup_cluster_survivors)
+
+    sf = "/root/testdata/sf0.01"
+    pairs = (_spark_candidate_pairs(spark, sf)
+             .filter(F.col("method") != "contam")
+             .select("doc_a", "doc_b").distinct())
+    surv = dedup_cluster_survivors(spark, sf)
+    cluster_split = {r.doc_id: r.split for r in surv.collect()}
+
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("lsplit:"),
+                       F.col("doc_id").cast("string")).cast("binary")),
+        1, 8), 16, 10).cast("long") % 100)
+    doc_split_df = surv.select(
+        "doc_id",
+        F.when(bucket < 80, "train").when(bucket < 90, "val")
+         .otherwise("test").alias("split"))
+    doc_split = {r.doc_id: r.split for r in doc_split_df.collect()}
+
+    ps = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    assert ps
+    cluster_straddles = sum(
+        cluster_split[a] != cluster_split[b] for a, b in ps)
+    doc_straddles = sum(doc_split[a] != doc_split[b] for a, b in ps)
+    assert cluster_straddles == 0
+    assert doc_straddles > 0        # the leakage the split prevents
