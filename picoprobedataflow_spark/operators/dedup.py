@@ -774,6 +774,49 @@ def cross_doc_span_dedup(docs: DataFrame, span_w: int = 4,
                     (F.col("_key") != F.col("first_key")).alias("is_dup")))
 
 
+def remove_duplicate_spans(docs: DataFrame, span_w: int = 4,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, cleaned, n_removed, n_kept): the REMOVAL half of
+    passage dedup (Lee et al. actually delete the repeated passages,
+    not just count them): every aligned ``span_w``-token window
+    whose text occurred at an earlier corpus position is dropped,
+    first occurrences and the unwindowed tail tokens are stitched
+    back in order. Whitespace normalizes to single spaces (the
+    windows are token-joined) — acceptable for a training corpus
+    that tokenizes downstream anyway.
+
+    Scale shape: :func:`cross_doc_span_dedup`'s explode + span-keyed
+    aggregate + join, then ONE doc-keyed aggregate whose
+    ``collect_list`` is bounded by the document's own span count —
+    per-doc state, the same bound as any whole-doc transform. Docs
+    shorter than ``span_w`` pass through untouched (they have no
+    windows)."""
+    spans = cross_doc_span_dedup(docs, span_w, text_col, id_col)
+    kept_struct = F.when(~F.col("is_dup"), F.struct("idx", "span"))
+    agg = (spans.groupBy(id_col)
+           .agg(F.concat_ws(" ", F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.span)).alias("_body"),
+                F.sum(F.col("is_dup").cast("long")).alias("n_removed"),
+                F.sum((~F.col("is_dup")).cast("long")).alias("n_kept")))
+    toks = docs.select(F.col(id_col), words(text_col).alias("_w"))
+    tail_start = (F.floor(F.size("_w") / span_w) * span_w + 1).cast("int")
+    tails = toks.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.slice("_w", tail_start, span_w))
+         .alias("_tail"))
+    return (tails.join(agg, id_col, "left")
+            .select(F.col(id_col),
+                    F.trim(F.concat(F.coalesce("_body", F.lit("")),
+                                    F.lit(" "), F.col("_tail")))
+                    .alias("cleaned"),
+                    F.coalesce("n_removed", F.lit(0).cast("long"))
+                     .alias("n_removed"),
+                    F.coalesce("n_kept", F.lit(0).cast("long"))
+                     .alias("n_kept")))
+
+
 def cdc_chunk_dedup(docs: DataFrame, n_buckets: int = 8,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:

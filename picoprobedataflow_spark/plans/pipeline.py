@@ -1852,6 +1852,58 @@ GROUP BY 1
 """
 
 
+_SPAN_CLEAN_ORACLE = f"""
+WITH toksall AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+),
+ids AS (
+  SELECT doc_id, unnest(range(len(w) // {_SPAN_W})) AS idx, w
+  FROM toksall WHERE len(w) >= {_SPAN_W}
+),
+spans AS (
+  SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+         array_to_string(w[idx * {_SPAN_W} + 1 : idx * {_SPAN_W} + {_SPAN_W}],
+                         ' ') AS span,
+         (doc_id << 32) + idx AS key
+  FROM ids
+),
+firsts AS (
+  SELECT span, min(key) AS first_key FROM spans GROUP BY 1
+),
+kept AS (
+  SELECT s.doc_id,
+         string_agg(s.span, ' ' ORDER BY s.idx)
+           FILTER (WHERE s.key = f.first_key) AS body,
+         CAST(sum(CASE WHEN s.key <> f.first_key THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_removed,
+         CAST(sum(CASE WHEN s.key = f.first_key THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_kept
+  FROM spans s JOIN firsts f USING (span)
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       trim(COALESCE(k.body, '') || ' ' ||
+            COALESCE(array_to_string(
+              t.w[(len(t.w) // {_SPAN_W}) * {_SPAN_W} + 1 : len(t.w)],
+              ' '), '')) AS cleaned,
+       COALESCE(k.n_removed, 0) AS n_removed,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM toksall t LEFT JOIN kept k USING (doc_id)
+"""
+
+
+def span_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of passage dedup
+    (:func:`..operators.dedup.remove_duplicate_spans`): corpus-wide
+    repeated spans are deleted, first occurrences + tail tokens
+    stitched back in order — the cleaned corpus a training run
+    actually consumes, not just the diagnostic counts the
+    ``span_dedup`` family reports. One doc-keyed reassembly
+    aggregate on top of the span chain."""
+    docs = tbl(spark, sf_dir, "documents")
+    return DD.remove_duplicate_spans(docs, span_w=_SPAN_W)
+
+
 def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repeated-passage accounting: every non-overlapping
     4-token window is checked for an earlier exact occurrence
@@ -2898,6 +2950,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              v=("rrf",)),
     _fam_sql("winnow_pairs", "{wpairs}",
              n=("doc_a", "doc_b", "n_shared")),
+    _fam_sql("span_clean", "{spclean}", k1="cleaned",
+             n=("doc_id", "n_removed", "n_kept")),
 ]).format(bm25=_BM25_ORACLE, tfidf=_TFIDF_ORACLE,
           unigram=_UNIGRAM_ORACLE, vocab=_VOCAB_COVERAGE_ORACLE,
           span=_SPAN_DEDUP_ORACLE, cdc=_CDC_ORACLE,
@@ -2909,7 +2963,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           bpe=_BPE_ORACLE, bpe_enc=_BPE_ENCODE_ORACLE,
           bigram=_BIGRAM_ORACLE, pplb=_PPL_BUCKET_ORACLE,
           winnow=_WINNOW_ORACLE, rrf=_RRF_ORACLE,
-          wpairs=_WINNOW_PAIRS_ORACLE)
+          wpairs=_WINNOW_PAIRS_ORACLE,
+          spclean=_SPAN_CLEAN_ORACLE)
 
 
 def _nulls_long():
@@ -2942,7 +2997,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty training-data curation families, one normalized
+    """Twenty-one training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -2963,11 +3018,12 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`winnow_doc_fingerprints` — MOSS winnowed fingerprints
     with the ≥ w+k-1 shared-run coverage guarantee), ``rrf``
     (:func:`rrf_hybrid_retrieval` — BM25 + vector reciprocal-rank
-    fusion, the RAG-stack hybrid retriever), and ``winnow_pairs``
+    fusion, the RAG-stack hybrid retriever), ``winnow_pairs``
     (:func:`winnow_partial_overlap_pairs` — plagiarism-style
-    partial-overlap candidates from the winnowed set). See each
-    underlying function's docstring for semantics and 100 TB
-    posture."""
+    partial-overlap candidates from the winnowed set), and
+    ``span_clean`` (:func:`span_clean_texts` — the repeated-passage
+    REMOVAL pass emitting the cleaned corpus). See each underlying
+    function's docstring for semantics and 100 TB posture."""
     return (
         _fam_df(bm25_retrieval(spark, sf_dir), "bm25",
                 n=("doc_id",), v=("score",))
@@ -3036,6 +3092,9 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_fam_df(
             winnow_partial_overlap_pairs(spark, sf_dir),
             "winnow_pairs", n=("doc_a", "doc_b", "n_shared")))
+        .unionByName(_fam_df(span_clean_texts(spark, sf_dir),
+                             "span_clean", k1="cleaned",
+                             n=("doc_id", "n_removed", "n_kept")))
     )
 
 

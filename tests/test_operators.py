@@ -2040,3 +2040,23 @@ def test_leakage_audit_cluster_split_vs_doc_hash_split(spark):
     doc_straddles = sum(doc_split[a] != doc_split[b] for a, b in ps)
     assert cluster_straddles == 0
     assert doc_straddles > 0        # the leakage the split prevents
+
+
+def test_remove_duplicate_spans_reassembly(spark):
+    """Span removal: the second copy of a shared passage vanishes,
+    first occurrences and tails survive in order, short docs pass
+    through untouched, and token accounting is consistent."""
+    p = "p1 p2 p3 p4 p5 p6 p7 p8"        # two aligned 4-token spans
+    docs = spark.createDataFrame(
+        [(1, p + " u1 u2 u3 u4 t1 t2"),  # original + unique + tail
+         (2, p + " v1 v2 v3 v4"),        # repeats both spans of doc 1
+         (3, "short doc")],              # < span_w: untouched
+        "doc_id long, text string")
+    rows = {r.doc_id: r
+            for r in DD.remove_duplicate_spans(docs, span_w=4).collect()}
+    assert rows[1].cleaned == p + " u1 u2 u3 u4 t1 t2"
+    assert rows[1].n_removed == 0 and rows[1].n_kept == 3
+    assert rows[2].cleaned == "v1 v2 v3 v4"
+    assert rows[2].n_removed == 2 and rows[2].n_kept == 1
+    assert rows[3].cleaned == "short doc"
+    assert rows[3].n_removed == 0 and rows[3].n_kept == 0
