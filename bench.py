@@ -207,7 +207,8 @@ def main() -> None:
                     ("winnow_full", PL.winnow_doc_fingerprints),
                     ("ppl_bucket_full", PL.ppl_bucket_assignments),
                     ("outliers_full",
-                     PL._embedding_centroid_outliers)):
+                     PL._embedding_centroid_outliers),
+                    ("span_clean_full", PL.span_clean_texts)):
         variants[key] = fn
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
