@@ -3,6 +3,9 @@ tokenization, shingling, quality scoring, language-ID heuristics, and
 document fingerprinting. All pure ``pyspark.sql.functions`` column
 expressions (JVM-side, codegen) — no Python in the hot path — and every
 expression has a straightforward ANSI-SQL twin for the DuckDB oracle.
+One deliberate exception: :func:`compression_ratio` is an
+Arrow-batched pandas UDF (zlib has no JVM/SQL expression), pinned by
+pytest instead of an oracle.
 """
 
 from __future__ import annotations
@@ -590,3 +593,32 @@ def bigram_logprob(docs, text_col: str = "text",
     return scored.select(
         F.col(id_col), "n_bigrams",
         (F.col("sum_lp") / F.col("n_bigrams")).alias("avg_logprob"))
+
+
+def compression_ratio(text_col: str = "text"):
+    """Per-document zlib compression ratio (compressed/raw bytes) as
+    an Arrow-batched pandas UDF — the classic entropy junk detector:
+    repetitive spam and boilerplate compress far below natural prose
+    (ratios under ~0.3 at level 6), random noise sits near 1.0. The
+    cheap, model-free cousin of LM-perplexity filtering, used as a
+    pre-filter so the LM only scores plausible text.
+
+    Python is unavoidable here (no zlib expression exists JVM-side),
+    so it is the sanctioned slow path: @pandas_udf over Arrow
+    batches, never per-row Python. Not SQL-oracle-expressible
+    (DuckDB has no zlib scalar) — pytest pins values against direct
+    zlib calls."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _ratio(texts):
+        import pandas as pd
+
+        return pd.Series([
+            (len(zlib.compress(t.encode("utf-8"), 6))
+             / max(len(t.encode("utf-8")), 1)) if t is not None else None
+            for t in texts])
+
+    return _ratio(F.col(text_col))

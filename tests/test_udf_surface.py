@@ -162,3 +162,30 @@ def test_audio_fingerprint_noise_robust_dedup(spark):
     groups = (audio_fingerprints(df)
               .groupBy("fp").count().collect())
     assert sorted(r["count"] for r in groups) == [1, 2]
+
+
+def test_compression_ratio_separates_spam_from_prose(spark):
+    """zlib compression ratio: repetitive spam compresses far below
+    natural-looking prose, values match direct zlib math, and the
+    UDF is Arrow-batched (ArrowEvalPython in the plan, never
+    BatchEvalPython)."""
+    import zlib
+
+    from picoprobedataflow_spark.functions.text import compression_ratio
+
+    spam = "buy now " * 200
+    prose = ("the measured quantity varied across runs while the "
+             "detector recorded each frame with distinct metadata "
+             "fields and irregular spacing between readout events "
+             "that never quite repeated the same words twice more")
+    df = spark.createDataFrame([(1, spam), (2, prose)],
+                               "doc_id long, text string")
+    out = df.select("doc_id",
+                    compression_ratio("text").alias("cr"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    rows = {r.doc_id: r.cr for r in out.collect()}
+    for did, text in ((1, spam), (2, prose)):
+        want = len(zlib.compress(text.encode(), 6)) / len(text.encode())
+        assert abs(rows[did] - want) < 1e-12
+    assert rows[1] < 0.1 < rows[2]
