@@ -2247,8 +2247,9 @@ HAVING count(*) >= {_WINNOW_MIN_SHARED}
 """
 
 
-def winnow_partial_overlap_pairs(spark: SparkSession,
-                                 sf_dir: str) -> DataFrame:
+def winnow_partial_overlap_pairs(spark: SparkSession, sf_dir: str,
+                                 max_df: int | None = None
+                                 ) -> DataFrame:
     """Partial-overlap candidate pairs from the winnowed fingerprint
     set: documents sharing ≥ {m} selected fingerprints (distinct per
     doc first, so a fingerprint repeated inside one doc counts
@@ -2256,10 +2257,19 @@ def winnow_partial_overlap_pairs(spark: SparkSession,
     passage-overlap candidates from a table ~2/(w+1) the size of
     the full shingle table, via the same blocked fp-equality
     self-join shape as every other candidate generator (never
-    all-pairs; hot fingerprints bound the join the way stop-shingles
-    do, and the same ``max_df`` cap applies at corpus scale)."""
+    all-pairs). ``max_df`` drops fingerprints selected by more than
+    that many documents before the join — the stop-shingle knob
+    that bounds Σdf² at corpus scale (a boilerplate passage shared
+    by a million pages would otherwise dominate the join); None =
+    exact, the oracle-gated setting."""
     sel = (winnow_doc_fingerprints(spark, sf_dir)
            .select("doc_id", "fp").distinct())
+    if max_df is not None:
+        dfs = (sel.groupBy("fp")
+               .agg(F.count("*").alias("_df"))
+               .filter(F.col("_df") <= max_df)
+               .select("fp"))
+        sel = sel.join(dfs, "fp", "left_semi")
     a = sel.alias("a")
     b = sel.alias("b")
     return (a.join(b, (F.col("a.fp") == F.col("b.fp"))

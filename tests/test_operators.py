@@ -2060,3 +2060,20 @@ def test_remove_duplicate_spans_reassembly(spark):
     assert rows[2].n_removed == 2 and rows[2].n_kept == 1
     assert rows[3].cleaned == "short doc"
     assert rows[3].n_removed == 0 and rows[3].n_kept == 0
+
+
+def test_winnow_pairs_max_df_drops_hot_fingerprints(spark):
+    """The stop-shingle knob on the winnow join: with max_df the
+    boilerplate fingerprint shared by every doc stops generating
+    pairs, while rare shared passages still do; exact mode (None)
+    is a superset."""
+    from picoprobedataflow_spark.plans.pipeline import \
+        winnow_partial_overlap_pairs
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.doc_a, r.doc_b)
+             for r in winnow_partial_overlap_pairs(spark, sf).collect()}
+    capped = {(r.doc_a, r.doc_b)
+              for r in winnow_partial_overlap_pairs(
+                  spark, sf, max_df=3).collect()}
+    assert capped <= exact
