@@ -51,3 +51,48 @@ def dq_gate_stream(spark: SparkSession, src_dir: str, ckpt_dir: str,
         q.stop()
         raise TimeoutError(
             f"dq gate drain did not finish in {timeout}s")
+
+
+def contam_gate_stream(spark: SparkSession, src_dir: str,
+                       ckpt_dir: str, out_dir: str,
+                       bench_docs: DataFrame,
+                       schema: StructType | str,
+                       threshold: float = 0.05, k: int = 3,
+                       timeout: int = 300) -> None:
+    """Streaming benchmark-decontamination gate: every arriving
+    micro-batch of documents is checked against the held-out
+    benchmark's shingle universe
+    (:func:`..operators.dedup.contamination_overlap`) and
+    contaminated docs' (batch_id, doc_id, overlap_frac) rows append
+    to ``out_dir`` — the continuous form of the pre-training
+    decontamination pass, run at INGEST so eval leakage is caught
+    the day it crawls in, not the week before training.
+
+    The benchmark shingle table is built ONCE outside the stream
+    and reused per batch (benchmark corpora are small and static —
+    the same broadcast-semi-join shape as the batch op). Per-batch
+    cost: shingle the batch, one semi join, two doc-keyed
+    aggregates."""
+    from picoprobedataflow_spark.operators.dedup import (
+        contamination_overlap, shingle_table)
+
+    bench_sh = shingle_table(bench_docs, k=k).localCheckpoint(
+        eager=True)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (contamination_overlap(train_docs=batch_df,
+                               bench_shingles=bench_sh,
+                               k=k, threshold=threshold)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    q = (spark.readStream.schema(schema).parquet(src_dir)
+         .writeStream
+         .option("checkpointLocation", ckpt_dir)
+         .foreachBatch(_process)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"contamination gate drain did not finish in {timeout}s")

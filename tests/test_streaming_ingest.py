@@ -416,3 +416,41 @@ def test_streaming_dq_gate_flags_dirty_batch(spark, tmp_path):
     assert bad["domain_event_type"].v2 == 0.0
     assert bad["range_value"].v2 == 0.0
     assert all(r.n == 2 for r in bad.values())
+
+
+def test_streaming_contamination_gate(spark, tmp_path):
+    """The ingest-time decontamination gate: a batch containing a
+    benchmark passage is flagged with the right overlap fraction, a
+    clean batch emits nothing, and batches are tracked by id."""
+    from picoprobedataflow_spark.streaming.quality import \
+        contam_gate_stream
+
+    bench = spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "flags")
+
+    dirty = spark.createDataFrame(
+        [(1, "intro words alpha beta gamma delta epsilon closing"),
+         (2, "totally unrelated content with many other words here")],
+        schema)
+    dirty.coalesce(1).write.mode("append").parquet(str(src))
+    contam_gate_stream(spark, str(src), ckpt, out, bench, schema,
+                       threshold=0.05)
+
+    clean = spark.createDataFrame(
+        [(3, "nothing shared with the benchmark at all in this one")],
+        schema)
+    clean.coalesce(1).write.mode("append").parquet(str(src))
+    contam_gate_stream(spark, str(src), ckpt, out, bench, schema,
+                       threshold=0.05)
+
+    rows = spark.read.parquet(out).collect()
+    assert [r.doc_id for r in rows] == [1]
+    r = rows[0]
+    # doc 1: 6 distinct 3-shingles, 3 of them benchmark shingles
+    assert r.n_shingles == 6 and r.n_overlap == 3
+    assert abs(r.overlap_frac - 0.5) < 1e-9
