@@ -55,3 +55,60 @@ def _register_for_shipping() -> None:
 
 
 _register_for_shipping()
+
+
+EXPIRING_STATE_SCHEMA = "n long, total double, last_ms long"
+EXPIRING_OUT_SCHEMA = ("user_id long, n long, total double, "
+                       "finalized boolean")
+
+
+def _expiring_update(key, pdfs: Iterator[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, total, _last = state.get
+        state.remove()
+        yield pd.DataFrame([{"user_id": user_id, "n": n,
+                             "total": total, "finalized": True}])
+        return
+    n, total, last_ms = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        last_ms = max(last_ms,
+                      int(pdf["ts"].max().timestamp() * 1000))
+    state.update((n, total, last_ms))
+    # Deadline = last event + gap, clamped above the current
+    # watermark (Spark rejects a timeout at/behind the watermark —
+    # reachable when a key's only events arrive already-late).
+    state.setTimeoutTimestamp(
+        max(last_ms + _EXPIRY_GAP_MS,
+            state.getCurrentWatermarkMs() + 1))
+    yield pd.DataFrame([{"user_id": user_id, "n": n,
+                         "total": total, "finalized": False}])
+
+
+_EXPIRY_GAP_MS = 60_000
+
+
+def expiring_user_totals(events: DataFrame,
+                         watermark: str = "10 seconds") -> DataFrame:
+    """Per-user running totals whose state EXPIRES on event time —
+    the bounded-state discipline production stateful streaming
+    needs: a key idle past the gap is finalized (one last row with
+    ``finalized = true``) and its state is REMOVED, so state size
+    tracks the set of RECENTLY-ACTIVE keys, not every key ever
+    seen (the reference's unbounded seen-set, made bounded).
+    ``events`` must carry (user_id long, ts timestamp, value
+    double); the watermark drives both lateness and expiry —
+    a key's timeout fires when the watermark passes its last event
+    + 60 s. EventTimeTimeout, so expiry is deterministic in event
+    time, not wall clock."""
+    ev = events.withWatermark("ts", watermark)
+    return (ev.groupBy("user_id")
+            .applyInPandasWithState(
+                _expiring_update,
+                outputStructType=EXPIRING_OUT_SCHEMA,
+                stateStructType=EXPIRING_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -74,3 +74,52 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         assert latest[1] == (3, 15.0, 300)  # state carried across batches
     finally:
         q.stop()
+
+
+def test_stateful_event_time_expiry_finalizes_idle_keys(spark, tmp_path):
+    """EventTimeTimeout state expiry: a key idle past the 60s gap is
+    finalized with its accumulated totals and removed from state
+    once the watermark passes its deadline; active keys keep
+    accumulating. Deterministic in EVENT time — driven by file
+    drops, not wall clock."""
+    from datetime import datetime as dt
+
+    from picoprobedataflow_spark.streaming.stateful import \
+        expiring_user_totals
+
+    src = str(tmp_path / "src")
+    schema = "user_id long, ts timestamp, value double"
+
+    def drop(rows):
+        spark.createDataFrame(rows, schema).write.mode("append") \
+             .parquet(src)
+
+    t0 = dt(2026, 1, 1, 10, 0, 0)
+    drop([(1, t0, 2.0), (2, t0, 7.0)])
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (expiring_user_totals(stream)
+         .writeStream.outputMode("update")
+         .format("memory").queryName("expiring_totals")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        q.processAllAvailable()
+        # advance event time: user 1 stays active at 10:05
+        drop([(1, dt(2026, 1, 1, 10, 5, 0), 3.0)])
+        q.processAllAvailable()
+        # one more batch so the advanced watermark (10:04:50) is
+        # applied to timeout evaluation: user 2's deadline (10:01:00)
+        # has passed -> finalized
+        drop([(1, dt(2026, 1, 1, 10, 6, 0), 1.0)])
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM expiring_totals").collect()
+        fin2 = [r for r in rows if r.user_id == 2 and r.finalized]
+        assert len(fin2) == 1
+        assert fin2[0].n == 1 and abs(fin2[0].total - 7.0) < 1e-9
+        # user 1 never finalized; its running rows accumulate
+        assert not any(r.finalized for r in rows if r.user_id == 1)
+        u1 = max((r for r in rows if r.user_id == 1),
+                 key=lambda r: r.n)
+        assert u1.n == 3 and abs(u1.total - 6.0) < 1e-9
+    finally:
+        q.stop()
