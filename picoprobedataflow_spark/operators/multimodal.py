@@ -290,3 +290,46 @@ def attach_image_metadata(images: DataFrame) -> DataFrame:
         F.length("image").alias("n_bytes"),
         F.lit("u8-gray").alias("pixel_format")))
     return images.withColumn("meta", meta)
+
+
+PHASH_SCHEMA = "path string, phash long"
+
+
+def image_phash(images: DataFrame, grid: int = 8,
+                codec: str = "auto") -> DataFrame:
+    """Perceptual dHash per image — the image analog of the audio
+    energy-delta fingerprint and the text SimHash: downsample the
+    decoded image to a (grid × grid+1) mean-pooled grid and set one
+    bit per horizontal neighbor comparison (left > right). Robust
+    to resizing, re-encoding and mild noise (pooled means move far
+    less than raw pixels), so trivially-altered re-uploads of the
+    same image collide — image dedup then rides the standard
+    hash-groupBy like every other modality. ``mapInPandas`` over
+    the decode kernel; the hash is 64 bits at the default grid."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_image(bytes(r.image), r.width, r.height,
+                                 codec).astype("f8")
+                h, w = a.shape
+                # mean-pool to grid x (grid+1) via integer bucketing
+                yi = (np.arange(h) * grid) // max(h, 1)
+                xi = (np.arange(w) * (grid + 1)) // max(w, 1)
+                pooled = np.zeros((grid, grid + 1))
+                cnt = np.zeros((grid, grid + 1))
+                np.add.at(pooled, (yi[:, None], xi[None, :]), a)
+                np.add.at(cnt, (yi[:, None], xi[None, :]), 1.0)
+                pooled /= np.maximum(cnt, 1.0)
+                bits = (pooled[:, :-1] > pooled[:, 1:]).ravel()
+                fp = 0
+                for i, b in enumerate(bits[:64]):
+                    fp |= int(b) << i
+                if fp >= (1 << 63):
+                    fp -= 1 << 64
+                rows.append((r.path, fp))
+            yield pd.DataFrame(rows, columns=["path", "phash"])
+
+    return (images.select("path", "width", "height", "image")
+                  .mapInPandas(gen, PHASH_SCHEMA))

@@ -189,3 +189,37 @@ def test_compression_ratio_separates_spam_from_prose(spark):
         want = len(zlib.compress(text.encode(), 6)) / len(text.encode())
         assert abs(rows[did] - want) < 1e-12
     assert rows[1] < 0.1 < rows[2]
+
+
+def test_image_phash_noise_and_resize_robust(spark):
+    """Perceptual dHash: a lightly-noised copy and a 2x-downscaled
+    copy of an image both collide with the original (pooled means
+    absorb noise; the grid is resolution-independent), while a
+    different image differs."""
+    import numpy as np
+
+    from picoprobedataflow_spark.operators.multimodal import (
+        image_phash, make_fake_image)
+
+    w, h = 64, 64
+    base = np.frombuffer(make_fake_image(w, h, seed=3),
+                         dtype=np.uint8).reshape(h, w).astype("f8")
+    # smooth structure so pooled comparisons are decisive
+    x = np.linspace(0, 4 * np.pi, w)
+    y = np.linspace(0, 2 * np.pi, h)
+    img = (127 + 90 * np.sin(x)[None, :] * np.cos(y)[:, None]
+           + 0.05 * (base - 127))
+    rng = np.random.default_rng(11)
+    noised = np.clip(img + rng.normal(0, 2.0, img.shape), 0, 255)
+    small = img[::2, ::2]
+    other = 255.0 - img
+    rows = [("orig", w, h, img.astype(np.uint8).tobytes()),
+            ("noised", w, h, noised.astype(np.uint8).tobytes()),
+            ("small", w // 2, h // 2,
+             small.astype(np.uint8).tobytes()),
+            ("other", w, h, other.astype(np.uint8).tobytes())]
+    df = spark.createDataFrame(
+        rows, "path string, width int, height int, image binary")
+    fps = {r.path: r.phash for r in image_phash(df).collect()}
+    assert fps["orig"] == fps["noised"] == fps["small"]
+    assert fps["orig"] != fps["other"]
