@@ -2098,3 +2098,25 @@ def test_funnel_stages_monotone_and_consistent(spark):
     assert all(a >= b for a, b in zip(cs, cs[1:]))
     assert ns[-1] > 0
     assert rows["raw"].n == 500
+
+
+@given(st.integers(0, 1), st.integers(0, 1), st.integers(0, 1),
+       st.integers(0, 1), st.integers(0, 2))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_url_canonical_idempotent(spark, up, www, port, frag, track):
+    """Canonicalization's defining property: applying it twice
+    equals applying it once, across the messy-URL feature grid
+    (case, www., default port, fragment, tracking params)."""
+    from picoprobedataflow_spark.functions.scalar import url_canonical
+
+    scheme = "HTTPS" if up else "https"
+    host = ("WWW." if www else "") + "Example.COM" + \
+        (":443" if port else "")
+    q = ["id=7", "utm_source=x", "ref=r"][track] if track < 3 else ""
+    url = f"{scheme}://{host}/A/b/?{q}" + ("#frag" if frag else "")
+    df = spark.createDataFrame([(url,)], "url string")
+    once = df.select(url_canonical("url").alias("c"))
+    twice = once.select(url_canonical("c").alias("c"))
+    a, b = once.head().c, twice.head().c
+    assert a == b, (url, a, b)
