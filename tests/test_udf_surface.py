@@ -223,3 +223,26 @@ def test_image_phash_noise_and_resize_robust(spark):
     fps = {r.path: r.phash for r in image_phash(df).collect()}
     assert fps["orig"] == fps["noised"] == fps["small"]
     assert fps["orig"] != fps["other"]
+
+
+def test_pcm_wav_roundtrip_property(spark):
+    """PCM16 encode/decode round-trips within one quantization step
+    for arbitrary waveforms, and WAV container wrapping is lossless
+    over the PCM bytes — for a spread of lengths including the
+    empty clip."""
+    import numpy as np
+
+    from picoprobedataflow_spark.operators.audio import (
+        decode_pcm16, encode_pcm16, pcm_to_wav, wav_to_pcm)
+
+    rng = np.random.default_rng(42)
+    for n in (0, 1, 7, 1024):
+        wave_f = np.clip(rng.standard_normal(n) * 0.4, -1, 0.999)
+        pcm = encode_pcm16(wave_f)
+        back = decode_pcm16(pcm, n)
+        assert len(back) == n
+        if n:
+            assert float(np.abs(back - wave_f).max()) <= 1.0 / 32768
+        wav = pcm_to_wav(pcm, 8000)
+        pcm2, sr, n2 = wav_to_pcm(wav)
+        assert (pcm2, sr, n2) == (pcm, 8000, n)
