@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import re
 import sys
 import time
@@ -233,19 +234,37 @@ def main() -> None:
     # memory; codegen/JVM warmup — the point of the pre-run — survives.
     spark.catalog.clearCache()
 
-    # bench_rev 3: each headline key is timed best-of-N (N=3;
-    # clearCache between reps). The headline value is Σ per-key min;
-    # all reps land in the side "reps" field so the spread is
-    # auditable.
+    # bench_rev 4: headline keys are timed rep-major — each pass
+    # visits every key once in a freshly shuffled order (clearCache
+    # between queries), so a transient co-tenant load spike hits a
+    # RANDOM key per pass instead of always the same one, and the
+    # per-key spread in the side file shows the ambient-load
+    # signature directly. Keys whose best-of-3 lands under 1 s get 2
+    # extra reps (cheap — they're sub-second) because those are
+    # exactly the keys whose single-shot numbers swing ±50% in a
+    # shared sandbox. The headline value is Σ per-key min.
     n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    timings: dict[str, float] = {}
-    reps_out: dict[str, list[float]] = {}
-    total = 0.0
-    for name, fn in bench.items():
-        times = _time_reps(fn, spark, sf_dir, n_reps)
-        reps_out[name] = times
-        timings[name] = min(times)
-        total += min(times)
+    rng = random.Random()
+    reps_out: dict[str, list[float]] = {n: [] for n in bench}
+
+    def _one_pass(names) -> None:
+        order = list(names)
+        rng.shuffle(order)
+        for name in order:
+            t0 = time.perf_counter()
+            run_query(bench[name](spark, sf_dir))
+            reps_out[name].append(
+                round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+
+    for _ in range(n_reps):
+        _one_pass(bench)
+    extra = [n for n, ts in reps_out.items() if min(ts) < 1.0]
+    for _ in range(2):
+        _one_pass(extra)
+
+    timings = {n: min(ts) for n, ts in reps_out.items()}
+    total = sum(timings.values())
 
     # A/B variant keys (round 4): the dedup signature queries under the
     # oracle-parity md5 hash, timed identically but reported OUTSIDE
@@ -256,25 +275,32 @@ def main() -> None:
     # stdout line: each variant is fenced, a failed key is skipped
     # with a stderr note.
     variant_timings: dict[str, float] = {}
+    variant_reps: dict[str, list[float]] = {}
     for name, fn in variants.items():
         try:
-            variant_timings[name] = min(
-                _time_reps(fn, spark, sf_dir, n_reps))
+            times = _time_reps(fn, spark, sf_dir, n_reps)
+            variant_reps[name] = times
+            variant_timings[name] = min(times)
         except Exception as exc:  # noqa: BLE001
             print(f"NOTE: variant {name} failed ({exc!r}); skipping "
                   "its key — headline output unaffected.",
                   file=sys.stderr)
 
-    out = {
-        "metric": "headline_queries_total_runtime",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    out = _stdout_payload(timings, sf, n_reps)
+    # Bulky audit data (per-rep spreads, the 20+ variant keys) goes to
+    # a SIDE file, not the stdout line: BENCH_r05 proved the driver's
+    # tail capture truncates a >~2 KB line, losing the headline value
+    # and blinding automated regression tracking. The stdout line must
+    # stay compact (pytest-asserted < 2000 bytes in
+    # tests/test_bench_contract.py); everything else lands in
+    # BENCH_reps.json next to this script.
+    side = {
         "bench_rev": _BENCH_REV,
-        "n_reps": n_reps,
+        "sf": out["sf"],
         "reps": reps_out,
+        "extra_rep_keys": sorted(extra),
         "variants": variant_timings,
+        "variant_reps": variant_reps,
     }
     # Regression guardrail: compare per-query against the newest
     # BENCH_r*.json next to this script so a >1.5x slowdown is visible
@@ -312,8 +338,54 @@ def main() -> None:
         if regressed:
             print(f"WARNING: >=1.5x regression vs {prev['_file']}: "
                   f"{regressed}", file=sys.stderr)
-    print(json.dumps(out))
+    side_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_reps.json")
+    with open(side_path, "w") as fh:
+        json.dump(side, fh, indent=1)
+    print(f"NOTE: rep spreads + variant timings written to "
+          f"{side_path}", file=sys.stderr)
+    line = json.dumps(out)
+    if len(line) >= 2000:
+        # Never let the driver-parsed line outgrow the tail capture
+        # again: shed optional fields until it fits.
+        for drop in ("delta_vs_prev",):
+            out.pop(drop, None)
+            line = json.dumps(out)
+            if len(line) < 2000:
+                break
+    print(line)
     spark.stop()
+
+
+def _stdout_payload(timings: dict[str, float], sf: str,
+                    n_reps: int) -> dict:
+    """The driver-parsed stdout record — compact by contract.
+
+    Only the fields the driver's regression tracking needs: headline
+    value, per-key minima, sf, methodology rev. Rep spreads and
+    variant keys are side-file material (see main); the emitted JSON
+    line for the full 25-key set must stay under 2000 bytes
+    (tests/test_bench_contract.py pins this against the real key
+    list).
+    """
+    return {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "bench_rev": _BENCH_REV,
+        "n_reps": n_reps,
+    }
+
+
+def headline_keys() -> list[str]:
+    """The bench's headline key set, resolvable without a Spark
+    session — used by the stdout-size contract test."""
+    keys = list(CATALOG_BENCH) + [
+        "lineitem_rollup", "windowed_event_rates", "sessionize_events"]
+    variants, uncapped = _uncapped_pipeline_queries()
+    return keys + list(uncapped)
 
 
 #: Bench methodology revision, stamped into the output JSON so
@@ -323,8 +395,14 @@ def main() -> None:
 #: comparable). rev 3 = per-key best-of-N (N=3 default) with all reps
 #: recorded in the "reps" side field — single-shot sub-second timings
 #: in a shared sandbox swing ±50% and produced BENCH_r04's phantom
-#: ≥1.5× deltas on untouched code.
-_BENCH_REV = 3
+#: ≥1.5× deltas on untouched code. rev 4 = reps move to the
+#: BENCH_reps.json side file (the rev-3 stdout line outgrew the
+#: driver's ~2 KB tail capture → BENCH_r05 "parsed": null); timing is
+#: rep-major with a shuffled key order per pass, and sub-second keys
+#: get 2 extra reps. Minima stay minima, so rev-4 deltas vs a rev-3
+#: file are like-for-like (extra reps bias sub-second keys down by at
+#: most the ambient noise floor).
+_BENCH_REV = 4
 
 
 def _bench_rev_of(d: dict, fname: str) -> int:

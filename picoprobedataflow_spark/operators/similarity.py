@@ -705,7 +705,8 @@ def pq_adc_search(emb: DataFrame, query_vec: list[float], k: int = 10,
                   m: int = 4, n_codes: int = 8, n_iter: int = 2,
                   dim: int = 64, vec_col: str = "embedding",
                   id_col: str = "vec_id",
-                  round_digits: int = 6) -> DataFrame:
+                  round_digits: int = 6,
+                  prebuilt: tuple | None = None) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes: the query
     precomputes an m×k lookup table of squared distances to every
     codebook centroid (driver-side, m·k doubles), and each vector's
@@ -713,13 +714,24 @@ def pq_adc_search(emb: DataFrame, query_vec: list[float], k: int = 10,
     never touching the original vectors. Distances are rounded before
     ranking (catalog rule) with an id tie-break.
 
+    ``prebuilt`` (round 6) is the index-amortization hook — pass the
+    ``(codes_df, codebooks)`` pair of a previous :func:`pq_encode`
+    and the build is skipped entirely: at 100 TB the codebooks are
+    trained once (on a sample) and every query consumes them; the
+    quantized-suite host shares ONE build across pq_adc/ivfpq
+    (identical raw-vector subspace books by construction — same
+    seeds, same per-(subspace, cell, dim) mean multisets).
+
     Scale shape: scan of the (m+1)-column code table → m
     ``element_at`` lookups against literal arrays → chained sum →
     TakeOrderedAndProject. No join, no shuffle, no window; the fat
     vector column never enters the search plan at all — the whole
     point of PQ at 100 TB."""
-    codes, codebooks = pq_encode(emb, m, n_codes, n_iter, dim,
-                                 vec_col, id_col)
+    if prebuilt is not None:
+        codes, codebooks = prebuilt
+    else:
+        codes, codebooks = pq_encode(emb, m, n_codes, n_iter, dim,
+                                     vec_col, id_col)
     sub = dim // m
     qd = [float(x) for x in query_vec]
     adc = _adc_expr(codebooks, qd, sub)
@@ -735,7 +747,10 @@ def ivfpq_search(emb: DataFrame, query_vec: list[float], k: int = 10,
                  n_cells: int = 8, n_probe: int = 2, m: int = 4,
                  n_codes: int = 8, n_iter: int = 2, dim: int = 64,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 round_digits: int = 6) -> DataFrame:
+                 round_digits: int = 6,
+                 vecs: DataFrame | None = None,
+                 coarse_rows: list | None = None,
+                 codebooks: list | None = None) -> DataFrame:
     """IVF-PQ composed search (the FAISS IVFPQ architecture, raw-
     vector PQ — no residual encoding): a full-space k-means coarse
     quantizer restricts the scan to the ``n_probe`` cells nearest the
@@ -754,23 +769,39 @@ def ivfpq_search(emb: DataFrame, query_vec: list[float], k: int = 10,
     unchanged. Everything after the builds is one narrow pass: probe
     ``isin`` filter, literal-LUT lookups, TakeOrderedAndProject —
     zero joins, zero windows, zero extra shuffles. Distances round
-    before ranking, id tie-break."""
-    vecs = emb.select(
-        F.col(id_col).alias("_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
-    ).localCheckpoint(eager=True)
+    before ranking, id tie-break.
+
+    ``vecs``/``coarse_rows``/``codebooks`` (round 6) are the
+    index-amortization hooks: pass a previously checkpointed
+    ``(_id, _v)`` projection and previously trained coarse/subspace
+    books (e.g. from the quantized-suite shared build) and the five
+    Lloyd's builds are skipped. The joint build here and the
+    independent :func:`kmeans_centroids` + :func:`pq_encode` builds
+    are value-identical (coarse assignment never feeds subspace
+    updates and vice versa — per-(builder, cell, dim) mean multisets
+    coincide), so injection cannot change results
+    (pytest-pinned)."""
+    if vecs is None:
+        vecs = emb.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col),
+                        lambda x: x.cast("double")).alias("_v")
+        ).localCheckpoint(eager=True)
     sub = dim // m
-    # One seed top-k serves every builder (md5(_id) rank is
-    # space-independent): full seed vectors for the coarse book,
-    # their slices for the subspace books.
-    seed_rows = kmeans_seed_query(vecs, max(n_cells, n_codes)).collect()
-    seed_rows.sort(key=lambda r: (r._h, r._id))
-    coarse_rows = [(c, [float(x) for x in r._v])
-                   for c, r in enumerate(seed_rows[:n_cells])]
-    codebooks = [
-        [(c, [float(x) for x in r._v[i * sub:(i + 1) * sub]])
-         for c, r in enumerate(seed_rows[:n_codes])]
-        for i in range(m)]
+    build_needed = coarse_rows is None or codebooks is None
+    if build_needed:
+        # One seed top-k serves every builder (md5(_id) rank is
+        # space-independent): full seed vectors for the coarse book,
+        # their slices for the subspace books.
+        seed_rows = kmeans_seed_query(
+            vecs, max(n_cells, n_codes)).collect()
+        seed_rows.sort(key=lambda r: (r._h, r._id))
+        coarse_rows = [(c, [float(x) for x in r._v])
+                       for c, r in enumerate(seed_rows[:n_cells])]
+        codebooks = [
+            [(c, [float(x) for x in r._v[i * sub:(i + 1) * sub]])
+             for c, r in enumerate(seed_rows[:n_codes])]
+            for i in range(m)]
 
     def assigned_df():
         df = vecs.withColumn("cell", kmeans_assign_expr(coarse_rows, "_v"))
@@ -781,7 +812,7 @@ def ivfpq_search(emb: DataFrame, query_vec: list[float], k: int = 10,
                   .drop("_sl"))
         return df
 
-    for _ in range(n_iter):
+    for _ in range(n_iter if build_needed else 0):
         ex = assigned_df().select(
             "cell", *[f"c{i}" for i in range(m)],
             F.posexplode("_v").alias("_p", "_val"))
@@ -869,13 +900,33 @@ def batch_topk_cosine(queries: DataFrame, corpus: DataFrame,
             .select("qid", id_col, "cosine", "rk"))
 
 
+def with_residual(df: DataFrame, coarse_rows: list) -> DataFrame:
+    """Append (cell, _r = _v − coarse_centroid(cell)) to a ``(_id,
+    _v)`` projection — the IVF residual stream as a PURE MAP: the
+    map-side cell expression selects one of the k centroid literals
+    and ``zip_with`` subtracts it, zero joins/shuffles. Shared by the
+    residual search and the quantized-suite shared build."""
+    cents_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in cent])
+        for _c, cent in coarse_rows])         # ordered by cell 0..k-1
+    cell = kmeans_assign_expr(coarse_rows, "_v")
+    cent = F.element_at(cents_arr, F.col("cell") + 1)
+    return (df.withColumn("cell", cell)
+            .withColumn("_r", F.zip_with("_v", cent,
+                                         lambda a, b: a - b)))
+
+
 def ivfpq_residual_search(emb: DataFrame, query_vec: list[float],
                           k: int = 10, n_cells: int = 8,
                           n_probe: int = 2, m: int = 4,
                           n_codes: int = 8, n_iter: int = 2,
                           dim: int = 64, vec_col: str = "embedding",
                           id_col: str = "vec_id",
-                          round_digits: int = 6) -> DataFrame:
+                          round_digits: int = 6,
+                          vecs: DataFrame | None = None,
+                          coarse_rows: list | None = None,
+                          res_codebooks: list | None = None
+                          ) -> DataFrame:
     """RESIDUAL-encoded IVF-PQ (FAISS's ``by_residual=True`` default):
     the PQ codebooks quantize ``v − coarse_centroid(cell(v))`` instead
     of the raw vector, so all of the codebook's resolution is spent on
@@ -890,30 +941,32 @@ def ivfpq_residual_search(emb: DataFrame, query_vec: list[float],
     encode stage adds ZERO shuffles; search stays codes-only with a
     cell-dispatched CASE over the probed cells' lookup tables,
     TakeOrderedAndProject at the end. Distances round before
-    ranking."""
-    vecs = emb.select(
-        F.col(id_col).alias("_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
-    ).localCheckpoint(eager=True)
-    coarse = kmeans_centroids(None, n_cells, n_iter, vecs=vecs)
-    coarse_rows = sorted((r.cell, list(r.centroid))
-                         for r in coarse.collect())
-    cents_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in cent])
-        for _c, cent in coarse_rows])         # ordered by cell 0..k-1
+    ranking.
 
-    def with_residual(df):
-        cell = kmeans_assign_expr(coarse_rows, "_v")
-        cent = F.element_at(cents_arr, F.col("cell") + 1)
-        return (df.withColumn("cell", cell)
-                .withColumn("_r", F.zip_with("_v", cent,
-                                             lambda a, b: a - b)))
-
-    residuals = (with_residual(vecs)
-                 .select("_id", F.col("_r").alias("_v"))
-                 .localCheckpoint(eager=True))
-    _, codebooks = pq_encode(None, m, n_codes, n_iter, dim,
-                             vecs=residuals)
+    ``vecs``/``coarse_rows``/``res_codebooks`` (round 6) are the
+    index-amortization hooks, same contract as :func:`ivfpq_search`:
+    inject a checkpointed projection, a previously built coarse
+    quantizer, and previously trained RESIDUAL-stream codebooks and
+    the builds are skipped (equality with the self-build path is
+    pytest-pinned)."""
+    if vecs is None:
+        vecs = emb.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col),
+                        lambda x: x.cast("double")).alias("_v")
+        ).localCheckpoint(eager=True)
+    if coarse_rows is None:
+        coarse = kmeans_centroids(None, n_cells, n_iter, vecs=vecs)
+        coarse_rows = sorted((r.cell, list(r.centroid))
+                             for r in coarse.collect())
+    if res_codebooks is None:
+        residuals = (with_residual(vecs, coarse_rows)
+                     .select("_id", F.col("_r").alias("_v"))
+                     .localCheckpoint(eager=True))
+        _, codebooks = pq_encode(None, m, n_codes, n_iter, dim,
+                                 vecs=residuals)
+    else:
+        codebooks = res_codebooks
 
     qd = [float(x) for x in query_vec]
     ranked = sorted(coarse_rows,
@@ -923,7 +976,7 @@ def ivfpq_residual_search(emb: DataFrame, query_vec: list[float],
     sub = dim // m
 
     # codes over the residual stream, cell kept on the row
-    df = with_residual(vecs)
+    df = with_residual(vecs, coarse_rows)
     for i in range(m):
         df = (df.withColumn("_sl", F.slice("_r", i * sub + 1, sub))
               .withColumn(f"c{i}",

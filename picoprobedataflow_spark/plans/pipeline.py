@@ -1838,6 +1838,58 @@ def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_M, _PQ_CODES, _PQ_ITER, _PQ_TOPK = 4, 8, 2, 10
 
+#: One quantizer build per (session, sf_dir): the three quantized ANN
+#: entries (pq_adc / ivfpq / ivfpq_residual) train overlapping
+#: codebooks — identical raw-vector subspace books for pq_adc and
+#: ivfpq (same md5 seeds, same per-(subspace, cell, dim) mean
+#: multisets, see ivfpq_search's docstring) and an identical coarse
+#: quantizer for ivfpq and the residual path. At 100 TB an index is
+#: built once and served to every query; rebuilding it per search
+#: call is a benchmark artifact, so the suite amortizes ONE build
+#: across all three searches (round-6 ask; ≡ per-search builds,
+#: pytest-pinned in tests/test_operators.py).
+_QUANT_BUILD_CACHE: dict[tuple, tuple] = {}
+
+
+def _quant_shared_build(spark: SparkSession, sf_dir: str) -> tuple:
+    """(qvec, vecs, codes, raw_books, coarse_rows, res_books) for the
+    quantized-ANN family, memoized per (applicationId, sf_dir).
+
+    Build cost once: one eager checkpoint of the (_id, _v)
+    projection, one raw-vector PQ build (shared pq_adc + ivfpq), one
+    coarse k-means build (shared ivfpq + residual), one residual-
+    stream PQ build — vs four overlapping Lloyd's loops when each
+    search builds privately. Everything cached driver-side is
+    k·dim-bounded (codebooks); the big objects are DataFrames over
+    localCheckpointed RDDs that survive ``spark.catalog.clearCache``.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir,
+           _PQ_M, _PQ_CODES, _PQ_ITER, _KM_K, _KM_ITER)
+    hit = _QUANT_BUILD_CACHE.get(key)
+    if hit is not None:
+        return hit
+    emb = tbl(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    vecs = (emb.filter(F.col("vec_id") > 0)
+            .select(F.col("vec_id").alias("_id"),
+                    F.transform(F.col("embedding"),
+                                lambda x: x.cast("double")).alias("_v"))
+            .localCheckpoint(eager=True))
+    codes, raw_books = SIM.pq_encode(None, _PQ_M, _PQ_CODES, _PQ_ITER,
+                                     vecs=vecs)
+    coarse = SIM.kmeans_centroids(None, _KM_K, _KM_ITER, vecs=vecs)
+    coarse_rows = sorted((r.cell, [float(x) for x in r.centroid])
+                         for r in coarse.collect())
+    residuals = (SIM.with_residual(vecs, coarse_rows)
+                 .select("_id", F.col("_r").alias("_v"))
+                 .localCheckpoint(eager=True))
+    _, res_books = SIM.pq_encode(None, _PQ_M, _PQ_CODES, _PQ_ITER,
+                                 vecs=residuals)
+    out = (qvec, vecs, codes, raw_books, coarse_rows, res_books)
+    _QUANT_BUILD_CACHE[key] = out
+    return out
+
 
 def _pq_oracle(m: int, k: int, n_iter: int, topk: int,
                dim: int = 64) -> str:
@@ -1880,12 +1932,11 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal lookup tables + TakeOrderedAndProject — which is the
     64×-compressed scan a 100 TB ANN store runs; distances rounded
     to 6 dp before ranking, id tie-break."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in
-            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
-    return SIM.pq_adc_search(emb.filter(F.col("vec_id") > 0), qvec,
-                             k=_PQ_TOPK, m=_PQ_M, n_codes=_PQ_CODES,
-                             n_iter=_PQ_ITER)
+    qvec, _vecs, codes, raw_books, _cr, _rb = _quant_shared_build(
+        spark, sf_dir)
+    return SIM.pq_adc_search(None, qvec, k=_PQ_TOPK, m=_PQ_M,
+                             n_codes=_PQ_CODES, n_iter=_PQ_ITER,
+                             prebuilt=(codes, raw_books))
 
 
 # --------------------------------------------------------------------------
@@ -2149,13 +2200,13 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope) — the heaviest oracle in the catalog, and the reason
     every build CTE stays MATERIALIZED (inlined, the chain re-expands
     geometrically)."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in
-            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
-    return SIM.ivfpq_search(emb.filter(F.col("vec_id") > 0), qvec,
-                            k=_IVFPQ_TOPK, n_cells=_KM_K,
+    qvec, vecs, _codes, raw_books, coarse_rows, _rb = \
+        _quant_shared_build(spark, sf_dir)
+    return SIM.ivfpq_search(None, qvec, k=_IVFPQ_TOPK, n_cells=_KM_K,
                             n_probe=_IVFPQ_PROBE, m=_PQ_M,
-                            n_codes=_PQ_CODES, n_iter=_KM_ITER)
+                            n_codes=_PQ_CODES, n_iter=_KM_ITER,
+                            vecs=vecs, coarse_rows=coarse_rows,
+                            codebooks=raw_books)
 
 
 # --------------------------------------------------------------------------
@@ -2536,13 +2587,13 @@ def ann_ivfpq_residual_topk(spark: SparkSession,
     is a pure map (zip_with against cell-dispatched centroid
     literals): zero extra shuffles over the raw-vector IVF-PQ, and
     the search plan is still codes-only → TakeOrderedAndProject."""
-    emb = tbl(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in
-            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qvec, vecs, _codes, _raw, coarse_rows, res_books = \
+        _quant_shared_build(spark, sf_dir)
     return SIM.ivfpq_residual_search(
-        emb.filter(F.col("vec_id") > 0), qvec, k=_IVFPQ_TOPK,
+        None, qvec, k=_IVFPQ_TOPK,
         n_cells=_KM_K, n_probe=_IVFPQ_PROBE, m=_PQ_M,
-        n_codes=_PQ_CODES, n_iter=_KM_ITER)
+        n_codes=_PQ_CODES, n_iter=_KM_ITER,
+        vecs=vecs, coarse_rows=coarse_rows, res_codebooks=res_books)
 
 
 # --------------------------------------------------------------------------

@@ -1109,6 +1109,43 @@ def test_ivfpq_plan_and_probe_semantics(spark):
     assert adcs == sorted(adcs) and all(a >= 0 for a in adcs)
 
 
+def test_quant_shared_build_equals_self_build(spark):
+    """Round 6: the quantized-suite shared build (one coarse k-means +
+    one raw-vector PQ + one residual PQ, injected into all three
+    searches) must be row-identical to each search building its own
+    index — the independent-vs-joint-build equality the docstrings
+    claim. Also pins that the memo caches: a second call returns the
+    same objects without re-building."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    corpus = emb.filter(F.col("vec_id") > 0)
+    qvec = [float(x) for x in
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+
+    PL._QUANT_BUILD_CACHE.clear()
+    shared_pq = PL.ann_pq_adc_topk(spark, sf).collect()
+    shared_ivfpq = PL.ann_ivfpq_topk(spark, sf).collect()
+    shared_res = PL.ann_ivfpq_residual_topk(spark, sf).collect()
+    assert len(PL._QUANT_BUILD_CACHE) == 1
+    build = next(iter(PL._QUANT_BUILD_CACHE.values()))
+    assert PL.ann_pq_adc_topk(spark, sf).collect() == shared_pq
+    assert next(iter(PL._QUANT_BUILD_CACHE.values())) is build
+
+    self_pq = SIM.pq_adc_search(corpus, qvec, k=10, m=4, n_codes=8,
+                                n_iter=2).collect()
+    self_ivfpq = SIM.ivfpq_search(corpus, qvec, k=10, n_cells=8,
+                                  n_probe=2, m=4, n_codes=8,
+                                  n_iter=2).collect()
+    self_res = SIM.ivfpq_residual_search(corpus, qvec, k=10, n_cells=8,
+                                         n_probe=2, m=4, n_codes=8,
+                                         n_iter=2).collect()
+    assert shared_pq == self_pq
+    assert shared_ivfpq == self_ivfpq
+    assert shared_res == self_res
+
+
 def test_ann_probe_all_recovers_exact_topk(spark):
     """Approximation-quality mechanism pins: (a) IVF-k-means with
     n_probe = n_cells is EXACT — probing every cell degenerates to
