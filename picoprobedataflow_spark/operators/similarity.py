@@ -428,12 +428,23 @@ def kmeans_centroids(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
     seed_rows.sort(key=lambda r: (r._h, r._id))
     cent_rows = [(i, [float(x) for x in r._v])
                  for i, r in enumerate(seed_rows)]
+    spark = vecs.sparkSession
     for _ in range(n_iter):
         # Assignment is the map-side centroid-literal expression (no
         # crossJoin, no shuffle) and _v never leaves the row, so one
         # iteration is exactly ONE shuffle: the (cell, dim) mean.
-        assigned = vecs.withColumn(
-            "cell", kmeans_assign_expr(cent_rows, vec_col="_v"))
+        # Past EXPR_ASSIGN_MAX_K cells the packed-broadcast twin
+        # takes over (same fold, same tie-break, O(1) plan size) —
+        # at large k the literal expression's per-compile
+        # analysis/codegen cost would dominate the iteration.
+        if n_clusters <= EXPR_ASSIGN_MAX_K:
+            assigned = vecs.withColumn(
+                "cell", kmeans_assign_expr(cent_rows, vec_col="_v"))
+        else:
+            assigned = with_cell_packed(
+                vecs, spark.createDataFrame(
+                    cent_rows, schema="cell int, centroid array<double>"),
+                vec_col="_v")
         longf = assigned.select("cell",
                                 F.posexplode("_v").alias("dim", "val"))
         means = (longf.groupBy("cell", "dim")
@@ -512,6 +523,45 @@ def kmeans_assign_shuffle(vecs: DataFrame, cents: DataFrame,
                 .agg(F.min_by("cell", F.struct("_d", "cell")).alias("cell")))
 
 
+#: Above this k the inlined centroid-literal expression's Catalyst
+#: analysis + codegen cost (k·dim literal nodes, ~3 s at k·dim=2048,
+#: paid PER PLAN COMPILE) outweighs its zero-plan-overhead execution;
+#: switch to the packed-broadcast formulation below, whose plan is a
+#: 1-row BroadcastNestedLoopJoin regardless of k.
+EXPR_ASSIGN_MAX_K = 16
+
+
+def with_cell_packed(df: DataFrame, cents: DataFrame,
+                     vec_col: str = "_v",
+                     out_col: str = "cell") -> DataFrame:
+    """Nearest-centroid assignment with the centroid table carried as
+    DATA, not expression nodes: the k (cell, centroid) rows collapse
+    into ONE packed array row that is broadcast and cross-joined
+    (1-row BroadcastNestedLoopJoin — no shuffle, no per-vector row
+    blowup), and the argmin is ``array_min`` over
+    (sqdist, cell) structs built by ``transform`` — the SAME
+    ascending-dim fold and (distance, cell) tie-break as
+    :func:`kmeans_assign_expr`, so the three formulations are
+    interchangeable (equality pytest-pinned). Unlike the literal
+    expression, plan size is O(1) in k: this is the formulation for
+    k past :data:`EXPR_ASSIGN_MAX_K`, where inlining k·dim literals
+    makes every plan compile pay seconds of analysis/codegen.
+    All other columns of ``df`` pass through unchanged."""
+    packed = cents.agg(
+        F.sort_array(F.collect_list(F.struct(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("centroid").alias("centroid")))).alias("_cents"))
+    return (df.crossJoin(F.broadcast(packed))
+              .withColumn(out_col, F.array_min(F.transform(
+                  "_cents",
+                  lambda c: F.struct(
+                      sqdist(F.col(vec_col),
+                             c.getField("centroid")).alias("d"),
+                      c.getField("cell").alias("cell"))))
+                  .getField("cell"))
+              .drop("_cents"))
+
+
 def ivf_kmeans_search(emb: DataFrame, query_vec: list[float], k: int = 5,
                       n_probe: int = 2, n_clusters: int = 8,
                       n_iter: int = 2, vec_col: str = "embedding",
@@ -559,10 +609,31 @@ def ivf_kmeans_search(emb: DataFrame, query_vec: list[float], k: int = 5,
             .limit(k))
 
 
-def semantic_dedup(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
+#: SemDeDup auto-k default: cells sized so the expected population is
+#: ~this many vectors. Within-cell pair work is then O(N · pop), i.e.
+#: LINEAR in the corpus — with a fixed k it is O(N²/k), the classic
+#: SemDeDup scale-killer (cell population grows ∝ N).
+SEMDEDUP_TARGET_CELL_POP = 64
+
+
+def semdedup_auto_k(n_vectors: int,
+                    target_cell_pop: int = SEMDEDUP_TARGET_CELL_POP,
+                    k_min: int = 8) -> int:
+    """Corpus-derived cluster count for :func:`semantic_dedup`:
+    ``max(k_min, ceil(N / target_cell_pop))``. Keeping the expected
+    cell population constant makes the within-cell self-join scale
+    linearly with the corpus instead of quadratically — the rule the
+    oracle replays (same formula, SQL-side count)."""
+    return max(k_min, -(-int(n_vectors) // int(target_cell_pop)))
+
+
+def semantic_dedup(emb: DataFrame, n_clusters: int | None = None,
+                   n_iter: int = 2,
                    threshold: float = 0.4, vec_col: str = "embedding",
                    id_col: str = "vec_id",
-                   round_digits: int = 6) -> DataFrame:
+                   round_digits: int = 6,
+                   target_cell_pop: int = SEMDEDUP_TARGET_CELL_POP
+                   ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding
     space with the deterministic k-means build, evaluate cosine only
     WITHIN each cluster, and greedily keep the smallest-id member of
@@ -575,22 +646,40 @@ def semantic_dedup(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
     (catalog rule: never let a last-ulp difference flip a boundary
     decision).
 
+    ``n_clusters`` defaults to the AUTO-K rule
+    (:func:`semdedup_auto_k`): k = max(8, ceil(N/target_cell_pop)),
+    derived from one count over the already-checkpointed projection —
+    so the default configuration keeps the expected cell population
+    at ``target_cell_pop`` regardless of corpus size. An explicit
+    ``n_clusters`` overrides (test/oracle pinning).
+
     Scale shape: the build is the sampled-corpus k-means pass
     (:func:`kmeans_centroids` — one (cell, dim) aggregate per
-    iteration); assignment is the shuffle-free map-side expression;
-    the only quadratic work is the within-cell self-join, which is
-    the SemDeDup trick — with the learned cell as a partition key the
-    join is partition-local, and cell population is corpus/k, never
-    the corpus. The neighbor aggregate is one hash shuffle keyed by
-    the high-cardinality vector id."""
+    iteration); assignment is the shuffle-free map-side expression
+    (switching to the packed-broadcast formulation
+    :func:`with_cell_packed` past :data:`EXPR_ASSIGN_MAX_K` cells,
+    where inlined literals would dominate plan compile); the only
+    quadratic work is
+    the within-cell self-join, which is the SemDeDup trick — with the
+    learned cell as a partition key the join is partition-local, and
+    under auto-k cell population is ~target_cell_pop, never corpus/k
+    of a growing corpus. The neighbor aggregate is one hash shuffle
+    keyed by the high-cardinality vector id."""
     vecs = emb.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
     ).localCheckpoint(eager=True)
+    if n_clusters is None:
+        n_clusters = semdedup_auto_k(vecs.count(), target_cell_pop)
     cents = kmeans_centroids(emb, n_clusters, n_iter, vec_col, id_col,
                              vecs=vecs)
-    cent_rows = sorted((r.cell, list(r.centroid)) for r in cents.collect())
-    assigned = vecs.withColumn("cell", kmeans_assign_expr(cent_rows, "_v"))
+    if n_clusters <= EXPR_ASSIGN_MAX_K:
+        cent_rows = sorted((r.cell, list(r.centroid))
+                           for r in cents.collect())
+        assigned = vecs.withColumn("cell",
+                                   kmeans_assign_expr(cent_rows, "_v"))
+    else:
+        assigned = with_cell_packed(vecs, cents, vec_col="_v")
 
     a = assigned.select(F.col("_id").alias("id_a"),
                         F.col("_v").alias("v_a"),

@@ -747,7 +747,7 @@ def ann_srp_matrix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K, _KM_ITER, _KM_PROBE, _KM_TOPK = 8, 2, 2, 5
 
 
-def _kmeans_build_ctes(k: int, n_iter: int, dim: int = 64,
+def _kmeans_build_ctes(k: int | str, n_iter: int, dim: int = 64,
                        suffix: str = "",
                        slice_lo: int | None = None,
                        source: str | None = None) -> list[str]:
@@ -1788,8 +1788,16 @@ def token_budget_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_THR = 0.4
 
+#: The oracle's replay of :func:`operators.similarity.semdedup_auto_k`
+#: — same formula, SQL-side count over the same vec_id > 0 corpus the
+#: Spark path counts. ``ve`` is the build chain's vector CTE, so the
+#: subquery costs one count over an already-materialized CTE.
+_SEMDEDUP_K_SQL = (
+    "(SELECT GREATEST(8, CAST(ceil(count(*) / "
+    "{pop}.0) AS BIGINT)) FROM ve)")
 
-def _semdedup_oracle(k: int, n_iter: int, thr: float,
+
+def _semdedup_oracle(k: int | str, n_iter: int, thr: float,
                      dim: int = 64) -> str:
     ctes = _kmeans_build_ctes(k, n_iter, dim)
     ctes.append(f"""pairs AS MATERIALIZED (
@@ -1816,16 +1824,20 @@ FROM assignf a LEFT JOIN agg g ON g.vid = a.vec_id
 
 def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings corpus (vec 0 is the reserved
-    query vector, excluded): k-means the embedding space (8 cells, 2
-    deterministic md5-seeded Lloyd iterations — the same build the
-    IVF entry replays, one shared CTE chain in the oracle), then
-    prune any vector with a smaller-id cluster-mate at rounded cosine
-    ≥ 0.4. One verdict row per vector: (vec_id, cell, n_similar,
-    keep). Cosine evaluates ONLY within cells — the SemDeDup
-    sub-quadratic trick; with the learned cell as a partition key the
-    self-join is partition-local at 100 TB."""
+    query vector, excluded): k-means the embedding space with the
+    AUTO-K default — k = max(8, ceil(N/64)) cells
+    (:func:`operators.similarity.semdedup_auto_k`; the oracle replays
+    the same rule via a SQL-side count), 2 deterministic md5-seeded
+    Lloyd iterations — then prune any vector with a smaller-id
+    cluster-mate at rounded cosine ≥ 0.4. One verdict row per vector:
+    (vec_id, cell, n_similar, keep). Cosine evaluates ONLY within
+    cells — the SemDeDup sub-quadratic trick; under auto-k the
+    expected cell population is pinned (~64), so within-cell pair
+    work stays LINEAR in the corpus instead of the fixed-k O(N²/k);
+    with the learned cell as a partition key the self-join is
+    partition-local at 100 TB."""
     emb = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
-    return SIM.semantic_dedup(emb, n_clusters=_KM_K, n_iter=_KM_ITER,
+    return SIM.semantic_dedup(emb, n_iter=_KM_ITER,
                               threshold=_SEMDEDUP_THR)
 
 
@@ -3637,7 +3649,10 @@ _EMBED_DEDUP_ORACLE = "\nUNION ALL\n".join([
     _fam_sql("mrl", "{mrl}",
              n=("trunc_dim", "vec_id", "rk"), v=("cosine",)),
 ]).format(near=_NEARDUP_ORACLE,
-          sem=_semdedup_oracle(_KM_K, _KM_ITER, _SEMDEDUP_THR),
+          sem=_semdedup_oracle(
+              _SEMDEDUP_K_SQL.format(
+                  pop=SIM.SEMDEDUP_TARGET_CELL_POP),
+              _KM_ITER, _SEMDEDUP_THR),
           knn=_KNN_GRAPH_ORACLE,
           knncl=_KNN_CLUSTERS_ORACLE,
           hneg=_HARDNEG_ORACLE,

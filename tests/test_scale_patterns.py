@@ -400,6 +400,80 @@ def test_kmeans_assign_mapside_equals_shuffle_and_plans_narrow(spark):
     assert "Join" not in plan, plan
 
 
+def test_kmeans_assign_packed_equals_expr_and_shuffle(spark):
+    """The packed-broadcast assignment (centroids as ONE broadcast
+    data row, argmin via transform/array_min) must agree row-for-row
+    with BOTH the literal-expression and the crossJoin/min_by
+    formulations at a k past EXPR_ASSIGN_MAX_K — same sqdist fold,
+    same (distance, cell) tie-break — and its plan must be
+    shuffle-free: the only join is the 1-row broadcast nested loop,
+    never an Exchange of the corpus. This is the formulation auto-k
+    SemDeDup rides once cell count grows with the corpus."""
+    from picoprobedataflow_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_v")
+    ).localCheckpoint(eager=True)
+    k = SIM.EXPR_ASSIGN_MAX_K + 9
+    cents = SIM.kmeans_centroids(emb, n_clusters=k, n_iter=1, vecs=vecs)
+    cent_rows = sorted((r.cell, list(r.centroid))
+                       for r in cents.collect())
+
+    packed = SIM.with_cell_packed(vecs, cents, vec_col="_v")
+    expr = vecs.withColumn("cell",
+                           SIM.kmeans_assign_expr(cent_rows, "_v"))
+    shuffled = SIM.kmeans_assign_shuffle(vecs, cents,
+                                         vec_col="_v", id_col="_id")
+    got = sorted((r._id, r.cell) for r in packed.collect())
+    assert got == sorted((r._id, r.cell) for r in expr.collect())
+    assert got == sorted((r._id, r.cell) for r in shuffled.collect())
+    assert len({c for _, c in got}) > 2
+
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_semdedup_auto_k_rule():
+    """auto-k pins expected cell population: k = max(8, ceil(N/pop)).
+    At the driver's correctness SF (N=499) auto-k lands exactly on
+    the historical fixed default (8), so the oracle-gated result is
+    the same query; past that it grows linearly with the corpus."""
+    from picoprobedataflow_spark.operators.similarity import (
+        SEMDEDUP_TARGET_CELL_POP, semdedup_auto_k)
+
+    assert SEMDEDUP_TARGET_CELL_POP == 64
+    assert semdedup_auto_k(1) == 8
+    assert semdedup_auto_k(499) == 8        # sf0.001 / sf0.01 corpus
+    assert semdedup_auto_k(512) == 8
+    assert semdedup_auto_k(513) == 9
+    assert semdedup_auto_k(1999) == 32      # sf0.1 corpus
+    assert semdedup_auto_k(10**9) == 15_625_000
+    assert semdedup_auto_k(1999, target_cell_pop=128) == 16
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    """A chain graph longer than max_iter one-hop rounds must still
+    reach the true fixpoint (everything labeled with the chain's min
+    id): the pointer-jumping shortcut doubles label reach per round,
+    so rounds are O(log diameter). Without it, a 70-edge chain under
+    max_iter=25 exits early with a WRONG partial labeling — exactly
+    the silent divergence observed on a 122-node mutual-kNN
+    component at sf0.1."""
+    from picoprobedataflow_spark.operators.dedup import \
+        connected_components
+
+    n = 70
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long")
+    out = {r.node: r.comp
+           for r in connected_components(edges, max_iter=25).collect()}
+    assert len(out) == n + 1
+    assert set(out.values()) == {0}, sorted(set(out.values()))[:5]
+
+
 def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
     """Spark's runtime bloom-filter injection — the engine-level semi-
     join pushdown that matters at 100 TB: a selective filter on the
