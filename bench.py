@@ -257,9 +257,23 @@ def main() -> None:
                 round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
 
+    # Load the previous board ONCE: it drives both the delta_vs_prev
+    # report below and the extra-rep classification here. Classifying
+    # from the PREVIOUS round's per-key timings (when comparable)
+    # keeps each key's rep count stable round-over-round, so minima
+    # are like-for-like — classifying from this run's own best-of-3
+    # made a key hovering near the 1 s threshold get 5 reps one round
+    # and 3 the next (non-uniform downward bias on its delta).
+    prev = _load_prev_bench()
     for _ in range(n_reps):
         _one_pass(bench)
-    extra = [n for n, ts in reps_out.items() if min(ts) < 1.0]
+    prev_q_for_reps = (prev or {}).get("queries", {}) \
+        if prev and prev.get("sf") == sf \
+        and prev.get("bench_rev", 0) >= 3 else {}
+    extra_rule = "prev_round" if prev_q_for_reps else "current_min"
+    extra = [n for n, ts in reps_out.items()
+             if (prev_q_for_reps[n] < 1.0 if n in prev_q_for_reps
+                 else min(ts) < 1.0)]
     for _ in range(2):
         _one_pass(extra)
 
@@ -299,14 +313,18 @@ def main() -> None:
         "sf": out["sf"],
         "reps": reps_out,
         "extra_rep_keys": sorted(extra),
+        "extra_rep_rule": extra_rule,
+        "rep_counts": {n: len(ts) for n, ts in reps_out.items()},
         "variants": variant_timings,
         "variant_reps": variant_reps,
     }
     # Regression guardrail: compare per-query against the newest
-    # BENCH_r*.json next to this script so a >1.5x slowdown is visible
-    # at build time, not judge time. stderr only — stdout stays the one
-    # JSON line the driver parses.
-    prev = _load_prev_bench()
+    # BENCH_r{N}.json next to this script so a >1.5x slowdown is
+    # visible at build time, not judge time. stderr only — stdout
+    # stays the one JSON line the driver parses (plus the
+    # delta_vs_prev_file field naming the baseline, so the board
+    # says what the deltas are AGAINST). `prev` was loaded above,
+    # before timing, to drive the extra-rep classification.
     if prev and prev.get("sf") != out["sf"]:
         print(f"NOTE: {prev['_file']} was recorded at sf="
               f"{prev.get('sf')} (current {out['sf']}); skipping "
@@ -334,6 +352,9 @@ def main() -> None:
                   for n, t in timings.items()
                   if prev_q.get(n)}
         out["delta_vs_prev"] = deltas
+        out["delta_vs_prev_file"] = prev["_file"]
+        print(f"NOTE: delta_vs_prev computed against {prev['_file']} "
+              f"(bench_rev {prev.get('bench_rev')}).", file=sys.stderr)
         regressed = {n: d for n, d in deltas.items() if d >= 1.5}
         if regressed:
             print(f"WARNING: >=1.5x regression vs {prev['_file']}: "
@@ -348,7 +369,7 @@ def main() -> None:
     if len(line) >= 2000:
         # Never let the driver-parsed line outgrow the tail capture
         # again: shed optional fields until it fits.
-        for drop in ("delta_vs_prev",):
+        for drop in ("delta_vs_prev", "delta_vs_prev_file"):
             out.pop(drop, None)
             line = json.dumps(out)
             if len(line) < 2000:
@@ -413,12 +434,18 @@ def _bench_rev_of(d: dict, fname: str) -> int:
 
 
 def _load_prev_bench() -> dict | None:
-    """Newest BENCH_r*.json with per-query timings. The driver wraps
-    our stdout JSON line inside a capture record (the line lives in its
-    'tail' string), so accept either the bare line or the wrapper."""
+    """Newest BENCH_r{N}.json with per-query timings. The driver
+    wraps our stdout JSON line inside a capture record (the line
+    lives in its 'tail' string), so accept either the bare line or
+    the wrapper. Only round files (BENCH_r<digits>.json) are
+    candidates — the BENCH_reps.json side file this script writes
+    also matches the glob and must never become the regression
+    baseline."""
     import glob
     here = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    files = sorted(
+        f for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(f)))
     for f in reversed(files):
         try:
             with open(f) as fh:

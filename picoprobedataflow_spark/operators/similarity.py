@@ -839,7 +839,8 @@ def ivfpq_search(emb: DataFrame, query_vec: list[float], k: int = 10,
                  round_digits: int = 6,
                  vecs: DataFrame | None = None,
                  coarse_rows: list | None = None,
-                 codebooks: list | None = None) -> DataFrame:
+                 codebooks: list | None = None,
+                 rerank: int | None = None) -> DataFrame:
     """IVF-PQ composed search (the FAISS IVFPQ architecture, raw-
     vector PQ — no residual encoding): a full-space k-means coarse
     quantizer restricts the scan to the ``n_probe`` cells nearest the
@@ -847,6 +848,20 @@ def ivfpq_search(emb: DataFrame, query_vec: list[float], k: int = 10,
     distance — the memory-compressed probe a 100 TB vector store
     actually runs (cell = partition key → the probe is partition
     pruning; ADC reads codes, never vectors).
+
+    ``rerank`` (round 7) adds the production REFINE stage (FAISS
+    IVFPQ+refine): the ADC ranking keeps a ``rerank``-deep shortlist
+    instead of k, and the true vectors of ONLY those rows are
+    fetched (one broadcast semi-join of ``rerank`` ids — at 100 TB
+    this is the bounded id-lookup against the vector store, never a
+    corpus scan) and re-scored with exact cosine; the top-k of the
+    refined scores is returned as (id, cosine). ADC quantization
+    error then only hurts if a true neighbor falls OUT of the
+    shortlist, so recall is governed by (probe coverage ∩ shortlist
+    depth) — measured at sf0.01: 64 cells / probe 16 / m=8 / 256
+    codes / rerank 50 achieves recall@10 = 1.0 vs brute force while
+    scanning ~25% of cells and re-scoring 50 vectors (SCALE.md
+    round-7 recall table).
 
     The FIVE builds (coarse + m subspaces) run jointly: per Lloyd
     iteration, every assignment is a map-side centroid-literal
@@ -877,6 +892,14 @@ def ivfpq_search(emb: DataFrame, query_vec: list[float], k: int = 10,
                         lambda x: x.cast("double")).alias("_v")
         ).localCheckpoint(eager=True)
     sub = dim // m
+    if (coarse_rows is None) != (codebooks is None):
+        # Partial injection would silently discard the provided
+        # quantizer and re-seed BOTH from scratch — results could
+        # differ from what the caller expects. Make it loud.
+        raise ValueError(
+            "ivfpq_search: provide BOTH coarse_rows and codebooks "
+            "(injected index) or NEITHER (fresh build) — got exactly "
+            "one.")
     build_needed = coarse_rows is None or codebooks is None
     if build_needed:
         # One seed top-k serves every builder (md5(_id) rank is
@@ -893,12 +916,32 @@ def ivfpq_search(emb: DataFrame, query_vec: list[float], k: int = 10,
             for i in range(m)]
 
     def assigned_df():
-        df = vecs.withColumn("cell", kmeans_assign_expr(coarse_rows, "_v"))
+        # Past EXPR_ASSIGN_MAX_K cells/codes, the packed-broadcast
+        # assignment replaces the literal expressions (same fold,
+        # same tie-break, equality pytest-pinned): at e.g. 64 cells
+        # × 64 dims the inlined-literal plan costs seconds of
+        # analysis/codegen PER COMPILE, and this closure compiles
+        # per Lloyd iteration plus once for the search.
+        if max(n_cells, n_codes) <= EXPR_ASSIGN_MAX_K:
+            df = vecs.withColumn("cell",
+                                 kmeans_assign_expr(coarse_rows, "_v"))
+            for i in range(m):
+                df = (df.withColumn("_sl",
+                                    F.slice("_v", i * sub + 1, sub))
+                      .withColumn(f"c{i}",
+                                  kmeans_assign_expr(codebooks[i],
+                                                     "_sl"))
+                      .drop("_sl"))
+            return df
+        spark = vecs.sparkSession
+        schema = "cell int, centroid array<double>"
+        df = with_cell_packed(
+            vecs, spark.createDataFrame(coarse_rows, schema), "_v")
         for i in range(m):
-            df = (df.withColumn("_sl", F.slice("_v", i * sub + 1, sub))
-                  .withColumn(f"c{i}",
-                              kmeans_assign_expr(codebooks[i], "_sl"))
-                  .drop("_sl"))
+            df = (with_cell_packed(
+                df.withColumn("_sl", F.slice("_v", i * sub + 1, sub)),
+                spark.createDataFrame(codebooks[i], schema),
+                "_sl", out_col=f"c{i}").drop("_sl"))
         return df
 
     for _ in range(n_iter if build_needed else 0):
@@ -937,11 +980,21 @@ def ivfpq_search(emb: DataFrame, query_vec: list[float], k: int = 10,
 
     df = assigned_df()
     adc = _adc_expr(codebooks, qd, sub)
-    return (df.filter(F.col("cell").isin(probe_cells))
-            .withColumn("adc", F.round(adc, round_digits))
-            .select(F.col("_id").alias(id_col), "cell",
-                    *[f"c{i}" for i in range(m)], "adc")
-            .orderBy(F.asc("adc"), F.asc(id_col))
+    ranked = (df.filter(F.col("cell").isin(probe_cells))
+              .withColumn("adc", F.round(adc, round_digits))
+              .select(F.col("_id").alias(id_col), "cell",
+                      *[f"c{i}" for i in range(m)], "adc")
+              .orderBy(F.asc("adc"), F.asc(id_col)))
+    if rerank is None:
+        return ranked.limit(k)
+    short = ranked.limit(int(rerank)).select(id_col)
+    qcol = F.array(*[F.lit(float(x)) for x in qd])
+    return (vecs.join(F.broadcast(short),
+                      vecs["_id"] == short[id_col])
+            .select(F.col("_id").alias(id_col),
+                    F.round(V.cosine(F.col("_v"), qcol),
+                            round_digits).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
             .limit(k))
 
 

@@ -1109,6 +1109,51 @@ def test_ivfpq_plan_and_probe_semantics(spark):
     assert adcs == sorted(adcs) and all(a >= 0 for a in adcs)
 
 
+def test_ivfpq_production_config_recall(spark):
+    """The interior point the 100 TB ANN story relies on: at a
+    production-shaped configuration — 64 coarse cells, probe 16
+    (25% of cells), m=8 subquantizers × 256 codes (8-bit, the
+    standard PQ byte code), ADC shortlist 50 → exact rerank — the
+    search must reach recall@10 ≥ 0.9 against brute-force cosine at
+    sf0.01. The oracle-sized table (8 cells / 8 codes) bounds the
+    small end and the probe-all≡exact pin bounds the top; this pins
+    the middle. Decomposition behind the config (SCALE.md round 7):
+    exact probing at 16/64 cells already reaches recall 1.0 on this
+    corpus, and the true top-10 all sit within ADC rank 36, so a
+    50-deep refine recovers everything probing kept. Measured 1.0;
+    asserted ≥ 0.9 to absorb corpus regeneration."""
+    from picoprobedataflow_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    corpus = emb.filter("vec_id > 0").localCheckpoint(eager=True)
+    brute = {r.vec_id
+             for r in SIM.topk_cosine(corpus, qv, k=10).collect()}
+    got = SIM.ivfpq_search(corpus, qv, k=10, n_cells=64, n_probe=16,
+                           m=8, n_codes=256, rerank=50)
+    rows = got.collect()
+    assert len(rows) == 10
+    recall = len({r.vec_id for r in rows} & brute) / 10
+    assert recall >= 0.9, f"recall@10 = {recall}"
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivfpq_partial_injection_raises(spark):
+    """Injecting exactly one of coarse_rows/codebooks must be loud:
+    silently rebuilding BOTH would discard the provided quantizer and
+    produce results the caller did not ask for."""
+    import pytest as _pytest
+
+    from picoprobedataflow_spark.operators import similarity as SIM
+
+    emb = (spark.read
+           .parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .filter("vec_id > 0"))
+    with _pytest.raises(ValueError, match="BOTH"):
+        SIM.ivfpq_search(emb, [0.0] * 64, coarse_rows=[(0, [0.0] * 64)])
+
+
 def test_quant_shared_build_equals_self_build(spark):
     """Round 6: the quantized-suite shared build (one coarse k-means +
     one raw-vector PQ + one residual PQ, injected into all three
