@@ -147,6 +147,42 @@ def make_fake_audio(sample_rate: int, n_samples: int,
     return encode_pcm16(tone + 0.01 * rng.standard_normal(n_samples))
 
 
+#: LCG sample constants for the ORACLE-REPLAYABLE synthetic clips:
+#: s(id, i) = ((id·A + i·B) mod 65536) − 32768 as int16 PCM — plain
+#: BIGINT arithmetic a SQL engine regenerates exactly (adjacent-frame
+#: energy sums verified tie-free over the gated id range, so the
+#: delta-sign bits are ulp-robust across engines).
+SYNTH_SMP_A, SYNTH_SMP_B = 1103515245, 12345
+
+
+def synthetic_audio_corpus(ids: DataFrame, id_col: str = "doc_id",
+                           sample_rate: int = 16000,
+                           base_samples: int = 4096,
+                           frame: int = 1024) -> DataFrame:
+    """(path, sample_rate, n_samples, audio): one deterministic PCM16
+    clip per input id with n_samples = base + (id mod 4)·frame
+    (4–7 whole frames — exercises variable fingerprint lengths), the
+    audio analog of :func:`..multimodal.synthetic_image_corpus`:
+    DuckDB regenerates the identical int16 stream and replays the
+    per-frame energy comparison, while Spark runs the real
+    binary-column → ``mapInPandas`` decode plumbing."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = int(getattr(r, id_col))
+                ns = base_samples + (d % 4) * frame
+                i = np.arange(ns, dtype=np.int64)
+                s = (((d * SYNTH_SMP_A + i * SYNTH_SMP_B) % 65536)
+                     - 32768).astype("<i2")
+                rows.append((str(d), sample_rate, ns, s.tobytes()))
+            yield pd.DataFrame(rows, columns=[
+                "path", "sample_rate", "n_samples", "audio"])
+
+    return ids.select(id_col).mapInPandas(gen, AUDIO_SCHEMA)
+
+
 AUDIO_FP_SCHEMA = "path string, fp long, n_frames int"
 
 

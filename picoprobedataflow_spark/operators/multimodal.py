@@ -282,6 +282,45 @@ def make_fake_image(width: int, height: int, seed: int = 0) -> bytes:
     return rng.integers(0, 256, size=(height, width), dtype=np.uint8).tobytes()
 
 
+#: LCG pixel constants for the ORACLE-REPLAYABLE synthetic corpus:
+#: px(id, p) = (id·A + p·B) mod 256 — plain BIGINT arithmetic a SQL
+#: engine can regenerate row-for-row, unlike the PCG64 stream behind
+#: :func:`make_fake_image`. Knuth's multiplicative constant and an
+#: odd step give full-range mixing at these sizes (no pooled-mean
+#: ties over the gated id range — checked empirically).
+SYNTH_PX_A, SYNTH_PX_B = 2654435761, 40503
+
+
+def synthetic_image_corpus(ids: DataFrame, id_col: str = "doc_id",
+                           width: int = 16,
+                           height: int = 16) -> DataFrame:
+    """(path, width, height, image): one deterministic fake-codec
+    image per input id, pixels from the SQL-replayable LCG above —
+    the bridge that lets the perceptual-hash lane be ORACLE-GATED:
+    DuckDB regenerates the identical pixel grid with integer
+    arithmetic and replays the pooling, while Spark runs the real
+    binary-column → ``mapInPandas`` decode plumbing. ``path`` is the
+    stringified id (the dedup key a real ingest would carry).
+    Arrow-batched; one narrow projection in, one out."""
+    n_px = width * height
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = np.arange(n_px, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(getattr(r, id_col))
+                px = ((i * SYNTH_PX_A + p * SYNTH_PX_B) % 256) \
+                    .astype(np.uint8)
+                rows.append((str(i), width, height, px.tobytes()))
+            yield pd.DataFrame(
+                rows, columns=["path", "width", "height", "image"])
+
+    return (ids.select(id_col)
+               .mapInPandas(gen, "path string, width int, height int, "
+                                 "image binary"))
+
+
 def attach_image_metadata(images: DataFrame) -> DataFrame:
     """Typed metadata for the opaque binary column — F13/F14: the JSON
     sidecar the reference writes next to each artifact."""
