@@ -209,7 +209,20 @@ def main() -> None:
                     ("ppl_bucket_full", PL.ppl_bucket_assignments),
                     ("outliers_full",
                      PL._embedding_centroid_outliers),
-                    ("span_clean_full", PL.span_clean_texts)):
+                    ("span_clean_full", PL.span_clean_texts),
+                    # Round 7: the dedup SERVING path — same pair
+                    # queries as dedup_simhash_full/dedup_jaccard_full
+                    # but planned over the write-once persisted
+                    # signature/shingle parquet (built on first use
+                    # per session+SF, so rep[0] carries the build and
+                    # later reps show the pure serve cost — the
+                    # build/serve split is visible in the side file's
+                    # rep spread). Equality to the from-scratch paths
+                    # is pytest-pinned.
+                    ("dedup_simhash_served_full",
+                     PL.simhash_served_pairs),
+                    ("dedup_jaccard_served_full",
+                     PL.jaccard_served_pairs)):
         variants[key] = fn
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
@@ -267,9 +280,13 @@ def main() -> None:
     prev = _load_prev_bench()
     for _ in range(n_reps):
         _one_pass(bench)
-    prev_q_for_reps = (prev or {}).get("queries", {}) \
-        if prev and prev.get("sf") == sf \
-        and prev.get("bench_rev", 0) >= 3 else {}
+    try:  # prev files carry sf as a float, ours is still a string
+        prev_sf_ok = prev is not None and \
+            float(prev.get("sf")) == float(sf)
+    except (TypeError, ValueError):
+        prev_sf_ok = False
+    prev_q_for_reps = prev.get("queries", {}) \
+        if prev_sf_ok and prev.get("bench_rev", 0) >= 3 else {}
     extra_rule = "prev_round" if prev_q_for_reps else "current_min"
     extra = [n for n, ts in reps_out.items()
              if (prev_q_for_reps[n] < 1.0 if n in prev_q_for_reps

@@ -1882,6 +1882,11 @@ def _quant_shared_build(spark: SparkSession, sf_dir: str) -> tuple:
     hit = _QUANT_BUILD_CACHE.get(key)
     if hit is not None:
         return hit
+    # Eviction: entries from other (stopped/restarted) sessions pin
+    # localCheckpointed blocks that are unreachable once their app is
+    # gone — keep only the current applicationId's entries.
+    for stale in [k2 for k2 in _QUANT_BUILD_CACHE if k2[0] != key[0]]:
+        del _QUANT_BUILD_CACHE[stale]
     emb = tbl(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in
             emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
@@ -1903,6 +1908,82 @@ def _quant_shared_build(spark: SparkSession, sf_dir: str) -> tuple:
     out = (qvec, vecs, codes, raw_books, coarse_rows, res_books)
     _QUANT_BUILD_CACHE[key] = out
     return out
+
+
+# --------------------------------------------------------------------------
+# Round 7: the dedup SERVING path. At 100 TB the simhash-signature
+# and shingle tables are write-once artifacts (rebuilt when the
+# corpus changes, not per query); the from-scratch bench keys charge
+# every query the full tokenize→signature rebuild. These helpers
+# split the two costs the way a deployment would: one parquet write
+# per (session, sf_dir), then every query plans against the persisted
+# tables — the quantized-ANN shared-build pattern, applied to text.
+# --------------------------------------------------------------------------
+
+_SERVED_DEDUP_CACHE: dict[tuple, tuple] = {}
+
+
+def _served_dedup_tables(spark: SparkSession, sf_dir: str) -> tuple:
+    """(sigs, shingles): the dedup trio's write-once tables read back
+    from parquet, built and written once per (applicationId, sf_dir).
+
+    - ``sigs`` — 32-bit SimHash signatures under the production
+      xxhash64 hash (one row per doc: the 4-byte-per-doc index).
+    - ``shingles`` — the max_df-capped 3-shingle table (the document-
+      frequency cap is a corpus-level statistic, so a deployment caps
+      at WRITE time; serving then pays only the equality join).
+
+    Both land under the system temp dir keyed by applicationId, so
+    restarted sessions rebuild instead of trusting stale files; same
+    eviction policy as the quantized build cache."""
+    import os
+    import tempfile
+
+    from picoprobedataflow_spark.functions import scalar as SC
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SERVED_DEDUP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    for stale in [k2 for k2 in _SERVED_DEDUP_CACHE
+                  if k2[0] != key[0]]:
+        del _SERVED_DEDUP_CACHE[stale]
+    base = os.path.join(
+        tempfile.gettempdir(), "spark_graft_served", key[0],
+        sf_dir.strip("/").replace("/", "_"))
+    docs = tbl(spark, sf_dir, "documents")
+    sig_path = os.path.join(base, "simhash_sigs")
+    sh_path = os.path.join(base, "shingles_k3_df50")
+    (DD.simhash_signatures(docs, hash_fn=SC.fast_hash64)
+       .write.mode("overwrite").parquet(sig_path))
+    sh = DD.shingle_table(docs, k=3)
+    keep = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+              .filter(F.col("df") <= 50).select("shingle"))
+    (sh.join(keep, "shingle").select("doc_id", "shingle")
+       .write.mode("overwrite").parquet(sh_path))
+    out = (spark.read.parquet(sig_path), spark.read.parquet(sh_path))
+    _SERVED_DEDUP_CACHE[key] = out
+    return out
+
+
+def simhash_served_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs from the PERSISTED signature table:
+    chunk-explode → pigeonhole equi-join → hamming verify, with the
+    tokenize→vote signature build amortized into the write-once
+    parquet (:func:`_served_dedup_tables`). Equality to the
+    from-scratch path is pytest-pinned."""
+    sigs, _ = _served_dedup_tables(spark, sf_dir)
+    return DD.simhash_near_pairs(sigs, max_hamming=6)
+
+
+def jaccard_served_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup pairs from the PERSISTED df-capped shingle
+    table: sizes + shingle-equality join + threshold only — the
+    tokenize→window→distinct chain and the df cap are amortized into
+    the write-once parquet. Equality to the from-scratch path is
+    pytest-pinned."""
+    _, sh = _served_dedup_tables(spark, sf_dir)
+    return DD.jaccard_pairs(None, k=3, threshold=0.5, shingles=sh)
 
 
 def _pq_oracle(m: int, k: int, n_iter: int, topk: int,

@@ -474,6 +474,39 @@ def test_connected_components_converges_on_long_chain(spark):
     assert set(out.values()) == {0}, sorted(set(out.values()))[:5]
 
 
+def test_dedup_serving_path_equals_from_scratch(spark):
+    """The write-once serving split: simhash/jaccard pair queries
+    planned over the persisted signature/shingle parquet must return
+    EXACTLY the from-scratch results (same hash, same df cap, same
+    thresholds) — the serving keys measure where the cost moved, not
+    a different computation. Also pins that the second call reuses
+    the session cache (same DataFrame objects) instead of rewriting
+    the parquet."""
+    from picoprobedataflow_spark.functions import scalar as SC
+    from picoprobedataflow_spark.operators import dedup as DD
+    from picoprobedataflow_spark.plans import pipeline as PL
+    from picoprobedataflow_spark.plans.common import tbl
+
+    sf = "/root/testdata/sf0.001"
+    docs = tbl(spark, sf, "documents")
+
+    served = sorted(map(tuple,
+                        PL.simhash_served_pairs(spark, sf).collect()))
+    scratch = sorted(map(tuple, DD.simhash_dedup(
+        docs, max_hamming=6, hash_fn=SC.fast_hash64).collect()))
+    assert served == scratch and len(served) > 0
+
+    jserved = sorted(map(tuple,
+                         PL.jaccard_served_pairs(spark, sf).collect()))
+    jscratch = sorted(map(tuple, DD.jaccard_pairs(
+        docs, k=3, threshold=0.5, max_df=50).collect()))
+    assert jserved == jscratch
+
+    t1 = PL._served_dedup_tables(spark, sf)
+    t2 = PL._served_dedup_tables(spark, sf)
+    assert t1[0] is t2[0] and t1[1] is t2[1]
+
+
 def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
     """Spark's runtime bloom-filter injection — the engine-level semi-
     join pushdown that matters at 100 TB: a selective filter on the
