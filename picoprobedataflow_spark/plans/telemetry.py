@@ -33,23 +33,98 @@ from picoprobedataflow_spark.plans.common import EVENT_TYPES, cents, events_us
 # (SURVEY §2: A1, A2, A10, W1; reference flow_analyzer.py:115-135)
 # --------------------------------------------------------------------------
 
+def _mean_us_to_sec4(sum_col: str, n_col: str) -> F.Column:
+    """Σµs / n → seconds rounded HALF-UP to 4 decimals with the
+    half-up decision in EXACT BIGINT arithmetic:
+    ((2·Σ + 100·n) div (200·n)) / 1e4 for nonnegative sums (spans
+    and ordered gaps are nonnegative by construction). The naive
+    round(Σ/(n·1e6), 4) rounds a double approximation and diverges
+    between engines when the true mean lands exactly on a half-way
+    boundary — the run_overhead failure class. `div` (not floor of a
+    double quotient) because 2·Σ can exceed 2^53."""
+    return (F.expr(f"(2 * {sum_col} + 100 * {n_col}) "
+                   f"div (200 * {n_col})").cast("double") / F.lit(1e4))
+
+
+#: Oracle twin of :func:`_mean_us_to_sec4`.
+_MEAN_SEC4_SQL = ("CAST((2 * {s} + 100 * {n}) // (200 * {n}) "
+                  "AS DOUBLE) / 1e4")
+
+
+def _median_us_to_sec4(med_col: str) -> F.Column:
+    """median(µs) → seconds rounded HALF-UP to 4 decimals, exactly.
+    A BIGINT median is integer- or half-integer-valued, so 2·median
+    is an exact BIGINT; half-up at 100 µs is then
+    sign · ((|2·med| + 100) div 200) / 1e4 — engine-stable where
+    round(median/1e6, 4) is not (same failure class as the mean)."""
+    med2 = F.expr(f"CAST(round(2 * {med_col}) AS BIGINT)")
+    sign = F.when(med2 < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    q = F.expr(f"(abs(CAST(round(2 * {med_col}) AS BIGINT)) + 100) "
+               "div 200")
+    return (sign * q).cast("double") / F.lit(1e4)
+
+
+#: Oracle twin of :func:`_median_us_to_sec4` (`{m}` = the median
+#: expression, evaluated once via a wrapping SELECT where needed).
+_MEDIAN_SEC4_SQL = (
+    "CAST(CASE WHEN {m} < 0 THEN -1 ELSE 1 END "
+    "* ((abs(CAST(round(2 * ({m})) AS BIGINT)) + 100) // 200) "
+    "AS DOUBLE) / 1e4")
+
+
+def _us_to_sec4(col: F.Column) -> F.Column:
+    """Integer µs → seconds rounded HALF-UP to 4 decimals via EXACT
+    integer arithmetic: sign · ((|µs| + 50) div 100) / 1e4. Rounding
+    a float division instead (round(us/1e6, 4)) is engine-unstable
+    exactly at half-way values — observed at sf0.1: an overhead of
+    …929750 µs rounded to …9298 on Spark and …9297 on DuckDB because
+    each engine rounds its own double APPROXIMATION of the ratio.
+    Here the half-up decision happens on exact BIGINTs (the catalog's
+    exact-int-keys discipline) and the final /1e4 is the same
+    correctly-rounded division of the same integer on both engines —
+    bit-identical at any scale. floor(double-div by 100) is safe:
+    quotients ≤ ~1e11 with fractional parts in hundredths, far above
+    the 0.5-ulp division error."""
+    sign = F.when(col < 0, F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    q = F.floor((F.abs(col) + F.lit(50)) / F.lit(100)).cast("long")
+    return (sign * q).cast("double") / F.lit(1e4)
+
+
+#: The oracle twin of :func:`_us_to_sec4` — same exact-integer
+#: half-up, same final division.
+_SEC4_SQL = ("CAST(CASE WHEN {us} < 0 THEN -1 ELSE 1 END "
+             "* ((abs({us}) + 50) // 100) AS DOUBLE) / 1e4")
+
+
+
 @query(
     "flow_step_runtime_summary",
-    oracle="""
+    oracle=f"""
 WITH span AS (
   SELECT user_id, event_type,
          epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us,
          count(*) AS n_events
   FROM events GROUP BY user_id, event_type
+),
+g AS (
+  SELECT event_type,
+         CAST(sum(span_us) AS BIGINT)   AS sum_us,
+         count(*)                       AS n,
+         median(span_us)                AS med_us,
+         stddev_samp(span_us)           AS std_us,
+         min(span_us)                   AS min_us,
+         max(span_us)                   AS max_us,
+         CAST(sum(n_events) AS BIGINT)  AS n_events
+  FROM span GROUP BY event_type
 )
 SELECT event_type,
-       round(CAST(sum(span_us) AS DOUBLE) / (count(*) * 1e6), 4) AS mean_span,
-       round(CAST(median(span_us) AS DOUBLE) / 1e6, 4)           AS median_span,
-       round(stddev_samp(span_us) / 1e6, 2)                      AS std_span,
-       round(min(span_us) / 1e6, 4)                              AS min_span,
-       round(max(span_us) / 1e6, 4)                              AS max_span,
-       CAST(sum(n_events) AS BIGINT)                             AS n_events
-FROM span GROUP BY event_type
+       {_MEAN_SEC4_SQL.format(s='sum_us', n='n')}   AS mean_span,
+       {_MEDIAN_SEC4_SQL.format(m='med_us')}        AS median_span,
+       round(std_us / 1e6, 2)                       AS std_span,
+       {_SEC4_SQL.format(us='min_us')}              AS min_span,
+       {_SEC4_SQL.format(us='max_us')}              AS max_span,
+       n_events
+FROM g
 """,
     tags=("A1", "A2", "A10", "W1", "flagship"),
 )
@@ -59,23 +134,33 @@ def flow_step_runtime_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(run, step) spans. Two hash aggregations, no window —
     map-side partial agg on both; at 100 TB the first groupBy is the
     only real shuffle and it is on (user_id, event_type), a high-
-    cardinality composite key with no skew."""
+    cardinality composite key with no skew. Mean/median/min/max
+    seconds round through the exact-integer half-up helpers (the
+    run_overhead half-way failure class, found by the round-7 sf0.1
+    audit); only stddev — genuinely order-sensitive — keeps the
+    float rounding with 2-dp headroom."""
     ev = events_us(spark, sf_dir)
     span = (
         ev.groupBy("user_id", "event_type")
           .agg((F.max("ts") - F.min("ts")).alias("span_us"),
                F.count("*").alias("n_events"))
     )
-    return (
-        span.groupBy("event_type")
-            .agg(F.round(F.sum("span_us").cast("double")
-                         / (F.count("*") * F.lit(1e6)), 4).alias("mean_span"),
-                 F.round(F.median("span_us") / 1e6, 4).alias("median_span"),
-                 F.round(F.stddev_samp("span_us") / 1e6, 2).alias("std_span"),
-                 F.round(F.min("span_us") / 1e6, 4).alias("min_span"),
-                 F.round(F.max("span_us") / 1e6, 4).alias("max_span"),
-                 F.sum("n_events").alias("n_events"))
-    )
+    g = (span.groupBy("event_type")
+         .agg(F.sum("span_us").alias("sum_us"),
+              F.count("*").alias("n"),
+              F.median("span_us").alias("med_us"),
+              F.stddev_samp("span_us").alias("std_us"),
+              F.min("span_us").alias("min_us"),
+              F.max("span_us").alias("max_us"),
+              F.sum("n_events").alias("n_events")))
+    return g.select(
+        "event_type",
+        _mean_us_to_sec4("sum_us", "n").alias("mean_span"),
+        _median_us_to_sec4("med_us").alias("median_span"),
+        F.round(F.col("std_us") / 1e6, 2).alias("std_span"),
+        _us_to_sec4(F.col("min_us")).alias("min_span"),
+        _us_to_sec4(F.col("max_us")).alias("max_span"),
+        "n_events")
 
 
 # --------------------------------------------------------------------------
@@ -131,13 +216,19 @@ merged AS (
 """
 
 
+
+
+
+
+
+
 @query(
     "run_overhead",
-    oracle=_OVERHEAD_SPAN_CTE + """
+    oracle=_OVERHEAD_SPAN_CTE + f"""
 SELECT user_id,
-       round(total_us / 1e6, 4)               AS total_sec,
-       round(active_us / 1e6, 4)              AS active_sec,
-       round((total_us - active_us) / 1e6, 4) AS overhead_sec
+       {_SEC4_SQL.format(us='total_us')}              AS total_sec,
+       {_SEC4_SQL.format(us='active_us')}             AS active_sec,
+       {_SEC4_SQL.format(us='(total_us - active_us)')} AS overhead_sec
 FROM merged
 """,
     tags=("A7", "J1"),
@@ -146,7 +237,10 @@ def run_overhead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-run active time (Σ per-step spans) vs total span vs
     overhead — notebook cell 4's ``task_time``/``Overhead`` columns.
     The run⋈step join (J1) reuses the (user_id) partitioning from the
-    aggregations, so AQE plans it without an extra shuffle."""
+    aggregations, so AQE plans it without an extra shuffle. Seconds
+    columns round through :func:`_us_to_sec4` (exact-integer
+    half-up): the float-rounding form diverged between engines on a
+    half-way µs value at sf0.1."""
     ev = events_us(spark, sf_dir)
     span = (ev.groupBy("user_id", "event_type")
               .agg((F.max("ts") - F.min("ts")).alias("span_us")))
@@ -156,10 +250,10 @@ def run_overhead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         run.join(active, "user_id")
            .select("user_id",
-                   F.round(F.col("total_us") / 1e6, 4).alias("total_sec"),
-                   F.round(F.col("active_us") / 1e6, 4).alias("active_sec"),
-                   F.round((F.col("total_us") - F.col("active_us")) / 1e6, 4)
-                    .alias("overhead_sec"))
+                   _us_to_sec4(F.col("total_us")).alias("total_sec"),
+                   _us_to_sec4(F.col("active_us")).alias("active_sec"),
+                   _us_to_sec4(F.col("total_us") - F.col("active_us"))
+                   .alias("overhead_sec"))
     )
 
 
@@ -169,37 +263,52 @@ def run_overhead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "interarrival_stats",
-    oracle="""
+    oracle=f"""
 WITH deltas AS (
   SELECT event_type,
          epoch_us(ts) - epoch_us(lag(ts) OVER
             (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
   FROM events
+),
+g AS (
+  SELECT event_type,
+         CAST(sum(gap_us) AS BIGINT) AS sum_us,
+         count(gap_us)               AS n,
+         min(gap_us)                 AS min_us,
+         max(gap_us)                 AS max_us
+  FROM deltas GROUP BY event_type
 )
 SELECT event_type,
-       round(CAST(sum(gap_us) AS DOUBLE) / (count(gap_us) * 1e6), 4) AS mean_gap,
-       round(min(gap_us) / 1e6, 6) AS min_gap,
-       round(max(gap_us) / 1e6, 6) AS max_gap,
-       count(gap_us)               AS n_gaps
-FROM deltas GROUP BY event_type
+       {_MEAN_SEC4_SQL.format(s='sum_us', n='n')} AS mean_gap,
+       round(min_us / 1e6, 6) AS min_gap,
+       round(max_us / 1e6, 6) AS max_gap,
+       n                      AS n_gaps
+FROM g
 """,
     tags=("W2", "lag"),
 )
 def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-arrival gaps via ``lag`` — the natural extension
     of the notebook's pairwise event deltas (SURVEY §2.5). One shuffle
-    on user_id for the window, then a partial-agg rollup."""
+    on user_id for the window, then a partial-agg rollup. The 4-dp
+    mean rounds through the exact-integer half-up helper (run_overhead
+    failure class); the 6-dp min/max are already grid-exact (a 6-dp
+    rounding of integer µs has no half-way case)."""
     ev = events_us(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     deltas = ev.select(
         "event_type", (F.col("ts") - F.lag("ts").over(w)).alias("gap_us"))
-    return deltas.groupBy("event_type").agg(
-        F.round(F.sum("gap_us").cast("double")
-                / (F.count("gap_us") * F.lit(1e6)), 4).alias("mean_gap"),
-        F.round(F.min("gap_us") / 1e6, 6).alias("min_gap"),
-        F.round(F.max("gap_us") / 1e6, 6).alias("max_gap"),
-        F.count("gap_us").alias("n_gaps"),
-    )
+    g = deltas.groupBy("event_type").agg(
+        F.sum("gap_us").alias("sum_us"),
+        F.count("gap_us").alias("n"),
+        F.min("gap_us").alias("min_us"),
+        F.max("gap_us").alias("max_us"))
+    return g.select(
+        "event_type",
+        _mean_us_to_sec4("sum_us", "n").alias("mean_gap"),
+        F.round(F.col("min_us") / 1e6, 6).alias("min_gap"),
+        F.round(F.col("max_us") / 1e6, 6).alias("max_gap"),
+        F.col("n").alias("n_gaps"))
 
 
 # --------------------------------------------------------------------------
@@ -414,7 +523,11 @@ SELECT 'histogram', CAST(CAST(floor(value / 10.0) AS BIGINT) AS VARCHAR),
 FROM events GROUP BY 2
 UNION ALL
 SELECT 'overhead', NULL, count(*),
-       round(CAST(median(total_us - active_us) AS DOUBLE) / 1e6, 4),
+       CAST(CASE WHEN median(total_us - active_us) < 0
+                 THEN -1 ELSE 1 END
+            * ((abs(CAST(round(2 * (median(total_us - active_us)))
+                         AS BIGINT)) + 100) // 200)
+            AS DOUBLE) / 1e4,
        round(CAST(median((total_us - active_us) / (1.0 * total_us))
                   AS DOUBLE), 6),
        NULL, NULL, NULL
@@ -506,7 +619,8 @@ def event_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overhead_us", F.col("total_us") - F.col("active_us"))
     overhead = merged.agg(
         F.count("*").alias("n"),
-        F.round(F.median("overhead_us") / 1e6, 4).alias("v1"),
+        # exact-integer half-up (run_overhead half-way failure class)
+        _median_us_to_sec4("median(overhead_us)").alias("v1"),
         F.round(F.median(F.col("overhead_us")
                          / (F.lit(1.0) * F.col("total_us"))), 6).alias("v2"),
     ).select(F.lit("overhead").alias("family"),

@@ -740,3 +740,55 @@ def test_new_round5_families_scale_shapes(spark):
     for spec in specs:
         first = spec.split(",")[0]
         assert " ASC" not in first and " DESC" not in first, spec
+
+
+def test_exact_integer_second_rounding_halfway_stability(spark):
+    """The µs→seconds half-up helpers must make the SAME half-way
+    decision both engines make in exact integer arithmetic — the
+    round-7 sf0.1 audit caught run_overhead emitting …9298 on Spark
+    and …9297 on DuckDB for an overhead of …929750 µs because each
+    engine rounded its own double approximation. Pin the crafted
+    boundary cases (±…50 µs, half-integer medians, half-way means)
+    against exact decimal.Decimal HALF_UP."""
+    import decimal
+
+    import duckdb
+
+    from picoprobedataflow_spark.plans import telemetry as T
+
+    def dec4(us):  # exact half-up (away from zero) reference
+        return float((decimal.Decimal(us) / decimal.Decimal(1_000_000))
+                     .quantize(decimal.Decimal("0.0001"),
+                               rounding=decimal.ROUND_HALF_UP))
+
+    cases = [-8394866929750, 929750, 50, -50, 149, 150, 151, 0,
+             123456789, 1_000_000_000_050]
+    df = spark.createDataFrame([(c,) for c in cases], "us long")
+    got = {r.us: r.sec for r in
+           df.select("us", T._us_to_sec4(F.col("us")).alias("sec"))
+           .collect()}
+    for c in cases:
+        assert got[c] == dec4(c), (c, got[c], dec4(c))
+        # and the oracle twin agrees bit-for-bit
+        [(osec,)] = duckdb.sql(
+            "SELECT " + T._SEC4_SQL.format(us=str(c))).fetchall()
+        assert osec == got[c], (c, osec, got[c])
+
+    # mean: sum=1, n=2 → 0.5 µs → 0.0000005 s... half-way at 4dp
+    # needs sum/(100·n) half-integer: sum=150, n=1 → 1.5 → 2 (up).
+    [(m,)] = (spark.createDataFrame([(150, 1)], "s long, n long")
+              .select(T._mean_us_to_sec4("s", "n").alias("m"))
+              .collect())
+    assert m == 0.0002
+    [(om,)] = duckdb.sql(
+        "SELECT " + T._MEAN_SEC4_SQL.format(s="150", n="1")).fetchall()
+    assert om == m
+
+    # median: half-integer 2·med — 250.5 µs → 0.0003 (2.505 → 3 up)
+    [(md,)] = (spark.range(1)
+               .select(T._median_us_to_sec4("250.5").alias("md"))
+               .collect())
+    assert md == 0.0003
+    [(omd,)] = duckdb.sql(
+        "SELECT " + T._MEDIAN_SEC4_SQL.format(m="250.5")).fetchall()
+    assert omd == md
