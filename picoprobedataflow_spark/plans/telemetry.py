@@ -11,11 +11,13 @@ eager per-run pandas loop with O(n²) concat (flow_analyzer.py:166-226).
 
 Numeric discipline (oracle parity): all time arithmetic stays in exact
 int64 microseconds (DuckDB truncates parquet TIMESTAMP_NS to us;
-Spark mirrors it with ``ts div 1000``); seconds appear only as
-``exact_us / 1e6``, which both
-engines compute from the same integer → bit-identical doubles; means
-are exact-integer-sum / count. Only genuinely order-sensitive floats
-(stddev) rely on rounding headroom.
+Spark mirrors it with ``ts div 1000``); seconds appear only via the
+exact-integer half-up helpers below (``_us_to_sec4`` & twins) — the
+ROUNDING decision itself happens on BIGINTs, never on a double
+approximation, because ``round(us/1e6, 4)`` provably splits between
+engines on true half-way values (round-7 sf0.1 audit). Only genuinely
+order-sensitive floats (stddev, the overhead ratio median) rely on
+rounding headroom.
 """
 
 from __future__ import annotations
