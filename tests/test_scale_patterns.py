@@ -792,3 +792,47 @@ def test_exact_integer_second_rounding_halfway_stability(spark):
     [(omd,)] = duckdb.sql(
         "SELECT " + T._MEDIAN_SEC4_SQL.format(m="250.5")).fetchall()
     assert omd == md
+
+
+def test_connected_components_star_long_chain_and_agreement(spark):
+    """The star formulation must also reach the true fixpoint on a
+    chain longer than its round budget would allow one-hop (star
+    rounds contract in O(log² n)), and must agree node-for-node with
+    the pointer-jumping label propagation on the same graph."""
+    from picoprobedataflow_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 70
+    rows = [(i, i + 1) for i in range(n)] + [(200, 201), (300, 300)]
+    edges = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    star = {r.node: r.comp
+            for r in connected_components_star(edges).collect()}
+    prop = {r.node: r.comp
+            for r in connected_components(edges).collect()}
+    assert star == prop
+    assert all(star[i] == 0 for i in range(n + 1))
+    assert star[200] == 200 and star[201] == 200
+
+
+def test_ivfpq_rerank_plan_is_broadcast_refine(spark):
+    """The refine stage's vector fetch must be a BROADCAST of the
+    R-row shortlist into the corpus scan — never a shuffle of the
+    corpus (at 100 TB the shortlist lookup is the bounded side, the
+    vector store the big side)."""
+    from picoprobedataflow_spark.operators import similarity as SIM
+
+    emb = (spark.read
+           .parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    corpus = emb.filter("vec_id > 0")
+    df = SIM.ivfpq_search(corpus, qv, k=5, rerank=20)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    refine = plan.split("Join")[0]
+    assert "Exchange hashpartitioning" not in refine, plan
+    rows = df.collect()
+    assert len(rows) == 5
+    cosines = [r.cosine for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
