@@ -441,10 +441,8 @@ def kmeans_centroids(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
             assigned = vecs.withColumn(
                 "cell", kmeans_assign_expr(cent_rows, vec_col="_v"))
         else:
-            assigned = with_cell_packed(
-                vecs, spark.createDataFrame(
-                    cent_rows, schema="cell int, centroid array<double>"),
-                vec_col="_v")
+            assigned = with_cell_packed_rows(vecs, cent_rows,
+                                             vec_col="_v")
         longf = assigned.select("cell",
                                 F.posexplode("_v").alias("dim", "val"))
         means = (longf.groupBy("cell", "dim")
@@ -529,6 +527,30 @@ def kmeans_assign_shuffle(vecs: DataFrame, cents: DataFrame,
 #: switch to the packed-broadcast formulation below, whose plan is a
 #: 1-row BroadcastNestedLoopJoin regardless of k.
 EXPR_ASSIGN_MAX_K = 16
+
+
+def with_cell_packed_rows(df: DataFrame, cent_rows,
+                          vec_col: str = "_v",
+                          out_col: str = "cell") -> DataFrame:
+    """:func:`with_cell_packed` for centroids that ALREADY live on
+    the driver (a Lloyd's loop between collects, an injected index):
+    the packed 1-row broadcast table is built directly from the
+    (cell, centroid) rows — no ``collect_list`` aggregation job per
+    call, which matters when the build invokes assignment once per
+    iteration. Same argmin expression, same results."""
+    rows = sorted((int(c), [float(x) for x in v]) for c, v in cent_rows)
+    packed = df.sparkSession.createDataFrame(
+        [(rows,)],
+        "_cents array<struct<cell:int,centroid:array<double>>>")
+    return (df.crossJoin(F.broadcast(packed))
+              .withColumn(out_col, F.array_min(F.transform(
+                  "_cents",
+                  lambda c: F.struct(
+                      sqdist(F.col(vec_col),
+                             c.getField("centroid")).alias("d"),
+                      c.getField("cell").alias("cell"))))
+                  .getField("cell"))
+              .drop("_cents"))
 
 
 def with_cell_packed(df: DataFrame, cents: DataFrame,
@@ -673,13 +695,13 @@ def semantic_dedup(emb: DataFrame, n_clusters: int | None = None,
         n_clusters = semdedup_auto_k(vecs.count(), target_cell_pop)
     cents = kmeans_centroids(emb, n_clusters, n_iter, vec_col, id_col,
                              vecs=vecs)
+    cent_rows = sorted((r.cell, list(r.centroid))
+                       for r in cents.collect())
     if n_clusters <= EXPR_ASSIGN_MAX_K:
-        cent_rows = sorted((r.cell, list(r.centroid))
-                           for r in cents.collect())
         assigned = vecs.withColumn("cell",
                                    kmeans_assign_expr(cent_rows, "_v"))
     else:
-        assigned = with_cell_packed(vecs, cents, vec_col="_v")
+        assigned = with_cell_packed_rows(vecs, cent_rows, vec_col="_v")
 
     a = assigned.select(F.col("_id").alias("id_a"),
                         F.col("_v").alias("v_a"),
@@ -933,15 +955,11 @@ def ivfpq_search(emb: DataFrame, query_vec: list[float], k: int = 10,
                                                      "_sl"))
                       .drop("_sl"))
             return df
-        spark = vecs.sparkSession
-        schema = "cell int, centroid array<double>"
-        df = with_cell_packed(
-            vecs, spark.createDataFrame(coarse_rows, schema), "_v")
+        df = with_cell_packed_rows(vecs, coarse_rows, "_v")
         for i in range(m):
-            df = (with_cell_packed(
+            df = (with_cell_packed_rows(
                 df.withColumn("_sl", F.slice("_v", i * sub + 1, sub)),
-                spark.createDataFrame(codebooks[i], schema),
-                "_sl", out_col=f"c{i}").drop("_sl"))
+                codebooks[i], "_sl", out_col=f"c{i}").drop("_sl"))
         return df
 
     for _ in range(n_iter if build_needed else 0):
