@@ -149,7 +149,8 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
              .distinct())
 
 
-def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
+def jaccard_pairs(docs: DataFrame | None, k: int = 3,
+                  threshold: float = 0.8,
                   text_col: str = "text", id_col: str = "doc_id",
                   max_df: int | None = None,
                   shingles: DataFrame | None = None) -> DataFrame:
@@ -160,7 +161,8 @@ def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     stop-shingles before the join — at corpus scale this is the knob
     that keeps the join linear-ish; exact mode (None) is for oracles.
     Pass a prebuilt ``shingles`` table to share the tokenize cost with
-    other shingle consumers (e.g. minhash over the same corpus).
+    other shingle consumers (e.g. minhash over the same corpus, or
+    the round-7 persisted serving table — ``docs`` may then be None).
     """
     sh = shingles if shingles is not None \
         else shingle_table(docs, k, text_col, id_col)
