@@ -1085,8 +1085,8 @@ def ivfpq_residual_search(emb: DataFrame, query_vec: list[float],
                           round_digits: int = 6,
                           vecs: DataFrame | None = None,
                           coarse_rows: list | None = None,
-                          res_codebooks: list | None = None
-                          ) -> DataFrame:
+                          res_codebooks: list | None = None,
+                          rerank: int | None = None) -> DataFrame:
     """RESIDUAL-encoded IVF-PQ (FAISS's ``by_residual=True`` default):
     the PQ codebooks quantize ``v − coarse_centroid(cell(v))`` instead
     of the raw vector, so all of the codebook's resolution is spent on
@@ -1108,7 +1108,10 @@ def ivfpq_residual_search(emb: DataFrame, query_vec: list[float],
     inject a checkpointed projection, a previously built coarse
     quantizer, and previously trained RESIDUAL-stream codebooks and
     the builds are skipped (equality with the self-build path is
-    pytest-pinned)."""
+    pytest-pinned). ``rerank`` (round 7) adds the same exact-refine
+    stage as :func:`ivfpq_search`: ADC keeps a ``rerank``-deep
+    shortlist whose true vectors are re-scored with exact cosine via
+    one broadcast id-join, returning (id, cosine) top-k."""
     if vecs is None:
         vecs = emb.select(
             F.col(id_col).alias("_id"),
@@ -1162,9 +1165,19 @@ def ivfpq_residual_search(emb: DataFrame, query_vec: list[float],
             term = (F.when(F.col("cell") == cell, hit) if term is None
                     else term.when(F.col("cell") == cell, hit))
         adc = term if adc is None else adc + term
-    return (df.filter(F.col("cell").isin(probe_cells))
-            .withColumn("adc", F.round(adc, round_digits))
-            .select(F.col("_id").alias(id_col), "cell",
-                    *[f"c{i}" for i in range(m)], "adc")
-            .orderBy(F.asc("adc"), F.asc(id_col))
+    ranked_df = (df.filter(F.col("cell").isin(probe_cells))
+                 .withColumn("adc", F.round(adc, round_digits))
+                 .select(F.col("_id").alias(id_col), "cell",
+                         *[f"c{i}" for i in range(m)], "adc")
+                 .orderBy(F.asc("adc"), F.asc(id_col)))
+    if rerank is None:
+        return ranked_df.limit(k)
+    short = ranked_df.limit(int(rerank)).select(id_col)
+    qcol = F.array(*[F.lit(float(x)) for x in qd])
+    return (vecs.join(F.broadcast(short),
+                      vecs["_id"] == short[id_col])
+            .select(F.col("_id").alias(id_col),
+                    F.round(V.cosine(F.col("_v"), qcol),
+                            round_digits).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
             .limit(k))

@@ -836,3 +836,25 @@ def test_ivfpq_rerank_plan_is_broadcast_refine(spark):
     assert len(rows) == 5
     cosines = [r.cosine for r in rows]
     assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivfpq_residual_rerank_matches_raw_refine_topk(spark):
+    """The residual search's refine stage: same broadcast-refine
+    contract as the raw-PQ path — returns (id, cosine) top-k in
+    descending-cosine order, and with a shortlist deep enough to
+    cover the corpus it must EQUAL brute-force top-k exactly (refine
+    re-scores with exact cosine, so only shortlist membership can
+    lose a neighbor)."""
+    from picoprobedataflow_spark.operators import similarity as SIM
+
+    emb = (spark.read
+           .parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    qv = [float(x) for x in emb.filter("vec_id = 0").first().embedding]
+    corpus = emb.filter("vec_id > 0").localCheckpoint(eager=True)
+    n = corpus.count()
+    brute = [(r.vec_id, r.cosine) for r in
+             SIM.topk_cosine(corpus, qv, k=10).collect()]
+    got = [(r.vec_id, r.cosine) for r in
+           SIM.ivfpq_residual_search(corpus, qv, k=10, n_probe=8,
+                                     rerank=n).collect()]
+    assert got == brute
