@@ -3177,6 +3177,109 @@ def audio_fp_fingerprints(spark: SparkSession,
                     F.col("n_frames").cast("long").alias("n_frames")))
 
 
+def image_feature_stats(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Per-image decode→featurize stats over the oracle-replayable
+    synthetic corpus: the REAL ``extract_image_features`` kernel
+    (fake-codec decode → numpy mean/std/edge energy, Arrow-batched
+    ``mapInPandas``), keyed back to doc_id. mean_px and edge_score
+    are engine-EXACT (integer pixel sums ÷ the same constants —
+    pairwise and sequential summation of exact ints coincide below
+    2^53); std is the one order-sensitive float and rounds at 4 dp
+    (convention: stddev gets headroom)."""
+    ids = (tbl(spark, sf_dir, "documents")
+           .select("doc_id").filter(F.col("doc_id") < _FP_GATE))
+    imgs = MM.synthetic_image_corpus(ids)
+    return (MM.extract_image_features(imgs, codec="fake")
+            .select(F.col("path").cast("long").alias("doc_id"),
+                    "mean_px",
+                    F.round("std_px", 4).alias("std_px"),
+                    "edge_score"))
+
+
+def audio_feature_stats(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """Per-clip waveform features over the oracle-replayable
+    synthetic corpus: the REAL ``extract_audio_features`` kernel
+    (PCM16 decode → rms/peak/zcr, Arrow-batched ``mapInPandas``),
+    keyed back to doc_id. All three stats are engine-exact from
+    integer sample arithmetic: a² = s²/2³⁰ is exact and Σs² < 2⁵³ so
+    pairwise ≡ sequential summation; peak = max|s|/2¹⁵; zcr =
+    sign-change count/(n−1). rms still rounds at 6 dp on both
+    engines (identical inputs → identical output) as a convention."""
+    ids = (tbl(spark, sf_dir, "documents")
+           .select("doc_id").filter(F.col("doc_id") < _FP_GATE))
+    clips = AU.synthetic_audio_corpus(ids)
+    return (AU.extract_audio_features(clips)
+            .select(F.col("path").cast("long").alias("doc_id"),
+                    F.col("n_samples").cast("long").alias("n_samples"),
+                    F.round("rms", 6).alias("rms"),
+                    "peak", "zcr"))
+
+
+_IMG_STATS_ORACLE = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_FP_GATE}),
+px AS (
+  SELECT doc_id,
+         (doc_id * {MM.SYNTH_PX_A} + p * {MM.SYNTH_PX_B}) % 256 AS v,
+         (p // 16) AS y, (p % 16) AS x
+  FROM ids, generate_series(0, 255) AS g(p)
+),
+sums AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS sv FROM px GROUP BY 1),
+gx AS (
+  SELECT l.doc_id, CAST(sum(abs(r.v - l.v)) AS DOUBLE) / 240 AS gxm
+  FROM px l JOIN px r
+    ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+  GROUP BY 1),
+gy AS (
+  SELECT l.doc_id, CAST(sum(abs(r.v - l.v)) AS DOUBLE) / 240 AS gym
+  FROM px l JOIN px r
+    ON r.doc_id = l.doc_id AND r.x = l.x AND r.y = l.y + 1
+  GROUP BY 1),
+sd AS (
+  SELECT p.doc_id,
+         sqrt(sum(((256 * p.v - s.sv) / 256.0)
+                  * ((256 * p.v - s.sv) / 256.0)) / 256) AS stdv
+  FROM px p JOIN sums s USING (doc_id) GROUP BY 1)
+SELECT s.doc_id,
+       CAST(s.sv AS DOUBLE) / 256 AS mean_px,
+       round(sd.stdv, 4)          AS std_px,
+       gx.gxm + gy.gym            AS edge_score
+FROM sums s JOIN gx USING (doc_id) JOIN gy USING (doc_id)
+JOIN sd USING (doc_id)
+"""
+
+_AUDIO_STATS_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id, 4096 + (doc_id % 4) * 1024 AS ns
+  FROM documents WHERE doc_id < {_FP_GATE}),
+smp AS (
+  SELECT doc_id, i,
+         ((doc_id * {AU.SYNTH_SMP_A} + i * {AU.SYNTH_SMP_B}) % 65536)
+           - 32768 AS s
+  FROM ids, generate_series(0, 7167) AS g(i)
+  WHERE i < ns
+),
+en AS (
+  SELECT doc_id, sum(CAST(s AS BIGINT) * s) AS ss,
+         max(abs(s)) AS mx
+  FROM smp GROUP BY 1),
+zc AS (
+  SELECT doc_id,
+         sum(CASE WHEN (s < 0) <> (prev < 0) THEN 1 ELSE 0 END) AS nz
+  FROM (SELECT doc_id, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        FROM smp)
+  WHERE prev IS NOT NULL GROUP BY 1)
+SELECT i.doc_id, CAST(i.ns AS BIGINT) AS n_samples,
+       round(sqrt((CAST(e.ss AS DOUBLE) / i.ns) / 1073741824.0), 6)
+         AS rms,
+       CAST(e.mx AS DOUBLE) / 32768.0 AS peak,
+       CAST(z.nz AS DOUBLE) / (i.ns - 1) AS zcr
+FROM ids i JOIN en e USING (doc_id) JOIN zc z USING (doc_id)
+"""
+
+
 _DHASH_ORACLE = f"""
 WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_FP_GATE}),
 px AS (
@@ -3316,6 +3419,10 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              n=("doc_id", "n_removed", "n_kept")),
     _fam_sql("dhash", "{dhash}", n=("doc_id", "phash")),
     _fam_sql("audio_fp", "{audiofp}", n=("doc_id", "fp", "n_frames")),
+    _fam_sql("img_stats", "{imgstats}", n=("doc_id",),
+             v=("mean_px", "std_px", "edge_score")),
+    _fam_sql("audio_stats", "{audstats}", n=("doc_id", "n_samples"),
+             v=("rms", "peak", "zcr")),
 ]).format(bm25=_BM25_ORACLE, tfidf=_TFIDF_ORACLE,
           unigram=_UNIGRAM_ORACLE, vocab=_VOCAB_COVERAGE_ORACLE,
           span=_SPAN_DEDUP_ORACLE, cdc=_CDC_ORACLE,
@@ -3329,7 +3436,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           winnow=_WINNOW_ORACLE, rrf=_RRF_ORACLE,
           wpairs=_WINNOW_PAIRS_ORACLE,
           spclean=_SPAN_CLEAN_ORACLE,
-          dhash=_DHASH_ORACLE, audiofp=_AUDIO_FP_ORACLE)
+          dhash=_DHASH_ORACLE, audiofp=_AUDIO_FP_ORACLE,
+          imgstats=_IMG_STATS_ORACLE, audstats=_AUDIO_STATS_ORACLE)
 
 
 def _nulls_long():
@@ -3362,7 +3470,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty-three training-data curation families, one normalized
+    """Twenty-five training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -3470,6 +3578,13 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_fam_df(audio_fp_fingerprints(spark, sf_dir),
                              "audio_fp",
                              n=("doc_id", "fp", "n_frames")))
+        .unionByName(_fam_df(image_feature_stats(spark, sf_dir),
+                             "img_stats", n=("doc_id",),
+                             v=("mean_px", "std_px", "edge_score")))
+        .unionByName(_fam_df(audio_feature_stats(spark, sf_dir),
+                             "audio_stats",
+                             n=("doc_id", "n_samples"),
+                             v=("rms", "peak", "zcr")))
     )
 
 
