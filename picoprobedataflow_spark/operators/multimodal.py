@@ -321,6 +321,34 @@ def synthetic_image_corpus(ids: DataFrame, id_col: str = "doc_id",
                                  "image binary"))
 
 
+def synthetic_video_corpus(ids: DataFrame, id_col: str = "doc_id",
+                           width: int = 16, height: int = 16,
+                           base_frames: int = 4) -> DataFrame:
+    """(path, width, height, video, n_frames): one deterministic fake
+    'video' per input id — ``base_frames + (id mod 3)`` concatenated
+    frames whose pixels continue the SAME LCG stream as
+    :func:`synthetic_image_corpus` over the flat offset
+    ``f·(w·h) + p``, so a SQL engine regenerates every sampled
+    frame's pixels exactly. Feeds the real frame-sampling kernel
+    (:func:`sample_video_frames`) for the oracle gate."""
+    fsize = width * height
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(getattr(r, id_col))
+                nf = base_frames + (i % 3)
+                p = np.arange(nf * fsize, dtype=np.int64)
+                px = ((i * SYNTH_PX_A + p * SYNTH_PX_B) % 256) \
+                    .astype(np.uint8)
+                rows.append((str(i), width, height, px.tobytes(), nf))
+            yield pd.DataFrame(rows, columns=[
+                "path", "width", "height", "video", "n_frames"])
+
+    return ids.select(id_col).mapInPandas(gen, VIDEO_SCHEMA)
+
+
 def attach_image_metadata(images: DataFrame) -> DataFrame:
     """Typed metadata for the opaque binary column — F13/F14: the JSON
     sidecar the reference writes next to each artifact."""

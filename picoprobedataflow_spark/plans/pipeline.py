@@ -3280,6 +3280,101 @@ FROM ids i JOIN en e USING (doc_id) JOIN zc z USING (doc_id)
 """
 
 
+def resize_feature_stats(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """The full image-lane CHAIN under the oracle gate: synthetic
+    corpus → :func:`..operators.multimodal.attach_image_metadata`
+    (the JSON sidecar) → :func:`..operators.multimodal.resize_images`
+    (REAL nearest-neighbor kernel, 16×16 → 8×8) →
+    :func:`..operators.multimodal.extract_image_features` over the
+    RESIZED bytes. Nearest-neighbor at 2× subsampling selects pixels
+    (2gy, 2gx), so the oracle regenerates the resized grid from the
+    LCG directly; mean (÷64, power of two) and edge (÷56, same
+    operands) are engine-exact, std rounds at 4 dp."""
+    ids = (tbl(spark, sf_dir, "documents")
+           .select("doc_id").filter(F.col("doc_id") < _FP_GATE))
+    imgs = MM.attach_image_metadata(MM.synthetic_image_corpus(ids))
+    small = MM.resize_images(imgs, 8, 8, codec="fake")
+    return (MM.extract_image_features(small, codec="fake")
+            .select(F.col("path").cast("long").alias("doc_id"),
+                    "mean_px",
+                    F.round("std_px", 4).alias("std_px"),
+                    "edge_score"))
+
+
+def video_sample_stats(spark: SparkSession,
+                       sf_dir: str) -> DataFrame:
+    """Frame sampling under the oracle gate: synthetic 'videos'
+    (4–6 LCG frames each) through the REAL
+    :func:`..operators.multimodal.sample_video_frames` kernel
+    (every_n=2 — the one-row-in/many-rows-out UDTF shape), emitting
+    (doc_id, frame_index, mean_px). Per-frame means are ÷256 of
+    exact integer sums — engine-exact."""
+    ids = (tbl(spark, sf_dir, "documents")
+           .select("doc_id").filter(F.col("doc_id") < _FP_GATE))
+    vids = MM.synthetic_video_corpus(ids)
+    return (MM.sample_video_frames(vids, every_n=2)
+            .select(F.col("path").cast("long").alias("doc_id"),
+                    F.col("frame_index").cast("long")
+                    .alias("frame_index"),
+                    "mean_px"))
+
+
+_RESIZE_STATS_ORACLE = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_FP_GATE}),
+rpx AS (
+  SELECT doc_id,
+         (doc_id * {MM.SYNTH_PX_A}
+          + ((2 * (q // 8)) * 16 + 2 * (q % 8)) * {MM.SYNTH_PX_B})
+           % 256 AS v,
+         (q // 8) AS y, (q % 8) AS x
+  FROM ids, generate_series(0, 63) AS g(q)
+),
+rsums AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS sv
+          FROM rpx GROUP BY 1),
+rgx AS (
+  SELECT l.doc_id, CAST(sum(abs(r.v - l.v)) AS DOUBLE) / 56 AS gxm
+  FROM rpx l JOIN rpx r
+    ON r.doc_id = l.doc_id AND r.y = l.y AND r.x = l.x + 1
+  GROUP BY 1),
+rgy AS (
+  SELECT l.doc_id, CAST(sum(abs(r.v - l.v)) AS DOUBLE) / 56 AS gym
+  FROM rpx l JOIN rpx r
+    ON r.doc_id = l.doc_id AND r.x = l.x AND r.y = l.y + 1
+  GROUP BY 1),
+rsd AS (
+  SELECT p.doc_id,
+         sqrt(sum(((64 * p.v - s.sv) / 64.0)
+                  * ((64 * p.v - s.sv) / 64.0)) / 64) AS stdv
+  FROM rpx p JOIN rsums s USING (doc_id) GROUP BY 1)
+SELECT s.doc_id,
+       CAST(s.sv AS DOUBLE) / 64 AS mean_px,
+       round(rsd.stdv, 4)        AS std_px,
+       rgx.gxm + rgy.gym         AS edge_score
+FROM rsums s JOIN rgx USING (doc_id) JOIN rgy USING (doc_id)
+JOIN rsd USING (doc_id)
+"""
+
+_VIDEO_SAMPLE_ORACLE = f"""
+WITH vids AS (
+  SELECT doc_id, 4 + (doc_id % 3) AS nf
+  FROM documents WHERE doc_id < {_FP_GATE}),
+fidx AS (
+  SELECT doc_id, f FROM vids, generate_series(0, 5) AS g(f)
+  WHERE f < nf AND f % 2 = 0),
+fm AS (
+  SELECT doc_id, f,
+         CAST(sum((doc_id * {MM.SYNTH_PX_A}
+                   + (f * 256 + p) * {MM.SYNTH_PX_B}) % 256)
+              AS BIGINT) AS sv
+  FROM fidx, generate_series(0, 255) AS g2(p)
+  GROUP BY 1, 2)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_index,
+       CAST(sv AS DOUBLE) / 256 AS mean_px
+FROM fm
+"""
+
+
 _DHASH_ORACLE = f"""
 WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_FP_GATE}),
 px AS (
@@ -3423,6 +3518,10 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              v=("mean_px", "std_px", "edge_score")),
     _fam_sql("audio_stats", "{audstats}", n=("doc_id", "n_samples"),
              v=("rms", "peak", "zcr")),
+    _fam_sql("resize_stats", "{rszstats}", n=("doc_id",),
+             v=("mean_px", "std_px", "edge_score")),
+    _fam_sql("video_sample", "{vidsample}",
+             n=("doc_id", "frame_index"), v=("mean_px",)),
 ]).format(bm25=_BM25_ORACLE, tfidf=_TFIDF_ORACLE,
           unigram=_UNIGRAM_ORACLE, vocab=_VOCAB_COVERAGE_ORACLE,
           span=_SPAN_DEDUP_ORACLE, cdc=_CDC_ORACLE,
@@ -3437,7 +3536,9 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           wpairs=_WINNOW_PAIRS_ORACLE,
           spclean=_SPAN_CLEAN_ORACLE,
           dhash=_DHASH_ORACLE, audiofp=_AUDIO_FP_ORACLE,
-          imgstats=_IMG_STATS_ORACLE, audstats=_AUDIO_STATS_ORACLE)
+          imgstats=_IMG_STATS_ORACLE, audstats=_AUDIO_STATS_ORACLE,
+          rszstats=_RESIZE_STATS_ORACLE,
+          vidsample=_VIDEO_SAMPLE_ORACLE)
 
 
 def _nulls_long():
@@ -3470,7 +3571,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty-five training-data curation families, one normalized
+    """Twenty-seven training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -3585,6 +3686,13 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "audio_stats",
                              n=("doc_id", "n_samples"),
                              v=("rms", "peak", "zcr")))
+        .unionByName(_fam_df(resize_feature_stats(spark, sf_dir),
+                             "resize_stats", n=("doc_id",),
+                             v=("mean_px", "std_px", "edge_score")))
+        .unionByName(_fam_df(video_sample_stats(spark, sf_dir),
+                             "video_sample",
+                             n=("doc_id", "frame_index"),
+                             v=("mean_px",)))
     )
 
 
