@@ -3320,6 +3320,60 @@ def video_sample_stats(spark: SparkSession,
                     "mean_px"))
 
 
+def resample_feature_stats(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """The audio-lane CHAIN under the oracle gate: synthetic clips →
+    REAL :func:`..operators.audio.resample_audio` (16 kHz → 8 kHz;
+    at an exact ÷2 ratio ``np.interp`` lands on integer positions,
+    so the resample selects every second sample and the PCM16
+    encode round-trips it bit-exactly — the general-ratio interp
+    math stays pytest-pinned) → REAL
+    :func:`..operators.audio.extract_audio_features` over the
+    RESAMPLED bytes. The oracle regenerates the even-index LCG
+    samples directly; rms/peak/zcr engine-exact as in
+    ``audio_stats``."""
+    ids = (tbl(spark, sf_dir, "documents")
+           .select("doc_id").filter(F.col("doc_id") < _FP_GATE))
+    clips = AU.synthetic_audio_corpus(ids)
+    down = AU.resample_audio(clips, target_rate=8000)
+    return (AU.extract_audio_features(down)
+            .select(F.col("path").cast("long").alias("doc_id"),
+                    F.col("n_samples").cast("long").alias("n_samples"),
+                    F.round("rms", 6).alias("rms"),
+                    "peak", "zcr"))
+
+
+_RESAMPLE_STATS_ORACLE = f"""
+WITH ids AS (
+  SELECT doc_id, (4096 + (doc_id % 4) * 1024) // 2 AS n2
+  FROM documents WHERE doc_id < {_FP_GATE}),
+smp AS (
+  SELECT doc_id, j,
+         ((doc_id * {AU.SYNTH_SMP_A}
+           + (2 * j) * {AU.SYNTH_SMP_B}) % 65536) - 32768 AS s
+  FROM ids, generate_series(0, 3583) AS g(j)
+  WHERE j < n2
+),
+en AS (
+  SELECT doc_id, sum(CAST(s AS BIGINT) * s) AS ss,
+         max(abs(s)) AS mx
+  FROM smp GROUP BY 1),
+zc AS (
+  SELECT doc_id,
+         sum(CASE WHEN (s < 0) <> (prev < 0) THEN 1 ELSE 0 END) AS nz
+  FROM (SELECT doc_id, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+        FROM smp)
+  WHERE prev IS NOT NULL GROUP BY 1)
+SELECT i.doc_id, CAST(i.n2 AS BIGINT) AS n_samples,
+       round(sqrt((CAST(e.ss AS DOUBLE) / i.n2) / 1073741824.0), 6)
+         AS rms,
+       CAST(e.mx AS DOUBLE) / 32768.0 AS peak,
+       CAST(z.nz AS DOUBLE) / (i.n2 - 1) AS zcr
+FROM ids i JOIN en e USING (doc_id) JOIN zc z USING (doc_id)
+"""
+
+
 _RESIZE_STATS_ORACLE = f"""
 WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_FP_GATE}),
 rpx AS (
@@ -3522,6 +3576,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              v=("mean_px", "std_px", "edge_score")),
     _fam_sql("video_sample", "{vidsample}",
              n=("doc_id", "frame_index"), v=("mean_px",)),
+    _fam_sql("resample_stats", "{rsmpstats}",
+             n=("doc_id", "n_samples"), v=("rms", "peak", "zcr")),
 ]).format(bm25=_BM25_ORACLE, tfidf=_TFIDF_ORACLE,
           unigram=_UNIGRAM_ORACLE, vocab=_VOCAB_COVERAGE_ORACLE,
           span=_SPAN_DEDUP_ORACLE, cdc=_CDC_ORACLE,
@@ -3538,7 +3594,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           dhash=_DHASH_ORACLE, audiofp=_AUDIO_FP_ORACLE,
           imgstats=_IMG_STATS_ORACLE, audstats=_AUDIO_STATS_ORACLE,
           rszstats=_RESIZE_STATS_ORACLE,
-          vidsample=_VIDEO_SAMPLE_ORACLE)
+          vidsample=_VIDEO_SAMPLE_ORACLE,
+          rsmpstats=_RESAMPLE_STATS_ORACLE)
 
 
 def _nulls_long():
@@ -3571,7 +3628,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty-seven training-data curation families, one normalized
+    """Twenty-eight training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -3693,6 +3750,10 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "video_sample",
                              n=("doc_id", "frame_index"),
                              v=("mean_px",)))
+        .unionByName(_fam_df(resample_feature_stats(spark, sf_dir),
+                             "resample_stats",
+                             n=("doc_id", "n_samples"),
+                             v=("rms", "peak", "zcr")))
     )
 
 
