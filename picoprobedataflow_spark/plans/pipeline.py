@@ -3343,6 +3343,55 @@ def resample_feature_stats(spark: SparkSession,
                     "peak", "zcr"))
 
 
+def detect_stub_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched-inference lane under the oracle gate: the REAL
+    :func:`..operators.multimodal.detect_objects` stub (model loaded
+    once per task — the predict_batch_udf shape; the deterministic
+    fake proposes a box around the brightest 2×2 tile of the 16×16
+    LCG image, confidence = tile mean / 255). Tile means are exact
+    (÷4), the first-maximum tie-break is scan-order (ti, tj), and
+    conf = m/255 divides identical doubles — every column
+    engine-exact. The real-YOLO branch stays environment-gated."""
+    ids = (tbl(spark, sf_dir, "documents")
+           .select("doc_id").filter(F.col("doc_id") < _FP_GATE))
+    imgs = MM.synthetic_image_corpus(ids)
+    det = MM.detect_objects(imgs, conf_threshold=0.5, codec="fake")
+    return det.select(
+        F.col("path").cast("long").alias("doc_id"),
+        F.col("x1").cast("long").alias("x1"),
+        F.col("y1").cast("long").alias("y1"),
+        F.col("x2").cast("long").alias("x2"),
+        F.col("y2").cast("long").alias("y2"),
+        "conf")
+
+
+_DETECT_ORACLE = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_FP_GATE}),
+px AS (
+  SELECT doc_id,
+         (doc_id * {MM.SYNTH_PX_A} + p * {MM.SYNTH_PX_B}) % 256 AS v,
+         (p // 16) AS y, (p % 16) AS x
+  FROM ids, generate_series(0, 255) AS g(p)
+),
+tiles AS (
+  SELECT doc_id, y // 2 AS ti, x // 2 AS tj,
+         CAST(sum(v) AS DOUBLE) / 4 AS m
+  FROM px GROUP BY 1, 2, 3),
+best AS (
+  SELECT doc_id, ti, tj, m,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY m DESC, ti, tj) AS rn
+  FROM tiles)
+SELECT doc_id,
+       CAST(2 * tj AS BIGINT)     AS x1,
+       CAST(2 * ti AS BIGINT)     AS y1,
+       CAST(2 * tj + 2 AS BIGINT) AS x2,
+       CAST(2 * ti + 2 AS BIGINT) AS y2,
+       m / 255 AS conf
+FROM best WHERE rn = 1 AND m / 255 >= 0.5
+"""
+
+
 _RESAMPLE_STATS_ORACLE = f"""
 WITH ids AS (
   SELECT doc_id, (4096 + (doc_id % 4) * 1024) // 2 AS n2
@@ -3578,6 +3627,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              n=("doc_id", "frame_index"), v=("mean_px",)),
     _fam_sql("resample_stats", "{rsmpstats}",
              n=("doc_id", "n_samples"), v=("rms", "peak", "zcr")),
+    _fam_sql("detect", "{detect}",
+             n=("doc_id", "x1", "y1", "x2", "y2"), v=("conf",)),
 ]).format(bm25=_BM25_ORACLE, tfidf=_TFIDF_ORACLE,
           unigram=_UNIGRAM_ORACLE, vocab=_VOCAB_COVERAGE_ORACLE,
           span=_SPAN_DEDUP_ORACLE, cdc=_CDC_ORACLE,
@@ -3595,7 +3646,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           imgstats=_IMG_STATS_ORACLE, audstats=_AUDIO_STATS_ORACLE,
           rszstats=_RESIZE_STATS_ORACLE,
           vidsample=_VIDEO_SAMPLE_ORACLE,
-          rsmpstats=_RESAMPLE_STATS_ORACLE)
+          rsmpstats=_RESAMPLE_STATS_ORACLE,
+          detect=_DETECT_ORACLE)
 
 
 def _nulls_long():
@@ -3628,7 +3680,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty-eight training-data curation families, one normalized
+    """Twenty-nine training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -3754,6 +3806,10 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "resample_stats",
                              n=("doc_id", "n_samples"),
                              v=("rms", "peak", "zcr")))
+        .unionByName(_fam_df(detect_stub_boxes(spark, sf_dir),
+                             "detect",
+                             n=("doc_id", "x1", "y1", "x2", "y2"),
+                             v=("conf",)))
     )
 
 
