@@ -3219,7 +3219,7 @@ def audio_feature_stats(spark: SparkSession,
 
 _IMG_STATS_ORACLE = f"""
 WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_FP_GATE}),
-px AS (
+px AS MATERIALIZED (
   SELECT doc_id,
          (doc_id * {MM.SYNTH_PX_A} + p * {MM.SYNTH_PX_B}) % 256 AS v,
          (p // 16) AS y, (p % 16) AS x
@@ -3253,7 +3253,7 @@ _AUDIO_STATS_ORACLE = f"""
 WITH ids AS (
   SELECT doc_id, 4096 + (doc_id % 4) * 1024 AS ns
   FROM documents WHERE doc_id < {_FP_GATE}),
-smp AS (
+smp AS MATERIALIZED (
   SELECT doc_id, i,
          ((doc_id * {AU.SYNTH_SMP_A} + i * {AU.SYNTH_SMP_B}) % 65536)
            - 32768 AS s
@@ -3396,7 +3396,7 @@ _RESAMPLE_STATS_ORACLE = f"""
 WITH ids AS (
   SELECT doc_id, (4096 + (doc_id % 4) * 1024) // 2 AS n2
   FROM documents WHERE doc_id < {_FP_GATE}),
-smp AS (
+smp AS MATERIALIZED (
   SELECT doc_id, j,
          ((doc_id * {AU.SYNTH_SMP_A}
            + (2 * j) * {AU.SYNTH_SMP_B}) % 65536) - 32768 AS s
@@ -3425,7 +3425,7 @@ FROM ids i JOIN en e USING (doc_id) JOIN zc z USING (doc_id)
 
 _RESIZE_STATS_ORACLE = f"""
 WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_FP_GATE}),
-rpx AS (
+rpx AS MATERIALIZED (
   SELECT doc_id,
          (doc_id * {MM.SYNTH_PX_A}
           + ((2 * (q // 8)) * 16 + 2 * (q % 8)) * {MM.SYNTH_PX_B})
@@ -3487,7 +3487,7 @@ px AS (
          (p // 16) AS y, (p % 16) AS x
   FROM ids, generate_series(0, 255) AS g(p)
 ),
-pooled AS (
+pooled AS MATERIALIZED (
   SELECT doc_id, (y * 8) // 16 AS gy, (x * 9) // 16 AS gx,
          avg(v) AS m
   FROM px GROUP BY 1, 2, 3
@@ -3521,7 +3521,7 @@ smp AS (
   FROM ids, generate_series(0, 7167) AS g(i)
   WHERE i < ns
 ),
-fe AS (
+fe AS MATERIALIZED (
   SELECT doc_id, f, sum(CAST(s AS BIGINT) * s) AS ss
   FROM smp GROUP BY 1, 2),
 abits AS (
