@@ -858,3 +858,58 @@ def test_ivfpq_residual_rerank_matches_raw_refine_topk(spark):
            SIM.ivfpq_residual_search(corpus, qv, k=10, n_probe=8,
                                      rerank=n).collect()]
     assert got == brute
+
+
+def test_synthetic_corpora_deterministic_under_repartition(spark):
+    """The oracle-replayable synthetic corpora must be pure functions
+    of the id column — identical bytes regardless of partitioning
+    (the property the SQL replay depends on), with internally
+    consistent shape metadata (byte lengths match the declared
+    width/height/frames/samples)."""
+    from picoprobedataflow_spark.operators import audio as AU
+    from picoprobedataflow_spark.operators import multimodal as MM
+
+    ids = spark.range(0, 40).selectExpr("id AS doc_id")
+    for build, col in ((MM.synthetic_image_corpus, "image"),
+                       (AU.synthetic_audio_corpus, "audio")):
+        a = sorted((r.path, bytes(r[col]))
+                   for r in build(ids).collect())
+        b = sorted((r.path, bytes(r[col]))
+                   for r in build(ids.repartition(7)).collect())
+        assert a == b and len(a) == 40
+    for r in MM.synthetic_image_corpus(ids).collect():
+        assert len(bytes(r.image)) == r.width * r.height
+    for r in AU.synthetic_audio_corpus(ids).collect():
+        assert len(bytes(r.audio)) == 2 * r.n_samples
+    for r in MM.synthetic_video_corpus(ids).collect():
+        assert len(bytes(r.video)) == r.width * r.height * r.n_frames
+        assert 4 <= r.n_frames <= 6
+
+
+@settings(max_examples=30, deadline=None)
+@given(us=st.integers(min_value=-(10 ** 13), max_value=10 ** 13),
+       n=st.integers(min_value=1, max_value=10 ** 6))
+def test_sec4_helpers_match_decimal_half_up_property(us, n):
+    """Property form of the half-way pin: for arbitrary integer µs
+    the SQL twins of the exact-rounding helpers agree with
+    decimal HALF_UP — no Spark session needed, DuckDB evaluates the
+    same expressions the oracle embeds."""
+    import decimal
+
+    import duckdb
+
+    from picoprobedataflow_spark.plans import telemetry as T
+
+    def ref(val, scale):
+        return float((decimal.Decimal(val) / decimal.Decimal(scale))
+                     .quantize(decimal.Decimal("0.0001"),
+                               rounding=decimal.ROUND_HALF_UP))
+
+    [(got,)] = duckdb.sql(
+        "SELECT " + T._SEC4_SQL.format(us=str(us))).fetchall()
+    assert got == ref(us, 1_000_000), (us, got)
+    if us >= 0:
+        [(gm,)] = duckdb.sql(
+            "SELECT " + T._MEAN_SEC4_SQL.format(s=str(us), n=str(n))
+        ).fetchall()
+        assert gm == ref(us, n * 1_000_000), (us, n, gm)
