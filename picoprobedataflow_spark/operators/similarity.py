@@ -631,6 +631,92 @@ def ivf_kmeans_search(emb: DataFrame, query_vec: list[float], k: int = 5,
             .limit(k))
 
 
+def _assign_cells(emb: DataFrame, cent_rows,
+                  vec_col: str = "embedding",
+                  out_col: str = "cell") -> DataFrame:
+    """Map-side nearest-centroid assignment under a FROZEN quantizer,
+    picking the plan-size-appropriate formulation: inlined literal
+    expression up to :data:`EXPR_ASSIGN_MAX_K` cells, packed 1-row
+    broadcast past it. ``cent_rows`` is the driver-side
+    [(cell, centroid)] list both formulations consume."""
+    if len(cent_rows) <= EXPR_ASSIGN_MAX_K:
+        return emb.withColumn(out_col,
+                              kmeans_assign_expr(cent_rows, vec_col))
+    return with_cell_packed_rows(emb, cent_rows, vec_col, out_col)
+
+
+def ivf_index_write(emb: DataFrame, cents_df: DataFrame, path: str,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    mode: str = "overwrite") -> list:
+    """Materialize the IVF SERVING layout: assign every vector to its
+    nearest frozen centroid map-side (no shuffle) and write
+    ``partitionBy(cell)`` parquet, so a probe's cell restriction is
+    partition PRUNING at read time (plan-asserted in tests). Returns
+    the driver-side [(cell, centroid)] rows so callers can chain into
+    :func:`ivf_index_append` / :func:`ivf_index_search` without
+    re-collecting the k-row centroid table.
+
+    This is the write-once half of index amortization at 100 TB: the
+    quantizer is built once on a sample (:func:`kmeans_centroids`),
+    then this single linear pass lays the corpus out for every future
+    query. No reference analog — the reference has no vector index;
+    posture mirrors its write-once transfer sink
+    (picoprobe/flows.py transfer step)."""
+    cent_rows = sorted((int(r.cell), list(r.centroid))
+                       for r in cents_df.collect())
+    assigned = _assign_cells(emb, cent_rows, vec_col)
+    (assigned.select(id_col, vec_col, "cell")
+             .write.partitionBy("cell").mode(mode).parquet(path))
+    return cent_rows
+
+
+def ivf_index_append(new_emb: DataFrame, cent_rows, path: str,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> None:
+    """INCREMENTAL index maintenance: assign only the NEW batch under
+    the same frozen quantizer and append its rows to the partitioned
+    layout. Work ∝ |batch| — the existing index is never read, never
+    rewritten, and the append lands only in the partitions the
+    batch's vectors map to; a growing corpus pays one linear pass per
+    increment instead of a rebuild (the MinHash incremental-dedup
+    rule applied to the ANN index). Append-after-build ≡
+    build-on-union is pytest-pinned; centroids drifting away from the
+    data distribution are a REBUILD decision, made by re-running
+    :func:`kmeans_centroids`, not silently inside the append."""
+    assigned = _assign_cells(new_emb, cent_rows, vec_col)
+    (assigned.select(id_col, vec_col, "cell")
+             .write.partitionBy("cell").mode("append").parquet(path))
+
+
+def ivf_index_search(index: DataFrame, cent_rows,
+                     query_vec: list[float], k: int = 5,
+                     n_probe: int = 2,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id",
+                     round_digits: int = 6) -> DataFrame:
+    """Serve a query from the PERSISTED layout: rank the k-row
+    driver-side centroid list by centroid·query cosine (same ranking
+    as :func:`ivf_kmeans_search` — shared `_cos_py`, same
+    (−cos, cell) tie-break), restrict the scan to the ``n_probe``
+    nearest cells — partition pruning against the
+    ``partitionBy(cell)`` parquet — and exact-cosine top-k inside.
+    The serving plan is scan → filter → cosine →
+    TakeOrderedAndProject: no Lloyd's build, no assignment, no
+    join."""
+    qd = [float(x) for x in query_vec]
+    ranked = sorted(cent_rows,
+                    key=lambda cr: (-_cos_py(cr[1], qd), cr[0]))
+    probe_cells = [c for c, _ in ranked[:n_probe]]
+    q = F.array(*[F.lit(x) for x in qd])
+    return (index.filter(F.col("cell").isin(probe_cells))
+                 .select(F.col(id_col), "cell",
+                         F.round(V.cosine(F.col(vec_col), q),
+                                 round_digits).alias("cosine"))
+                 .orderBy(F.desc("cosine"), id_col)
+                 .limit(k))
+
+
 #: SemDeDup auto-k default: cells sized so the expected population is
 #: ~this many vectors. Within-cell pair work is then O(N · pop), i.e.
 #: LINEAR in the corpus — with a fixed k it is O(N²/k), the classic

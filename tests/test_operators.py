@@ -2090,6 +2090,65 @@ def test_ivf_search_reuses_persisted_index(spark, tmp_path):
     assert "posexplode" not in plan.lower()
 
 
+def test_ivf_index_append_equals_rebuild_and_prunes(spark, tmp_path):
+    """Incremental index maintenance: building the cell-partitioned
+    layout on a base corpus and APPENDING a new batch under the same
+    frozen quantizer yields exactly the rows of a from-scratch build
+    on the union corpus; the appended files land ONLY in the batch's
+    own cell partitions (work ∝ |batch|); and the serving query over
+    the persisted layout partition-prunes, never rebuilds (no
+    posexplode in its plan), and reproduces the in-memory probe."""
+    import os
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    cents = SIM.kmeans_centroids(base, n_clusters=8, n_iter=2)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    cent_rows = SIM.ivf_index_write(base, cents, inc_path)
+    before = {d: len(os.listdir(os.path.join(inc_path, d)))
+              for d in os.listdir(inc_path) if d.startswith("cell=")}
+    SIM.ivf_index_append(batch, cent_rows, inc_path)
+    after = {d: len(os.listdir(os.path.join(inc_path, d)))
+             for d in os.listdir(inc_path) if d.startswith("cell=")}
+
+    full_path = str(tmp_path / "ivf_full")
+    SIM.ivf_index_write(emb, cents, full_path)
+
+    key = lambda r: r.vec_id  # noqa: E731
+    inc_rows = sorted(spark.read.parquet(inc_path)
+                      .select("vec_id", "cell").collect(), key=key)
+    full_rows = sorted(spark.read.parquet(full_path)
+                       .select("vec_id", "cell").collect(), key=key)
+    assert inc_rows == full_rows and len(inc_rows) == emb.count()
+
+    # Append touched only the batch's own cells.
+    batch_cells = {
+        r.cell
+        for r in SIM._assign_cells(batch, cent_rows, "embedding")
+        .select("cell").distinct().collect()}
+    grown = {int(d.split("=")[1]) for d in after
+             if after[d] > before.get(d, 0)}
+    assert grown == batch_cells
+
+    # Serving: persisted-layout search ≡ in-memory probe over the
+    # union corpus, partition-pruned, no Lloyd's build in the plan.
+    q = [float(x) for x in
+         emb.filter(F.col("vec_id") == 0).head().embedding]
+    index = spark.read.parquet(inc_path)
+    served = SIM.ivf_index_search(index, cent_rows, q, k=5, n_probe=2)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" not in plan.lower()
+    seg = plan.split("PartitionFilters")[1][:200]
+    assert "cell" in seg, plan
+    twin = SIM.ivf_index_search(
+        SIM._assign_cells(emb, cent_rows, "embedding"),
+        cent_rows, q, k=5, n_probe=2)
+    assert served.collect() == twin.collect()
+
+
 def test_leakage_audit_cluster_split_vs_doc_hash_split(spark):
     """The measurable claim behind the leakage-safe split, at
     sf0.01: under a naive per-DOC hash split, some near-dup pairs
