@@ -1,0 +1,83 @@
+"""Streaming ANN index maintenance: an embedding stream keeps the
+cell-partitioned IVF serving layout current, one micro-batch at a
+time — the continuous form of
+:func:`..operators.similarity.ivf_index_append`.
+
+Shape: ``foreachBatch`` over a FROZEN quantizer (the k-row
+``cent_rows`` list every assignment formulation consumes). Each epoch
+assigns only its own batch map-side — no shuffle, no read of the
+accumulated index — and writes ``partitionBy(epoch, cell)`` with
+DYNAMIC partition overwrite, so a replayed epoch (failure recovery)
+overwrites its own partitions instead of double-appending: the same
+exactly-once rule as the streaming dedup loop's state tables. Serving
+reads the whole tree and prunes on ``cell`` exactly as in the batch
+layout (``cell`` stays a partition column under the two-level
+layout), so a query never scans epochs it doesn't probe into.
+
+Quantizer drift is a REBUILD decision made outside the stream
+(re-run :func:`..operators.similarity.kmeans_centroids` on a sample
+and re-lay the corpus); the stream itself never mutates centroids —
+silently adapting the quantizer inside an epoch would invalidate
+every previously written cell assignment.
+
+Equivalence contract (pytest): after draining N batches, the indexed
+(id, cell) rows equal a single batch :func:`ivf_index_write` over the
+union corpus, and the serving query returns identical top-k.
+
+Reference analog: the watcher's incremental per-file processing loop
+(picoprobe/utils.py:80 ``class Watcher``), upgraded from per-file
+side effects to durable partitioned index state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from picoprobedataflow_spark.operators.similarity import _assign_cells
+
+
+def run_ivf_index_stream(vec_stream: DataFrame, cent_rows,
+                         index_dir: str, checkpoint_dir: str,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         available_now: bool = True) -> StreamingQuery:
+    """Maintain the IVF serving layout from a streaming DataFrame of
+    (id, vector). ``cent_rows`` is the driver-side
+    [(cell, centroid)] list returned by
+    :func:`..operators.similarity.ivf_index_write` (or collected from
+    :func:`kmeans_centroids`)."""
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.head(1):
+            return
+        assigned = _assign_cells(batch, cent_rows, vec_col)
+        (assigned.select(id_col, vec_col, "cell")
+                 .withColumn("epoch", F.lit(epoch_id))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("epoch", "cell")
+                 .parquet(index_dir))
+
+    writer = (vec_stream.writeStream
+              .foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start()
+
+
+def read_ivf_index(spark, index_dir: str) -> DataFrame:
+    """Load the streamed layout for serving: the ``epoch`` partition
+    column is dropped (it exists for exactly-once replay, not for
+    queries); ``cell`` remains a partition column, so
+    :func:`..operators.similarity.ivf_index_search` over this frame
+    partition-prunes its probe."""
+    if not os.path.isdir(index_dir):
+        raise FileNotFoundError(index_dir)
+    return spark.read.parquet(index_dir).drop("epoch")

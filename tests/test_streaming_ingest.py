@@ -454,3 +454,63 @@ def test_streaming_contamination_gate(spark, tmp_path):
     # doc 1: 6 distinct 3-shingles, 3 of them benchmark shingles
     assert r.n_shingles == 6 and r.n_overlap == 3
     assert abs(r.overlap_frac - 0.5) < 1e-9
+
+
+def test_streaming_ivf_index_maintenance_equals_batch_layout(
+        spark, tmp_path):
+    """Draining an embedding stream through the index-maintenance
+    loop must leave exactly the rows a single batch ivf_index_write
+    lays out for the union corpus, and the serving query over the
+    streamed layout must partition-prune on cell and return the
+    identical top-k."""
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.operators import similarity as SIM
+    from picoprobedataflow_spark.streaming.index_stream import (
+        read_ivf_index, run_ivf_index_stream)
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    cents = SIM.kmeans_centroids(emb, n_clusters=4, n_iter=2)
+
+    # three stream batches covering the corpus, one file per trigger
+    in_dir = tmp_path / "vecs"
+    in_dir.mkdir()
+    n = emb.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        (emb.filter((F.col("vec_id") >= cuts[i])
+                    & (F.col("vec_id") < cuts[i + 1]))
+            .coalesce(1).write.parquet(str(in_dir / f"b{i}")))
+
+    schema = emb.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(in_dir)))
+    idx_dir = str(tmp_path / "index")
+    cent_rows = sorted((int(r.cell), list(r.centroid))
+                       for r in cents.collect())
+    q = run_ivf_index_stream(stream, cent_rows, idx_dir,
+                             str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    batch_dir = str(tmp_path / "batch_index")
+    SIM.ivf_index_write(emb, cents, batch_dir)
+
+    streamed = read_ivf_index(spark, idx_dir)
+    got = sorted(map(tuple, streamed.select("vec_id", "cell")
+                     .collect()))
+    want = sorted(map(tuple, spark.read.parquet(batch_dir)
+                      .select("vec_id", "cell").collect()))
+    assert got == want and len(got) == n
+
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).head().embedding]
+    served = SIM.ivf_index_search(streamed, cent_rows, qv,
+                                  k=5, n_probe=2)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan.split("PartitionFilters")[1][:200], plan
+    twin = SIM.ivf_index_search(spark.read.parquet(batch_dir),
+                                cent_rows, qv, k=5, n_probe=2)
+    assert served.collect() == twin.collect()
