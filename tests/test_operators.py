@@ -2261,3 +2261,45 @@ def test_url_canonical_idempotent(spark, up, www, port, frag, track):
     twice = once.select(url_canonical("c").alias("c"))
     a, b = once.head().c, twice.head().c
     assert a == b, (url, a, b)
+
+
+def test_degenerate_inputs_never_break_the_pipeline(spark):
+    """Edge corpora a 100 TB crawl WILL contain — empty documents,
+    single-doc shards, batches smaller than the cluster count — must
+    flow through the dedup/ANN operators without errors and with
+    sensible semantics (pinned here so a refactor can't quietly turn
+    them into runtime failures)."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<double>")
+
+    # k-means asked for more clusters than vectors: returns one cell
+    # per vector, no crash, and downstream semdedup keeps everything.
+    cents = SIM.kmeans_centroids(emb, n_clusters=8, n_iter=2)
+    assert 1 <= cents.count() <= 3
+    verdicts = SIM.semantic_dedup(emb).collect()
+    assert sorted((r.vec_id, r.keep) for r in verdicts) == \
+        [(0, True), (1, True), (2, True)]
+
+    # Empty-text docs: still get signature rows, and two empty docs
+    # are exact duplicates of each other.
+    docs = _docs(spark, ["", "a b", ""])
+    assert DD.simhash_signatures(docs).count() == 3
+    assert {(r.doc_id, r.canonical_id)
+            for r in DD.exact_dup_mapping(docs).collect()} == {(2, 0)}
+
+    # Single-doc corpus: empty pair frame with the full schema.
+    one = _docs(spark, ["a b c d"])
+    jp = DD.jaccard_pairs(one)
+    assert jp.count() == 0 and jp.columns == \
+        ["doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"]
+
+    # Empty corpus through the LSH pipeline: zero rows, no error.
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert DD.minhash_lsh_dedup(empty).count() == 0
+
+    # Probing more cells than exist scans everything, exactly once.
+    cent_rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    idx = SIM._assign_cells(emb, cent_rows, "embedding")
+    assert SIM.ivf_index_search(idx, cent_rows, [1.0, 0.0],
+                                k=5, n_probe=9).count() == 3
