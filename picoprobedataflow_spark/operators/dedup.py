@@ -10,10 +10,13 @@ required and survive Catalyst optimization:
 - Jaccard: shingle-equality self-join (index join, not O(n²) cross
   product); ``max_df`` drops stop-shingles, which is what bounds the
   join fan-out at corpus scale.
-- MinHash: one explode × num_hashes map-side, one (doc, salt) shuffle.
+- MinHash: a ROW-LOCAL higher-order fold (shingle → base hash →
+  element-wise min across the affine family) — signatures and band
+  keys are a pure map over the corpus scan, zero shuffle.
 - LSH banding: signature concat per band, equality join on
   (band, band_signature) — candidate pairs only, never all pairs.
-- SimHash: per-bit conditional sums, candidates via the pigeonhole
+- SimHash: one row-local fold per doc (see simhash_signatures),
+  candidates via the pigeonhole
   byte-chunk trick (hamming ≤ 3×(chunks-1) guaranteed recall 1 for
   ham ≤ chunks-1 … standard Manku et al. WWW'07 construction).
 
@@ -259,6 +262,55 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int, int]]:
     return out
 
 
+def minhash_vector(docs: DataFrame, num_hashes: int = 16, k: int = 3,
+                   text_col: str = "text",
+                   id_col: str = "doc_id",
+                   hash_fn: HashFn = portable_hash64) -> DataFrame:
+    """Wide-form signatures: (doc_id, mh array<long>[num_hashes]) as a
+    ROW-LOCAL fold — the signature job is a pure map over the corpus
+    scan, zero shuffle.
+
+    Semantically identical to grouping the shingle table and taking
+    per-salt minima: min over a multiset ignores duplicate shingles,
+    so the shingle ``distinct`` is unnecessary on this path. Structure
+    mirrors :func:`winnow_fingerprints`: the token array materializes
+    once per row, shingle strings and base hashes each materialize
+    once in their own projection (HOFs sit outside codegen
+    subexpression elimination — re-deriving them inside a later lambda
+    re-runs the regex split per element, measured ~6× slower). The
+    per-salt minima are ``num_hashes`` independent
+    ``array_min(transform(...))`` passes over the base-hash array —
+    measured ~2× faster than a single ``aggregate`` fold carrying an
+    array accumulator (the fold allocates a fresh ``num_hashes``-long
+    array per shingle; the flat passes allocate ``num_hashes`` arrays
+    per DOC and keep each lambda a two-op affine map). Docs with fewer
+    than k tokens have no shingles and are dropped, matching the long
+    form."""
+    d = (docs.select(F.col(id_col), words(text_col).alias("_toks"))
+             .filter(F.size("_toks") >= k))
+    d = d.select(
+        F.col(id_col),
+        F.transform(F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("_toks", i, k))
+                    ).alias("_sh"))
+    # pmod, not %: portable_hash64 is non-negative (identical result)
+    # but fast_hash64 spans the full int64 range and % would go negative.
+    d = d.select(
+        F.col(id_col),
+        F.transform("_sh", lambda s: F.pmod(hash_fn(s),
+                                            F.lit(MINHASH_PRIME))
+                    ).alias("_hs"))
+    mins = [
+        F.array_min(F.transform(
+            "_hs", lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
+            ).alias(f"_m{i}")
+        for i, a, b in minhash_params(num_hashes)]
+    d = d.select(F.col(id_col), *mins)
+    return d.select(
+        F.col(id_col),
+        F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("mh"))
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3,
                        text_col: str = "text",
                        id_col: str = "doc_id",
@@ -267,16 +319,28 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16, k: int = 3,
     """Long-form signatures: (doc_id, salt, minhash) — min over the
     doc's shingles of the salted hash.
 
-    Cost shape: md5 runs ONCE per shingle (projected before the
-    aggregate so codegen reuses it); the ``num_hashes`` variants are
-    cheap affine maps computed as parallel map-side min aggregates,
-    then unpivoted with ``stack``. The shuffle carries one row per doc
-    — not |shingles|×num_hashes — which is the difference between a
-    corpus-scale minhash and an accidental 16× data explosion."""
-    sh = shingles if shingles is not None \
-        else shingle_table(docs, k, text_col, id_col)
-    # pmod, not %: portable_hash64 is non-negative (identical result)
-    # but fast_hash64 spans the full int64 range and % would go negative.
+    Two physical paths, bit-identical output:
+
+    - default (``shingles=None``): unpivot :func:`minhash_vector` —
+      the signature job is a shuffle-free map; the ``posexplode`` is
+      row-local.
+    - ``shingles=...`` injected (the serving path that shares one
+      persisted shingle scan with the Jaccard join): md5 runs ONCE per
+      shingle row (projected before the aggregate so codegen reuses
+      it); the ``num_hashes`` variants are cheap affine maps computed
+      as parallel map-side min aggregates, then unpivoted with
+      ``stack``. The shuffle carries one row per doc — not
+      |shingles|×num_hashes — which is the difference between a
+      corpus-scale minhash and an accidental 16× data explosion."""
+    if shingles is None:
+        vec = minhash_vector(docs, num_hashes, k, text_col, id_col,
+                             hash_fn)
+        return (vec.select(F.col(id_col),
+                           F.posexplode("mh").alias("salt", "minhash"))
+                   .select(id_col,
+                           F.col("salt").cast("long").alias("salt"),
+                           "minhash"))
+    sh = shingles
     base = F.pmod(hash_fn(F.col("shingle")), F.lit(MINHASH_PRIME)).alias("hbase")
     hashed = sh.select(F.col(id_col), base)
     mins = hashed.groupBy(id_col).agg(*[
@@ -305,12 +369,31 @@ def band_signatures(sigs: DataFrame, band_size: int = 4,
                 .cast("binary")).alias("band_sig")))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, band_size: int = 4,
-                        id_col: str = "doc_id") -> DataFrame:
-    """LSH banding: docs agreeing on all rows of ≥1 band become
-    candidates."""
-    band_sig = band_signatures(sigs, band_size, id_col)
-    a, b = band_sig.alias("a"), band_sig.alias("b")
+def band_vector_signatures(vec: DataFrame, band_size: int = 4,
+                           num_hashes: int = 16,
+                           id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, band, band_sig) from wide-form vectors — row-local
+    (one explode, no groupBy), bit-identical to
+    :func:`band_signatures` over the exploded long form: band j covers
+    salts [j·band_size, (j+1)·band_size), which is exactly
+    ``slice(mh, j·band_size+1, band_size)`` in salt order (a trailing
+    short band falls out of ``slice`` clamping, matching
+    ``salt div band_size``)."""
+    n_bands = -(-num_hashes // band_size)
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda j: F.struct(
+            j.cast("long").alias("band"),
+            F.md5(F.concat_ws(",", F.transform(
+                F.slice("mh", j * band_size + 1, band_size),
+                lambda x: x.cast("string"))).cast("binary")
+                ).alias("band_sig")))
+    return (vec.select(F.col(id_col), F.explode(bands).alias("u"))
+               .select(id_col, "u.band", "u.band_sig"))
+
+
+def _band_self_join(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.band_sig") == F.col("b.band_sig"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -319,21 +402,54 @@ def lsh_candidate_pairs(sigs: DataFrame, band_size: int = 4,
              .distinct())
 
 
+def lsh_candidate_pairs(sigs: DataFrame, band_size: int = 4,
+                        id_col: str = "doc_id") -> DataFrame:
+    """LSH banding: docs agreeing on all rows of ≥1 band become
+    candidates."""
+    return _band_self_join(band_signatures(sigs, band_size, id_col),
+                           id_col)
+
+
 def minhash_lsh_dedup(docs: DataFrame, num_hashes: int = 16, k: int = 3,
                       band_size: int = 4, text_col: str = "text",
                       id_col: str = "doc_id",
                       hash_fn: HashFn = portable_hash64) -> DataFrame:
-    """Composed MinHash→LSH→estimate flow. The signature table feeds
-    three consumers (banding + both sides of the estimate join), so it
-    is persisted once — without this Spark recomputes the
-    shingle+hash pipeline once per consumer, tripling the dominant
-    cost. MEMORY_ONLY so long-lived driver sessions stay bounded:
-    under pressure the LRU drops the blocks instead of spilling
-    them."""
-    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col,
-                              hash_fn).persist(StorageLevel.MEMORY_ONLY)
-    pairs = lsh_candidate_pairs(sigs, band_size, id_col)
-    return minhash_jaccard_estimate(sigs, pairs, num_hashes, id_col)
+    """Composed MinHash→LSH→estimate flow over the wide-form vector
+    table. The vector table feeds three consumers (banding + both
+    sides of the estimate join), so it is persisted once — without
+    this Spark recomputes the shingle+hash fold once per consumer,
+    tripling the dominant cost. MEMORY_ONLY so long-lived driver
+    sessions stay bounded: under pressure the LRU drops the blocks
+    instead of spilling them. Everything up to the band equi-join —
+    signatures, banding, the per-pair agreement count — is row-local;
+    the only shuffles left are candidate generation itself (the band
+    join) and the two one-row-per-doc vector lookups."""
+    vec = minhash_vector(docs, num_hashes, k, text_col, id_col,
+                         hash_fn).persist(StorageLevel.MEMORY_ONLY)
+    pairs = _band_self_join(
+        band_vector_signatures(vec, band_size, num_hashes, id_col),
+        id_col)
+    return minhash_vector_estimate(vec, pairs, num_hashes, id_col)
+
+
+def minhash_vector_estimate(vec: DataFrame, pairs: DataFrame,
+                            num_hashes: int = 16,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Estimated Jaccard from wide-form vectors: the agreement count
+    is a row-local ``zip_with`` fold over the two arrays, so each pair
+    costs two one-row joins instead of a ``num_hashes``-row join plus
+    a pair-keyed aggregate. Output identical to
+    :func:`minhash_jaccard_estimate` over the exploded long form."""
+    va = vec.select(F.col(id_col).alias("doc_a"), F.col("mh").alias("_ma"))
+    vb = vec.select(F.col(id_col).alias("doc_b"), F.col("mh").alias("_mb"))
+    agree = F.aggregate(
+        F.zip_with("_ma", "_mb",
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda a, c: a + c)
+    return (pairs.join(va, "doc_a").join(vb, "doc_b")
+                 .select("doc_a", "doc_b",
+                         (agree / F.lit(float(num_hashes)))
+                         .alias("est_jaccard")))
 
 
 def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame,
@@ -382,10 +498,15 @@ def incremental_minhash_dedup(new_docs: DataFrame,
     Equivalence contract (pytest-asserted): identical to running
     `minhash_lsh_dedup` over corpus ∪ batch and keeping the pairs that
     touch the batch."""
-    new_sigs = minhash_signatures(new_docs, num_hashes, k, text_col,
-                                  id_col, hash_fn)
-    new_sigs = new_sigs.persist(StorageLevel.MEMORY_ONLY)
-    new_bands = band_signatures(new_sigs, band_size, id_col)
+    vec = minhash_vector(new_docs, num_hashes, k, text_col, id_col,
+                         hash_fn).persist(StorageLevel.MEMORY_ONLY)
+    new_sigs = (vec.select(F.col(id_col),
+                           F.posexplode("mh").alias("salt", "minhash"))
+                   .select(id_col,
+                           F.col("salt").cast("long").alias("salt"),
+                           "minhash"))
+    new_bands = band_vector_signatures(vec, band_size, num_hashes,
+                                       id_col)
     new_bands = new_bands.persist(StorageLevel.MEMORY_ONLY)
 
     n, c = new_bands.alias("n"), corpus_bands.alias("c")
