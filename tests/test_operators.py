@@ -89,6 +89,40 @@ def test_minhash_estimates_track_jaccard(spark):
     assert est[(0, 2)] <= 0.2         # disjoint shingle sets
 
 
+def test_minhash_vector_path_equals_groupby_path(spark):
+    """The row-local vector formulation (signatures, bands, estimates
+    — zero shuffle) must be BIT-identical to the shingle-table groupBy
+    formulation it replaced, including the short-doc drop (< k tokens
+    ⇒ absent) and a trailing short band (num_hashes not divisible by
+    band_size)."""
+    t0 = " ".join(f"w{i}" for i in range(40))
+    t1 = " ".join(f"w{i}" for i in range(35)) + " x1 x2 x3 x4 x5"
+    docs = _docs(spark, [t0, t1, " ".join(f"z{i}" for i in range(40)),
+                         "too short", ""])
+
+    sh = DD.shingle_table(docs, 3)
+    old = DD.minhash_signatures(docs, num_hashes=16, k=3, shingles=sh)
+    new = DD.minhash_signatures(docs, num_hashes=16, k=3)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    assert new.filter(F.col("doc_id").isin(3, 4)).count() == 0
+
+    vec = DD.minhash_vector(docs, num_hashes=16, k=3)
+    for bs in (4, 6):  # 6 exercises the trailing short band (16 % 6 != 0)
+        b_old = DD.band_signatures(old, band_size=bs)
+        b_new = DD.band_vector_signatures(vec, band_size=bs,
+                                          num_hashes=16)
+        assert b_old.exceptAll(b_new).count() == 0
+        assert b_new.exceptAll(b_old).count() == 0
+
+    pairs = spark.createDataFrame([(0, 1), (0, 2)],
+                                  "doc_a long, doc_b long")
+    e_old = DD.minhash_jaccard_estimate(old, pairs, num_hashes=16)
+    e_new = DD.minhash_vector_estimate(vec, pairs, num_hashes=16)
+    assert sorted(map(tuple, e_old.collect())) == \
+        sorted(map(tuple, e_new.collect()))
+
+
 def test_simhash_identical_zero_hamming(spark):
     docs = _docs(spark, ["alpha beta gamma delta epsilon zeta",
                          "alpha beta gamma delta epsilon zeta",
