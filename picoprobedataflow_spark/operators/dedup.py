@@ -83,24 +83,27 @@ def shingle_table(docs: DataFrame, k: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Distinct k-word shingles, long form: (doc_id, shingle).
 
-    Tokenizes once via ``posexplode`` and assembles shingles with
-    window ``lead`` — NOT by indexing the token array inside a
-    ``transform`` lambda, where codegen cannot eliminate the repeated
-    regex split (measured ~6× slower at 5k docs). The window's
-    (doc_id) shuffle doubles as the partitioning the downstream
-    signature aggregate wants. Docs with fewer than k tokens yield no
-    shingles."""
-    toks = docs.select(
+    Row-local construction (round 7): the token array materializes
+    once per row, the shingle-string array once more in its own
+    projection (never index the token array inside a later lambda —
+    HOFs sit outside codegen subexpression elimination, so the regex
+    split re-runs per element, measured ~6× slower), then
+    ``array_distinct`` dedupes WITHIN the doc — which is exactly what
+    the (doc_id, shingle) global ``distinct`` did, since doc_id is in
+    the key. The previous formulation (posexplode + window ``lead`` +
+    global distinct) shuffled |shingles| rows twice before the first
+    consumer ever saw them; this one is explode-only — zero shuffles,
+    output row-identical (exceptAll both ways = 0 at sf0.1). Docs with
+    fewer than k tokens yield no shingles."""
+    d = (docs.select(F.col(id_col), words(text_col).alias("_toks"))
+             .filter(F.size("_toks") >= k))
+    d = d.select(
         F.col(id_col),
-        F.posexplode(words(text_col)).alias("pos", "tok"))
-    w = W.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
-    return (toks.select(F.col(id_col),
-                        F.concat_ws(" ", *parts).alias("shingle"),
-                        parts[-1].alias("_last"))
-                .filter(F.col("_last").isNotNull())
-                .select(id_col, "shingle")
-                .distinct())
+        F.transform(F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("_toks", i, k))
+                    ).alias("_sh"))
+    return d.select(F.col(id_col),
+                    F.explode(F.array_distinct("_sh")).alias("shingle"))
 
 
 def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
