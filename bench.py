@@ -75,8 +75,12 @@ def _uncapped_pipeline_queries():
     def jaccard_neardup(spark, sf_dir):
         docs = tbl(spark, sf_dir, "documents")
         # max_df prunes stop-shingles — the knob that keeps the
-        # shingle join linear-ish on a real corpus.
-        return DD.jaccard_pairs(docs, k=3, threshold=0.5, max_df=50)
+        # shingle join linear-ish on a real corpus. shingle_hash =
+        # the production path (8-byte shingle ids in the self-join,
+        # never raw strings); the oracle-gated catalog twin keeps
+        # exact string joins.
+        return DD.jaccard_pairs(docs, k=3, threshold=0.5, max_df=50,
+                                shingle_hash=SC.fast_hash64)
 
     def ann_topk(spark, sf_dir):
         emb = tbl(spark, sf_dir, "embeddings")

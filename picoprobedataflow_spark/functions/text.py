@@ -622,3 +622,71 @@ def compression_ratio(text_col: str = "text"):
             for t in texts])
 
     return _ratio(F.col(text_col))
+
+
+def dsir_importance_weights(docs, target: Column | None = None,
+                            n_buckets: int = 64,
+                            passthrough: tuple[str, ...] = (),
+                            text_col: str = "text",
+                            id_col: str = "doc_id"):
+    """DSIR-style data selection (Xie et al., NeurIPS 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by the log-likelihood ratio of its hashed-bigram
+    features under a target vs raw bag-of-ngrams model — positive
+    weight = looks more like the target distribution than the corpus
+    average, the signal importance RESAMPLING keeps.
+
+    ``target`` is a boolean Column marking the in-domain exemplar
+    docs (default: gold ``lang == 'en'``); both models are add-one-
+    smoothed multinomials over ``n_buckets`` hashed-bigram buckets
+    (feature hashing bounds the model at ``n_buckets`` rows no matter
+    the corpus vocabulary). Returns (id, *passthrough, w) for docs
+    with ≥ 2 tokens; ``w`` is unrounded — callers round before any
+    gate.
+
+    Scale shape: bigram buckets are computed ROW-LOCALLY (the token
+    array materializes once; each bucket is a hash of two adjacent
+    tokens) and exploded once into a (doc, bucket) table that feeds
+    the raw counts, the target counts, and the scoring join — at
+    100 TB this is the persist-once multi-consumer featurization
+    intermediate. Both models and their totals are ≤ n_buckets rows
+    (broadcast); the per-doc weight is one hash aggregate keyed by
+    doc id. Nothing touches the driver."""
+    from pyspark.storagelevel import StorageLevel
+
+    from picoprobedataflow_spark.functions.scalar import portable_hash64
+
+    if target is None:
+        target = F.col("lang") == "en"
+    extra = list(passthrough)
+    d = (docs.select(F.col(id_col), *extra, target.alias("_t"),
+                     words(text_col).alias("_toks"))
+             .filter(F.size("_toks") >= 2))
+    d = d.select(
+        F.col(id_col), *extra, "_t",
+        F.transform(F.sequence(F.lit(1), F.size("_toks") - 1),
+                    lambda i: F.pmod(
+                        portable_hash64(F.concat(
+                            F.lit("dsir:"),
+                            F.concat_ws(" ", F.slice("_toks", i, 2)))),
+                        F.lit(n_buckets))).alias("_bk"))
+    big = (d.select(F.col(id_col), *extra, "_t",
+                    F.explode("_bk").alias("b"))
+            .persist(StorageLevel.MEMORY_ONLY))
+    raw = big.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = (big.filter(F.col("_t")).groupBy("b")
+              .agg(F.count("*").alias("ct")))
+    totals = (big.agg(
+        F.count("*").alias("tr"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("tt")))
+    lr = (raw.join(tgt, "b", "left")
+             .crossJoin(F.broadcast(totals))
+             .select("b",
+                     (F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                            / (F.col("tt") + F.lit(n_buckets)))
+                      - F.log((F.col("cr") + 1.0)
+                              / (F.col("tr") + F.lit(n_buckets))))
+                     .alias("lr")))
+    return (big.join(F.broadcast(lr), "b")
+               .groupBy(id_col, *extra)
+               .agg(F.sum("lr").alias("w")))

@@ -1177,6 +1177,35 @@ strat AS (
              AS r
     FROM documents)
   WHERE r <= 40 GROUP BY 1
+),
+dsir_toks AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT doc_id, source, (lang = 'en') AS t, length(text) AS nc,
+           {_WORDS} AS w
+    FROM documents)
+  WHERE len(w) >= 2
+),
+dsir_b AS MATERIALIZED (
+  SELECT doc_id, source, t, nc,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> {_HASH64.format(expr="'dsir:' || w[i] || ' ' || w[i+1]")}
+                     % 64)) AS b
+  FROM dsir_toks
+),
+dsir_lr AS (
+  SELECT b, ln((COALESCE(ct, 0) + 1.0) / (tt + 64))
+           - ln((cr + 1.0) / (tr + 64)) AS lr
+  FROM (SELECT b, count(*) AS cr FROM dsir_b GROUP BY 1)
+  LEFT JOIN (SELECT b, count(*) AS ct FROM dsir_b WHERE t GROUP BY 1)
+    USING (b)
+  CROSS JOIN (SELECT count(*) AS tr,
+                     sum(CASE WHEN t THEN 1 ELSE 0 END) AS tt
+              FROM dsir_b)
+),
+dsir_w AS (
+  SELECT doc_id, source, max(nc) AS nc, sum(lr) AS w
+  FROM dsir_b JOIN dsir_lr USING (b)
+  GROUP BY 1, 2
 )
 SELECT 'langid' AS family, lang AS k, predicted_lang AS k2,
        n, CAST(NULL AS BIGINT) AS total_words,
@@ -1234,12 +1263,22 @@ SELECT 'funnel', stage, NULL, n_docs, NULL, NULL, total_chars FROM (
   UNION ALL
   SELECT 'exact_survivor', count(*), CAST(sum(nc) AS BIGINT) FROM f4
 )
+UNION ALL
+SELECT 'dsir', source, NULL,
+       CAST(sum(CASE WHEN CAST(round(w * 1e6) AS BIGINT) > 0
+                THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT),
+       round(avg(w), 2),
+       CAST(sum(CASE WHEN CAST(round(w * 1e6) AS BIGINT) > 0
+                THEN nc END) AS BIGINT)
+FROM dsir_w GROUP BY source
 """,
     tags=("lang-id", "token-count", "dataset-split", "sampling",
-          "mixture-sampling", "stratified-sampling", "dedup-telemetry"),
+          "mixture-sampling", "stratified-sampling", "dedup-telemetry",
+          "dsir-importance-resampling"),
 )
 def corpus_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level grouped accounting, seven families in one scan
+    """Corpus-level grouped accounting, eight families in one scan
     union: (a) language-ID confusion — stopword-hit argmax heuristic
     vs gold label; (b) per-source token budget (exact-integer sums →
     exact means); (c) deterministic md5(doc_id) 80/10/10
@@ -1256,8 +1295,13 @@ def corpus_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; (g) ``funnel`` (round 5) — the curation yield
     funnel: docs/chars surviving raw → langid-en → quality ≥ 0.35 →
     exact-dedup survivor, each stage sharing its expressions with
-    the family that owns it. Long-form (family, k, k2) keys with
-    per-family measure columns."""
+    the family that owns it; (h) ``dsir`` (round 7) — DSIR-style
+    importance-resampling accounting
+    (:func:`~..functions.text.dsir_importance_weights`): per-source
+    selected docs / docs scored / mean weight / kept chars under the
+    hashed-bigram log-likelihood-ratio model with gold ``lang='en'``
+    as target. Long-form (family, k, k2) keys with per-family
+    measure columns."""
     docs = tbl(spark, sf_dir, "documents")
     nulls = lambda t: F.lit(None).cast(t)  # noqa: E731
 
@@ -1390,9 +1434,32 @@ def corpus_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
               .unionByName(_stage(f3, "quality"))
               .unionByName(_stage(f4, "exact_survivor")))
 
+    # dsir family (round 7): DSIR importance-resampling accounting —
+    # per-source selected-doc counts under the hashed-bigram
+    # log-likelihood-ratio model (target = gold lang 'en'), plus the
+    # mean weight. n = docs with positive weight at the same rounded
+    # 1e-6 gate the funnel's quality stage uses; total_words slot =
+    # docs scored; total_chars = chars the selection keeps.
+    dw = TX.dsir_importance_weights(
+        docs.withColumn("nc", F.length("text")),
+        passthrough=("source", "nc"))
+    _sel = F.round(F.col("w") * 1e6, 0).cast("long") > 0
+    dsir = (dw.groupBy("source")
+            .agg(F.sum(F.when(_sel, 1).otherwise(0)).cast("long")
+                  .alias("n"),
+                 F.count("*").cast("long").alias("total_words"),
+                 F.round(F.avg("w"), 2).alias("mean_words"),
+                 F.sum(F.when(_sel, F.col("nc"))).cast("long")
+                  .alias("total_chars"))
+            .select(F.lit("dsir").alias("family"),
+                    F.col("source").alias("k"),
+                    nulls("string").alias("k2"), "n",
+                    "total_words", "mean_words", "total_chars"))
+
     return (langid.unionByName(toksrc).unionByName(splits)
                   .unionByName(mixture).unionByName(strat)
-                  .unionByName(dup).unionByName(funnel))
+                  .unionByName(dup).unionByName(funnel)
+                  .unionByName(dsir))
 
 
 @query(
@@ -1929,9 +1996,12 @@ def _served_dedup_tables(spark: SparkSession, sf_dir: str) -> tuple:
 
     - ``sigs`` — 32-bit SimHash signatures under the production
       xxhash64 hash (one row per doc: the 4-byte-per-doc index).
-    - ``shingles`` — the max_df-capped 3-shingle table (the document-
-      frequency cap is a corpus-level statistic, so a deployment caps
-      at WRITE time; serving then pays only the equality join).
+    - ``shingles`` — the max_df-capped HASHED 3-shingle table (8-byte
+      xxhash64 shingle ids, never raw k-gram strings — the production
+      layout; the document-frequency cap is a corpus-level statistic,
+      so a deployment caps at WRITE time with the stop-shingle set
+      broadcast-anti-joined; serving then pays only the equality
+      join on longs).
 
     Both land under the system temp dir keyed by applicationId, so
     restarted sessions rebuild instead of trusting stale files; same
@@ -1956,10 +2026,14 @@ def _served_dedup_tables(spark: SparkSession, sf_dir: str) -> tuple:
     sh_path = os.path.join(base, "shingles_k3_df50")
     (DD.simhash_signatures(docs, hash_fn=SC.fast_hash64)
        .write.mode("overwrite").parquet(sig_path))
-    sh = DD.shingle_table(docs, k=3)
-    keep = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
-              .filter(F.col("df") <= 50).select("shingle"))
-    (sh.join(keep, "shingle").select("doc_id", "shingle")
+    sh = (DD.shingle_table(docs, k=3)
+            .select("doc_id",
+                    SC.fast_hash64(F.col("shingle")).alias("shingle"))
+            .dropDuplicates())
+    drop = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+              .filter(F.col("df") > 50).select("shingle"))
+    (sh.join(F.broadcast(drop), "shingle", "left_anti")
+       .select("doc_id", "shingle")
        .write.mode("overwrite").parquet(sh_path))
     out = (spark.read.parquet(sig_path), spark.read.parquet(sh_path))
     _SERVED_DEDUP_CACHE[key] = out
@@ -1977,11 +2051,11 @@ def simhash_served_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def jaccard_served_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jaccard near-dup pairs from the PERSISTED df-capped shingle
-    table: sizes + shingle-equality join + threshold only — the
-    tokenize→window→distinct chain and the df cap are amortized into
-    the write-once parquet. Equality to the from-scratch path is
-    pytest-pinned."""
+    """Jaccard near-dup pairs from the PERSISTED df-capped hashed
+    shingle table: sizes + id-equality join + threshold only — the
+    tokenize→shingle→hash map and the df cap are amortized into the
+    write-once parquet. Equality to the from-scratch production path
+    (shingle_hash=fast_hash64) is pytest-pinned."""
     _, sh = _served_dedup_tables(spark, sf_dir)
     return DD.jaccard_pairs(None, k=3, threshold=0.5, shingles=sh)
 

@@ -89,6 +89,39 @@ def test_minhash_estimates_track_jaccard(spark):
     assert est[(0, 2)] <= 0.2         # disjoint shingle sets
 
 
+def test_jaccard_hashed_shingle_path_matches_string_path(spark):
+    """The production hashed-shingle path (row-local 64-bit shingle
+    ids, strings never shuffled) must produce the same pairs and the
+    same jaccard values as the exact string path on a collision-free
+    corpus — both from docs and through the injected-shingles route."""
+    from picoprobedataflow_spark.functions.scalar import fast_hash64
+
+    t0 = " ".join(f"w{i}" for i in range(40))
+    t1 = " ".join(f"w{i}" for i in range(35)) + " x1 x2 x3 x4 x5"
+    docs = _docs(spark, [t0, t1, " ".join(f"z{i}" for i in range(40)),
+                         "too short"])
+    base = DD.jaccard_pairs(docs, k=3, threshold=0.1)
+    hashed = DD.jaccard_pairs(docs, k=3, threshold=0.1,
+                              shingle_hash=fast_hash64)
+    key = lambda r: (r.doc_a, r.doc_b)  # noqa: E731
+    b = {key(r): r.jaccard for r in base.collect()}
+    h = {key(r): r.jaccard for r in hashed.collect()}
+    assert b == h and b
+
+    sh = DD.shingle_table(docs, 3)
+    inj = DD.jaccard_pairs(None, k=3, threshold=0.1, shingles=sh,
+                           shingle_hash=fast_hash64)
+    assert {key(r): r.jaccard for r in inj.collect()} == b
+
+    # max_df interacts with hashed ids the same way it does with
+    # strings (df counted over ids).
+    bm = DD.jaccard_pairs(docs, k=3, threshold=0.1, max_df=1)
+    hm = DD.jaccard_pairs(docs, k=3, threshold=0.1, max_df=1,
+                          shingle_hash=fast_hash64)
+    assert {key(r): r.jaccard for r in bm.collect()} == \
+        {key(r): r.jaccard for r in hm.collect()}
+
+
 def test_minhash_vector_path_equals_groupby_path(spark):
     """The row-local vector formulation (signatures, bands, estimates
     — zero shuffle) must be BIT-identical to the shingle-table groupBy
@@ -592,6 +625,38 @@ def test_tfidf_vectors_hand_check(spark):
     assert abs(out[2]["durian"] - idf(1)) < 1e-9
     # doc-unique beats corpus-common at equal tf
     assert out[1]["cherry"] > out[1]["apple"]
+
+
+def test_dsir_importance_weights_separate_target_from_offdomain(spark):
+    """DSIR hashed-bigram log-likelihood-ratio weights: docs written
+    in the target's bigram distribution must score strictly above
+    docs from a disjoint distribution, weights must be stable under
+    repartitioning, and docs with < 2 tokens drop out."""
+    from picoprobedataflow_spark.functions.text import (
+        dsir_importance_weights)
+
+    tgt = " ".join("alpha beta gamma delta".split() * 10)
+    off = " ".join("omega psi chi phi".split() * 10)
+    rows = ([(i, tgt + f" tail{i}", "en") for i in range(6)]
+            + [(i + 6, off + f" tail{i}", "de") for i in range(6)]
+            + [(12, tgt, "de"),      # target-like text, off-target label
+               (13, "solo", "en")])  # 1 token: no bigrams
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    w = {r.doc_id: r.w for r in dsir_importance_weights(docs).collect()}
+    assert 13 not in w and len(w) == 13
+    # every target-distribution doc outscores every off-domain doc —
+    # including the mislabeled one (selection is by CONTENT, the gold
+    # label only fits the model).
+    tgt_ids = set(range(6)) | {12}
+    off_ids = set(range(6, 12))
+    assert min(w[i] for i in tgt_ids) > max(w[i] for i in off_ids)
+    assert all(w[i] > 0 for i in tgt_ids)
+    assert all(w[i] < 0 for i in off_ids)
+
+    w2 = {r.doc_id: r.w
+          for r in dsir_importance_weights(docs.repartition(7)).collect()}
+    assert all(abs(w[i] - w2[i]) < 1e-9 for i in w)
 
 
 def test_mixture_sample_deterministic_and_proportional(spark):

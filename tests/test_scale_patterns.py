@@ -499,7 +499,8 @@ def test_dedup_serving_path_equals_from_scratch(spark):
     jserved = sorted(map(tuple,
                          PL.jaccard_served_pairs(spark, sf).collect()))
     jscratch = sorted(map(tuple, DD.jaccard_pairs(
-        docs, k=3, threshold=0.5, max_df=50).collect()))
+        docs, k=3, threshold=0.5, max_df=50,
+        shingle_hash=SC.fast_hash64).collect()))
     assert jserved == jscratch
 
     t1 = PL._served_dedup_tables(spark, sf)
