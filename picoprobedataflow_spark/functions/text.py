@@ -662,9 +662,16 @@ def dsir_importance_weights(docs, target: Column | None = None,
     d = (docs.select(F.col(id_col), *extra, target.alias("_t"),
                      words(text_col).alias("_toks"))
              .filter(F.size("_toks") >= 2))
+    # greatest(.., 1): InferFiltersFromGenerate pushes a size(_bk)>0
+    # predicate below this projection and codegen CSE then evaluates
+    # the transform on PRE-filter rows too, so the expression must be
+    # total — sequence(1, 0) descends to [1, 0] and slice(_, 0, 2)
+    # throws. Sub-2-token rows produce a junk bucket here and are
+    # still dropped by the size>=2 conjunct.
     d = d.select(
         F.col(id_col), *extra, "_t",
-        F.transform(F.sequence(F.lit(1), F.size("_toks") - 1),
+        F.transform(F.sequence(F.lit(1),
+                               F.greatest(F.size("_toks") - 1, F.lit(1))),
                     lambda i: F.pmod(
                         portable_hash64(F.concat(
                             F.lit("dsir:"),

@@ -97,9 +97,17 @@ def shingle_table(docs: DataFrame, k: int = 3, text_col: str = "text",
     fewer than k tokens yield no shingles."""
     d = (docs.select(F.col(id_col), words(text_col).alias("_toks"))
              .filter(F.size("_toks") >= k))
+    # greatest(.., 1): the explode below makes InferFiltersFromGenerate
+    # push a size(_sh)>0 predicate under this projection, and codegen
+    # CSE then evaluates the transform on PRE-filter rows — so the
+    # expression must be total (sequence(1, <=0) descends through 0
+    # and slice(_, 0, k) throws). Sub-k-token rows build one junk
+    # shingle here and are still dropped by the size>=k conjunct.
     d = d.select(
         F.col(id_col),
-        F.transform(F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+        F.transform(F.sequence(F.lit(1),
+                               F.greatest(F.size("_toks") - (k - 1),
+                                          F.lit(1))),
                     lambda i: F.concat_ws(" ", F.slice("_toks", i, k))
                     ).alias("_sh"))
     return d.select(F.col(id_col),
@@ -192,9 +200,12 @@ def jaccard_pairs(docs: DataFrame | None, k: int = 3,
     else:
         d = (docs.select(F.col(id_col), words(text_col).alias("_toks"))
                  .filter(F.size("_toks") >= k))
+        # greatest(.., 1): keep the transform total — see shingle_table.
         d = d.select(
             F.col(id_col),
-            F.transform(F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+            F.transform(F.sequence(F.lit(1),
+                                   F.greatest(F.size("_toks") - (k - 1),
+                                              F.lit(1))),
                         lambda i: F.concat_ws(" ", F.slice("_toks", i, k))
                         ).alias("_sh"))
         sh = d.select(
@@ -327,9 +338,12 @@ def minhash_vector(docs: DataFrame, num_hashes: int = 16, k: int = 3,
     form."""
     d = (docs.select(F.col(id_col), words(text_col).alias("_toks"))
              .filter(F.size("_toks") >= k))
+    # greatest(.., 1): keep the transform total — see shingle_table.
     d = d.select(
         F.col(id_col),
-        F.transform(F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+        F.transform(F.sequence(F.lit(1),
+                               F.greatest(F.size("_toks") - (k - 1),
+                                          F.lit(1))),
                     lambda i: F.concat_ws(" ", F.slice("_toks", i, k))
                     ).alias("_sh"))
     # pmod, not %: portable_hash64 is non-negative (identical result)

@@ -67,6 +67,35 @@ def test_jaccard_identical_and_disjoint(spark):
     assert (r.doc_a, r.doc_b, r.jaccard) == (0, 1, 1.0)
 
 
+def test_short_docs_drop_out_without_error(spark):
+    """Docs with fewer than k tokens must be DROPPED, not crash: the
+    explode downstream makes InferFiltersFromGenerate push a
+    size(..)>0 predicate below the shingle projection, and codegen CSE
+    then evaluates the transform on pre-filter rows — sequence(1, <=0)
+    descends through 0 and slice(_, 0, k) throws unless the bound is
+    clamped. Regression for the DSIR/shingle family; consume through
+    an aggregate so the inferred-filter rewrite actually fires."""
+    docs = _docs(spark, [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",
+        "tiny",            # 1 token < k=3
+        "two words",       # 2 tokens < k=3
+    ])
+    sh = DD.shingle_table(docs, 3)
+    per_doc = {r.doc_id: r.n for r in
+               sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert set(per_doc) == {0, 1}
+    pairs = DD.jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(0, 1)]
+    vec = DD.minhash_vector(docs, num_hashes=8, k=3)
+    assert {r.doc_id for r in vec.collect()} == {0, 1}
+    from picoprobedataflow_spark.functions.text import (
+        dsir_importance_weights)
+    w = dsir_importance_weights(
+        docs.withColumn("lang", F.lit("en"))).collect()
+    assert {r.doc_id for r in w} == {0, 1, 3}
+
+
 def test_jaccard_partial_overlap_value(spark):
     # doc0: tokens a b c d -> shingles {abc, bcd}; doc1: a b c e -> {abc, bce}
     docs = _docs(spark, ["a b c d", "a b c e"])
