@@ -967,10 +967,15 @@ def cross_doc_span_dedup(docs: DataFrame, span_w: int = 4,
     toks = (docs.select(F.col(id_col), words(text_col).alias("_w"))
             .filter(F.size("_w") >= span_w))
     n_sp = (F.floor((F.size("_w") - span_w) / st) + 1).cast("int")
+    # greatest(.., 0): the posexplode makes InferFiltersFromGenerate
+    # evaluate this transform on pre-filter rows (see shingle_table);
+    # without the clamp a sub-span_w doc at stride=1 reaches
+    # slice(_w, 0, ..), which throws.
     spans = (toks
              .select(F.col(id_col),
                      F.posexplode(F.transform(
-                         F.sequence(F.lit(0), n_sp - 1),
+                         F.sequence(F.lit(0), F.greatest(n_sp - 1,
+                                                         F.lit(0))),
                          lambda i: F.concat_ws(
                              " ", F.slice("_w", i * st + 1, span_w))))
                      .alias("idx", "span")))

@@ -94,6 +94,12 @@ def test_short_docs_drop_out_without_error(spark):
     w = dsir_importance_weights(
         docs.withColumn("lang", F.lit("en"))).collect()
     assert {r.doc_id for r in w} == {0, 1, 3}
+    # stride=1 is the only stride whose pre-filter slice start can
+    # land exactly on 0 (i*st+1 == 0 needs st == 1).
+    spans = DD.cross_doc_span_dedup(docs, span_w=4, stride=1)
+    per = {r.doc_id: r.n for r in
+           spans.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert set(per) == {0, 1} and per[0] == per[1] == 6
 
 
 def test_jaccard_partial_overlap_value(spark):
