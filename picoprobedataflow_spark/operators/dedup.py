@@ -290,6 +290,114 @@ def contamination_overlap(train_docs: DataFrame | None = None,
                     F.round(frac, 6).alias("overlap_frac")))
 
 
+def bloom_bits(values: DataFrame, col: str = "shingle",
+               num_bits: int = 1 << 20,
+               num_hashes: int = 5) -> list[int]:
+    """Build a Bloom filter over ``values[col]`` as a plain Python
+    list of ``ceil(num_bits/64)`` int64 words (Kirsch-Mitzenmacher-
+    style probes: position i = xxhash64(i, value) mod num_bits — the
+    per-probe seed rides inside the hash input, so each probe is an
+    independent full hash, JVM-side).
+
+    Scale shape: one explode (num_hashes rows per value), one
+    ``bit_or`` hash aggregate keyed by the 64-bit word index, one
+    driver collect BOUNDED by the filter size (num_bits/64 rows max,
+    16K longs at the 1 MiB default) — the same bounded-collect
+    pattern as the k-means centroid hops. The aggregate's map-side
+    partial ORs mean the shuffle carries at most num_bits/64 rows
+    per task regardless of |values|. Sizing: ~10 bits/key ≈ 1% false
+    positives at num_hashes=5; callers that gate EXACT results
+    (contamination_overlap_bloom) only pay fp-rate in wasted verify
+    work, never in correctness."""
+    p = F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.pmod(F.xxhash64(i, F.col(col)),
+                         F.lit(num_bits)))).alias("p")
+    rows = (values.select(p)
+            .select(F.shiftright(F.col("p"), 6).alias("w"),
+                    F.call_function("shiftleft", F.lit(1).cast("long"),
+                                    (F.col("p") % 64).cast("int"))
+                     .alias("bit"))
+            .groupBy("w").agg(F.bit_or("bit").alias("bits"))
+            .collect())
+    out = [0] * ((num_bits + 63) // 64)
+    for r in rows:
+        out[r.w] = r.bits
+    return out
+
+
+def bloom_contains(bits: list[int], col: Column | str,
+                   num_bits: int, num_hashes: int = 5) -> Column:
+    """Membership test against a :func:`bloom_bits` filter: true iff
+    every probe bit is set (no false negatives; false positives at
+    the filter's design rate). The word array ships as ONE array
+    literal inside the expression — a map-side test with zero joins,
+    the same literal-LUT pattern as the PQ codebook lookups. All
+    JVM-side: xxhash64 probes, element_at word fetch, shiftright bit
+    extract under ``forall``."""
+    blit = F.lit(bits)
+    c = F.col(col) if isinstance(col, str) else col
+
+    def _probe(i):
+        p = F.pmod(F.xxhash64(i, c), F.lit(num_bits))
+        word = F.element_at(
+            blit, (F.shiftright(p, 6) + 1).cast("int"))
+        return (F.call_function("shiftright", word,
+                                (p % 64).cast("int"))
+                .bitwiseAND(F.lit(1)) == 1)
+
+    return F.forall(F.sequence(F.lit(0), F.lit(num_hashes - 1)), _probe)
+
+
+def contamination_overlap_bloom(train_docs: DataFrame | None = None,
+                                bench_docs: DataFrame | None = None,
+                                k: int = 3, text_col: str = "text",
+                                id_col: str = "doc_id",
+                                threshold: float = 0.0,
+                                num_bits: int = 1 << 20,
+                                num_hashes: int = 5,
+                                train_shingles: DataFrame | None = None,
+                                bench_shingles: DataFrame | None = None
+                                ) -> DataFrame:
+    """:func:`contamination_overlap` with a Bloom prefilter on the
+    hit side — EXACT results (row-identical, pytest + hash-gate
+    pinned), different 100 TB shape.
+
+    The exact gate's LEFT SEMI join relies on the benchmark shingle
+    universe being broadcastable; when the "benchmark" is itself
+    large (decontaminating against a prior training corpus, a
+    multi-suite eval union), the semi join reshuffles the ENTIRE
+    training shingle table on the shingle key. Here the bench
+    universe compresses to ~10 bits/shingle of Bloom words
+    (:func:`bloom_bits`, an order of magnitude under any exact
+    broadcast set), the training shingles are tested MAP-SIDE, and
+    only the survivors — true hits plus the ~1% false-positive
+    residue — enter the exact semi join that removes the false
+    positives. Per-doc totals (``n_shingles``) still count the
+    unfiltered table, so the output is identical to the exact gate;
+    the train-side shuffle shrinks from |train shingles| to
+    |hits| + fp·|train shingles|. No false negatives by Bloom
+    construction, so no recall caveat."""
+    tr = train_shingles if train_shingles is not None \
+        else shingle_table(train_docs, k, text_col, id_col)
+    bs = (bench_shingles if bench_shingles is not None
+          else shingle_table(bench_docs, k, text_col, id_col))
+    bench_universe = (bs.select("shingle").distinct()
+                        .persist(StorageLevel.MEMORY_ONLY))
+    bits = bloom_bits(bench_universe, "shingle", num_bits, num_hashes)
+    pre = tr.filter(bloom_contains(bits, "shingle",
+                                   num_bits, num_hashes))
+    sizes = tr.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (pre.join(bench_universe, "shingle", "left_semi")
+               .groupBy(id_col).agg(F.count("*").alias("n_overlap")))
+    frac = F.col("n_overlap") / F.col("n_shingles")
+    return (sizes.join(hits, id_col, "left")
+            .na.fill({"n_overlap": 0})
+            .filter(frac >= threshold)
+            .select(id_col, "n_shingles", "n_overlap",
+                    F.round(frac, 6).alias("overlap_frac")))
+
+
 # --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------

@@ -399,8 +399,22 @@ def _spark_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("doc_id").alias("doc_a"),
                      F.lit(None).cast("long").alias("doc_b"),
                      F.col("overlap_frac").alias("score"))
+    # contam_bloom (round 8): the SAME decontamination through the
+    # Bloom-prefilter + exact-verify path — the large-benchmark
+    # shape where the bench universe rides as ~10 bits/shingle of
+    # broadcast filter words and only map-side survivors reach the
+    # exact join. Exact by construction, so its oracle is the contam
+    # oracle verbatim: the driver hash gate pins prefilter ≡ plain.
+    contb = DD.contamination_overlap_bloom(
+        threshold=_CONTAM_MIN,
+        train_shingles=sh.filter(~is_bench),
+        bench_shingles=sh.filter(is_bench))
+    cbp = contb.select(F.lit("contam_bloom").alias("method"),
+                       F.col("doc_id").alias("doc_a"),
+                       F.lit(None).cast("long").alias("doc_b"),
+                       F.col("overlap_frac").alias("score"))
     return (jp.unionByName(mp).unionByName(sp).unionByName(ip)
-              .unionByName(cp))
+              .unionByName(cp).unionByName(cbp))
 
 
 @query(
@@ -418,6 +432,10 @@ WHERE doc_a >= {_DOC_SPLIT} OR doc_b >= {_DOC_SPLIT}
 UNION ALL
 SELECT 'contam' AS method, doc_id AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
        score
+FROM cpairs
+UNION ALL
+SELECT 'contam_bloom' AS method, doc_id AS doc_a,
+       CAST(NULL AS BIGINT) AS doc_b, score
 FROM cpairs
 """,
     tags=("dedup-jaccard", "dedup-minhash", "dedup-simhash", "lsh",
@@ -449,7 +467,17 @@ def dedup_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     in that benchmark's shingle universe (emitted when ≥ 0.05,
     doc_b NULL — doc-vs-corpus, not a pair). One LEFT SEMI
     shingle-equality join against the deduped benchmark universe,
-    sharing the suite's materialized shingle table."""
+    sharing the suite's materialized shingle table.
+
+    The ``contam_bloom`` family (round 8) replays the same gate
+    through `operators.dedup.contamination_overlap_bloom`: the bench
+    universe compresses to a broadcast Bloom word array
+    (~10 bits/shingle), training shingles are tested map-side, and
+    only survivors reach the exact verify join — the shape for
+    decontaminating against benchmark unions too big to broadcast
+    exactly. Exact by construction (no false negatives; false
+    positives die in the verify join), so its oracle is the contam
+    CTE verbatim and the hash gate pins the equivalence."""
     return _spark_candidate_pairs(spark, sf_dir)
 
 

@@ -55,6 +55,36 @@ def test_contamination_overlap_known_fractions(spark):
     assert kept == {10, 11}
 
 
+def test_contamination_bloom_gate_exact(spark):
+    """The Bloom-prefiltered gate is EXACT: row-identical to the
+    plain semi-join gate at a sane filter size AND at a deliberately
+    tiny (32-bit) filter where nearly every probe collides — false
+    positives only add verify work, the exact join removes them, and
+    Bloom filters have no false negatives. Also pins the primitives:
+    every member tests positive, and a sane-sized filter rejects
+    most non-members."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter((F.col("doc_id") % 13) == 0)
+    train = docs.filter((F.col("doc_id") % 13) != 0)
+    exact = DD.contamination_overlap(train, bench, k=3).collect()
+    want = sorted((r.doc_id, r.n_shingles, r.n_overlap, r.overlap_frac)
+                  for r in exact)
+    for nb in (1 << 16, 32):
+        got = DD.contamination_overlap_bloom(
+            train, bench, k=3, num_bits=nb).collect()
+        assert sorted((r.doc_id, r.n_shingles, r.n_overlap,
+                       r.overlap_frac) for r in got) == want, nb
+    uni = DD.shingle_table(bench, 3).select("shingle").distinct()
+    bits = DD.bloom_bits(uni, num_bits=1 << 16)
+    assert uni.filter(~DD.bloom_contains(bits, "shingle",
+                                         1 << 16)).count() == 0
+    outside = spark.range(500).select(
+        F.concat(F.lit("no such shingle "), F.col("id")).alias("shingle"))
+    fp = outside.filter(DD.bloom_contains(bits, "shingle",
+                                          1 << 16)).count()
+    assert fp < 50
+
+
 def test_jaccard_identical_and_disjoint(spark):
     docs = _docs(spark, [
         "the quick brown fox jumps over the lazy dog",
