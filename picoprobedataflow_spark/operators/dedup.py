@@ -357,7 +357,8 @@ def contamination_overlap_bloom(train_docs: DataFrame | None = None,
                                 num_bits: int = 1 << 20,
                                 num_hashes: int = 5,
                                 train_shingles: DataFrame | None = None,
-                                bench_shingles: DataFrame | None = None
+                                bench_shingles: DataFrame | None = None,
+                                bits: list[int] | None = None
                                 ) -> DataFrame:
     """:func:`contamination_overlap` with a Bloom prefilter on the
     hit side — EXACT results (row-identical, pytest + hash-gate
@@ -377,14 +378,21 @@ def contamination_overlap_bloom(train_docs: DataFrame | None = None,
     unfiltered table, so the output is identical to the exact gate;
     the train-side shuffle shrinks from |train shingles| to
     |hits| + fp·|train shingles|. No false negatives by Bloom
-    construction, so no recall caveat."""
+    construction, so no recall caveat.
+
+    ``bits``: pass a prebuilt :func:`bloom_bits` array (over the SAME
+    bench universe and num_bits/num_hashes) to skip the build — the
+    amortization hook for callers that gate many batches against one
+    static benchmark (the streaming gate)."""
     tr = train_shingles if train_shingles is not None \
         else shingle_table(train_docs, k, text_col, id_col)
     bs = (bench_shingles if bench_shingles is not None
           else shingle_table(bench_docs, k, text_col, id_col))
     bench_universe = (bs.select("shingle").distinct()
                         .persist(StorageLevel.MEMORY_ONLY))
-    bits = bloom_bits(bench_universe, "shingle", num_bits, num_hashes)
+    if bits is None:
+        bits = bloom_bits(bench_universe, "shingle",
+                          num_bits, num_hashes)
     pre = tr.filter(bloom_contains(bits, "shingle",
                                    num_bits, num_hashes))
     sizes = tr.groupBy(id_col).agg(F.count("*").alias("n_shingles"))

@@ -58,7 +58,8 @@ def contam_gate_stream(spark: SparkSession, src_dir: str,
                        bench_docs: DataFrame,
                        schema: StructType | str,
                        threshold: float = 0.05, k: int = 3,
-                       timeout: int = 300) -> None:
+                       timeout: int = 300,
+                       bloom_bits_count: int | None = None) -> None:
     """Streaming benchmark-decontamination gate: every arriving
     micro-batch of documents is checked against the held-out
     benchmark's shingle universe
@@ -72,18 +73,37 @@ def contam_gate_stream(spark: SparkSession, src_dir: str,
     and reused per batch (benchmark corpora are small and static —
     the same broadcast-semi-join shape as the batch op). Per-batch
     cost: shingle the batch, one semi join, two doc-keyed
-    aggregates."""
+    aggregates.
+
+    ``bloom_bits_count`` (round 8) switches to the Bloom-prefiltered
+    gate for benchmark universes too big to broadcast exactly: the
+    filter words are built ONCE outside the stream
+    (:func:`..operators.dedup.bloom_bits`) and every micro-batch
+    tests its shingles map-side, with only survivors reaching the
+    exact verify join — identical rows out (the batch-side
+    equivalence is hash-gate pinned), per-batch cost now independent
+    of the benchmark's exact-set size."""
     from picoprobedataflow_spark.operators.dedup import (
-        contamination_overlap, shingle_table)
+        bloom_bits, contamination_overlap, contamination_overlap_bloom,
+        shingle_table)
 
     bench_sh = shingle_table(bench_docs, k=k).localCheckpoint(
         eager=True)
+    if bloom_bits_count is not None:
+        bits = bloom_bits(bench_sh.select("shingle").distinct(),
+                          num_bits=bloom_bits_count)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        (contamination_overlap(train_docs=batch_df,
-                               bench_shingles=bench_sh,
-                               k=k, threshold=threshold)
-         .withColumn("batch_id", F.lit(batch_id))
+        if bloom_bits_count is not None:
+            gated = contamination_overlap_bloom(
+                train_docs=batch_df, bench_shingles=bench_sh,
+                k=k, threshold=threshold,
+                num_bits=bloom_bits_count, bits=bits)
+        else:
+            gated = contamination_overlap(
+                train_docs=batch_df, bench_shingles=bench_sh,
+                k=k, threshold=threshold)
+        (gated.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(out_dir))
 
     q = (spark.readStream.schema(schema).parquet(src_dir)

@@ -455,6 +455,22 @@ def test_streaming_contamination_gate(spark, tmp_path):
     assert r.n_shingles == 6 and r.n_overlap == 3
     assert abs(r.overlap_frac - 0.5) < 1e-9
 
+    # Bloom-prefiltered drain of the same source from a fresh
+    # checkpoint: identical flags (the filter builds once outside
+    # the stream; a deliberately tiny 64-bit filter forces false
+    # positives, which the exact verify join must remove).
+    for nb, tag in ((1 << 12, "b1"), (64, "b2")):
+        ck2, out2 = str(tmp_path / f"ck_{tag}"), str(tmp_path / tag)
+        contam_gate_stream(spark, str(src), ck2, out2, bench, schema,
+                           threshold=0.05, bloom_bits_count=nb)
+        brows = spark.read.parquet(out2).collect()
+        # batch_id is excluded: the fresh checkpoint drains both
+        # files in one availableNow batch, renumbering batches.
+        assert sorted((x.doc_id, x.n_shingles, x.n_overlap,
+                       x.overlap_frac) for x in brows) \
+            == sorted((x.doc_id, x.n_shingles, x.n_overlap,
+                       x.overlap_frac) for x in rows)
+
 
 def test_streaming_ivf_index_maintenance_equals_batch_layout(
         spark, tmp_path):
