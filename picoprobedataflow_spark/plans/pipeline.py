@@ -563,10 +563,11 @@ def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     score, id tie-break) — keep-the-cleanest-duplicate instead of
     keep-first, the policy production pipelines actually want."""
     docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") < _DOC_CAP)
-    # contam rows are doc-vs-corpus diagnostics (doc_b NULL), not
-    # duplicate edges — only real pairs enter the cluster graph.
+    # contam/contam_bloom rows are doc-vs-corpus diagnostics (doc_b
+    # NULL), not duplicate edges — only real pairs enter the cluster
+    # graph; the null test covers any future doc-vs-corpus family.
     edges = (_spark_candidate_pairs(spark, sf_dir)
-             .filter(F.col("method") != "contam")
+             .filter(F.col("doc_b").isNotNull())
              .select("doc_a", "doc_b").distinct())
     surv = DD.leakage_safe_split(DD.near_dup_survivors(docs, edges))
     qb = F.round(TX.quality_score("text") * 1e6, 0).cast("long")

@@ -2323,7 +2323,7 @@ def test_leakage_audit_cluster_split_vs_doc_hash_split(spark):
 
     sf = "/root/testdata/sf0.01"
     pairs = (_spark_candidate_pairs(spark, sf)
-             .filter(F.col("method") != "contam")
+             .filter(F.col("doc_b").isNotNull())
              .select("doc_a", "doc_b").distinct())
     surv = dedup_cluster_survivors(spark, sf)
     cluster_split = {r.doc_id: r.split for r in surv.collect()}
