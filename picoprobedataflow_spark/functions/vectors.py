@@ -27,7 +27,18 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not a crash, not NaN) when either vector has zero norm:
+    under Spark 4's default ANSI mode a plain ``/`` RAISES
+    DIVIDE_BY_ZERO the first time a dead/all-zero embedding reaches
+    any cosine consumer — a guaranteed crash at corpus scale, found
+    by the round-9 degenerate-input sweep (same totality-bug class as
+    round 8's sub-k-token shingle crash). ``try_divide`` yields NULL,
+    which ANSI comparison/threshold predicates reject and descending
+    sorts place last, so undefined-similarity rows fall out of
+    top-k/near-dup results instead of aborting the job. DuckDB twin
+    unaffected: oracle corpora carry no zero vectors, and nonzero
+    divisors are bit-identical through try_divide."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_prenorm(a: Column, b: Column,
@@ -37,8 +48,9 @@ def cosine_prenorm(a: Column, b: Column,
     product-then-divide), but in a blocked self-join the norm folds
     run once per VECTOR in the pre-join projection instead of once
     per PAIR (3 array folds per candidate pair → 1). At Σblock²
-    candidate pairs this is the dominant per-pair cost."""
-    return dot(a, b) / (na * nb)
+    candidate pairs this is the dominant per-pair cost. NULL on a
+    zero norm, like :func:`cosine` (ANSI ``/`` would raise)."""
+    return F.try_divide(dot(a, b), na * nb)
 
 
 def euclidean(a: Column, b: Column) -> Column:
@@ -52,7 +64,12 @@ def scale(a: Column, s: Column | float) -> Column:
 
 
 def l2_normalize(a: Column) -> Column:
-    return scale(a, F.lit(1.0) / norm(a))
+    """Unit-normalize; a zero vector maps to itself (all zeros) —
+    total under ANSI mode, where the unguarded reciprocal raised
+    DIVIDE_BY_ZERO on the first dead embedding (round-9 sweep)."""
+    n = norm(a)
+    return F.when(n > 0, scale(a, F.lit(1.0) / n)) \
+            .otherwise(F.transform(a, lambda x: F.lit(0.0)))
 
 
 def quantize_int8(a: Column, scale_inv: Column | float) -> Column:

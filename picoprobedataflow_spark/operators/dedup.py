@@ -334,8 +334,19 @@ def bloom_contains(bits: list[int], col: Column | str,
     literal inside the expression — a map-side test with zero joins,
     the same literal-LUT pattern as the PQ codebook lookups. All
     JVM-side: xxhash64 probes, element_at word fetch, shiftright bit
-    extract under ``forall``."""
-    blit = F.lit(bits)
+    extract under ``forall``.
+
+    Transport caveat: the literal rides the EXPRESSION TREE — it is
+    serialized into every task binary referencing it and hashed into
+    plan canonicalization. Fine at the 1 MiB default (16 K longs);
+    ruinous at GB-scale filters. Large universes must use
+    :func:`bloom_filter_df` + :func:`bloom_prefilter`, where the words
+    ride a real BroadcastExchange (``contamination_overlap_bloom``'s
+    ``transport="auto"`` picks the cutover)."""
+    # Explicit array<bigint>: when every word happens to fit int32,
+    # F.lit infers ArrayType(IntegerType) and shiftright masks the
+    # shift amount mod 32, corrupting probes of bit positions >= 32.
+    blit = F.lit(bits).cast("array<bigint>")
     c = F.col(col) if isinstance(col, str) else col
 
     def _probe(i):
@@ -349,6 +360,77 @@ def bloom_contains(bits: list[int], col: Column | str,
     return F.forall(F.sequence(F.lit(0), F.lit(num_hashes - 1)), _probe)
 
 
+#: Literal-vs-broadcast transport cutover for ``transport="auto"``:
+#: filters at or under this many BITS ship as an expression-tree array
+#: literal (zero joins, measured faster for small filters); above it
+#: the words ride a real BroadcastExchange via :func:`bloom_prefilter`.
+#: 2^23 bits = 1 MiB of words — comfortably inside task-binary budgets;
+#: the plan-embedded literal pattern collapses well before GB scale.
+BLOOM_LITERAL_MAX_BITS = 1 << 23
+
+
+def bloom_filter_df(values: DataFrame, col: str = "shingle",
+                    num_bits: int = 1 << 20,
+                    num_hashes: int = 5) -> DataFrame:
+    """:func:`bloom_bits` built FULLY DISTRIBUTED — a 1-row DataFrame
+    ``(bf array<bigint>)`` holding the same words, which never touch
+    the driver: the per-word ``bit_or`` aggregate is folded into a
+    dense array JVM-side (sparse words → map, ``sequence`` scan fills
+    the zeros), so a GB-scale filter is built and shipped without a
+    single driver collect or plan literal.
+
+    Probe with :func:`bloom_prefilter`, which broadcasts this one row;
+    word layout and probe scheme are bit-identical to
+    :func:`bloom_bits`/:func:`bloom_contains` (equality-pinned)."""
+    nwords = (num_bits + 63) // 64
+    p = F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.pmod(F.xxhash64(i, F.col(col)),
+                         F.lit(num_bits)))).alias("p")
+    word_rows = (values.select(p)
+                 .select(F.shiftright(F.col("p"), 6).alias("w"),
+                         F.call_function("shiftleft",
+                                         F.lit(1).cast("long"),
+                                         (F.col("p") % 64).cast("int"))
+                          .alias("bit"))
+                 .groupBy("w").agg(F.bit_or("bit").alias("bits")))
+    return (word_rows
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))).alias("m"))
+            .select(F.transform(
+                F.sequence(F.lit(0), F.lit(nwords - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i.cast("long")),
+                    F.lit(0).cast("long"))).alias("bf")))
+
+
+def bloom_prefilter(df: DataFrame, col: str, bloom_df: DataFrame,
+                    num_bits: int, num_hashes: int = 5) -> DataFrame:
+    """Keep rows of ``df`` whose ``col`` MIGHT be in the filter (no
+    false negatives) — the production transport: the word array rides
+    a 1-row BroadcastExchange (broadcast nested-loop join), NOT the
+    expression tree, so the plan stays O(1) bytes however big the
+    filter is and executors fetch the words once via torrent
+    broadcast. The probe condition is pushed into the join condition
+    (plan-verified), so non-members never materialize; the final
+    projection drops the array column so output rows never carry it.
+    Same probe scheme as :func:`bloom_contains`."""
+    c = F.col(col)
+
+    def _probe(i):
+        p = F.pmod(F.xxhash64(i, c), F.lit(num_bits))
+        word = F.element_at(
+            F.col("__bf"), (F.shiftright(p, 6) + 1).cast("int"))
+        return (F.call_function("shiftright", word,
+                                (p % 64).cast("int"))
+                .bitwiseAND(F.lit(1)) == 1)
+
+    cond = F.forall(F.sequence(F.lit(0), F.lit(num_hashes - 1)), _probe)
+    return (df.join(F.broadcast(bloom_df.select(
+                F.col("bf").alias("__bf"))))
+            .filter(cond).drop("__bf"))
+
+
 def contamination_overlap_bloom(train_docs: DataFrame | None = None,
                                 bench_docs: DataFrame | None = None,
                                 k: int = 3, text_col: str = "text",
@@ -358,8 +440,10 @@ def contamination_overlap_bloom(train_docs: DataFrame | None = None,
                                 num_hashes: int = 5,
                                 train_shingles: DataFrame | None = None,
                                 bench_shingles: DataFrame | None = None,
-                                bits: list[int] | None = None
-                                ) -> DataFrame:
+                                bits: list[int] | None = None,
+                                bloom_df: DataFrame | None = None,
+                                bench_universe: DataFrame | None = None,
+                                transport: str = "auto") -> DataFrame:
     """:func:`contamination_overlap` with a Bloom prefilter on the
     hit side — EXACT results (row-identical, pytest + hash-gate
     pinned), different 100 TB shape.
@@ -380,23 +464,61 @@ def contamination_overlap_bloom(train_docs: DataFrame | None = None,
     |hits| + fp·|train shingles|. No false negatives by Bloom
     construction, so no recall caveat.
 
-    ``bits``: pass a prebuilt :func:`bloom_bits` array (over the SAME
-    bench universe and num_bits/num_hashes) to skip the build — the
-    amortization hook for callers that gate many batches against one
-    static benchmark (the streaming gate)."""
+    Transport (the 100 TB lever): ``"literal"`` embeds the words in
+    the probe expression (:func:`bloom_contains` — zero joins, fastest
+    for small filters, but the array serializes into every referencing
+    task binary); ``"broadcast"`` builds the filter fully distributed
+    (:func:`bloom_filter_df`, no driver collect) and ships it via a
+    real 1-row BroadcastExchange (:func:`bloom_prefilter`) — the only
+    shape that survives the large-universe sizing this gate exists
+    for (1e9 shingles ≈ 1.25 GB of words must never be a plan
+    literal). ``"auto"`` cuts over at :data:`BLOOM_LITERAL_MAX_BITS`.
+    Both transports are probe-identical (equality-pinned on a
+    collision-heavy filter) and the exact verify join makes the final
+    output transport-invariant either way.
+
+    Amortization hooks for callers gating many batches against one
+    static benchmark (the streaming gate): ``bits`` (prebuilt
+    :func:`bloom_bits` array, forces literal transport), ``bloom_df``
+    (prebuilt — ideally checkpointed — :func:`bloom_filter_df` row,
+    forces broadcast transport), and ``bench_universe`` (prebuilt,
+    caller-persisted distinct shingle universe). This op owns NO cache
+    (round-9 fix: the old per-call MEMORY_ONLY persist of the universe
+    outlived every call and accumulated one cache-manager entry per
+    micro-batch in the streaming gate): without hooks the distinct
+    universe is computed twice per action — once feeding the filter
+    build, once in the verify join — and callers gating many batches
+    amortize all of it by passing the hooks, as
+    :func:`..streaming.quality.contam_gate_stream` does."""
+    if transport not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown transport {transport!r}")
     tr = train_shingles if train_shingles is not None \
         else shingle_table(train_docs, k, text_col, id_col)
     bs = (bench_shingles if bench_shingles is not None
           else shingle_table(bench_docs, k, text_col, id_col))
-    bench_universe = (bs.select("shingle").distinct()
-                        .persist(StorageLevel.MEMORY_ONLY))
-    if bits is None:
-        bits = bloom_bits(bench_universe, "shingle",
-                          num_bits, num_hashes)
-    pre = tr.filter(bloom_contains(bits, "shingle",
-                                   num_bits, num_hashes))
+    if bits is not None:
+        transport = "literal"
+    elif bloom_df is not None:
+        transport = "broadcast"
+    elif transport == "auto":
+        transport = ("literal" if num_bits <= BLOOM_LITERAL_MAX_BITS
+                     else "broadcast")
+    universe = (bench_universe if bench_universe is not None
+                else bs.select("shingle").distinct())
+    if transport == "literal":
+        if bits is None:
+            bits = bloom_bits(universe, "shingle",
+                              num_bits, num_hashes)
+        pre = tr.filter(bloom_contains(bits, "shingle",
+                                       num_bits, num_hashes))
+    else:
+        if bloom_df is None:
+            bloom_df = bloom_filter_df(universe, "shingle",
+                                       num_bits, num_hashes)
+        pre = bloom_prefilter(tr, "shingle", bloom_df,
+                              num_bits, num_hashes)
     sizes = tr.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
-    hits = (pre.join(bench_universe, "shingle", "left_semi")
+    hits = (pre.join(universe, "shingle", "left_semi")
                .groupBy(id_col).agg(F.count("*").alias("n_overlap")))
     frac = F.col("n_overlap") / F.col("n_shingles")
     return (sizes.join(hits, id_col, "left")
@@ -707,39 +829,97 @@ def incremental_minhash_dedup(new_docs: DataFrame,
 # SimHash
 # --------------------------------------------------------------------------
 
+#: ``formulation="auto"`` cutover for the signature builders: inputs
+#: whose Catalyst-estimated scan size is at or under this take the
+#: GROUPED (explode + hash-aggregate) formulation — at small scale the
+#: shuffle is nearly free while interpreted higher-order lambdas pay
+#: per element (measured at sf0.1: grouped 1.14 s vs row-local 2.65 s
+#: for the full simhash pipeline) — and larger inputs take the
+#: shuffle-free ROW-LOCAL map, the only shape whose shuffle volume
+#: does not grow with |tokens| at 100 TB. 1 GiB: far under any real
+#: corpus, comfortably over every local test/bench input.
+SIG_GROUPED_MAX_BYTES = 1 << 30
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan ``sizeInBytes`` estimate — free (no
+    job; parquet scans report real file size). Returns a huge sentinel
+    when stats are unavailable (Connect, exotic sources) so ``auto``
+    formulation selection falls back to the scale-safe shape."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
 def simhash_signatures(docs: DataFrame, bits: int = 32,
                        text_col: str = "text",
                        id_col: str = "doc_id",
-                       hash_fn: HashFn = portable_hash64) -> DataFrame:
+                       hash_fn: HashFn = portable_hash64,
+                       formulation: str = "auto") -> DataFrame:
     """32-bit SimHash: per token (with multiplicity), hash once; bit b
-    of the signature is the sign of Σ ±1 over tokens.
+    of the signature is the sign of Σ ±1 over tokens (bit b set iff
+    2·ones_b > n_tokens).
 
-    Formulation: row-local higher-order expressions — the token-hash
-    array materializes once per row in its own projection, then each
-    bit's ones-count is an independent
-    ``aggregate(transform(_hs, bit-extract), 0, +)`` pass and the
-    signature assembles from the ``bits`` counters in a final
-    projection (bit b set iff 2·ones_b > n_tokens, i.e. the ±1 vote
-    sum is positive). No explode, no shuffle, no hash aggregate: the
-    signature job is a pure map over the corpus scan, which is the
-    shape that survives any scale-up. Flat per-bit passes, not one
-    fold carrying a (bits+1)-counter array accumulator: the fold
-    allocates a fresh counter array per TOKEN while each flat pass's
-    lambda is a two-op bit extract (measured 1.14 → 0.81 s at sf0.1,
-    and both beat the previous explode + groupBy(``bits``
-    conditional sums) plan's shuffle at scale). Bit-identical output
-    across all three formulations (the oracle replays the same votes
-    SQL-side, unchanged)."""
-    d = docs.select(
-        F.col(id_col),
-        F.transform(words(text_col), lambda t: hash_fn(t)).alias("_hs"))
-    ones = [
-        F.aggregate(
-            F.transform("_hs", lambda h: F.shiftright(h, b)
-                        .bitwiseAND(F.lit(1)).cast("long")),
-            F.lit(0).cast("long"), lambda a, x: a + x).alias(f"_o{b}")
-        for b in range(bits)]
-    d = d.select(F.col(id_col), F.size("_hs").alias("_n"), *ones)
+    Two formulations, bit-identical output (equality-pinned):
+
+    - ``"rowlocal"`` — higher-order expressions: the token-hash array
+      materializes once per row in its own projection, then each
+      bit's ones-count is an independent
+      ``aggregate(transform(_hs, bit-extract), 0, +)`` pass. No
+      explode, no shuffle, no hash aggregate: the signature job is a
+      pure map over the corpus scan — the only shape whose shuffle
+      volume is zero however big the corpus. Flat per-bit passes, not
+      one fold carrying a (bits+1)-counter array accumulator (the
+      fold allocates a fresh counter array per TOKEN).
+    - ``"grouped"`` — explode tokens, hash once per token row, one
+      hash aggregate of ``bits`` conditional sums keyed by doc. One
+      |tokens|-row shuffle, but every expression is a two-op codegen
+      intrinsic — measured 2.3× faster than the interpreted lambdas
+      on local[32] at sf0.1 (full pipeline 1.14 s vs 2.65 s).
+    - ``"auto"`` — :data:`SIG_GROUPED_MAX_BYTES` statistics cutover:
+      small scans take grouped (shuffles are nearly free there),
+      large scans take the shuffle-free map.
+
+    The oracle replays the same votes SQL-side, unchanged by
+    formulation."""
+    if formulation not in ("auto", "rowlocal", "grouped"):
+        raise ValueError(f"unknown formulation {formulation!r}")
+    if formulation == "auto":
+        formulation = ("grouped" if _plan_size_bytes(docs)
+                       <= SIG_GROUPED_MAX_BYTES else "rowlocal")
+    if formulation == "grouped":
+        # explode_outer: a null-text doc keeps one all-null token row
+        # and resolves to signature 0, exactly as the row-local path's
+        # null vote counters do — formulations stay bit-identical on
+        # degenerate inputs.
+        tok = docs.select(F.col(id_col),
+                          F.explode_outer(words(text_col)).alias("_t"))
+        # isNotNull guard: xxhash64 returns its SEED (42) on an
+        # all-null input rather than null, which would hand the
+        # null-text doc signature 42 here vs 0 on the row-local path.
+        h = tok.select(id_col,
+                       F.when(F.col("_t").isNotNull(),
+                              hash_fn(F.col("_t"))).alias("_h"))
+        d = h.groupBy(id_col).agg(
+            *[F.sum(F.shiftright("_h", b).bitwiseAND(F.lit(1))
+                    .cast("long")).alias(f"_o{b}")
+              for b in range(bits)],
+            F.count("*").alias("_n"))
+    else:
+        d = docs.select(
+            F.col(id_col),
+            F.transform(words(text_col),
+                        lambda t: hash_fn(t)).alias("_hs"))
+        ones = [
+            F.aggregate(
+                F.transform("_hs", lambda h: F.shiftright(h, b)
+                            .bitwiseAND(F.lit(1)).cast("long")),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x).alias(f"_o{b}")
+            for b in range(bits)]
+        d = d.select(F.col(id_col), F.size("_hs").alias("_n"), *ones)
     sig = None
     for b in range(bits):
         term = F.when(F.col(f"_o{b}") * 2 > F.col("_n"),
@@ -751,7 +931,8 @@ def simhash_signatures(docs: DataFrame, bits: int = 32,
 def simhash_dedup(docs: DataFrame, max_hamming: int = 6,
                   n_chunks: int = 4, bits: int = 32,
                   text_col: str = "text", id_col: str = "doc_id",
-                  hash_fn: HashFn = portable_hash64) -> DataFrame:
+                  hash_fn: HashFn = portable_hash64,
+                  formulation: str = "auto") -> DataFrame:
     """Composed SimHash flow: signatures → chunk-join candidates →
     hamming verify. The signature table feeds BOTH sides of the
     candidate self-join, and Spark plans them as two independent
@@ -759,8 +940,9 @@ def simhash_dedup(docs: DataFrame, max_hamming: int = 6,
     materialization the tokenize+vote aggregate runs twice — measured
     2 scans / doubled aggregates in the physical plan. MEMORY_ONLY
     persist: evictable, never spills — bounded across invocations."""
-    sigs = simhash_signatures(docs, bits, text_col, id_col,
-                              hash_fn).persist(StorageLevel.MEMORY_ONLY)
+    sigs = simhash_signatures(docs, bits, text_col, id_col, hash_fn,
+                              formulation).persist(
+                                  StorageLevel.MEMORY_ONLY)
     return simhash_near_pairs(sigs, max_hamming, n_chunks, bits, id_col)
 
 

@@ -70,10 +70,15 @@ def topk_cosine(emb: DataFrame, query_vec: list[float], k: int = 10,
     """Brute-force cosine top-k. Ordering on the *rounded* score with
     id tie-break keeps the result deterministic across engines; Spark
     plans the ordered limit as TakeOrderedAndProject (per-partition
-    heap, no global sort)."""
+    heap, no global sort). Zero-norm rows (dead embeddings, or a
+    zero QUERY) carry NULL cosine (see ``V.cosine``) and are dropped
+    here — undefined similarity never occupies a top-k slot; the
+    other ranking consumers inherit NULLS-LAST ordering and
+    null-rejecting threshold predicates from the same primitive."""
     scored = cosine_to_query(emb, query_vec, vec_col, id_col)
     return (scored.select(id_col,
                           F.round("cosine", round_digits).alias("cosine"))
+                  .filter(F.col("cosine").isNotNull())
                   .orderBy(F.desc("cosine"), id_col)
                   .limit(k))
 

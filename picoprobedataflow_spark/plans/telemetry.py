@@ -48,8 +48,15 @@ def _mean_us_to_sec4(sum_col: str, n_col: str) -> F.Column:
                    f"div (200 * {n_col})").cast("double") / F.lit(1e4))
 
 
-#: Oracle twin of :func:`_mean_us_to_sec4`.
-_MEAN_SEC4_SQL = ("CAST((2 * {s} + 100 * {n}) // (200 * {n}) "
+#: Oracle twin of :func:`_mean_us_to_sec4`. Operands are CAST to
+#: BIGINT inside the template (round 9): DuckDB types small integer
+#: operands INT32 and the 2·s + 100·n addition then overflows at
+#: |s| ≳ 2^30 — the catalog oracles all feed BIGINT columns, but the
+#: template itself must be total for any integer operand (found by
+#: the hypothesis half-up property test).
+_MEAN_SEC4_SQL = ("CAST((2 * CAST({s} AS BIGINT) "
+                  "+ 100 * CAST({n} AS BIGINT)) "
+                  "// (200 * CAST({n} AS BIGINT)) "
                   "AS DOUBLE) / 1e4")
 
 
@@ -93,9 +100,11 @@ def _us_to_sec4(col: F.Column) -> F.Column:
 
 
 #: The oracle twin of :func:`_us_to_sec4` — same exact-integer
-#: half-up, same final division.
+#: half-up, same final division. BIGINT cast for the same INT32
+#: totality reason as `_MEAN_SEC4_SQL`.
 _SEC4_SQL = ("CAST(CASE WHEN {us} < 0 THEN -1 ELSE 1 END "
-             "* ((abs({us}) + 50) // 100) AS DOUBLE) / 1e4")
+             "* ((abs(CAST({us} AS BIGINT)) + 50) // 100) "
+             "AS DOUBLE) / 1e4")
 
 
 

@@ -2,8 +2,8 @@
 instance, engine exposes natively" rows: ranking (rank/dense_rank/
 ntile), lead/lag, ROWS and RANGE frames, exact percentiles, and the
 approximate sketches needed at 100 TB (approx_count_distinct /
-percentile_approx — rows-only check: sketch implementations differ
-across engines by design).
+percentile_approx — hash-gated since round 9: estimates stay out of
+the hash, per-bound boolean flags ride the deterministic frame).
 
 Single-feature queries are folded into suites (COVERAGE.md maps
 SURVEY rows → queries); the salted-skew aggregate lives in
@@ -155,19 +155,31 @@ def balance_rank_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank.unionByName(pct)
 
 
-@query("approx_sketches", oracle=None, tags=("approx", "sketch"))
+@query(
+    "approx_sketches",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS exact_users,
+       (SELECT COUNT(DISTINCT user_id) FROM events) AS merged_exact,
+       TRUE AS users_ok, TRUE AS median_ok, TRUE AS merged_ok
+FROM events GROUP BY event_type
+""",
+    tags=("approx", "sketch"))
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB monitoring aggregates: HyperLogLog distinct counts
-    and quantile sketches. No cross-engine oracle by design — sketch
-    algorithms are engine-specific (Spark HLL++ vs DuckDB HLL), so a
-    value-hash comparison would be wrong; the exact twins are the
+    and quantile sketches. Sketch ESTIMATES are engine-specific by
+    design (Spark HLL++/QuantileSummaries vs DuckDB HLL), so the
+    estimates stay OUT of the hashed output (round 9 — previously
+    this was the catalog's one rows-only entry); what hashes is the
+    deterministic frame both engines can replay exactly — per-type
+    counts, exact distincts, the global exact distinct — plus one
+    boolean per error bound, computed Spark-side from the sketches
+    and pinned literally TRUE by the oracle. A sketch drifting past
+    its published bound flips its flag and fails the value hash: the
+    driver gate IS the accuracy gate. The exact twins remain the
     ``event_types`` family of ``event_stats_suite`` and the
-    ``percentiles`` family of ``balance_rank_percentiles``.
-
-    SELF-VALIDATING instead: each sketch is checked against its own
-    published error bound inside the query, and any violation
-    collapses the result to ZERO rows — the driver's rows>0 check is
-    thereby a real accuracy gate, not a smoke test. Bounds:
+    ``percentiles`` family of ``balance_rank_percentiles``. Bounds:
 
     - HLL++ at rsd=0.05: |approx − exact| ≤ max(4·rsd·exact, 3) —
       four standard errors plus small-cardinality slack (tiny groups
@@ -186,8 +198,20 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
       the property that matters at 100 TB, where per-partition/
       per-day partial sketches union into corpus totals without
       ever re-scanning; ``merged_est``/``merged_exact`` ride along
-      on every row and a violation empties the result like the
-      other bounds."""
+      on every row; its flag is ``merged_ok``.
+
+    :func:`approx_sketches_detail` keeps the full sketch frame
+    (estimates, rank fractions, merged estimate) for monitoring
+    consumers and the bound-recomputation test."""
+    return approx_sketches_detail(spark, sf_dir).select(
+        "event_type", "n", "exact_users", "merged_exact",
+        "users_ok", "median_ok", "merged_ok")
+
+
+def approx_sketches_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sketch frame behind :func:`approx_sketches`: estimates,
+    exact twins, measured rank fractions, merged HLL estimate, and
+    the per-bound boolean flags."""
     rsd, accuracy = 0.05, 100
     ev = events_us(spark, sf_dir)
     # localCheckpoint: `sk` feeds BOTH the rank-check join and the
@@ -234,8 +258,4 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
                "median_ok",
                (F.col("frac_le") >= 0.5 - eps)
                & (F.col("frac_lt") <= 0.5 + eps)))
-    all_ok = out.agg(
-        F.min(F.col("users_ok") & F.col("median_ok")
-              & F.col("merged_ok")).alias("_all_ok"))
-    return (out.crossJoin(F.broadcast(all_ok))
-            .filter(F.col("_all_ok")).drop("_all_ok"))
+    return out

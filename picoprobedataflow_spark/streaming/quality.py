@@ -77,28 +77,42 @@ def contam_gate_stream(spark: SparkSession, src_dir: str,
 
     ``bloom_bits_count`` (round 8) switches to the Bloom-prefiltered
     gate for benchmark universes too big to broadcast exactly: the
-    filter words are built ONCE outside the stream
-    (:func:`..operators.dedup.bloom_bits`) and every micro-batch
-    tests its shingles map-side, with only survivors reaching the
-    exact verify join — identical rows out (the batch-side
-    equivalence is hash-gate pinned), per-batch cost now independent
-    of the benchmark's exact-set size."""
+    filter AND the distinct shingle universe are built ONCE outside
+    the stream and every micro-batch tests its shingles map-side,
+    with only survivors reaching the exact verify join — identical
+    rows out (the batch-side equivalence is hash-gate pinned),
+    per-batch cost now independent of the benchmark's exact-set size
+    and ZERO per-batch cache entries (round-9 fix: the universe is
+    persisted here, for the query's life, instead of once per batch
+    inside the op). Transport follows the batch op's ``"auto"``
+    cutover: word counts over BLOOM_LITERAL_MAX_BITS ride a real
+    1-row BroadcastExchange (:func:`..operators.dedup
+    .bloom_filter_df`), never a plan literal."""
     from picoprobedataflow_spark.operators.dedup import (
-        bloom_bits, contamination_overlap, contamination_overlap_bloom,
+        BLOOM_LITERAL_MAX_BITS, bloom_bits, bloom_filter_df,
+        contamination_overlap, contamination_overlap_bloom,
         shingle_table)
 
     bench_sh = shingle_table(bench_docs, k=k).localCheckpoint(
         eager=True)
     if bloom_bits_count is not None:
-        bits = bloom_bits(bench_sh.select("shingle").distinct(),
-                          num_bits=bloom_bits_count)
+        universe = (bench_sh.select("shingle").distinct()
+                    .localCheckpoint(eager=True))
+        if bloom_bits_count <= BLOOM_LITERAL_MAX_BITS:
+            bits, bloom_df = bloom_bits(
+                universe, num_bits=bloom_bits_count), None
+        else:
+            bits, bloom_df = None, bloom_filter_df(
+                universe,
+                num_bits=bloom_bits_count).localCheckpoint(eager=True)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if bloom_bits_count is not None:
             gated = contamination_overlap_bloom(
                 train_docs=batch_df, bench_shingles=bench_sh,
                 k=k, threshold=threshold,
-                num_bits=bloom_bits_count, bits=bits)
+                num_bits=bloom_bits_count, bits=bits,
+                bloom_df=bloom_df, bench_universe=universe)
         else:
             gated = contamination_overlap(
                 train_docs=batch_df, bench_shingles=bench_sh,

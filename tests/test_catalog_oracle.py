@@ -43,12 +43,14 @@ def test_query_matches_oracle_sf001(spark, name):
 
 
 def test_approx_sketches_self_validates(spark):
-    """approx_sketches has no cross-engine oracle (sketches are
-    engine-specific); the entry instead validates its own error
-    bounds and collapses to zero rows on violation. Assert the bounds
-    hold at test SF — rows survive, every ok flag is true, and the
-    recomputed bounds agree with the in-query ones."""
-    rows = SPECS["approx_sketches"].fn(spark, SF_DIR).collect()
+    """The sketch ESTIMATES are engine-specific, so the hash-gated
+    catalog entry (round 9) exports only the deterministic frame plus
+    per-bound boolean flags; this test recomputes every bound from
+    the full detail frame — flags true, estimates inside their
+    published error bars."""
+    from picoprobedataflow_spark.plans.windows_extra import \
+        approx_sketches_detail
+    rows = approx_sketches_detail(spark, SF_DIR).collect()
     assert len(rows) > 0
     for r in rows:
         assert r.users_ok and r.median_ok and r.merged_ok, r

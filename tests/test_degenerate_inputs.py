@@ -1,0 +1,211 @@
+"""Round-9 adversarial degenerate-input sweep (VERDICT r8 ask #6).
+
+Round 8 proved the testdata's lack of sub-k-token docs hid a
+guaranteed production crash (generate-filter + CSE evaluating guarded
+sequence/slice on pre-filter rows). This battery extends the totality
+audit beyond ``sequence/slice/element_at`` to division/log/norm and
+structural degeneracy: zero-norm embeddings, empty/null/whitespace
+strings, single-token docs, all-duplicate corpora, and empty k-means
+cells, across the dedup / ANN / text surface. Every case must either
+produce a defined value or drop the row — never abort the job. The
+sweep FOUND and this round FIXED a real crash class: under Spark 4's
+default ANSI mode, an unguarded ``/`` in cosine / l2_normalize raised
+DIVIDE_BY_ZERO the first time a dead (all-zero) embedding reached any
+similarity consumer (functions/vectors.py — now try_divide / guarded).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from picoprobedataflow_spark.functions import text as TX
+from picoprobedataflow_spark.functions import vectors as V
+from picoprobedataflow_spark.operators import dedup as DD
+from picoprobedataflow_spark.operators import similarity as SIM
+
+DEGENERATE_TEXTS = [
+    (0, ""), (1, "a"), (2, None), (3, "   "), (4, "!!! ???"),
+    (5, "one"), (6, "one two"),
+    (7, "the quick brown fox jumps over the lazy dog"),
+    (8, "the quick brown fox jumps over the lazy dog"),
+]
+
+
+@pytest.fixture(scope="module")
+def degen_docs(spark):
+    return spark.createDataFrame(DEGENERATE_TEXTS,
+                                 "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def degen_emb(spark):
+    return spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]),
+         (3, [0.0, 0.0, 0.0]),            # dead embedding
+         (4, [-1.0, 0.0, 0.0]), (5, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+
+
+# ---------------------------------------------------------------- vectors
+
+def test_cosine_zero_norm_is_null_not_crash(spark, degen_emb):
+    rows = degen_emb.select(
+        "vec_id",
+        V.cosine(F.col("embedding"),
+                 F.array(F.lit(1.0), F.lit(0.0), F.lit(0.0))).alias("c")
+    ).collect()
+    got = {r.vec_id: r.c for r in rows}
+    assert got[3] is None                  # dead vector → NULL
+    assert got[1] == pytest.approx(1.0)
+    assert got[4] == pytest.approx(-1.0)
+    # zero-zero cosine (both sides dead) is NULL too
+    z = degen_emb.filter(F.col("vec_id") == 3).select(
+        V.cosine(F.col("embedding"), F.col("embedding")).alias("c")
+    ).collect()[0].c
+    assert z is None
+
+
+def test_l2_normalize_zero_vector_maps_to_itself(spark, degen_emb):
+    rows = degen_emb.select(
+        "vec_id", V.l2_normalize(F.col("embedding")).alias("n")).collect()
+    got = {r.vec_id: list(r.n) for r in rows}
+    assert got[3] == [0.0, 0.0, 0.0]
+    assert got[1] == pytest.approx([1.0, 0.0, 0.0])
+    n2 = got[2]
+    assert sum(x * x for x in n2) == pytest.approx(1.0)
+
+
+def test_topk_cosine_excludes_dead_vectors_and_zero_query(spark,
+                                                          degen_emb):
+    top = SIM.topk_cosine(degen_emb, [1.0, 0.0, 0.0], k=5).collect()
+    ids = [r.vec_id for r in top]
+    assert 3 not in ids            # dead vector never takes a slot
+    assert ids[0] == 1 and len(ids) == 4
+    assert all(r.cosine is not None for r in top)
+    # zero QUERY: undefined similarity against everything → empty,
+    # not a DIVIDE_BY_ZERO abort and not k arbitrary rows
+    assert SIM.topk_cosine(degen_emb, [0.0, 0.0, 0.0], k=3).count() == 0
+
+
+def test_blocked_near_pairs_ignore_dead_vectors(spark, degen_emb):
+    one_block = degen_emb.withColumn("label", F.lit(0))
+    pairs = SIM.blocked_near_pairs(one_block, threshold=0.5).collect()
+    ids = {x for r in pairs for x in (r.id_a, r.id_b)}
+    assert 3 not in ids            # NULL cosine fails every threshold
+    assert (1, 2) in {(r.id_a, r.id_b) for r in pairs}
+
+
+def test_kmeans_total_on_duplicates_and_zero_vectors(spark, degen_emb):
+    """k exceeding the number of DISTINCT points forces empty cells
+    (duplicate seeds attract everything to one of them); the
+    keep-previous-centroid rule must keep k stable, and the dead
+    vector must assign somewhere (sqdist is total)."""
+    dup = degen_emb.union(degen_emb.withColumn(
+        "vec_id", F.col("vec_id") + 100))
+    cents = SIM.kmeans_centroids(dup, n_clusters=5, n_iter=2)
+    assert cents.count() == 5
+    assigned = SIM.kmeans_assign(
+        dup, cents, vec_col="embedding", id_col="vec_id")
+    assert assigned.filter(F.col("cell").isNull()).count() == 0
+    assert assigned.count() == dup.count()
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_dedup_surface_total_on_degenerate_docs(spark, degen_docs):
+    """Every dedup generator must run to completion on empty / null /
+    single-token / punctuation-only docs: sub-k docs drop out (the
+    round-8 clamp), the identical pair is still found, and nothing
+    raises."""
+    ex = DD.exact_dedup_groups(degen_docs)
+    assert ex.count() >= 1
+    mh = DD.minhash_lsh_dedup(degen_docs, num_hashes=8, k=3, band_size=4)
+    assert {(r.doc_a, r.doc_b) for r in mh.collect()} == {(7, 8)}
+    sh_pairs = {(r.doc_a, r.doc_b)
+                for r in DD.simhash_dedup(degen_docs,
+                                          max_hamming=0).collect()}
+    assert (7, 8) in sh_pairs
+    jc = DD.jaccard_pairs(degen_docs, k=3, threshold=0.5)
+    assert {(r.doc_a, r.doc_b) for r in jc.collect()} == {(7, 8)}
+    win = DD.winnow_fingerprints(degen_docs, k=3, w=4)
+    assert win.filter(F.col("doc_id").isin(7, 8)).count() > 0
+    cdc = DD.cdc_chunk_dedup(degen_docs)
+    assert cdc.count() >= 0
+
+
+def test_all_duplicate_corpus_is_quadratic_pairs_not_a_crash(spark):
+    """100 identical docs: the LSH band join legitimately yields all
+    C(100,2) pairs (they ARE all duplicates) and cluster resolution
+    collapses them to ONE survivor — totality plus semantics at the
+    worst-case blowup input. With a max_df cap below the corpus size
+    the jaccard generator drops every shingle and returns no pairs —
+    the documented stop-shingle trade, exercised instead of assumed."""
+    n = 100
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta").alias("text"))
+    pairs = DD.minhash_lsh_dedup(docs, num_hashes=8, k=3, band_size=4)
+    assert pairs.count() == n * (n - 1) // 2
+    comp = DD.connected_components(
+        pairs.select("doc_a", "doc_b"))
+    assert comp.select("comp").distinct().count() == 1
+    capped = DD.jaccard_pairs(docs, k=3, threshold=0.5, max_df=50)
+    assert capped.count() == 0
+
+
+def test_contamination_gates_total_on_degenerate_docs(spark, degen_docs):
+    bench = degen_docs.filter(F.col("doc_id").isin(7))
+    exact = DD.contamination_overlap(degen_docs, bench, k=3).collect()
+    bloom = DD.contamination_overlap_bloom(degen_docs, bench, k=3,
+                                           num_bits=1 << 12).collect()
+    key = lambda rs: sorted((r.doc_id, r.n_shingles, r.n_overlap,
+                             r.overlap_frac) for r in rs)  # noqa: E731
+    assert key(exact) == key(bloom)
+    assert {r.doc_id for r in exact} == {7, 8}  # sub-k docs dropped
+
+
+# ------------------------------------------------------------------- text
+
+def test_text_functions_total_on_degenerate_strings(spark, degen_docs):
+    out = degen_docs.select(
+        "doc_id",
+        TX.quality_score("text").alias("q"),
+        TX.langid_ngram("text").alias("lang"),
+        TX.n_words("text").alias("nw"),
+        TX.n_tokens_bpe("text").alias("nt")).collect()
+    assert len(out) == len(DEGENERATE_TEXTS)
+    for r in out:
+        if r.q is not None:
+            assert -5.0 <= r.q <= 5.0
+
+
+def test_tfidf_bm25_total_when_term_in_every_doc(spark):
+    """df == n_docs (a term in EVERY doc) must stay inside log's
+    domain for both the tf-idf and BM25 weightings — the idf
+    smoothing (+1 / +0.5 constants) is what keeps the argument
+    positive; exercised here instead of assumed."""
+    docs = spark.createDataFrame(
+        [(i, "common filler " + ("unique%d " % i)) for i in range(4)],
+        "doc_id long, text string")
+    tf = TX.tfidf_vectors(docs)
+    assert tf.count() > 0
+    assert tf.filter(F.col("tfidf").isNull()).count() == 0
+    if hasattr(TX, "bm25_scores"):
+        bm = TX.bm25_scores(docs, ["common"])
+        assert bm.filter(F.col("score").isNull()).count() == 0
+
+
+def test_pack_sequences_zero_token_docs(spark):
+    from picoprobedataflow_spark.operators.packing import pack_sequences
+    df = spark.createDataFrame(
+        [(0, 0), (1, 5), (2, 0), (3, 600), (4, 0)],
+        "doc_id long, n_tokens long")
+    out = pack_sequences(df, ctx_len=512).collect()
+    assert len(out) == 5
+    by_id = {r.doc_id: r for r in out}
+    # zero-token docs occupy no space: the next doc starts where the
+    # previous non-empty doc ended
+    assert by_id[1].cum_before == 0
+    assert by_id[3].cum_before == 5
+    assert by_id[4].cum_before == 605

@@ -85,6 +85,97 @@ def test_contamination_bloom_gate_exact(spark):
     assert fp < 50
 
 
+def test_bloom_broadcast_transport_matches_literal(spark):
+    """Round-9 production transport: the filter words ride a 1-row
+    BroadcastExchange (bloom_filter_df + bloom_prefilter), never the
+    expression tree. Pins (a) word-for-word equality of the
+    distributed build vs the driver-collected bloom_bits, (b)
+    survivor-set equality of the two probe transports at a
+    collision-heavy 256-bit filter (false positives exercised on both
+    sides), (c) final-gate equality across transport={literal,
+    broadcast} vs the exact gate, and (d) the plan shape: a
+    BroadcastExchange feeding a BroadcastNestedLoopJoin, with the
+    probe pushed into the join condition."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter((F.col("doc_id") % 13) == 0)
+    train = docs.filter((F.col("doc_id") % 13) != 0)
+    uni = DD.shingle_table(bench, 3).select("shingle").distinct()
+    tr = DD.shingle_table(train, 3)
+
+    for nb in (1 << 14, 256):
+        bits = DD.bloom_bits(uni, num_bits=nb)
+        bf = DD.bloom_filter_df(uni, num_bits=nb)
+        assert bf.collect()[0].bf == bits, nb
+        lit_ids = sorted(r.shingle for r in tr.filter(
+            DD.bloom_contains(bits, "shingle", nb)).collect())
+        bc = DD.bloom_prefilter(tr, "shingle", bf, nb)
+        assert sorted(r.shingle for r in bc.collect()) == lit_ids, nb
+
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastExchange" in plan
+
+    exact = sorted((r.doc_id, r.n_shingles, r.n_overlap, r.overlap_frac)
+                   for r in DD.contamination_overlap(
+                       train, bench, k=3).collect())
+    for transport in ("literal", "broadcast"):
+        got = DD.contamination_overlap_bloom(
+            train, bench, k=3, num_bits=256, transport=transport)
+        assert sorted((r.doc_id, r.n_shingles, r.n_overlap,
+                       r.overlap_frac)
+                      for r in got.collect()) == exact, transport
+    # auto cutover: at/under the literal ceiling stays literal, above
+    # it goes broadcast — both still exact.
+    got = DD.contamination_overlap_bloom(
+        train, bench, k=3, num_bits=DD.BLOOM_LITERAL_MAX_BITS * 2,
+        transport="auto")
+    assert sorted((r.doc_id, r.n_shingles, r.n_overlap, r.overlap_frac)
+                  for r in got.collect()) == exact
+
+
+def test_contam_bloom_owns_no_cache(spark):
+    """Round-9 fix for the round-8 leak: contamination_overlap_bloom
+    persisted its bench universe MEMORY_ONLY on every call and never
+    unpersisted — one cache-manager entry per call (per micro-batch in
+    the streaming gate). The op now owns no cache at all; amortization
+    is the caller-supplied bits/bloom_df/bench_universe hooks."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter((F.col("doc_id") % 13) == 0)
+    train = docs.filter((F.col("doc_id") % 13) != 0)
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                 .toArray())
+    for transport in ("literal", "broadcast"):
+        DD.contamination_overlap_bloom(
+            train, bench, k=3, num_bits=1 << 12,
+            transport=transport).collect()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                .toArray())
+    assert after - before == set()
+
+
+def test_bloom_literal_probe_is_64bit(spark):
+    """ADVICE regression: when every filter word fits int32, F.lit
+    infers array<int> and shiftright masks the shift amount mod 32 —
+    a probe of bit position p >= 32 then reads bit p % 32 instead of
+    (correctly) zero, deviating from the design false-positive rate.
+    bloom_contains now pins array<bigint>. Construct the deviation:
+    a filter whose only set bit is 5 (int32-able word), probed by
+    values whose single hash position lands >= 32 with (p % 32) == 5
+    — the masked-shift bug answers True, correct 64-bit shift answers
+    False."""
+    cand = spark.range(4000).select(
+        F.concat(F.lit("probe-"), F.col("id")).alias("v"),
+        F.pmod(F.xxhash64(F.lit(0), F.concat(F.lit("probe-"),
+                                             F.col("id"))),
+               F.lit(64)).alias("p"))
+    tricky = cand.filter((F.col("p") >= 32) & (F.col("p") % 32 == 5))
+    n = tricky.count()
+    assert n > 0  # the construction found adversarial probes
+    hits = tricky.filter(DD.bloom_contains([1 << 5], "v", 64,
+                                           num_hashes=1)).count()
+    assert hits == 0
+
+
 def test_jaccard_identical_and_disjoint(spark):
     docs = _docs(spark, [
         "the quick brown fox jumps over the lazy dog",
@@ -230,6 +321,48 @@ def test_simhash_identical_zero_hamming(spark):
     assert vals[0] == vals[1]
     pairs = DD.simhash_near_pairs(sigs, max_hamming=0).collect()
     assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == [(0, 1, 0)]
+
+
+def test_simhash_formulations_bit_identical(spark):
+    """Round-9 local cutover: the grouped (explode + hash-aggregate)
+    and row-local (higher-order fold) signature formulations must be
+    bit-identical — including degenerate rows (null text, empty text,
+    single token), where explode_outer keeps the null-text doc at
+    signature 0 exactly as the row-local null vote counters do. The
+    "auto" rule picks grouped for small Catalyst-estimated scans
+    (shuffles are nearly free there; interpreted lambdas are not) and
+    row-local above SIG_GROUPED_MAX_BYTES — the shuffle-free shape
+    that survives 100 TB."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),
+         (1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven eight"),
+         (3, None), (4, ""), (5, "solo")],
+        "doc_id long, text string")
+    from picoprobedataflow_spark.functions.scalar import fast_hash64
+    for hf in (None, fast_hash64):
+        kw = {} if hf is None else {"hash_fn": hf}
+        grp = sorted(map(tuple, DD.simhash_signatures(
+            docs, formulation="grouped", **kw).collect()))
+        row = sorted(map(tuple, DD.simhash_signatures(
+            docs, formulation="rowlocal", **kw).collect()))
+        assert grp == row and len(grp) == 6
+    # auto on a small PARQUET scan (real size stats) resolves to
+    # grouped: the plan carries the explode (Generate) the row-local
+    # shape never has. In-memory LogicalRDD relations have no real
+    # stats (huge default sizeInBytes) and correctly fall back to the
+    # scale-safe row-local shape.
+    pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    auto_plan = (DD.simhash_signatures(pq, formulation="auto")
+                 ._jdf.queryExecution().optimizedPlan().toString())
+    row_plan = (DD.simhash_signatures(pq, formulation="rowlocal")
+                ._jdf.queryExecution().optimizedPlan().toString())
+    assert "Generate" in auto_plan and "Generate" not in row_plan
+    assert DD._plan_size_bytes(pq) <= DD.SIG_GROUPED_MAX_BYTES
+    assert DD._plan_size_bytes(docs) > DD.SIG_GROUPED_MAX_BYTES
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        DD.simhash_signatures(docs, formulation="nope")
 
 
 def test_fast_hash_scale_path_same_semantics(spark):

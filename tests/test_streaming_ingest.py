@@ -459,7 +459,10 @@ def test_streaming_contamination_gate(spark, tmp_path):
     # checkpoint: identical flags (the filter builds once outside
     # the stream; a deliberately tiny 64-bit filter forces false
     # positives, which the exact verify join must remove).
-    for nb, tag in ((1 << 12, "b1"), (64, "b2")):
+    # 1<<24 bits exceeds BLOOM_LITERAL_MAX_BITS, exercising the
+    # round-9 broadcast transport (bloom_filter_df built once outside
+    # the stream, words on a 1-row BroadcastExchange) end to end.
+    for nb, tag in ((1 << 12, "b1"), (64, "b2"), (1 << 24, "b3")):
         ck2, out2 = str(tmp_path / f"ck_{tag}"), str(tmp_path / tag)
         contam_gate_stream(spark, str(src), ck2, out2, bench, schema,
                            threshold=0.05, bloom_bits_count=nb)
