@@ -228,6 +228,16 @@ def main() -> None:
                     ("dedup_jaccard_served_full",
                      PL.jaccard_served_pairs)):
         variants[key] = fn
+    # Round 9: the headline dedup_simhash_full now takes the
+    # statistics-driven "auto" formulation (grouped hash-aggregate at
+    # bench SFs). This variant pins the ROW-LOCAL shuffle-free
+    # formulation — the 100 TB shape — so its local cost stays
+    # measured round-over-round instead of silently vanishing behind
+    # the cutover (the two are bit-identical, pytest-pinned).
+    variants["dedup_simhash_rowlocal_full"] = (
+        lambda spark, sf_dir: DD.simhash_dedup(
+            tbl(spark, sf_dir, "documents"), max_hamming=6,
+            hash_fn=SC.fast_hash64, formulation="rowlocal"))
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
     # shouldn't be charged to the first query. Each headline query is
