@@ -326,6 +326,34 @@ def bloom_bits(values: DataFrame, col: str = "shingle",
     return out
 
 
+def _bloom_probe_cond(word_src: Column, c: Column, num_bits: int,
+                      num_hashes: int) -> Column:
+    """AND of the ``num_hashes`` bit probes against a word array —
+    UNROLLED into plain conjuncts, never a ``forall`` over a
+    ``sequence``. The unrolling is load-bearing: higher-order
+    functions are interpreted-only (no codegen), and when Catalyst
+    pushes the probe into a BroadcastNestedLoopJoin condition an HOF
+    there drops the whole join out of codegen — measured 42.5 s vs
+    0.4 s (~100×) for the identical probe at 2^24 bits over 260 K
+    rows on local[32]. ``num_hashes`` is a Python int, so the
+    conjunction is known at plan-build time; each conjunct is
+    two-op codegen intrinsics end to end. The ``F.lit(i)`` probe
+    seeds are INT literals, matching the int-typed ``sequence``
+    lambda variable in :func:`bloom_bits`'s build (xxhash64 hashes
+    int and bigint inputs differently — the seed types must agree
+    or probes read garbage)."""
+    cond = None
+    for i in range(num_hashes):
+        p = F.pmod(F.xxhash64(F.lit(i), c), F.lit(num_bits))
+        word = F.element_at(
+            word_src, (F.shiftright(p, 6) + 1).cast("int"))
+        hit = (F.call_function("shiftright", word,
+                               (p % 64).cast("int"))
+               .bitwiseAND(F.lit(1)) == 1)
+        cond = hit if cond is None else cond & hit
+    return cond
+
+
 def bloom_contains(bits: list[int], col: Column | str,
                    num_bits: int, num_hashes: int = 5) -> Column:
     """Membership test against a :func:`bloom_bits` filter: true iff
@@ -334,7 +362,9 @@ def bloom_contains(bits: list[int], col: Column | str,
     literal inside the expression — a map-side test with zero joins,
     the same literal-LUT pattern as the PQ codebook lookups. All
     JVM-side: xxhash64 probes, element_at word fetch, shiftright bit
-    extract under ``forall``.
+    extract, unrolled conjuncts (see :func:`_bloom_probe_cond` — an
+    HOF here is interpreted-only and ~100× slower once pushed into a
+    join condition).
 
     Transport caveat: the literal rides the EXPRESSION TREE — it is
     serialized into every task binary referencing it and hashed into
@@ -348,16 +378,7 @@ def bloom_contains(bits: list[int], col: Column | str,
     # shift amount mod 32, corrupting probes of bit positions >= 32.
     blit = F.lit(bits).cast("array<bigint>")
     c = F.col(col) if isinstance(col, str) else col
-
-    def _probe(i):
-        p = F.pmod(F.xxhash64(i, c), F.lit(num_bits))
-        word = F.element_at(
-            blit, (F.shiftright(p, 6) + 1).cast("int"))
-        return (F.call_function("shiftright", word,
-                                (p % 64).cast("int"))
-                .bitwiseAND(F.lit(1)) == 1)
-
-    return F.forall(F.sequence(F.lit(0), F.lit(num_hashes - 1)), _probe)
+    return _bloom_probe_cond(blit, c, num_bits, num_hashes)
 
 
 #: Literal-vs-broadcast transport cutover for ``transport="auto"``:
@@ -374,10 +395,22 @@ def bloom_filter_df(values: DataFrame, col: str = "shingle",
                     num_hashes: int = 5) -> DataFrame:
     """:func:`bloom_bits` built FULLY DISTRIBUTED — a 1-row DataFrame
     ``(bf array<bigint>)`` holding the same words, which never touch
-    the driver: the per-word ``bit_or`` aggregate is folded into a
-    dense array JVM-side (sparse words → map, ``sequence`` scan fills
-    the zeros), so a GB-scale filter is built and shipped without a
-    single driver collect or plan literal.
+    the driver: a ``range(nwords)`` scan left-joins the sparse per-word
+    ``bit_or`` aggregate (zero-filling the gaps), and the dense rows
+    fold into one sorted array, so a GB-scale filter is built and
+    shipped without a single driver collect or plan literal.
+
+    The densify step is deliberately a JOIN, not a map lookup: the
+    earlier formulation folded the sparse words into a single-row MAP
+    and filled the dense array with ``element_at`` per index — but
+    Spark's map ``element_at`` (GetMapValue over ArrayBasedMapData) is
+    a LINEAR key scan, making that fill O(nwords²): fine at the 16 K
+    words where it was first tested, a multi-minute stall at 2^24 bits
+    and effectively a hang at the GB sizings this transport exists
+    for. The range join is O(nwords) work distributed across the
+    cluster; the only single-row step left is the final
+    ``array_sort(collect_list(...))`` fold — O(n log n) on the data
+    that must become one broadcast row anyway.
 
     Probe with :func:`bloom_prefilter`, which broadcasts this one row;
     word layout and probe scheme are bit-identical to
@@ -394,14 +427,16 @@ def bloom_filter_df(values: DataFrame, col: str = "shingle",
                                          (F.col("p") % 64).cast("int"))
                           .alias("bit"))
                  .groupBy("w").agg(F.bit_or("bit").alias("bits")))
-    return (word_rows
-            .agg(F.map_from_entries(
-                F.collect_list(F.struct("w", "bits"))).alias("m"))
-            .select(F.transform(
-                F.sequence(F.lit(0), F.lit(nwords - 1)),
-                lambda i: F.coalesce(
-                    F.element_at(F.col("m"), i.cast("long")),
-                    F.lit(0).cast("long"))).alias("bf")))
+    dense = (values.sparkSession.range(nwords)
+             .select(F.col("id").alias("w"))
+             .join(word_rows, "w", "left")
+             .select("w", F.coalesce("bits", F.lit(0).cast("long"))
+                     .alias("bits")))
+    return (dense
+            .agg(F.array_sort(F.collect_list(F.struct("w", "bits")))
+                 .alias("s"))
+            .select(F.transform(F.col("s"), lambda e: e.bits)
+                    .alias("bf")))
 
 
 def bloom_prefilter(df: DataFrame, col: str, bloom_df: DataFrame,
@@ -414,18 +449,12 @@ def bloom_prefilter(df: DataFrame, col: str, bloom_df: DataFrame,
     broadcast. The probe condition is pushed into the join condition
     (plan-verified), so non-members never materialize; the final
     projection drops the array column so output rows never carry it.
-    Same probe scheme as :func:`bloom_contains`."""
-    c = F.col(col)
-
-    def _probe(i):
-        p = F.pmod(F.xxhash64(i, c), F.lit(num_bits))
-        word = F.element_at(
-            F.col("__bf"), (F.shiftright(p, 6) + 1).cast("int"))
-        return (F.call_function("shiftright", word,
-                                (p % 64).cast("int"))
-                .bitwiseAND(F.lit(1)) == 1)
-
-    cond = F.forall(F.sequence(F.lit(0), F.lit(num_hashes - 1)), _probe)
+    Same probe scheme as :func:`bloom_contains`; the probes are
+    unrolled conjuncts (:func:`_bloom_probe_cond`) because Catalyst
+    pushes this filter into the join condition, where a ``forall``
+    HOF is interpreted-only and was measured ~100× slower."""
+    cond = _bloom_probe_cond(F.col("__bf"), F.col(col),
+                             num_bits, num_hashes)
     return (df.join(F.broadcast(bloom_df.select(
                 F.col("bf").alias("__bf"))))
             .filter(cond).drop("__bf"))
