@@ -1359,6 +1359,111 @@ def remove_duplicate_spans(docs: DataFrame, span_w: int = 4,
                      .alias("n_kept")))
 
 
+def decontaminate_spans(train_docs: DataFrame,
+                        bench_docs: DataFrame | None = None,
+                        k: int = 3, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        bench_universe: DataFrame | None = None) -> DataFrame:
+    """(doc_id, cleaned, n_removed, n_kept): SPAN-LEVEL benchmark
+    decontamination — the surgical complement of
+    :func:`contamination_overlap`'s doc-level gate. Dropping a whole
+    training document because one quoted benchmark sentence leaked
+    into it throws away the 99% of the doc that is clean; real
+    pipelines instead excise exactly the leaked passage. Every
+    k-token SLIDING window (stride 1 — unlike the aligned windows of
+    :func:`cross_doc_span_dedup`, a benchmark quote is caught at any
+    phase) whose text appears verbatim in the benchmark shingle
+    universe is masked; overlapping masked windows merge into
+    contiguous contaminated intervals; the covered tokens are deleted
+    and first the remaining tokens are stitched back in document
+    order (whitespace normalizes to single spaces, as in
+    :func:`remove_duplicate_spans`). Docs with no hits pass through
+    with ``n_removed = 0``; sub-k and empty/null docs emit
+    ``cleaned = ""`` for empty and their joined tokens otherwise —
+    the op is TOTAL on degenerate inputs (round-8/9 bug classes:
+    the window build carries the generate-filter clamp, and no
+    division appears anywhere).
+
+    Scale shape — every stage is doc- or shingle-keyed, nothing
+    quadratic, no range join: interval union is the classic
+    sweep-line turned into a DataFrame plan. Each hit window [s, s+k)
+    becomes two EVENTS (+1 at s, −1 at s+k); events union with the
+    positional token rows and ONE window function partitioned by the
+    doc id (corpus-cardinality key, never global) runs the running
+    coverage sum; a token is contaminated iff its coverage is
+    positive. That replaces the naive tokens×hits BETWEEN-join
+    (quadratic in the per-doc hit count for boilerplate-heavy docs)
+    with |tokens| + 2·|hits| rows through one doc-keyed sort. The
+    benchmark membership test is the same LEFT SEMI shape as
+    :func:`contamination_overlap` (AQE broadcasts a small universe;
+    a too-big-to-broadcast one takes the Bloom route via a
+    caller-prefiltered ``bench_universe``). One final left join
+    reattaches hit-free and degenerate docs.
+    """
+    if bench_universe is None:
+        bench_universe = (shingle_table(bench_docs, k, text_col,
+                                        id_col)
+                          .select("shingle").distinct())
+    toks = train_docs.select(F.col(id_col), words(text_col).alias("_w"))
+    # Positional tokens, 1-based. words("") is [""] — the length
+    # filter drops it so whitespace-only docs clean to "".
+    tok_rows = (toks.select(F.col(id_col),
+                            F.posexplode("_w").alias("_p0", "term"))
+                .filter(F.length("term") > 0)
+                .select(F.col(id_col),
+                        (F.col("_p0") + 1).alias("pos"), "term",
+                        F.lit(0).alias("delta"), F.lit(1).alias("ord")))
+    # Sliding k-windows with 1-based start positions. greatest(.., 1)
+    # keeps the sequence bound total when InferFiltersFromGenerate
+    # evaluates the transform on pre-filter rows (see shingle_table);
+    # the bogus single-window rows a sub-k doc would produce are
+    # removed by the size filter itself.
+    wins = (toks.filter(F.size("_w") >= k)
+            .select(F.col(id_col),
+                    F.posexplode(F.transform(
+                        F.sequence(F.lit(1),
+                                   F.greatest(F.size("_w") - (k - 1),
+                                              F.lit(1))),
+                        lambda i: F.concat_ws(" ", F.slice("_w", i, k))))
+                    .alias("_i0", "shingle")))
+    hits = (wins.join(bench_universe, "shingle", "left_semi")
+            .select(F.col(id_col), (F.col("_i0") + 1).alias("start")))
+    nul = F.lit(None).cast("string")
+    ev = (hits.select(F.col(id_col), F.col("start").alias("pos"), nul.alias("term"),
+                      F.lit(1).alias("delta"), F.lit(0).alias("ord"))
+          .unionByName(
+              hits.select(F.col(id_col),
+                          (F.col("start") + k).alias("pos"),
+                          nul.alias("term"),
+                          F.lit(-1).alias("delta"),
+                          F.lit(0).alias("ord"))))
+    # ord sorts every ±1 event at a position before the token AT that
+    # position: a window opening at s covers token s; one closing at
+    # s+k (exclusive end) has already released token s+k.
+    w = (W.partitionBy(id_col).orderBy("pos", "ord")
+         .rowsBetween(W.unboundedPreceding, 0))
+    marked = (tok_rows.unionByName(ev)
+              .withColumn("_cov", F.sum("delta").over(w))
+              .filter(F.col("ord") == 1))
+    kept_struct = F.when(F.col("_cov") == 0, F.struct("pos", "term"))
+    agg = (marked.groupBy(id_col)
+           .agg(F.concat_ws(" ", F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.term)).alias("_body"),
+                F.sum((F.col("_cov") > 0).cast("long"))
+                 .alias("n_removed"),
+                F.sum((F.col("_cov") == 0).cast("long"))
+                 .alias("n_kept")))
+    return (train_docs.select(F.col(id_col))
+            .join(agg, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("_body", F.lit("")).alias("cleaned"),
+                    F.coalesce("n_removed", F.lit(0).cast("long"))
+                     .alias("n_removed"),
+                    F.coalesce("n_kept", F.lit(0).cast("long"))
+                     .alias("n_kept")))
+
+
 def cdc_chunk_dedup(docs: DataFrame, n_buckets: int = 8,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:

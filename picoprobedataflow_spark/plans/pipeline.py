@@ -2239,6 +2239,85 @@ def span_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.remove_duplicate_spans(docs, span_w=_SPAN_W)
 
 
+#: Shingle width for the span-level decontamination family — matches
+#: the contam/contam_bloom doc-level gates so the two report on the
+#: same leak definition.
+_DECONTAM_K = 3
+
+_DECONTAM_SPANS_ORACLE = f"""
+WITH dtoksall AS MATERIALIZED (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+),
+dtok AS (
+  SELECT * FROM (
+    SELECT doc_id, unnest(w) AS term,
+           unnest(range(1, len(w) + 1)) AS pos
+    FROM dtoksall WHERE doc_id % 13 <> 0)
+  WHERE len(term) > 0
+),
+dwin AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(w) - {_DECONTAM_K - 1})) AS start,
+         unnest(list_transform(
+             generate_series(1, len(w) - {_DECONTAM_K - 1}),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM dtoksall WHERE doc_id % 13 <> 0
+),
+dbuni AS (
+  SELECT DISTINCT unnest(list_transform(
+             generate_series(1, len(w) - {_DECONTAM_K - 1}),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+  FROM dtoksall WHERE doc_id % 13 = 0
+),
+dhits AS (
+  SELECT DISTINCT w.doc_id, w.start FROM dwin w JOIN dbuni USING (shingle)
+),
+drem AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM dtok t JOIN dhits h
+    ON h.doc_id = t.doc_id
+   AND t.pos BETWEEN h.start AND h.start + {_DECONTAM_K - 1}
+),
+dkept AS (
+  SELECT t.doc_id,
+         string_agg(t.term, ' ' ORDER BY t.pos)
+           FILTER (WHERE r.pos IS NULL) AS body,
+         CAST(sum(CASE WHEN r.pos IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_removed,
+         CAST(sum(CASE WHEN r.pos IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_kept
+  FROM dtok t LEFT JOIN drem r ON r.doc_id = t.doc_id AND r.pos = t.pos
+  GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(k.body, '') AS cleaned,
+       COALESCE(k.n_removed, 0) AS n_removed,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0) d
+LEFT JOIN dkept k USING (doc_id)
+"""
+
+
+def decontam_span_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination
+    (:func:`..operators.dedup.decontaminate_spans`): the docs the
+    ``contam`` family would FLAG are instead surgically cleaned —
+    every sliding 3-shingle found verbatim in the benchmark universe
+    (docs with ``doc_id % 13 == 0``, the same held-out stand-in as
+    the contam families) is excised, overlapping hits merging into
+    contiguous intervals via the sweep-line window, and the cleaned
+    text reassembled per doc. The training corpus keeps the doc minus
+    the leak, not a hole where the doc was. The oracle replays the
+    interval union as a DISTINCT tokens×hits BETWEEN join — fine at
+    oracle scale, quadratic per boilerplate-heavy doc at corpus
+    scale, which is exactly why the Spark side is the event-sweep
+    instead."""
+    docs = tbl(spark, sf_dir, "documents")
+    is_bench = (F.col("doc_id") % 13) == 0
+    return DD.decontaminate_spans(docs.filter(~is_bench),
+                                  docs.filter(is_bench),
+                                  k=_DECONTAM_K)
+
+
 def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repeated-passage accounting: every non-overlapping
     4-token window is checked for an earlier exact occurrence
@@ -3718,6 +3797,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              n=("doc_a", "doc_b", "n_shared")),
     _fam_sql("span_clean", "{spclean}", k1="cleaned",
              n=("doc_id", "n_removed", "n_kept")),
+    _fam_sql("decontam_spans", "{decontam}", k1="cleaned",
+             n=("doc_id", "n_removed", "n_kept")),
     _fam_sql("dhash", "{dhash}", n=("doc_id", "phash")),
     _fam_sql("audio_fp", "{audiofp}", n=("doc_id", "fp", "n_frames")),
     _fam_sql("img_stats", "{imgstats}", n=("doc_id",),
@@ -3745,6 +3826,7 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           winnow=_WINNOW_ORACLE, rrf=_RRF_ORACLE,
           wpairs=_WINNOW_PAIRS_ORACLE,
           spclean=_SPAN_CLEAN_ORACLE,
+          decontam=_DECONTAM_SPANS_ORACLE,
           dhash=_DHASH_ORACLE, audiofp=_AUDIO_FP_ORACLE,
           imgstats=_IMG_STATS_ORACLE, audstats=_AUDIO_STATS_ORACLE,
           rszstats=_RESIZE_STATS_ORACLE,
@@ -3783,7 +3865,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Twenty-nine training-data curation families, one normalized
+    """Thirty training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -3808,7 +3890,11 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`winnow_partial_overlap_pairs` — plagiarism-style
     partial-overlap candidates from the winnowed set), and
     ``span_clean`` (:func:`span_clean_texts` — the repeated-passage
-    REMOVAL pass emitting the cleaned corpus), and the round-7
+    REMOVAL pass emitting the cleaned corpus), ``decontam_spans``
+    (:func:`decontam_span_texts`, round 9 — SPAN-level benchmark
+    decontamination: leaked benchmark shingles are excised from
+    training docs via a sweep-line interval union instead of
+    dropping whole docs), and the round-7
     multimodal fingerprint lanes ``dhash``
     (:func:`image_dhash_fingerprints` — perceptual image dHash over
     the oracle-replayable synthetic corpus) and ``audio_fp``
@@ -3885,6 +3971,9 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winnow_pairs", n=("doc_a", "doc_b", "n_shared")))
         .unionByName(_fam_df(span_clean_texts(spark, sf_dir),
                              "span_clean", k1="cleaned",
+                             n=("doc_id", "n_removed", "n_kept")))
+        .unionByName(_fam_df(decontam_span_texts(spark, sf_dir),
+                             "decontam_spans", k1="cleaned",
                              n=("doc_id", "n_removed", "n_kept")))
         .unionByName(_fam_df(image_dhash_fingerprints(spark, sf_dir),
                              "dhash", n=("doc_id", "phash")))

@@ -176,6 +176,55 @@ def test_bloom_literal_probe_is_64bit(spark):
     assert hits == 0
 
 
+def test_decontaminate_spans_known_intervals(spark):
+    """Span-level decontamination on hand-worked docs: a single hit
+    window excises exactly its k tokens; overlapping hit windows
+    merge into one interval (no double counting); separated hits
+    excise two intervals; a full benchmark copy cleans to empty; a
+    clean doc passes through byte-identical (modulo whitespace
+    normalization)."""
+    bench = _docs(spark, ["alpha beta gamma delta"])
+    train = spark.createDataFrame(
+        [(10, "one two alpha beta gamma three four"),
+         (11, "alpha beta gamma delta zzz"),
+         (12, "clean text with nothing shared"),
+         (13, "alpha beta gamma delta"),
+         (14, "alpha beta gamma x y z beta gamma delta")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in DD.decontaminate_spans(
+        train, bench, k=3).collect()}
+    assert got[10].cleaned == "one two three four"
+    assert (got[10].n_removed, got[10].n_kept) == (3, 4)
+    # hits at starts 1 and 2 merge into tokens 1-4 — NOT 3 + 3 = 6
+    assert got[11].cleaned == "zzz"
+    assert (got[11].n_removed, got[11].n_kept) == (4, 1)
+    assert got[12].cleaned == "clean text with nothing shared"
+    assert (got[12].n_removed, got[12].n_kept) == (0, 5)
+    assert got[13].cleaned == "" and got[13].n_removed == 4
+    # two separated intervals: tokens 1-3 and 7-9
+    assert got[14].cleaned == "x y z"
+    assert (got[14].n_removed, got[14].n_kept) == (6, 3)
+
+
+def test_decontaminate_spans_total_on_degenerate_docs(spark):
+    """Empty, null, whitespace-only and sub-k docs all pass through
+    (cleaned = normalized tokens, nothing removed) — the op is total
+    on the round-8/9 degenerate classes."""
+    bench = _docs(spark, ["alpha beta gamma delta"])
+    train = spark.createDataFrame(
+        [(20, ""), (21, None), (22, "   "), (23, "ab"),
+         (24, "ab cd")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in DD.decontaminate_spans(
+        train, bench, k=3).collect()}
+    assert set(got) == {20, 21, 22, 23, 24}
+    assert all(r.n_removed == 0 for r in got.values())
+    assert got[20].cleaned == "" and got[21].cleaned == ""
+    assert got[22].cleaned == ""
+    assert got[23].cleaned == "ab" and got[23].n_kept == 1
+    assert got[24].cleaned == "ab cd" and got[24].n_kept == 2
+
+
 def test_jaccard_identical_and_disjoint(spark):
     docs = _docs(spark, [
         "the quick brown fox jumps over the lazy dog",
