@@ -2318,6 +2318,145 @@ def decontam_span_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   k=_DECONTAM_K)
 
 
+#: Per-registrable-domain doc cap for the ``domain_quota`` family.
+_DOMAIN_QUOTA = 3
+
+#: Deterministic synthetic URL per document — the documents table has
+#: no URL column, so both engines derive one from (doc_id, source)
+#: with every normalization hazard planted: uppercase scheme/host,
+#: default and non-default ports, tracking params, fragments,
+#: trailing slashes, and a multi-part public suffix.
+_SYNTH_URL_SQL = """
+  (CASE doc_id % 4
+     WHEN 0 THEN 'HTTPS://WWW.Example.COM:443'
+     WHEN 1 THEN 'https://blog.example.co.uk'
+     WHEN 2 THEN 'HTTP://News.Example.COM:80'
+     ELSE 'https://cdn.sample.org:8080' END)
+  || '/' || source || '/Item' || CAST(doc_id AS VARCHAR)
+  || (CASE doc_id % 3
+     WHEN 0 THEN '/?utm_source=feed&utm_campaign=x&id='
+                 || CAST(doc_id % 7 AS VARCHAR)
+     WHEN 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                 || '&fbclid=abc#frag'
+     ELSE '/' END)
+"""
+
+_URL_NORM_SQL = """
+    (CASE WHEN starts_with(lower(auth), 'https://')
+          THEN regexp_replace(lower(auth), ':443$', '')
+          WHEN starts_with(lower(auth), 'http://')
+          THEN regexp_replace(lower(auth), ':80$', '')
+          ELSE lower(auth) END)
+    || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(
+             substr(url, length(auth) + 1),
+             '#.*', ''),
+             '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
+             '&&+', '&', 'g'),
+             '[?]&', '?'),
+             '[?&]+$', ''),
+             '/+$', '')
+"""
+
+_URL_CTES = f"""
+usrc AS (
+  SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
+),
+uauth AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)
+           AS auth
+  FROM usrc
+),
+unorm AS (
+  SELECT doc_id, {_URL_NORM_SQL} AS norm_url FROM uauth
+),
+uhost AS (
+  SELECT doc_id, norm_url,
+         regexp_replace(regexp_replace(
+             regexp_extract(norm_url, '://([^/?#]*)', 1),
+             '^[^@]*@', ''), ':[0-9]+$', '') AS host
+  FROM unorm
+),
+udom AS (
+  SELECT doc_id, norm_url,
+         CASE WHEN rd = '' THEN host ELSE rd END AS domain
+  FROM (
+    SELECT doc_id, norm_url, host,
+           CASE WHEN regexp_matches(host,
+                  '([.](co|org|gov|ac)[.]uk|[.]com[.]au|[.]co[.]jp'
+                  || '|[.]com[.]br|[.]co[.]in)$')
+                THEN regexp_extract(host,
+                       '[^.]+[.][^.]+[.][^.]+$', 0)
+                ELSE regexp_extract(host, '[^.]+[.][^.]+$', 0)
+           END AS rd
+    FROM uhost)
+)"""
+
+_URL_NORM_ORACLE = f"""
+WITH {_URL_CTES}
+SELECT doc_id, norm_url FROM unorm
+"""
+
+_DOMAIN_QUOTA_ORACLE = f"""
+WITH {_URL_CTES}
+SELECT doc_id, domain,
+       CAST(row_number() OVER (
+           PARTITION BY domain
+           ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id)
+         AS BIGINT) AS rank
+FROM udom
+"""
+
+
+def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url): the deterministic crawl-URL stand-in both
+    engines construct identically (:data:`_SYNTH_URL_SQL`)."""
+    d = F.col("doc_id")
+    host = (F.when(d % 4 == 0, F.lit("HTTPS://WWW.Example.COM:443"))
+             .when(d % 4 == 1, F.lit("https://blog.example.co.uk"))
+             .when(d % 4 == 2, F.lit("HTTP://News.Example.COM:80"))
+             .otherwise(F.lit("https://cdn.sample.org:8080")))
+    tail = (F.when(d % 3 == 0,
+                   F.concat(F.lit("/?utm_source=feed&utm_campaign=x"
+                                  "&id="), (d % 7).cast("string")))
+             .when(d % 3 == 1,
+                   F.concat(F.lit("?id="), (d % 7).cast("string"),
+                            F.lit("&fbclid=abc#frag")))
+             .otherwise(F.lit("/")))
+    return (tbl(spark, sf_dir, "documents")
+            .select(d, F.concat(host, F.lit("/"), F.col("source"),
+                                F.lit("/Item"), d.cast("string"),
+                                tail).alias("url")))
+
+
+def url_norm_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (:func:`..functions.web.url_normalize`)
+    over the synthetic crawl URLs: lowercased scheme/host, default
+    ports and fragments stripped, tracking params scrubbed, trailing
+    slashes removed — the key under which exact-URL dedup actually
+    deduplicates. Pure map, zero shuffle; the oracle replays the
+    identical RE2-safe regexp chain."""
+    from picoprobedataflow_spark.functions import web as WB
+    u = _synthetic_urls(spark, sf_dir)
+    return u.select("doc_id",
+                    WB.url_normalize("url").alias("norm_url"))
+
+
+def domain_quota_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota ranking
+    (:func:`..functions.web.domain_quota_sample`): docs rank inside
+    their registrable domain by a salted md5 of their id; the kept
+    flag is ``rank <= quota`` and is derivable from the rank, so the
+    hash gate pins the rank itself (the stronger statement). One
+    domain-keyed window on top of the normalization map."""
+    from picoprobedataflow_spark.functions import web as WB
+    u = _synthetic_urls(spark, sf_dir)
+    q = WB.domain_quota_sample(u, url_col="url",
+                               quota=_DOMAIN_QUOTA, salt="quota")
+    return q.select("doc_id", "domain", "rank")
+
+
 def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repeated-passage accounting: every non-overlapping
     4-token window is checked for an earlier exact occurrence
@@ -3799,6 +3938,9 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              n=("doc_id", "n_removed", "n_kept")),
     _fam_sql("decontam_spans", "{decontam}", k1="cleaned",
              n=("doc_id", "n_removed", "n_kept")),
+    _fam_sql("url_norm", "{urlnorm}", k1="norm_url", n=("doc_id",)),
+    _fam_sql("domain_quota", "{domquota}", k1="domain",
+             n=("doc_id", "rank")),
     _fam_sql("dhash", "{dhash}", n=("doc_id", "phash")),
     _fam_sql("audio_fp", "{audiofp}", n=("doc_id", "fp", "n_frames")),
     _fam_sql("img_stats", "{imgstats}", n=("doc_id",),
@@ -3827,6 +3969,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           wpairs=_WINNOW_PAIRS_ORACLE,
           spclean=_SPAN_CLEAN_ORACLE,
           decontam=_DECONTAM_SPANS_ORACLE,
+          urlnorm=_URL_NORM_ORACLE,
+          domquota=_DOMAIN_QUOTA_ORACLE,
           dhash=_DHASH_ORACLE, audiofp=_AUDIO_FP_ORACLE,
           imgstats=_IMG_STATS_ORACLE, audstats=_AUDIO_STATS_ORACLE,
           rszstats=_RESIZE_STATS_ORACLE,
@@ -3865,7 +4009,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thirty training-data curation families, one normalized
+    """Thirty-two training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -3894,7 +4038,10 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`decontam_span_texts`, round 9 — SPAN-level benchmark
     decontamination: leaked benchmark shingles are excised from
     training docs via a sweep-line interval union instead of
-    dropping whole docs), and the round-7
+    dropping whole docs), ``url_norm`` / ``domain_quota``
+    (:func:`url_norm_texts` / :func:`domain_quota_flags`, round 9 —
+    crawl-URL canonicalization and the per-registrable-domain doc
+    cap over engine-identical synthetic URLs), and the round-7
     multimodal fingerprint lanes ``dhash``
     (:func:`image_dhash_fingerprints` — perceptual image dHash over
     the oracle-replayable synthetic corpus) and ``audio_fp``
@@ -3975,6 +4122,12 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_fam_df(decontam_span_texts(spark, sf_dir),
                              "decontam_spans", k1="cleaned",
                              n=("doc_id", "n_removed", "n_kept")))
+        .unionByName(_fam_df(url_norm_texts(spark, sf_dir),
+                             "url_norm", k1="norm_url",
+                             n=("doc_id",)))
+        .unionByName(_fam_df(domain_quota_flags(spark, sf_dir),
+                             "domain_quota", k1="domain",
+                             n=("doc_id", "rank")))
         .unionByName(_fam_df(image_dhash_fingerprints(spark, sf_dir),
                              "dhash", n=("doc_id", "phash")))
         .unionByName(_fam_df(audio_fp_fingerprints(spark, sf_dir),
