@@ -1,0 +1,158 @@
+"""Round-9 model-based property tests (VERDICT r8 ask #6, extended):
+each subject is checked against an independent pure-Python reference
+model over hypothesis-generated inputs, so the Spark plan — with all
+its pushdown/CSE/generate-filter rewrites — must agree with the naive
+semantics on corpora the fixed fixtures would never contain
+(collision-heavy tiny alphabets, adversarial interval overlaps,
+zero-length docs, URL separator pile-ups)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from picoprobedataflow_spark.functions import web as WB
+from picoprobedataflow_spark.operators import dedup as DD
+
+_SETTINGS = dict(max_examples=8, deadline=None,
+                 suppress_health_check=[
+                     HealthCheck.function_scoped_fixture])
+
+# Tiny word alphabet → dense shingle collisions between train/bench.
+_WORD = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_TEXT = st.lists(_WORD, min_size=0, max_size=12).map(" ".join)
+
+
+def _ref_decontam(tokens: list[str], bench: set[str], k: int):
+    """Naive reference: mark every hit window, union the intervals,
+    delete covered tokens."""
+    removed: set[int] = set()
+    for i in range(max(0, len(tokens) - k + 1)):
+        if " ".join(tokens[i:i + k]) in bench:
+            removed.update(range(i, i + k))
+    kept = [t for i, t in enumerate(tokens) if i not in removed]
+    return " ".join(kept), len(removed), len(tokens) - len(removed)
+
+
+@settings(**_SETTINGS)
+@given(train=st.lists(_TEXT, min_size=1, max_size=6),
+       bench=st.lists(_TEXT, min_size=1, max_size=3))
+def test_decontaminate_spans_matches_reference_model(spark, train,
+                                                     bench):
+    k = 3
+    bench_sh = {
+        " ".join(toks[i:i + k])
+        for t in bench
+        for toks in [t.split()]
+        for i in range(max(0, len(toks) - k + 1))
+    }
+    tdf = spark.createDataFrame(list(enumerate(train)),
+                                "doc_id long, text string")
+    bdf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(bench)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           DD.decontaminate_spans(tdf, bdf, k=k).collect()}
+    assert set(got) == set(range(len(train)))
+    for i, t in enumerate(train):
+        cleaned, n_rm, n_kp = _ref_decontam(t.split(), bench_sh, k)
+        r = got[i]
+        assert (r.cleaned, r.n_removed, r.n_kept) == \
+            (cleaned, n_rm, n_kp), (i, t)
+        # conservation: every token is either removed or kept
+        assert r.n_removed + r.n_kept == len(t.split())
+
+
+@settings(**_SETTINGS)
+@given(members=st.sets(st.text(alphabet="abcdef", min_size=1,
+                               max_size=8), min_size=1, max_size=40),
+       probes=st.sets(st.text(alphabet="abcdef", min_size=1,
+                              max_size=8), min_size=1, max_size=40))
+def test_bloom_no_false_negatives_property(spark, members, probes):
+    """The Bloom contract that correctness rests on — NO member may
+    ever test negative — under both transports, on a deliberately
+    tiny (collision-heavy) filter."""
+    nb = 1 << 9
+    mdf = spark.createDataFrame([(m,) for m in members], "v string")
+    bits = DD.bloom_bits(mdf, col="v", num_bits=nb)
+    # literal transport: every member contained
+    assert mdf.filter(~DD.bloom_contains(bits, "v", nb)).count() == 0
+    # broadcast transport agrees probe-for-probe with the literal one
+    bf = DD.bloom_filter_df(mdf, col="v", num_bits=nb)
+    uni = spark.createDataFrame([(v,) for v in members | probes],
+                                "v string")
+    lit_keep = {r.v for r in
+                uni.filter(DD.bloom_contains(bits, "v", nb)).collect()}
+    bc_keep = {r.v for r in
+               DD.bloom_prefilter(uni, "v", bf, nb).collect()}
+    assert lit_keep == bc_keep
+    assert members <= lit_keep
+
+
+@settings(**_SETTINGS)
+@given(lens=st.lists(st.integers(0, 700), min_size=1, max_size=25))
+def test_pack_sequences_prefix_sum_model(spark, lens):
+    """cum_before is exactly the running sum of earlier docs' token
+    counts in doc_id order — zero-length docs occupy no space and
+    shift nothing."""
+    from picoprobedataflow_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(list(enumerate(lens)),
+                               "doc_id long, n_tokens long")
+    got = {r.doc_id: r.cum_before
+           for r in pack_sequences(df, ctx_len=512).collect()}
+    run = 0
+    for i, n in enumerate(lens):
+        assert got[i] == run, (i, lens)
+        run += n
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_TEXT, min_size=2, max_size=8))
+def test_jaccard_pairs_match_set_model(spark, docs):
+    """jaccard_pairs == the set-algebra definition on every pair of
+    docs that have >= k tokens (threshold 0 keeps all pairs with at
+    least one shared shingle)."""
+    k = 3
+    sh = [
+        {" ".join(t.split()[i:i + k])
+         for i in range(max(0, len(t.split()) - k + 1))}
+        for t in docs
+    ]
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in
+           DD.jaccard_pairs(df, k=k, threshold=0.0).collect()}
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            if sh[a] and sh[b] and sh[a] & sh[b]:
+                want[(a, b)] = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+    assert set(got) == set(want), (docs, got, want)
+    for pair, j in want.items():
+        assert abs(got[pair] - j) < 1e-9, (pair, docs)
+
+
+_URL_PART = st.sampled_from(
+    ["", "/", "//", "/A/b", "/x", "?id=1", "?utm_source=a",
+     "&utm_medium=b", "&gclid=Z9", "&id=2", "#f", "#", "?&", "?utm_a=",
+     ":443", ":8080"])
+
+
+@settings(**_SETTINGS)
+@given(scheme=st.sampled_from(["http", "HTTPS", "FtP", ""]),
+       host=st.sampled_from(["Example.COM", "a.b.co.uk", "X.Y",
+                             "localhost"]),
+       parts=st.lists(_URL_PART, min_size=0, max_size=5))
+def test_url_normalize_idempotent(spark, scheme, host, parts):
+    """Canonicalization must be a projection: applying it twice
+    changes nothing — the property that guarantees URL-keyed dedup
+    converges no matter how many times a pipeline re-normalizes."""
+    raw = (f"{scheme}://{host}" if scheme else host) + "".join(parts)
+    df = spark.createDataFrame([(raw,)], "url string")
+    row = df.select(
+        WB.url_normalize("url").alias("once"),
+        WB.url_normalize(WB.url_normalize("url")).alias("twice"),
+    ).collect()[0]
+    assert row.once == row.twice, raw
