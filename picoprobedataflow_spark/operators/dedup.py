@@ -1428,15 +1428,21 @@ def decontaminate_spans(train_docs: DataFrame,
                     .alias("_i0", "shingle")))
     hits = (wins.join(bench_universe, "shingle", "left_semi")
             .select(F.col(id_col), (F.col("_i0") + 1).alias("start")))
+    # Both events come out of ONE explode over the hits subtree — a
+    # union of two selects re-evaluates hits twice (two shingle
+    # generates + two bench-universe builds, plan-verified), which
+    # doubles the op's dominant cost at corpus scale.
     nul = F.lit(None).cast("string")
-    ev = (hits.select(F.col(id_col), F.col("start").alias("pos"), nul.alias("term"),
-                      F.lit(1).alias("delta"), F.lit(0).alias("ord"))
-          .unionByName(
-              hits.select(F.col(id_col),
-                          (F.col("start") + k).alias("pos"),
-                          nul.alias("term"),
-                          F.lit(-1).alias("delta"),
-                          F.lit(0).alias("ord"))))
+    ev = (hits.select(
+              F.col(id_col),
+              F.explode(F.array(
+                  F.struct(F.col("start").alias("pos"),
+                           F.lit(1).alias("delta")),
+                  F.struct((F.col("start") + k).alias("pos"),
+                           F.lit(-1).alias("delta")))).alias("_e"))
+          .select(F.col(id_col), F.col("_e.pos").alias("pos"),
+                  nul.alias("term"), F.col("_e.delta").alias("delta"),
+                  F.lit(0).alias("ord")))
     # ord sorts every ±1 event at a position before the token AT that
     # position: a window opening at s covers token s; one closing at
     # s+k (exclusive end) has already released token s+k.
