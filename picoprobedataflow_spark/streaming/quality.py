@@ -130,3 +130,50 @@ def contam_gate_stream(spark: SparkSession, src_dir: str,
         q.stop()
         raise TimeoutError(
             f"contamination gate drain did not finish in {timeout}s")
+
+
+def decontam_stream(spark: SparkSession, src_dir: str,
+                    ckpt_dir: str, out_dir: str,
+                    bench_docs: DataFrame,
+                    schema: StructType | str,
+                    k: int = 3, timeout: int = 300) -> None:
+    """Streaming SPAN-level decontamination: every arriving
+    micro-batch of documents is cleaned against the held-out
+    benchmark's shingle universe
+    (:func:`..operators.dedup.decontaminate_spans`) and the cleaned
+    rows (batch_id, doc_id, cleaned, n_removed, n_kept) append to
+    ``out_dir`` — where :func:`contam_gate_stream` FLAGS leaky docs
+    at ingest, this twin repairs them, emitting the corpus a
+    training run actually consumes.
+
+    Decontamination is per-document (no cross-doc state), so batch
+    boundaries cannot change any output row — a 3-batch drain equals
+    the single-batch run row-for-row (pytest-pinned), which is also
+    the replay/idempotency story: a re-processed batch appends
+    byte-identical rows, deduped on ``batch_id`` at read like every
+    other gate table. The benchmark universe is built and
+    materialized ONCE outside the loop; per-batch cost is the sweep:
+    one explode, one semi join against the static universe, one
+    doc-keyed window + aggregate over the batch only."""
+    from picoprobedataflow_spark.operators.dedup import (
+        decontaminate_spans, shingle_table)
+
+    universe = (shingle_table(bench_docs, k=k)
+                .select("shingle").distinct()
+                .localCheckpoint(eager=True))
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (decontaminate_spans(batch_df, k=k, bench_universe=universe)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    q = (spark.readStream.schema(schema).parquet(src_dir)
+         .writeStream
+         .option("checkpointLocation", ckpt_dir)
+         .foreachBatch(_process)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"decontam stream drain did not finish in {timeout}s")

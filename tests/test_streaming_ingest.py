@@ -475,6 +475,55 @@ def test_streaming_contamination_gate(spark, tmp_path):
                        x.overlap_frac) for x in rows)
 
 
+def test_streaming_decontam_equals_batch(spark, tmp_path):
+    """The span-decontamination stream: a 2-batch drain produces
+    exactly the rows the single batch op produces on the union
+    corpus (decontamination is per-doc, so batch boundaries are
+    invisible), leaky passages are excised not flagged, and clean
+    docs pass through normalized."""
+    from picoprobedataflow_spark.operators.dedup import \
+        decontaminate_spans
+    from picoprobedataflow_spark.streaming.quality import \
+        decontam_stream
+
+    bench = spark.createDataFrame(
+        [(900, "alpha beta gamma delta")],
+        "doc_id long, text string")
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "cleaned")
+
+    b1 = spark.createDataFrame(
+        [(1, "intro alpha beta gamma delta outro"),
+         (2, "totally unrelated content here")], schema)
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    decontam_stream(spark, str(src), ckpt, out, bench, schema, k=3)
+
+    b2 = spark.createDataFrame(
+        [(3, "alpha beta gamma delta"), (4, "")], schema)
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    decontam_stream(spark, str(src), ckpt, out, bench, schema, k=3)
+
+    got = spark.read.parquet(out)
+    rows = {r.doc_id: r for r in got.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].cleaned == "intro outro" and rows[1].n_removed == 4
+    assert rows[2].cleaned == "totally unrelated content here"
+    assert rows[3].cleaned == "" and rows[3].n_removed == 4
+    assert rows[4].cleaned == "" and rows[4].n_removed == 0
+    assert len({rows[1].batch_id, rows[3].batch_id}) == 2  # 2 batches
+
+    # drain ≡ batch: the same corpus through the batch op
+    want = sorted(
+        (r.doc_id, r.cleaned, r.n_removed, r.n_kept)
+        for r in decontaminate_spans(b1.unionByName(b2), bench,
+                                     k=3).collect())
+    have = sorted((r.doc_id, r.cleaned, r.n_removed, r.n_kept)
+                  for r in got.collect())
+    assert have == want
+
+
 def test_streaming_ivf_index_maintenance_equals_batch_layout(
         spark, tmp_path):
     """Draining an embedding stream through the index-maintenance
