@@ -226,7 +226,11 @@ def main() -> None:
                     ("dedup_simhash_served_full",
                      PL.simhash_served_pairs),
                     ("dedup_jaccard_served_full",
-                     PL.jaccard_served_pairs)):
+                     PL.jaccard_served_pairs),
+                    # Round 9: span-level benchmark decontamination
+                    # (sweep-line interval union) and the URL lane.
+                    ("decontam_spans_full", PL.decontam_span_texts),
+                    ("domain_quota_full", PL.domain_quota_flags)):
         variants[key] = fn
     # Round 9: the headline dedup_simhash_full now takes the
     # statistics-driven "auto" formulation (grouped hash-aggregate at
