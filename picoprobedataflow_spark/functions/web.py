@@ -7,21 +7,22 @@ default ports and case noise otherwise split one page into dozens of
 "distinct" URLs), and per-domain quotas stop a handful of boilerplate
 mills from dominating the token budget (the C4/RefinedWeb-style
 domain cap). Everything here is JVM-side column expressions —
-``regexp_replace``/``regexp_extract`` chains, one window for the
-quota rank — with two portability constraints so the DuckDB oracle
-replays bit-for-bit:
+``regexp_replace``/``regexp_extract`` chains, windows for the quota
+rank, one broadcast join for the public-suffix table — with two
+portability constraints so the DuckDB oracle replays bit-for-bit:
 
 - RE2-safe patterns only (DuckDB is RE2: no lookaheads, no
   backreferences; ``[.]`` instead of ``\\.`` so no escaping dialect
   is involved), and
 - no group references in replacements (Spark spells them ``$1``,
   DuckDB ``\\1`` — a silent divergence), which is why the
-  tracking-param scrub matches the bare ``key=value`` run and tidies
-  separators afterwards instead of capturing the boundary. The
-  scrub therefore assumes tracking keys appear as whole parameter
-  names (true of real ``utm_*`` links; a hostile ``myutm_x=1`` would
-  lose its tail — acceptable for curation, this is a cleaner, not a
-  parser).
+  tracking-param scrub is three anchored passes (``&``-led params
+  removed whole, ``?``-led params removed with their trailing ``&``
+  folded back into ``?``, ``?``-led tail params removed) instead of
+  one capture-and-rewrite. Each pass consumes its own separator, so
+  the scrub is boundary-safe: ``xfbclid=1`` / ``myutm_x=1`` are NOT
+  tracking params and pass through untouched (round-10 fix — the old
+  unanchored pattern matched them as suffixes and ate their values).
 """
 
 from __future__ import annotations
@@ -35,15 +36,35 @@ from pyspark.sql.window import Window as W
 #: lowercases; the rest of the URL keeps its case.
 _AUTH_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
 
-#: Tracking parameters scrubbed by :func:`url_normalize`.
-_TRACKING_RE = "(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*"
+#: Tracking parameter NAMES scrubbed by :func:`url_normalize`. Always
+#: used with an explicit ``[?&]`` separator anchor on the left and a
+#: ``=`` on the right, so only whole parameter names match.
+_TRACKING_NAMES = "(utm_[A-Za-z0-9_]*|fbclid|gclid)"
 
-#: Multi-part public suffixes recognized by
+#: Multi-part public suffixes recognized by the regex fallback
 #: :func:`registrable_domain` (a deliberately small, documented
 #: subset of the public-suffix list — the full list is data, not
-#: code, and would ship as a broadcast join table).
+#: code, and joins in via :func:`registrable_domain_psl`).
 MULTIPART_SUFFIX_RE = ("([.](co|org|gov|ac)[.]uk|[.]com[.]au"
                        "|[.]co[.]jp|[.]com[.]br|[.]co[.]in)$")
+
+#: Public-suffix fixture for :func:`registrable_domain_psl` — a small
+#: deterministic slice of the real PSL (publicsuffix.org), including
+#: the multi-part suffixes the regex subset mis-splits (``co.il``,
+#: ``com.cn``). The production deployment swaps in the full ~10k-row
+#: list; the JOIN SHAPE (broadcast suffix table, longest match) is
+#: identical at any list size.
+DEFAULT_PSL_SUFFIXES = (
+    "com", "org", "net", "io", "edu", "gov", "info",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "jp", "co.jp", "ne.jp",
+    "au", "com.au", "org.au",
+    "br", "com.br",
+    "in", "co.in",
+    "il", "co.il", "org.il", "ac.il",
+    "cn", "com.cn", "net.cn", "org.cn",
+    "de", "fr",
+)
 
 
 def _c(col: Column | str) -> Column:
@@ -58,7 +79,15 @@ def url_normalize(url: Column | str) -> Column:
     paths are case-sensitive on real servers; hosts are not
     (RFC 3986 §6.2.2.1). Null-safe: null in, null out; a string with
     no ``scheme://`` passes through the query/fragment/slash rules
-    with nothing lowercased (no authority to find)."""
+    with nothing lowercased (no authority to find).
+
+    Contract notes (pinned in tests/test_degenerate_inputs.py):
+    userinfo case-folds WITH the authority (this is a curation key,
+    not a credential store); bracketed IPv6 hosts keep their brackets
+    and their default port strips like any other (``[::1]:443`` under
+    https → ``[::1]``); a literal ``&fbclid=...`` inside the PATH is
+    scrubbed too (the scrub is a cleaner, not a URL parser — it does
+    not know where the query starts)."""
     u = _c(url)
     auth = F.regexp_extract(u, _AUTH_RE, 0)
     rest = u.substr(F.length(auth) + 1, F.length(u))
@@ -69,7 +98,14 @@ def url_normalize(url: Column | str) -> Column:
                  F.regexp_replace(low, ":80$", "")) \
            .otherwise(low)
     r = F.regexp_replace(rest, "#.*", "")
-    r = F.regexp_replace(r, _TRACKING_RE, "")
+    # Boundary-safe tracking scrub: each pass anchors the parameter
+    # name to its own separator. (1) '&'-led params vanish with their
+    # '&'; (2) a '?'-led param followed by more params donates its
+    # '?' to the successor; (3) a '?'-led tail param vanishes with
+    # its '?'. Spark regexp_replace is always global.
+    r = F.regexp_replace(r, f"&{_TRACKING_NAMES}=[^&#]*", "")
+    r = F.regexp_replace(r, f"[?]{_TRACKING_NAMES}=[^&#]*&", "?")
+    r = F.regexp_replace(r, f"[?]{_TRACKING_NAMES}=[^&#]*$", "")
     r = F.regexp_replace(r, "&&+", "&")
     r = F.regexp_replace(r, "[?]&", "?")
     r = F.regexp_replace(r, "[?&]+$", "")
@@ -79,8 +115,12 @@ def url_normalize(url: Column | str) -> Column:
 
 def url_host(url: Column | str) -> Column:
     """Hostname of a (normalized or raw) URL — the authority minus
-    any ``user@`` prefix and ``:port`` suffix; '' when the string has
-    no ``scheme://`` authority."""
+    any ``user[:pass]@`` prefix and ``:port`` suffix; '' when the
+    string has no ``scheme://`` authority. A bracketed IPv6 host
+    stays bracketed (``http://[::1]:8080/`` → ``[::1]``): the
+    ``:port`` strip only fires on an all-digit tail, which a
+    bracket-terminated IP-literal never has. Un-bracketed IPv6 is
+    not a legal URL authority and gets no special handling."""
     u = _c(url)
     auth = F.regexp_extract(u, "://([^/?#]*)", 1)
     no_user = F.regexp_replace(auth, "^[^@]*@", "")
@@ -92,8 +132,8 @@ def registrable_domain(host: Column | str) -> Column:
     (:data:`MULTIPART_SUFFIX_RE`): ``a.b.co.uk`` → ``b.co.uk``,
     ``x.y.example.com`` → ``example.com``; a bare single-label host
     (``localhost``) maps to itself. The real public-suffix list is
-    a data file — at production scale it joins in as a broadcast
-    suffix table, same shape, instead of growing this regex."""
+    a data file — :func:`registrable_domain_psl` joins it in as a
+    broadcast suffix table, same semantics, list-driven."""
     h = _c(host)
     three = F.regexp_extract(h, "[^.]+[.][^.]+[.][^.]+$", 0)
     two = F.regexp_extract(h, "[^.]+[.][^.]+$", 0)
@@ -101,31 +141,172 @@ def registrable_domain(host: Column | str) -> Column:
     return F.when(rd == "", h).otherwise(rd)
 
 
-def domain_quota_sample(docs: DataFrame, url_col: str = "url",
-                        quota: int = 2, id_col: str = "doc_id",
-                        salt: str = "quota") -> DataFrame:
-    """Per-domain cap: rank each doc inside its registrable domain by
-    a salted md5 of its id (stable across runs/engines/partitionings
-    — the same determinization as ``mixture_sample``) and keep the
-    first ``quota``. Output adds ``norm_url``, ``domain``, ``rank``,
-    ``kept`` to the input id.
+def psl_table(spark, suffixes=DEFAULT_PSL_SUFFIXES) -> DataFrame:
+    """The public-suffix list as a 1-column DataFrame ``(suffix)`` —
+    the broadcast side of :func:`registrable_domain_psl`. Pass the
+    full publicsuffix.org list here in production; the default is
+    the documented fixture :data:`DEFAULT_PSL_SUFFIXES`."""
+    return spark.createDataFrame([(s,) for s in suffixes],
+                                 "suffix string")
 
-    Scale shape: one window partitioned by the registrable domain.
-    Domain cardinality is huge (no global window), but a single
-    mega-domain IS a skewed partition — at 100 TB the standard cure
-    applies before this op: pre-aggregate per (domain, salt-bucket)
-    and cap hierarchically, or exact-rank only domains under a size
-    threshold and hash-sample the giants (the rank inside a
-    crawl-scale domain is curation noise anyway). The quota itself
-    is exact and engine-replayable either way."""
+
+def registrable_domain_psl(hosts: DataFrame, psl_df: DataFrame,
+                           host_col: str = "host",
+                           id_col: str = "doc_id",
+                           out_col: str = "domain") -> DataFrame:
+    """eTLD+1 via the real public-suffix LIST: every dot-suffix of
+    the host joins against a broadcast ``(suffix)`` table, the
+    LONGEST match wins (PSL rule), and the registrable domain is
+    that suffix plus one more label. Hosts matching no suffix fall
+    back to the :func:`registrable_domain` regex; a host that IS a
+    public suffix maps to itself (mirroring the regex fallback's
+    single-label behavior). Output: input columns + ``out_col``.
+
+    Scale shape: |hosts|·n_labels candidate rows (n_labels ≈ 3-5 on
+    real hosts) through one BROADCAST hash join against the ~10k-row
+    suffix list — no shuffle on the candidate side — then a doc-keyed
+    min-aggregate and one doc-keyed join back. This is the
+    "PSL as data" design the regex subset documents: correctness for
+    ``x.co.il`` / ``y.com.cn`` style suffixes comes from the list,
+    not from growing a regex. Wildcard/exception PSL rules (``*.ck``,
+    ``!www.ck``) are out of scope for the fixture and would add one
+    more candidate shape each, not a new join."""
+    h = F.col(host_col)
+    parts = F.split(h, "[.]")
+    n = F.size(parts)
+    # Candidate suffixes with their 1-based start label. greatest(n,1)
+    # keeps sequence() total if a generate-filter pushdown evaluates
+    # it on null/empty rows (the round-8 totality class).
+    cand = (hosts.select(
+                F.col(id_col), h,
+                F.posexplode_outer(F.transform(
+                    F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                    lambda i: F.concat_ws(
+                        ".", F.slice(parts, i, n - i + 1))))
+                 .alias("_i0", "_sfx"))
+            .select(F.col(id_col), (F.col("_i0") + 1).alias("_start"),
+                    F.col("_sfx")))
+    best = (cand.join(F.broadcast(psl_df.select(
+                F.col("suffix").alias("_sfx"))), "_sfx")
+            .groupBy(id_col)
+            .agg(F.min("_start").alias("_s")))
+    joined = hosts.join(best, id_col, "left")
+    s = F.col("_s")
+    dom = (F.when(s.isNull(), registrable_domain(h))
+            .when(s > 1, F.concat_ws(".", F.slice(parts, s - 1,
+                                                  n - s + 2)))
+            .otherwise(h))
+    return joined.select(*hosts.columns, dom.alias(out_col))
+
+
+#: ``method="auto"`` cutover for :func:`domain_quota_sample`: inputs
+#: whose Catalyst-estimated scan size is at or under this take the
+#: single-window formulation (one shuffle, cheapest when no domain
+#: can be large); bigger (or stat-less) inputs take the two-phase
+#: hierarchical cap, the only shape with no single-partition sort on
+#: a crawl-scale mega-domain.
+QUOTA_WINDOW_MAX_BYTES = 1 << 30
+
+
+def _quota_base(docs: DataFrame, url_col: str, id_col: str,
+                salt: str) -> DataFrame:
     norm = url_normalize(F.col(url_col))
     dom = registrable_domain(url_host(norm))
     key = F.md5(F.concat(F.lit(salt + ":"),
                          F.col(id_col).cast("string")).cast("binary"))
-    w = W.partitionBy("domain").orderBy("sort_key", id_col)
-    return (docs.select(F.col(id_col), norm.alias("norm_url"),
-                        dom.alias("domain"), key.alias("sort_key"))
-            .withColumn("rank",
-                        F.row_number().over(w).cast("long"))
-            .withColumn("kept", F.col("rank") <= quota)
+    return docs.select(F.col(id_col), norm.alias("norm_url"),
+                       dom.alias("domain"), key.alias("sort_key"))
+
+
+def domain_quota_sample(docs: DataFrame, url_col: str = "url",
+                        quota: int = 2, id_col: str = "doc_id",
+                        salt: str = "quota",
+                        method: str = "auto",
+                        n_buckets: int = 16) -> DataFrame:
+    """Per-domain cap: rank each doc inside its registrable domain by
+    a salted md5 of its id (stable across runs/engines/partitionings
+    — the same determinization as ``mixture_sample``) and keep the
+    first ``quota``. Output adds ``norm_url``, ``domain``, ``rank``,
+    ``kept`` to the input id; ``rank`` is the EXACT within-domain
+    rank for kept docs and NULL beyond the quota — the rank of the
+    billionth doc inside a mega-domain is curation noise, and
+    refusing to compute it is what makes the skew-safe formulation
+    possible. Methods, identical output (equality-pinned):
+
+    - ``"window"`` — one ``row_number`` window partitioned by the
+      domain. Exact and cheapest when no domain is large, but a
+      crawl-scale mega-domain (or the ``''`` domain every malformed
+      URL collapses to) becomes ONE partition sorting its entire
+      contents — the skewed-shuffle class the 100 TB posture forbids.
+    - ``"hierarchical"`` — the two-phase cap (round 10): phase 1
+      ranks per ``(domain, salt-bucket)`` — the bucket hash spreads
+      any mega-domain over ``n_buckets`` partitions — and only the
+      ≤ quota survivors per bucket enter phase 2, which re-ranks
+      them exactly per domain over ≤ quota·n_buckets rows. Both
+      phases are ONE chained window pipeline: phase 2's partition
+      key sends survivors of a domain to one (bounded) partition and
+      scatters non-survivors by an id hash, so no partition anywhere
+      holds more than max(quota·n_buckets, ~|domain|/2^20) rows.
+      Exactness: a doc in the domain's global top-quota is in its
+      bucket's top-quota (a subset preserves relative order), so the
+      survivor set contains the global top-quota; and every survivor
+      ranked ≤ quota among survivors has exactly its global rank
+      (all globally-smaller keys are survivors too).
+    - ``"auto"`` — :data:`QUOTA_WINDOW_MAX_BYTES` statistics cutover,
+      the same rule as ``simhash_signatures(formulation="auto")``:
+      small scans take the single window, large or stat-less scans
+      take the skew-safe shape."""
+    if method not in ("auto", "window", "hierarchical"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "auto":
+        from ..operators.dedup import _plan_size_bytes
+        method = ("window" if _plan_size_bytes(docs)
+                  <= QUOTA_WINDOW_MAX_BYTES else "hierarchical")
+    base = _quota_base(docs, url_col, id_col, salt)
+    if method == "window":
+        w = W.partitionBy("domain").orderBy("sort_key", id_col)
+        r = F.row_number().over(w)
+        ranked = base.withColumn("_r", r)
+        rank = F.when(F.col("_r") <= quota, F.col("_r"))
+    else:
+        bucket = F.pmod(F.xxhash64(F.lit(salt + "#bucket"),
+                                   F.col(id_col).cast("string")),
+                        F.lit(n_buckets))
+        w1 = W.partitionBy("domain", "_b").orderBy("sort_key", id_col)
+        alive = F.col("_r1") <= quota
+        # Phase-2 partition key: all survivors of a domain together
+        # (≤ quota·n_buckets rows), non-survivors scattered by an id
+        # hash so a mega-domain's dead rows never pile into one sort.
+        scatter = F.pmod(F.xxhash64(F.lit(salt + "#scatter"),
+                                    F.col(id_col).cast("string")),
+                         F.lit(1 << 20))
+        pkey = F.when(alive, F.lit(-1).cast("long")).otherwise(scatter)
+        w2 = W.partitionBy("domain", "_p").orderBy("sort_key", id_col)
+        ranked = (base.withColumn("_b", bucket)
+                  .withColumn("_r1", F.row_number().over(w1))
+                  .withColumn("_p", pkey)
+                  .withColumn("_r", F.row_number().over(w2)))
+        rank = F.when(alive & (F.col("_r") <= quota), F.col("_r"))
+    return (ranked.select(
+        F.col(id_col), "norm_url", "domain",
+        rank.cast("long").alias("rank"))
+        .withColumn("kept", F.col("rank").isNotNull()))
+
+
+def quota_phase1_survivors(docs: DataFrame, url_col: str = "url",
+                           quota: int = 2, id_col: str = "doc_id",
+                           salt: str = "quota",
+                           n_buckets: int = 16) -> DataFrame:
+    """The hierarchical cap's phase-1 survivor set, exposed for the
+    bound assertion tests: per (domain, salt-bucket) top-``quota``
+    rows — so no domain contributes more than quota·n_buckets rows
+    to phase 2's exact re-rank partition."""
+    base = _quota_base(docs, url_col, id_col, salt)
+    bucket = F.pmod(F.xxhash64(F.lit(salt + "#bucket"),
+                               F.col(id_col).cast("string")),
+                    F.lit(n_buckets))
+    w1 = W.partitionBy("domain", "_b").orderBy("sort_key", id_col)
+    return (base.withColumn("_b", bucket)
+            .withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= quota)
             .drop("sort_key"))

@@ -1363,7 +1363,12 @@ def decontaminate_spans(train_docs: DataFrame,
                         bench_docs: DataFrame | None = None,
                         k: int = 3, text_col: str = "text",
                         id_col: str = "doc_id",
-                        bench_universe: DataFrame | None = None) -> DataFrame:
+                        bench_universe: DataFrame | None = None,
+                        transport: str = "direct",
+                        num_bits: int = 1 << 20,
+                        num_hashes: int = 5,
+                        bits: list[int] | None = None,
+                        bloom_df: DataFrame | None = None) -> DataFrame:
     """(doc_id, cleaned, n_removed, n_kept): SPAN-LEVEL benchmark
     decontamination — the surgical complement of
     :func:`contamination_overlap`'s doc-level gate. Dropping a whole
@@ -1396,14 +1401,40 @@ def decontaminate_spans(train_docs: DataFrame,
     with |tokens| + 2·|hits| rows through one doc-keyed sort. The
     benchmark membership test is the same LEFT SEMI shape as
     :func:`contamination_overlap` (AQE broadcasts a small universe;
-    a too-big-to-broadcast one takes the Bloom route via a
-    caller-prefiltered ``bench_universe``). One final left join
-    reattaches hit-free and degenerate docs.
+    a too-big-to-broadcast one takes the Bloom route). One final
+    left join reattaches hit-free and degenerate docs.
+
+    Bloom transport (round 10, mirrors
+    :func:`contamination_overlap_bloom`): at stride 1 the window
+    table is ≈ one row PER TOKEN — when the benchmark union is too
+    big to broadcast, the LEFT SEMI join reshuffles essentially the
+    whole tokenized corpus on the shingle key, the exact failure the
+    doc-level gate already solved. ``transport="literal"`` /
+    ``"broadcast"`` (or ``"auto"``, cutting over at
+    :data:`BLOOM_LITERAL_MAX_BITS`) inserts the map-side Bloom probe
+    on the window side FIRST, so only true hits plus the ~1%
+    false-positive residue enter the exact semi join — which removes
+    every false positive, making the output transport-invariant by
+    construction (equality-pinned at a collision-heavy filter size,
+    and the ``decontam_bloom`` gate family shares the direct route's
+    oracle verbatim). ``bits`` / ``bloom_df`` are the same prebuilt
+    amortization hooks as the doc-level gate's; the default
+    ``"direct"`` keeps the plan of rounds ≤ 9 (4 exchanges,
+    plan-asserted) for broadcastable universes.
     """
+    if transport not in ("direct", "auto", "literal", "broadcast"):
+        raise ValueError(f"unknown transport {transport!r}")
     if bench_universe is None:
         bench_universe = (shingle_table(bench_docs, k, text_col,
                                         id_col)
                           .select("shingle").distinct())
+    if bits is not None:
+        transport = "literal"
+    elif bloom_df is not None:
+        transport = "broadcast"
+    elif transport == "auto":
+        transport = ("literal" if num_bits <= BLOOM_LITERAL_MAX_BITS
+                     else "broadcast")
     toks = train_docs.select(F.col(id_col), words(text_col).alias("_w"))
     # Positional tokens, 1-based. words("") is [""] — the length
     # filter drops it so whitespace-only docs clean to "".
@@ -1426,7 +1457,21 @@ def decontaminate_spans(train_docs: DataFrame,
                                               F.lit(1))),
                         lambda i: F.concat_ws(" ", F.slice("_w", i, k))))
                     .alias("_i0", "shingle")))
-    hits = (wins.join(bench_universe, "shingle", "left_semi")
+    if transport == "literal":
+        if bits is None:
+            bits = bloom_bits(bench_universe, "shingle",
+                              num_bits, num_hashes)
+        pre = wins.filter(bloom_contains(bits, "shingle",
+                                         num_bits, num_hashes))
+    elif transport == "broadcast":
+        if bloom_df is None:
+            bloom_df = bloom_filter_df(bench_universe, "shingle",
+                                       num_bits, num_hashes)
+        pre = bloom_prefilter(wins, "shingle", bloom_df,
+                              num_bits, num_hashes)
+    else:
+        pre = wins
+    hits = (pre.join(bench_universe, "shingle", "left_semi")
             .select(F.col(id_col), (F.col("_i0") + 1).alias("start")))
     # Both events come out of ONE explode over the hits subtree — a
     # union of two selects re-evaluates hits twice (two shingle

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from picoprobedataflow_spark.functions import text as TX
+from picoprobedataflow_spark.functions import web as WB
 from picoprobedataflow_spark.operators import audio as AU
 from picoprobedataflow_spark.operators import bpe as BPE
 from picoprobedataflow_spark.operators import dedup as DD
@@ -2244,6 +2245,17 @@ def span_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: same leak definition.
 _DECONTAM_K = 3
 
+
+def _shingle_concat_sql(k: int, arr: str = "w") -> str:
+    """`w[i] || ' ' || w[i+1] || ...` for a k-token shingle — the
+    DuckDB-side shingle constructor, GENERATED from k so changing
+    ``_DECONTAM_K`` moves the oracle's shingle width together with
+    its window bounds (round-10 ADVICE: the hand-written width-3
+    chain would have silently desynchronized)."""
+    return " || ' ' || ".join(
+        f"{arr}[i]" if j == 0 else f"{arr}[i+{j}]" for j in range(k))
+
+
 _DECONTAM_SPANS_ORACLE = f"""
 WITH dtoksall AS MATERIALIZED (
   SELECT doc_id, {_WORDS} AS w FROM documents
@@ -2260,13 +2272,13 @@ dwin AS (
          unnest(generate_series(1, len(w) - {_DECONTAM_K - 1})) AS start,
          unnest(list_transform(
              generate_series(1, len(w) - {_DECONTAM_K - 1}),
-             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+             i -> {_shingle_concat_sql(_DECONTAM_K)})) AS shingle
   FROM dtoksall WHERE doc_id % 13 <> 0
 ),
 dbuni AS (
   SELECT DISTINCT unnest(list_transform(
              generate_series(1, len(w) - {_DECONTAM_K - 1}),
-             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+             i -> {_shingle_concat_sql(_DECONTAM_K)})) AS shingle
   FROM dtoksall WHERE doc_id % 13 = 0
 ),
 dhits AS (
@@ -2341,21 +2353,31 @@ _SYNTH_URL_SQL = """
      ELSE '/' END)
 """
 
-_URL_NORM_SQL = """
+#: The boundary-safe tracking scrub (round 10) replayed in DuckDB —
+#: the SAME three anchored passes as ``web.url_normalize``, and every
+#: regexp_replace carries the 'g' flag (Spark's regexp_replace is
+#: always global; round-9 ADVICE flagged the missing flags on the
+#: tidy passes as a latent divergence on repeated separator runs).
+_URL_TRACK_SQL = "(utm_[A-Za-z0-9_]*|fbclid|gclid)"
+
+_URL_NORM_SQL = f"""
     (CASE WHEN starts_with(lower(auth), 'https://')
           THEN regexp_replace(lower(auth), ':443$', '')
           WHEN starts_with(lower(auth), 'http://')
           THEN regexp_replace(lower(auth), ':80$', '')
           ELSE lower(auth) END)
     || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-           regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(
              substr(url, length(auth) + 1),
-             '#.*', ''),
-             '(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
+             '#.*', '', 'g'),
+             '&{_URL_TRACK_SQL}=[^&#]*', '', 'g'),
+             '[?]{_URL_TRACK_SQL}=[^&#]*&', '?', 'g'),
+             '[?]{_URL_TRACK_SQL}=[^&#]*$', '', 'g'),
              '&&+', '&', 'g'),
-             '[?]&', '?'),
-             '[?&]+$', ''),
-             '/+$', '')
+             '[?]&', '?', 'g'),
+             '[?&]+$', '', 'g'),
+             '/+$', '', 'g')
 """
 
 _URL_CTES = f"""
@@ -2401,11 +2423,75 @@ SELECT doc_id, norm_url FROM unorm
 _DOMAIN_QUOTA_ORACLE = f"""
 WITH {_URL_CTES}
 SELECT doc_id, domain,
-       CAST(row_number() OVER (
-           PARTITION BY domain
-           ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id)
-         AS BIGINT) AS rank
-FROM udom
+       CASE WHEN rn <= {_DOMAIN_QUOTA} THEN rn END AS rank,
+       rn <= {_DOMAIN_QUOTA} AS kept
+FROM (
+  SELECT doc_id, domain,
+         CAST(row_number() OVER (
+             PARTITION BY domain
+             ORDER BY md5('quota:' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS BIGINT) AS rn
+  FROM udom)
+"""
+
+#: Synthetic hosts for the ``url_psl`` family — one expression both
+#: engines evaluate identically, planting the suffixes the regex
+#: subset mis-splits (``co.il``, ``com.cn``), a regular multi-part
+#: suffix, a plain two-label case, a host that IS a public suffix
+#: (no registrable domain → maps to itself), and a suffix-less
+#: single label exercising the regex fallback.
+_PSL_HOST_SQL = """
+  (CASE doc_id % 6
+     WHEN 0 THEN 'shop' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.mall.co.il'
+     WHEN 1 THEN 'a' || CAST(doc_id % 7 AS VARCHAR) || '.news.com.cn'
+     WHEN 2 THEN 'deep.sub.example' || CAST(doc_id % 3 AS VARCHAR)
+                 || '.co.uk'
+     WHEN 3 THEN 'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.sample.org'
+     WHEN 4 THEN 'co.il'
+     ELSE 'localhost' END)
+"""
+
+_URL_PSL_ORACLE = f"""
+WITH uph AS (
+  SELECT doc_id, {_PSL_HOST_SQL} AS host FROM documents
+),
+upp AS (
+  SELECT doc_id, host, string_split(host, '.') AS p FROM uph
+),
+upc AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(p))) AS start,
+         unnest(list_transform(
+             generate_series(1, len(p)),
+             i -> array_to_string(list_slice(p, i, len(p)), '.')))
+           AS sfx
+  FROM upp
+),
+upl(suffix) AS (
+  VALUES {", ".join(f"('{s}')" for s in WB.DEFAULT_PSL_SUFFIXES)}
+),
+upb AS (
+  SELECT doc_id, min(start) AS s
+  FROM upc JOIN upl ON sfx = suffix
+  GROUP BY doc_id
+)
+SELECT h.doc_id,
+       CASE WHEN b.s IS NULL THEN
+              (CASE WHEN rd = '' THEN host ELSE rd END)
+            WHEN b.s > 1 THEN
+              array_to_string(list_slice(p, b.s - 1, len(p)), '.')
+            ELSE host END AS domain
+FROM (
+  SELECT doc_id, host, p,
+         CASE WHEN regexp_matches(host,
+                '([.](co|org|gov|ac)[.]uk|[.]com[.]au|[.]co[.]jp'
+                || '|[.]com[.]br|[.]co[.]in)$')
+              THEN regexp_extract(host, '[^.]+[.][^.]+[.][^.]+$', 0)
+              ELSE regexp_extract(host, '[^.]+[.][^.]+$', 0)
+         END AS rd
+  FROM upp) h
+LEFT JOIN upb b USING (doc_id)
 """
 
 
@@ -2433,11 +2519,11 @@ def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 def url_norm_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (:func:`..functions.web.url_normalize`)
     over the synthetic crawl URLs: lowercased scheme/host, default
-    ports and fragments stripped, tracking params scrubbed, trailing
-    slashes removed — the key under which exact-URL dedup actually
+    ports and fragments stripped, tracking params scrubbed
+    (boundary-safe three-pass form since round 10), trailing slashes
+    removed — the key under which exact-URL dedup actually
     deduplicates. Pure map, zero shuffle; the oracle replays the
-    identical RE2-safe regexp chain."""
-    from picoprobedataflow_spark.functions import web as WB
+    identical RE2-safe regexp chain, globally-flagged."""
     u = _synthetic_urls(spark, sf_dir)
     return u.select("doc_id",
                     WB.url_normalize("url").alias("norm_url"))
@@ -2446,15 +2532,71 @@ def url_norm_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def domain_quota_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota ranking
     (:func:`..functions.web.domain_quota_sample`): docs rank inside
-    their registrable domain by a salted md5 of their id; the kept
-    flag is ``rank <= quota`` and is derivable from the rank, so the
-    hash gate pins the rank itself (the stronger statement). One
-    domain-keyed window on top of the normalization map."""
-    from picoprobedataflow_spark.functions import web as WB
+    their registrable domain by a salted md5 of their id; ``rank``
+    is exact for kept docs and NULL beyond the quota (the round-10
+    contract that makes the skew-safe formulation possible). The
+    gate runs ``method="hierarchical"`` — the two-phase cap that is
+    the 100 TB default — so the HASH GATE itself pins the scale
+    shape against the oracle's naive single window; window ≡
+    hierarchical is additionally pytest-pinned on a dominant-domain
+    corpus."""
     u = _synthetic_urls(spark, sf_dir)
     q = WB.domain_quota_sample(u, url_col="url",
-                               quota=_DOMAIN_QUOTA, salt="quota")
-    return q.select("doc_id", "domain", "rank")
+                               quota=_DOMAIN_QUOTA, salt="quota",
+                               method="hierarchical")
+    return q.select("doc_id", "domain", "rank", "kept")
+
+
+def url_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 via the public-suffix LIST
+    (:func:`..functions.web.registrable_domain_psl`): every
+    dot-suffix of the synthetic host joins a broadcast suffix table,
+    longest match wins, registrable = suffix + one label. The host
+    mix plants the suffixes the regex subset mis-splits (``co.il``,
+    ``com.cn``), a host that IS a suffix, and a single label hitting
+    the regex fallback; the oracle replays the identical
+    explode-join-argmin in DuckDB over the same VALUES list
+    (both sides generated from ``web.DEFAULT_PSL_SUFFIXES``)."""
+    d = F.col("doc_id")
+    host = (F.when(d % 6 == 0,
+                   F.concat(F.lit("shop"), (d % 7).cast("string"),
+                            F.lit(".mall.co.il")))
+             .when(d % 6 == 1,
+                   F.concat(F.lit("a"), (d % 7).cast("string"),
+                            F.lit(".news.com.cn")))
+             .when(d % 6 == 2,
+                   F.concat(F.lit("deep.sub.example"),
+                            (d % 3).cast("string"), F.lit(".co.uk")))
+             .when(d % 6 == 3,
+                   F.concat(F.lit("cdn"), (d % 7).cast("string"),
+                            F.lit(".sample.org")))
+             .when(d % 6 == 4, F.lit("co.il"))
+             .otherwise(F.lit("localhost")))
+    hosts = (tbl(spark, sf_dir, "documents")
+             .select(d, host.alias("host")))
+    return (WB.registrable_domain_psl(hosts, WB.psl_table(spark))
+            .select("doc_id", "domain"))
+
+
+def decontam_span_texts_bloom(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """:func:`decontam_span_texts` through the BROADCAST Bloom
+    transport (round 10): the sliding windows are map-side
+    prefiltered against a deliberately tiny (2^14-bit,
+    collision-heavy at corpus scale) filter before the exact LEFT
+    SEMI join — output identical to the direct route by
+    construction (the exact join removes every false positive), so
+    the family shares the direct route's oracle verbatim. This is
+    the shape that survives a benchmark union too big to broadcast:
+    the semi join's shuffle shrinks from |windows| ≈ |tokens| to
+    |hits| + fp·|windows|."""
+    docs = tbl(spark, sf_dir, "documents")
+    is_bench = (F.col("doc_id") % 13) == 0
+    return DD.decontaminate_spans(docs.filter(~is_bench),
+                                  docs.filter(is_bench),
+                                  k=_DECONTAM_K,
+                                  transport="broadcast",
+                                  num_bits=1 << 14)
 
 
 def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3938,9 +4080,12 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              n=("doc_id", "n_removed", "n_kept")),
     _fam_sql("decontam_spans", "{decontam}", k1="cleaned",
              n=("doc_id", "n_removed", "n_kept")),
+    _fam_sql("decontam_bloom", "{decontam}", k1="cleaned",
+             n=("doc_id", "n_removed", "n_kept")),
     _fam_sql("url_norm", "{urlnorm}", k1="norm_url", n=("doc_id",)),
     _fam_sql("domain_quota", "{domquota}", k1="domain",
-             n=("doc_id", "rank")),
+             n=("doc_id", "rank"), b1="kept"),
+    _fam_sql("url_psl", "{urlpsl}", k1="domain", n=("doc_id",)),
     _fam_sql("dhash", "{dhash}", n=("doc_id", "phash")),
     _fam_sql("audio_fp", "{audiofp}", n=("doc_id", "fp", "n_frames")),
     _fam_sql("img_stats", "{imgstats}", n=("doc_id",),
@@ -3971,6 +4116,7 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           decontam=_DECONTAM_SPANS_ORACLE,
           urlnorm=_URL_NORM_ORACLE,
           domquota=_DOMAIN_QUOTA_ORACLE,
+          urlpsl=_URL_PSL_ORACLE,
           dhash=_DHASH_ORACLE, audiofp=_AUDIO_FP_ORACLE,
           imgstats=_IMG_STATS_ORACLE, audstats=_AUDIO_STATS_ORACLE,
           rszstats=_RESIZE_STATS_ORACLE,
@@ -4122,12 +4268,18 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_fam_df(decontam_span_texts(spark, sf_dir),
                              "decontam_spans", k1="cleaned",
                              n=("doc_id", "n_removed", "n_kept")))
+        .unionByName(_fam_df(decontam_span_texts_bloom(spark, sf_dir),
+                             "decontam_bloom", k1="cleaned",
+                             n=("doc_id", "n_removed", "n_kept")))
         .unionByName(_fam_df(url_norm_texts(spark, sf_dir),
                              "url_norm", k1="norm_url",
                              n=("doc_id",)))
         .unionByName(_fam_df(domain_quota_flags(spark, sf_dir),
                              "domain_quota", k1="domain",
-                             n=("doc_id", "rank")))
+                             n=("doc_id", "rank"), b1="kept"))
+        .unionByName(_fam_df(url_psl_domains(spark, sf_dir),
+                             "url_psl", k1="domain",
+                             n=("doc_id",)))
         .unionByName(_fam_df(image_dhash_fingerprints(spark, sf_dir),
                              "dhash", n=("doc_id", "phash")))
         .unionByName(_fam_df(audio_fp_fingerprints(spark, sf_dir),

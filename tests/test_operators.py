@@ -225,6 +225,49 @@ def test_decontaminate_spans_total_on_degenerate_docs(spark):
     assert got[24].cleaned == "ab cd" and got[24].n_kept == 2
 
 
+def test_decontaminate_spans_bloom_routes_equal_direct(spark):
+    """Round-10 transport pin: the Bloom-prefiltered routes (literal
+    AND broadcast) are row-identical to the direct semi join at a
+    deliberately collision-heavy filter size (64 bits for a
+    multi-shingle universe → false positives guaranteed on the
+    probe side; the exact verify join must remove every one)."""
+    bench = _docs(spark, ["alpha beta gamma delta",
+                          "red green blue cyan magenta"])
+    train = spark.createDataFrame(
+        [(10, "one two alpha beta gamma three four"),
+         (11, "red green blue x y z"),
+         (12, "clean text with nothing shared at all"),
+         (13, ""), (14, None), (15, "ab")],
+        "doc_id long, text string")
+
+    def rows(**kw):
+        return sorted(map(tuple, DD.decontaminate_spans(
+            train, bench, k=3, **kw).collect()))
+
+    direct = rows()
+    assert rows(transport="literal", num_bits=64) == direct
+    assert rows(transport="broadcast", num_bits=64) == direct
+    # auto cuts to literal under the cutover, broadcast above it
+    assert rows(transport="auto", num_bits=64) == direct
+    assert rows(transport="auto",
+                num_bits=DD.BLOOM_LITERAL_MAX_BITS * 2) == direct
+
+
+def test_decontaminate_spans_broadcast_plan_shape(spark):
+    """The broadcast route's prefilter is a real BroadcastExchange
+    probing BEFORE the exact semi join — the windows never reshuffle
+    on the shingle key unprobed."""
+    bench = _docs(spark, ["alpha beta gamma delta"])
+    train = spark.createDataFrame(
+        [(10, "one two alpha beta gamma three four")],
+        "doc_id long, text string")
+    plan = (DD.decontaminate_spans(
+                train, bench, k=3, transport="broadcast",
+                num_bits=1 << 14)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_jaccard_identical_and_disjoint(spark):
     docs = _docs(spark, [
         "the quick brown fox jumps over the lazy dog",

@@ -1,10 +1,12 @@
-"""URL canonicalization / domain-quota lane
-(functions/web.py): rule-by-rule pins on hand-crafted URLs, plus the
-degenerate classes (null, scheme-less, bare host) the round-8/9
-totality sweeps mandate for every new surface."""
+"""URL canonicalization / domain-quota / public-suffix lane
+(functions/web.py): rule-by-rule pins on hand-crafted URLs, the
+boundary-safety of the round-10 tracking scrub, the skew-safe
+two-phase domain quota (window ≡ hierarchical equality + the
+phase-2 row bound), and the PSL broadcast-join eTLD+1."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from picoprobedataflow_spark.functions import web as WB
@@ -52,6 +54,31 @@ def test_url_normalize_rules(spark):
     assert got[8].n == "localhost"
 
 
+def test_tracking_scrub_is_boundary_safe(spark):
+    """Round-10 fix: the scrub matches whole parameter NAMES only.
+    The old unanchored pattern matched fbclid/gclid/utm_ as suffixes
+    of longer names (xfbclid=1 lost its value, leaving a stray x)."""
+    cases = [
+        (1, "https://h.com/p?xfbclid=1&a=2",
+            "https://h.com/p?xfbclid=1&a=2"),
+        (2, "https://h.com/p?a=1&myutm_x=2",
+            "https://h.com/p?a=1&myutm_x=2"),
+        (3, "https://h.com/p?fbclid=1&a=2", "https://h.com/p?a=2"),
+        (4, "https://h.com/p?a=1&fbclid=2&b=3",
+            "https://h.com/p?a=1&b=3"),
+        (5, "https://h.com/p?utm_a=1&utm_b=2&gclid=3",
+            "https://h.com/p"),
+        (6, "https://h.com/p?utm_a=1&&b=2", "https://h.com/p?b=2"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases],
+                               "doc_id long, url string")
+    got = {r.doc_id: r.n for r in
+           df.select("doc_id",
+                     WB.url_normalize("url").alias("n")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_url_host_and_registrable_domain(spark):
     got = _norm(spark)
     assert got[1].h == "www.example.com"
@@ -64,6 +91,12 @@ def test_url_host_and_registrable_domain(spark):
     assert got[8].rd == ""                     # host of bare string
 
 
+# --------------------------------------------------------- domain quota
+
+def _quota_cols(rows):
+    return sorted((r.doc_id, r.domain, r.rank, r.kept) for r in rows)
+
+
 def test_domain_quota_sample_exact_and_stable(spark):
     df = spark.createDataFrame(
         [(i, f"https://d{i % 2}.example.com/p{i}") for i in range(10)],
@@ -71,12 +104,144 @@ def test_domain_quota_sample_exact_and_stable(spark):
     q1 = WB.domain_quota_sample(df, quota=3)
     rows = q1.collect()
     assert all(r.domain == "example.com" for r in rows)
-    assert sorted(r.rank for r in rows) == list(range(1, 11))
+    # round-10 contract: exact rank for kept docs, NULL beyond quota
+    assert sorted(r.rank for r in rows if r.rank is not None) == [1, 2, 3]
+    assert all((r.rank is None) == (not r.kept) for r in rows)
     assert sum(r.kept for r in rows) == 3
     # determinism: identical output across runs and partitionings
     q2 = WB.domain_quota_sample(df.repartition(7), quota=3)
-    assert sorted(map(tuple, q1.collect())) == \
-        sorted(map(tuple, q2.collect()))
-    # quota >= group size keeps everything
-    assert WB.domain_quota_sample(df, quota=100) \
-        .filter(~F.col("kept")).count() == 0
+    assert _quota_cols(q1.collect()) == _quota_cols(q2.collect())
+    # quota >= group size keeps everything with full exact ranks
+    big = WB.domain_quota_sample(df, quota=100).collect()
+    assert all(r.kept for r in big)
+    assert sorted(r.rank for r in big) == list(range(1, 11))
+
+
+@pytest.fixture(scope="module")
+def dominant_domain_docs(spark):
+    """One mega-domain (180 docs), one small domain (12), plus
+    malformed URLs that all collapse to the '' domain — the exact
+    skew shape the hierarchical cap exists for."""
+    rows = [(i, f"https://big.example.com/p{i}") for i in range(180)]
+    rows += [(1000 + i, f"https://tiny.other.org/x{i}")
+             for i in range(12)]
+    rows += [(2000 + i, f"not-a-url-{i}") for i in range(8)]
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_domain_quota_window_equals_hierarchical(
+        spark, dominant_domain_docs):
+    """The two methods are output-identical on a dominant-domain
+    corpus — kept set, exact kept ranks, and NULLs beyond quota —
+    across several bucket counts (including n_buckets=1, the
+    degenerate single-bucket case)."""
+    w = WB.domain_quota_sample(dominant_domain_docs, quota=3,
+                               method="window")
+    wc = _quota_cols(w.collect())
+    for nb in (1, 4, 16):
+        h = WB.domain_quota_sample(dominant_domain_docs, quota=3,
+                                   method="hierarchical",
+                                   n_buckets=nb)
+        assert _quota_cols(h.collect()) == wc, f"n_buckets={nb}"
+    # per-domain kept counts respect the quota (incl. the '' domain)
+    kept = {(r.domain, r.rank) for r in w.collect() if r.kept}
+    doms = {d for d, _ in kept}
+    assert doms == {"example.com", "other.org", ""}
+    for d in doms:
+        assert sorted(rk for dd, rk in kept if dd == d) == [1, 2, 3]
+
+
+def test_domain_quota_phase2_row_bound(spark, dominant_domain_docs):
+    """The scale assertion the verdict asked for: phase 2's exact
+    re-rank partition for a mega-domain holds at most
+    quota·n_buckets rows — no partition anywhere sorts the whole
+    domain."""
+    quota, nb = 3, 4
+    surv = WB.quota_phase1_survivors(dominant_domain_docs,
+                                     quota=quota, n_buckets=nb)
+    per_dom = {r.domain: r.c for r in
+               surv.groupBy("domain").agg(F.count("*").alias("c"))
+               .collect()}
+    assert per_dom["example.com"] <= quota * nb
+    assert max(per_dom.values()) <= quota * nb
+    # and the survivor set still contains every globally-kept doc
+    kept_ids = {r.doc_id for r in
+                WB.domain_quota_sample(dominant_domain_docs,
+                                       quota=quota, method="window")
+                .filter("kept").collect()}
+    surv_ids = {r.doc_id for r in surv.collect()}
+    assert kept_ids <= surv_ids
+
+
+def test_domain_quota_auto_picks_window_on_small_stats(spark, tmp_path):
+    """auto = the simhash statistics rule: a small parquet scan takes
+    the single window; an in-memory frame (no real stats → huge
+    sentinel) takes the skew-safe hierarchical shape. Both outputs
+    are identical anyway; this pins the SELECTOR via the plan (the
+    hierarchical plan has two Window nodes)."""
+    rows = [(i, f"https://a.example.com/p{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    p = str(tmp_path / "urls.parquet")
+    df.write.mode("overwrite").parquet(p)
+    small = spark.read.parquet(p)
+    # LogicalRDD: no real stats -> huge sentinel -> scale-safe shape
+    statless = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows),
+        "doc_id long, url string")
+
+    def n_windows(q):
+        return q._jdf.queryExecution().optimizedPlan() \
+            .toString().count("Window")
+
+    assert n_windows(WB.domain_quota_sample(small, quota=2)) == 1
+    assert n_windows(WB.domain_quota_sample(statless, quota=2)) >= 2
+
+
+# ------------------------------------------------------------------ PSL
+
+PSL_HOSTS = [
+    (0, "shop1.mall.co.il", "mall.co.il"),       # regex would say co.il
+    (1, "a.news.com.cn", "news.com.cn"),         # regex would say com.cn
+    (2, "deep.sub.example.co.uk", "example.co.uk"),
+    (3, "cdn.sample.org", "sample.org"),
+    (4, "co.il", "co.il"),                       # host IS a suffix
+    (5, "localhost", "localhost"),               # regex fallback
+    (6, "x.unknowntld", "x.unknowntld"),         # fallback, 2 labels
+    (7, "", ""),
+    (8, None, None),
+]
+
+
+def test_registrable_domain_psl(spark):
+    hosts = spark.createDataFrame(
+        [(i, h) for i, h, _ in PSL_HOSTS], "doc_id long, host string")
+    got = {r.doc_id: r.domain for r in
+           WB.registrable_domain_psl(hosts, WB.psl_table(spark))
+           .collect()}
+    for i, _, want in PSL_HOSTS:
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_psl_beats_regex_subset(spark):
+    """The exact mis-splits the PSL exists to fix: the regex subset
+    does not know co.il / com.cn are public suffixes and returns the
+    suffix itself as the 'registrable domain', fusing every site
+    under them into one quota/dedup group."""
+    hosts = spark.createDataFrame(
+        [(0, "shop1.mall.co.il"), (1, "a.news.com.cn")],
+        "doc_id long, host string")
+    regex = {r.doc_id: r.rd for r in hosts.select(
+        "doc_id", WB.registrable_domain("host").alias("rd")).collect()}
+    assert regex[0] == "co.il" and regex[1] == "com.cn"  # the bug
+    psl = {r.doc_id: r.domain for r in
+           WB.registrable_domain_psl(hosts, WB.psl_table(spark))
+           .collect()}
+    assert psl[0] == "mall.co.il" and psl[1] == "news.com.cn"
+
+
+def test_psl_join_is_broadcast(spark):
+    hosts = spark.createDataFrame([(0, "a.example.com")],
+                                  "doc_id long, host string")
+    plan = (WB.registrable_domain_psl(hosts, WB.psl_table(spark))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
