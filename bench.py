@@ -33,6 +33,17 @@ from picoprobedataflow_spark.plans import catalog  # noqa: E402
 from picoprobedataflow_spark.plans.common import tbl  # noqa: E402
 from picoprobedataflow_spark.session import get_spark  # noqa: E402
 
+#: Ambient-load canary trio: frozen TPC-H plans (untouched since round
+#: 2) whose round-over-round delta can ONLY be sandbox noise. The
+#: median of their raw deltas is the capture's ambient_factor; every
+#: key's normalized delta divides by it. If a future round ever edits
+#: one of these plans, rotate the canary to another frozen key FIRST.
+CANARY_KEYS = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_nation_revenue",
+)
+
 #: Catalog queries that scale with the star-schema tables.
 CATALOG_BENCH = (
     "flow_step_runtime_summary",
@@ -386,14 +397,35 @@ def main() -> None:
         deltas = {n: round(t / prev_q[n], 2)
                   for n, t in timings.items()
                   if prev_q.get(n)}
-        out["delta_vs_prev"] = deltas
+        # Ambient normalization (round 12): a zero-diff tree (round 11)
+        # still measured per-key deltas of 0.64×–1.20× — pure sandbox
+        # co-tenancy noise, ±20% per key. The canary trio (q1/q3/q5 —
+        # frozen TPC-H plans that no round touches) measures THIS
+        # capture's ambient load relative to the previous one; dividing
+        # every raw delta by the canary median cancels the shared
+        # machine-speed factor, so a normalized delta outside ~±20%/√N
+        # is attributable to a code change, not the sandbox. Raw deltas
+        # move to the BENCH_reps.json side file (raw = normalized ×
+        # ambient_factor) to keep the stdout line under the driver's
+        # ~2 KB tail capture.
+        side["delta_vs_prev"] = deltas
+        ambient, normalized = normalize_deltas(deltas)
+        if normalized is not None:
+            out["ambient_factor"] = ambient
+            out["delta_vs_prev_normalized"] = normalized
+        else:
+            print("NOTE: canary keys missing from delta set; skipping "
+                  "delta_vs_prev_normalized.", file=sys.stderr)
         out["delta_vs_prev_file"] = prev["_file"]
         print(f"NOTE: delta_vs_prev computed against {prev['_file']} "
-              f"(bench_rev {prev.get('bench_rev')}).", file=sys.stderr)
-        regressed = {n: d for n, d in deltas.items() if d >= 1.5}
+              f"(bench_rev {prev.get('bench_rev')}); ambient_factor="
+              f"{ambient}.", file=sys.stderr)
+        regressed = {n: d for n, d
+                     in out.get("delta_vs_prev_normalized", deltas).items()
+                     if d >= 1.5}
         if regressed:
-            print(f"WARNING: >=1.5x regression vs {prev['_file']}: "
-                  f"{regressed}", file=sys.stderr)
+            print(f"WARNING: >=1.5x normalized regression vs "
+                  f"{prev['_file']}: {regressed}", file=sys.stderr)
     side_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_reps.json")
     with open(side_path, "w") as fh:
@@ -404,13 +436,36 @@ def main() -> None:
     if len(line) >= 2000:
         # Never let the driver-parsed line outgrow the tail capture
         # again: shed optional fields until it fits.
-        for drop in ("delta_vs_prev", "delta_vs_prev_file"):
+        for drop in ("delta_vs_prev_normalized", "ambient_factor",
+                     "delta_vs_prev_file"):
             out.pop(drop, None)
             line = json.dumps(out)
             if len(line) < 2000:
                 break
     print(line)
     spark.stop()
+
+
+def normalize_deltas(deltas: dict[str, float]
+                     ) -> tuple[float, dict[str, float] | None]:
+    """Ambient-normalize raw round-over-round deltas.
+
+    ambient_factor = median of the CANARY_KEYS' raw deltas (the canary
+    plans never change, so their delta measures only sandbox load);
+    normalized[key] = raw[key] / ambient_factor. Returns
+    (ambient_factor, normalized) — normalized is None when the canary
+    trio is absent from ``deltas`` (e.g. the previous board lacked
+    those keys) or its median is non-positive.
+    """
+    import statistics
+    canary = [deltas[k] for k in CANARY_KEYS if k in deltas]
+    if not canary:
+        return 0.0, None
+    ambient = statistics.median(canary)
+    if ambient <= 0:
+        return 0.0, None
+    return round(ambient, 3), {
+        n: round(d / ambient, 2) for n, d in deltas.items()}
 
 
 def _stdout_payload(timings: dict[str, float], sf: str,

@@ -64,11 +64,58 @@ DEFAULT_PSL_SUFFIXES = (
     "il", "co.il", "org.il", "ac.il",
     "cn", "com.cn", "net.cn", "org.cn",
     "de", "fr",
+    # Round 12: the rule kinds that make the real publicsuffix.org
+    # list non-trivial — a WILDCARD rule (every label directly under
+    # ck is a public suffix; this is the real list's `*.ck`) and its
+    # EXCEPTION (`!www.ck`: www.ck is NOT a public suffix despite the
+    # wildcard — it is itself a registrable domain).
+    "*.ck", "!www.ck",
 )
 
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+#: Percent-escapes DECODED by :func:`url_normalize`: the unreserved
+#: MARKS (RFC 3986 §2.3) only — deliberately NOT the unreserved
+#: alphanumerics. Decoding a hex-digit character ('%34' → '4') can
+#: re-form a brand-new escape after a stray '%' from an invalid
+#: sequence ('%%34%31' → '%41' → 'A' on a second pass), which breaks
+#: the idempotence projection the property suite pins
+#: (test_url_normalize_idempotent) and URL-keyed dedup relies on.
+#: None of the four marks is a hex digit, so this decode set can
+#: never create an escape and the pass stays a projection.
+#: Alphanumeric escapes are case-normalized instead ('%6a' → '%6A'),
+#: so equivalent encodings still share one dedup key.
+_PCT_DECODE = (("%2D", "-"), ("%2E", "."), ("%5F", "_"), ("%7E", "~"))
+
+
+def _percent_normalize(r: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, RE2-safely and
+    DuckDB-replayably: every valid escape's hex uppercases ('%2f' →
+    '%2F' — hex case is semantically irrelevant, §2.1) and the
+    unreserved-mark escapes decode (:data:`_PCT_DECODE`). Invalid
+    escapes ('%zz', '%4', trailing '%') pass through verbatim. The
+    split-on-'%' + indexed transform is the no-group-reference trick:
+    each piece after the first starts with what followed a '%', so
+    its first two chars are the escape's hex iff they ARE hex —
+    DuckDB replays the identical ``string_split`` +
+    ``list_transform((x, i) -> ...)``. Guarded by ``contains('%')``
+    so the overwhelmingly common escape-free URL pays one substring
+    scan and keeps null-in-null-out (``concat_ws`` would turn a null
+    split into '')."""
+    pieces = F.split(r, "%", -1)
+    fixed = F.concat_ws("", F.transform(
+        pieces,
+        lambda x, i: F.when(i == 0, x).otherwise(
+            F.when(x.substr(1, 2).rlike("^[0-9a-fA-F]{2}$"),
+                   F.concat(F.lit("%"), F.upper(x.substr(1, 2)),
+                            x.substr(F.lit(3), F.length(x))))
+             .otherwise(F.concat(F.lit("%"), x)))))
+    for hx, ch in _PCT_DECODE:
+        fixed = F.replace(fixed, F.lit(hx), F.lit(ch))
+    return F.when(r.contains("%"), fixed).otherwise(r)
 
 
 def url_normalize(url: Column | str) -> Column:
@@ -87,7 +134,14 @@ def url_normalize(url: Column | str) -> Column:
     and their default port strips like any other (``[::1]:443`` under
     https → ``[::1]``); a literal ``&fbclid=...`` inside the PATH is
     scrubbed too (the scrub is a cleaner, not a URL parser — it does
-    not know where the query starts)."""
+    not know where the query starts).
+
+    Percent-encoding (round 12, RFC 3986 §6.2.2): valid escapes'
+    hex uppercases ('%2f' → '%2F') and the unreserved MARKS decode
+    ('%7E' → '~'; see :data:`_PCT_DECODE` for why alphanumeric
+    escapes are case-normalized but not decoded); invalid escapes
+    pass through verbatim.
+    """
     u = _c(url)
     auth = F.regexp_extract(u, _AUTH_RE, 0)
     rest = u.substr(F.length(auth) + 1, F.length(u))
@@ -98,6 +152,14 @@ def url_normalize(url: Column | str) -> Column:
                  F.regexp_replace(low, ":80$", "")) \
            .otherwise(low)
     r = F.regexp_replace(rest, "#.*", "")
+    # Percent-encoding normalization (round 12) runs after the
+    # fragment drop and BEFORE the tracking scrub, so an encoded
+    # tracking-param mark ('%5Futm' is not, but 'utm%5Fsource' →
+    # 'utm_source' is) is scrubbed under its canonical spelling.
+    # The authority part is exempt: escapes are not legal in
+    # hostnames (IDN is punycode), and lowercasing already
+    # normalized its case.
+    r = _percent_normalize(r)
     # Boundary-safe tracking scrub: each pass anchors the parameter
     # name to its own separator. (1) '&'-led params vanish with their
     # '&'; (2) a '?'-led param followed by more params donates its
@@ -142,12 +204,18 @@ def registrable_domain(host: Column | str) -> Column:
 
 
 def psl_table(spark, suffixes=DEFAULT_PSL_SUFFIXES) -> DataFrame:
-    """The public-suffix list as a 1-column DataFrame ``(suffix)`` —
-    the broadcast side of :func:`registrable_domain_psl`. Pass the
-    full publicsuffix.org list here in production; the default is
-    the documented fixture :data:`DEFAULT_PSL_SUFFIXES`."""
-    return spark.createDataFrame([(s,) for s in suffixes],
-                                 "suffix string")
+    """The public-suffix list as a DataFrame ``(suffix, is_exc)`` —
+    the broadcast side of :func:`registrable_domain_psl`. Rules use
+    publicsuffix.org syntax: plain suffixes match exactly, ``*.ck``
+    matches any one label in the ``*`` position (kept verbatim —
+    the candidate side generates a matching ``*.``-shape), and
+    ``!www.ck`` is an exception (stored with the ``!`` stripped,
+    flagged ``is_exc``). Pass the full publicsuffix.org list here in
+    production; the default is the documented fixture
+    :data:`DEFAULT_PSL_SUFFIXES`."""
+    rows = [(s[1:], True) if s.startswith("!") else (s, False)
+            for s in suffixes]
+    return spark.createDataFrame(rows, "suffix string, is_exc boolean")
 
 
 def registrable_domain_psl(hosts: DataFrame, psl_df: DataFrame,
@@ -162,37 +230,68 @@ def registrable_domain_psl(hosts: DataFrame, psl_df: DataFrame,
     public suffix maps to itself (mirroring the regex fallback's
     single-label behavior). Output: input columns + ``out_col``.
 
-    Scale shape: |hosts|·n_labels candidate rows (n_labels ≈ 3-5 on
+    Scale shape: |hosts|·2·n_labels candidate rows (n_labels ≈ 3-5 on
     real hosts) through one BROADCAST hash join against the ~10k-row
     suffix list — no shuffle on the candidate side — then a doc-keyed
     min-aggregate and one doc-keyed join back. This is the
     "PSL as data" design the regex subset documents: correctness for
     ``x.co.il`` / ``y.com.cn`` style suffixes comes from the list,
-    not from growing a regex. Wildcard/exception PSL rules (``*.ck``,
-    ``!www.ck``) are out of scope for the fixture and would add one
-    more candidate shape each, not a new join."""
-    h = F.col(host_col)
+    not from growing a regex.
+
+    Wildcard/exception rules (round 12, publicsuffix.org algorithm):
+    each candidate start position emits TWO shapes — the exact suffix
+    and its wildcard form (first label replaced by ``*``), so a
+    ``*.ck`` rule matches ``anything.ck`` through the SAME broadcast
+    join, one more candidate shape, not a new join. An exception rule
+    (``!www.ck``, stored un-bang-ed with ``is_exc``) prevails over
+    every other match per the PSL algorithm: its matched labels ARE
+    the registrable domain (``www.www.ck`` → ``www.ck``); otherwise
+    the longest (earliest-start) non-exception match is the public
+    suffix and registrable = that suffix plus one label.
+
+    The host is LOWERCASED at entry (round 12 — DNS names are
+    case-insensitive, RFC 4343): a raw ``Example.COM`` host matches
+    the all-lowercase rule list; the emitted domain is lowercase.
+    """
+    h = F.lower(F.col(host_col))
     parts = F.split(h, "[.]")
     n = F.size(parts)
-    # Candidate suffixes with their 1-based start label. greatest(n,1)
+    # Candidate (start, shape) pairs, 1-based starts, TWO shapes per
+    # start: the exact suffix and the wildcard form. greatest(n,1)
     # keeps sequence() total if a generate-filter pushdown evaluates
-    # it on null/empty rows (the round-8 totality class).
-    cand = (hosts.select(
-                F.col(id_col), h,
-                F.posexplode_outer(F.transform(
-                    F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-                    lambda i: F.concat_ws(
-                        ".", F.slice(parts, i, n - i + 1))))
-                 .alias("_i0", "_sfx"))
-            .select(F.col(id_col), (F.col("_i0") + 1).alias("_start"),
-                    F.col("_sfx")))
+    # it on null/empty rows (the round-8 totality class); the bogus
+    # rows a null host produces match no rule and fall through to the
+    # regex fallback (null in, null out).
+    shapes = F.flatten(F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.array(
+            F.struct(
+                i.alias("_start"),
+                F.concat_ws(".", F.slice(parts, i, n - i + 1))
+                 .alias("_sfx")),
+            F.struct(
+                i.alias("_start"),
+                F.when(i < n, F.concat(
+                    F.lit("*."),
+                    F.concat_ws(".", F.slice(parts, i + 1, n - i))))
+                 .otherwise(F.lit("*")).alias("_sfx")))))
+    cand = (hosts.select(F.col(id_col),
+                         F.explode_outer(shapes).alias("_c"))
+            .select(F.col(id_col),
+                    F.col("_c._start").cast("int").alias("_start"),
+                    F.col("_c._sfx").alias("_sfx")))
     best = (cand.join(F.broadcast(psl_df.select(
-                F.col("suffix").alias("_sfx"))), "_sfx")
+                F.col("suffix").alias("_sfx"), "is_exc")), "_sfx")
             .groupBy(id_col)
-            .agg(F.min("_start").alias("_s")))
+            .agg(F.min(F.when(~F.col("is_exc"), F.col("_start")))
+                  .alias("_s"),
+                 F.min(F.when(F.col("is_exc"), F.col("_start")))
+                  .alias("_se")))
     joined = hosts.join(best, id_col, "left")
-    s = F.col("_s")
-    dom = (F.when(s.isNull(), registrable_domain(h))
+    s, se = F.col("_s"), F.col("_se")
+    dom = (F.when(se.isNotNull(),
+                  F.concat_ws(".", F.slice(parts, se, n - se + 1)))
+            .when(s.isNull(), registrable_domain(h))
             .when(s > 1, F.concat_ws(".", F.slice(parts, s - 1,
                                                   n - s + 2)))
             .otherwise(h))
@@ -206,6 +305,32 @@ def registrable_domain_psl(hosts: DataFrame, psl_df: DataFrame,
 #: hierarchical cap, the only shape with no single-partition sort on
 #: a crawl-scale mega-domain.
 QUOTA_WINDOW_MAX_BYTES = 1 << 30
+
+#: ``n_buckets="auto"`` sizing inputs for the hierarchical cap
+#: (round 12 — the old fixed 16 left a true crawl mega-domain
+#: sorting |domain|/16 rows per phase-1 partition). The two costs to
+#: balance: phase 1 sorts ≈ input_bytes/n per (domain, bucket)
+#: partition in the worst (single-domain) case; phase 2 re-ranks ≤
+#: quota·n survivor rows in ONE partition. Minimizing the max gives
+#: n ≈ sqrt(bytes / (quota · row_bytes)). Clamped to [16, 2^20]:
+#: the floor keeps small inputs trivially spread, the ceiling bounds
+#: the phase-2 survivor partition (quota·2^20 rows ≈ low hundreds of
+#: MB) even for the stat-less huge-sentinel fallback.
+QUOTA_ROW_BYTES_EST = 128
+QUOTA_MIN_BUCKETS = 16
+QUOTA_MAX_BUCKETS = 1 << 20
+
+
+def _auto_n_buckets(docs: DataFrame, quota: int) -> int:
+    """Balanced bucket count from the input's Catalyst size estimate
+    (free — no job; see ``dedup._plan_size_bytes``)."""
+    import math
+
+    from ..operators.dedup import _plan_size_bytes
+    est = _plan_size_bytes(docs)
+    n = math.ceil(math.sqrt(est / (max(quota, 1)
+                                   * QUOTA_ROW_BYTES_EST)))
+    return int(max(QUOTA_MIN_BUCKETS, min(QUOTA_MAX_BUCKETS, n)))
 
 
 def _quota_base(docs: DataFrame, url_col: str, id_col: str,
@@ -222,7 +347,7 @@ def domain_quota_sample(docs: DataFrame, url_col: str = "url",
                         quota: int = 2, id_col: str = "doc_id",
                         salt: str = "quota",
                         method: str = "auto",
-                        n_buckets: int = 16) -> DataFrame:
+                        n_buckets: int | str = "auto") -> DataFrame:
     """Per-domain cap: rank each doc inside its registrable domain by
     a salted md5 of its id (stable across runs/engines/partitionings
     — the same determinization as ``mixture_sample``) and keep the
@@ -247,6 +372,12 @@ def domain_quota_sample(docs: DataFrame, url_col: str = "url",
       key sends survivors of a domain to one (bounded) partition and
       scatters non-survivors by an id hash, so no partition anywhere
       holds more than max(quota·n_buckets, ~|domain|/2^20) rows.
+      ``n_buckets="auto"`` (the round-12 default) derives the bucket
+      count from the input's Catalyst size estimate —
+      n ≈ sqrt(bytes/(quota·row)) balances phase 1's per-bucket sort
+      against phase 2's survivor partition (see
+      :data:`QUOTA_MAX_BUCKETS`); output is n_buckets-invariant
+      (pytest-pinned 4 ≡ 64 ≡ auto), so the knob is pure plan shape.
       Exactness: a doc in the domain's global top-quota is in its
       bucket's top-quota (a subset preserves relative order), so the
       survivor set contains the global top-quota; and every survivor
@@ -262,6 +393,8 @@ def domain_quota_sample(docs: DataFrame, url_col: str = "url",
         from ..operators.dedup import _plan_size_bytes
         method = ("window" if _plan_size_bytes(docs)
                   <= QUOTA_WINDOW_MAX_BYTES else "hierarchical")
+    if n_buckets == "auto":
+        n_buckets = _auto_n_buckets(docs, quota)
     base = _quota_base(docs, url_col, id_col, salt)
     if method == "window":
         w = W.partitionBy("domain").orderBy("sort_key", id_col)
@@ -296,11 +429,13 @@ def domain_quota_sample(docs: DataFrame, url_col: str = "url",
 def quota_phase1_survivors(docs: DataFrame, url_col: str = "url",
                            quota: int = 2, id_col: str = "doc_id",
                            salt: str = "quota",
-                           n_buckets: int = 16) -> DataFrame:
+                           n_buckets: int | str = "auto") -> DataFrame:
     """The hierarchical cap's phase-1 survivor set, exposed for the
     bound assertion tests: per (domain, salt-bucket) top-``quota``
     rows — so no domain contributes more than quota·n_buckets rows
     to phase 2's exact re-rank partition."""
+    if n_buckets == "auto":
+        n_buckets = _auto_n_buckets(docs, quota)
     base = _quota_base(docs, url_col, id_col, salt)
     bucket = F.pmod(F.xxhash64(F.lit(salt + "#bucket"),
                                F.col(id_col).cast("string")),

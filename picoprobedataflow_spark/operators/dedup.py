@@ -1359,12 +1359,25 @@ def remove_duplicate_spans(docs: DataFrame, span_w: int = 4,
                      .alias("n_kept")))
 
 
+#: ``decontaminate_spans(transport="auto")`` direct-vs-Bloom cutover:
+#: a benchmark universe whose Catalyst optimized-plan size estimate is
+#: at or under this takes the plain LEFT SEMI join (AQE broadcasts the
+#: universe; a Bloom prefilter is pure overhead), above it the
+#: map-side Bloom route. Same 1 GiB bar as the other statistics
+#: cutovers (:data:`SIG_GROUPED_MAX_BYTES`,
+#: ``web.QUOTA_WINDOW_MAX_BYTES``): estimates are upper bounds —
+#: real distinct-shingle payloads under a 1 GiB ESTIMATE broadcast
+#: comfortably, and stat-less sources (huge sentinel) must land on
+#: the scale-safe side.
+DECONTAM_DIRECT_MAX_BYTES = 1 << 30
+
+
 def decontaminate_spans(train_docs: DataFrame,
                         bench_docs: DataFrame | None = None,
                         k: int = 3, text_col: str = "text",
                         id_col: str = "doc_id",
                         bench_universe: DataFrame | None = None,
-                        transport: str = "direct",
+                        transport: str = "auto",
                         num_bits: int = 1 << 20,
                         num_hashes: int = 5,
                         bits: list[int] | None = None,
@@ -1410,17 +1423,33 @@ def decontaminate_spans(train_docs: DataFrame,
     big to broadcast, the LEFT SEMI join reshuffles essentially the
     whole tokenized corpus on the shingle key, the exact failure the
     doc-level gate already solved. ``transport="literal"`` /
-    ``"broadcast"`` (or ``"auto"``, cutting over at
-    :data:`BLOOM_LITERAL_MAX_BITS`) inserts the map-side Bloom probe
+    ``"broadcast"`` inserts the map-side Bloom probe
     on the window side FIRST, so only true hits plus the ~1%
     false-positive residue enter the exact semi join — which removes
     every false positive, making the output transport-invariant by
     construction (equality-pinned at a collision-heavy filter size,
     and the ``decontam_bloom`` gate family shares the direct route's
     oracle verbatim). ``bits`` / ``bloom_df`` are the same prebuilt
-    amortization hooks as the doc-level gate's; the default
-    ``"direct"`` keeps the plan of rounds ≤ 9 (4 exchanges,
-    plan-asserted) for broadcastable universes.
+    amortization hooks as the doc-level gate's; ``"direct"`` keeps
+    the plan of rounds ≤ 9 (4 exchanges, plan-asserted) for
+    broadcastable universes.
+
+    ``"auto"`` (the round-12 DEFAULT — the round-10 default was
+    ``"direct"``, an API footgun: a naive caller with a
+    too-big-to-broadcast benchmark union got the full per-token
+    shuffle this docstring warns about) derives the route from
+    universe STATISTICS, the same rule family as
+    :func:`simhash_signatures`' formulation cutover: Catalyst's
+    optimized-plan ``sizeInBytes`` of the distinct universe at or
+    under :data:`DECONTAM_DIRECT_MAX_BYTES` picks ``"direct"`` (the
+    universe broadcasts; a Bloom prefilter there is pure overhead),
+    above it the Bloom route (then literal vs broadcast by
+    ``num_bits`` vs :data:`BLOOM_LITERAL_MAX_BITS`, as in
+    :func:`contamination_overlap_bloom`). Sources with no real stats
+    (in-memory test fixtures, exotic sources → huge sentinel
+    estimate) land on the scale-safe Bloom side; parquet scans report
+    real file size. The selector is plan-shape-pinned on both sides
+    of the cutover (`test_decontaminate_spans_auto_selector`).
     """
     if transport not in ("direct", "auto", "literal", "broadcast"):
         raise ValueError(f"unknown transport {transport!r}")
@@ -1433,8 +1462,11 @@ def decontaminate_spans(train_docs: DataFrame,
     elif bloom_df is not None:
         transport = "broadcast"
     elif transport == "auto":
-        transport = ("literal" if num_bits <= BLOOM_LITERAL_MAX_BITS
-                     else "broadcast")
+        if _plan_size_bytes(bench_universe) <= DECONTAM_DIRECT_MAX_BYTES:
+            transport = "direct"
+        else:
+            transport = ("literal" if num_bits <= BLOOM_LITERAL_MAX_BITS
+                         else "broadcast")
     toks = train_docs.select(F.col(id_col), words(text_col).alias("_w"))
     # Positional tokens, 1-based. words("") is [""] — the length
     # filter drops it so whitespace-only docs clean to "".

@@ -2345,11 +2345,15 @@ _SYNTH_URL_SQL = """
      WHEN 2 THEN 'HTTP://News.Example.COM:80'
      ELSE 'https://cdn.sample.org:8080' END)
   || '/' || source || '/Item' || CAST(doc_id AS VARCHAR)
-  || (CASE doc_id % 3
+  || (CASE doc_id % 5
      WHEN 0 THEN '/?utm_source=feed&utm_campaign=x&id='
                  || CAST(doc_id % 7 AS VARCHAR)
      WHEN 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
                  || '&fbclid=abc#frag'
+     WHEN 3 THEN '/p%2fq%7e?a=%2F&t=%7e&id='
+                 || CAST(doc_id % 7 AS VARCHAR)
+     WHEN 4 THEN '/x%zz%4?y=%5f%2d%2e&utm%5Fname=z&id='
+                 || CAST(doc_id % 7 AS VARCHAR)
      ELSE '/' END)
 """
 
@@ -2360,6 +2364,25 @@ _SYNTH_URL_SQL = """
 #: tidy passes as a latent divergence on repeated separator runs).
 _URL_TRACK_SQL = "(utm_[A-Za-z0-9_]*|fbclid|gclid)"
 
+#: The round-12 percent-encoding pass replayed in DuckDB: identical
+#: split-on-'%' + indexed list_transform (DuckDB lambdas are
+#: 1-indexed where Spark's are 0-indexed — both exempt the first
+#: piece), identical contains('%') guard (null-safety + the common
+#: escape-free fast path), identical four unreserved-mark replaces.
+_URL_PCT_SQL = """
+    (CASE WHEN contains(r0, '%') THEN
+       replace(replace(replace(replace(
+         array_to_string(list_transform(string_split(r0, '%'),
+           (x, i) -> CASE
+               WHEN i = 1 THEN x
+               WHEN regexp_matches(substr(x, 1, 2),
+                                   '^[0-9a-fA-F]{2}$')
+               THEN '%' || upper(substr(x, 1, 2)) || substr(x, 3)
+               ELSE '%' || x END), ''),
+         '%2D', '-'), '%2E', '.'), '%5F', '_'), '%7E', '~')
+     ELSE r0 END)
+"""
+
 _URL_NORM_SQL = f"""
     (CASE WHEN starts_with(lower(auth), 'https://')
           THEN regexp_replace(lower(auth), ':443$', '')
@@ -2368,9 +2391,7 @@ _URL_NORM_SQL = f"""
           ELSE lower(auth) END)
     || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
            regexp_replace(regexp_replace(regexp_replace(
-           regexp_replace(
-             substr(url, length(auth) + 1),
-             '#.*', '', 'g'),
+             {_URL_PCT_SQL},
              '&{_URL_TRACK_SQL}=[^&#]*', '', 'g'),
              '[?]{_URL_TRACK_SQL}=[^&#]*&', '?', 'g'),
              '[?]{_URL_TRACK_SQL}=[^&#]*$', '', 'g'),
@@ -2390,8 +2411,14 @@ uauth AS (
            AS auth
   FROM usrc
 ),
+urest AS (
+  SELECT doc_id, url, auth,
+         regexp_replace(substr(url, length(auth) + 1),
+                        '#.*', '', 'g') AS r0
+  FROM uauth
+),
 unorm AS (
-  SELECT doc_id, {_URL_NORM_SQL} AS norm_url FROM uauth
+  SELECT doc_id, {_URL_NORM_SQL} AS norm_url FROM urest
 ),
 uhost AS (
   SELECT doc_id, norm_url,
@@ -2437,24 +2464,32 @@ FROM (
 #: Synthetic hosts for the ``url_psl`` family — one expression both
 #: engines evaluate identically, planting the suffixes the regex
 #: subset mis-splits (``co.il``, ``com.cn``), a regular multi-part
-#: suffix, a plain two-label case, a host that IS a public suffix
-#: (no registrable domain → maps to itself), and a suffix-less
-#: single label exercising the regex fallback.
+#: suffix, a MIXED-CASE host (round 12 — the op lowercases at entry;
+#: an uppercase host must still match the lowercase rule list), a
+#: host that IS a public suffix (no registrable domain → maps to
+#: itself), a WILDCARD-rule host (``*.ck``: registrable is the label
+#: under the wildcard match plus one), an EXCEPTION-rule host
+#: (``!www.ck``: the exception's labels ARE the registrable domain),
+#: and a suffix-less single label exercising the regex fallback.
 _PSL_HOST_SQL = """
-  (CASE doc_id % 6
+  (CASE doc_id % 8
      WHEN 0 THEN 'shop' || CAST(doc_id % 7 AS VARCHAR)
                  || '.mall.co.il'
      WHEN 1 THEN 'a' || CAST(doc_id % 7 AS VARCHAR) || '.news.com.cn'
      WHEN 2 THEN 'deep.sub.example' || CAST(doc_id % 3 AS VARCHAR)
                  || '.co.uk'
-     WHEN 3 THEN 'cdn' || CAST(doc_id % 7 AS VARCHAR) || '.sample.org'
+     WHEN 3 THEN 'CDN' || CAST(doc_id % 7 AS VARCHAR) || '.Sample.ORG'
      WHEN 4 THEN 'co.il'
+     WHEN 5 THEN 'a' || CAST(doc_id % 5 AS VARCHAR) || '.x.wild.ck'
+     WHEN 6 THEN (CASE WHEN doc_id % 16 = 6 THEN 'www.ck'
+                       ELSE 'sub' || CAST(doc_id % 7 AS VARCHAR)
+                            || '.www.ck' END)
      ELSE 'localhost' END)
 """
 
 _URL_PSL_ORACLE = f"""
 WITH uph AS (
-  SELECT doc_id, {_PSL_HOST_SQL} AS host FROM documents
+  SELECT doc_id, lower({_PSL_HOST_SQL}) AS host FROM documents
 ),
 upp AS (
   SELECT doc_id, host, string_split(host, '.') AS p FROM uph
@@ -2467,17 +2502,32 @@ upc AS (
              i -> array_to_string(list_slice(p, i, len(p)), '.')))
            AS sfx
   FROM upp
+  UNION ALL
+  SELECT doc_id,
+         unnest(generate_series(1, len(p))) AS start,
+         unnest(list_transform(
+             generate_series(1, len(p)),
+             i -> CASE WHEN i < len(p) THEN '*.' ||
+                    array_to_string(list_slice(p, i + 1, len(p)), '.')
+                  ELSE '*' END)) AS sfx
+  FROM upp
 ),
-upl(suffix) AS (
-  VALUES {", ".join(f"('{s}')" for s in WB.DEFAULT_PSL_SUFFIXES)}
+upl(suffix, is_exc) AS (
+  VALUES {", ".join(
+      f"('{s[1:]}', TRUE)" if s.startswith("!") else f"('{s}', FALSE)"
+      for s in WB.DEFAULT_PSL_SUFFIXES)}
 ),
 upb AS (
-  SELECT doc_id, min(start) AS s
+  SELECT doc_id,
+         min(CASE WHEN NOT is_exc THEN start END) AS s,
+         min(CASE WHEN is_exc THEN start END) AS se
   FROM upc JOIN upl ON sfx = suffix
   GROUP BY doc_id
 )
 SELECT h.doc_id,
-       CASE WHEN b.s IS NULL THEN
+       CASE WHEN b.se IS NOT NULL THEN
+              array_to_string(list_slice(p, b.se, len(p)), '.')
+            WHEN b.s IS NULL THEN
               (CASE WHEN rd = '' THEN host ELSE rd END)
             WHEN b.s > 1 THEN
               array_to_string(list_slice(p, b.s - 1, len(p)), '.')
@@ -2503,12 +2553,24 @@ def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
              .when(d % 4 == 1, F.lit("https://blog.example.co.uk"))
              .when(d % 4 == 2, F.lit("HTTP://News.Example.COM:80"))
              .otherwise(F.lit("https://cdn.sample.org:8080")))
-    tail = (F.when(d % 3 == 0,
+    tail = (F.when(d % 5 == 0,
                    F.concat(F.lit("/?utm_source=feed&utm_campaign=x"
                                   "&id="), (d % 7).cast("string")))
-             .when(d % 3 == 1,
+             .when(d % 5 == 1,
                    F.concat(F.lit("?id="), (d % 7).cast("string"),
                             F.lit("&fbclid=abc#frag")))
+             # Round 12 percent-encoding pins: lowercase-hex escapes
+             # (uppercase), %7e (decodes to ~), reserved %2F (stays
+             # encoded, hex uppercased), invalid escapes %zz / %4
+             # (verbatim), mark escapes %5f%2d%2e (decode to _-.),
+             # and an encoded tracking name utm%5Fname (decodes to
+             # utm_name, then the scrub catches it).
+             .when(d % 5 == 3,
+                   F.concat(F.lit("/p%2fq%7e?a=%2F&t=%7e&id="),
+                            (d % 7).cast("string")))
+             .when(d % 5 == 4,
+                   F.concat(F.lit("/x%zz%4?y=%5f%2d%2e&utm%5Fname=z"
+                                  "&id="), (d % 7).cast("string")))
              .otherwise(F.lit("/")))
     return (tbl(spark, sf_dir, "documents")
             .select(d, F.concat(host, F.lit("/"), F.col("source"),
@@ -2553,24 +2615,35 @@ def url_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot-suffix of the synthetic host joins a broadcast suffix table,
     longest match wins, registrable = suffix + one label. The host
     mix plants the suffixes the regex subset mis-splits (``co.il``,
-    ``com.cn``), a host that IS a suffix, and a single label hitting
+    ``com.cn``), a MIXED-CASE host (lowercased at entry since round
+    12), a host that IS a suffix, a wildcard-rule host (``*.ck``),
+    an exception-rule host (``!www.ck``), and a single label hitting
     the regex fallback; the oracle replays the identical
-    explode-join-argmin in DuckDB over the same VALUES list
-    (both sides generated from ``web.DEFAULT_PSL_SUFFIXES``)."""
+    two-shape explode-join-argmin in DuckDB over the same VALUES
+    list (both sides generated from ``web.DEFAULT_PSL_SUFFIXES``,
+    exceptions un-bang-ed into an ``is_exc`` flag)."""
     d = F.col("doc_id")
-    host = (F.when(d % 6 == 0,
+    host = (F.when(d % 8 == 0,
                    F.concat(F.lit("shop"), (d % 7).cast("string"),
                             F.lit(".mall.co.il")))
-             .when(d % 6 == 1,
+             .when(d % 8 == 1,
                    F.concat(F.lit("a"), (d % 7).cast("string"),
                             F.lit(".news.com.cn")))
-             .when(d % 6 == 2,
+             .when(d % 8 == 2,
                    F.concat(F.lit("deep.sub.example"),
                             (d % 3).cast("string"), F.lit(".co.uk")))
-             .when(d % 6 == 3,
-                   F.concat(F.lit("cdn"), (d % 7).cast("string"),
-                            F.lit(".sample.org")))
-             .when(d % 6 == 4, F.lit("co.il"))
+             .when(d % 8 == 3,
+                   F.concat(F.lit("CDN"), (d % 7).cast("string"),
+                            F.lit(".Sample.ORG")))
+             .when(d % 8 == 4, F.lit("co.il"))
+             .when(d % 8 == 5,
+                   F.concat(F.lit("a"), (d % 5).cast("string"),
+                            F.lit(".x.wild.ck")))
+             .when(d % 8 == 6,
+                   F.when(d % 16 == 6, F.lit("www.ck"))
+                    .otherwise(F.concat(F.lit("sub"),
+                                        (d % 7).cast("string"),
+                                        F.lit(".www.ck"))))
              .otherwise(F.lit("localhost")))
     hosts = (tbl(spark, sf_dir, "documents")
              .select(d, host.alias("host")))

@@ -163,7 +163,12 @@ def decontam_stream(spark: SparkSession, src_dir: str,
                 .localCheckpoint(eager=True))
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        (decontaminate_spans(batch_df, k=k, bench_universe=universe)
+        # transport pinned: the universe is localCheckpointed once
+        # outside the loop and semi-joins per batch (the documented
+        # plan); "auto" on a stat-less checkpoint plan would pick the
+        # Bloom route and rebuild the filter EVERY micro-batch.
+        (decontaminate_spans(batch_df, k=k, bench_universe=universe,
+                             transport="direct")
          .withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(out_dir))
 

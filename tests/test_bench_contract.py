@@ -24,7 +24,12 @@ def _worst_case_line(with_delta: bool) -> str:
     timings = {k: 9999.999 for k in keys}
     out = bench._stdout_payload(timings, "0.1", n_reps=3)
     if with_delta:
-        out["delta_vs_prev"] = {k: 99.99 for k in keys}
+        # Round 12: the stdout line carries the NORMALIZED deltas plus
+        # the scalar ambient factor; raw delta_vs_prev lives in the
+        # side file (raw = normalized x ambient_factor).
+        out["delta_vs_prev_normalized"] = {k: 99.99 for k in keys}
+        out["ambient_factor"] = 99.999
+        out["delta_vs_prev_file"] = "BENCH_r99.json"
     return json.dumps(out)
 
 
@@ -55,3 +60,34 @@ def test_stdout_line_has_driver_fields():
     assert "reps" not in out
     assert "variants" not in out
     assert out["value"] == round(sum(out["queries"].values()), 3)
+
+
+def test_canary_keys_are_headline_keys():
+    # The ambient normalization divides by the canary trio's median
+    # delta; the trio must stay inside the timed headline set (and be
+    # plans no round edits — see bench.CANARY_KEYS docstring).
+    keys = set(bench.headline_keys())
+    assert set(bench.CANARY_KEYS) <= keys
+    assert len(bench.CANARY_KEYS) >= 3
+
+
+def test_normalized_delta_math():
+    # Pin the normalization contract: ambient = median of canary raw
+    # deltas; normalized = raw / ambient. A zero-diff tree then lands
+    # every key near 1.0 regardless of sandbox load.
+    raw = dict(zip(bench.CANARY_KEYS, (1.10, 1.25, 1.40)))
+    raw["other_key"] = 2.50
+    ambient, normalized = bench.normalize_deltas(raw)
+    assert ambient == 1.25
+    assert normalized["other_key"] == 2.0
+    # The canary median itself normalizes to 1.0 by construction.
+    assert normalized[bench.CANARY_KEYS[1]] == 1.0
+
+
+def test_normalized_delta_degenerate():
+    # No canary keys in the delta set -> no normalization, no crash.
+    ambient, normalized = bench.normalize_deltas({"x": 1.5})
+    assert ambient == 0.0 and normalized is None
+    ambient, normalized = bench.normalize_deltas(
+        {k: 0.0 for k in bench.CANARY_KEYS})
+    assert normalized is None

@@ -244,13 +244,53 @@ def test_decontaminate_spans_bloom_routes_equal_direct(spark):
         return sorted(map(tuple, DD.decontaminate_spans(
             train, bench, k=3, **kw).collect()))
 
-    direct = rows()
+    direct = rows(transport="direct")
     assert rows(transport="literal", num_bits=64) == direct
     assert rows(transport="broadcast", num_bits=64) == direct
-    # auto cuts to literal under the cutover, broadcast above it
+    # auto (round-12 default): in-memory fixtures have no real stats
+    # (huge sentinel estimate) so auto lands on the scale-safe Bloom
+    # side — literal under BLOOM_LITERAL_MAX_BITS, broadcast above.
+    # Either way the output equals direct by construction.
     assert rows(transport="auto", num_bits=64) == direct
     assert rows(transport="auto",
                 num_bits=DD.BLOOM_LITERAL_MAX_BITS * 2) == direct
+    assert rows() == direct  # default IS auto
+
+
+def test_decontaminate_spans_auto_selector(spark, tmp_path):
+    """Round-12 transport="auto" selector, pinned via PLAN SHAPE on
+    both sides of the DECONTAM_DIRECT_MAX_BYTES cutover: a
+    parquet-backed universe (real, tiny sizeInBytes estimate) takes
+    the direct semi join — NO Bloom probe in the plan; a stat-less
+    in-memory universe (huge sentinel estimate) inserts the Bloom
+    prefilter before the semi join."""
+    bench = _docs(spark, ["alpha beta gamma delta"])
+    train = spark.createDataFrame(
+        [(10, "one two alpha beta gamma three four")],
+        "doc_id long, text string")
+    uni_mem = DD.shingle_table(bench, 3).select("shingle").distinct()
+    pq = str(tmp_path / "universe.parquet")
+    uni_mem.write.parquet(pq)
+    uni_pq = spark.read.parquet(pq)
+    assert DD._plan_size_bytes(uni_pq) <= DD.DECONTAM_DIRECT_MAX_BYTES
+    assert DD._plan_size_bytes(uni_mem) > DD.DECONTAM_DIRECT_MAX_BYTES
+
+    def plan(universe):
+        return (DD.decontaminate_spans(
+                    train, k=3, bench_universe=universe)
+                ._jdf.queryExecution().executedPlan().toString())
+
+    # xxhash64(...) % num_bits is the Bloom probe's signature
+    # expression; the direct route never builds it.
+    below = plan(uni_pq)
+    above = plan(uni_mem)
+    assert "xxhash64" not in below
+    assert "xxhash64" in above
+    # Same rows either way.
+    assert (sorted(map(tuple, DD.decontaminate_spans(
+                train, k=3, bench_universe=uni_pq).collect()))
+            == sorted(map(tuple, DD.decontaminate_spans(
+                train, k=3, bench_universe=uni_mem).collect())))
 
 
 def test_decontaminate_spans_broadcast_plan_shape(spark):

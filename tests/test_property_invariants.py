@@ -137,7 +137,15 @@ def test_jaccard_pairs_match_set_model(spark, docs):
 _URL_PART = st.sampled_from(
     ["", "/", "//", "/A/b", "/x", "?id=1", "?utm_source=a",
      "&utm_medium=b", "&gclid=Z9", "&id=2", "#f", "#", "?&", "?utm_a=",
-     ":443", ":8080"])
+     ":443", ":8080",
+     # Round 12 percent-encoding parts: valid escapes (upper/lower
+     # hex), decodable marks, invalid escapes, bare/trailing '%' —
+     # adjacency through st.lists composes pathologies like '%%7e'.
+     # Alphanumeric-decodable escapes ('%34') are deliberately NOT
+     # normalized to characters (see web._PCT_DECODE), which is what
+     # keeps this idempotence property total.
+     "%2f", "%2F", "%7e", "%7E", "%5f", "%2d", "%2e", "%zz", "%4",
+     "%", "%25", "?q=%7e%2f", "/p%2Fq"])
 
 
 @settings(**_SETTINGS)

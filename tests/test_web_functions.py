@@ -79,6 +79,39 @@ def test_tracking_scrub_is_boundary_safe(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_percent_encoding_normalization(spark):
+    """Round-12 RFC 3986 §6.2.2 pins: hex case uppercases, unreserved
+    MARKS decode, reserved and alphanumeric escapes stay encoded
+    (case-normalized), invalid escapes pass through verbatim, and an
+    encoded tracking-param name decodes into the scrub's jaws."""
+    cases = [
+        (1, "https://h.com/p%2fq", "https://h.com/p%2Fq"),
+        (2, "https://h.com/a%7eb?t=%7E", "https://h.com/a~b?t=~"),
+        (3, "https://h.com/x%5f%2d%2e", "https://h.com/x_-."),
+        # reserved %2F and alphanumeric %41 do NOT decode
+        (4, "https://h.com/a%2Fb%41", "https://h.com/a%2Fb%41"),
+        (5, "https://h.com/a%6ab", "https://h.com/a%6Ab"),
+        # invalid escapes: verbatim
+        (6, "https://h.com/%zz%4%", "https://h.com/%zz%4%"),
+        # double-encoded stays double-encoded (%25 never decodes)
+        (7, "https://h.com/a%252Fb", "https://h.com/a%252Fb"),
+        # encoded tracking name decodes, then the scrub removes it
+        (8, "https://h.com/p?utm%5Fsource=x&a=1",
+            "https://h.com/p?a=1"),
+        # invalid-escape adjacency: '%' + decoded mark, idempotent
+        (9, "https://h.com/%%7e", "https://h.com/%~"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases],
+                               "doc_id long, url string")
+    got = {r.doc_id: (r.n, r.nn) for r in df.select(
+        "doc_id", WB.url_normalize("url").alias("n"),
+        WB.url_normalize(WB.url_normalize("url")).alias("nn"))
+        .collect()}
+    for i, _, want in cases:
+        assert got[i][0] == want, (i, got[i][0], want)
+        assert got[i][1] == want, ("not idempotent", i, got[i])
+
+
 def test_url_host_and_registrable_domain(spark):
     got = _norm(spark)
     assert got[1].h == "www.example.com"
@@ -138,7 +171,9 @@ def test_domain_quota_window_equals_hierarchical(
     w = WB.domain_quota_sample(dominant_domain_docs, quota=3,
                                method="window")
     wc = _quota_cols(w.collect())
-    for nb in (1, 4, 16):
+    # Includes the round-12 invariance pin: n_buckets 4 ≡ 64 ≡ "auto"
+    # (the knob is pure plan shape — output never depends on it).
+    for nb in (1, 4, 16, 64, "auto"):
         h = WB.domain_quota_sample(dominant_domain_docs, quota=3,
                                    method="hierarchical",
                                    n_buckets=nb)
@@ -156,21 +191,43 @@ def test_domain_quota_phase2_row_bound(spark, dominant_domain_docs):
     re-rank partition for a mega-domain holds at most
     quota·n_buckets rows — no partition anywhere sorts the whole
     domain."""
-    quota, nb = 3, 4
-    surv = WB.quota_phase1_survivors(dominant_domain_docs,
-                                     quota=quota, n_buckets=nb)
-    per_dom = {r.domain: r.c for r in
-               surv.groupBy("domain").agg(F.count("*").alias("c"))
-               .collect()}
-    assert per_dom["example.com"] <= quota * nb
-    assert max(per_dom.values()) <= quota * nb
-    # and the survivor set still contains every globally-kept doc
     kept_ids = {r.doc_id for r in
                 WB.domain_quota_sample(dominant_domain_docs,
-                                       quota=quota, method="window")
+                                       quota=3, method="window")
                 .filter("kept").collect()}
-    surv_ids = {r.doc_id for r in surv.collect()}
-    assert kept_ids <= surv_ids
+    for quota, nb in ((3, 4), (3, 64)):  # round 12: larger nb too
+        surv = WB.quota_phase1_survivors(dominant_domain_docs,
+                                         quota=quota, n_buckets=nb)
+        per_dom = {r.domain: r.c for r in
+                   surv.groupBy("domain").agg(F.count("*").alias("c"))
+                   .collect()}
+        assert per_dom["example.com"] <= quota * nb
+        assert max(per_dom.values()) <= quota * nb
+        # and the survivor set still contains every globally-kept doc
+        surv_ids = {r.doc_id for r in surv.collect()}
+        assert kept_ids <= surv_ids, nb
+
+
+def test_domain_quota_auto_n_buckets_sizing(spark, tmp_path):
+    """n_buckets='auto' derives from the Catalyst size estimate:
+    small parquet scans land on the floor (16), stat-less in-memory
+    frames (huge sentinel) land on the ceiling (2^20), and the
+    balanced sqrt rule sits between for mid-size estimates."""
+    rows = [(i, f"https://a.example.com/p{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    p = str(tmp_path / "urls.parquet")
+    df.write.mode("overwrite").parquet(p)
+    small = spark.read.parquet(p)
+    assert WB._auto_n_buckets(small, quota=2) == WB.QUOTA_MIN_BUCKETS
+    statless = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows),
+        "doc_id long, url string")
+    assert WB._auto_n_buckets(statless, quota=2) == WB.QUOTA_MAX_BUCKETS
+    # The sqrt balance point, checked against the formula directly:
+    # 1 GiB estimate, quota 2 -> sqrt(2^30 / (2*128)) = 2048.
+    import math
+    n = math.ceil(math.sqrt((1 << 30) / (2 * WB.QUOTA_ROW_BYTES_EST)))
+    assert 16 < n < WB.QUOTA_MAX_BUCKETS and n == 2048
 
 
 def test_domain_quota_auto_picks_window_on_small_stats(spark, tmp_path):
@@ -209,6 +266,25 @@ PSL_HOSTS = [
     (6, "x.unknowntld", "x.unknowntld"),         # fallback, 2 labels
     (7, "", ""),
     (8, None, None),
+    # Round 12: mixed case — the op lowercases at entry (RFC 4343);
+    # before the fix a raw 'Example.COM' missed every suffix.
+    (9, "Shop1.MALL.co.IL", "mall.co.il"),
+    # Round 12: wildcard rule *.ck (publicsuffix.org algorithm) —
+    # any one label under ck is a public suffix.
+    (10, "a1.x.wild.ck", "x.wild.ck"),
+    (11, "foo.ck", "foo.ck"),          # host IS a wildcard suffix
+    (12, "a.b.x.wild.ck", "x.wild.ck"),
+    # Round 12: exception rule !www.ck — its labels ARE the domain.
+    (13, "www.ck", "www.ck"),
+    (14, "www.www.ck", "www.ck"),
+    (15, "sub.www.ck", "www.ck"),
+    # Round 12 degenerate-label battery: empty labels pass through
+    # the label algebra verbatim (an empty label is not a real DNS
+    # name; the op is TOTAL on it and both engines agree — these
+    # pins document the contract, they do not bless the input).
+    (16, "a..com", ".com"),
+    (17, ".com", ".com"),
+    (18, "com.", "com."),              # trailing dot: regex fallback
 ]
 
 
