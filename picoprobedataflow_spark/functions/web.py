@@ -218,6 +218,24 @@ def psl_table(spark, suffixes=DEFAULT_PSL_SUFFIXES) -> DataFrame:
     return spark.createDataFrame(rows, "suffix string, is_exc boolean")
 
 
+def psl_table_from_text(spark, text: str) -> DataFrame:
+    """:func:`psl_table` from RAW publicsuffix.org file content — the
+    production path: fetch https://publicsuffix.org/list/ once,
+    feed the bytes verbatim. Per the spec, rules are each line's
+    first whitespace-delimited token; blank lines and ``//`` comments
+    are ignored. Rules lowercase on the way in (the PSL algorithm is
+    case-insensitive; :func:`registrable_domain_psl` lowercases hosts
+    to match). Wildcards/exceptions parse exactly as in
+    :func:`psl_table`."""
+    rules = []
+    for line in text.splitlines():
+        tok = line.split()[0] if line.split() else ""
+        if not tok or tok.startswith("//"):
+            continue
+        rules.append(tok.lower())
+    return psl_table(spark, tuple(rules))
+
+
 def registrable_domain_psl(hosts: DataFrame, psl_df: DataFrame,
                            host_col: str = "host",
                            id_col: str = "doc_id",

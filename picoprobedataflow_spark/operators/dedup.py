@@ -389,6 +389,37 @@ def bloom_contains(bits: list[int], col: Column | str,
 #: the plan-embedded literal pattern collapses well before GB scale.
 BLOOM_LITERAL_MAX_BITS = 1 << 23
 
+#: ``num_bits="auto"`` sizing (round 12): ~10 bits per estimated
+#: distinct key ≈ 1% false positives at 5 probes (the fp rate only
+#: costs wasted verify work — outputs are exact either way). Keys are
+#: estimated from the universe's Catalyst size at ~32 bytes per
+#: distinct-shingle row, rounded up to a power of two and clamped to
+#: [2^16, 2^34] (8 KiB literal floor; 2 GiB-of-words ceiling — the
+#: 1e9-shingle sizing the broadcast transport exists for). A fixed
+#: default was the old footgun in the other direction: 2^20 bits
+#: saturates uselessly against a 1e9-key universe (fp → 1, the
+#: prefilter passes everything). Sources with no real stats fall
+#: back to the old 2^20 default rather than the ceiling — a huge
+#: sentinel estimate must not conjure a 2 GiB filter for a tiny
+#: in-memory corpus.
+BLOOM_BITS_PER_KEY = 10
+BLOOM_ROW_BYTES_EST = 32
+BLOOM_MIN_BITS = 1 << 16
+BLOOM_MAX_BITS = 1 << 34
+_STATS_UNKNOWN_BYTES = 1 << 50
+
+
+def _auto_num_bits(universe: DataFrame) -> int:
+    """Statistics-sized Bloom width for ``num_bits="auto"``."""
+    est = _plan_size_bytes(universe)
+    if est >= _STATS_UNKNOWN_BYTES:
+        return 1 << 20
+    want = max(1, est // BLOOM_ROW_BYTES_EST) * BLOOM_BITS_PER_KEY
+    n = BLOOM_MIN_BITS
+    while n < want and n < BLOOM_MAX_BITS:
+        n <<= 1
+    return n
+
 
 def bloom_filter_df(values: DataFrame, col: str = "shingle",
                     num_bits: int = 1 << 20,
@@ -465,7 +496,7 @@ def contamination_overlap_bloom(train_docs: DataFrame | None = None,
                                 k: int = 3, text_col: str = "text",
                                 id_col: str = "doc_id",
                                 threshold: float = 0.0,
-                                num_bits: int = 1 << 20,
+                                num_bits: int | str = "auto",
                                 num_hashes: int = 5,
                                 train_shingles: DataFrame | None = None,
                                 bench_shingles: DataFrame | None = None,
@@ -504,7 +535,14 @@ def contamination_overlap_bloom(train_docs: DataFrame | None = None,
     literal). ``"auto"`` cuts over at :data:`BLOOM_LITERAL_MAX_BITS`.
     Both transports are probe-identical (equality-pinned on a
     collision-heavy filter) and the exact verify join makes the final
-    output transport-invariant either way.
+    output transport-invariant either way. ``num_bits="auto"`` (the
+    round-12 default) sizes the filter from the universe's Catalyst
+    estimate at ~:data:`BLOOM_BITS_PER_KEY` bits/key — a fixed width
+    was the inverse footgun: 2^20 bits saturates against a 1e9-key
+    universe and the prefilter passes everything. Prebuilt
+    ``bits``/``bloom_df`` hooks must pass the explicit width they
+    were built with (enforced — a mismatched probe width would lose
+    the no-false-negatives guarantee).
 
     Amortization hooks for callers gating many batches against one
     static benchmark (the streaming gate): ``bits`` (prebuilt
@@ -525,6 +563,22 @@ def contamination_overlap_bloom(train_docs: DataFrame | None = None,
         else shingle_table(train_docs, k, text_col, id_col)
     bs = (bench_shingles if bench_shingles is not None
           else shingle_table(bench_docs, k, text_col, id_col))
+    universe = (bench_universe if bench_universe is not None
+                else bs.select("shingle").distinct())
+    if num_bits == "auto":
+        # Round 12: size the filter from the universe's Catalyst
+        # estimate (~10 bits/key) instead of a fixed width — a fixed
+        # 2^20 saturates against a 1e9-key universe and the prefilter
+        # stops filtering. A prebuilt filter carries its own width:
+        # probing it at a different num_bits silently loses the
+        # no-false-negatives guarantee, so hooks demand the explicit
+        # width they were built with.
+        if bits is not None or bloom_df is not None:
+            raise ValueError(
+                "prebuilt bits/bloom_df require the explicit num_bits "
+                "they were built with (num_bits='auto' would probe at "
+                "a different width -> false negatives)")
+        num_bits = _auto_num_bits(universe)
     if bits is not None:
         transport = "literal"
     elif bloom_df is not None:
@@ -532,8 +586,6 @@ def contamination_overlap_bloom(train_docs: DataFrame | None = None,
     elif transport == "auto":
         transport = ("literal" if num_bits <= BLOOM_LITERAL_MAX_BITS
                      else "broadcast")
-    universe = (bench_universe if bench_universe is not None
-                else bs.select("shingle").distinct())
     if transport == "literal":
         if bits is None:
             bits = bloom_bits(universe, "shingle",
@@ -1378,7 +1430,7 @@ def decontaminate_spans(train_docs: DataFrame,
                         id_col: str = "doc_id",
                         bench_universe: DataFrame | None = None,
                         transport: str = "auto",
-                        num_bits: int = 1 << 20,
+                        num_bits: int | str = "auto",
                         num_hashes: int = 5,
                         bits: list[int] | None = None,
                         bloom_df: DataFrame | None = None) -> DataFrame:
@@ -1457,6 +1509,15 @@ def decontaminate_spans(train_docs: DataFrame,
         bench_universe = (shingle_table(bench_docs, k, text_col,
                                         id_col)
                           .select("shingle").distinct())
+    if num_bits == "auto":
+        # Statistics-sized width (see contamination_overlap_bloom);
+        # prebuilt hooks must state the width they were built with.
+        if bits is not None or bloom_df is not None:
+            raise ValueError(
+                "prebuilt bits/bloom_df require the explicit num_bits "
+                "they were built with (num_bits='auto' would probe at "
+                "a different width -> false negatives)")
+        num_bits = _auto_num_bits(bench_universe)
     if bits is not None:
         transport = "literal"
     elif bloom_df is not None:

@@ -133,6 +133,44 @@ def test_bloom_broadcast_transport_matches_literal(spark):
                   for r in got.collect()) == exact
 
 
+def test_bloom_num_bits_auto_sizing(spark, tmp_path):
+    """Round-12 num_bits='auto': width derives from the universe's
+    Catalyst estimate at ~10 bits/key (power of two, clamped); a
+    stat-less universe falls back to the old 2^20 default rather
+    than conjuring the ceiling; prebuilt hooks REQUIRE the explicit
+    width they were built with."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter((F.col("doc_id") % 13) == 0)
+    train = docs.filter((F.col("doc_id") % 13) != 0)
+    uni_pq_src = DD.shingle_table(bench, 3).select("shingle").distinct()
+    p = str(tmp_path / "uni.parquet")
+    uni_pq_src.write.parquet(p)
+    uni = spark.read.parquet(p)
+    n = DD._auto_num_bits(uni)
+    est = DD._plan_size_bytes(uni)
+    assert n & (n - 1) == 0 and n >= DD.BLOOM_MIN_BITS
+    assert n >= (est // DD.BLOOM_ROW_BYTES_EST) * DD.BLOOM_BITS_PER_KEY \
+        or n == DD.BLOOM_MAX_BITS
+    # stat-less (in-memory) -> the conservative legacy default
+    mem = spark.createDataFrame([("a b c",)], "shingle string")
+    assert DD._auto_num_bits(mem) == 1 << 20
+    # auto gate output == exact gate output (fp only costs verify work)
+    exact = sorted((r.doc_id, r.n_overlap) for r in
+                   DD.contamination_overlap(train, bench, k=3)
+                   .collect())
+    got = sorted((r.doc_id, r.n_overlap) for r in
+                 DD.contamination_overlap_bloom(train, bench, k=3)
+                 .collect())
+    assert got == exact
+    # prebuilt hooks without an explicit width are refused loudly
+    bits = DD.bloom_bits(uni, num_bits=1 << 12)
+    with pytest.raises(ValueError, match="explicit num_bits"):
+        DD.contamination_overlap_bloom(train, bench, k=3, bits=bits)
+    with pytest.raises(ValueError, match="explicit num_bits"):
+        DD.decontaminate_spans(train, bench, k=3, bits=bits)
+
+
 def test_contam_bloom_owns_no_cache(spark):
     """Round-9 fix for the round-8 leak: contamination_overlap_bloom
     persisted its bench universe MEMORY_ONLY on every call and never

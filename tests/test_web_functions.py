@@ -315,6 +315,34 @@ def test_psl_beats_regex_subset(spark):
     assert psl[0] == "mall.co.il" and psl[1] == "news.com.cn"
 
 
+def test_psl_table_from_raw_list_text(spark):
+    """The production ingestion path: raw publicsuffix.org file
+    content (comments, blank lines, trailing annotations, mixed
+    case, wildcard + exception rules) parses into the same broadcast
+    table shape, and the canonical PSL ck test vectors hold."""
+    raw = """\
+// ===BEGIN ICANN DOMAINS===
+// ck : https://en.wikipedia.org/wiki/.ck
+*.ck
+!www.ck
+
+COM
+co.UK   // annotation after whitespace
+"""
+    tbl = WB.psl_table_from_text(spark, raw)
+    got = {(r.suffix, r.is_exc) for r in tbl.collect()}
+    assert got == {("*.ck", False), ("www.ck", True),
+                   ("com", False), ("co.uk", False)}
+    hosts = spark.createDataFrame(
+        [(0, "www.www.ck"), (1, "a.b.test.ck"), (2, "x.example.com"),
+         (3, "deep.sub.example.co.uk")],
+        "doc_id long, host string")
+    dom = {r.doc_id: r.domain for r in
+           WB.registrable_domain_psl(hosts, tbl).collect()}
+    assert dom == {0: "www.ck", 1: "b.test.ck", 2: "example.com",
+                   3: "example.co.uk"}
+
+
 def test_psl_join_is_broadcast(spark):
     hosts = spark.createDataFrame([(0, "a.example.com")],
                                   "doc_id long, host string")
