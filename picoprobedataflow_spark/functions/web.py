@@ -270,8 +270,10 @@ def registrable_domain_psl(hosts: DataFrame, psl_df: DataFrame,
     The host is LOWERCASED at entry (round 12 — DNS names are
     case-insensitive, RFC 4343): a raw ``Example.COM`` host matches
     the all-lowercase rule list; the emitted domain is lowercase.
+    A single trailing FQDN dot also strips at entry (the PSL
+    algorithm's first step): ``example.com.`` → ``example.com``.
     """
-    h = F.lower(F.col(host_col))
+    h = F.regexp_replace(F.lower(F.col(host_col)), "[.]$", "")
     parts = F.split(h, "[.]")
     n = F.size(parts)
     # Candidate (start, shape) pairs, 1-based starts, TWO shapes per

@@ -2484,12 +2484,16 @@ _PSL_HOST_SQL = """
      WHEN 6 THEN (CASE WHEN doc_id % 16 = 6 THEN 'www.ck'
                        ELSE 'sub' || CAST(doc_id % 7 AS VARCHAR)
                             || '.www.ck' END)
-     ELSE 'localhost' END)
+     ELSE (CASE WHEN doc_id % 16 = 7 THEN 'localhost'
+                ELSE 'fqdn.example' || CAST(doc_id % 3 AS VARCHAR)
+                     || '.com.' END) END)
 """
 
 _URL_PSL_ORACLE = f"""
 WITH uph AS (
-  SELECT doc_id, lower({_PSL_HOST_SQL}) AS host FROM documents
+  SELECT doc_id,
+         regexp_replace(lower({_PSL_HOST_SQL}), '[.]$', '') AS host
+  FROM documents
 ),
 upp AS (
   SELECT doc_id, host, string_split(host, '.') AS p FROM uph
@@ -2644,7 +2648,11 @@ def url_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .otherwise(F.concat(F.lit("sub"),
                                         (d % 7).cast("string"),
                                         F.lit(".www.ck"))))
-             .otherwise(F.lit("localhost")))
+             .otherwise(
+                 F.when(d % 16 == 7, F.lit("localhost"))
+                  .otherwise(F.concat(F.lit("fqdn.example"),
+                                      (d % 3).cast("string"),
+                                      F.lit(".com.")))))
     hosts = (tbl(spark, sf_dir, "documents")
              .select(d, host.alias("host")))
     return (WB.registrable_domain_psl(hosts, WB.psl_table(spark))

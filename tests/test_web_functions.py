@@ -284,7 +284,9 @@ PSL_HOSTS = [
     # pins document the contract, they do not bless the input).
     (16, "a..com", ".com"),
     (17, ".com", ".com"),
-    (18, "com.", "com."),              # trailing dot: regex fallback
+    # Trailing FQDN dot strips at entry (PSL algorithm step 1).
+    (18, "com.", "com"),               # then host IS a suffix
+    (19, "fqdn.example.com.", "example.com"),
 ]
 
 
