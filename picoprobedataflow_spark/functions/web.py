@@ -151,6 +151,13 @@ def url_normalize(url: Column | str) -> Column:
            .when(low.startswith("http://"),
                  F.regexp_replace(low, ":80$", "")) \
            .otherwise(low)
+    # Trailing FQDN dot folds (round 12): 'example.com.' is the
+    # fully-qualified spelling of 'example.com' — two passes because
+    # the dot may sit before a kept non-default port and group
+    # references are banned (the '[.]:' form only occurs as
+    # host-dot-port inside an authority).
+    low = F.regexp_replace(F.regexp_replace(low, "[.]+$", ""),
+                           "[.]+:", ":")
     r = F.regexp_replace(rest, "#.*", "")
     # Percent-encoding normalization (round 12) runs after the
     # fragment drop and BEFORE the tracking scrub, so an encoded
@@ -182,11 +189,16 @@ def url_host(url: Column | str) -> Column:
     stays bracketed (``http://[::1]:8080/`` → ``[::1]``): the
     ``:port`` strip only fires on an all-digit tail, which a
     bracket-terminated IP-literal never has. Un-bracketed IPv6 is
-    not a legal URL authority and gets no special handling."""
+    not a legal URL authority and gets no special handling. A single
+    trailing FQDN dot strips (round 12 — ``example.com.`` is the
+    fully-qualified spelling of ``example.com``; leaving it split
+    one origin into two quota/dedup keys and matched the PSL path's
+    entry strip)."""
     u = _c(url)
     auth = F.regexp_extract(u, "://([^/?#]*)", 1)
     no_user = F.regexp_replace(auth, "^[^@]*@", "")
-    return F.lower(F.regexp_replace(no_user, ":[0-9]+$", ""))
+    return F.lower(F.regexp_replace(
+        F.regexp_replace(no_user, ":[0-9]+$", ""), "[.]+$", ""))
 
 
 def registrable_domain(host: Column | str) -> Column:
@@ -273,7 +285,7 @@ def registrable_domain_psl(hosts: DataFrame, psl_df: DataFrame,
     A single trailing FQDN dot also strips at entry (the PSL
     algorithm's first step): ``example.com.`` → ``example.com``.
     """
-    h = F.regexp_replace(F.lower(F.col(host_col)), "[.]$", "")
+    h = F.regexp_replace(F.lower(F.col(host_col)), "[.]+$", "")
     parts = F.split(h, "[.]")
     n = F.size(parts)
     # Candidate (start, shape) pairs, 1-based starts, TWO shapes per

@@ -2342,7 +2342,7 @@ _SYNTH_URL_SQL = """
   (CASE doc_id % 4
      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443'
      WHEN 1 THEN 'https://blog.example.co.uk'
-     WHEN 2 THEN 'HTTP://News.Example.COM:80'
+     WHEN 2 THEN 'HTTP://News.Example.COM.:80'
      ELSE 'https://cdn.sample.org:8080' END)
   || '/' || source || '/Item' || CAST(doc_id AS VARCHAR)
   || (CASE doc_id % 5
@@ -2384,11 +2384,13 @@ _URL_PCT_SQL = """
 """
 
 _URL_NORM_SQL = f"""
+    regexp_replace(regexp_replace(
     (CASE WHEN starts_with(lower(auth), 'https://')
           THEN regexp_replace(lower(auth), ':443$', '')
           WHEN starts_with(lower(auth), 'http://')
           THEN regexp_replace(lower(auth), ':80$', '')
-          ELSE lower(auth) END)
+          ELSE lower(auth) END),
+    '[.]+$', '', 'g'), '[.]+:', ':', 'g')
     || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
            regexp_replace(regexp_replace(regexp_replace(
              {_URL_PCT_SQL},
@@ -2422,9 +2424,9 @@ unorm AS (
 ),
 uhost AS (
   SELECT doc_id, norm_url,
-         regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(
              regexp_extract(norm_url, '://([^/?#]*)', 1),
-             '^[^@]*@', ''), ':[0-9]+$', '') AS host
+             '^[^@]*@', ''), ':[0-9]+$', ''), '[.]+$', '') AS host
   FROM unorm
 ),
 udom AS (
@@ -2492,7 +2494,7 @@ _PSL_HOST_SQL = """
 _URL_PSL_ORACLE = f"""
 WITH uph AS (
   SELECT doc_id,
-         regexp_replace(lower({_PSL_HOST_SQL}), '[.]$', '') AS host
+         regexp_replace(lower({_PSL_HOST_SQL}), '[.]+$', '') AS host
   FROM documents
 ),
 upp AS (
@@ -2555,7 +2557,9 @@ def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("doc_id")
     host = (F.when(d % 4 == 0, F.lit("HTTPS://WWW.Example.COM:443"))
              .when(d % 4 == 1, F.lit("https://blog.example.co.uk"))
-             .when(d % 4 == 2, F.lit("HTTP://News.Example.COM:80"))
+             # FQDN spelling (trailing dot before the default port):
+             # folds to http://news.example.com (round 12)
+             .when(d % 4 == 2, F.lit("HTTP://News.Example.COM.:80"))
              .otherwise(F.lit("https://cdn.sample.org:8080")))
     tail = (F.when(d % 5 == 0,
                    F.concat(F.lit("/?utm_source=feed&utm_campaign=x"

@@ -79,6 +79,36 @@ def test_tracking_scrub_is_boundary_safe(spark):
         assert got[i] == want, (i, got[i], want)
 
 
+def test_fqdn_trailing_dot_folds(spark):
+    """Round 12: 'example.com.' is the fully-qualified spelling of
+    'example.com' — url_normalize folds it in the authority (before
+    a stripped default port, before a kept non-default port, and
+    bare), url_host strips it, and the PSL/quota keys fuse the two
+    spellings. Only a HOST-final dot folds: path dots are content."""
+    cases = [
+        (1, "https://Example.COM.:443/x", "https://example.com/x",
+            "example.com"),
+        (2, "https://example.com.:8080/x",
+            "https://example.com:8080/x", "example.com"),
+        (3, "http://a.b.co.uk./p", "http://a.b.co.uk/p", "a.b.co.uk"),
+        (4, "https://example.com/ends.with.dot.",
+            "https://example.com/ends.with.dot.", "example.com"),
+        # invalid multi-dot run folds in ONE pass ('[.]+' — a
+        # single-dot pattern needed two passes, breaking idempotence)
+        (5, "https://example.com..:8080/x",
+            "https://example.com:8080/x", "example.com"),
+        (6, "https://example.com../x", "https://example.com/x",
+            "example.com"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _, _ in cases],
+                               "doc_id long, url string")
+    got = {r.doc_id: (r.n, r.h) for r in df.select(
+        "doc_id", WB.url_normalize("url").alias("n"),
+        WB.url_host(WB.url_normalize("url")).alias("h")).collect()}
+    for i, _, wn, wh in cases:
+        assert got[i] == (wn, wh), (i, got[i], wn, wh)
+
+
 def test_percent_encoding_normalization(spark):
     """Round-12 RFC 3986 §6.2.2 pins: hex case uppercases, unreserved
     MARKS decode, reserved and alphanumeric escapes stay encoded
