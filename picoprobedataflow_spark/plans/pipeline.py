@@ -2497,26 +2497,27 @@ WITH uph AS (
          regexp_replace(lower({_PSL_HOST_SQL}), '[.]+$', '') AS host
   FROM documents
 ),
-upp AS (
+upp AS MATERIALIZED (
   SELECT doc_id, host, string_split(host, '.') AS p FROM uph
 ),
 upc AS (
   SELECT doc_id,
-         unnest(generate_series(1, len(p))) AS start,
-         unnest(list_transform(
-             generate_series(1, len(p)),
-             i -> array_to_string(list_slice(p, i, len(p)), '.')))
-           AS sfx
-  FROM upp
-  UNION ALL
-  SELECT doc_id,
-         unnest(generate_series(1, len(p))) AS start,
-         unnest(list_transform(
-             generate_series(1, len(p)),
-             i -> CASE WHEN i < len(p) THEN '*.' ||
-                    array_to_string(list_slice(p, i + 1, len(p)), '.')
-                  ELSE '*' END)) AS sfx
-  FROM upp
+         unnest(list_concat(ss, ss)) AS start,
+         unnest(list_concat(ex, wc)) AS sfx
+  FROM (
+    SELECT doc_id,
+           generate_series(1, len(p)) AS ss,
+           list_transform(
+               generate_series(1, len(p)),
+               i -> array_to_string(list_slice(p, i, len(p)), '.'))
+             AS ex,
+           list_transform(
+               generate_series(1, len(p)),
+               i -> CASE WHEN i < len(p) THEN '*.' ||
+                      array_to_string(list_slice(p, i + 1, len(p)),
+                                      '.')
+                    ELSE '*' END) AS wc
+    FROM upp)
 ),
 upl(suffix, is_exc) AS (
   VALUES {", ".join(
