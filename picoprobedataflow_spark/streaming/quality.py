@@ -182,3 +182,95 @@ def decontam_stream(spark: SparkSession, src_dir: str,
         q.stop()
         raise TimeoutError(
             f"decontam stream drain did not finish in {timeout}s")
+
+
+#: Output schema of :func:`domain_quota_stream` rows (norm_url is
+#: dropped — the quota verdict, not the canonical URL, is the
+#: stream's product; join it back from the source if needed).
+QUOTA_STREAM_OUT_SCHEMA = ("doc_id long, domain string, rank long, "
+                           "kept boolean")
+
+
+def domain_quota_stream(spark: SparkSession, src_dir: str,
+                        ckpt_dir: str, out_dir: str,
+                        schema: StructType | str,
+                        quota: int = 2, salt: str = "quota",
+                        url_col: str = "url",
+                        max_files_per_trigger: int | None = None,
+                        timeout: int = 300) -> None:
+    """Streaming CROSS-BATCH domain quota — the ingest-time twin of
+    :func:`..functions.web.domain_quota_sample`: each arriving
+    document ranks inside its registrable domain against the count
+    of docs that domain has ALREADY had kept across every previous
+    micro-batch, and at most ``quota`` docs per domain are ever
+    marked kept over the stream's lifetime. The batch op re-ranks a
+    full corpus; this one enforces the cap as data lands, which is
+    what a crawl ingest actually needs (admit-or-reject now, not
+    after the corpus exists).
+
+    Semantics (pinned): WITHIN a batch, docs order by the same
+    salted-md5 key as the batch op, so a single-batch drain is
+    row-identical to ``domain_quota_sample`` (rank and kept) on the
+    same corpus. ACROSS batches, earlier arrivals win — first-come
+    admission, deliberately NOT the batch op's global salted rank
+    (a later "better-keyed" doc must not evict an already-admitted
+    one). ``rank`` continues across batches (the domain's 3rd kept
+    doc ranks 3 whichever batch it arrived in) and is NULL beyond
+    the quota, the same contract as the batch op.
+
+    State & exactly-once: one ``kept`` counter per domain inside
+    ``applyInPandasWithState`` — 8 bytes per DISTINCT registrable
+    domain, engine-checkpointed with the stream (a replayed batch
+    re-reads its pre-batch state, so recovery cannot double-admit).
+    No timeout: expiring an idle domain would forget its cap and
+    re-admit; the state bound is |domains|, the same key cardinality
+    every quota formulation carries, distributed across executors by
+    the group key.
+    """
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    from ..functions.web import _quota_base
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               max_files_per_trigger)
+    docs = reader.parquet(src_dir)
+    base = _quota_base(docs, url_col, "doc_id", salt)
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+        (domain,) = key
+        kept = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        # mergesort = stable, and (sort_key, doc_id) is a total order
+        # anyway — determinism does not depend on pandas tie-breaks.
+        pdf = (pdf.sort_values(["sort_key", "doc_id"], kind="mergesort")
+               .reset_index(drop=True))
+        take = max(0, quota - kept)
+        ranks = [kept + i + 1 if i < take else None
+                 for i in range(len(pdf))]
+        state.update((min(quota, kept + len(pdf)),))
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "domain": domain,
+            "rank": pd.array(ranks, dtype="Int64"),
+            "kept": [r is not None for r in ranks]})
+
+    out = (base.groupBy("domain")
+           .applyInPandasWithState(
+               _update,
+               outputStructType=QUOTA_STREAM_OUT_SCHEMA,
+               stateStructType="kept long",
+               outputMode="append",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+    q = (out.writeStream
+         .option("checkpointLocation", ckpt_dir)
+         .format("parquet").option("path", out_dir)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"domain quota drain did not finish in {timeout}s")

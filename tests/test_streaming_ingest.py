@@ -582,3 +582,61 @@ def test_streaming_ivf_index_maintenance_equals_batch_layout(
     twin = SIM.ivf_index_search(spark.read.parquet(batch_dir),
                                 cent_rows, qv, k=5, n_probe=2)
     assert served.collect() == twin.collect()
+
+
+def test_streaming_domain_quota_caps_across_batches(spark, tmp_path):
+    """Cross-batch domain quota: a single-batch drain is
+    row-identical to the batch op; across batches earlier arrivals
+    win (first-come admission), rank continues where the domain's
+    state left off, and no domain ever exceeds the quota over the
+    stream's lifetime — including after a restart from checkpoint
+    (the second drain resumes state, it does not re-admit)."""
+    from picoprobedataflow_spark.functions import web as WB
+    from picoprobedataflow_spark.streaming.quality import (
+        domain_quota_stream,
+    )
+
+    schema = "doc_id long, url string"
+    src = tmp_path / "urls_in"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "quota")
+
+    b1 = [(i, f"https://big.example.com/p{i}") for i in range(6)] \
+        + [(100, "https://tiny.other.org/x")]
+    b2 = [(i, f"https://big.example.com/q{i}")
+          for i in range(200, 206)] \
+        + [(101, "https://tiny.other.org/y")]
+    b1df = spark.createDataFrame(b1, schema)
+    b1df.coalesce(1).write.mode("append").parquet(str(src))
+    domain_quota_stream(spark, str(src), ckpt, out, schema, quota=3)
+
+    # single-batch drain ≡ the batch op (same salted order)
+    got1 = sorted((r.doc_id, r.domain, r.rank, r.kept)
+                  for r in spark.read.parquet(out).collect())
+    want1 = sorted((r.doc_id, r.domain, r.rank, r.kept)
+                   for r in WB.domain_quota_sample(
+                       b1df, quota=3).collect())
+    assert got1 == want1
+
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    domain_quota_stream(spark, str(src), ckpt, out, schema, quota=3)
+
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {*range(6), 100, *range(200, 206), 101}
+    # the cap holds over the WHOLE stream
+    for dom in ("example.com", "other.org"):
+        kept = [r for r in rows.values() if r.domain == dom and r.kept]
+        assert len(kept) <= 3
+        assert sorted(r.rank for r in kept) == \
+            list(range(1, len(kept) + 1))
+    # earlier arrivals win: example.com filled its quota in batch 1,
+    # so every batch-2 example.com doc is rejected with a NULL rank
+    assert {r.doc_id for r in rows.values()
+            if r.domain == "example.com" and r.kept} <= set(range(6))
+    for i in range(200, 206):
+        assert not rows[i].kept and rows[i].rank is None
+    # rank CONTINUES across batches: other.org kept 1 in batch 1,
+    # its batch-2 doc is admitted as rank 2
+    assert rows[100].kept and rows[100].rank == 1
+    assert rows[101].kept and rows[101].rank == 2
