@@ -1314,29 +1314,14 @@ def apply_survivors(docs: DataFrame, survivors: DataFrame,
     return docs.join(keep, id_col, "left_semi")
 
 
-def cross_doc_span_dedup(docs: DataFrame, span_w: int = 4,
-                         text_col: str = "text",
-                         id_col: str = "doc_id",
-                         stride: int | None = None) -> DataFrame:
-    """Exact substring-dedup approximation (the Lee et al.
-    "Deduplicating Training Data" passage-level idea, restricted to
-    aligned windows so it stays one aggregate): chop each document's
-    token stream into non-overlapping ``span_w``-token windows and
-    mark every window whose exact text occurred at an earlier
-    (doc, window) position anywhere in the corpus. Returns one row
-    per window: (id, idx, span, first_key, is_dup) where
-    ``first_key`` is the corpus-wide first occurrence encoded as
-    ``(doc_id << 32) + idx`` (exact int64: supports 4B windows per
-    doc — ~17B tokens at span_w=4 — and doc ids below 2^31;
-    corpora beyond either bound need a struct-min key instead).
-
-    Scale shape: one explode (corpus token count / span_w rows), one
-    hash aggregate keyed by the span text (high cardinality, skew
-    bounded by how often a span can repeat), one equi-join back on
-    the same key — Catalyst reuses the aggregate's shuffle
-    partitioning for the join side. Nothing quadratic; the span text
-    itself can be replaced by its md5 in the shuffle key at scale
-    (same trick as content_fingerprints)."""
+def _aligned_spans(docs: DataFrame, span_w: int, text_col: str,
+                   id_col: str, stride: int | None = None) -> DataFrame:
+    """(id, idx, span, _key): the shared window table under
+    :func:`cross_doc_span_dedup` and :func:`remove_frequent_segments`
+    — each document's token stream chopped into ``span_w``-token
+    windows every ``stride`` tokens (aligned, non-overlapping by
+    default), keyed by the exact-int64 corpus position
+    ``(doc_id << 32) + idx``. One explode; no shuffle of its own."""
     from picoprobedataflow_spark.functions.text import words
 
     # stride < span_w gives OVERLAPPING windows — catches duplicated
@@ -1360,7 +1345,33 @@ def cross_doc_span_dedup(docs: DataFrame, span_w: int = 4,
                      .alias("idx", "span")))
     key = (F.shiftleft(F.col(id_col).cast("long"), 32)
            + F.col("idx").cast("long"))
-    spans = spans.withColumn("_key", key)
+    return spans.withColumn("_key", key)
+
+
+def cross_doc_span_dedup(docs: DataFrame, span_w: int = 4,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         stride: int | None = None) -> DataFrame:
+    """Exact substring-dedup approximation (the Lee et al.
+    "Deduplicating Training Data" passage-level idea, restricted to
+    aligned windows so it stays one aggregate): chop each document's
+    token stream into non-overlapping ``span_w``-token windows and
+    mark every window whose exact text occurred at an earlier
+    (doc, window) position anywhere in the corpus. Returns one row
+    per window: (id, idx, span, first_key, is_dup) where
+    ``first_key`` is the corpus-wide first occurrence encoded as
+    ``(doc_id << 32) + idx`` (exact int64: supports 4B windows per
+    doc — ~17B tokens at span_w=4 — and doc ids below 2^31;
+    corpora beyond either bound need a struct-min key instead).
+
+    Scale shape: one explode (corpus token count / span_w rows), one
+    hash aggregate keyed by the span text (high cardinality, skew
+    bounded by how often a span can repeat), one equi-join back on
+    the same key — Catalyst reuses the aggregate's shuffle
+    partitioning for the join side. Nothing quadratic; the span text
+    itself can be replaced by its md5 in the shuffle key at scale
+    (same trick as content_fingerprints)."""
+    spans = _aligned_spans(docs, span_w, text_col, id_col, stride)
     firsts = (spans.groupBy("span")
               .agg(F.min("_key").alias("first_key")))
     return (spans.join(firsts, "span")
@@ -1387,13 +1398,28 @@ def remove_duplicate_spans(docs: DataFrame, span_w: int = 4,
     shorter than ``span_w`` pass through untouched (they have no
     windows)."""
     spans = cross_doc_span_dedup(docs, span_w, text_col, id_col)
-    kept_struct = F.when(~F.col("is_dup"), F.struct("idx", "span"))
-    agg = (spans.groupBy(id_col)
+    return _reassemble_spans(docs, spans, ~F.col("is_dup"),
+                             span_w, text_col, id_col)
+
+
+def _reassemble_spans(docs: DataFrame, marked: DataFrame, keep,
+                      span_w: int, text_col: str,
+                      id_col: str) -> DataFrame:
+    """Stitch a marked aligned-window table back into per-document
+    cleaned text: windows where ``keep`` holds re-join in idx order,
+    the unwindowed tail tokens append verbatim, and docs with no
+    windows pass through untouched. The ``collect_list`` is bounded
+    by the document's own span count — per-doc state, the same bound
+    as any whole-doc transform."""
+    from picoprobedataflow_spark.functions.text import words
+
+    kept_struct = F.when(keep, F.struct("idx", "span"))
+    agg = (marked.groupBy(id_col)
            .agg(F.concat_ws(" ", F.transform(
                     F.array_sort(F.collect_list(kept_struct)),
                     lambda s: s.span)).alias("_body"),
-                F.sum(F.col("is_dup").cast("long")).alias("n_removed"),
-                F.sum((~F.col("is_dup")).cast("long")).alias("n_kept")))
+                F.sum((~keep).cast("long")).alias("n_removed"),
+                F.sum(keep.cast("long")).alias("n_kept")))
     toks = docs.select(F.col(id_col), words(text_col).alias("_w"))
     tail_start = (F.floor(F.size("_w") / span_w) * span_w + 1).cast("int")
     tails = toks.select(
@@ -1409,6 +1435,40 @@ def remove_duplicate_spans(docs: DataFrame, span_w: int = 4,
                      .alias("n_removed"),
                     F.coalesce("n_kept", F.lit(0).cast("long"))
                      .alias("n_kept")))
+
+
+def remove_frequent_segments(docs: DataFrame, span_w: int = 4,
+                             min_df: int = 2,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, cleaned, n_removed, n_kept): corpus-frequency
+    BOILERPLATE removal — the CCNet/C4 "drop lines shared across
+    many pages" rule in aligned-window form (the testdata corpus has
+    no newlines, so a ``span_w``-token window is the line analog).
+    Every window whose exact text occurs in ≥ ``min_df`` DISTINCT
+    documents is deleted from EVERY document — including the first
+    occurrence, which is what separates boilerplate removal from
+    :func:`remove_duplicate_spans`: dedup keeps one copy of a
+    repeated passage, but a nav-bar string stamped on every page of
+    a crawl should keep zero. The two rules are NOT nested per
+    window — a passage repeated twice WITHIN one document has
+    df = 1, so dedup drops its second occurrence while this op keeps
+    both (pytest-pinned).
+
+    Scale shape: one explode (corpus token count / span_w rows), one
+    span-keyed count-distinct aggregate (partial map-side distinct;
+    skew bounded because a hot boilerplate span contributes one
+    distinct per doc, not per occurrence), one equi-join back on the
+    span key (Catalyst reuses the aggregate's shuffle partitioning),
+    then the per-doc reassembly aggregate. Nothing quadratic; same
+    bounds as :func:`cross_doc_span_dedup`."""
+    spans = _aligned_spans(docs, span_w, text_col, id_col)
+    dfreq = (spans.groupBy("span")
+             .agg(F.count_distinct(id_col).alias("_df")))
+    marked = spans.join(dfreq, "span")
+    return _reassemble_spans(docs, marked,
+                             F.col("_df") < F.lit(min_df),
+                             span_w, text_col, id_col)
 
 
 #: ``decontaminate_spans(transport="auto")`` direct-vs-Bloom cutover:

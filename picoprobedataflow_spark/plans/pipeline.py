@@ -2240,6 +2240,65 @@ def span_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.remove_duplicate_spans(docs, span_w=_SPAN_W)
 
 
+#: Document-frequency threshold for the ``boiler_clean`` family: a
+#: window shared by ≥ this many DISTINCT docs is boilerplate and is
+#: removed from every doc (at 2, the synthetic corpus's exact-dup
+#: pairs are what trip it — both copies lose their shared windows;
+#: real crawls run higher thresholds, the parameter is exposed).
+_BOILER_MIN_DF = 2
+
+_BOILER_CLEAN_ORACLE = f"""
+WITH toksall AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+),
+ids AS (
+  SELECT doc_id, unnest(range(len(w) // {_SPAN_W})) AS idx, w
+  FROM toksall WHERE len(w) >= {_SPAN_W}
+),
+spans AS (
+  SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+         array_to_string(w[idx * {_SPAN_W} + 1 : idx * {_SPAN_W} + {_SPAN_W}],
+                         ' ') AS span
+  FROM ids
+),
+freq AS (
+  SELECT span, count(DISTINCT doc_id) AS df FROM spans GROUP BY 1
+),
+kept AS (
+  SELECT s.doc_id,
+         string_agg(s.span, ' ' ORDER BY s.idx)
+           FILTER (WHERE f.df < {_BOILER_MIN_DF}) AS body,
+         CAST(sum(CASE WHEN f.df >= {_BOILER_MIN_DF} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_removed,
+         CAST(sum(CASE WHEN f.df < {_BOILER_MIN_DF} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_kept
+  FROM spans s JOIN freq f USING (span)
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       trim(COALESCE(k.body, '') || ' ' ||
+            COALESCE(array_to_string(
+              t.w[(len(t.w) // {_SPAN_W}) * {_SPAN_W} + 1 : len(t.w)],
+              ' '), '')) AS cleaned,
+       COALESCE(k.n_removed, 0) AS n_removed,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM toksall t LEFT JOIN kept k USING (doc_id)
+"""
+
+
+def boiler_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal
+    (:func:`..operators.dedup.remove_frequent_segments`): windows
+    shared by ≥ ``_BOILER_MIN_DF`` distinct docs are deleted from
+    every doc — including the first occurrence, the rule that
+    separates CCNet/C4 boilerplate stripping from ``span_clean``'s
+    keep-one dedup. Same window grid as the span families, so the
+    two cleaned corpora are directly comparable."""
+    docs = tbl(spark, sf_dir, "documents")
+    return DD.remove_frequent_segments(docs, span_w=_SPAN_W,
+                                       min_df=_BOILER_MIN_DF)
+
+
 #: Shingle width for the span-level decontamination family — matches
 #: the contam/contam_bloom doc-level gates so the two report on the
 #: same leak definition.
@@ -4164,6 +4223,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              n=("doc_a", "doc_b", "n_shared")),
     _fam_sql("span_clean", "{spclean}", k1="cleaned",
              n=("doc_id", "n_removed", "n_kept")),
+    _fam_sql("boiler_clean", "{boiler}", k1="cleaned",
+             n=("doc_id", "n_removed", "n_kept")),
     _fam_sql("decontam_spans", "{decontam}", k1="cleaned",
              n=("doc_id", "n_removed", "n_kept")),
     _fam_sql("decontam_bloom", "{decontam}", k1="cleaned",
@@ -4199,6 +4260,7 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           winnow=_WINNOW_ORACLE, rrf=_RRF_ORACLE,
           wpairs=_WINNOW_PAIRS_ORACLE,
           spclean=_SPAN_CLEAN_ORACLE,
+          boiler=_BOILER_CLEAN_ORACLE,
           decontam=_DECONTAM_SPANS_ORACLE,
           urlnorm=_URL_NORM_ORACLE,
           domquota=_DOMAIN_QUOTA_ORACLE,
@@ -4241,7 +4303,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thirty-two training-data curation families, one normalized
+    """Thirty-three training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -4266,7 +4328,11 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`winnow_partial_overlap_pairs` — plagiarism-style
     partial-overlap candidates from the winnowed set), and
     ``span_clean`` (:func:`span_clean_texts` — the repeated-passage
-    REMOVAL pass emitting the cleaned corpus), ``decontam_spans``
+    REMOVAL pass emitting the cleaned corpus), ``boiler_clean``
+    (:func:`boiler_clean_texts`, round 12 — CCNet/C4-style
+    corpus-frequency boilerplate stripping: windows shared by
+    ``_BOILER_MIN_DF``+ distinct docs deleted from EVERY doc,
+    first occurrence included), ``decontam_spans``
     (:func:`decontam_span_texts`, round 9 — SPAN-level benchmark
     decontamination: leaked benchmark shingles are excised from
     training docs via a sweep-line interval union instead of
@@ -4350,6 +4416,9 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winnow_pairs", n=("doc_a", "doc_b", "n_shared")))
         .unionByName(_fam_df(span_clean_texts(spark, sf_dir),
                              "span_clean", k1="cleaned",
+                             n=("doc_id", "n_removed", "n_kept")))
+        .unionByName(_fam_df(boiler_clean_texts(spark, sf_dir),
+                             "boiler_clean", k1="cleaned",
                              n=("doc_id", "n_removed", "n_kept")))
         .unionByName(_fam_df(decontam_span_texts(spark, sf_dir),
                              "decontam_spans", k1="cleaned",

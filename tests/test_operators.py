@@ -2670,6 +2670,42 @@ def test_remove_duplicate_spans_reassembly(spark):
     assert rows[3].n_removed == 0 and rows[3].n_kept == 0
 
 
+def test_remove_frequent_segments_boilerplate_rule(spark):
+    """Corpus-frequency boilerplate removal vs dedup — the two rules
+    are NOT nested per window: a nav-bar span stamped on min_df+
+    docs vanishes from EVERY doc (first occurrence included, which
+    dedup would keep), while a span repeated twice WITHIN one doc
+    has df = 1 and survives boilerplate removal entirely (dedup
+    would drop its second copy). Short docs pass through."""
+    nav = "b1 b2 b3 b4"                   # stamped on docs 1-3
+    rep = "r1 r2 r3 r4"                   # twice inside doc 4 only
+    docs = spark.createDataFrame(
+        [(1, nav + " u1 u2 u3 u4"),
+         (2, nav + " v1 v2 v3 v4 t1"),    # + 1-token tail
+         (3, nav),
+         (4, rep + " " + rep),
+         (5, "short doc")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r
+            for r in DD.remove_frequent_segments(
+                docs, span_w=4, min_df=2).collect()}
+    assert rows[1].cleaned == "u1 u2 u3 u4"
+    assert rows[1].n_removed == 1 and rows[1].n_kept == 1
+    assert rows[2].cleaned == "v1 v2 v3 v4 t1"
+    assert rows[2].n_removed == 1 and rows[2].n_kept == 1
+    assert rows[3].cleaned == ""          # pure boilerplate doc
+    assert rows[3].n_removed == 1 and rows[3].n_kept == 0
+    # within-doc repetition: df=1, boilerplate rule keeps BOTH copies
+    assert rows[4].cleaned == rep + " " + rep
+    assert rows[4].n_removed == 0 and rows[4].n_kept == 2
+    # ...while dedup drops the second (the non-nesting pin)
+    dd = {r.doc_id: r
+          for r in DD.remove_duplicate_spans(docs, span_w=4).collect()}
+    assert dd[4].cleaned == rep and dd[4].n_removed == 1
+    assert rows[5].cleaned == "short doc"
+    assert rows[5].n_removed == 0 and rows[5].n_kept == 0
+
+
 def test_winnow_pairs_max_df_drops_hot_fingerprints(spark):
     """The stop-shingle knob on the winnow join: with max_df the
     boilerplate fingerprint shared by every doc stops generating
