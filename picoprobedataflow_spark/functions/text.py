@@ -624,6 +624,36 @@ def compression_ratio(text_col: str = "text"):
     return _ratio(F.col(text_col))
 
 
+def nfc_normalize(text_col: str = "text"):
+    """Unicode NFC normalization as an Arrow-batched pandas UDF — the
+    multilingual-corpus cleanup step that makes byte-level dedup and
+    fingerprinting see 'café' (precomposed U+00E9) and 'cafe'+U+0301
+    (decomposed) as the same document. Without it, every exact-hash
+    stage (content_fingerprints, span dedup, decontamination) treats
+    canonically-equivalent text as distinct, silently halving recall
+    on corpora that mix keyboard input with OCR/legacy encodings.
+
+    Python is unavoidable here (Spark exposes no Unicode normalizer
+    JVM-side), so this is the sanctioned slow path: @pandas_udf over
+    Arrow batches, never per-row Python. Unlike compression_ratio it
+    IS SQL-oracle-expressible — DuckDB ships ``nfc_normalize`` —
+    so the ``nfc`` curation family hash-pins CPython's unicodedata
+    against DuckDB's utf8proc on adversarial sequences (combining
+    marks, Hangul jamo, mark-without-precomposed-form, stacked
+    marks). None passes through."""
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _nfc(texts):
+        import pandas as pd
+
+        return pd.Series([
+            unicodedata.normalize("NFC", t) if t is not None else None
+            for t in texts])
+
+    return _nfc(F.col(text_col))
+
+
 def dsir_importance_weights(docs, target: Column | None = None,
                             n_buckets: int = 64,
                             passthrough: tuple[str, ...] = (),

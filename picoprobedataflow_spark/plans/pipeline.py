@@ -2299,6 +2299,61 @@ def boiler_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        min_df=_BOILER_MIN_DF)
 
 
+#: Adversarial raw inputs for the ``nfc`` family, chosen so every
+#: interesting NFC branch is exercised: a combining acute that
+#: composes (café), one with no precomposed target (q́ stays
+#: decomposed), Hangul jamo that compose to a syllable block,
+#: stacked marks where only the first composes, an already-composed
+#: string (idempotence), and the empty string. Cycled by
+#: ``doc_id % 7``; the 7th case is NULL (None passthrough exercised
+#: inside the driver gate itself). The oracle rebuilds the SAME raw
+#: strings with DuckDB ``chr()`` codepoints, so the family hash-pins
+#: CPython's unicodedata against DuckDB's utf8proc.
+_NFC_CASES = ("cafe\u0301", "q\u0301", "\u1100\u1161",
+              "e\u0301\u0308", "caf\u00e9", "")
+
+_NFC_ORACLE = """
+WITH raws AS (
+  SELECT doc_id,
+         CASE doc_id % 7
+           WHEN 0 THEN 'cafe' || chr(769)
+           WHEN 1 THEN 'q' || chr(769)
+           WHEN 2 THEN chr(4352) || chr(4449)
+           WHEN 3 THEN 'e' || chr(769) || chr(776)
+           WHEN 4 THEN 'caf' || chr(233)
+           WHEN 5 THEN ''
+         END AS raw
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(raw) AS norm,
+       CAST(length(raw) AS BIGINT) AS len_raw,
+       CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_norm
+FROM raws
+"""
+
+
+def nfc_normalized_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization
+    (:func:`..functions.text.nfc_normalize`, the sanctioned
+    Arrow-batched kernel — Spark has no JVM-side Unicode normalizer)
+    over engine-identical synthetic sequences: composing marks,
+    Hangul jamo, a mark with no precomposed form, stacked marks,
+    an already-composed string, empty, and NULL. len_raw > len_norm
+    exactly on the composing cases, which is what pins that real
+    composition happened rather than a string round-trip."""
+    docs = tbl(spark, sf_dir, "documents")
+    arr = F.array(*[F.lit(c) for c in _NFC_CASES])
+    m = (F.col("doc_id") % 7).cast("int")
+    raw = F.when(m < 6, F.element_at(arr, m + 1))
+    d = docs.select("doc_id", raw.alias("raw"))
+    return d.select(
+        "doc_id", TX.nfc_normalize("raw").alias("norm"),
+        F.length("raw").cast("long").alias("len_raw"),
+        F.length(TX.nfc_normalize("raw")).cast("long")
+         .alias("len_norm"))
+
+
 #: Shingle width for the span-level decontamination family — matches
 #: the contam/contam_bloom doc-level gates so the two report on the
 #: same leak definition.
@@ -4225,6 +4280,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              n=("doc_id", "n_removed", "n_kept")),
     _fam_sql("boiler_clean", "{boiler}", k1="cleaned",
              n=("doc_id", "n_removed", "n_kept")),
+    _fam_sql("nfc", "{nfc}", k1="norm",
+             n=("doc_id", "len_raw", "len_norm")),
     _fam_sql("decontam_spans", "{decontam}", k1="cleaned",
              n=("doc_id", "n_removed", "n_kept")),
     _fam_sql("decontam_bloom", "{decontam}", k1="cleaned",
@@ -4261,6 +4318,7 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           wpairs=_WINNOW_PAIRS_ORACLE,
           spclean=_SPAN_CLEAN_ORACLE,
           boiler=_BOILER_CLEAN_ORACLE,
+          nfc=_NFC_ORACLE,
           decontam=_DECONTAM_SPANS_ORACLE,
           urlnorm=_URL_NORM_ORACLE,
           domquota=_DOMAIN_QUOTA_ORACLE,
@@ -4303,7 +4361,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thirty-three training-data curation families, one normalized
+    """Thirty-four training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -4332,7 +4390,11 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`boiler_clean_texts`, round 12 — CCNet/C4-style
     corpus-frequency boilerplate stripping: windows shared by
     ``_BOILER_MIN_DF``+ distinct docs deleted from EVERY doc,
-    first occurrence included), ``decontam_spans``
+    first occurrence included), ``nfc``
+    (:func:`nfc_normalized_texts`, round 12 — Unicode NFC
+    normalization, CPython unicodedata hash-pinned against DuckDB
+    utf8proc on adversarial combining-mark/jamo sequences),
+    ``decontam_spans``
     (:func:`decontam_span_texts`, round 9 — SPAN-level benchmark
     decontamination: leaked benchmark shingles are excised from
     training docs via a sweep-line interval union instead of
@@ -4420,6 +4482,9 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_fam_df(boiler_clean_texts(spark, sf_dir),
                              "boiler_clean", k1="cleaned",
                              n=("doc_id", "n_removed", "n_kept")))
+        .unionByName(_fam_df(nfc_normalized_texts(spark, sf_dir),
+                             "nfc", k1="norm",
+                             n=("doc_id", "len_raw", "len_norm")))
         .unionByName(_fam_df(decontam_span_texts(spark, sf_dir),
                              "decontam_spans", k1="cleaned",
                              n=("doc_id", "n_removed", "n_kept")))

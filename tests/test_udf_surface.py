@@ -191,6 +191,33 @@ def test_compression_ratio_separates_spam_from_prose(spark):
     assert rows[1] < 0.1 < rows[2]
 
 
+def test_nfc_normalize_composes_and_is_arrow_batched(spark):
+    """Unicode NFC: decomposed marks compose (café, Hangul jamo),
+    sequences with no precomposed form stay decomposed but
+    canonically equivalent, already-composed text is a fixpoint,
+    None passes through, and the UDF is Arrow-batched
+    (ArrowEvalPython in the plan, never BatchEvalPython)."""
+    import unicodedata
+
+    from picoprobedataflow_spark.functions.text import nfc_normalize
+
+    cases = [(1, "cafe\u0301"), (2, "\u1100\u1161"), (3, "q\u0301"),
+             (4, "caf\u00e9"), (5, ""), (6, None)]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    out = df.select("doc_id", nfc_normalize("text").alias("norm"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    rows = {r.doc_id: r.norm for r in out.collect()}
+    assert rows[1] == "caf\u00e9"    # composed, one char shorter
+    assert rows[2] == "\uac00"        # jamo -> syllable block
+    assert rows[3] == "q\u0301"       # no precomposed q-acute
+    assert rows[4] == "caf\u00e9"     # idempotent on composed
+    assert rows[5] == "" and rows[6] is None
+    for did, raw in cases:
+        if raw is not None:
+            assert rows[did] == unicodedata.normalize("NFC", raw)
+
+
 def test_image_phash_noise_and_resize_robust(spark):
     """Perceptual dHash: a lightly-noised copy and a 2x-downscaled
     copy of an image both collide with the original (pooled means
