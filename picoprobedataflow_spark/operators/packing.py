@@ -226,3 +226,50 @@ def select_token_budget_single_window(df: DataFrame, budget: int,
                           F.coalesce(F.sum(tok_col).over(w), F.lit(0))
                           .cast("long"))
             .filter(F.col("cum_before") < int(budget)))
+
+
+def chunk_documents(docs: DataFrame, window: int = 8,
+                    stride: int = 4, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, chunk_idx, start_tok, n_tok, chunk_md5): the
+    context-window splitter — each document's token stream cut into
+    ``window``-token chunks every ``stride`` tokens (stride < window
+    gives the overlapping chunks a RAG index or long-doc pretraining
+    prep wants, so no passage straddles a boundary unseen; stride >
+    window subsamples). The final chunk is short (``n_tok`` = tokens
+    remaining); ``chunk_md5`` is the content fingerprint downstream
+    chunk-level dedup or ANN indexing keys on, so identical passages
+    chunk to identical ids regardless of source document.
+
+    The inverse-direction complement of :func:`pack_sequences`:
+    packing joins many short docs into one fixed budget, chunking
+    splits long docs down to one. Scale shape: a single
+    per-partition explode (ceil(len/stride) rows per doc), no
+    shuffle at all — chunk rows inherit the corpus partitioning, and
+    Catalyst prunes every column but the text before the generate."""
+    from picoprobedataflow_spark.functions.text import words
+
+    toks = docs.select(F.col(id_col), words(text_col).alias("_w"))
+    n = F.size("_w")
+    n_chunks = F.ceil(n / F.lit(int(stride))).cast("int")
+    starts = F.sequence(F.lit(0),
+                        F.greatest(n_chunks - 1, F.lit(0)))
+    return (toks
+            .filter(n > 0)
+            .select(F.col(id_col),
+                    F.posexplode(F.transform(
+                        starts,
+                        lambda i: F.concat_ws(
+                            " ", F.slice("_w", i * stride + 1,
+                                         window))))
+                    .alias("chunk_idx", "_chunk"),
+                    n.alias("_n"))
+            .select(F.col(id_col),
+                    F.col("chunk_idx").cast("long"),
+                    (F.col("chunk_idx") * stride).cast("long")
+                     .alias("start_tok"),
+                    F.least(F.lit(window),
+                            F.col("_n") - F.col("chunk_idx") * stride)
+                     .cast("long").alias("n_tok"),
+                    F.md5(F.col("_chunk").cast("binary"))
+                     .alias("chunk_md5")))

@@ -23,6 +23,7 @@ from picoprobedataflow_spark.operators import audio as AU
 from picoprobedataflow_spark.operators import bpe as BPE
 from picoprobedataflow_spark.operators import dedup as DD
 from picoprobedataflow_spark.operators import multimodal as MM
+from picoprobedataflow_spark.operators import packing as PK
 from picoprobedataflow_spark.operators import similarity as SIM
 from picoprobedataflow_spark.plans.catalog import query
 from picoprobedataflow_spark.plans.common import tbl
@@ -2354,6 +2355,46 @@ def nfc_normalized_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("len_norm"))
 
 
+#: Context-window splitter grid for the ``chunks`` family: 8-token
+#: windows every 4 tokens (50% overlap — the RAG-index default shape,
+#: scaled to the ~54-token synthetic docs).
+_CHUNK_W = 8
+_CHUNK_STRIDE = 4
+
+_CHUNKS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {{words}} AS w FROM documents
+),
+st AS (
+  SELECT doc_id, w, len(w) AS n,
+         unnest(range(0, CAST(ceil(len(w) / {_CHUNK_STRIDE}.0)
+                              AS BIGINT))) AS i
+  FROM toks WHERE len(w) > 0
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(least({_CHUNK_W}, n - i * {_CHUNK_STRIDE}) AS BIGINT)
+         AS n_tok,
+       md5(array_to_string(
+         w[i * {_CHUNK_STRIDE} + 1 :
+           i * {_CHUNK_STRIDE} + {_CHUNK_W}], ' ')) AS chunk_md5
+FROM st
+""".format(words=_WORDS)
+
+
+def chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The context-window splitter
+    (:func:`..operators.packing.chunk_documents`): overlapping
+    fixed-token chunks with content md5s — the inverse of
+    ``pack_manifest`` (packing joins short docs up to a budget,
+    chunking splits long docs down to one window). The md5 is the
+    key chunk-level dedup and ANN indexing join on."""
+    docs = tbl(spark, sf_dir, "documents")
+    return PK.chunk_documents(docs, window=_CHUNK_W,
+                              stride=_CHUNK_STRIDE)
+
+
 #: Shingle width for the span-level decontamination family — matches
 #: the contam/contam_bloom doc-level gates so the two report on the
 #: same leak definition.
@@ -4282,6 +4323,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              n=("doc_id", "n_removed", "n_kept")),
     _fam_sql("nfc", "{nfc}", k1="norm",
              n=("doc_id", "len_raw", "len_norm")),
+    _fam_sql("chunks", "{chunks}", k1="chunk_md5",
+             n=("doc_id", "chunk_idx", "start_tok", "n_tok")),
     _fam_sql("decontam_spans", "{decontam}", k1="cleaned",
              n=("doc_id", "n_removed", "n_kept")),
     _fam_sql("decontam_bloom", "{decontam}", k1="cleaned",
@@ -4319,6 +4362,7 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           spclean=_SPAN_CLEAN_ORACLE,
           boiler=_BOILER_CLEAN_ORACLE,
           nfc=_NFC_ORACLE,
+          chunks=_CHUNKS_ORACLE,
           decontam=_DECONTAM_SPANS_ORACLE,
           urlnorm=_URL_NORM_ORACLE,
           domquota=_DOMAIN_QUOTA_ORACLE,
@@ -4361,7 +4405,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thirty-four training-data curation families, one normalized
+    """Thirty-five training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -4394,6 +4438,8 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`nfc_normalized_texts`, round 12 — Unicode NFC
     normalization, CPython unicodedata hash-pinned against DuckDB
     utf8proc on adversarial combining-mark/jamo sequences),
+    ``chunks`` (:func:`chunk_manifest`, round 12 — the overlapping
+    context-window splitter with content-md5 chunk ids),
     ``decontam_spans``
     (:func:`decontam_span_texts`, round 9 — SPAN-level benchmark
     decontamination: leaked benchmark shingles are excised from
@@ -4485,6 +4531,10 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_fam_df(nfc_normalized_texts(spark, sf_dir),
                              "nfc", k1="norm",
                              n=("doc_id", "len_raw", "len_norm")))
+        .unionByName(_fam_df(chunk_manifest(spark, sf_dir),
+                             "chunks", k1="chunk_md5",
+                             n=("doc_id", "chunk_idx", "start_tok",
+                                "n_tok")))
         .unionByName(_fam_df(decontam_span_texts(spark, sf_dir),
                              "decontam_spans", k1="cleaned",
                              n=("doc_id", "n_removed", "n_kept")))

@@ -2706,6 +2706,43 @@ def test_remove_frequent_segments_boilerplate_rule(spark):
     assert rows[5].n_removed == 0 and rows[5].n_kept == 0
 
 
+def test_chunk_documents_coverage_and_content_ids(spark):
+    """Context-window splitter: with stride <= window every token
+    position is covered by at least one chunk, offsets advance by
+    the stride, the final chunk is short (n_tok = remainder), an
+    identical passage in two docs chunks to the same content md5,
+    and a doc shorter than one window yields exactly one chunk."""
+    from picoprobedataflow_spark.operators.packing import \
+        chunk_documents
+
+    t10 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [(1, t10), (2, "w1 w2 w3 w4 w5 w6 w7 w8"), (3, "a b c")],
+        "doc_id long, text string")
+    out = chunk_documents(docs, window=8, stride=4)
+    rows = sorted(((r.doc_id, r.chunk_idx, r.start_tok, r.n_tok)
+                   for r in out.collect()))
+    # doc 1 (10 toks): chunks at 0 (8 toks), 4 (6 toks), 8 (2 toks)
+    # doc 2 (8 toks):  chunks at 0 (8 toks), 4 (4 toks)
+    # doc 3 (3 toks):  one short chunk
+    assert rows == [(1, 0, 0, 8), (1, 1, 4, 6), (1, 2, 8, 2),
+                    (2, 0, 0, 8), (2, 1, 4, 4),
+                    (3, 0, 0, 3)]
+    # coverage: union of [start, start+n_tok) spans every position
+    for did, n in ((1, 10), (2, 8), (3, 3)):
+        covered = set()
+        for d, _i, s, k in rows:
+            if d == did:
+                covered |= set(range(s, s + k))
+        assert covered == set(range(n))
+    # content identity: the first window of docs 1 and 2 is the
+    # same passage -> same md5; doc 3's differs
+    md5s = {(r.doc_id, r.chunk_idx): r.chunk_md5
+            for r in out.collect()}
+    assert md5s[(1, 0)] == md5s[(2, 0)]
+    assert md5s[(3, 0)] != md5s[(1, 0)]
+
+
 def test_winnow_pairs_max_df_drops_hot_fingerprints(spark):
     """The stop-shingle knob on the winnow join: with max_df the
     boilerplate fingerprint shared by every doc stops generating
