@@ -164,3 +164,89 @@ def test_url_normalize_idempotent(spark, scheme, host, parts):
         WB.url_normalize(WB.url_normalize("url")).alias("twice"),
     ).collect()[0]
     assert row.once == row.twice, raw
+
+
+def _ref_boiler(corpus: list[list[str]], span_w: int, min_df: int):
+    """Naive boilerplate model: aligned windows, df = distinct docs
+    containing the window text, drop windows with df >= min_df,
+    stitch kept windows + tail."""
+    from collections import defaultdict
+    df_map: defaultdict[str, set[int]] = defaultdict(set)
+    wins = []
+    for did, toks in enumerate(corpus):
+        ws = [" ".join(toks[i * span_w:(i + 1) * span_w])
+              for i in range(len(toks) // span_w)]
+        wins.append(ws)
+        for w in ws:
+            df_map[w].add(did)
+    out = {}
+    for did, toks in enumerate(corpus):
+        kept = [w for w in wins[did] if len(df_map[w]) < min_df]
+        tail = toks[(len(toks) // span_w) * span_w:]
+        out[did] = (" ".join(kept + [" ".join(tail)]).strip()
+                    if tail else " ".join(kept),
+                    len(wins[did]) - len(kept), len(kept))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_TEXT, min_size=1, max_size=8),
+       min_df=st.integers(1, 3))
+def test_remove_frequent_segments_matches_model(spark, docs, min_df):
+    """Boilerplate removal agrees with the naive df-threshold model
+    on collision-heavy corpora, including min_df=1 (everything
+    windowed removed, tails survive) and empty/short docs."""
+    span_w = 2
+    corpus = [t.split() if t else [] for t in docs]
+    want = _ref_boiler(corpus, span_w, min_df)
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.cleaned, r.n_removed, r.n_kept)
+           for r in DD.remove_frequent_segments(
+               df, span_w=span_w, min_df=min_df).collect()}
+    for did, toks in enumerate(corpus):
+        if len(toks) < span_w:
+            # sub-window doc: passes through untouched
+            assert got[did] == (" ".join(toks), 0, 0)
+        else:
+            assert got[did] == want[did]
+
+
+def _ref_chunks(toks: list[str], window: int, stride: int):
+    out = []
+    i = 0
+    while i * stride < len(toks):
+        seg = toks[i * stride:i * stride + window]
+        out.append((i, i * stride, len(seg), " ".join(seg)))
+        i += 1
+    return out
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_TEXT, min_size=1, max_size=6),
+       window=st.integers(1, 5), stride=st.integers(1, 7))
+def test_chunk_documents_matches_model(spark, docs, window, stride):
+    """Chunking agrees with the naive slicing model for every
+    window/stride combination — including stride > window
+    (subsampling gaps) and single-token or empty docs."""
+    import hashlib
+
+    from picoprobedataflow_spark.operators.packing import \
+        chunk_documents
+
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id long, text string")
+    got = {(r.doc_id, r.chunk_idx):
+           (r.start_tok, r.n_tok, r.chunk_md5)
+           for r in chunk_documents(df, window=window,
+                                    stride=stride).collect()}
+    n_got = 0
+    for did, text in enumerate(docs):
+        # the engine tokenizes '' to [''] (split semantics shared
+        # with every other text family) — mirror that in the model
+        toks = text.split(" ") if text else [""]
+        for i, s, k, seg in _ref_chunks(toks, window, stride):
+            md5 = hashlib.md5(seg.encode()).hexdigest()
+            assert got[(did, i)] == (s, k, md5)
+            n_got += 1
+    assert len(got) == n_got
