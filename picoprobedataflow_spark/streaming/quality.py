@@ -274,3 +274,96 @@ def domain_quota_stream(spark: SparkSession, src_dir: str,
         q.stop()
         raise TimeoutError(
             f"domain quota drain did not finish in {timeout}s")
+
+
+#: Output schema of :func:`boiler_flag_stream` rows — one row per
+#: aligned window; ``span_h`` is the window's xxhash64 (grouping on
+#: the 8-byte hash instead of the window text keeps the state-store
+#: key narrow; collision odds are the standard 64-bit birthday bound).
+BOILER_STREAM_OUT_SCHEMA = ("doc_id long, idx long, span_h long, "
+                            "df_after long, is_boiler boolean")
+
+
+def boiler_flag_stream(spark: SparkSession, src_dir: str,
+                       ckpt_dir: str, out_dir: str,
+                       schema: StructType | str,
+                       span_w: int = 4, min_df: int = 2,
+                       text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_files_per_trigger: int | None = None,
+                       timeout: int = 300) -> None:
+    """Streaming CROSS-BATCH boilerplate detection — the ingest-time
+    twin of :func:`..operators.dedup.remove_frequent_segments`: each
+    arriving document's aligned windows are checked against the
+    count of DISTINCT documents that window has appeared in across
+    every batch so far, and flagged once that document frequency
+    reaches ``min_df``. The batch op scans a finished corpus; this
+    flags AS DATA LANDS, which is what lets an ingest pipeline route
+    boilerplate-heavy docs to review before they hit storage.
+
+    Semantics (pinned): a single-batch drain flags exactly the
+    windows the batch op removes (within one batch the per-span
+    group sees every occurrence, so df = corpus df). Across batches
+    the flag is PREFIX-df — a window is flagged from the batch where
+    its cumulative df first reaches ``min_df`` onward; occurrences
+    in EARLIER batches keep their unflagged verdict (a stream cannot
+    retro-flag emitted rows — the same bounded-horizon trade as
+    bounded-state dedup, and the reason a periodic batch re-sweep
+    stays in the pipeline). ``df_after`` exposes the cumulative
+    count so downstream can re-derive any threshold.
+
+    State & exactly-once: one 8-byte distinct-doc counter per
+    DISTINCT window hash inside ``applyInPandasWithState``,
+    engine-checkpointed (a replayed batch re-reads its pre-batch
+    state — recovery cannot double-count). Distinctness across
+    batches needs no doc-set state because a checkpointed source
+    delivers each document exactly once, so per-batch
+    ``nunique(doc_id)`` increments are already distinct-correct.
+    State bound = |distinct windows| × 16 bytes, the same key
+    cardinality the batch op's span aggregate shuffles — distributed
+    by the hash key, no skew concentration (a hot span is ONE state
+    row however often it recurs). No timeout: expiring a span
+    forgets its df and under-flags."""
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    from ..operators.dedup import _aligned_spans
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               max_files_per_trigger)
+    docs = reader.parquet(src_dir)
+    keyed = (_aligned_spans(docs, span_w, text_col, id_col)
+             .select(F.col(id_col).alias("doc_id"),
+                     F.col("idx").cast("long").alias("idx"),
+                     F.xxhash64("span").alias("span_h")))
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+        (span_h,) = key
+        seen = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        cum = seen + int(pdf["doc_id"].nunique())
+        state.update((cum,))
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"], "idx": pdf["idx"],
+            "span_h": span_h, "df_after": cum,
+            "is_boiler": cum >= min_df})
+
+    out = (keyed.groupBy("span_h")
+           .applyInPandasWithState(
+               _update,
+               outputStructType=BOILER_STREAM_OUT_SCHEMA,
+               stateStructType="df long",
+               outputMode="append",
+               timeoutConf=GroupStateTimeout.NoTimeout))
+    q = (out.writeStream
+         .option("checkpointLocation", ckpt_dir)
+         .format("parquet").option("path", out_dir)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"boiler stream drain did not finish in {timeout}s")

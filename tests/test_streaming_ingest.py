@@ -640,3 +640,55 @@ def test_streaming_domain_quota_caps_across_batches(spark, tmp_path):
     # its batch-2 doc is admitted as rank 2
     assert rows[100].kept and rows[100].rank == 1
     assert rows[101].kept and rows[101].rank == 2
+
+
+def test_streaming_boiler_flags_prefix_df_across_batches(spark,
+                                                         tmp_path):
+    """Cross-batch boilerplate flagging: a single-batch drain flags
+    exactly the windows the batch op removes; across batches the
+    flag is prefix-df (earlier occurrences keep their unflagged
+    verdict, later ones flag once cumulative df reaches min_df, and
+    df_after keeps counting); restart resumes state rather than
+    re-counting."""
+    from picoprobedataflow_spark.operators import dedup as DD
+    from picoprobedataflow_spark.streaming.quality import (
+        boiler_flag_stream,
+    )
+
+    nav = "b1 b2 b3 b4"
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "flags")
+
+    b1 = [(1, nav + " u1 u2 u3 u4"), (2, nav + " v1 v2 v3 v4"),
+          (3, "w1 w2 w3 w4")]
+    b1df = spark.createDataFrame(b1, schema)
+    b1df.coalesce(1).write.mode("append").parquet(str(src))
+    boiler_flag_stream(spark, str(src), ckpt, out, schema,
+                       span_w=4, min_df=2)
+
+    # single-batch drain ≡ the batch rule: flagged window count per
+    # doc equals the batch op's n_removed
+    got1 = spark.read.parquet(out)
+    flagged = {r.doc_id: 0 for r in got1.collect()}
+    for r in got1.collect():
+        flagged[r.doc_id] += int(r.is_boiler)
+    batch = {r.doc_id: r.n_removed
+             for r in DD.remove_frequent_segments(
+                 b1df, span_w=4, min_df=2).collect()}
+    assert flagged == batch           # nav flagged in docs 1+2 only
+
+    # batch 2: doc 4 repeats doc 3's window -> its df reaches 2, so
+    # doc 4 is flagged NOW while doc 3's batch-1 row stays unflagged
+    # (prefix semantics); nav keeps counting (df_after = 3)
+    spark.createDataFrame([(4, "w1 w2 w3 w4"), (5, nav)], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    boiler_flag_stream(spark, str(src), ckpt, out, schema,
+                       span_w=4, min_df=2)
+    rows = {(r.doc_id, r.idx): r
+            for r in spark.read.parquet(out).collect()}
+    assert not rows[(3, 0)].is_boiler and rows[(3, 0)].df_after == 1
+    assert rows[(4, 0)].is_boiler and rows[(4, 0)].df_after == 2
+    assert rows[(5, 0)].is_boiler and rows[(5, 0)].df_after == 3
+    assert rows[(1, 0)].df_after == 2 and rows[(1, 0)].is_boiler
