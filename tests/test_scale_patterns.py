@@ -914,3 +914,44 @@ def test_sec4_helpers_match_decimal_half_up_property(us, n):
             "SELECT " + T._MEAN_SEC4_SQL.format(s=str(us), n=str(n))
         ).fetchall()
         assert gm == ref(us, n * 1_000_000), (us, n, gm)
+
+
+def test_round12_curation_plan_shapes(spark):
+    """Plan-shape pins for the round-12 curation ops: the chunker is
+    a pure narrow explode (ZERO Exchange — chunk rows inherit the
+    corpus partitioning), the NFC kernel is Arrow-batched with no
+    shuffle, and boilerplate removal carries exactly the shuffles
+    its aggregate chain needs (span df-aggregate, join-back reusing
+    that partitioning, per-doc reassembly, tail join) with the text
+    column pruned out of every scan but the tokenizer's."""
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.functions.text import nfc_normalize
+    from picoprobedataflow_spark.operators.dedup import \
+        remove_frequent_segments
+    from picoprobedataflow_spark.operators.packing import \
+        chunk_documents
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    chunks = chunk_documents(docs, window=8, stride=4)
+    cplan = chunks._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in cplan, cplan
+    # column pruning: only doc_id + text leave the scan
+    assert "lang" not in cplan.split("ReadSchema")[1][:300]
+
+    nfc = docs.select("doc_id", nfc_normalize("text").alias("n"))
+    nplan = nfc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in nplan, nplan
+    assert "ArrowEvalPython" in nplan and "BatchEvalPython" not in nplan
+
+    boiler = remove_frequent_segments(docs, span_w=4, min_df=2)
+    bplan = boiler._jdf.queryExecution().executedPlan().toString()
+    real = bplan.count("Exchange") - bplan.count("ReusedExchange") \
+        - bplan.count("BroadcastExchange")
+    # span df-agg + join-back + doc reassembly + tail join; AQE may
+    # reuse the span partitioning for the join side, never more
+    assert real <= 5, bplan
+    assert "SortMergeJoin" in bplan or "ShuffledHashJoin" in bplan \
+        or "BroadcastHashJoin" in bplan
