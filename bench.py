@@ -253,6 +253,14 @@ def main() -> None:
         lambda spark, sf_dir: DD.simhash_dedup(
             tbl(spark, sf_dir, "documents"), max_hamming=6,
             hash_fn=SC.fast_hash64, formulation="rowlocal"))
+    # Round 12: corpus-frequency boilerplate removal (distinct-count
+    # aggregate + reassembly), the overlapping context-window chunker
+    # (zero-shuffle explode + md5), and the NFC Arrow kernel (the
+    # sanctioned pandas-UDF slow path — measured so its throughput
+    # envelope is on record, not assumed).
+    variants["boiler_clean_full"] = PL.boiler_clean_texts
+    variants["chunking_full"] = PL.chunk_manifest
+    variants["nfc_full"] = PL.nfc_normalized_texts
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
     # shouldn't be charged to the first query. Each headline query is
