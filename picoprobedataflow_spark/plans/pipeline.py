@@ -2306,23 +2306,27 @@ def boiler_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: decomposed), Hangul jamo that compose to a syllable block,
 #: stacked marks where only the first composes, an already-composed
 #: string (idempotence), and the empty string. Cycled by
-#: ``doc_id % 7``; the 7th case is NULL (None passthrough exercised
+#: ``doc_id % 9``; a lone combining mark and a same-base
+#: mark-reorder case ride as cases 6-7, and the last case is NULL (None passthrough exercised
 #: inside the driver gate itself). The oracle rebuilds the SAME raw
 #: strings with DuckDB ``chr()`` codepoints, so the family hash-pins
 #: CPython's unicodedata against DuckDB's utf8proc.
 _NFC_CASES = ("cafe\u0301", "q\u0301", "\u1100\u1161",
-              "e\u0301\u0308", "caf\u00e9", "")
+              "e\u0301\u0308", "caf\u00e9", "",
+              "\u0301", "e\u0308\u0301")
 
 _NFC_ORACLE = """
 WITH raws AS (
   SELECT doc_id,
-         CASE doc_id % 7
+         CASE doc_id % 9
            WHEN 0 THEN 'cafe' || chr(769)
            WHEN 1 THEN 'q' || chr(769)
            WHEN 2 THEN chr(4352) || chr(4449)
            WHEN 3 THEN 'e' || chr(769) || chr(776)
            WHEN 4 THEN 'caf' || chr(233)
            WHEN 5 THEN ''
+           WHEN 6 THEN chr(769)
+           WHEN 7 THEN 'e' || chr(776) || chr(769)
          END AS raw
   FROM documents
 )
@@ -2345,8 +2349,8 @@ def nfc_normalized_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition happened rather than a string round-trip."""
     docs = tbl(spark, sf_dir, "documents")
     arr = F.array(*[F.lit(c) for c in _NFC_CASES])
-    m = (F.col("doc_id") % 7).cast("int")
-    raw = F.when(m < 6, F.element_at(arr, m + 1))
+    m = (F.col("doc_id") % 9).cast("int")
+    raw = F.when(m < 8, F.element_at(arr, m + 1))
     d = docs.select("doc_id", raw.alias("raw"))
     return d.select(
         "doc_id", TX.nfc_normalize("raw").alias("norm"),
