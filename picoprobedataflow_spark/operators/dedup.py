@@ -1315,20 +1315,26 @@ def apply_survivors(docs: DataFrame, survivors: DataFrame,
 
 
 def _aligned_spans(docs: DataFrame, span_w: int, text_col: str,
-                   id_col: str, stride: int | None = None) -> DataFrame:
-    """(id, idx, span, _key): the shared window table under
-    :func:`cross_doc_span_dedup` and :func:`remove_frequent_segments`
-    — each document's token stream chopped into ``span_w``-token
-    windows every ``stride`` tokens (aligned, non-overlapping by
-    default), keyed by the exact-int64 corpus position
-    ``(doc_id << 32) + idx``. One explode; no shuffle of its own."""
+                   id_col: str, stride: int | None = None,
+                   extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, [extra_cols...], idx, span, _key): the shared window
+    table under :func:`cross_doc_span_dedup`,
+    :func:`remove_frequent_segments` and
+    :func:`source_overlap_matrix` — each document's token stream
+    chopped into ``span_w``-token windows every ``stride`` tokens
+    (aligned, non-overlapping by default), keyed by the exact-int64
+    corpus position ``(doc_id << 32) + idx``. ``extra_cols`` ride
+    through the explode verbatim (cheaper than a join back on the
+    id). One explode; no shuffle of its own."""
     from picoprobedataflow_spark.functions.text import words
 
     # stride < span_w gives OVERLAPPING windows — catches duplicated
     # passages that aligned non-overlapping windows miss when an edit
     # re-phases the alignment (cost factor span_w/stride more rows).
     st = span_w if stride is None else int(stride)
-    toks = (docs.select(F.col(id_col), words(text_col).alias("_w"))
+    extras = [F.col(c) for c in extra_cols]
+    toks = (docs.select(F.col(id_col), *extras,
+                        words(text_col).alias("_w"))
             .filter(F.size("_w") >= span_w))
     n_sp = (F.floor((F.size("_w") - span_w) / st) + 1).cast("int")
     # greatest(.., 0): the posexplode makes InferFiltersFromGenerate
@@ -1336,7 +1342,7 @@ def _aligned_spans(docs: DataFrame, span_w: int, text_col: str,
     # without the clamp a sub-span_w doc at stride=1 reaches
     # slice(_w, 0, ..), which throws.
     spans = (toks
-             .select(F.col(id_col),
+             .select(F.col(id_col), *extras,
                      F.posexplode(F.transform(
                          F.sequence(F.lit(0), F.greatest(n_sp - 1,
                                                          F.lit(0))),
@@ -1469,6 +1475,51 @@ def remove_frequent_segments(docs: DataFrame, span_w: int = 4,
     return _reassemble_spans(docs, marked,
                              F.col("_df") < F.lit(min_df),
                              span_w, text_col, id_col)
+
+
+def source_overlap_matrix(docs: DataFrame, span_w: int = 4,
+                          text_col: str = "text",
+                          id_col: str = "doc_id",
+                          group_col: str = "source") -> DataFrame:
+    """(pair, shared, total_a, total_b, overlap): the cross-source
+    contamination matrix — for every unordered pair of corpus
+    sources, how many DISTINCT ``span_w``-token windows appear in
+    BOTH, alongside each side's distinct-window total and the
+    overlap coefficient shared/min(total_a, total_b). The mixing
+    diagnostic a pipeline reads before weighting sources: two
+    "independent" crawls with a high coefficient are double-counting
+    the same text, and the dedup budget should be spent across them,
+    not within.
+
+    Scale shape: one explode, one distinct aggregate on
+    (source, span) — the heavy step, keyed by the span so partial
+    map-side distinct applies — then a span-keyed self-join whose
+    per-key fan-out is bounded by |sources| rows a side (a window
+    can appear in at most every source once after the distinct), so
+    the join output is ≤ C(|sources|, 2) per span, never quadratic
+    in docs. The totals join is a broadcast of |sources| rows."""
+    spans = _aligned_spans(docs, span_w, text_col, id_col,
+                           extra_cols=(group_col,))
+    sp = spans.select(group_col, "span").distinct()
+    tot = sp.groupBy(group_col).agg(F.count("*").alias("_n"))
+    a, b = sp.alias("a"), sp.alias("b")
+    ga, gb = f"a.{group_col}", f"b.{group_col}"
+    pairs = (a.join(b, (F.col("a.span") == F.col("b.span"))
+                    & (F.col(ga) < F.col(gb)))
+             .groupBy(F.col(ga).alias("_sa"), F.col(gb).alias("_sb"))
+             .agg(F.count("*").alias("shared")))
+    ta = F.broadcast(tot.select(F.col(group_col).alias("_sa"),
+                                F.col("_n").alias("total_a")))
+    tb = F.broadcast(tot.select(F.col(group_col).alias("_sb"),
+                                F.col("_n").alias("total_b")))
+    return (pairs.join(ta, "_sa").join(tb, "_sb")
+            .select(F.concat_ws(">", "_sa", "_sb").alias("pair"),
+                    F.col("shared").cast("long"),
+                    F.col("total_a").cast("long"),
+                    F.col("total_b").cast("long"),
+                    F.round(F.col("shared")
+                            / F.least("total_a", "total_b"), 6)
+                     .alias("overlap")))
 
 
 #: ``decontaminate_spans(transport="auto")`` direct-vs-Bloom cutover:

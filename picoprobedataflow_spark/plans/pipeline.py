@@ -2300,6 +2300,46 @@ def boiler_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        min_df=_BOILER_MIN_DF)
 
 
+_SOURCE_OVERLAP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, {words} AS w FROM documents
+),
+ids AS (
+  SELECT doc_id, source, unnest(range(len(w) // {w})) AS idx, w
+  FROM toks WHERE len(w) >= {w}
+),
+sp AS (
+  SELECT DISTINCT source,
+         array_to_string(w[idx * {w} + 1 : idx * {w} + {w}], ' ')
+           AS span
+  FROM ids
+),
+tot AS (SELECT source, count(*) AS n FROM sp GROUP BY 1),
+p AS (
+  SELECT a.source AS sa, b.source AS sb, count(*) AS shared
+  FROM sp a JOIN sp b ON a.span = b.span AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa || '>' || sb AS pair,
+       CAST(shared AS BIGINT) AS shared,
+       CAST(ta.n AS BIGINT) AS total_a,
+       CAST(tb.n AS BIGINT) AS total_b,
+       round(shared / least(ta.n, tb.n), 6) AS overlap
+FROM p JOIN tot ta ON ta.source = sa JOIN tot tb ON tb.source = sb
+""".format(words=_WORDS, w=_SPAN_W)
+
+
+def source_overlap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix
+    (:func:`..operators.dedup.source_overlap_matrix`): distinct
+    shared windows + overlap coefficient per unordered source pair —
+    the diagnostic that says whether two corpus sources are
+    double-counting the same text before mixture weights are
+    chosen."""
+    docs = tbl(spark, sf_dir, "documents")
+    return DD.source_overlap_matrix(docs, span_w=_SPAN_W)
+
+
 #: Adversarial raw inputs for the ``nfc`` family, chosen so every
 #: interesting NFC branch is exercised: a combining acute that
 #: composes (café), one with no precomposed target (q́ stays
@@ -4329,6 +4369,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              n=("doc_id", "len_raw", "len_norm")),
     _fam_sql("chunks", "{chunks}", k1="chunk_md5",
              n=("doc_id", "chunk_idx", "start_tok", "n_tok")),
+    _fam_sql("source_overlap", "{srcovl}", k1="pair",
+             n=("shared", "total_a", "total_b"), v=("overlap",)),
     _fam_sql("decontam_spans", "{decontam}", k1="cleaned",
              n=("doc_id", "n_removed", "n_kept")),
     _fam_sql("decontam_bloom", "{decontam}", k1="cleaned",
@@ -4367,6 +4409,7 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           boiler=_BOILER_CLEAN_ORACLE,
           nfc=_NFC_ORACLE,
           chunks=_CHUNKS_ORACLE,
+          srcovl=_SOURCE_OVERLAP_ORACLE,
           decontam=_DECONTAM_SPANS_ORACLE,
           urlnorm=_URL_NORM_ORACLE,
           domquota=_DOMAIN_QUOTA_ORACLE,
@@ -4409,7 +4452,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thirty-five training-data curation families, one normalized
+    """Thirty-six training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -4444,7 +4487,9 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     utf8proc on adversarial combining-mark/jamo sequences),
     ``chunks`` (:func:`chunk_manifest`, round 12 — the overlapping
     context-window splitter with content-md5 chunk ids),
-    ``decontam_spans``
+    ``source_overlap`` (:func:`source_overlap_stats`, round 12 —
+    the cross-source shared-window contamination matrix with
+    overlap coefficients), ``decontam_spans``
     (:func:`decontam_span_texts`, round 9 — SPAN-level benchmark
     decontamination: leaked benchmark shingles are excised from
     training docs via a sweep-line interval union instead of
@@ -4539,6 +4584,10 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "chunks", k1="chunk_md5",
                              n=("doc_id", "chunk_idx", "start_tok",
                                 "n_tok")))
+        .unionByName(_fam_df(source_overlap_stats(spark, sf_dir),
+                             "source_overlap", k1="pair",
+                             n=("shared", "total_a", "total_b"),
+                             v=("overlap",)))
         .unionByName(_fam_df(decontam_span_texts(spark, sf_dir),
                              "decontam_spans", k1="cleaned",
                              n=("doc_id", "n_removed", "n_kept")))

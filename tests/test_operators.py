@@ -2706,6 +2706,27 @@ def test_remove_frequent_segments_boilerplate_rule(spark):
     assert rows[5].n_removed == 0 and rows[5].n_kept == 0
 
 
+def test_source_overlap_matrix_counts_and_coefficient(spark):
+    """Cross-source overlap: shared distinct windows per unordered
+    pair, per-occurrence multiplicity ignored (the distinct), pairs
+    with zero overlap absent, pair key ordered lexicographically,
+    and the coefficient normalizes by the smaller side."""
+    nav = "b1 b2 b3 b4"
+    docs = spark.createDataFrame(
+        [(1, nav + " a1 a2 a3 a4", "A"),
+         (2, nav + " " + nav, "B"),       # nav twice: still 1 distinct
+         (3, "c1 c2 c3 c4", "C"),
+         (4, nav, "A")],                  # nav again in A: no self-pair
+        "doc_id long, text string, source string")
+    rows = {r.pair: r for r in DD.source_overlap_matrix(
+        docs, span_w=4).collect()}
+    # A has {nav, a1..a4} = 2 distinct windows, B {nav} = 1, C {c}
+    assert set(rows) == {"A>B"}           # C shares nothing
+    r = rows["A>B"]
+    assert (r.shared, r.total_a, r.total_b) == (1, 2, 1)
+    assert r.overlap == 1.0               # 1 / min(2, 1)
+
+
 def test_chunk_documents_coverage_and_content_ids(spark):
     """Context-window splitter: with stride <= window every token
     position is covered by at least one chunk, offsets advance by
