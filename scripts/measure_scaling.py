@@ -63,7 +63,14 @@ def main() -> None:
                     ("pq_adc_full", PL.ann_pq_adc_topk),
                     ("ivfpq_full", PL.ann_ivfpq_topk),
                     ("winnow_full", PL.winnow_doc_fingerprints),
-                    ("ppl_bucket_full", PL.ppl_bucket_assignments)):
+                    ("ppl_bucket_full", PL.ppl_bucket_assignments),
+                    # Round 12: boilerplate removal (distinct-count
+                    # aggregate), the chunker (zero-shuffle explode)
+                    # and the NFC Arrow kernel.
+                    ("boiler_clean_full", PL.boiler_clean_texts),
+                    ("chunking_full", PL.chunk_manifest),
+                    ("nfc_full", PL.nfc_normalized_texts),
+                    ("source_overlap_full", PL.source_overlap_stats)):
         fns[key] = fn
 
     # warmup (codegen/JVM) at the smallest SF, untimed
