@@ -93,3 +93,44 @@ def dequantize_int8(q: Column, scale_inv: Column | float) -> Column:
     si = F.lit(float(scale_inv)) if isinstance(scale_inv, (int, float)) \
         else scale_inv
     return F.transform(q, lambda x: x.cast("double") / si)
+
+
+def random_sign_matrix(out_dim: int, dim: int,
+                       salt: str = "rp") -> list[list[float]]:
+    """Deterministic ±1 projection rows (the Achlioptas sparse-JL
+    sign matrix, density 1) derived from md5 of ``salt:d:j`` — no
+    RNG state, so the same matrix regenerates on any driver AND in
+    SQL: a hex digit is even iff it is one of ``02468ace``, which is
+    exactly ``int(h[0], 16) % 2 == 0`` — the oracle reproduces every
+    sign with ``md5()``/``substr()`` and stays engine-identical."""
+    import hashlib
+
+    return [[1.0 if int(hashlib.md5(
+                f"{salt}:{d}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+             else -1.0
+             for j in range(dim)]
+            for d in range(out_dim)]
+
+
+def random_project(a: Column, out_dim: int, dim: int,
+                   salt: str = "rp") -> Column:
+    """Johnson-Lindenstrauss random projection to ``out_dim`` dims:
+    ``out[d] = (1/√out_dim) · Σⱼ a[j]·g[d,j]`` with the
+    deterministic ±1 matrix of :func:`random_sign_matrix`. The
+    storage/compute lever for the embedding lane — a 64-d float
+    column projects to 16-d at 4× less ANN arithmetic while
+    preserving pairwise distances within the JL distortion bound
+    (linearity and the exact values are pytest-pinned against a
+    numpy model; the ``rand_proj`` family hash-pins them against a
+    DuckDB replay of the same md5-sign matrix).
+
+    Row-local (zero shuffle): ``out_dim`` sequential fold-dots per
+    row, each a whole-stage-codegen expression — the same shape as
+    :func:`dot`, deterministic FP order on both engines."""
+    import math
+
+    inv = 1.0 / math.sqrt(out_dim)
+    rows = random_sign_matrix(out_dim, dim, salt)
+    return F.array(*[
+        (dot(a, F.array(*[F.lit(s) for s in row])) * inv)
+        for row in rows])

@@ -2300,6 +2300,45 @@ def boiler_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        min_df=_BOILER_MIN_DF)
 
 
+#: ``rand_proj`` family grid: 64-d embeddings down to 16-d, first
+#: 256 vectors (fixed gate → fixed 4096-row family at every SF).
+_RP_OUT, _RP_DIM, _RP_GATE = 16, 64, 256
+
+_RAND_PROJ_ORACLE = f"""
+WITH g AS (
+  SELECT d.d, j.j,
+         CASE WHEN strpos('02468ace',
+                substr(md5('rp:' || d.d || ':' || j.j), 1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM generate_series(0, {_RP_OUT - 1}) d(d),
+       generate_series(0, {_RP_DIM - 1}) j(j)
+),
+e AS (SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id < {_RP_GATE})
+SELECT e.vec_id, CAST(g.d AS BIGINT) AS d,
+       round(sum(CAST(e.embedding[g.j + 1] AS DOUBLE) * g.s)
+             / sqrt({_RP_OUT}), 6) AS val
+FROM e, g
+GROUP BY 1, 2
+"""
+
+
+def rand_proj_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection
+    (:func:`..functions.vectors.random_project`): 64-d embeddings
+    down to 16-d with a deterministic md5-sign matrix the oracle
+    regenerates in SQL — the storage/ANN-arithmetic lever of the
+    embedding lane, exact values hash-pinned cross-engine."""
+    from picoprobedataflow_spark.functions import vectors as VE
+
+    emb = (tbl(spark, sf_dir, "embeddings")
+           .filter(F.col("vec_id") < _RP_GATE))
+    proj = VE.random_project(F.col("embedding"), _RP_OUT, _RP_DIM)
+    return (emb.select("vec_id", F.posexplode(proj).alias("d", "v"))
+            .select("vec_id", F.col("d").cast("long").alias("d"),
+                    F.round("v", 6).alias("val")))
+
+
 _SOURCE_OVERLAP_ORACLE = """
 WITH toks AS (
   SELECT doc_id, source, {words} AS w FROM documents
@@ -4371,6 +4410,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              n=("doc_id", "chunk_idx", "start_tok", "n_tok")),
     _fam_sql("source_overlap", "{srcovl}", k1="pair",
              n=("shared", "total_a", "total_b"), v=("overlap",)),
+    _fam_sql("rand_proj", "{randproj}",
+             n=("vec_id", "d"), v=("val",)),
     _fam_sql("decontam_spans", "{decontam}", k1="cleaned",
              n=("doc_id", "n_removed", "n_kept")),
     _fam_sql("decontam_bloom", "{decontam}", k1="cleaned",
@@ -4410,6 +4451,7 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           nfc=_NFC_ORACLE,
           chunks=_CHUNKS_ORACLE,
           srcovl=_SOURCE_OVERLAP_ORACLE,
+          randproj=_RAND_PROJ_ORACLE,
           decontam=_DECONTAM_SPANS_ORACLE,
           urlnorm=_URL_NORM_ORACLE,
           domquota=_DOMAIN_QUOTA_ORACLE,
@@ -4452,7 +4494,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thirty-six training-data curation families, one normalized
+    """Thirty-seven training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -4489,7 +4531,10 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     context-window splitter with content-md5 chunk ids),
     ``source_overlap`` (:func:`source_overlap_stats`, round 12 —
     the cross-source shared-window contamination matrix with
-    overlap coefficients), ``decontam_spans``
+    overlap coefficients), ``rand_proj``
+    (:func:`rand_proj_vectors`, round 12 — deterministic JL ±1
+    random projection 64-d → 16-d, md5-sign matrix regenerated in
+    SQL), ``decontam_spans``
     (:func:`decontam_span_texts`, round 9 — SPAN-level benchmark
     decontamination: leaked benchmark shingles are excised from
     training docs via a sweep-line interval union instead of
@@ -4588,6 +4633,9 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "source_overlap", k1="pair",
                              n=("shared", "total_a", "total_b"),
                              v=("overlap",)))
+        .unionByName(_fam_df(rand_proj_vectors(spark, sf_dir),
+                             "rand_proj", n=("vec_id", "d"),
+                             v=("val",)))
         .unionByName(_fam_df(decontam_span_texts(spark, sf_dir),
                              "decontam_spans", k1="cleaned",
                              n=("doc_id", "n_removed", "n_kept")))

@@ -2706,6 +2706,41 @@ def test_remove_frequent_segments_boilerplate_rule(spark):
     assert rows[5].n_removed == 0 and rows[5].n_kept == 0
 
 
+def test_random_project_matches_numpy_model_and_is_linear(spark):
+    """JL ±1 projection: values equal the numpy matmul with the same
+    deterministic sign matrix, the map is linear
+    (P(a+b) = P(a)+P(b)), and the distortion stays inside a loose
+    JL envelope on average (norms preserved to first order across a
+    sample — the property the 4x compression is bought with)."""
+    import numpy as np
+
+    from picoprobedataflow_spark.functions.vectors import (
+        random_project, random_sign_matrix)
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((20, 64)).astype("f4")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, e array<float>")
+    out = {r.vec_id: np.array(r.p) for r in df.select(
+        "vec_id",
+        random_project(F.col("e"), 16, 64).alias("p")).collect()}
+    g = np.array(random_sign_matrix(16, 64))
+    for i, v in enumerate(vecs):
+        want = (g @ v.astype("f8")) / np.sqrt(16)
+        assert np.allclose(out[i], want, atol=1e-9)
+    # linearity through the engine: project(a+b) = P(a) + P(b)
+    ab = [(0, [float(x) for x in (vecs[0] + vecs[1])])]
+    dfs = spark.createDataFrame(ab, "vec_id long, e array<float>")
+    got = np.array(dfs.select(random_project(
+        F.col("e"), 16, 64).alias("p")).head().p)
+    assert np.allclose(got, out[0] + out[1], atol=1e-6)
+    # norm preservation on average (JL first moment; loose band)
+    ratios = [float(np.linalg.norm(out[i]) /
+                    np.linalg.norm(vecs[i].astype("f8")))
+              for i in range(20)]
+    assert 0.8 < float(np.mean(ratios)) < 1.2
+
+
 def test_source_overlap_matrix_counts_and_coefficient(spark):
     """Cross-source overlap: shared distinct windows per unordered
     pair, per-occurrence multiplicity ignored (the distinct), pairs
