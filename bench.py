@@ -261,6 +261,8 @@ def main() -> None:
     variants["boiler_clean_full"] = PL.boiler_clean_texts
     variants["chunking_full"] = PL.chunk_manifest
     variants["nfc_full"] = PL.nfc_normalized_texts
+    variants["source_overlap_full"] = PL.source_overlap_stats
+    variants["rand_proj_full"] = PL.rand_proj_vectors
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
     # shouldn't be charged to the first query. Each headline query is
