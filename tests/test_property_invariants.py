@@ -250,3 +250,45 @@ def test_chunk_documents_matches_model(spark, docs, window, stride):
             assert got[(did, i)] == (s, k, md5)
             n_got += 1
     assert len(got) == n_got
+
+
+def _ref_source_overlap(corpus, span_w):
+    """Naive model: distinct windows per source, pairwise
+    intersection counts + overlap coefficient."""
+    from collections import defaultdict
+    per_src: defaultdict[str, set[str]] = defaultdict(set)
+    for src, toks in corpus:
+        for i in range(len(toks) // span_w):
+            per_src[src].add(
+                " ".join(toks[i * span_w:(i + 1) * span_w]))
+    out = {}
+    srcs = sorted(per_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            shared = len(per_src[a] & per_src[b])
+            if shared:
+                out[f"{a}>{b}"] = (
+                    shared, len(per_src[a]), len(per_src[b]),
+                    round(shared / min(len(per_src[a]),
+                                       len(per_src[b])), 6))
+    return out
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(st.tuples(st.sampled_from(["A", "B", "C"]),
+                               _TEXT),
+                     min_size=1, max_size=10))
+def test_source_overlap_matches_set_model(spark, docs):
+    """The cross-source overlap matrix agrees with the naive
+    set-intersection model on collision-heavy corpora — including
+    sources whose docs are all sub-window (absent from totals) and
+    pairs with zero overlap (absent from the result)."""
+    corpus = [(s, t.split() if t else []) for s, t in docs]
+    want = _ref_source_overlap(corpus, span_w=2)
+    df = spark.createDataFrame(
+        [(i, t, s) for i, (s, t) in enumerate(docs)],
+        "doc_id long, text string, source string")
+    got = {r.pair: (r.shared, r.total_a, r.total_b, r.overlap)
+           for r in DD.source_overlap_matrix(
+               df, span_w=2).collect()}
+    assert got == want
