@@ -252,6 +252,36 @@ def jaccard_pairs(docs: DataFrame | None, k: int = 3,
                   .select("doc_a", "doc_b", "n_common", "n_a", "n_b", "jaccard"))
 
 
+def containment_pairs(docs: DataFrame | None, k: int = 3,
+                      threshold: float = 0.8,
+                      text_col: str = "text",
+                      id_col: str = "doc_id",
+                      max_df: int | None = None,
+                      shingles: DataFrame | None = None,
+                      shingle_hash: HashFn | None = None) -> DataFrame:
+    """Pairs with shingle-set CONTAINMENT ≥ threshold — the
+    asymmetric near-dup rule, max(|A∩B|/|A|, |A∩B|/|B|). Symmetric
+    Jaccard misses a short document swallowed whole by a longer one
+    (|A∩B|/|A∪B| is dragged toward zero by the size gap: a tweet
+    quoted inside a 10k-token page has Jaccard ≈ 0.01 but
+    containment 1.0), and that swallow pattern is exactly how quoted
+    boilerplate and syndicated articles duplicate in a crawl.
+
+    Same machinery, same scale shape as :func:`jaccard_pairs`
+    (shingle-equality join, max_df stop-shingle cap, hashed-shingle
+    production path) — only the final filter differs, so every knob
+    and bound documented there applies verbatim."""
+    base = jaccard_pairs(docs, k, 0.0, text_col, id_col,
+                         max_df, shingles, shingle_hash)
+    cont = F.greatest(F.col("n_common") / F.col("n_a"),
+                      F.col("n_common") / F.col("n_b"))
+    return (base
+            .withColumn("containment", F.round(cont, 6))
+            .filter(F.col("containment") >= threshold)
+            .select("doc_a", "doc_b", "n_common", "n_a", "n_b",
+                    "containment"))
+
+
 def contamination_overlap(train_docs: DataFrame | None = None,
                           bench_docs: DataFrame | None = None,
                           k: int = 3, text_col: str = "text",

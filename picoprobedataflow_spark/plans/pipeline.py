@@ -2300,6 +2300,51 @@ def boiler_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        min_df=_BOILER_MIN_DF)
 
 
+#: Containment threshold for the ``containment`` family — 0.9 keeps
+#: the swallowed-document pairs (a doc whose shingles nearly all
+#: recur in its pair partner) and drops casual overlap.
+_CONT_T = 0.9
+
+_CONTAINMENT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                               i -> w[i] || ' ' || w[i+1] || ' ' ||
+                                    w[i+2])) AS shingle
+  FROM toks WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+c AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(s1.n AS BIGINT) AS n_a, CAST(s2.n AS BIGINT) AS n_b,
+       round(greatest(n_common / s1.n, n_common / s2.n), 6)
+         AS containment
+FROM c JOIN sizes s1 ON doc_a = s1.doc_id
+       JOIN sizes s2 ON doc_b = s2.doc_id
+WHERE greatest(n_common / s1.n, n_common / s2.n) >= {_CONT_T}
+"""
+
+
+def containment_neardup_pairs(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups
+    (:func:`..operators.dedup.containment_pairs`): pairs where one
+    side's shingles nearly all recur in the other — the
+    swallowed-document rule symmetric Jaccard misses. Exact string
+    shingles (oracle mode); the hashed production path shares
+    :func:`jaccard_pairs`'s."""
+    docs = tbl(spark, sf_dir, "documents")
+    return DD.containment_pairs(docs, k=3, threshold=_CONT_T)
+
+
 #: ``rand_proj`` family grid: 64-d embeddings down to 16-d, first
 #: 256 vectors (fixed gate → fixed 4096-row family at every SF).
 _RP_OUT, _RP_DIM, _RP_GATE = 16, 64, 256
@@ -4412,6 +4457,9 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              n=("shared", "total_a", "total_b"), v=("overlap",)),
     _fam_sql("rand_proj", "{randproj}",
              n=("vec_id", "d"), v=("val",)),
+    _fam_sql("containment", "{containment}",
+             n=("doc_a", "doc_b", "n_common", "n_a", "n_b"),
+             v=("containment",)),
     _fam_sql("decontam_spans", "{decontam}", k1="cleaned",
              n=("doc_id", "n_removed", "n_kept")),
     _fam_sql("decontam_bloom", "{decontam}", k1="cleaned",
@@ -4452,6 +4500,7 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           chunks=_CHUNKS_ORACLE,
           srcovl=_SOURCE_OVERLAP_ORACLE,
           randproj=_RAND_PROJ_ORACLE,
+          containment=_CONTAINMENT_ORACLE,
           decontam=_DECONTAM_SPANS_ORACLE,
           urlnorm=_URL_NORM_ORACLE,
           domquota=_DOMAIN_QUOTA_ORACLE,
@@ -4494,7 +4543,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thirty-seven training-data curation families, one normalized
+    """Thirty-eight training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -4534,7 +4583,9 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap coefficients), ``rand_proj``
     (:func:`rand_proj_vectors`, round 12 — deterministic JL ±1
     random projection 64-d → 16-d, md5-sign matrix regenerated in
-    SQL), ``decontam_spans``
+    SQL), ``containment`` (:func:`containment_neardup_pairs`,
+    round 12 — asymmetric shingle containment, the
+    swallowed-document near-dup rule), ``decontam_spans``
     (:func:`decontam_span_texts`, round 9 — SPAN-level benchmark
     decontamination: leaked benchmark shingles are excised from
     training docs via a sweep-line interval union instead of
@@ -4636,6 +4687,11 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_fam_df(rand_proj_vectors(spark, sf_dir),
                              "rand_proj", n=("vec_id", "d"),
                              v=("val",)))
+        .unionByName(_fam_df(containment_neardup_pairs(spark, sf_dir),
+                             "containment",
+                             n=("doc_a", "doc_b", "n_common",
+                                "n_a", "n_b"),
+                             v=("containment",)))
         .unionByName(_fam_df(decontam_span_texts(spark, sf_dir),
                              "decontam_spans", k1="cleaned",
                              n=("doc_id", "n_removed", "n_kept")))

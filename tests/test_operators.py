@@ -2706,6 +2706,29 @@ def test_remove_frequent_segments_boilerplate_rule(spark):
     assert rows[5].n_removed == 0 and rows[5].n_kept == 0
 
 
+def test_containment_catches_swallowed_doc_jaccard_misses(spark):
+    """The asymmetric rule's reason to exist: a short doc quoted
+    verbatim inside a much longer one has containment 1.0 but
+    Jaccard far below any dedup threshold — containment_pairs flags
+    the pair, jaccard_pairs at the same threshold does not; an
+    unrelated doc pairs with neither."""
+    short = "q1 q2 q3 q4 q5 q6"
+    filler = " ".join(f"f{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short),
+         (3, "z1 z2 z3 z4 z5")],
+        "doc_id long, text string")
+    cont = {(r.doc_a, r.doc_b): r for r in DD.containment_pairs(
+        docs, k=3, threshold=0.9).collect()}
+    assert set(cont) == {(1, 2)}
+    r = cont[(1, 2)]
+    assert r.containment == 1.0           # all 4 shingles of doc 1
+    assert r.n_common == r.n_a == 4
+    jac = {(p.doc_a, p.doc_b) for p in DD.jaccard_pairs(
+        docs, k=3, threshold=0.9).collect()}
+    assert (1, 2) not in jac              # 4/64 shared -> 0.0625
+
+
 def test_random_project_matches_numpy_model_and_is_linear(spark):
     """JL ±1 projection: values equal the numpy matmul with the same
     deterministic sign matrix, the map is linear
