@@ -727,3 +727,49 @@ def dsir_importance_weights(docs, target: Column | None = None,
     return (big.join(F.broadcast(lr), "b")
                .groupBy(id_col, *extra)
                .agg(F.sum("lr").alias("w")))
+
+
+def zipf_slope(docs, group_col: str = "source",
+               text_col: str = "text", top_n: int = 100):
+    """(group, n_terms, slope, r2): per-group Zipf fit — the
+    least-squares slope of log(term frequency) vs log(rank) over the
+    ``top_n`` head terms, with its r². The corpus-health diagnostic:
+    natural language sits near slope −1 with high r²; template spam
+    and machine-generated filler flatten the head (slope → 0) or
+    break the power-law fit (r² drops), so a source whose slope
+    drifts between crawls changed its text-generating process, not
+    just its volume.
+
+    Scale shape: one token explode + (group, term) count — vocab-
+    bounded per group — then a per-group rank window (partitioned by
+    the group, never a global window) cut to the head before the
+    covariance aggregate. slope = covar_pop/var_pop and r² = corr²,
+    which is exactly DuckDB's regr_slope/regr_r2, so the family
+    hash-pins the regression cross-engine."""
+    from pyspark.sql.window import Window as W
+
+    toks = docs.select(F.col(group_col),
+                       F.explode(words(text_col)).alias("tok"))
+    tf = toks.groupBy(group_col, "tok").agg(F.count("*").alias("tf"))
+    w = W.partitionBy(group_col).orderBy(F.desc("tf"), F.asc("tok"))
+    head = (tf.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= top_n)
+            .withColumn("_x", F.log(F.col("rk").cast("double")))
+            .withColumn("_y", F.log(F.col("tf").cast("double"))))
+    # r² via covar²/(vx·vy) rather than corr(): ANSI-mode corr
+    # throws DIVIDE_BY_ZERO on a constant-y group (a perfectly flat
+    # head), where DuckDB's regr_r2 defines the fit as exact (1.0) —
+    # guard the zero-variance case explicitly to the same value.
+    agg = (head.groupBy(group_col)
+           .agg(F.count("*").cast("long").alias("n_terms"),
+                F.covar_pop("_x", "_y").alias("_cxy"),
+                F.var_pop("_x").alias("_vx"),
+                F.var_pop("_y").alias("_vy")))
+    r2 = F.when(F.col("_vy") == 0, F.lit(1.0)).otherwise(
+        F.round(F.col("_cxy") * F.col("_cxy")
+                / (F.col("_vx") * F.col("_vy")), 6))
+    return (agg.filter(F.col("n_terms") >= 2)
+            .select(group_col, "n_terms",
+                    F.round(F.col("_cxy") / F.col("_vx"), 6)
+                     .alias("slope"),
+                    r2.alias("r2")))

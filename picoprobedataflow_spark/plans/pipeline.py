@@ -2300,6 +2300,40 @@ def boiler_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        min_df=_BOILER_MIN_DF)
 
 
+#: Head size for the ``zipf`` family's per-source power-law fit.
+_ZIPF_TOP_N = 100
+
+_ZIPF_ORACLE = f"""
+WITH tf AS (
+  SELECT source, tok, count(*) AS tf
+  FROM (SELECT source, unnest({_WORDS}) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, tf,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY tf DESC, tok) AS rk
+  FROM tf
+),
+h AS (SELECT * FROM ranked WHERE rk <= {_ZIPF_TOP_N})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round(regr_slope(ln(tf), ln(rk)), 6) AS slope,
+       round(regr_r2(ln(tf), ln(rk)), 6) AS r2
+FROM h GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+def zipf_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf fit (:func:`..functions.text.zipf_slope`):
+    log-log slope + r² of the head term-frequency curve — the
+    corpus-health drift signal (template spam flattens the head,
+    generator changes break the power-law fit). slope =
+    covar_pop/var_pop ≡ DuckDB regr_slope, r² = corr² ≡ regr_r2."""
+    docs = tbl(spark, sf_dir, "documents")
+    return TX.zipf_slope(docs, top_n=_ZIPF_TOP_N)
+
+
 #: Containment threshold for the ``containment`` family — 0.9 keeps
 #: the swallowed-document pairs (a doc whose shingles nearly all
 #: recur in its pair partner) and drops casual overlap.
@@ -4460,6 +4494,8 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
     _fam_sql("containment", "{containment}",
              n=("doc_a", "doc_b", "n_common", "n_a", "n_b"),
              v=("containment",)),
+    _fam_sql("zipf", "{zipf}", k1="source",
+             n=("n_terms",), v=("slope", "r2")),
     _fam_sql("decontam_spans", "{decontam}", k1="cleaned",
              n=("doc_id", "n_removed", "n_kept")),
     _fam_sql("decontam_bloom", "{decontam}", k1="cleaned",
@@ -4501,6 +4537,7 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           srcovl=_SOURCE_OVERLAP_ORACLE,
           randproj=_RAND_PROJ_ORACLE,
           containment=_CONTAINMENT_ORACLE,
+          zipf=_ZIPF_ORACLE,
           decontam=_DECONTAM_SPANS_ORACLE,
           urlnorm=_URL_NORM_ORACLE,
           domquota=_DOMAIN_QUOTA_ORACLE,
@@ -4543,7 +4580,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thirty-eight training-data curation families, one normalized
+    """Thirty-nine training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -4585,7 +4622,10 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     random projection 64-d → 16-d, md5-sign matrix regenerated in
     SQL), ``containment`` (:func:`containment_neardup_pairs`,
     round 12 — asymmetric shingle containment, the
-    swallowed-document near-dup rule), ``decontam_spans``
+    swallowed-document near-dup rule), ``zipf``
+    (:func:`zipf_source_stats`, round 12 — per-source log-log
+    power-law fit, the corpus-health drift signal),
+    ``decontam_spans``
     (:func:`decontam_span_texts`, round 9 — SPAN-level benchmark
     decontamination: leaked benchmark shingles are excised from
     training docs via a sweep-line interval union instead of
@@ -4692,6 +4732,9 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              n=("doc_a", "doc_b", "n_common",
                                 "n_a", "n_b"),
                              v=("containment",)))
+        .unionByName(_fam_df(zipf_source_stats(spark, sf_dir),
+                             "zipf", k1="source", n=("n_terms",),
+                             v=("slope", "r2")))
         .unionByName(_fam_df(decontam_span_texts(spark, sf_dir),
                              "decontam_spans", k1="cleaned",
                              n=("doc_id", "n_removed", "n_kept")))

@@ -2922,3 +2922,34 @@ def test_degenerate_inputs_never_break_the_pipeline(spark):
     idx = SIM._assign_cells(emb, cent_rows, "embedding")
     assert SIM.ivf_index_search(idx, cent_rows, [1.0, 0.0],
                                 k=5, n_probe=9).count() == 3
+
+
+def test_zipf_slope_natural_vs_flat_head(spark):
+    """The Zipf diagnostic separates shapes: a geometric frequency
+    curve fits slope < 0 with high r2, while a perfectly uniform
+    vocabulary (every term once) has zero variance in y and slope
+    exactly 0; values match a numpy least-squares model."""
+    import numpy as np
+
+    from picoprobedataflow_spark.functions.text import zipf_slope
+
+    # source Z: term t_i appears 2^(7-i) times -> steep clean fit
+    zipf_text = " ".join(" ".join([f"t{i}"] * (1 << (7 - i)))
+                         for i in range(8))
+    flat_text = " ".join(f"u{i}" for i in range(50))
+    docs = spark.createDataFrame(
+        [(1, zipf_text, "Z"), (2, flat_text, "U")],
+        "doc_id long, text string, source string")
+    rows = {r.source: r for r in zipf_slope(docs).collect()}
+    assert rows["Z"].n_terms == 8 and rows["U"].n_terms == 50
+    # numpy model for Z
+    tf = np.array([1 << (7 - i) for i in range(8)], dtype=float)
+    x, y = np.log(np.arange(1, 9)), np.log(tf)
+    slope = float(((x - x.mean()) * (y - y.mean())).sum()
+                  / ((x - x.mean()) ** 2).sum())
+    r2 = float(np.corrcoef(x, y)[0, 1] ** 2)
+    assert abs(rows["Z"].slope - round(slope, 6)) < 2e-6
+    assert abs(rows["Z"].r2 - round(r2, 6)) < 2e-6
+    assert rows["Z"].slope < -1.5 and rows["Z"].r2 > 0.9
+    assert rows["U"].slope == 0.0        # flat head: no decay at all
+    assert rows["U"].r2 == 1.0           # regr_r2 convention at var_y=0
