@@ -263,6 +263,14 @@ def main() -> None:
     variants["nfc_full"] = PL.nfc_normalized_texts
     variants["source_overlap_full"] = PL.source_overlap_stats
     variants["rand_proj_full"] = PL.rand_proj_vectors
+    # Production path (hashed shingles + stop-shingle cap), same
+    # convention as dedup_jaccard_full — the oracle-gated catalog
+    # family keeps exact string shingles.
+    variants["containment_full"] = (
+        lambda spark, sf_dir: DD.containment_pairs(
+            tbl(spark, sf_dir, "documents"), k=3, threshold=0.9,
+            max_df=50, shingle_hash=SC.fast_hash64))
+    variants["zipf_full"] = PL.zipf_source_stats
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
     # shouldn't be charged to the first query. Each headline query is

@@ -70,7 +70,9 @@ def main() -> None:
                     ("boiler_clean_full", PL.boiler_clean_texts),
                     ("chunking_full", PL.chunk_manifest),
                     ("nfc_full", PL.nfc_normalized_texts),
-                    ("source_overlap_full", PL.source_overlap_stats)):
+                    ("source_overlap_full", PL.source_overlap_stats),
+                    ("containment_full", PL.containment_neardup_pairs),
+                    ("zipf_full", PL.zipf_source_stats)):
         fns[key] = fn
 
     # warmup (codegen/JVM) at the smallest SF, untimed
