@@ -2300,6 +2300,69 @@ def boiler_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        min_df=_BOILER_MIN_DF)
 
 
+_DQ_LANGS = ("en", "de", "fr", "es", "zh")
+
+_DQ_ORACLE = f"""
+WITH agg AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN NOT coalesce(text IS NOT NULL, false)
+             THEN 1 ELSE 0 END) AS text_not_null,
+    sum(CASE WHEN NOT coalesce(n_chars = length(text), false)
+             THEN 1 ELSE 0 END) AS chars_match,
+    sum(CASE WHEN NOT coalesce(
+          lang IN ({", ".join(f"'{x}'" for x in _DQ_LANGS)}), false)
+             THEN 1 ELSE 0 END) AS lang_known,
+    sum(CASE WHEN NOT coalesce(length(text) > 0, false)
+             THEN 1 ELSE 0 END) AS nonempty,
+    sum(CASE WHEN NOT coalesce(
+          regexp_matches(text, '^[ -~]*$'), false)
+             THEN 1 ELSE 0 END) AS ascii_only,
+    sum(CASE WHEN NOT coalesce(len({_WORDS}) >= 20, false)
+             THEN 1 ELSE 0 END) AS min_20_words,
+    count(doc_id) - count(DISTINCT doc_id) AS unique_doc_id
+  FROM documents
+),
+long AS (
+  SELECT 'text_not_null' AS rule, n, text_not_null AS v FROM agg
+  UNION ALL SELECT 'chars_match', n, chars_match FROM agg
+  UNION ALL SELECT 'lang_known', n, lang_known FROM agg
+  UNION ALL SELECT 'nonempty', n, nonempty FROM agg
+  UNION ALL SELECT 'ascii_only', n, ascii_only FROM agg
+  UNION ALL SELECT 'min_20_words', n, min_20_words FROM agg
+  UNION ALL SELECT 'unique_doc_id', n, unique_doc_id FROM agg
+)
+SELECT rule, CAST(n AS BIGINT) AS n_checked,
+       CAST(v AS BIGINT) AS n_violations,
+       round(v / greatest(n, 1), 6) AS viol_rate,
+       v = 0 AS passed
+FROM long
+"""
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch data-quality scoreboard
+    (:func:`..operators.expectations.check_expectations`): seven
+    declarative rules over the documents table in one aggregate
+    pass — nullability, derived-column consistency
+    (n_chars = length), a lang whitelist, non-emptiness, an
+    ascii-only probe (CJK docs violate — a deliberately failing rule
+    so the scoreboard is non-degenerate), a minimum word count, and
+    id uniqueness."""
+    from picoprobedataflow_spark.operators.expectations import \
+        check_expectations
+
+    docs = tbl(spark, sf_dir, "documents")
+    rules = {
+        "text_not_null": F.col("text").isNotNull(),
+        "chars_match": F.col("n_chars") == F.length("text"),
+        "lang_known": F.col("lang").isin(*_DQ_LANGS),
+        "nonempty": F.length("text") > 0,
+        "ascii_only": F.col("text").rlike("^[ -~]*$"),
+        "min_20_words": TX.n_words("text") >= 20,
+    }
+    return check_expectations(docs, rules, unique_cols=("doc_id",))
+
+
 #: Head size for the ``zipf`` family's per-source power-law fit.
 _ZIPF_TOP_N = 100
 
@@ -4496,6 +4559,9 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
              v=("containment",)),
     _fam_sql("zipf", "{zipf}", k1="source",
              n=("n_terms",), v=("slope", "r2")),
+    _fam_sql("dq", "{dq}", k1="rule",
+             n=("n_checked", "n_violations"), v=("viol_rate",),
+             b1="passed"),
     _fam_sql("decontam_spans", "{decontam}", k1="cleaned",
              n=("doc_id", "n_removed", "n_kept")),
     _fam_sql("decontam_bloom", "{decontam}", k1="cleaned",
@@ -4538,6 +4604,7 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           randproj=_RAND_PROJ_ORACLE,
           containment=_CONTAINMENT_ORACLE,
           zipf=_ZIPF_ORACLE,
+          dq=_DQ_ORACLE,
           decontam=_DECONTAM_SPANS_ORACLE,
           urlnorm=_URL_NORM_ORACLE,
           domquota=_DOMAIN_QUOTA_ORACLE,
@@ -4580,7 +4647,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thirty-nine training-data curation families, one normalized
+    """Forty training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -4624,7 +4691,9 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 12 — asymmetric shingle containment, the
     swallowed-document near-dup rule), ``zipf``
     (:func:`zipf_source_stats`, round 12 — per-source log-log
-    power-law fit, the corpus-health drift signal),
+    power-law fit, the corpus-health drift signal), ``dq``
+    (:func:`dq_expectations`, round 12 — the one-pass declarative
+    data-quality scoreboard, batch twin of ``dq_gate_stream``),
     ``decontam_spans``
     (:func:`decontam_span_texts`, round 9 — SPAN-level benchmark
     decontamination: leaked benchmark shingles are excised from
@@ -4735,6 +4804,10 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_fam_df(zipf_source_stats(spark, sf_dir),
                              "zipf", k1="source", n=("n_terms",),
                              v=("slope", "r2")))
+        .unionByName(_fam_df(dq_expectations(spark, sf_dir),
+                             "dq", k1="rule",
+                             n=("n_checked", "n_violations"),
+                             v=("viol_rate",), b1="passed"))
         .unionByName(_fam_df(decontam_span_texts(spark, sf_dir),
                              "decontam_spans", k1="cleaned",
                              n=("doc_id", "n_removed", "n_kept")))

@@ -2953,3 +2953,28 @@ def test_zipf_slope_natural_vs_flat_head(spark):
     assert rows["Z"].slope < -1.5 and rows["Z"].r2 > 0.9
     assert rows["U"].slope == 0.0        # flat head: no decay at all
     assert rows["U"].r2 == 1.0           # regr_r2 convention at var_y=0
+
+
+def test_check_expectations_null_semantics_and_uniqueness(spark):
+    """Expectations checker: NULL rule evaluations count as
+    violations (the unevaluable-is-failed convention), uniqueness
+    counts surplus rows, viol_rate is exact, and a passing rule
+    reports passed=True with zero violations."""
+    from picoprobedataflow_spark.operators.expectations import \
+        check_expectations
+
+    df = spark.createDataFrame(
+        [(1, 5), (1, None), (2, -3), (3, 10)],
+        "k long, v int")
+    out = {r.rule: r for r in check_expectations(
+        df, {"v_positive": F.col("v") > 0},
+        unique_cols=("k",)).collect()}
+    r = out["v_positive"]
+    # -3 fails, NULL counts as a violation too
+    assert (r.n_checked, r.n_violations, r.passed) == (4, 2, False)
+    assert r.viol_rate == 0.5
+    u = out["unique_k"]
+    assert (u.n_violations, u.passed) == (1, False)  # k=1 twice
+    ok = {r.rule: r for r in check_expectations(
+        df, {"k_positive": F.col("k") > 0}).collect()}
+    assert ok["k_positive"].passed and ok["k_positive"].n_violations == 0
