@@ -59,3 +59,28 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     small_s = small.crossJoin(F.broadcast(salts))
     joined = big_s.join(small_s, [key, "_salt"], how)
     return joined.drop("_salt")
+
+
+def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row shuffle-key diagnostic for a candidate join/agg key:
+    total rows, distinct keys, the heaviest key's row count, exact
+    p50/p99 of per-key counts, and skew_ratio = max/mean. This is
+    the number you read BEFORE picking a partitioning at 100 TB —
+    skew_ratio near 1 means hash partitioning balances, a ratio in
+    the hundreds means the heavy key needs salting
+    (:func:`salted_agg`/:func:`salted_join`) or AQE skew-join.
+
+    Scale shape: the per-key count is the exact shuffle the key
+    would cost in the real join/agg (so the diagnostic is never
+    more expensive than the operation it derisks), followed by a
+    one-row global aggregate. The exact percentile holds per-key
+    counts, i.e. |distinct keys| values, on one reducer — swap in
+    percentile_approx if the KEY cardinality itself is extreme."""
+    counts = df.groupBy(key_col).agg(F.count("*").alias("_c"))
+    return counts.agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("_c").cast("long").alias("max_rows"),
+        F.round(F.percentile("_c", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("_c", F.lit(0.99)), 6).alias("p99"),
+        F.round(F.max("_c") / F.avg("_c"), 6).alias("skew_ratio"))

@@ -2300,6 +2300,48 @@ def boiler_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        min_df=_BOILER_MIN_DF)
 
 
+#: (table, column) pairs profiled by the ``key_skew`` family — the
+#: shuffle keys the engine's own heavy plans actually use.
+_SKEW_KEYS = (("events", "user_id"), ("events", "event_type"),
+              ("documents", "source"), ("lineitem", "l_orderkey"))
+
+
+def _skew_branch_sql(table: str, col: str) -> str:
+    return f"""
+SELECT '{table}.{col}' AS key,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_rows,
+       round(quantile_cont(c, 0.5), 6) AS p50,
+       round(quantile_cont(c, 0.99), 6) AS p99,
+       round(max(c) / avg(c), 6) AS skew_ratio
+FROM (SELECT {col}, count(*) AS c FROM {table} GROUP BY 1)"""
+
+
+_KEY_SKEW_ORACLE = "\nUNION ALL\n".join(
+    _skew_branch_sql(t, c) for t, c in _SKEW_KEYS)
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile
+    (:func:`..operators.skew.key_skew_report`) over the keys the
+    engine's heavy plans shuffle on — the measurement that decides
+    hash partitioning vs salting vs AQE skew-join at 100 TB. Exact
+    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` on
+    BIGINT counts, the windows_extra convention)."""
+    from picoprobedataflow_spark.operators.skew import key_skew_report
+
+    parts = []
+    for table, col in _SKEW_KEYS:
+        rep = key_skew_report(tbl(spark, sf_dir, table), col)
+        parts.append(rep.select(
+            F.lit(f"{table}.{col}").alias("key"), "*"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 _DQ_LANGS = ("en", "de", "fr", "es", "zh")
 
 _DQ_ORACLE = f"""
@@ -4562,6 +4604,9 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
     _fam_sql("dq", "{dq}", k1="rule",
              n=("n_checked", "n_violations"), v=("viol_rate",),
              b1="passed"),
+    _fam_sql("key_skew", "{keyskew}", k1="key",
+             n=("n_rows", "n_keys", "max_rows"),
+             v=("p50", "p99", "skew_ratio")),
     _fam_sql("decontam_spans", "{decontam}", k1="cleaned",
              n=("doc_id", "n_removed", "n_kept")),
     _fam_sql("decontam_bloom", "{decontam}", k1="cleaned",
@@ -4605,6 +4650,7 @@ _LLM_SUITE_ORACLE = "\nUNION ALL\n".join([
           containment=_CONTAINMENT_ORACLE,
           zipf=_ZIPF_ORACLE,
           dq=_DQ_ORACLE,
+          keyskew=_KEY_SKEW_ORACLE,
           decontam=_DECONTAM_SPANS_ORACLE,
           urlnorm=_URL_NORM_ORACLE,
           domquota=_DOMAIN_QUOTA_ORACLE,
@@ -4647,7 +4693,7 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
           "llm-pipeline"),
 )
 def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forty training-data curation families, one normalized
+    """Forty-one training-data curation families, one normalized
     (family, k1, n1-n5, v1-v3, b1) surface — each folded family is
     exactly the standalone query it would otherwise be (operators,
     plans and oracles unchanged; the fold exists so every entry
@@ -4694,6 +4740,8 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-law fit, the corpus-health drift signal), ``dq``
     (:func:`dq_expectations`, round 12 — the one-pass declarative
     data-quality scoreboard, batch twin of ``dq_gate_stream``),
+    ``key_skew`` (:func:`key_skew_profile`, round 12 — the
+    shuffle-key skew measurement behind the salting/AQE decision),
     ``decontam_spans``
     (:func:`decontam_span_texts`, round 9 — SPAN-level benchmark
     decontamination: leaked benchmark shingles are excised from
@@ -4808,6 +4856,10 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "dq", k1="rule",
                              n=("n_checked", "n_violations"),
                              v=("viol_rate",), b1="passed"))
+        .unionByName(_fam_df(key_skew_profile(spark, sf_dir),
+                             "key_skew", k1="key",
+                             n=("n_rows", "n_keys", "max_rows"),
+                             v=("p50", "p99", "skew_ratio")))
         .unionByName(_fam_df(decontam_span_texts(spark, sf_dir),
                              "decontam_spans", k1="cleaned",
                              n=("doc_id", "n_removed", "n_kept")))

@@ -2978,3 +2978,18 @@ def test_check_expectations_null_semantics_and_uniqueness(spark):
     ok = {r.rule: r for r in check_expectations(
         df, {"k_positive": F.col("k") > 0}).collect()}
     assert ok["k_positive"].passed and ok["k_positive"].n_violations == 0
+
+
+def test_key_skew_report_exact_values(spark):
+    """Skew report matches hand-computed values on a known key
+    distribution: one hot key, exact percentiles over per-key
+    counts, skew_ratio = max/mean."""
+    from picoprobedataflow_spark.operators.skew import key_skew_report
+
+    rows = [("hot",)] * 8 + [("a",), ("b",), ("c",), ("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_report(df, "k").head()
+    assert (r.n_rows, r.n_keys, r.max_rows) == (12, 5, 8)
+    # counts = [1,1,1,1,8]: p50 = 1, p99 interpolates toward 8
+    assert r.p50 == 1.0 and 7.0 < r.p99 <= 8.0
+    assert r.skew_ratio == round(8 / (12 / 5), 6)
