@@ -271,6 +271,8 @@ def main() -> None:
             tbl(spark, sf_dir, "documents"), k=3, threshold=0.9,
             max_df=50, shingle_hash=SC.fast_hash64))
     variants["zipf_full"] = PL.zipf_source_stats
+    variants["dq_full"] = PL.dq_expectations
+    variants["key_skew_full"] = PL.key_skew_profile
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
     # shouldn't be charged to the first query. Each headline query is
