@@ -72,7 +72,9 @@ def main() -> None:
                     ("nfc_full", PL.nfc_normalized_texts),
                     ("source_overlap_full", PL.source_overlap_stats),
                     ("containment_full", PL.containment_neardup_pairs),
-                    ("zipf_full", PL.zipf_source_stats)):
+                    ("zipf_full", PL.zipf_source_stats),
+                    ("dq_full", PL.dq_expectations),
+                    ("key_skew_full", PL.key_skew_profile)):
         fns[key] = fn
 
     # warmup (codegen/JVM) at the smallest SF, untimed
