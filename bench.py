@@ -473,13 +473,15 @@ def normalize_deltas(deltas: dict[str, float]
     ambient_factor = median of the CANARY_KEYS' raw deltas (the canary
     plans never change, so their delta measures only sandbox load);
     normalized[key] = raw[key] / ambient_factor. Returns
-    (ambient_factor, normalized) — normalized is None when the canary
-    trio is absent from ``deltas`` (e.g. the previous board lacked
-    those keys) or its median is non-positive.
+    (ambient_factor, normalized) — normalized is None when FEWER THAN
+    TWO canary keys are present in ``deltas`` (a lone canary's raw
+    delta is one noisy sample, not an ambient median — normalizing by
+    it would let a single slow canary rep mask real regressions;
+    round-12 review find) or when the median is non-positive.
     """
     import statistics
     canary = [deltas[k] for k in CANARY_KEYS if k in deltas]
-    if not canary:
+    if len(canary) < 2:
         return 0.0, None
     ambient = statistics.median(canary)
     if ambient <= 0:

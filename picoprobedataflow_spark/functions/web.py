@@ -153,11 +153,12 @@ def url_normalize(url: Column | str) -> Column:
            .otherwise(low)
     # Trailing FQDN dot folds (round 12): 'example.com.' is the
     # fully-qualified spelling of 'example.com' — two passes because
-    # the dot may sit before a kept non-default port and group
-    # references are banned (the '[.]:' form only occurs as
-    # host-dot-port inside an authority).
+    # the dot may sit before a kept non-default port. The port pass
+    # anchors on an all-digit tail: a bare '[.]+:' fold also fired
+    # inside the USERINFO ('john.:pw@host' lost its dot, conflating
+    # two identities under one curation key — round-12 review find).
     low = F.regexp_replace(F.regexp_replace(low, "[.]+$", ""),
-                           "[.]+:", ":")
+                           "[.]+(:[0-9]+)$", "$1")
     r = F.regexp_replace(rest, "#.*", "")
     # Percent-encoding normalization (round 12) runs after the
     # fragment drop and BEFORE the tracking scrub, so an encoded
@@ -177,8 +178,11 @@ def url_normalize(url: Column | str) -> Column:
     r = F.regexp_replace(r, f"[?]{_TRACKING_NAMES}=[^&#]*$", "")
     r = F.regexp_replace(r, "&&+", "&")
     r = F.regexp_replace(r, "[?]&", "?")
-    r = F.regexp_replace(r, "[?&]+$", "")
-    r = F.regexp_replace(r, "/+$", "")
+    # ONE tail-cleanup class, not sequential '[?&]+$' then '/+$':
+    # the sequential passes were order-dependent ('p?&/' stripped
+    # the slash but left the '?', so normalize∘normalize ≠
+    # normalize — hypothesis-found, round 12).
+    r = F.regexp_replace(r, "[?&/]+$", "")
     return F.concat(low, r)
 
 
@@ -425,7 +429,10 @@ def domain_quota_sample(docs: DataFrame, url_col: str = "url",
         from ..operators.dedup import _plan_size_bytes
         method = ("window" if _plan_size_bytes(docs)
                   <= QUOTA_WINDOW_MAX_BYTES else "hierarchical")
-    if n_buckets == "auto":
+    # n_buckets resolves LAZILY: only the hierarchical branch reads
+    # it, and the auto sizing repeats the plan-stats roundtrip the
+    # method cutover just paid (round-12 review find).
+    if method == "hierarchical" and n_buckets == "auto":
         n_buckets = _auto_n_buckets(docs, quota)
     base = _quota_base(docs, url_col, id_col, salt)
     if method == "window":

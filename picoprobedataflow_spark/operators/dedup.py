@@ -1650,15 +1650,13 @@ def decontaminate_spans(train_docs: DataFrame,
         bench_universe = (shingle_table(bench_docs, k, text_col,
                                         id_col)
                           .select("shingle").distinct())
-    if num_bits == "auto":
-        # Statistics-sized width (see contamination_overlap_bloom);
-        # prebuilt hooks must state the width they were built with.
-        if bits is not None or bloom_df is not None:
-            raise ValueError(
-                "prebuilt bits/bloom_df require the explicit num_bits "
-                "they were built with (num_bits='auto' would probe at "
-                "a different width -> false negatives)")
-        num_bits = _auto_num_bits(bench_universe)
+    if num_bits == "auto" and (bits is not None
+                               or bloom_df is not None):
+        # Prebuilt hooks must state the width they were built with.
+        raise ValueError(
+            "prebuilt bits/bloom_df require the explicit num_bits "
+            "they were built with (num_bits='auto' would probe at "
+            "a different width -> false negatives)")
     if bits is not None:
         transport = "literal"
     elif bloom_df is not None:
@@ -1667,8 +1665,17 @@ def decontaminate_spans(train_docs: DataFrame,
         if _plan_size_bytes(bench_universe) <= DECONTAM_DIRECT_MAX_BYTES:
             transport = "direct"
         else:
+            if num_bits == "auto":
+                num_bits = _auto_num_bits(bench_universe)
             transport = ("literal" if num_bits <= BLOOM_LITERAL_MAX_BITS
                          else "broadcast")
+    # Statistics-sized width resolves LAZILY — only the Bloom routes
+    # read it. The old eager resolve charged every transport="direct"
+    # caller (e.g. decontam_stream, once per micro-batch) a needless
+    # JVM plan-stats roundtrip for a width it never used (round-12
+    # review find).
+    if transport in ("literal", "broadcast") and num_bits == "auto":
+        num_bits = _auto_num_bits(bench_universe)
     toks = train_docs.select(F.col(id_col), words(text_col).alias("_w"))
     # Positional tokens, 1-based. words("") is [""] — the length
     # filter drops it so whitespace-only docs clean to "".

@@ -29,7 +29,21 @@ def check_expectations(df: DataFrame,
     rule name to a boolean Column that is True when the row PASSES;
     NULL evaluations count as violations. ``unique_cols`` adds a
     ``unique_<col>`` rule whose violation count is the number of
-    surplus rows beyond the distinct values (0 = unique)."""
+    surplus rows beyond the distinct values (0 = unique).
+
+    Rule names must be plain identifiers (``[A-Za-z_][A-Za-z0-9_]*``,
+    not ``_n``): they pass through a ``stack()`` SQL string as bare
+    column references, so a dash or quote would fail the parse — or
+    worse, inject — and ``_n`` would collide with the internal
+    row-count alias. Rejected eagerly with ValueError."""
+    import re
+
+    for nm in list(rules) + [f"unique_{c}" for c in unique_cols]:
+        if nm == "_n" or not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*",
+                                          nm):
+            raise ValueError(
+                f"rule name {nm!r} must be an identifier and not "
+                "'_n' (it is interpolated into a stack() expression)")
     aggs = [F.count("*").alias("_n")]
     for name, cond in rules.items():
         aggs.append(F.sum(F.when(F.coalesce(cond, F.lit(False)),

@@ -2766,13 +2766,16 @@ _DOMAIN_QUOTA = 3
 #: no URL column, so both engines derive one from (doc_id, source)
 #: with every normalization hazard planted: uppercase scheme/host,
 #: default and non-default ports, tracking params, fragments,
-#: trailing slashes, and a multi-part public suffix.
+#: trailing slashes, a multi-part public suffix, and (round-12
+#: review find) a dotted USERINFO before a host-FQDN-dot + kept
+#: port — the dot in 'User.' must survive normalization while the
+#: host dot before ':8080' folds.
 _SYNTH_URL_SQL = """
   (CASE doc_id % 4
      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443'
      WHEN 1 THEN 'https://blog.example.co.uk'
      WHEN 2 THEN 'HTTP://News.Example.COM.:80'
-     ELSE 'https://cdn.sample.org:8080' END)
+     ELSE 'https://User.:pw@cdn.sample.org.:8080' END)
   || '/' || source || '/Item' || CAST(doc_id AS VARCHAR)
   || (CASE doc_id % 5
      WHEN 0 THEN '/?utm_source=feed&utm_campaign=x&id='
@@ -2819,8 +2822,8 @@ _URL_NORM_SQL = f"""
           WHEN starts_with(lower(auth), 'http://')
           THEN regexp_replace(lower(auth), ':80$', '')
           ELSE lower(auth) END),
-    '[.]+$', '', 'g'), '[.]+:', ':', 'g')
-    || regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    '[.]+$', '', 'g'), '[.]+(:[0-9]+)$', '\\1', 'g')
+    || regexp_replace(regexp_replace(regexp_replace(
            regexp_replace(regexp_replace(regexp_replace(
              {_URL_PCT_SQL},
              '&{_URL_TRACK_SQL}=[^&#]*', '', 'g'),
@@ -2828,8 +2831,7 @@ _URL_NORM_SQL = f"""
              '[?]{_URL_TRACK_SQL}=[^&#]*$', '', 'g'),
              '&&+', '&', 'g'),
              '[?]&', '?', 'g'),
-             '[?&]+$', '', 'g'),
-             '/+$', '', 'g')
+             '[?&/]+$', '', 'g')
 """
 
 _URL_CTES = f"""
@@ -2990,7 +2992,10 @@ def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
              # FQDN spelling (trailing dot before the default port):
              # folds to http://news.example.com (round 12)
              .when(d % 4 == 2, F.lit("HTTP://News.Example.COM.:80"))
-             .otherwise(F.lit("https://cdn.sample.org:8080")))
+             # dotted userinfo + host-FQDN-dot + kept port (round-12
+             # review find: the userinfo dot must survive, the host
+             # dot must fold)
+             .otherwise(F.lit("https://User.:pw@cdn.sample.org.:8080")))
     tail = (F.when(d % 5 == 0,
                    F.concat(F.lit("/?utm_source=feed&utm_campaign=x"
                                   "&id="), (d % 7).cast("string")))

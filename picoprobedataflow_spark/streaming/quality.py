@@ -226,6 +226,17 @@ def domain_quota_stream(spark: SparkSession, src_dir: str,
     re-admit; the state bound is |domains|, the same key cardinality
     every quota formulation carries, distributed across executors by
     the group key.
+
+    Per-BATCH bound (round-12 review find — distinct from the
+    8-byte state bound above): ``_update`` concatenates one
+    domain's whole micro-batch into a single pandas frame, so a
+    crawl mega-domain (or the '' domain malformed URLs collapse to)
+    is bounded by executor memory PER TRIGGER, not per stream. With
+    ``trigger(availableNow=True)`` and no ``max_files_per_trigger``
+    the whole backlog is one batch — set ``max_files_per_trigger``
+    when draining a large backlog so no domain's batch slice
+    outgrows a worker; the batch op's hierarchical form is the
+    right tool for re-ranking a FINISHED corpus.
     """
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
@@ -323,7 +334,16 @@ def boiler_flag_stream(spark: SparkSession, src_dir: str,
     cardinality the batch op's span aggregate shuffles — distributed
     by the hash key, no skew concentration (a hot span is ONE state
     row however often it recurs). No timeout: expiring a span
-    forgets its df and under-flags."""
+    forgets its df and under-flags.
+
+    Per-BATCH bound (round-12 review find): as in
+    :func:`domain_quota_stream`, one span's micro-batch slice
+    concatenates into a single pandas frame — a boilerplate span
+    stamped across the whole batch pulls all its (doc_id, idx) rows
+    into one worker for that trigger. Bound the batch with
+    ``max_files_per_trigger`` on large backlogs; the batch op
+    (:func:`..operators.dedup.remove_frequent_segments`) is the
+    right tool for a finished corpus."""
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
 

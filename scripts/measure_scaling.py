@@ -71,11 +71,26 @@ def main() -> None:
                     ("chunking_full", PL.chunk_manifest),
                     ("nfc_full", PL.nfc_normalized_texts),
                     ("source_overlap_full", PL.source_overlap_stats),
-                    ("containment_full", PL.containment_neardup_pairs),
                     ("zipf_full", PL.zipf_source_stats),
                     ("dq_full", PL.dq_expectations),
                     ("key_skew_full", PL.key_skew_profile)):
         fns[key] = fn
+
+    # containment: the UNGATED production path (hashed shingles +
+    # stop-shingle cap), matching bench.py's containment_full. The
+    # oracle FAMILY gates docs at _CONT_GATE for DuckDB memory, so
+    # its input is constant across SFs — measuring it here would
+    # produce a meaningless exponent (round-12 review find).
+    from picoprobedataflow_spark.functions import scalar as SC
+    from picoprobedataflow_spark.operators import dedup as DD
+    from picoprobedataflow_spark.plans.common import tbl
+
+    def _containment_prod(spark, sf_dir):
+        return DD.containment_pairs(
+            tbl(spark, sf_dir, "documents"), k=3, threshold=0.9,
+            max_df=50, shingle_hash=SC.fast_hash64)
+
+    fns["containment_full"] = _containment_prod
 
     # warmup (codegen/JVM) at the smallest SF, untimed
     for fn in fns.values():

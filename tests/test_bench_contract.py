@@ -91,3 +91,14 @@ def test_normalized_delta_degenerate():
     ambient, normalized = bench.normalize_deltas(
         {k: 0.0 for k in bench.CANARY_KEYS})
     assert normalized is None
+    # A LONE canary is one noisy sample, not an ambient median —
+    # normalizing by it would let a single slow rep mask real
+    # regressions (round-12 review find): refuse, same as absent.
+    ambient, normalized = bench.normalize_deltas(
+        {bench.CANARY_KEYS[0]: 2.0, "x": 1.0})
+    assert ambient == 0.0 and normalized is None
+    # Two canaries are enough for a median.
+    ambient, normalized = bench.normalize_deltas(
+        {bench.CANARY_KEYS[0]: 1.0, bench.CANARY_KEYS[1]: 2.0,
+         "x": 3.0})
+    assert ambient == 1.5 and normalized["x"] == 2.0

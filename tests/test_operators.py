@@ -2978,6 +2978,12 @@ def test_check_expectations_null_semantics_and_uniqueness(spark):
     ok = {r.rule: r for r in check_expectations(
         df, {"k_positive": F.col("k") > 0}).collect()}
     assert ok["k_positive"].passed and ok["k_positive"].n_violations == 0
+    # rule names are interpolated into a stack() expression — reject
+    # non-identifiers and the reserved internal alias eagerly
+    import pytest as _pytest
+    for bad in ("valid-lang", "a b", "x'y", "_n"):
+        with _pytest.raises(ValueError):
+            check_expectations(df, {bad: F.col("k") > 0})
 
 
 def test_key_skew_report_exact_values(spark):

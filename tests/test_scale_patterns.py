@@ -945,6 +945,14 @@ def test_round12_curation_plan_shapes(spark):
     nplan = nfc._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in nplan, nplan
     assert "ArrowEvalPython" in nplan and "BatchEvalPython" not in nplan
+    # the nfc FAMILY references the kernel twice (norm + len_norm);
+    # Spark dedups the identical UDF expressions — pin that the plan
+    # carries ONE invocation so the Python pass never silently doubles
+    from picoprobedataflow_spark.plans.pipeline import \
+        nfc_normalized_texts
+    fplan = (nfc_normalized_texts(spark, sf)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert fplan.count("_nfc(") == 1, fplan
 
     boiler = remove_frequent_segments(docs, span_w=4, min_df=2)
     bplan = boiler._jdf.queryExecution().executedPlan().toString()

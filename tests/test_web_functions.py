@@ -99,6 +99,13 @@ def test_fqdn_trailing_dot_folds(spark):
             "https://example.com:8080/x", "example.com"),
         (6, "https://example.com../x", "https://example.com/x",
             "example.com"),
+        # round-12 review find: the port-dot fold must anchor on the
+        # all-digit tail — a dotted USERINFO keeps its dot (it is an
+        # identity, not an FQDN), while the host dot still folds
+        (7, "https://john.:pw@example.com.:8080/a",
+            "https://john.:pw@example.com:8080/a", "example.com"),
+        (8, "https://john.:pw@example.com./a",
+            "https://john.:pw@example.com/a", "example.com"),
     ]
     df = spark.createDataFrame([(i, u) for i, u, _, _ in cases],
                                "doc_id long, url string")
