@@ -14,8 +14,14 @@ portability constraints so the DuckDB oracle replays bit-for-bit:
 - RE2-safe patterns only (DuckDB is RE2: no lookaheads, no
   backreferences; ``[.]`` instead of ``\\.`` so no escaping dialect
   is involved), and
-- no group references in replacements (Spark spells them ``$1``,
-  DuckDB ``\\1`` — a silent divergence), which is why the
+- group references in replacements only where no group-free
+  formulation exists (ONE site: the host-dot-before-kept-port fold,
+  ``[.]+(:[0-9]+)$`` — RE2 has no lookbehind and an unanchored
+  ``[.]+:`` also fired inside the userinfo). Spark spells the
+  reference ``$1``, DuckDB ``\\1`` — a silent-divergence hazard, so
+  every such site MUST be hash-gated by a planted family row (the
+  dotted-port authority in ``_SYNTH_URL_SQL``), and everything else
+  stays group-free — which is why the
   tracking-param scrub is three anchored passes (``&``-led params
   removed whole, ``?``-led params removed with their trailing ``&``
   folded back into ``?``, ``?``-led tail params removed) instead of
@@ -145,20 +151,23 @@ def url_normalize(url: Column | str) -> Column:
     u = _c(url)
     auth = F.regexp_extract(u, _AUTH_RE, 0)
     rest = u.substr(F.length(auth) + 1, F.length(u))
-    low = F.lower(auth)
-    low = F.when(low.startswith("https://"),
-                 F.regexp_replace(low, ":443$", "")) \
-           .when(low.startswith("http://"),
-                 F.regexp_replace(low, ":80$", "")) \
-           .otherwise(low)
     # Trailing FQDN dot folds (round 12): 'example.com.' is the
     # fully-qualified spelling of 'example.com' — two passes because
     # the dot may sit before a kept non-default port. The port pass
     # anchors on an all-digit tail: a bare '[.]+:' fold also fired
     # inside the USERINFO ('john.:pw@host' lost its dot, conflating
     # two identities under one curation key — round-12 review find).
+    # Folds run BEFORE the default-port strip: in the old order a
+    # dot AFTER the port ('host:443.') blocked the ':443$' strip and
+    # broke normalize∘normalize = normalize (second review find).
+    low = F.lower(auth)
     low = F.regexp_replace(F.regexp_replace(low, "[.]+$", ""),
                            "[.]+(:[0-9]+)$", "$1")
+    low = F.when(low.startswith("https://"),
+                 F.regexp_replace(low, ":443$", "")) \
+           .when(low.startswith("http://"),
+                 F.regexp_replace(low, ":80$", "")) \
+           .otherwise(low)
     r = F.regexp_replace(rest, "#.*", "")
     # Percent-encoding normalization (round 12) runs after the
     # fragment drop and BEFORE the tracking scrub, so an encoded
@@ -201,8 +210,14 @@ def url_host(url: Column | str) -> Column:
     u = _c(url)
     auth = F.regexp_extract(u, "://([^/?#]*)", 1)
     no_user = F.regexp_replace(auth, "^[^@]*@", "")
-    return F.lower(F.regexp_replace(
-        F.regexp_replace(no_user, ":[0-9]+$", ""), "[.]+$", ""))
+    # Dot strip runs BEFORE the port strip too: on a raw
+    # 'example.com:443.' the ':[0-9]+$' pattern never fired (the
+    # string ends with '.'), leaving the port inside the returned
+    # host (round-12 review find) — and again AFTER, for the
+    # 'example.com.:443' spelling.
+    return F.lower(F.regexp_replace(F.regexp_replace(
+        F.regexp_replace(no_user, "[.]+$", ""),
+        ":[0-9]+$", ""), "[.]+$", ""))
 
 
 def registrable_domain(host: Column | str) -> Column:
@@ -211,8 +226,13 @@ def registrable_domain(host: Column | str) -> Column:
     ``x.y.example.com`` → ``example.com``; a bare single-label host
     (``localhost``) maps to itself. The real public-suffix list is
     a data file — :func:`registrable_domain_psl` joins it in as a
-    broadcast suffix table, same semantics, list-driven."""
-    h = _c(host)
+    broadcast suffix table, same semantics, list-driven. A trailing
+    FQDN dot strips at entry (round-12 review find: both label
+    regexes require a non-dot final char, so 'example.com.' matched
+    NEITHER and fell through verbatim — the PSL path and url_host
+    already stripped it, leaving this direct entry point the one
+    spelling-splitter in the lane)."""
+    h = F.regexp_replace(_c(host), "[.]+$", "")
     three = F.regexp_extract(h, "[^.]+[.][^.]+[.][^.]+$", 0)
     two = F.regexp_extract(h, "[^.]+[.][^.]+$", 0)
     rd = F.when(h.rlike(MULTIPART_SUFFIX_RE), three).otherwise(two)
@@ -245,7 +265,8 @@ def psl_table_from_text(spark, text: str) -> DataFrame:
     :func:`psl_table`."""
     rules = []
     for line in text.splitlines():
-        tok = line.split()[0] if line.split() else ""
+        parts = line.split()
+        tok = parts[0] if parts else ""
         if not tok or tok.startswith("//"):
             continue
         rules.append(tok.lower())
@@ -357,16 +378,37 @@ QUOTA_MIN_BUCKETS = 16
 QUOTA_MAX_BUCKETS = 1 << 20
 
 
-def _auto_n_buckets(docs: DataFrame, quota: int) -> int:
+def _auto_n_buckets(docs: DataFrame, quota: int,
+                    est: int | None = None) -> int:
     """Balanced bucket count from the input's Catalyst size estimate
-    (free — no job; see ``dedup._plan_size_bytes``)."""
+    (free — no job; see ``dedup._plan_size_bytes``). Pass ``est``
+    when the caller already paid the plan-stats roundtrip (the
+    method="auto" cutover does — round-12 review find)."""
     import math
 
     from ..operators.dedup import _plan_size_bytes
-    est = _plan_size_bytes(docs)
+    if est is None:
+        est = _plan_size_bytes(docs)
     n = math.ceil(math.sqrt(est / (max(quota, 1)
                                    * QUOTA_ROW_BYTES_EST)))
     return int(max(QUOTA_MIN_BUCKETS, min(QUOTA_MAX_BUCKETS, n)))
+
+
+def _phase1_marks(base: DataFrame, n_buckets: int, salt: str,
+                  id_col: str) -> DataFrame:
+    """Hierarchical phase 1, the ONE definition shared by
+    :func:`domain_quota_sample` and :func:`quota_phase1_survivors`:
+    salt-bucketed per-(domain, bucket) rank columns ``_b``/``_r1``.
+    Factored so the bound-assertion tests exercise the production
+    pipeline rather than a copy that could drift (round-12 review
+    find: both sites duplicated the bucket hash incl. the
+    '#bucket' salt suffix)."""
+    bucket = F.pmod(F.xxhash64(F.lit(salt + "#bucket"),
+                               F.col(id_col).cast("string")),
+                    F.lit(n_buckets))
+    w1 = W.partitionBy("domain", "_b").orderBy("sort_key", id_col)
+    return (base.withColumn("_b", bucket)
+            .withColumn("_r1", F.row_number().over(w1)))
 
 
 def _quota_base(docs: DataFrame, url_col: str, id_col: str,
@@ -425,15 +467,18 @@ def domain_quota_sample(docs: DataFrame, url_col: str = "url",
       take the skew-safe shape."""
     if method not in ("auto", "window", "hierarchical"):
         raise ValueError(f"unknown method {method!r}")
+    est = None
     if method == "auto":
         from ..operators.dedup import _plan_size_bytes
-        method = ("window" if _plan_size_bytes(docs)
-                  <= QUOTA_WINDOW_MAX_BYTES else "hierarchical")
+        est = _plan_size_bytes(docs)
+        method = ("window" if est <= QUOTA_WINDOW_MAX_BYTES
+                  else "hierarchical")
     # n_buckets resolves LAZILY: only the hierarchical branch reads
-    # it, and the auto sizing repeats the plan-stats roundtrip the
-    # method cutover just paid (round-12 review find).
+    # it, and the auto sizing reuses the estimate the method cutover
+    # just paid for instead of a second plan-stats roundtrip
+    # (round-12 review finds, both halves).
     if method == "hierarchical" and n_buckets == "auto":
-        n_buckets = _auto_n_buckets(docs, quota)
+        n_buckets = _auto_n_buckets(docs, quota, est=est)
     base = _quota_base(docs, url_col, id_col, salt)
     if method == "window":
         w = W.partitionBy("domain").orderBy("sort_key", id_col)
@@ -441,10 +486,6 @@ def domain_quota_sample(docs: DataFrame, url_col: str = "url",
         ranked = base.withColumn("_r", r)
         rank = F.when(F.col("_r") <= quota, F.col("_r"))
     else:
-        bucket = F.pmod(F.xxhash64(F.lit(salt + "#bucket"),
-                                   F.col(id_col).cast("string")),
-                        F.lit(n_buckets))
-        w1 = W.partitionBy("domain", "_b").orderBy("sort_key", id_col)
         alive = F.col("_r1") <= quota
         # Phase-2 partition key: all survivors of a domain together
         # (≤ quota·n_buckets rows), non-survivors scattered by an id
@@ -454,8 +495,7 @@ def domain_quota_sample(docs: DataFrame, url_col: str = "url",
                          F.lit(1 << 20))
         pkey = F.when(alive, F.lit(-1).cast("long")).otherwise(scatter)
         w2 = W.partitionBy("domain", "_p").orderBy("sort_key", id_col)
-        ranked = (base.withColumn("_b", bucket)
-                  .withColumn("_r1", F.row_number().over(w1))
+        ranked = (_phase1_marks(base, n_buckets, salt, id_col)
                   .withColumn("_p", pkey)
                   .withColumn("_r", F.row_number().over(w2)))
         rank = F.when(alive & (F.col("_r") <= quota), F.col("_r"))
@@ -476,11 +516,6 @@ def quota_phase1_survivors(docs: DataFrame, url_col: str = "url",
     if n_buckets == "auto":
         n_buckets = _auto_n_buckets(docs, quota)
     base = _quota_base(docs, url_col, id_col, salt)
-    bucket = F.pmod(F.xxhash64(F.lit(salt + "#bucket"),
-                               F.col(id_col).cast("string")),
-                    F.lit(n_buckets))
-    w1 = W.partitionBy("domain", "_b").orderBy("sort_key", id_col)
-    return (base.withColumn("_b", bucket)
-            .withColumn("_r1", F.row_number().over(w1))
+    return (_phase1_marks(base, n_buckets, salt, id_col)
             .filter(F.col("_r1") <= quota)
             .drop("sort_key"))

@@ -2815,14 +2815,15 @@ _URL_PCT_SQL = """
      ELSE r0 END)
 """
 
+_FOLDED_AUTH_SQL = ("regexp_replace(regexp_replace(lower(auth), "
+                    "'[.]+$', '', 'g'), '[.]+(:[0-9]+)$', '\\1', 'g')")
+
 _URL_NORM_SQL = f"""
-    regexp_replace(regexp_replace(
     (CASE WHEN starts_with(lower(auth), 'https://')
-          THEN regexp_replace(lower(auth), ':443$', '')
+          THEN regexp_replace({_FOLDED_AUTH_SQL}, ':443$', '')
           WHEN starts_with(lower(auth), 'http://')
-          THEN regexp_replace(lower(auth), ':80$', '')
-          ELSE lower(auth) END),
-    '[.]+$', '', 'g'), '[.]+(:[0-9]+)$', '\\1', 'g')
+          THEN regexp_replace({_FOLDED_AUTH_SQL}, ':80$', '')
+          ELSE {_FOLDED_AUTH_SQL} END)
     || regexp_replace(regexp_replace(regexp_replace(
            regexp_replace(regexp_replace(regexp_replace(
              {_URL_PCT_SQL},
@@ -2855,9 +2856,10 @@ unorm AS (
 ),
 uhost AS (
   SELECT doc_id, norm_url,
-         regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
              regexp_extract(norm_url, '://([^/?#]*)', 1),
-             '^[^@]*@', ''), ':[0-9]+$', ''), '[.]+$', '') AS host
+             '^[^@]*@', ''), '[.]+$', ''), ':[0-9]+$', ''),
+             '[.]+$', '') AS host
   FROM unorm
 ),
 udom AS (

@@ -106,6 +106,16 @@ def test_fqdn_trailing_dot_folds(spark):
             "https://john.:pw@example.com:8080/a", "example.com"),
         (8, "https://john.:pw@example.com./a",
             "https://john.:pw@example.com/a", "example.com"),
+        # round-12 second review find: a dot AFTER the default port
+        # used to block the ':443'/':80' strip (folds now run first,
+        # restoring normalize∘normalize = normalize on this shape)
+        (9, "https://example.com:443./x", "https://example.com/x",
+            "example.com"),
+        (10, "http://example.com:80./x", "http://example.com/x",
+             "example.com"),
+        # ...and url_host on RAW urls with port-then-dot spellings
+        (11, "https://example.com.:443./x",
+             "https://example.com/x", "example.com"),
     ]
     df = spark.createDataFrame([(i, u) for i, u, _, _ in cases],
                                "doc_id long, url string")
