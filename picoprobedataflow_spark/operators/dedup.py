@@ -79,6 +79,23 @@ def exact_dup_mapping(docs: DataFrame, text_col: str = "text",
 # Shingles & n-gram Jaccard
 # --------------------------------------------------------------------------
 
+def _shingle_array(toks_col: str, k: int) -> Column:
+    """The row-local k-gram string array over a materialized token
+    array column — the ONE definition of the load-bearing totality
+    clamp (factored in round 12; four call sites had copy-pasted
+    it). greatest(.., 1): explode consumers make
+    InferFiltersFromGenerate push a size>0 predicate under the
+    projection, and codegen CSE then evaluates this transform on
+    PRE-filter rows — so the expression must be total
+    (sequence(1, <=0) descends through 0 and slice(_, 0, k) throws).
+    Sub-k-token rows build one junk shingle and must be dropped by
+    the caller's size >= k conjunct."""
+    return F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.size(toks_col) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks_col, i, k)))
+
+
 def shingle_table(docs: DataFrame, k: int = 3, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Distinct k-word shingles, long form: (doc_id, shingle).
@@ -97,19 +114,7 @@ def shingle_table(docs: DataFrame, k: int = 3, text_col: str = "text",
     fewer than k tokens yield no shingles."""
     d = (docs.select(F.col(id_col), words(text_col).alias("_toks"))
              .filter(F.size("_toks") >= k))
-    # greatest(.., 1): the explode below makes InferFiltersFromGenerate
-    # push a size(_sh)>0 predicate under this projection, and codegen
-    # CSE then evaluates the transform on PRE-filter rows — so the
-    # expression must be total (sequence(1, <=0) descends through 0
-    # and slice(_, 0, k) throws). Sub-k-token rows build one junk
-    # shingle here and are still dropped by the size>=k conjunct.
-    d = d.select(
-        F.col(id_col),
-        F.transform(F.sequence(F.lit(1),
-                               F.greatest(F.size("_toks") - (k - 1),
-                                          F.lit(1))),
-                    lambda i: F.concat_ws(" ", F.slice("_toks", i, k))
-                    ).alias("_sh"))
+    d = d.select(F.col(id_col), _shingle_array("_toks", k).alias("_sh"))
     return d.select(F.col(id_col),
                     F.explode(F.array_distinct("_sh")).alias("shingle"))
 
@@ -149,14 +154,27 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
     m = F.size("_hs") - (w - 1)
     win_idx = (F.when(m >= 1, F.sequence(F.lit(1), m))
                 .otherwise(F.array().cast("array<int>")))
-    sel = F.transform(
+    # Two-step selection: bind each window's slice and its min ONCE
+    # in an intermediate struct, then derive (pos, fp) from the
+    # bound fields. Higher-order-function lambdas get no codegen
+    # subexpression elimination (the ~6x pathology shingle_table's
+    # docstring measures), and the old single lambda materialized
+    # the w-element slice three times and scanned it for the min
+    # twice per window (round-12 review find).
+    bound = F.transform(
         win_idx,
-        lambda s: F.struct(
-            (s.cast("long")
-             + F.array_position(F.slice("_hs", s, w),
-                                F.array_min(F.slice("_hs", s, w)))
+        lambda s: F.struct(s.alias("s"),
+                           F.slice("_hs", s, w).alias("win")))
+    bound = F.transform(
+        bound,
+        lambda t: F.struct(t.s.alias("s"), t.win.alias("win"),
+                           F.array_min(t.win).alias("mn")))
+    sel = F.transform(
+        bound,
+        lambda t: F.struct(
+            (t.s.cast("long") + F.array_position(t.win, t.mn)
              - 1).alias("pos"),
-            F.array_min(F.slice("_hs", s, w)).alias("fp")))
+            t.mn.alias("fp")))
     return (d.select(F.col(id_col), F.explode(sel).alias("u"))
              .select(id_col, F.col("u.pos").alias("pos"),
                      F.col("u.fp").alias("fp"))
@@ -200,14 +218,8 @@ def jaccard_pairs(docs: DataFrame | None, k: int = 3,
     else:
         d = (docs.select(F.col(id_col), words(text_col).alias("_toks"))
                  .filter(F.size("_toks") >= k))
-        # greatest(.., 1): keep the transform total — see shingle_table.
-        d = d.select(
-            F.col(id_col),
-            F.transform(F.sequence(F.lit(1),
-                                   F.greatest(F.size("_toks") - (k - 1),
-                                              F.lit(1))),
-                        lambda i: F.concat_ws(" ", F.slice("_toks", i, k))
-                        ).alias("_sh"))
+        d = d.select(F.col(id_col),
+                     _shingle_array("_toks", k).alias("_sh"))
         sh = d.select(
             F.col(id_col),
             F.explode(F.array_distinct(
@@ -219,8 +231,12 @@ def jaccard_pairs(docs: DataFrame | None, k: int = 3,
     # for the seconds this query runs, and under storage pressure the
     # LRU simply drops them (recompute, no disk leak) — so repeated
     # catalog/bench invocations in one long-lived driver session stay
-    # bounded. A caller-provided table is assumed pre-materialized.
-    if shingles is None:
+    # bounded. Guard on IDENTITY, not `shingles is None`: a
+    # caller-provided table is pre-materialized, but the hashed
+    # re-derivation on top of it (hash + dropDuplicates — a full
+    # shuffle) is ours and was re-running once per consumer under
+    # the old None-guard (round-12 review find).
+    if sh is not shingles:
         sh = sh.persist(StorageLevel.MEMORY_ONLY)
     if max_df is not None:
         # Drop-side anti-join, not keep-side semi-join: the df cap
@@ -275,11 +291,15 @@ def containment_pairs(docs: DataFrame | None, k: int = 3,
                          max_df, shingles, shingle_hash)
     cont = F.greatest(F.col("n_common") / F.col("n_a"),
                       F.col("n_common") / F.col("n_b"))
+    # Filter on the UNROUNDED value, round only in the output — the
+    # first cut filtered the 6-dp rounding, quantizing the decision
+    # boundary (a true 0.7999998 rounded to 0.8 and passed a 0.8
+    # threshold; jaccard_pairs and the DuckDB oracle both gate
+    # unrounded — round-12 review find).
     return (base
-            .withColumn("containment", F.round(cont, 6))
-            .filter(F.col("containment") >= threshold)
+            .filter(cont >= threshold)
             .select("doc_a", "doc_b", "n_common", "n_a", "n_b",
-                    "containment"))
+                    F.round(cont, 6).alias("containment")))
 
 
 def contamination_overlap(train_docs: DataFrame | None = None,
@@ -424,19 +444,27 @@ BLOOM_LITERAL_MAX_BITS = 1 << 23
 #: costs wasted verify work — outputs are exact either way). Keys are
 #: estimated from the universe's Catalyst size at ~32 bytes per
 #: distinct-shingle row, rounded up to a power of two and clamped to
-#: [2^16, 2^34] (8 KiB literal floor; 2 GiB-of-words ceiling — the
-#: 1e9-shingle sizing the broadcast transport exists for). A fixed
+#: [2^16, 2^33] (8 KiB literal floor; 1 GiB-of-words ceiling — at
+#: 2^34 the broadcast transport's single-row words ARRAY would hit
+#: 2^28 bigints = 2 GiB, over Spark's per-value UnsafeRow limit, so
+#: the build itself would crash at exactly the 1e9-shingle scale it
+#: exists for — round-12 review find; 2^33 still gives ~8 bits/key
+#: at 1e9 keys ≈ 3% fp, which only costs verify work). A fixed
 #: default was the old footgun in the other direction: 2^20 bits
 #: saturates uselessly against a 1e9-key universe (fp → 1, the
 #: prefilter passes everything). Sources with no real stats fall
 #: back to the old 2^20 default rather than the ceiling — a huge
-#: sentinel estimate must not conjure a 2 GiB filter for a tiny
-#: in-memory corpus.
+#: sentinel estimate must not conjure a 1 GiB filter for a tiny
+#: in-memory corpus. The sentinel bar sits at 2^60, NOT just above
+#: real data sizes: Catalyst estimates are multiplicative upper
+#: bounds and a join-heavy universe plan can legitimately estimate
+#: past 2^50 — only the defaultSizeInBytes/error sentinels (≥ 2^62)
+#: mean "unknown" (second round-12 review find).
 BLOOM_BITS_PER_KEY = 10
 BLOOM_ROW_BYTES_EST = 32
 BLOOM_MIN_BITS = 1 << 16
-BLOOM_MAX_BITS = 1 << 34
-_STATS_UNKNOWN_BYTES = 1 << 50
+BLOOM_MAX_BITS = 1 << 33
+_STATS_UNKNOWN_BYTES = 1 << 60
 
 
 def _auto_num_bits(universe: DataFrame) -> int:
@@ -687,14 +715,7 @@ def minhash_vector(docs: DataFrame, num_hashes: int = 16, k: int = 3,
     form."""
     d = (docs.select(F.col(id_col), words(text_col).alias("_toks"))
              .filter(F.size("_toks") >= k))
-    # greatest(.., 1): keep the transform total — see shingle_table.
-    d = d.select(
-        F.col(id_col),
-        F.transform(F.sequence(F.lit(1),
-                               F.greatest(F.size("_toks") - (k - 1),
-                                          F.lit(1))),
-                    lambda i: F.concat_ws(" ", F.slice("_toks", i, k))
-                    ).alias("_sh"))
+    d = d.select(F.col(id_col), _shingle_array("_toks", k).alias("_sh"))
     # pmod, not %: portable_hash64 is non-negative (identical result)
     # but fast_hash64 spans the full int64 range and % would go negative.
     d = d.select(
@@ -899,9 +920,19 @@ def incremental_minhash_dedup(new_docs: DataFrame,
 
     Equivalence contract (pytest-asserted): identical to running
     `minhash_lsh_dedup` over corpus ∪ batch and keeping the pairs that
-    touch the batch."""
+    touch the batch.
+
+    The op owns NO cache (round-9 principle, re-applied in a
+    round-12 review find: the old internal ``persist`` of the vector
+    and band tables leaked one cache-manager entry per call — the
+    streaming loop's ``unpersist`` on the DERIVED returned frames
+    matched nothing, so a long-running ingest accumulated an
+    InMemoryRelation per micro-batch). The vector recompute is a
+    row-local fold bounded by |batch|; callers that want the
+    amortization should persist the RETURNED frames and unpersist
+    those same references."""
     vec = minhash_vector(new_docs, num_hashes, k, text_col, id_col,
-                         hash_fn).persist(StorageLevel.MEMORY_ONLY)
+                         hash_fn)
     new_sigs = (vec.select(F.col(id_col),
                            F.posexplode("mh").alias("salt", "minhash"))
                    .select(id_col,
@@ -909,7 +940,6 @@ def incremental_minhash_dedup(new_docs: DataFrame,
                            "minhash"))
     new_bands = band_vector_signatures(vec, band_size, num_hashes,
                                        id_col)
-    new_bands = new_bands.persist(StorageLevel.MEMORY_ONLY)
 
     n, c = new_bands.alias("n"), corpus_bands.alias("c")
     cross = (n.join(c, (F.col("n.band") == F.col("c.band"))
@@ -1650,6 +1680,14 @@ def decontaminate_spans(train_docs: DataFrame,
         bench_universe = (shingle_table(bench_docs, k, text_col,
                                         id_col)
                           .select("shingle").distinct())
+    # LOCKSTEP NOTE: this hook-validation + transport-resolution
+    # block mirrors contamination_overlap_bloom's — they are NOT
+    # factored because the two ops differ structurally (this one has
+    # a "direct" semi-join route and probes sliding windows, the doc
+    # gate probes docs), and a forced shared helper would have to
+    # re-encode those differences as flags. When changing probe
+    # sizing or transport rules, change BOTH sites (the round-12
+    # lazy-width fix initially landed in only one).
     if num_bits == "auto" and (bits is not None
                                or bloom_df is not None):
         # Prebuilt hooks must state the width they were built with.
@@ -1685,18 +1723,13 @@ def decontaminate_spans(train_docs: DataFrame,
                 .select(F.col(id_col),
                         (F.col("_p0") + 1).alias("pos"), "term",
                         F.lit(0).alias("delta"), F.lit(1).alias("ord")))
-    # Sliding k-windows with 1-based start positions. greatest(.., 1)
-    # keeps the sequence bound total when InferFiltersFromGenerate
-    # evaluates the transform on pre-filter rows (see shingle_table);
-    # the bogus single-window rows a sub-k doc would produce are
-    # removed by the size filter itself.
+    # Sliding k-windows with 1-based start positions (the shared
+    # _shingle_array carries the totality clamp; the bogus
+    # single-window rows a sub-k doc would produce are removed by
+    # the size filter itself).
     wins = (toks.filter(F.size("_w") >= k)
             .select(F.col(id_col),
-                    F.posexplode(F.transform(
-                        F.sequence(F.lit(1),
-                                   F.greatest(F.size("_w") - (k - 1),
-                                              F.lit(1))),
-                        lambda i: F.concat_ws(" ", F.slice("_w", i, k))))
+                    F.posexplode(_shingle_array("_w", k))
                     .alias("_i0", "shingle")))
     if transport == "literal":
         if bits is None:

@@ -84,14 +84,23 @@ def run_incremental_dedup_stream(doc_stream: DataFrame, state_dir: str,
             batch, corpus_sigs, corpus_bands,
             num_hashes=num_hashes, k=k, band_size=band_size,
             hash_fn=hash_fn)
-        # pairs BEFORE state: if the epoch replays after a partial
-        # failure, recomputing against pre-epoch state stays correct
-        # (its own partitions are simply overwritten)
-        _write_epoch(pairs, pair_dir, epoch_id)
-        _write_epoch(new_sigs, sig_dir, epoch_id)
-        _write_epoch(new_bands, band_dir, epoch_id)
-        new_sigs.unpersist()
-        new_bands.unpersist()
+        # The op owns no cache (round-12 review find: its old
+        # internal persist leaked one cache entry per micro-batch —
+        # the unpersist here used to target DERIVED frames and
+        # matched nothing). The loop persists the frames it writes
+        # twice-or-more and unpersists the SAME references.
+        new_sigs = new_sigs.persist()
+        new_bands = new_bands.persist()
+        try:
+            # pairs BEFORE state: if the epoch replays after a
+            # partial failure, recomputing against pre-epoch state
+            # stays correct (its own partitions are overwritten)
+            _write_epoch(pairs, pair_dir, epoch_id)
+            _write_epoch(new_sigs, sig_dir, epoch_id)
+            _write_epoch(new_bands, band_dir, epoch_id)
+        finally:
+            new_sigs.unpersist()
+            new_bands.unpersist()
 
     writer = (doc_stream.writeStream
               .foreachBatch(_process)

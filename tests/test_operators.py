@@ -191,6 +191,30 @@ def test_contam_bloom_owns_no_cache(spark):
     assert after - before == set()
 
 
+def test_incremental_minhash_owns_no_cache(spark):
+    """Round-12 review find, same leak class as the round-8 contam
+    one: incremental_minhash_dedup persisted its vector and band
+    frames internally, so the streaming loop's unpersist (on the
+    DERIVED returned frames) matched nothing — one cache entry per
+    micro-batch. The op now owns no cache; the loop persists and
+    unpersists the same references it writes."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0).limit(40)
+    batch = docs.filter(F.col("doc_id") % 2 == 1).limit(20)
+    sigs = DD.minhash_signatures(corpus, num_hashes=8)
+    bands = DD.band_signatures(sigs, band_size=4)
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                 .toArray())
+    new_sigs, new_bands, pairs = DD.incremental_minhash_dedup(
+        batch, sigs, bands, num_hashes=8, band_size=4)
+    for df in (new_sigs, new_bands, pairs):
+        df.collect()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                .toArray())
+    assert after - before == set()
+
+
 def test_bloom_literal_probe_is_64bit(spark):
     """ADVICE regression: when every filter word fits int32, F.lit
     infers array<int> and shiftright masks the shift amount mod 32 —
