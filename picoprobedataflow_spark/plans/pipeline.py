@@ -4672,13 +4672,27 @@ _FAMILY_SPECS = [
           v=("p50", "p99", "skew_ratio"))),
 ]
 
-# Families hosted by `llm_curation_suite2`. Initially the nine
-# round-12 additions (the split that fixed the 400-450 MB creep);
-# rebalanced in round 13 from measured floors so neither union
-# approaches the envelope — see COVERAGE.md's floor table.
+# Families hosted by `llm_curation_suite2` — the round-12 nine plus the
+# round-13 rebalance (audio_stats, resample_stats, detect, bigram_lm,
+# cdc_dedup, winnow moved over), chosen by measured union floors:
+# 650/280 MB before, 450/450 MB after under the no-spill bisection of
+# scripts/measure_oracle_floors.py (table in COVERAGE.md).
 _SUITE2_FAMILIES = frozenset({
-    "boiler_clean", "nfc", "chunks", "source_overlap", "rand_proj",
-    "containment", "zipf", "dq", "key_skew",
+    "audio_stats",
+    "bigram_lm",
+    "boiler_clean",
+    "cdc_dedup",
+    "chunks",
+    "containment",
+    "detect",
+    "dq",
+    "key_skew",
+    "nfc",
+    "rand_proj",
+    "resample_stats",
+    "source_overlap",
+    "winnow",
+    "zipf",
 })
 
 
@@ -4692,10 +4706,31 @@ def family_oracles() -> dict[str, str]:
 
 
 def _suite_oracle(suite2: bool) -> str:
-    return "\nUNION ALL\n".join(
-        _fam_sql(fam, inner, **kw)
-        for fam, _fn, inner, kw in _FAMILY_SPECS
-        if (fam in _SUITE2_FAMILIES) == suite2)
+    """Union of the suite's family branches, with any inner oracle
+    shared verbatim by 2+ members (decontam_spans / decontam_bloom
+    replay the same sweep-line union) hoisted into ONE top-level
+    MATERIALIZED CTE — DuckDB has no common-subexpression elimination
+    across UNION ALL branches, so without the hoist the shared chain
+    is evaluated (and holds memory) once per member."""
+    members = [(fam, inner, kw)
+               for fam, _fn, inner, kw in _FAMILY_SPECS
+               if (fam in _SUITE2_FAMILIES) == suite2]
+    counts: dict[str, int] = {}
+    for _fam, inner, _kw in members:
+        counts[inner] = counts.get(inner, 0) + 1
+    shared = {inner: f"__shared{i}" for i, inner in enumerate(
+        [s for s in counts if counts[s] > 1])}
+    branches = [
+        _fam_sql(fam,
+                 f"SELECT * FROM {shared[inner]}"
+                 if inner in shared else inner, **kw)
+        for fam, inner, kw in members]
+    sql = "\nUNION ALL\n".join(branches)
+    if shared:
+        ctes = ",\n".join(f"{name} AS MATERIALIZED (\n{inner}\n)"
+                          for inner, name in shared.items())
+        sql = f"WITH {ctes}\n{sql}"
+    return sql
 
 
 _LLM_SUITE_ORACLE = _suite_oracle(False)

@@ -41,7 +41,8 @@ from tests.conftest import TABLES  # noqa: E402
 
 # Memory-limit rungs (MB). Floors are reported as the lowest rung
 # that PASSES, so the resolution is the gap between adjacent rungs.
-LADDER = [48, 64, 96, 128, 160, 200, 240, 280, 330, 400, 500, 650]
+LADDER = [48, 64, 96, 128, 160, 200, 240, 280, 330, 360, 400, 450,
+          500, 575, 650, 800]
 
 
 def _connect(sf_dir: str, limit_mb: int) -> duckdb.DuckDBPyConnection:
