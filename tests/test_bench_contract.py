@@ -23,12 +23,17 @@ def _worst_case_line(with_delta: bool) -> str:
     # 2-decimal delta ratios, sf as float.
     timings = {k: 9999.999 for k in keys}
     out = bench._stdout_payload(timings, "0.1", n_reps=3)
+    # rev 5: the median-estimator total rides the stdout line too.
+    out["value_median"] = 99999.999
     if with_delta:
         # Round 12: the stdout line carries the NORMALIZED deltas plus
         # the scalar ambient factor; raw delta_vs_prev lives in the
-        # side file (raw = normalized x ambient_factor).
+        # side file (raw = normalized x ambient_factor). Round 13: the
+        # normalized deltas are median-based when the previous capture
+        # is recoverable, flagged by delta_estimator.
         out["delta_vs_prev_normalized"] = {k: 99.99 for k in keys}
         out["ambient_factor"] = 99.999
+        out["delta_estimator"] = "median"
         out["delta_vs_prev_file"] = "BENCH_r99.json"
     return json.dumps(out)
 
@@ -102,3 +107,30 @@ def test_normalized_delta_degenerate():
         {bench.CANARY_KEYS[0]: 1.0, bench.CANARY_KEYS[1]: 2.0,
          "x": 3.0})
     assert ambient == 1.5 and normalized["x"] == 2.0
+
+
+def test_load_prev_medians_verifies_same_capture(tmp_path, monkeypatch):
+    """Median deltas must only ever be computed against the capture
+    that produced the previous stdout record: same sf, rev >= 4, and
+    every shared key's min-of-reps equal to the stdout min (3-dp). A
+    stale side file (intra-round local run) fails the min check."""
+    import os
+    prev = {"sf": 0.1, "queries": {"a": 1.0, "b": 0.4}}
+    side = {"bench_rev": 5, "sf": 0.1,
+            "reps": {"a": [1.2, 1.0, 1.1], "b": [0.4, 0.5, 0.6]}}
+    p = tmp_path / "BENCH_reps.json"
+    p.write_text(json.dumps(side))
+    monkeypatch.setattr(bench.os.path, "abspath",
+                        lambda _: str(tmp_path / "bench.py"))
+    got = bench._load_prev_medians(prev)
+    assert got == {"a": 1.1, "b": 0.5}
+    # sf mismatch -> None
+    assert bench._load_prev_medians({"sf": 0.01,
+                                     "queries": prev["queries"]}) is None
+    # stale side file (min disagrees with the stdout record) -> None
+    assert bench._load_prev_medians(
+        {"sf": 0.1, "queries": {"a": 0.9, "b": 0.4}}) is None
+    # old methodology rev -> None
+    side["bench_rev"] = 3
+    p.write_text(json.dumps(side))
+    assert bench._load_prev_medians(prev) is None
