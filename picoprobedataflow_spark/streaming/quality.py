@@ -136,7 +136,8 @@ def decontam_stream(spark: SparkSession, src_dir: str,
                     ckpt_dir: str, out_dir: str,
                     bench_docs: DataFrame,
                     schema: StructType | str,
-                    k: int = 3, timeout: int = 300) -> None:
+                    k: int = 3, timeout: int = 300,
+                    bloom_bits_count: int | None = None) -> None:
     """Streaming SPAN-level decontamination: every arriving
     micro-batch of documents is cleaned against the held-out
     benchmark's shingle universe
@@ -154,22 +155,59 @@ def decontam_stream(spark: SparkSession, src_dir: str,
     other gate table. The benchmark universe is built and
     materialized ONCE outside the loop; per-batch cost is the sweep:
     one explode, one semi join against the static universe, one
-    doc-keyed window + aggregate over the batch only."""
+    doc-keyed window + aggregate over the batch only.
+
+    ``bloom_bits_count`` (round 13, mirrors
+    :func:`contam_gate_stream`'s hook) serves benchmark universes
+    too big to broadcast: the Bloom words array — literal tier at or
+    under ``BLOOM_LITERAL_MAX_BITS``, a 1-row broadcast frame above
+    it — is built ONCE outside the loop, exactly as the universe
+    itself is, and passed through ``bits``/``bloom_df`` so every
+    micro-batch probes its sliding windows map-side and only true
+    hits plus the ~1% false-positive residue reach the exact semi
+    join. Without the hook, a >1 GiB universe streamed through the
+    pinned direct route would pay the full per-token shuffle the
+    batch op's ``transport="auto"`` cutover exists to avoid (and
+    "auto" itself cannot be used here: the localCheckpointed
+    universe has no source statistics, so auto would conservatively
+    rebuild the filter every micro-batch). Identical rows out either
+    way — the Bloom route is output-invariant by construction
+    (exact verify join downstream), drain-equivalence pytest-pinned."""
     from picoprobedataflow_spark.operators.dedup import (
+        BLOOM_LITERAL_MAX_BITS, bloom_bits, bloom_filter_df,
         decontaminate_spans, shingle_table)
 
     universe = (shingle_table(bench_docs, k=k)
                 .select("shingle").distinct()
                 .localCheckpoint(eager=True))
+    bits = bloom_df = None
+    if bloom_bits_count is not None:
+        if bloom_bits_count <= BLOOM_LITERAL_MAX_BITS:
+            bits = bloom_bits(universe, num_bits=bloom_bits_count)
+        else:
+            bloom_df = bloom_filter_df(
+                universe,
+                num_bits=bloom_bits_count).localCheckpoint(eager=True)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        # transport pinned: the universe is localCheckpointed once
-        # outside the loop and semi-joins per batch (the documented
-        # plan); "auto" on a stat-less checkpoint plan would pick the
-        # Bloom route and rebuild the filter EVERY micro-batch.
-        (decontaminate_spans(batch_df, k=k, bench_universe=universe,
-                             transport="direct")
-         .withColumn("batch_id", F.lit(batch_id))
+        if bloom_bits_count is not None:
+            # Prebuilt hooks resolve the transport (bits -> literal,
+            # bloom_df -> broadcast); num_bits must restate the width
+            # the words array was built with.
+            cleaned = decontaminate_spans(
+                batch_df, k=k, bench_universe=universe,
+                num_bits=bloom_bits_count, bits=bits,
+                bloom_df=bloom_df)
+        else:
+            # transport pinned: the universe is localCheckpointed
+            # once outside the loop and semi-joins per batch (the
+            # documented plan); "auto" on a stat-less checkpoint plan
+            # would pick the Bloom route and rebuild the filter EVERY
+            # micro-batch.
+            cleaned = decontaminate_spans(
+                batch_df, k=k, bench_universe=universe,
+                transport="direct")
+        (cleaned.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(out_dir))
 
     q = (spark.readStream.schema(schema).parquet(src_dir)

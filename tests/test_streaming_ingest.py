@@ -523,6 +523,20 @@ def test_streaming_decontam_equals_batch(spark, tmp_path):
                   for r in got.collect())
     assert have == want
 
+    # Bloom-amortized drains of the same source from fresh
+    # checkpoints (round 13): identical cleaned rows. 64 bits forces
+    # collisions (false positives the exact verify join must remove);
+    # 1<<24 exceeds BLOOM_LITERAL_MAX_BITS, exercising the broadcast
+    # words tier with the 1-row frame built ONCE outside the loop.
+    for nb, tag in ((64, "d1"), (1 << 12, "d2"), (1 << 24, "d3")):
+        ck2, out2 = str(tmp_path / f"dck_{tag}"), str(tmp_path / tag)
+        decontam_stream(spark, str(src), ck2, out2, bench, schema,
+                        k=3, bloom_bits_count=nb)
+        bhave = sorted(
+            (r.doc_id, r.cleaned, r.n_removed, r.n_kept)
+            for r in spark.read.parquet(out2).collect())
+        assert bhave == want
+
 
 def test_streaming_ivf_index_maintenance_equals_batch_layout(
         spark, tmp_path):
