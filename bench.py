@@ -273,6 +273,15 @@ def main() -> None:
     variants["zipf_full"] = PL.zipf_source_stats
     variants["dq_full"] = PL.dq_expectations
     variants["key_skew_full"] = PL.key_skew_profile
+    # Round 13: the amortized twins of the tree's two most expensive
+    # timings. Containment over the persisted df-capped shingle table
+    # (shares dedup_jaccard_served_full's write-once parquet);
+    # SemDeDup from cached centroids (the Lloyd's build — the
+    # dominant cost — runs once per session+SF; rep[0] carries the
+    # build, later reps show the steady-state re-prune cost).
+    # Equality to the cold paths is pytest-pinned.
+    variants["containment_served_full"] = PL.containment_served_pairs
+    variants["semdedup_served_full"] = PL.semdedup_served_prune
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
     # shouldn't be charged to the first query. Each headline query is

@@ -745,8 +745,8 @@ def semantic_dedup(emb: DataFrame, n_clusters: int | None = None,
                    threshold: float = 0.4, vec_col: str = "embedding",
                    id_col: str = "vec_id",
                    round_digits: int = 6,
-                   target_cell_pop: int = SEMDEDUP_TARGET_CELL_POP
-                   ) -> DataFrame:
+                   target_cell_pop: int = SEMDEDUP_TARGET_CELL_POP,
+                   cent_rows: list | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding
     space with the deterministic k-means build, evaluate cosine only
     WITHIN each cluster, and greedily keep the smallest-id member of
@@ -782,12 +782,22 @@ def semantic_dedup(emb: DataFrame, n_clusters: int | None = None,
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
     ).localCheckpoint(eager=True)
-    if n_clusters is None:
-        n_clusters = semdedup_auto_k(vecs.count(), target_cell_pop)
-    cents = kmeans_centroids(emb, n_clusters, n_iter, vec_col, id_col,
-                             vecs=vecs)
-    cent_rows = sorted((r.cell, list(r.centroid))
-                       for r in cents.collect())
+    # ``cent_rows`` (round 13): a prebuilt [(cell, centroid)] list —
+    # the k·dim-bounded index a deployment trains ONCE and serves to
+    # every dedup pass (the amortization the quantized-ANN suite
+    # already does via _quant_shared_build). Skips both the Lloyd's
+    # build and the auto-k count; prune verdicts are identical when
+    # the rows came from the same kmeans_centroids build, which is
+    # what the served-vs-cold equality test pins.
+    if cent_rows is not None:
+        n_clusters = len(cent_rows)
+    else:
+        if n_clusters is None:
+            n_clusters = semdedup_auto_k(vecs.count(), target_cell_pop)
+        cents = kmeans_centroids(emb, n_clusters, n_iter, vec_col,
+                                 id_col, vecs=vecs)
+        cent_rows = sorted((r.cell, list(r.centroid))
+                           for r in cents.collect())
     if n_clusters <= EXPR_ASSIGN_MAX_K:
         assigned = vecs.withColumn("cell",
                                    kmeans_assign_expr(cent_rows, "_v"))

@@ -2091,6 +2091,61 @@ def jaccard_served_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.jaccard_pairs(None, k=3, threshold=0.5, shingles=sh)
 
 
+def containment_served_pairs(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs from the PERSISTED df-capped hashed
+    shingle table — :func:`jaccard_served_pairs`'s twin (containment
+    shares the Jaccard shingle machinery verbatim; only the final
+    filter differs), so the tokenize→shingle→hash map and the df cap
+    amortize into the same write-once parquet
+    (:func:`_served_dedup_tables`) and serving pays only the
+    long-equality join + the asymmetric threshold. Equality to the
+    from-scratch production path is pytest-pinned."""
+    _, sh = _served_dedup_tables(spark, sf_dir)
+    return DD.containment_pairs(None, k=3, threshold=0.9, shingles=sh)
+
+
+#: One SemDeDup centroid build per (applicationId, sf_dir): the
+#: k·dim-bounded [(cell, centroid)] list — the index a deployment
+#: trains once and serves to every prune pass. Driver-side cache,
+#: same keying/eviction story as _QUANT_BUILD_CACHE.
+_SEMDEDUP_CENT_CACHE: dict = {}
+
+
+def semdedup_served_prune(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """SemDeDup prune verdicts from CACHED centroids: the Lloyd's
+    build (the dominant cost of :func:`semdedup_embedding_prune` —
+    the most expensive timing in the bench tree) runs once per
+    (session, SF) and every subsequent call pays only assignment +
+    the within-cell self-join + the neighbor aggregate, i.e. the
+    steady-state cost of re-pruning a corpus against a standing
+    semantic index. Same auto-k rule, same threshold; verdicts are
+    identical to the cold path by construction (the cached rows ARE
+    the cold build's rows), equality pytest-pinned."""
+    from picoprobedataflow_spark.operators.similarity import (
+        kmeans_centroids, semdedup_auto_k)
+    emb = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cent_rows = _SEMDEDUP_CENT_CACHE.get(key)
+    if cent_rows is None:
+        for stale in [k2 for k2 in _SEMDEDUP_CENT_CACHE
+                      if k2[0] != key[0]]:
+            del _SEMDEDUP_CENT_CACHE[stale]
+        vecs = emb.select(
+            F.col("vec_id").alias("_id"),
+            F.transform(F.col("embedding"),
+                        lambda x: x.cast("double")).alias("_v")
+        ).localCheckpoint(eager=True)
+        k = semdedup_auto_k(vecs.count())
+        cents = kmeans_centroids(emb, k, n_iter=_KM_ITER, vecs=vecs)
+        cent_rows = sorted((r.cell, list(r.centroid))
+                           for r in cents.collect())
+        _SEMDEDUP_CENT_CACHE[key] = cent_rows
+    return SIM.semantic_dedup(emb, threshold=_SEMDEDUP_THR,
+                              cent_rows=cent_rows)
+
+
 def _pq_oracle(m: int, k: int, n_iter: int, topk: int,
                dim: int = 64) -> str:
     sub = dim // m

@@ -507,6 +507,39 @@ def test_dedup_serving_path_equals_from_scratch(spark):
     t2 = PL._served_dedup_tables(spark, sf)
     assert t1[0] is t2[0] and t1[1] is t2[1]
 
+    # Round 13: containment rides the same persisted shingle table
+    # (only the final filter differs from Jaccard) — served ==
+    # from-scratch at the production config.
+    cserved = sorted(map(tuple,
+                         PL.containment_served_pairs(spark, sf)
+                         .collect()))
+    cscratch = sorted(map(tuple, DD.containment_pairs(
+        docs, k=3, threshold=0.9, max_df=50,
+        shingle_hash=SC.fast_hash64).collect()))
+    assert cserved == cscratch
+
+
+def test_semdedup_served_equals_cold(spark):
+    """SemDeDup verdicts from the cached-centroid serving path must
+    equal the cold build exactly (same auto-k, same seeds — the
+    cached rows ARE a kmeans_centroids build's rows), and the second
+    call must reuse the driver-side centroid cache."""
+    from picoprobedataflow_spark.plans import pipeline as PL
+
+    sf = "/root/testdata/sf0.001"
+    cold = sorted(map(tuple,
+                      PL.semdedup_embedding_prune(spark, sf)
+                      .collect()))
+    PL._SEMDEDUP_CENT_CACHE.clear()
+    served = sorted(map(tuple,
+                        PL.semdedup_served_prune(spark, sf)
+                        .collect()))
+    assert served == cold and len(served) > 0
+    key = (spark.sparkContext.applicationId, sf)
+    rows_before = PL._SEMDEDUP_CENT_CACHE[key]
+    PL.semdedup_served_prune(spark, sf)
+    assert PL._SEMDEDUP_CENT_CACHE[key] is rows_before
+
 
 def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
     """Spark's runtime bloom-filter injection — the engine-level semi-
