@@ -126,7 +126,19 @@ def random_project(a: Column, out_dim: int, dim: int,
 
     Row-local (zero shuffle): ``out_dim`` sequential fold-dots per
     row, each a whole-stage-codegen expression — the same shape as
-    :func:`dot`, deterministic FP order on both engines."""
+    :func:`dot`, deterministic FP order WITHIN each engine.
+
+    Cross-engine tolerance note (round 13): the ``rand_proj`` oracle
+    computes the same dot as an unordered DuckDB ``GROUP BY``/``SUM``
+    — a different FP addition order than this fold — so the two
+    engines agree only up to FP associativity (~1 ulp per term). The
+    family pins 6-dp ROUNDED values, which holds unless a projected
+    value lands within that error of an exact .5×10⁻⁶ rounding
+    boundary (none of the 4096 family values does; the ±1·float32
+    inputs keep magnitudes small). If the family ever flakes on a new
+    dataset, that boundary collision is the diagnosis — re-salt the
+    matrix or add a guard digit to the family's rounding rather than
+    chasing a phantom logic bug."""
     import math
 
     inv = 1.0 / math.sqrt(out_dim)

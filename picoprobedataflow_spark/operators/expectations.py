@@ -32,22 +32,37 @@ def check_expectations(df: DataFrame,
     surplus rows beyond the distinct values (0 = unique).
 
     Rule names must be plain identifiers (``[A-Za-z_][A-Za-z0-9_]*``,
-    not ``_n``): they pass through a ``stack()`` SQL string as bare
-    column references, so a dash or quote would fail the parse — or
-    worse, inject — and ``_n`` would collide with the internal
-    row-count alias. Rejected eagerly with ValueError."""
+    not ``_n``) and unique across ``rules`` AND the generated
+    ``unique_<col>`` aliases: they pass through a ``stack()`` SQL
+    string, so a dash or quote would fail the parse — or worse,
+    inject — ``_n`` would collide with the internal row-count alias,
+    and a rules key named ``unique_<col>`` would shadow that column's
+    uniqueness alias in the aggregate row. Rejected eagerly with
+    ValueError. Inside the stack expression each name is
+    backtick-quoted, so names that are SQL RESERVED words
+    (``select``, ``end``, ``cast``) are valid rule names. An EMPTY
+    input frame reports every rule as 0 violations / rate 0.0 /
+    passed=true (sums over zero rows coalesce to 0 — a CI gate
+    reading ``passed`` must never see NULL)."""
     import re
 
+    seen: set[str] = set()
     for nm in list(rules) + [f"unique_{c}" for c in unique_cols]:
         if nm == "_n" or not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*",
                                           nm):
             raise ValueError(
                 f"rule name {nm!r} must be an identifier and not "
                 "'_n' (it is interpolated into a stack() expression)")
+        if nm in seen:
+            raise ValueError(
+                f"duplicate rule name {nm!r} (rules keys and the "
+                "generated unique_<col> aliases share one namespace)")
+        seen.add(nm)
     aggs = [F.count("*").alias("_n")]
     for name, cond in rules.items():
-        aggs.append(F.sum(F.when(F.coalesce(cond, F.lit(False)),
-                                 0).otherwise(1))
+        aggs.append(F.coalesce(
+            F.sum(F.when(F.coalesce(cond, F.lit(False)),
+                         0).otherwise(1)), F.lit(0))
                     .cast("long").alias(name))
     for c in unique_cols:
         aggs.append((F.count(c) - F.count_distinct(F.col(c)))
@@ -56,7 +71,7 @@ def check_expectations(df: DataFrame,
     row = df.agg(*aggs)
     stack = "stack({n}, {args}) AS (rule, n_violations)".format(
         n=len(names),
-        args=", ".join(f"'{nm}', {nm}" for nm in names))
+        args=", ".join(f"'{nm}', `{nm}`" for nm in names))
     long = row.select(F.col("_n"), F.expr(stack))
     return long.select(
         "rule",

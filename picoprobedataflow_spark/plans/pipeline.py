@@ -2677,11 +2677,17 @@ def nfc_normalized_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (F.col("doc_id") % 9).cast("int")
     raw = F.when(m < 8, F.element_at(arr, m + 1))
     d = docs.select("doc_id", raw.alias("raw"))
-    return d.select(
-        "doc_id", TX.nfc_normalize("raw").alias("norm"),
-        F.length("raw").cast("long").alias("len_raw"),
-        F.length(TX.nfc_normalize("raw")).cast("long")
-         .alias("len_norm"))
+    # Project the pandas-UDF column ONCE and derive len_norm from the
+    # projected alias in a second select — two TX.nfc_normalize
+    # expression instances would rely on Catalyst deduplicating them
+    # (version-fragile; at worst a doubled Arrow pass). The
+    # single-Python-pass guarantee is structural this way
+    # (plan-asserted in test_nfc_single_arrow_pass).
+    return (d.select("doc_id", "raw",
+                     TX.nfc_normalize("raw").alias("norm"))
+            .select("doc_id", "norm",
+                    F.length("raw").cast("long").alias("len_raw"),
+                    F.length("norm").cast("long").alias("len_norm")))
 
 
 #: Context-window splitter grid for the ``chunks`` family: 8-token

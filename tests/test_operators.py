@@ -3008,6 +3008,27 @@ def test_check_expectations_null_semantics_and_uniqueness(spark):
     for bad in ("valid-lang", "a b", "x'y", "_n"):
         with _pytest.raises(ValueError):
             check_expectations(df, {bad: F.col("k") > 0})
+    # SQL reserved words are fine as rule names (backtick-quoted in
+    # the stack expression), and so is a name colliding with a
+    # generated alias's PREFIX — only exact duplicates are rejected.
+    rw = {r.rule: r for r in check_expectations(
+        df, {"select": F.col("k") > 0, "end": F.col("v") > 0,
+             "cast": F.lit(True)}).collect()}
+    assert rw["select"].passed and rw["end"].n_violations == 2
+    assert rw["cast"].passed
+    # A rules key that collides with a generated unique_<col> alias
+    # would shadow it in the aggregate row — rejected eagerly.
+    with _pytest.raises(ValueError):
+        check_expectations(df, {"unique_k": F.col("k") > 0},
+                           unique_cols=("k",))
+    # EMPTY corpus: zero violations, rate 0.0, passed=true — never
+    # NULL (sums over zero rows coalesce; a CI gate reads `passed`).
+    empty = {r.rule: r for r in check_expectations(
+        df.filter(F.lit(False)), {"v_positive": F.col("v") > 0},
+        unique_cols=("k",)).collect()}
+    for r in empty.values():
+        assert (r.n_checked, r.n_violations, r.viol_rate,
+                r.passed) == (0, 0, 0.0, True)
 
 
 def test_key_skew_report_exact_values(spark):

@@ -978,9 +978,11 @@ def test_round12_curation_plan_shapes(spark):
     nplan = nfc._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in nplan, nplan
     assert "ArrowEvalPython" in nplan and "BatchEvalPython" not in nplan
-    # the nfc FAMILY references the kernel twice (norm + len_norm);
-    # Spark dedups the identical UDF expressions — pin that the plan
-    # carries ONE invocation so the Python pass never silently doubles
+    # the nfc FAMILY projects the kernel ONCE and derives len_norm
+    # from the projected alias (round 13 — structural, no longer
+    # resting on Catalyst deduplicating two identical UDF
+    # expressions); pin that the plan carries ONE invocation so the
+    # Python pass never silently doubles
     from picoprobedataflow_spark.plans.pipeline import \
         nfc_normalized_texts
     fplan = (nfc_normalized_texts(spark, sf)
