@@ -231,12 +231,20 @@ def registrable_domain(host: Column | str) -> Column:
     regexes require a non-dot final char, so 'example.com.' matched
     NEITHER and fell through verbatim — the PSL path and url_host
     already stripped it, leaving this direct entry point the one
-    spelling-splitter in the lane)."""
+    spelling-splitter in the lane). A bracketed IP-LITERAL host maps
+    to itself (round-13 degenerate find: ``[::1]`` already fell
+    through dot-less, but an IPv4-mapped ``[::ffff:192.168.0.1]``
+    CONTAINS dots, and the two-label extract sliced it to the
+    nonsense key ``0.1]`` — IP literals have no registrable domain,
+    per the PSL algorithm they are their own origin; this is also
+    the fallback :func:`registrable_domain_psl` lands on, so the
+    bracket rule holds lane-wide from one site)."""
     h = F.regexp_replace(_c(host), "[.]+$", "")
     three = F.regexp_extract(h, "[^.]+[.][^.]+[.][^.]+$", 0)
     two = F.regexp_extract(h, "[^.]+[.][^.]+$", 0)
     rd = F.when(h.rlike(MULTIPART_SUFFIX_RE), three).otherwise(two)
-    return F.when(rd == "", h).otherwise(rd)
+    return F.when(h.startswith("["), h) \
+            .when(rd == "", h).otherwise(rd)
 
 
 def psl_table(spark, suffixes=DEFAULT_PSL_SUFFIXES) -> DataFrame:

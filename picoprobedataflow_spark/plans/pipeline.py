@@ -2827,16 +2827,23 @@ _DOMAIN_QUOTA = 3
 #: no URL column, so both engines derive one from (doc_id, source)
 #: with every normalization hazard planted: uppercase scheme/host,
 #: default and non-default ports, tracking params, fragments,
-#: trailing slashes, a multi-part public suffix, and (round-12
-#: review find) a dotted USERINFO before a host-FQDN-dot + kept
-#: port — the dot in 'User.' must survive normalization while the
-#: host dot before ':8080' folds.
+#: trailing slashes, a multi-part public suffix, (round-12 review
+#: find) a dotted USERINFO before a host-FQDN-dot + kept port — the
+#: dots in 'User%2E.' must survive normalization (the %2E is also
+#: exempt from the rest-side percent pass: authority escapes keep
+#: their spelling, only their CASE folds) while the host dot before
+#: ':8080' folds — and (round 13) a bracketed IPv4-mapped IPv6
+#: authority whose dots must not be mistaken for domain labels, plus
+#: a punycode (xn--) host whose '--' must ride the lowercase/strip
+#: chain untouched.
 _SYNTH_URL_SQL = """
-  (CASE doc_id % 4
+  (CASE doc_id % 6
      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443'
      WHEN 1 THEN 'https://blog.example.co.uk'
      WHEN 2 THEN 'HTTP://News.Example.COM.:80'
-     ELSE 'https://User.:pw@cdn.sample.org.:8080' END)
+     WHEN 3 THEN 'HTTP://[::FFFF:192.168.0.1]:8080'
+     WHEN 4 THEN 'https://Sub.XN--BCHER-KVA.DE:443'
+     ELSE 'https://User%2E.:pw@cdn.sample.org.:8080' END)
   || '/' || source || '/Item' || CAST(doc_id AS VARCHAR)
   || (CASE doc_id % 5
      WHEN 0 THEN '/?utm_source=feed&utm_campaign=x&id='
@@ -2925,7 +2932,8 @@ uhost AS (
 ),
 udom AS (
   SELECT doc_id, norm_url,
-         CASE WHEN rd = '' THEN host ELSE rd END AS domain
+         CASE WHEN starts_with(host, '[') THEN host
+              WHEN rd = '' THEN host ELSE rd END AS domain
   FROM (
     SELECT doc_id, norm_url, host,
            CASE WHEN regexp_matches(host,
@@ -2968,7 +2976,7 @@ FROM (
 #: (``!www.ck``: the exception's labels ARE the registrable domain),
 #: and a suffix-less single label exercising the regex fallback.
 _PSL_HOST_SQL = """
-  (CASE doc_id % 8
+  (CASE doc_id % 9
      WHEN 0 THEN 'shop' || CAST(doc_id % 7 AS VARCHAR)
                  || '.mall.co.il'
      WHEN 1 THEN 'a' || CAST(doc_id % 7 AS VARCHAR) || '.news.com.cn'
@@ -2980,9 +2988,11 @@ _PSL_HOST_SQL = """
      WHEN 6 THEN (CASE WHEN doc_id % 16 = 6 THEN 'www.ck'
                        ELSE 'sub' || CAST(doc_id % 7 AS VARCHAR)
                             || '.www.ck' END)
-     ELSE (CASE WHEN doc_id % 16 = 7 THEN 'localhost'
+     WHEN 7 THEN (CASE WHEN doc_id % 16 = 7 THEN 'localhost'
                 ELSE 'fqdn.example' || CAST(doc_id % 3 AS VARCHAR)
-                     || '.com.' END) END)
+                     || '.com.' END)
+     ELSE 'b' || CAST(doc_id % 5 AS VARCHAR)
+          || '.Sub.XN--BCHER-KVA.DE' END)
 """
 
 _URL_PSL_ORACLE = f"""
@@ -3029,7 +3039,8 @@ SELECT h.doc_id,
        CASE WHEN b.se IS NOT NULL THEN
               array_to_string(list_slice(p, b.se, len(p)), '.')
             WHEN b.s IS NULL THEN
-              (CASE WHEN rd = '' THEN host ELSE rd END)
+              (CASE WHEN starts_with(host, '[') THEN host
+                    WHEN rd = '' THEN host ELSE rd END)
             WHEN b.s > 1 THEN
               array_to_string(list_slice(p, b.s - 1, len(p)), '.')
             ELSE host END AS domain
@@ -3050,15 +3061,27 @@ def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, url): the deterministic crawl-URL stand-in both
     engines construct identically (:data:`_SYNTH_URL_SQL`)."""
     d = F.col("doc_id")
-    host = (F.when(d % 4 == 0, F.lit("HTTPS://WWW.Example.COM:443"))
-             .when(d % 4 == 1, F.lit("https://blog.example.co.uk"))
+    host = (F.when(d % 6 == 0, F.lit("HTTPS://WWW.Example.COM:443"))
+             .when(d % 6 == 1, F.lit("https://blog.example.co.uk"))
              # FQDN spelling (trailing dot before the default port):
              # folds to http://news.example.com (round 12)
-             .when(d % 4 == 2, F.lit("HTTP://News.Example.COM.:80"))
-             # dotted userinfo + host-FQDN-dot + kept port (round-12
-             # review find: the userinfo dot must survive, the host
-             # dot must fold)
-             .otherwise(F.lit("https://User.:pw@cdn.sample.org.:8080")))
+             .when(d % 6 == 2, F.lit("HTTP://News.Example.COM.:80"))
+             # Round 13: bracketed IPv4-mapped IPv6 literal — its
+             # dots are not domain labels (the domain is the whole
+             # bracket form), the hex lowercases, :8080 is kept
+             # (non-default under http)
+             .when(d % 6 == 3,
+                   F.lit("HTTP://[::FFFF:192.168.0.1]:8080"))
+             # Round 13: punycode host — 'xn--'/'--' ride the
+             # lowercase/strip chain untouched; :443 strips
+             .when(d % 6 == 4,
+                   F.lit("https://Sub.XN--BCHER-KVA.DE:443"))
+             # dotted+escaped userinfo, host-FQDN-dot, kept port
+             # (round-12 review find + round-13 escape: the userinfo
+             # dots survive, %2E stays an escape — authority is
+             # exempt from percent decoding — and the host dot folds)
+             .otherwise(
+                 F.lit("https://User%2E.:pw@cdn.sample.org.:8080")))
     tail = (F.when(d % 5 == 0,
                    F.concat(F.lit("/?utm_source=feed&utm_campaign=x"
                                   "&id="), (d % 7).cast("string")))
@@ -3123,38 +3146,46 @@ def url_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix plants the suffixes the regex subset mis-splits (``co.il``,
     ``com.cn``), a MIXED-CASE host (lowercased at entry since round
     12), a host that IS a suffix, a wildcard-rule host (``*.ck``),
-    an exception-rule host (``!www.ck``), and a single label hitting
-    the regex fallback; the oracle replays the identical
+    an exception-rule host (``!www.ck``), a single label hitting
+    the regex fallback, and (round 13) a punycode ``xn--`` host
+    whose ``--`` rides the chain untouched; the oracle replays the
+    identical
     two-shape explode-join-argmin in DuckDB over the same VALUES
     list (both sides generated from ``web.DEFAULT_PSL_SUFFIXES``,
     exceptions un-bang-ed into an ``is_exc`` flag)."""
     d = F.col("doc_id")
-    host = (F.when(d % 8 == 0,
+    host = (F.when(d % 9 == 0,
                    F.concat(F.lit("shop"), (d % 7).cast("string"),
                             F.lit(".mall.co.il")))
-             .when(d % 8 == 1,
+             .when(d % 9 == 1,
                    F.concat(F.lit("a"), (d % 7).cast("string"),
                             F.lit(".news.com.cn")))
-             .when(d % 8 == 2,
+             .when(d % 9 == 2,
                    F.concat(F.lit("deep.sub.example"),
                             (d % 3).cast("string"), F.lit(".co.uk")))
-             .when(d % 8 == 3,
+             .when(d % 9 == 3,
                    F.concat(F.lit("CDN"), (d % 7).cast("string"),
                             F.lit(".Sample.ORG")))
-             .when(d % 8 == 4, F.lit("co.il"))
-             .when(d % 8 == 5,
+             .when(d % 9 == 4, F.lit("co.il"))
+             .when(d % 9 == 5,
                    F.concat(F.lit("a"), (d % 5).cast("string"),
                             F.lit(".x.wild.ck")))
-             .when(d % 8 == 6,
+             .when(d % 9 == 6,
                    F.when(d % 16 == 6, F.lit("www.ck"))
                     .otherwise(F.concat(F.lit("sub"),
                                         (d % 7).cast("string"),
                                         F.lit(".www.ck"))))
-             .otherwise(
-                 F.when(d % 16 == 7, F.lit("localhost"))
-                  .otherwise(F.concat(F.lit("fqdn.example"),
-                                      (d % 3).cast("string"),
-                                      F.lit(".com.")))))
+             .when(d % 9 == 7,
+                   F.when(d % 16 == 7, F.lit("localhost"))
+                    .otherwise(F.concat(F.lit("fqdn.example"),
+                                        (d % 3).cast("string"),
+                                        F.lit(".com."))))
+             # Round 13: punycode labels — LDH strings whose '--'
+             # must ride the lowercase + candidate-explode + join
+             # untouched; 'de' is the matched rule, registrable is
+             # 'xn--bcher-kva.de'.
+             .otherwise(F.concat(F.lit("b"), (d % 5).cast("string"),
+                                 F.lit(".Sub.XN--BCHER-KVA.DE"))))
     hosts = (tbl(spark, sf_dir, "documents")
              .select(d, host.alias("host")))
     return (WB.registrable_domain_psl(hosts, WB.psl_table(spark))

@@ -398,3 +398,100 @@ def test_psl_join_is_broadcast(spark):
     plan = (WB.registrable_domain_psl(hosts, WB.psl_table(spark))
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_punycode_hosts_through_psl_and_regex(spark):
+    """Round-13 degenerate battery: punycode (xn--) labels are plain
+    LDH strings — the '--' must ride the lowercase + candidate
+    explode + broadcast join untouched, under both the PSL list and
+    the regex fallback, at any casing."""
+    hosts = spark.createDataFrame(
+        [(0, "sub.xn--bcher-kva.de"),
+         (1, "A.Sub.XN--BCHER-KVA.DE"),       # mixed case
+         (2, "xn--bcher-kva.de"),             # already registrable
+         (3, "www.example.xn--p1ai"),         # punycode TLD, no rule
+         (4, "xn--bcher-kva.de.")],           # FQDN spelling
+        "doc_id long, host string")
+    dom = {r.doc_id: r.domain for r in
+           WB.registrable_domain_psl(hosts,
+                                     WB.psl_table(spark)).collect()}
+    assert dom[0] == "xn--bcher-kva.de"
+    assert dom[1] == "xn--bcher-kva.de"
+    assert dom[2] == "xn--bcher-kva.de"
+    # no 'xn--p1ai' rule in the fixture -> regex fallback, two labels
+    assert dom[3] == "example.xn--p1ai"
+    assert dom[4] == "xn--bcher-kva.de"
+    # direct regex entry point agrees
+    rd = spark.createDataFrame([("b.sub.xn--bcher-kva.de",)],
+                               "host string") \
+        .select(WB.registrable_domain("host").alias("d")).head().d
+    assert rd == "xn--bcher-kva.de"
+
+
+def test_ipv6_literal_hosts(spark):
+    """Round-13 degenerate battery: bracketed IP literals through the
+    whole lane. url_normalize lowercases the hex and strips only
+    DEFAULT ports; url_host keeps the brackets (the :port strip needs
+    an all-digit tail); registrable_domain maps ANY bracket host to
+    itself — an IPv4-mapped literal CONTAINS dots, and before round
+    13 the two-label extract sliced it to the nonsense key '0.1]'."""
+    cases = spark.createDataFrame(
+        [(0, "http://[::1]:8080/path"),
+         (1, "HTTPS://[::1]:443/x"),
+         (2, "HTTP://[2001:DB8::1]/y"),
+         (3, "http://[::ffff:192.168.0.1]:8080/z"),
+         (4, "https://u:p@[::FFFF:10.0.0.1]/q")],
+        "doc_id long, url string")
+    out = {r.doc_id: (r.n, r.h, r.d) for r in cases.select(
+        "doc_id",
+        WB.url_normalize("url").alias("n"),
+        WB.url_host(WB.url_normalize("url")).alias("h"),
+        WB.registrable_domain(
+            WB.url_host(WB.url_normalize("url"))).alias("d"))
+        .collect()}
+    assert out[0] == ("http://[::1]:8080/path", "[::1]", "[::1]")
+    assert out[1] == ("https://[::1]/x", "[::1]", "[::1]")
+    assert out[2] == ("http://[2001:db8::1]/y",
+                      "[2001:db8::1]", "[2001:db8::1]")
+    assert out[3] == ("http://[::ffff:192.168.0.1]:8080/z",
+                      "[::ffff:192.168.0.1]",
+                      "[::ffff:192.168.0.1]")
+    assert out[4] == ("https://u:p@[::ffff:10.0.0.1]/q",
+                      "[::ffff:10.0.0.1]", "[::ffff:10.0.0.1]")
+    # PSL path lands on the same bracket rule via its regex fallback.
+    hosts = spark.createDataFrame([(0, "[::ffff:192.168.0.1]")],
+                                  "doc_id long, host string")
+    assert WB.registrable_domain_psl(
+        hosts, WB.psl_table(spark)).head().domain \
+        == "[::ffff:192.168.0.1]"
+
+
+def test_userinfo_percent_escapes_and_dot_fold_scope(spark):
+    """Round-13 degenerate battery: percent-escapes in the USERINFO.
+    The authority is exempt from the rest-side percent pass, so a
+    userinfo escape keeps its spelling except for the authority-wide
+    case fold ('%2E' -> '%2e' — stable under re-normalization), it
+    is never decoded into a real dot the FQDN fold could then eat,
+    and the round-12 fold-scope fix holds with escapes adjacent to
+    the userinfo dots: host-tail dots fold, userinfo dots survive."""
+    cases = spark.createDataFrame(
+        [(0, "https://User%2E.:pw@cdn.sample.org.:8080/p"),
+         (1, "https://%2E%2e@example.com.:443/q"),
+         (2, "http://a%7Eb@example.com:80/r?x=%7e")],
+        "doc_id long, url string")
+    got = {r.doc_id: r.n for r in cases.select(
+        "doc_id", WB.url_normalize("url").alias("n")).collect()}
+    assert got[0] == "https://user%2e.:pw@cdn.sample.org:8080/p"
+    assert got[1] == "https://%2e%2e@example.com/q"
+    # authority %7E keeps (case-folded); the path-side %7e decodes
+    assert got[2] == "http://a%7eb@example.com/r?x=~"
+    # idempotence on exactly these shapes
+    renorm = {r.doc_id: r.n2 for r in cases.select(
+        "doc_id",
+        WB.url_normalize(WB.url_normalize("url")).alias("n2"))
+        .collect()}
+    assert renorm == got
+    # url_host is userinfo-blind either way
+    assert cases.filter("doc_id = 0").select(
+        WB.url_host(WB.url_normalize("url")).alias("h")
+    ).head().h == "cdn.sample.org"
