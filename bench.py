@@ -273,6 +273,9 @@ def main() -> None:
     variants["zipf_full"] = PL.zipf_source_stats
     variants["dq_full"] = PL.dq_expectations
     variants["key_skew_full"] = PL.key_skew_profile
+    # Round 13: the robots-exclusion compliance gate (broadcast rule
+    # join + doc-keyed winner window).
+    variants["robots_full"] = PL.robots_flags
     # Round 13: the amortized twins of the tree's two most expensive
     # timings. Containment over the persisted df-capped shingle table
     # (shares dedup_jaccard_served_full's write-once parquet);

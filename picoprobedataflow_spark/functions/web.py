@@ -527,3 +527,76 @@ def quota_phase1_survivors(docs: DataFrame, url_col: str = "url",
     return (_phase1_marks(base, n_buckets, salt, id_col)
             .filter(F.col("_r1") <= quota)
             .drop("sort_key"))
+
+
+def url_path(url: Column | str) -> Column:
+    """Path component of a URL — everything between the authority and
+    the first ``?``/``#``; ``'/'`` when the URL has an authority but
+    no path (REP matches the root rule against it). A string with no
+    ``scheme://`` yields ``'/'`` too (no authority → nothing to gate
+    on; the robots default-allow then applies)."""
+    u = _c(url)
+    p = F.regexp_extract(
+        u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_rules_table(spark, rules) -> DataFrame:
+    """A crawler's robots.txt verdict set as a DataFrame
+    ``(domain, rule_path, allow)`` — the broadcast side of
+    :func:`robots_gate`. ``rules`` is an iterable of
+    ``(domain, rule_path, allow)`` triples: the Allow/Disallow lines
+    of each host's robots.txt for YOUR user-agent, after group
+    resolution (RFC 9309 §2.2.1 — picking the most specific
+    User-agent group happens at fetch/parse time, once per host;
+    what the per-URL join needs is only the resolved rule set).
+    Rule paths are literal PREFIXES — the documented subset, like
+    :data:`DEFAULT_PSL_SUFFIXES` for the PSL: RFC 9309 ``*`` / ``$``
+    wildcards expand at parse time into this table's prefix form or
+    stay out of scope; the JOIN SHAPE is identical either way."""
+    return spark.createDataFrame(
+        list(rules), "domain string, rule_path string, allow boolean")
+
+
+def robots_gate(urls: DataFrame, rules: DataFrame,
+                url_col: str = "url",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-URL robots.txt verdict (RFC 9309 matching core):
+    (id, domain, rule, allowed) — ``rule`` is the winning rule's
+    path, NULL when no rule matched. A URL's candidate rules are its
+    host's rows whose ``rule_path`` is a prefix of the URL's path;
+    the MOST SPECIFIC (longest) rule wins, a specificity TIE goes to
+    ``allow`` (RFC 9309 §2.2.2: the least restrictive rule), and a
+    URL matching no rule is allowed (the REP default). This is the
+    compliance gate a crawl-derived corpus runs before training —
+    retroactively honoring robots exclusions is a standard curation
+    pass, and it needs exactly this join, not a re-crawl.
+
+    Scale shape: robots rule sets are small (a few KB per host, and
+    only hosts you crawled) — ONE broadcast hash join on the host
+    key with the prefix test as the join's residual condition, so
+    the corpus side never shuffles; the winner is a doc-keyed
+    ``row_number`` (corpus-cardinality key, never global), and
+    unmatched URLs ride the same left join (no second pass). The
+    DuckDB oracle replays the identical join + window
+    (``length DESC NULLS LAST, allow DESC NULLS LAST``)."""
+    u = urls.select(F.col(id_col),
+                    url_host(F.col(url_col)).alias("domain"),
+                    url_path(F.col(url_col)).alias("_path"))
+    r = rules.select(F.col("domain"),
+                     F.col("rule_path").alias("_rp"),
+                     F.col("allow").alias("_allow"))
+    j = u.join(F.broadcast(r),
+               (u["domain"] == r["domain"])
+               & F.col("_path").startswith(F.col("_rp")),
+               "left").drop(r["domain"])
+    w = W.partitionBy(id_col).orderBy(
+        F.length("_rp").desc_nulls_last(),
+        F.col("_allow").desc_nulls_last(),
+        F.col("_rp"))
+    return (j.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col(id_col), "domain",
+                    F.col("_rp").alias("rule"),
+                    F.coalesce(F.col("_allow"), F.lit(True))
+                     .alias("allowed")))

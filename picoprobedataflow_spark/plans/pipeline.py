@@ -3192,6 +3192,80 @@ def url_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "domain"))
 
 
+#: Resolved robots.txt verdict set for the ``robots`` family — ONE
+#: Python constant from which BOTH the Spark rules table and the
+#: oracle's VALUES list are generated (the dual-engine-construction
+#: rule). Per synthetic host: a longest-prefix demo (/src1 disallowed
+#: but /src1/Item1 re-allowed — the more specific rule prevails), an
+#: exact specificity TIE (/src2 allowed AND disallowed — RFC 9309
+#: ties go to allow), a root-rule block-all host, single-prefix
+#: blocks keyed by an IP-LITERAL domain and a punycode domain (the
+#: round-13 degenerate hosts ride the robots join too), and hosts
+#: with no rules at all (REP default allow).
+_ROBOTS_RULES = (
+    ("www.example.com", "/src1", False),
+    ("www.example.com", "/src1/Item1", True),
+    ("www.example.com", "/", True),
+    ("www.example.com", "/src2", True),
+    ("www.example.com", "/src2", False),
+    ("cdn.sample.org", "/", False),
+    ("news.example.com", "/src3", False),
+    ("[::ffff:192.168.0.1]", "/src4", False),
+    ("sub.xn--bcher-kva.de", "/src5", False),
+)
+
+_ROBOTS_ORACLE = f"""
+WITH {_URL_CTES},
+rrules(domain, rule_path, allow) AS (
+  VALUES {", ".join(f"('{d}', '{p}', {str(a).upper()})"
+                    for d, p, a in _ROBOTS_RULES)}
+),
+rpath AS (
+  SELECT doc_id, host AS domain,
+         CASE WHEN p = '' THEN '/' ELSE p END AS path
+  FROM (
+    SELECT doc_id, host,
+           regexp_extract(norm_url,
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p
+    FROM uhost)
+),
+rcand AS (
+  SELECT u.doc_id, r.rule_path, r.allow
+  FROM rpath u
+  LEFT JOIN rrules r
+    ON u.domain = r.domain AND starts_with(u.path, r.rule_path)
+),
+rwin AS (
+  SELECT doc_id, rule_path, allow,
+         row_number() OVER (
+             PARTITION BY doc_id
+             ORDER BY length(rule_path) DESC NULLS LAST,
+                      allow DESC NULLS LAST, rule_path) AS rn
+  FROM rcand
+)
+SELECT doc_id, rule_path AS rule,
+       coalesce(allow, TRUE) AS allowed
+FROM rwin WHERE rn = 1
+"""
+
+
+def robots_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-exclusion compliance verdicts
+    (:func:`..functions.web.robots_gate`, RFC 9309 matching core)
+    over the canonicalized synthetic crawl URLs: each URL's host
+    rules broadcast-join in, the longest matching path prefix wins,
+    specificity ties go to allow, rule-less URLs default to allowed.
+    The fixture (:data:`_ROBOTS_RULES`) plants the prevails/tie/
+    block-all/default cases plus rules keyed by the IP-literal and
+    punycode degenerate hosts. The gate every crawl-derived training
+    corpus owes the sites it crawled — run retroactively at curation
+    time, it needs exactly this join, not a re-crawl."""
+    u = _synthetic_urls(spark, sf_dir)
+    u = u.select("doc_id", WB.url_normalize("url").alias("url"))
+    g = WB.robots_gate(u, WB.robots_rules_table(spark, _ROBOTS_RULES))
+    return g.select("doc_id", "rule", "allowed")
+
+
 def decontam_span_texts_bloom(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """:func:`decontam_span_texts` through the BROADCAST Bloom
@@ -4762,6 +4836,8 @@ _FAMILY_SPECS = [
     ("key_skew", key_skew_profile, _KEY_SKEW_ORACLE,
      dict(k1="key", n=("n_rows", "n_keys", "max_rows"),
           v=("p50", "p99", "skew_ratio"))),
+    ("robots", robots_flags, _ROBOTS_ORACLE,
+     dict(k1="rule", n=("doc_id",), b1="allowed")),
 ]
 
 # Families hosted by `llm_curation_suite2` — the round-12 nine plus the
@@ -4782,6 +4858,7 @@ _SUITE2_FAMILIES = frozenset({
     "nfc",
     "rand_proj",
     "resample_stats",
+    "robots",
     "source_overlap",
     "winnow",
     "zipf",

@@ -495,3 +495,53 @@ def test_userinfo_percent_escapes_and_dot_fold_scope(spark):
     assert cases.filter("doc_id = 0").select(
         WB.url_host(WB.url_normalize("url")).alias("h")
     ).head().h == "cdn.sample.org"
+
+
+def test_robots_gate_rfc9309_matching(spark):
+    """RFC 9309 matching core: longest prefix prevails, specificity
+    ties go to allow, no-match defaults to allow, the root rule
+    matches the empty path as '/', and the host join keys on the
+    canonical host (IP literals and punycode work like any other)."""
+    rules = WB.robots_rules_table(spark, [
+        ("example.com", "/private", False),
+        ("example.com", "/private/ok", True),
+        ("example.com", "/tie", True),
+        ("example.com", "/tie", False),
+        ("blocked.org", "/", False),
+        ("[::1]", "/x", False),
+    ])
+    urls = spark.createDataFrame(
+        [(0, "https://example.com/private/secret"),
+         (1, "https://example.com/private/ok/page"),
+         (2, "https://example.com/tie/page"),
+         (3, "https://example.com/public"),
+         (4, "https://blocked.org"),            # empty path -> '/'
+         (5, "https://other.net/anything"),     # no rules at all
+         (6, "http://[::1]:8080/x/y"),
+         (7, "http://[::1]:8080/z")],
+        "doc_id long, url string")
+    got = {r.doc_id: (r.rule, r.allowed)
+           for r in WB.robots_gate(urls, rules).collect()}
+    assert got[0] == ("/private", False)
+    assert got[1] == ("/private/ok", True)   # longer rule prevails
+    assert got[2] == ("/tie", True)          # tie -> least restrictive
+    assert got[3] == (None, True)            # host has rules, none match
+    assert got[4] == ("/", False)            # root rule, empty path
+    assert got[5] == (None, True)            # REP default
+    assert got[6] == ("/x", False)
+    assert got[7] == (None, True)
+    # exactly one verdict row per URL
+    assert WB.robots_gate(urls, rules).count() == 8
+
+
+def test_robots_gate_join_is_broadcast(spark):
+    """The rules side is a broadcast hash join with the prefix test
+    as residual condition — the corpus side never shuffles for the
+    join; the only wide op is the doc-keyed winner window."""
+    urls = spark.createDataFrame([(0, "https://a.com/x")],
+                                 "doc_id long, url string")
+    rules = WB.robots_rules_table(spark, [("a.com", "/", True)])
+    plan = (WB.robots_gate(urls, rules)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
