@@ -1,0 +1,104 @@
+"""Distribution-drift detection between two corpus snapshots.
+
+A continuously-refreshed training corpus needs more than point-in-time
+quality gates (``operators/expectations.py``): the question "did this
+month's crawl silently shift the length/quality/score distribution?"
+is answered by comparing the CURRENT snapshot against a REFERENCE
+snapshot, bucket by bucket. The standard industry metric is the
+Population Stability Index::
+
+    PSI = Σ_buckets (p_cur - p_ref) · ln(p_cur / p_ref)
+
+with buckets from the REFERENCE snapshot's quantiles (equal-population
+on ref by construction, so drift shows up as unequal population on
+cur). Common reading: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25
+action needed.
+
+Scale shape: one aggregate over ref for the n-1 quantile edges (a
+k-bounded array on ONE row — broadcast to both snapshots via a 1-row
+crossJoin, the same pattern as the catalog's scalar-agg broadcasts),
+then one n_buckets-cardinality groupBy per snapshot and an n-row
+join. Nothing is ever keyed on more than n_buckets rows after the
+first pass; both snapshot scans stream map-side into their bucket
+counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Zero-proportion clamp for the PSI log ratio: an empty bucket on
+#: either side would send ln(p/q) to ±inf; the conventional fix
+#: (shared by every production PSI implementation) floors both
+#: proportions. 1e-6 keeps a truly-empty bucket's contribution large
+#: (it IS drift) without becoming infinite.
+PSI_EPS = 1e-6
+
+
+def _bucket(value: Column, edges: Column) -> Column:
+    """0-based bucket index: the count of edges strictly below the
+    value — identical in DuckDB as
+    ``len(list_filter(edges, e -> value > e))``."""
+    return F.size(F.filter(edges, lambda e: value > e))
+
+
+def psi_report(ref: DataFrame, cur: DataFrame, value_col: str,
+               n_buckets: int = 10,
+               round_digits: int = 6) -> DataFrame:
+    """(bucket, n_ref, n_cur, p_ref, p_cur, psi_term): the PSI
+    scoreboard between two snapshots of a numeric column, one row
+    per reference-quantile bucket; ``sum(psi_term)`` is the PSI.
+    Bucket edges are the reference snapshot's exact
+    ``1/n .. (n-1)/n`` quantiles (linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` agree); a value lands
+    in the bucket counting the edges strictly below it, so boundary
+    values go LEFT in both engines. Buckets empty on both sides
+    still emit a row (p floored at :data:`PSI_EPS`, psi_term 0 —
+    the scoreboard always has exactly ``n_buckets`` rows, a contract
+    a monitoring dashboard can key on). NULL values are excluded on
+    both sides (they are a DQ concern, not a drift signal —
+    ``check_expectations`` owns null-rate tracking).
+
+    Cross-engine note: psi_term rounds at ``round_digits`` AFTER the
+    ln/product arithmetic; the same FP-associativity tolerance as
+    the ``rand_proj`` family applies (documented there)."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    v = F.col(value_col).cast("double")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_row = ref.filter(v.isNotNull()).agg(
+        F.percentile(v, F.array(*[F.lit(q) for q in qs]))
+         .alias("_edges"))
+
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return (df.filter(F.col(value_col).isNotNull())
+                .crossJoin(F.broadcast(edges_row))
+                .select(_bucket(F.col(value_col).cast("double"),
+                                F.col("_edges")).alias("bucket"))
+                .groupBy("bucket")
+                .agg(F.count("*").cast("long").alias(alias)))
+
+    spark = ref.sparkSession
+    grid = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"))
+    j = (grid.join(counts(ref, "n_ref"), "bucket", "left")
+             .join(counts(cur, "n_cur"), "bucket", "left")
+             .select("bucket",
+                     F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                     F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+    tot = j.agg(F.sum("n_ref").alias("_tr"),
+                F.sum("n_cur").alias("_tc"))
+    p_ref = F.greatest(F.col("n_ref") / F.greatest(F.col("_tr"),
+                                                   F.lit(1)),
+                       F.lit(PSI_EPS))
+    p_cur = F.greatest(F.col("n_cur") / F.greatest(F.col("_tc"),
+                                                   F.lit(1)),
+                       F.lit(PSI_EPS))
+    return (j.crossJoin(F.broadcast(tot))
+            .select("bucket", "n_ref", "n_cur",
+                    F.round(p_ref, round_digits).alias("p_ref"),
+                    F.round(p_cur, round_digits).alias("p_cur"),
+                    F.round((p_cur - p_ref) * F.log(p_cur / p_ref),
+                            round_digits).alias("psi_term"))
+            .orderBy("bucket"))

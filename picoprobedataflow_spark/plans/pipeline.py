@@ -2355,6 +2355,89 @@ def boiler_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        min_df=_BOILER_MIN_DF)
 
 
+#: PSI grid for the ``psi`` family: 8 buckets so every reference
+#: quantile is an exact binary fraction (k/8) — the linear
+#: interpolation inside Spark ``percentile`` and DuckDB
+#: ``quantile_cont`` is then EXACT in double arithmetic on integer
+#: inputs, and the two engines' bucket edges are bit-identical (no
+#: boundary-flip hazard in the strictly-below bucket test).
+_PSI_BUCKETS = 8
+#: Planted drift for the synthetic "current" snapshot: odd-doc
+#: lengths shift by doc_id % 97 characters — enough to move mass
+#: across several reference buckets, so the family pins non-trivial
+#: psi terms, not an all-zero board.
+_PSI_SHIFT_MOD = 97
+
+_PSI_ORACLE = f"""
+WITH pbase AS (
+  SELECT doc_id, length(text) AS v FROM documents
+),
+pref AS (SELECT CAST(v AS DOUBLE) AS v FROM pbase
+         WHERE doc_id % 2 = 0),
+pcur AS (SELECT CAST(v + (doc_id % {_PSI_SHIFT_MOD}) AS DOUBLE) AS v
+         FROM pbase WHERE doc_id % 2 = 1),
+pedges AS (
+  SELECT quantile_cont(v, [{", ".join(
+      str(i / _PSI_BUCKETS) for i in range(1, _PSI_BUCKETS))}])
+           AS edges
+  FROM pref
+),
+prc AS (
+  SELECT len(list_filter(e.edges, x -> p.v > x)) AS bucket,
+         count(*) AS n_ref
+  FROM pref p CROSS JOIN pedges e GROUP BY 1
+),
+pcc AS (
+  SELECT len(list_filter(e.edges, x -> p.v > x)) AS bucket,
+         count(*) AS n_cur
+  FROM pcur p CROSS JOIN pedges e GROUP BY 1
+),
+pgrid AS (SELECT range AS bucket FROM range({_PSI_BUCKETS})),
+pj AS (
+  SELECT g.bucket,
+         coalesce(n_ref, 0) AS n_ref,
+         coalesce(n_cur, 0) AS n_cur
+  FROM pgrid g
+  LEFT JOIN prc USING (bucket)
+  LEFT JOIN pcc USING (bucket)
+),
+pt AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM pj)
+SELECT bucket, n_ref, n_cur,
+       round(greatest(CAST(n_ref AS DOUBLE) / greatest(tr, 1), 1e-6),
+             6) AS p_ref,
+       round(greatest(CAST(n_cur AS DOUBLE) / greatest(tc, 1), 1e-6),
+             6) AS p_cur,
+       round((greatest(CAST(n_cur AS DOUBLE) / greatest(tc, 1), 1e-6)
+              - greatest(CAST(n_ref AS DOUBLE) / greatest(tr, 1),
+                         1e-6))
+             * ln(greatest(CAST(n_cur AS DOUBLE) / greatest(tc, 1),
+                           1e-6)
+                  / greatest(CAST(n_ref AS DOUBLE) / greatest(tr, 1),
+                             1e-6)), 6) AS psi_term
+FROM pj CROSS JOIN pt
+"""
+
+
+def psi_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift scoreboard
+    (:func:`..operators.drift.psi_report`) between two snapshot
+    halves of the corpus: even doc_ids are the REFERENCE, odd
+    doc_ids the CURRENT snapshot with a planted length shift
+    (+ doc_id % 97 characters), value = document length. One row
+    per reference-quantile bucket; sum(psi_term) is the PSI a
+    monitoring dashboard alerts on. The oracle replays the exact
+    quantile edges, the strictly-below bucket test, the
+    always-8-row grid, the 1e-6 zero clamp and the 6-dp psi terms."""
+    from picoprobedataflow_spark.operators.drift import psi_report
+    docs = tbl(spark, sf_dir, "documents")
+    base = docs.select("doc_id", F.length("text").alias("v"))
+    ref = base.filter(F.col("doc_id") % 2 == 0)
+    cur = (base.filter(F.col("doc_id") % 2 == 1)
+           .select((F.col("v") + F.col("doc_id") % _PSI_SHIFT_MOD)
+                   .alias("v")))
+    return psi_report(ref, cur, "v", n_buckets=_PSI_BUCKETS)
+
+
 #: (table, column) pairs profiled by the ``key_skew`` family — the
 #: shuffle keys the engine's own heavy plans actually use.
 _SKEW_KEYS = (("events", "user_id"), ("events", "event_type"),
@@ -4838,6 +4921,9 @@ _FAMILY_SPECS = [
           v=("p50", "p99", "skew_ratio"))),
     ("robots", robots_flags, _ROBOTS_ORACLE,
      dict(k1="rule", n=("doc_id",), b1="allowed")),
+    ("psi", psi_drift_stats, _PSI_ORACLE,
+     dict(n=("bucket", "n_ref", "n_cur"),
+          v=("p_ref", "p_cur", "psi_term"))),
 ]
 
 # Families hosted by `llm_curation_suite2` — the round-12 nine plus the

@@ -3092,3 +3092,66 @@ def test_key_skew_report_auto_selector(spark, tmp_path):
     for f in ("n_rows", "n_keys", "max_rows", "skew_ratio", "p50"):
         assert rd[f] == rm[f], f
     assert rd.p99 == 7.72 and rm.p99 == 8
+
+
+def test_psi_report_matches_numpy_model(spark):
+    """PSI drift scoreboard vs a hand-rolled numpy model: reference
+    quantile edges (linear interpolation), strictly-below bucketing,
+    1e-6 zero clamp, per-bucket psi terms; identical distributions
+    give PSI ~ 0 and a shifted snapshot a large positive PSI."""
+    import math
+
+    import numpy as np
+
+    from picoprobedataflow_spark.operators.drift import (
+        PSI_EPS, psi_report)
+
+    rng_ref = [float(x) for x in range(1, 101)]          # 1..100
+    rng_cur = [float(x) + 30.0 for x in range(1, 81)]    # shifted
+    ref = spark.createDataFrame([(v,) for v in rng_ref], "v double")
+    cur = spark.createDataFrame([(v,) for v in rng_cur], "v double")
+    n = 4
+    rows = psi_report(ref, cur, "v", n_buckets=n).collect()
+    assert [r.bucket for r in rows] == list(range(n))
+    # numpy model (type-7 quantiles = np.percentile default)
+    edges = np.percentile(np.array(rng_ref), [25, 50, 75])
+    def buckets(vals):
+        return np.array([(np.array(v) > edges).sum() for v in vals])
+    nr = np.bincount(buckets(rng_ref), minlength=n)
+    nc = np.bincount(buckets(rng_cur), minlength=n)
+    for r in rows:
+        assert (r.n_ref, r.n_cur) == (nr[r.bucket], nc[r.bucket])
+        p = max(nr[r.bucket] / nr.sum(), PSI_EPS)
+        q = max(nc[r.bucket] / nc.sum(), PSI_EPS)
+        assert abs(r.psi_term - round((q - p) * math.log(q / p), 6)) \
+            <= 1e-6
+    psi = sum(r.psi_term for r in rows)
+    assert psi > 0.25  # the planted shift is "action needed" drift
+    # identical snapshots: every term 0, all buckets equal-population
+    same = psi_report(ref, ref, "v", n_buckets=n).collect()
+    assert all(r.psi_term == 0.0 and r.n_ref == 25 for r in same)
+    # contract: the scoreboard ALWAYS has n rows, even off-support
+    far = spark.createDataFrame([(1000.0,)], "v double")
+    rows2 = psi_report(ref, far, "v", n_buckets=n).collect()
+    assert len(rows2) == n and rows2[n - 1].n_cur == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        psi_report(ref, cur, "v", n_buckets=1)
+
+
+def test_psi_report_plan_shape(spark):
+    """The edges row and totals broadcast (1-row crossJoins); the only
+    aggregates are the two bucket counts + the k-bounded edge/total
+    rows — no SortMergeJoin anywhere (grid and counts are
+    n_buckets-cardinality broadcast joins)."""
+    from picoprobedataflow_spark.operators.drift import psi_report
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    from pyspark.sql import functions as F
+    base = docs.select(F.length("text").alias("v"))
+    plan = (psi_report(base, base, "v", n_buckets=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "CrossJoin" in plan \
+        or "BroadcastHashJoin" in plan
