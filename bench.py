@@ -276,6 +276,9 @@ def main() -> None:
     # Round 13: the robots-exclusion compliance gate (broadcast rule
     # join + doc-keyed winner window).
     variants["robots_full"] = PL.robots_flags
+    # Round 13: the PSI snapshot-drift scoreboard (edges broadcast +
+    # two map-side bucket counts).
+    variants["psi_full"] = PL.psi_drift_stats
     # Round 13: the amortized twins of the tree's two most expensive
     # timings. Containment over the persisted df-capped shingle table
     # (shares dedup_jaccard_served_full's write-once parquet);
