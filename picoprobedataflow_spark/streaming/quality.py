@@ -425,3 +425,43 @@ def boiler_flag_stream(spark: SparkSession, src_dir: str,
         q.stop()
         raise TimeoutError(
             f"boiler stream drain did not finish in {timeout}s")
+
+
+def robots_gate_stream(spark: SparkSession, src_dir: str,
+                       ckpt_dir: str, out_dir: str,
+                       rules: DataFrame,
+                       schema: StructType | str,
+                       url_col: str = "url",
+                       timeout: int = 300) -> None:
+    """Streaming robots-exclusion gate: every arriving micro-batch of
+    crawl records gets its per-URL RFC 9309 verdict
+    (:func:`..functions.web.robots_gate`) and the
+    (batch_id, doc_id, domain, rule, allowed) rows append to
+    ``out_dir`` — the compliance twin of :func:`contam_gate_stream`,
+    run at INGEST so disallowed fetches are flagged the day they
+    crawl in. The rules frame (a host's resolved Allow/Disallow set —
+    KBs per host) is localCheckpointed ONCE outside the loop and
+    broadcast-joins per batch; verdicts are per-URL with no
+    cross-batch state, so batch boundaries cannot change any row
+    (drain ≡ batch, pytest-pinned) and replayed batches re-append
+    byte-identical rows, deduped on ``batch_id`` at read like every
+    other gate table."""
+    from picoprobedataflow_spark.functions.web import robots_gate
+
+    rules_ckpt = rules.localCheckpoint(eager=True)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (robots_gate(batch_df, rules_ckpt, url_col=url_col)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    q = (spark.readStream.schema(schema).parquet(src_dir)
+         .writeStream
+         .option("checkpointLocation", ckpt_dir)
+         .foreachBatch(_process)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"robots gate drain did not finish in {timeout}s")

@@ -706,3 +706,53 @@ def test_streaming_boiler_flags_prefix_df_across_batches(spark,
     assert rows[(4, 0)].is_boiler and rows[(4, 0)].df_after == 2
     assert rows[(5, 0)].is_boiler and rows[(5, 0)].df_after == 3
     assert rows[(1, 0)].df_after == 2 and rows[(1, 0)].is_boiler
+
+
+def test_streaming_robots_gate_equals_batch(spark, tmp_path):
+    """The robots-exclusion stream: a 2-batch drain produces exactly
+    the verdicts the batch op produces on the union corpus (verdicts
+    are per-URL, no cross-batch state), the rules frame is built and
+    checkpointed once outside the loop, and batch ids track the
+    arrival batch."""
+    from picoprobedataflow_spark.functions.web import (
+        robots_gate, robots_rules_table)
+    from picoprobedataflow_spark.streaming.quality import \
+        robots_gate_stream
+
+    rules = robots_rules_table(spark, [
+        ("example.com", "/private", False),
+        ("example.com", "/private/ok", True),
+        ("blocked.org", "/", False),
+    ])
+    schema = "doc_id long, url string"
+    src = tmp_path / "crawl_in"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "verdicts")
+
+    b1 = spark.createDataFrame(
+        [(1, "https://example.com/private/x"),
+         (2, "https://example.com/private/ok/y")], schema)
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    robots_gate_stream(spark, str(src), ckpt, out, rules, schema)
+
+    b2 = spark.createDataFrame(
+        [(3, "https://blocked.org/z"),
+         (4, "https://open.net/anything")], schema)
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    robots_gate_stream(spark, str(src), ckpt, out, rules, schema)
+
+    got = spark.read.parquet(out)
+    rows = {r.doc_id: r for r in got.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert (rows[1].rule, rows[1].allowed) == ("/private", False)
+    assert (rows[2].rule, rows[2].allowed) == ("/private/ok", True)
+    assert (rows[3].rule, rows[3].allowed) == ("/", False)
+    assert (rows[4].rule, rows[4].allowed) == (None, True)
+    assert len({rows[1].batch_id, rows[3].batch_id}) == 2
+
+    want = sorted((r.doc_id, r.domain, r.rule, r.allowed)
+                  for r in robots_gate(b1.unionByName(b2),
+                                       rules).collect())
+    have = sorted((r.doc_id, r.domain, r.rule, r.allowed)
+                  for r in got.collect())
+    assert have == want
