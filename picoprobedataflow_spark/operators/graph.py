@@ -1,0 +1,109 @@
+"""Link-graph operators for crawl curation.
+
+A web-crawl pipeline ranks its frontier and weights its pages by link
+analysis — PageRank (or its online cousin OPIC) is the standard
+quality/priority prior a crawl-derived corpus carries alongside
+per-document quality scores. This module gives the engine the
+deterministic power-iteration form as a pure DataFrame plan: fixed
+iteration count, no randomness, so the DuckDB oracle replays the
+identical chain stage by stage (the same replay strategy as the
+k-means builds in ``operators/similarity.py``).
+
+Scale shape (the part that matters at 100 TB): the edge table is the
+big, immutable side — it is repartitioned on ``src`` ONCE and
+materialized, and every iteration reuses that layout; the rank vector
+(|V| rows, node-keyed) is the small side that reshuffles (or
+broadcasts, under AQE) per iteration. Per-iteration cost is ONE join
+edges⋈ranks on src plus one dst-keyed aggregate; nothing driver-side,
+no per-iteration edge shuffle, rounds = n_iter (a constant), not data.
+Dangling mass (nodes with no out-edges) is redistributed uniformly via
+a 1-row broadcast aggregate per iteration — the textbook correction,
+without which rank leaks and the vector no longer sums to 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, n_iter: int = 10,
+             damping: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst",
+             round_digits: int | None = 6) -> DataFrame:
+    """(node, outdeg, pr): PageRank after exactly ``n_iter`` power
+    iterations from the uniform vector, with dangling-mass
+    redistribution::
+
+        pr'(v) = (1-d)/N + d·( Σ_{u→v} pr(u)/outdeg(u) + M/N )
+
+    where ``M`` is the total rank held by dangling nodes (outdeg 0)
+    and ``N`` the node count. Duplicate edges are collapsed (the
+    crawl-graph convention: a page linking twice confers one
+    endorsement); nodes are the union of both endpoints; ``outdeg``
+    in the output is 0 for dangling nodes. The vector sums to 1 after
+    every iteration (unit-tested), and a fixed ``n_iter`` keeps the
+    whole computation deterministic and oracle-replayable — callers
+    wanting convergence detection run a cheap
+    ``|pr - pr_prev|``-aggregate between calls instead of hiding a
+    data-dependent loop inside the operator.
+
+    ``round_digits`` rounds the FINAL vector only (intermediates stay
+    full-precision); cross-engine FP-associativity tolerance as
+    documented on :func:`..functions.vectors.random_project`."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct()
+         .repartition("src")
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionAll(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    n_nodes = nodes.count()
+    outd = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    base = (nodes.join(outd, nodes["node"] == outd["src"], "left")
+            .select("node",
+                    F.coalesce("outdeg", F.lit(0)).cast("long")
+                     .alias("outdeg"))
+            .localCheckpoint(eager=True))
+    pr = base.select("node", "outdeg",
+                     F.lit(1.0 / n_nodes).alias("pr"))
+    for _ in range(n_iter):
+        # Dangling mass: one 1-row aggregate, broadcast into the
+        # update expression via crossJoin (the catalog's scalar-agg
+        # pattern).
+        dang = pr.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_m"))
+        # when() guards the division: a dangling node's outdeg is 0
+        # and under ANSI mode an unguarded pr/outdeg raises
+        # DIVIDE_BY_ZERO even though the join would drop the row
+        # (the round-9 totality-under-ANSI bug class — the predicate
+        # does not shield the projection).
+        contrib = (e.join(pr.select(F.col("node").alias("src"),
+                                    F.when(F.col("outdeg") > 0,
+                                           F.col("pr")
+                                           / F.col("outdeg"))
+                                    .alias("_share")), "src")
+                   .groupBy("dst")
+                   .agg(F.sum("_share").alias("_in")))
+        pr = (base.join(contrib, base["node"] == contrib["dst"],
+                        "left")
+              .crossJoin(F.broadcast(dang))
+              .select("node", "outdeg",
+                      (F.lit((1.0 - damping) / n_nodes)
+                       + F.lit(damping)
+                       * (F.coalesce("_in", F.lit(0.0))
+                          + F.col("_m") / n_nodes)).alias("pr")))
+        # Materialize each iteration: without this the lineage nests
+        # n_iter joins into one plan (analysis blows up combinatorially
+        # and a failure recomputes everything); with it each round is
+        # one bounded job, the same reason the k-means build
+        # checkpoints per iteration.
+        pr = pr.localCheckpoint(eager=True)
+    if round_digits is not None:
+        pr = pr.select("node", "outdeg",
+                       F.round("pr", round_digits).alias("pr"))
+    return pr

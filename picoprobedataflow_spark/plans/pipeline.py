@@ -3275,6 +3275,77 @@ def url_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "domain"))
 
 
+#: PageRank grid for the ``pagerank`` family: a deterministic
+#: 64-node link graph both engines derive from doc_id (src residues
+#: 0-47 only, so residues appearing solely as destinations are
+#: DANGLING and exercise the mass-redistribution path; dst mixes the
+#: doc_id block index so sources have varying out-degree), 3 power
+#: iterations (the oracle replays them as three CTE stages, the
+#: k-means replay strategy), damping 0.85. All float literals are
+#: spelled as Python double reprs in the SQL so both engines run the
+#: exact same constants.
+_PR_ITER, _PR_DAMP, _PR_NODES_MOD, _PR_SRC_CAP = 3, 0.85, 64, 48
+
+
+def _pagerank_oracle() -> str:
+    d, m, cap = _PR_DAMP, _PR_NODES_MOD, _PR_SRC_CAP
+    base = 1.0 - d
+    ctes = [f"""ge AS MATERIALIZED (
+  SELECT DISTINCT doc_id % {m} AS src,
+         ((doc_id // {m}) * 31 + doc_id * 17 + 7) % {m} AS dst
+  FROM documents WHERE doc_id % {m} < {cap})""",
+        "gn AS MATERIALIZED (SELECT DISTINCT v AS node FROM (SELECT src AS v "
+        "FROM ge UNION ALL SELECT dst AS v FROM ge))",
+        "gnn AS MATERIALIZED (SELECT count(*) AS n FROM gn)",
+        "god AS MATERIALIZED (SELECT n.node, coalesce(o.c, 0) AS outdeg\n"
+        "  FROM gn n LEFT JOIN (SELECT src, count(*) AS c FROM ge "
+        "GROUP BY 1) o ON n.node = o.src)",
+        "gpr0 AS MATERIALIZED (SELECT node, outdeg, CAST(1 AS DOUBLE) "
+        "/ (SELECT n FROM gnn) AS pr FROM god)"]
+    for i in range(1, _PR_ITER + 1):
+        p = i - 1
+        ctes.append(
+            f"gd{i} AS MATERIALIZED (SELECT coalesce(sum(pr), 0) AS m "
+            f"FROM gpr{p} WHERE outdeg = 0)")
+        ctes.append(f"""gc{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(p.pr / p.outdeg) AS c
+  FROM ge e JOIN gpr{p} p ON e.src = p.node GROUP BY 1)""")
+        ctes.append(f"""gpr{i} AS MATERIALIZED (
+  SELECT b.node, b.outdeg,
+         {base!r} / (SELECT n FROM gnn)
+         + {d!r} * (coalesce(c.c, 0)
+                    + (SELECT m FROM gd{i})
+                      / (SELECT n FROM gnn)) AS pr
+  FROM god b LEFT JOIN gc{i} c USING (node))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, outdeg, round(pr, 6) AS pr "
+              f"FROM gpr{_PR_ITER}")
+
+
+_PAGERANK_ORACLE = _pagerank_oracle()
+
+
+def pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (:func:`..operators.graph.pagerank`) over the
+    deterministic synthetic link graph — the crawl-frontier
+    priority / page-quality prior a crawl pipeline carries next to
+    its per-document scores. 3 power iterations from the uniform
+    vector with dangling-mass redistribution; the oracle replays the
+    identical chain as three CTE stages with the same double
+    constants, and the planted dst-only residues pin the dangling
+    path (without redistribution the vector stops summing to 1 and
+    every value diverges from the replay)."""
+    from picoprobedataflow_spark.operators.graph import pagerank
+    d = F.col("doc_id")
+    m, cap = _PR_NODES_MOD, _PR_SRC_CAP
+    edges = (tbl(spark, sf_dir, "documents")
+             .filter(d % m < cap)
+             .select((d % m).alias("src"),
+                     (((d / m).cast("long") * 31 + d * 17 + 7) % m)
+                     .alias("dst")))
+    return pagerank(edges, n_iter=_PR_ITER, damping=_PR_DAMP)
+
+
 #: Resolved robots.txt verdict set for the ``robots`` family — ONE
 #: Python constant from which BOTH the Spark rules table and the
 #: oracle's VALUES list are generated (the dual-engine-construction
@@ -4924,6 +4995,8 @@ _FAMILY_SPECS = [
     ("psi", psi_drift_stats, _PSI_ORACLE,
      dict(n=("bucket", "n_ref", "n_cur"),
           v=("p_ref", "p_cur", "psi_term"))),
+    ("pagerank", pagerank_scores, _PAGERANK_ORACLE,
+     dict(n=("node", "outdeg"), v=("pr",))),
 ]
 
 # Families hosted by `llm_curation_suite2` — the round-12 nine plus the
@@ -4942,6 +5015,7 @@ _SUITE2_FAMILIES = frozenset({
     "dq",
     "key_skew",
     "nfc",
+    "pagerank",
     "rand_proj",
     "resample_stats",
     "robots",

