@@ -570,7 +570,10 @@ def robots_gate(urls: DataFrame, rules: DataFrame,
     URL matching no rule is allowed (the REP default). This is the
     compliance gate a crawl-derived corpus runs before training —
     retroactively honoring robots exclusions is a standard curation
-    pass, and it needs exactly this join, not a re-crawl.
+    pass, and it needs exactly this join, not a re-crawl. One verdict
+    row per distinct (id, host, path): duplicate ids with different
+    URLs each keep their own verdict; exact duplicate rows collapse
+    to one (identical verdict either way).
 
     Scale shape: robots rule sets are small (a few KB per host, and
     only hosts you crawled) — ONE broadcast hash join on the host
@@ -590,7 +593,14 @@ def robots_gate(urls: DataFrame, rules: DataFrame,
                (u["domain"] == r["domain"])
                & F.col("_path").startswith(F.col("_rp")),
                "left").drop(r["domain"])
-    w = W.partitionBy(id_col).orderBy(
+    # Partition by the full (id, domain, path) row identity, not the
+    # id alone (round-13 review find): a caller feeding duplicate ids
+    # with DIFFERENT URLs would otherwise have both URLs' candidate
+    # rules ranked in one window and one URL's verdict silently
+    # dropped. With the row identity in the key, each distinct
+    # (id, URL) gets exactly one verdict; exact duplicate rows still
+    # collapse to one (their verdicts are identical by construction).
+    w = W.partitionBy(id_col, "domain", "_path").orderBy(
         F.length("_rp").desc_nulls_last(),
         F.col("_allow").desc_nulls_last(),
         F.col("_rp"))

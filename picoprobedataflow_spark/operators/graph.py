@@ -69,6 +69,12 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
                     F.coalesce("outdeg", F.lit(0)).cast("long")
                      .alias("outdeg"))
             .localCheckpoint(eager=True))
+    if n_nodes == 0:
+        # Total on the degenerate empty graph (round-13 review find:
+        # 1.0 / n_nodes raised ZeroDivisionError at plan-BUILD time):
+        # no nodes -> an empty, correctly-typed scoreboard.
+        return base.select("node", "outdeg",
+                           F.lit(0.0).alias("pr"))
     pr = base.select("node", "outdeg",
                      F.lit(1.0 / n_nodes).alias("pr"))
     for _ in range(n_iter):

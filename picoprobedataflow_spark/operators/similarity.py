@@ -740,6 +740,33 @@ def semdedup_auto_k(n_vectors: int,
     return max(k_min, -(-int(n_vectors) // int(target_cell_pop)))
 
 
+def semdedup_centroid_rows(emb: DataFrame, n_iter: int = 2,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           target_cell_pop: int =
+                           SEMDEDUP_TARGET_CELL_POP,
+                           n_clusters: int | None = None,
+                           vecs: DataFrame | None = None) -> list:
+    """The SemDeDup COLD BUILD, factored to one site: checkpointed
+    (_id, _v) projection (reused when the caller already built it),
+    auto-k from the corpus count, the deterministic k-means pass, and
+    the sorted k·dim-bounded [(cell, centroid)] rows — exactly what
+    :func:`semantic_dedup` consumes via ``cent_rows`` and what a
+    serving deployment caches per corpus snapshot."""
+    if vecs is None:
+        vecs = emb.select(
+            F.col(id_col).alias("_id"),
+            F.transform(F.col(vec_col),
+                        lambda x: x.cast("double")).alias("_v")
+        ).localCheckpoint(eager=True)
+    if n_clusters is None:
+        n_clusters = semdedup_auto_k(vecs.count(), target_cell_pop)
+    cents = kmeans_centroids(emb, n_clusters, n_iter, vec_col,
+                             id_col, vecs=vecs)
+    return sorted((r.cell, list(r.centroid))
+                  for r in cents.collect())
+
+
 def semantic_dedup(emb: DataFrame, n_clusters: int | None = None,
                    n_iter: int = 2,
                    threshold: float = 0.4, vec_col: str = "embedding",
@@ -787,17 +814,16 @@ def semantic_dedup(emb: DataFrame, n_clusters: int | None = None,
     # every dedup pass (the amortization the quantized-ANN suite
     # already does via _quant_shared_build). Skips both the Lloyd's
     # build and the auto-k count; prune verdicts are identical when
-    # the rows came from the same kmeans_centroids build, which is
-    # what the served-vs-cold equality test pins.
-    if cent_rows is not None:
-        n_clusters = len(cent_rows)
-    else:
-        if n_clusters is None:
-            n_clusters = semdedup_auto_k(vecs.count(), target_cell_pop)
-        cents = kmeans_centroids(emb, n_clusters, n_iter, vec_col,
-                                 id_col, vecs=vecs)
-        cent_rows = sorted((r.cell, list(r.centroid))
-                           for r in cents.collect())
+    # the rows came from the same build, which is what the
+    # served-vs-cold equality test pins. The cold build itself is the
+    # ONE shared :func:`semdedup_centroid_rows` (round-13 review
+    # find: the served caller had copied these lines, a lockstep
+    # burden).
+    if cent_rows is None:
+        cent_rows = semdedup_centroid_rows(
+            emb, n_iter, vec_col, id_col, target_cell_pop,
+            n_clusters=n_clusters, vecs=vecs)
+    n_clusters = len(cent_rows)
     if n_clusters <= EXPR_ASSIGN_MAX_K:
         assigned = vecs.withColumn("cell",
                                    kmeans_assign_expr(cent_rows, "_v"))

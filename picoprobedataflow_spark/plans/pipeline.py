@@ -2123,8 +2123,6 @@ def semdedup_served_prune(spark: SparkSession,
     semantic index. Same auto-k rule, same threshold; verdicts are
     identical to the cold path by construction (the cached rows ARE
     the cold build's rows), equality pytest-pinned."""
-    from picoprobedataflow_spark.operators.similarity import (
-        kmeans_centroids, semdedup_auto_k)
     emb = tbl(spark, sf_dir, "embeddings").filter(F.col("vec_id") > 0)
     key = (spark.sparkContext.applicationId, sf_dir)
     cent_rows = _SEMDEDUP_CENT_CACHE.get(key)
@@ -2132,15 +2130,9 @@ def semdedup_served_prune(spark: SparkSession,
         for stale in [k2 for k2 in _SEMDEDUP_CENT_CACHE
                       if k2[0] != key[0]]:
             del _SEMDEDUP_CENT_CACHE[stale]
-        vecs = emb.select(
-            F.col("vec_id").alias("_id"),
-            F.transform(F.col("embedding"),
-                        lambda x: x.cast("double")).alias("_v")
-        ).localCheckpoint(eager=True)
-        k = semdedup_auto_k(vecs.count())
-        cents = kmeans_centroids(emb, k, n_iter=_KM_ITER, vecs=vecs)
-        cent_rows = sorted((r.cell, list(r.centroid))
-                           for r in cents.collect())
+        # The ONE shared cold build (round-13 review find: this
+        # branch had copied semantic_dedup's build lines).
+        cent_rows = SIM.semdedup_centroid_rows(emb, n_iter=_KM_ITER)
         _SEMDEDUP_CENT_CACHE[key] = cent_rows
     return SIM.semantic_dedup(emb, threshold=_SEMDEDUP_THR,
                               cent_rows=cent_rows)
@@ -2373,9 +2365,9 @@ WITH pbase AS (
   SELECT doc_id, length(text) AS v FROM documents
 ),
 pref AS (SELECT CAST(v AS DOUBLE) AS v FROM pbase
-         WHERE doc_id % 2 = 0),
+         WHERE doc_id % 2 = 0 AND v IS NOT NULL),
 pcur AS (SELECT CAST(v + (doc_id % {_PSI_SHIFT_MOD}) AS DOUBLE) AS v
-         FROM pbase WHERE doc_id % 2 = 1),
+         FROM pbase WHERE doc_id % 2 = 1 AND v IS NOT NULL),
 pedges AS (
   SELECT quantile_cont(v, [{", ".join(
       str(i / _PSI_BUCKETS) for i in range(1, _PSI_BUCKETS))}])
@@ -2465,13 +2457,18 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`..operators.skew.key_skew_report`) over the keys the
     engine's heavy plans shuffle on — the measurement that decides
     hash partitioning vs salting vs AQE skew-join at 100 TB. Exact
-    percentiles (Spark ``percentile`` ≡ DuckDB ``quantile_cont`` on
-    BIGINT counts, the windows_extra convention)."""
+    percentiles PINNED explicitly (round-13 review find: the oracle
+    replays ``quantile_cont``, so the operator's ``"auto"`` default
+    must not be allowed to flip this family to the approx sketch when
+    a bigger SF pushes the counts-frame size estimate over the
+    cutover — the auto rule is for production callers, the gated
+    family is a fixed exact contract)."""
     from picoprobedataflow_spark.operators.skew import key_skew_report
 
     parts = []
     for table, col in _SKEW_KEYS:
-        rep = key_skew_report(tbl(spark, sf_dir, table), col)
+        rep = key_skew_report(tbl(spark, sf_dir, table), col,
+                              percentile="exact")
         parts.append(rep.select(
             F.lit(f"{table}.{col}").alias("key"), "*"))
     out = parts[0]
@@ -2918,15 +2915,23 @@ _DOMAIN_QUOTA = 3
 #: ':8080' folds — and (round 13) a bracketed IPv4-mapped IPv6
 #: authority whose dots must not be mistaken for domain labels, plus
 #: a punycode (xn--) host whose '--' must ride the lowercase/strip
-#: chain untouched.
-_SYNTH_URL_SQL = """
-  (CASE doc_id % 6
-     WHEN 0 THEN 'HTTPS://WWW.Example.COM:443'
-     WHEN 1 THEN 'https://blog.example.co.uk'
-     WHEN 2 THEN 'HTTP://News.Example.COM.:80'
-     WHEN 3 THEN 'HTTP://[::FFFF:192.168.0.1]:8080'
-     WHEN 4 THEN 'https://Sub.XN--BCHER-KVA.DE:443'
-     ELSE 'https://User%2E.:pw@cdn.sample.org.:8080' END)
+#: chain untouched. The authority arms are ONE tuple from which both
+#: the SQL CASE and the Spark F.when chain generate (round-13 review
+#: find: the two 6-arm constructions were hand-maintained twins).
+_SYNTH_URL_AUTHORITIES = (
+    "HTTPS://WWW.Example.COM:443",
+    "https://blog.example.co.uk",
+    "HTTP://News.Example.COM.:80",
+    "HTTP://[::FFFF:192.168.0.1]:8080",
+    "https://Sub.XN--BCHER-KVA.DE:443",
+    "https://User%2E.:pw@cdn.sample.org.:8080",
+)
+
+_SYNTH_URL_SQL = f"""
+  (CASE doc_id % {len(_SYNTH_URL_AUTHORITIES)}
+     {" ".join(f"WHEN {i} THEN '{a}'"
+               for i, a in enumerate(_SYNTH_URL_AUTHORITIES[:-1]))}
+     ELSE '{_SYNTH_URL_AUTHORITIES[-1]}' END)
   || '/' || source || '/Item' || CAST(doc_id AS VARCHAR)
   || (CASE doc_id % 5
      WHEN 0 THEN '/?utm_source=feed&utm_campaign=x&id='
@@ -3048,35 +3053,74 @@ FROM (
   FROM udom)
 """
 
-#: Synthetic hosts for the ``url_psl`` family — one expression both
-#: engines evaluate identically, planting the suffixes the regex
-#: subset mis-splits (``co.il``, ``com.cn``), a regular multi-part
-#: suffix, a MIXED-CASE host (round 12 — the op lowercases at entry;
-#: an uppercase host must still match the lowercase rule list), a
-#: host that IS a public suffix (no registrable domain → maps to
-#: itself), a WILDCARD-rule host (``*.ck``: registrable is the label
-#: under the wildcard match plus one), an EXCEPTION-rule host
-#: (``!www.ck``: the exception's labels ARE the registrable domain),
-#: and a suffix-less single label exercising the regex fallback.
-_PSL_HOST_SQL = """
-  (CASE doc_id % 9
-     WHEN 0 THEN 'shop' || CAST(doc_id % 7 AS VARCHAR)
-                 || '.mall.co.il'
-     WHEN 1 THEN 'a' || CAST(doc_id % 7 AS VARCHAR) || '.news.com.cn'
-     WHEN 2 THEN 'deep.sub.example' || CAST(doc_id % 3 AS VARCHAR)
-                 || '.co.uk'
-     WHEN 3 THEN 'CDN' || CAST(doc_id % 7 AS VARCHAR) || '.Sample.ORG'
-     WHEN 4 THEN 'co.il'
-     WHEN 5 THEN 'a' || CAST(doc_id % 5 AS VARCHAR) || '.x.wild.ck'
-     WHEN 6 THEN (CASE WHEN doc_id % 16 = 6 THEN 'www.ck'
-                       ELSE 'sub' || CAST(doc_id % 7 AS VARCHAR)
-                            || '.www.ck' END)
-     WHEN 7 THEN (CASE WHEN doc_id % 16 = 7 THEN 'localhost'
-                ELSE 'fqdn.example' || CAST(doc_id % 3 AS VARCHAR)
-                     || '.com.' END)
-     ELSE 'b' || CAST(doc_id % 5 AS VARCHAR)
-          || '.Sub.XN--BCHER-KVA.DE' END)
-"""
+#: Host arms for the ``url_psl`` family — ONE structure from which
+#: both the SQL CASE and the Spark F.when chain generate (round-13
+#: review find: the two 9-arm constructions were hand-maintained
+#: twins). Each arm is (prefix, mod, suffix, special): a bare
+#: literal host when mod is None, else ``prefix || doc_id % mod ||
+#: suffix``; a non-None ``special`` replaces the arm's host with
+#: that literal when ``doc_id % 16 == arm_index`` (the www.ck /
+#: localhost planted cases). Semantics planted per arm: the suffixes
+#: the regex subset mis-splits (co.il, com.cn), a deep co.uk host, a
+#: MIXED-CASE host (lowercased at entry since round 12), a host that
+#: IS a public suffix, a wildcard-rule host (*.ck), an
+#: exception-rule host (!www.ck), the regex fallback (localhost /
+#: FQDN dot), and (round 13) a punycode xn-- host.
+_PSL_HOST_ARMS = (
+    ("shop", 7, ".mall.co.il", None),
+    ("a", 7, ".news.com.cn", None),
+    ("deep.sub.example", 3, ".co.uk", None),
+    ("CDN", 7, ".Sample.ORG", None),
+    ("co.il", None, None, None),
+    ("a", 5, ".x.wild.ck", None),
+    ("sub", 7, ".www.ck", "www.ck"),
+    ("fqdn.example", 3, ".com.", "localhost"),
+    ("b", 5, ".Sub.XN--BCHER-KVA.DE", None),
+)
+
+
+def _psl_host_sql() -> str:
+    arms = []
+    for i, (pre, mod, suf, special) in enumerate(_PSL_HOST_ARMS):
+        if mod is None:
+            body = f"'{pre}'"
+        else:
+            body = (f"'{pre}' || CAST(doc_id % {mod} AS VARCHAR)"
+                    f" || '{suf}'")
+        if special is not None:
+            body = (f"(CASE WHEN doc_id % 16 = {i} THEN '{special}' "
+                    f"ELSE {body} END)")
+        kw = ("ELSE" if i == len(_PSL_HOST_ARMS) - 1
+              else f"WHEN {i} THEN")
+        arms.append(f"{kw} {body}")
+    return ("\n  (CASE doc_id % " + str(len(_PSL_HOST_ARMS))
+            + "\n     " + "\n     ".join(arms) + " END)\n")
+
+
+_PSL_HOST_SQL = _psl_host_sql()
+
+
+def _psl_host_col() -> Column:
+    d = F.col("doc_id")
+    n = len(_PSL_HOST_ARMS)
+
+    def body(i, pre, mod, suf, special):
+        if mod is None:
+            b = F.lit(pre)
+        else:
+            b = F.concat(F.lit(pre), (d % mod).cast("string"),
+                         F.lit(suf))
+        if special is not None:
+            b = F.when(d % 16 == i, F.lit(special)).otherwise(b)
+        return b
+
+    host = body(len(_PSL_HOST_ARMS) - 1, *_PSL_HOST_ARMS[-1][:3],
+                _PSL_HOST_ARMS[-1][3])
+    for i, (pre, mod, suf, special) in reversed(
+            list(enumerate(_PSL_HOST_ARMS[:-1]))):
+        host = F.when(d % n == i,
+                      body(i, pre, mod, suf, special)).otherwise(host)
+    return host
 
 _URL_PSL_ORACLE = f"""
 WITH uph AS (
@@ -3144,27 +3188,14 @@ def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, url): the deterministic crawl-URL stand-in both
     engines construct identically (:data:`_SYNTH_URL_SQL`)."""
     d = F.col("doc_id")
-    host = (F.when(d % 6 == 0, F.lit("HTTPS://WWW.Example.COM:443"))
-             .when(d % 6 == 1, F.lit("https://blog.example.co.uk"))
-             # FQDN spelling (trailing dot before the default port):
-             # folds to http://news.example.com (round 12)
-             .when(d % 6 == 2, F.lit("HTTP://News.Example.COM.:80"))
-             # Round 13: bracketed IPv4-mapped IPv6 literal — its
-             # dots are not domain labels (the domain is the whole
-             # bracket form), the hex lowercases, :8080 is kept
-             # (non-default under http)
-             .when(d % 6 == 3,
-                   F.lit("HTTP://[::FFFF:192.168.0.1]:8080"))
-             # Round 13: punycode host — 'xn--'/'--' ride the
-             # lowercase/strip chain untouched; :443 strips
-             .when(d % 6 == 4,
-                   F.lit("https://Sub.XN--BCHER-KVA.DE:443"))
-             # dotted+escaped userinfo, host-FQDN-dot, kept port
-             # (round-12 review find + round-13 escape: the userinfo
-             # dots survive, %2E stays an escape — authority is
-             # exempt from percent decoding — and the host dot folds)
-             .otherwise(
-                 F.lit("https://User%2E.:pw@cdn.sample.org.:8080")))
+    # Authority arms generated from the SAME tuple the oracle's SQL
+    # CASE derives from (_SYNTH_URL_AUTHORITIES) — the two engines
+    # cannot drift on a host literal or the modulus.
+    n = len(_SYNTH_URL_AUTHORITIES)
+    host = F.lit(_SYNTH_URL_AUTHORITIES[-1])
+    for i, a in reversed(list(
+            enumerate(_SYNTH_URL_AUTHORITIES[:-1]))):
+        host = F.when(d % n == i, F.lit(a)).otherwise(host)
     tail = (F.when(d % 5 == 0,
                    F.concat(F.lit("/?utm_source=feed&utm_campaign=x"
                                   "&id="), (d % 7).cast("string")))
@@ -3236,41 +3267,11 @@ def url_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-shape explode-join-argmin in DuckDB over the same VALUES
     list (both sides generated from ``web.DEFAULT_PSL_SUFFIXES``,
     exceptions un-bang-ed into an ``is_exc`` flag)."""
-    d = F.col("doc_id")
-    host = (F.when(d % 9 == 0,
-                   F.concat(F.lit("shop"), (d % 7).cast("string"),
-                            F.lit(".mall.co.il")))
-             .when(d % 9 == 1,
-                   F.concat(F.lit("a"), (d % 7).cast("string"),
-                            F.lit(".news.com.cn")))
-             .when(d % 9 == 2,
-                   F.concat(F.lit("deep.sub.example"),
-                            (d % 3).cast("string"), F.lit(".co.uk")))
-             .when(d % 9 == 3,
-                   F.concat(F.lit("CDN"), (d % 7).cast("string"),
-                            F.lit(".Sample.ORG")))
-             .when(d % 9 == 4, F.lit("co.il"))
-             .when(d % 9 == 5,
-                   F.concat(F.lit("a"), (d % 5).cast("string"),
-                            F.lit(".x.wild.ck")))
-             .when(d % 9 == 6,
-                   F.when(d % 16 == 6, F.lit("www.ck"))
-                    .otherwise(F.concat(F.lit("sub"),
-                                        (d % 7).cast("string"),
-                                        F.lit(".www.ck"))))
-             .when(d % 9 == 7,
-                   F.when(d % 16 == 7, F.lit("localhost"))
-                    .otherwise(F.concat(F.lit("fqdn.example"),
-                                        (d % 3).cast("string"),
-                                        F.lit(".com."))))
-             # Round 13: punycode labels — LDH strings whose '--'
-             # must ride the lowercase + candidate-explode + join
-             # untouched; 'de' is the matched rule, registrable is
-             # 'xn--bcher-kva.de'.
-             .otherwise(F.concat(F.lit("b"), (d % 5).cast("string"),
-                                 F.lit(".Sub.XN--BCHER-KVA.DE"))))
+    # Host arms generated from the SAME structure the oracle's SQL
+    # CASE derives from (_PSL_HOST_ARMS).
+    host = _psl_host_col()
     hosts = (tbl(spark, sf_dir, "documents")
-             .select(d, host.alias("host")))
+             .select(F.col("doc_id"), host.alias("host")))
     return (WB.registrable_domain_psl(hosts, WB.psl_table(spark))
             .select("doc_id", "domain"))
 

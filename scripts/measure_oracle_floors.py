@@ -78,8 +78,12 @@ def _passes(sql: str, sf_dir: str, limit_mb: int) -> bool:
     try:
         con.sql(sql).fetchall()
         return True
-    except (duckdb.OutOfMemoryException, duckdb.Error):
+    except duckdb.OutOfMemoryException:
         return False
+    # Any NON-memory error (binder error, broken new oracle, missing
+    # table) must propagate, not masquerade as "exceeds every rung" —
+    # a None floor from a typo would write a phantom memory number
+    # into COVERAGE.md's placement table (round-13 review find).
     finally:
         con.close()
 

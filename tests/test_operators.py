@@ -3204,3 +3204,10 @@ def test_pagerank_mass_conserved_with_all_dangling(spark):
     edges = spark.createDataFrame([(0, 1)], "src long, dst long")
     rows = pagerank(edges, n_iter=4).collect()
     assert abs(sum(r.pr for r in rows) - 1.0) < 1e-6
+    # Total on the EMPTY graph (round-13 review find: 1.0/n_nodes
+    # raised ZeroDivisionError at plan-build time): empty typed
+    # scoreboard, no crash.
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(empty, n_iter=2)
+    assert out.columns == ["node", "outdeg", "pr"]
+    assert out.count() == 0

@@ -532,6 +532,16 @@ def test_robots_gate_rfc9309_matching(spark):
     assert got[7] == (None, True)
     # exactly one verdict row per URL
     assert WB.robots_gate(urls, rules).count() == 8
+    # Round-13 review find: duplicate ids with DIFFERENT URLs must
+    # each keep their own verdict (the winner window partitions by
+    # the full (id, host, path) row identity, not the id alone).
+    dup = spark.createDataFrame(
+        [(1, "https://example.com/private/x"),
+         (1, "https://example.com/public")],
+        "doc_id long, url string")
+    dv = sorted(((r.rule or "", r.allowed)
+                 for r in WB.robots_gate(dup, rules).collect()))
+    assert dv == [("", True), ("/private", False)]
 
 
 def test_robots_gate_join_is_broadcast(spark):
