@@ -282,6 +282,9 @@ def main() -> None:
     # Round 13: 3-iteration PageRank over the synthetic link graph
     # (edges materialized once on src; per-iteration join + agg).
     variants["pagerank_full"] = PL.pagerank_scores
+    # Round 13: trainable quality filter (5 full-batch GD aggregates
+    # + one scoring pass).
+    variants["logreg_full"] = PL.logreg_quality_scores
     # Round 13: the amortized twins of the tree's two most expensive
     # timings. Containment over the persisted df-capped shingle table
     # (shares dedup_jaccard_served_full's write-once parquet);

@@ -3276,6 +3276,110 @@ def url_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "domain"))
 
 
+#: Trainable-quality-filter grid for the ``logreg`` family: 2
+#: heuristic features (+bias), label = length > 300 (the corpus
+#: median is ~306, so classes are near-balanced and the fit is a
+#: real decision boundary, not a degenerate prior), 3 full-batch GD
+#: iterations at lr=1.0 from the zero vector. Both engines compute
+#: the identical feature/label expressions; the oracle replays each
+#: gradient as a MATERIALIZED 1-row CTE and rebuilds the weights
+#: with the same left-associated arithmetic the driver loop uses.
+_LR_ITER, _LR_RATE, _LR_LABEL_LEN = 5, 2.0, 300
+
+#: (name, sql_expr) per feature — ONE table both engines derive
+#: from (the dual-engine-construction rule). Features are CENTERED
+#: near the label boundary (median length ~306, ~50 spaces/doc) so
+#: 5 full-batch steps actually converge to a separating boundary —
+#: the first cut used raw magnitudes and sat at 0.51 train accuracy,
+#: a filter that had learned nothing.
+_LR_FEATURES = (
+    ("f1", "(length(text) - 300) / 100.0"),
+    ("f2", "((length(text) - length(replace(text, ' ', '')))"
+           " - 50) / 10.0"),
+)
+
+
+def _logreg_oracle() -> str:
+    lr, L, k = _LR_RATE, _LR_LABEL_LEN, len(_LR_FEATURES)
+    fcols = ", ".join(f"{sql} AS {nm}" for nm, sql in _LR_FEATURES)
+    feats = ["CAST(1 AS DOUBLE)"] + [nm for nm, _ in _LR_FEATURES]
+    ctes = [f"""lrf AS MATERIALIZED (
+  SELECT doc_id, {fcols},
+         CASE WHEN length(text) > {L} THEN CAST(1 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS y
+  FROM documents WHERE text IS NOT NULL)"""]
+
+    def w_expr(j: int, upto: int) -> str:
+        # ((0.0 + lr*g1_j) + lr*g2_j) + ... — the driver loop's
+        # left-associated update order, reproduced exactly.
+        e = "CAST(0 AS DOUBLE)"
+        for s in range(1, upto + 1):
+            e = f"({e} + {lr!r} * (SELECT g{j} FROM lrg{s}))"
+        return e
+
+    def margin(upto: int) -> str:
+        # ((0.0 + w0*f0) + w1*f1) + w2*f2 — Python sum()'s order.
+        e = "CAST(0 AS DOUBLE)"
+        for j, f in enumerate(feats):
+            e = f"({e} + {w_expr(j, upto)} * {f})"
+        return e
+
+    def sig(m: str) -> str:
+        return (f"(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) "
+                f"+ exp(-({m}))))")
+
+    for it in range(1, _LR_ITER + 1):
+        m = margin(it - 1)
+        gs = ", ".join(
+            f"avg({f} * (y - {sig(m)})) AS g{j}"
+            for j, f in enumerate(feats))
+        ctes.append(f"lrg{it} AS MATERIALIZED (SELECT {gs} FROM lrf)")
+    mfin = margin(_LR_ITER)
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT doc_id,
+       CAST(y AS BIGINT) AS label,
+       round({sig(mfin)}, 6) AS score,
+       {sig(mfin)} >= 0.5 AS pred
+FROM lrf""")
+
+
+_LOGREG_ORACLE = _logreg_oracle()
+
+
+def logreg_quality_scores(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """Trainable quality filter
+    (:func:`..operators.mlfit.logreg_train` /
+    :func:`..operators.mlfit.logreg_predict`): a batch-GD logistic
+    regression FIT ON THE CORPUS (3 full-batch iterations, each one
+    global aggregate) and applied back as a score column — the
+    CCNet/LLaMA-style trained filter as a first-class distributed
+    op rather than an imported artifact. The oracle replays the
+    gradient chain as MATERIALIZED 1-row CTE stages with the same
+    left-associated weight arithmetic the driver loop uses; scores
+    round at 6 dp (cross-engine tolerance: the ``rand_proj`` class —
+    unordered aggregate sums and libm exp differ by ulps)."""
+    from picoprobedataflow_spark.operators.mlfit import (
+        logreg_predict, logreg_train)
+    docs = tbl(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    txt = F.col("text")
+    d = docs.select(
+        "doc_id",
+        ((F.length(txt) - 300) / 100.0).alias("f1"),
+        (((F.length(txt) - F.length(F.replace(txt, F.lit(" "),
+                                              F.lit("")))) - 50)
+         / 10.0).alias("f2"),
+        (F.length(txt) > _LR_LABEL_LEN).cast("double").alias("y"))
+    w = logreg_train(d, ["f1", "f2"], "y", n_iter=_LR_ITER,
+                     lr=_LR_RATE)
+    raw = logreg_predict(d, ["f1", "f2"], w, round_digits=None)
+    return d.select("doc_id",
+                    F.col("y").cast("long").alias("label"),
+                    F.round(raw, 6).alias("score"),
+                    (raw >= 0.5).alias("pred"))
+
+
 #: PageRank grid for the ``pagerank`` family: a deterministic
 #: 64-node link graph both engines derive from doc_id (src residues
 #: 0-47 only, so residues appearing solely as destinations are
@@ -4998,6 +5102,8 @@ _FAMILY_SPECS = [
           v=("p_ref", "p_cur", "psi_term"))),
     ("pagerank", pagerank_scores, _PAGERANK_ORACLE,
      dict(n=("node", "outdeg"), v=("pr",))),
+    ("logreg", logreg_quality_scores, _LOGREG_ORACLE,
+     dict(n=("doc_id", "label"), v=("score",), b1="pred")),
 ]
 
 # Families hosted by `llm_curation_suite2` — the round-12 nine plus the

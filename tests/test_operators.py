@@ -3211,3 +3211,48 @@ def test_pagerank_mass_conserved_with_all_dangling(spark):
     out = pagerank(empty, n_iter=2)
     assert out.columns == ["node", "outdeg", "pr"]
     assert out.count() == 0
+
+
+def test_logreg_train_matches_numpy_gd(spark):
+    """Batch-GD logistic regression vs a hand-rolled numpy model:
+    identical weights after each iteration count (same zero init,
+    same lr, same update), NULL rows excluded, empty corpus returns
+    the zero vector (total), n_iter<1 rejected, and predict scores
+    are the sigmoid of the learned margin."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+
+    from picoprobedataflow_spark.operators.mlfit import (
+        logreg_predict, logreg_train)
+
+    rows = [(0.5, 1.2, 1.0), (-0.3, 0.1, 0.0), (1.5, -0.7, 1.0),
+            (-1.1, -0.2, 0.0), (0.2, 0.9, 1.0), (-0.6, 0.4, 0.0)]
+    df = spark.createDataFrame(rows, "a double, b double, y double")
+    lr, it = 0.7, 4
+    w = logreg_train(df, ["a", "b"], "y", n_iter=it, lr=lr)
+    # numpy model
+    X = np.array([[1.0, a, b] for a, b, _ in rows])
+    Y = np.array([y for *_, y in rows])
+    wn = np.zeros(3)
+    for _ in range(it):
+        p = 1.0 / (1.0 + np.exp(-(X @ wn)))
+        wn = wn + lr * (X.T @ (Y - p)) / len(rows)
+    assert np.allclose(w, wn, atol=1e-9), (w, wn)
+    # scores = sigmoid of the margin under the learned weights
+    got = (df.select(logreg_predict(df, ["a", "b"], w).alias("s"))
+           .collect())
+    want = 1.0 / (1.0 + np.exp(-(X @ np.array(w))))
+    for g, e in zip(got, want):
+        assert abs(g.s - round(float(e), 6)) <= 1e-6
+    # NULL rows are excluded from the fit, not crashed on
+    df2 = df.unionByName(spark.createDataFrame(
+        [(None, 1.0, 1.0), (1.0, None, 0.0), (1.0, 1.0, None)],
+        "a double, b double, y double"))
+    assert logreg_train(df2, ["a", "b"], "y", n_iter=it, lr=lr) == w
+    # empty corpus: zero gradient steps, zero vector, no crash
+    empty = spark.createDataFrame([], "a double, b double, y double")
+    assert logreg_train(empty, ["a", "b"], "y") == [0.0, 0.0, 0.0]
+    with _pytest.raises(ValueError):
+        logreg_train(df, ["a", "b"], "y", n_iter=0)
