@@ -2927,22 +2927,48 @@ _SYNTH_URL_AUTHORITIES = (
     "https://User%2E.:pw@cdn.sample.org.:8080",
 )
 
+#: Tail arms (path/query/fragment hazards) for the synthetic URLs —
+#: the same single-constant treatment as the authority arms:
+#: ``{id7}`` expands to ``doc_id % 7`` on both engines. Plants the
+#: tracking-scrub, fragment, percent-encoding (valid lowercase
+#: escapes, reserved %2F, invalid %zz/%4, mark escapes, an encoded
+#: tracking name) and trailing-slash hazards.
+_SYNTH_URL_TAILS = (
+    "/?utm_source=feed&utm_campaign=x&id={id7}",
+    "?id={id7}&fbclid=abc#frag",
+    "/",
+    "/p%2fq%7e?a=%2F&t=%7e&id={id7}",
+    "/x%zz%4?y=%5f%2d%2e&utm%5Fname=z&id={id7}",
+)
+
+
+def _tail_sql(tpl: str) -> str:
+    parts = tpl.split("{id7}")
+    out = " || ".join(
+        p for pair in zip(
+            [f"'{s}'" if s else None for s in parts],
+            ["CAST(doc_id % 7 AS VARCHAR)"] * (len(parts) - 1) + [None])
+        for p in pair if p)
+    return out
+
+
+_SYNTH_URL_TAIL_SQL = (
+    "  (CASE doc_id % " + str(len(_SYNTH_URL_TAILS)) + "\n     "
+    + "\n     ".join(
+        (f"WHEN {i} THEN {_tail_sql(t)}"
+         if i < len(_SYNTH_URL_TAILS) - 1
+         else f"ELSE {_tail_sql(t)}")
+        for i, t in enumerate(_SYNTH_URL_TAILS)) + " END)")
+
+
 _SYNTH_URL_SQL = f"""
   (CASE doc_id % {len(_SYNTH_URL_AUTHORITIES)}
      {" ".join(f"WHEN {i} THEN '{a}'"
                for i, a in enumerate(_SYNTH_URL_AUTHORITIES[:-1]))}
      ELSE '{_SYNTH_URL_AUTHORITIES[-1]}' END)
   || '/' || source || '/Item' || CAST(doc_id AS VARCHAR)
-  || (CASE doc_id % 5
-     WHEN 0 THEN '/?utm_source=feed&utm_campaign=x&id='
-                 || CAST(doc_id % 7 AS VARCHAR)
-     WHEN 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
-                 || '&fbclid=abc#frag'
-     WHEN 3 THEN '/p%2fq%7e?a=%2F&t=%7e&id='
-                 || CAST(doc_id % 7 AS VARCHAR)
-     WHEN 4 THEN '/x%zz%4?y=%5f%2d%2e&utm%5Fname=z&id='
-                 || CAST(doc_id % 7 AS VARCHAR)
-     ELSE '/' END)
+  ||
+{_SYNTH_URL_TAIL_SQL}
 """
 
 #: The boundary-safe tracking scrub (round 10) replayed in DuckDB —
@@ -3196,25 +3222,22 @@ def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, a in reversed(list(
             enumerate(_SYNTH_URL_AUTHORITIES[:-1]))):
         host = F.when(d % n == i, F.lit(a)).otherwise(host)
-    tail = (F.when(d % 5 == 0,
-                   F.concat(F.lit("/?utm_source=feed&utm_campaign=x"
-                                  "&id="), (d % 7).cast("string")))
-             .when(d % 5 == 1,
-                   F.concat(F.lit("?id="), (d % 7).cast("string"),
-                            F.lit("&fbclid=abc#frag")))
-             # Round 12 percent-encoding pins: lowercase-hex escapes
-             # (uppercase), %7e (decodes to ~), reserved %2F (stays
-             # encoded, hex uppercased), invalid escapes %zz / %4
-             # (verbatim), mark escapes %5f%2d%2e (decode to _-.),
-             # and an encoded tracking name utm%5Fname (decodes to
-             # utm_name, then the scrub catches it).
-             .when(d % 5 == 3,
-                   F.concat(F.lit("/p%2fq%7e?a=%2F&t=%7e&id="),
-                            (d % 7).cast("string")))
-             .when(d % 5 == 4,
-                   F.concat(F.lit("/x%zz%4?y=%5f%2d%2e&utm%5Fname=z"
-                                  "&id="), (d % 7).cast("string")))
-             .otherwise(F.lit("/")))
+    # Tail arms generated from the SAME tuple the oracle derives
+    # from (_SYNTH_URL_TAILS); {id7} expands to doc_id % 7.
+    def _tail_col(tpl):
+        parts = tpl.split("{id7}")
+        pieces = []
+        for j, p in enumerate(parts):
+            if p:
+                pieces.append(F.lit(p))
+            if j < len(parts) - 1:
+                pieces.append((d % 7).cast("string"))
+        return F.concat(*pieces) if len(pieces) > 1 else pieces[0]
+
+    nt = len(_SYNTH_URL_TAILS)
+    tail = _tail_col(_SYNTH_URL_TAILS[-1])
+    for i, t in reversed(list(enumerate(_SYNTH_URL_TAILS[:-1]))):
+        tail = F.when(d % nt == i, _tail_col(t)).otherwise(tail)
     return (tbl(spark, sf_dir, "documents")
             .select(d, F.concat(host, F.lit("/"), F.col("source"),
                                 F.lit("/Item"), d.cast("string"),
