@@ -610,3 +610,72 @@ def robots_gate(urls: DataFrame, rules: DataFrame,
                     F.col("_rp").alias("rule"),
                     F.coalesce(F.col("_allow"), F.lit(True))
                      .alias("allowed")))
+
+
+def robots_txt_parse(text: str, user_agent: str,
+                     domain: str) -> list[tuple[str, str, bool]]:
+    """Parse RAW robots.txt content into :func:`robots_rules_table`
+    triples for ONE crawler — the fetch-time half of the robots lane
+    (the per-URL join is :func:`robots_gate`), mirroring
+    :func:`psl_table_from_text` for the PSL. Implements RFC 9309
+    group resolution:
+
+    - Lines are ``field: value`` with ``#`` comments stripped; field
+      names are case-insensitive; unknown fields are ignored.
+    - Consecutive ``User-agent`` lines open ONE group sharing the
+      rules that follow (§2.2.1).
+    - The crawler obeys the group(s) whose user-agent token is the
+      LONGEST case-insensitive prefix of ``user_agent``; if none
+      matches, the ``*`` group(s); if neither exists, no rules
+      (everything allowed). All groups with the winning token merge.
+    - ``Allow`` / ``Disallow`` values are path prefixes (the
+      documented subset — RFC 9309 ``*``/``$`` wildcards are out of
+      scope here, as :func:`robots_rules_table` states). An EMPTY
+      Disallow value means "allow everything" per the spec and
+      contributes no rule.
+
+    Returns ``[(domain, rule_path, allow), ...]`` ready to feed
+    :func:`robots_rules_table` (one call per fetched host)."""
+    ua = user_agent.lower()
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    in_agents = False
+    for raw_line in text.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not in_agents:
+                if cur_agents:
+                    groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_agents = True
+            cur_agents.append(value.lower())
+        elif field in ("allow", "disallow"):
+            in_agents = False
+            if value:
+                cur_rules.append((value, field == "allow"))
+            # empty Disallow = allow all = no rule; empty Allow is
+            # meaningless either way
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    # Longest user-agent token that prefixes ours wins; '*' is the
+    # fallback with specificity -1 so ANY named match beats it.
+    best = -2
+    for agents, _rules in groups:
+        for a in agents:
+            if a == "*":
+                best = max(best, -1)
+            elif ua.startswith(a):
+                best = max(best, len(a))
+    rules: list[tuple[str, str, bool]] = []
+    for agents, grp_rules in groups:
+        spec = max((len(a) if a != "*" and ua.startswith(a) else
+                    (-1 if a == "*" else -2)) for a in agents)
+        if spec == best and best > -2:
+            rules.extend((domain, p, allow) for p, allow in grp_rules)
+    return rules

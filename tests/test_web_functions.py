@@ -555,3 +555,63 @@ def test_robots_gate_join_is_broadcast(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_robots_txt_parse_group_resolution(spark):
+    """RFC 9309 parsing + group resolution: comments and unknown
+    fields ignored, consecutive User-agent lines share one group,
+    the longest matching product token wins over '*', same-token
+    groups merge, empty Disallow contributes no rule, and the output
+    feeds robots_rules_table/robots_gate end to end."""
+    raw = """\
+# example robots.txt
+Sitemap: https://example.com/sitemap.xml
+
+User-agent: GoodBot
+User-agent: OtherBot
+Disallow: /private
+Allow: /private/ok
+
+User-agent: GoodBot-Deep
+Disallow: /
+
+User-agent: *
+Disallow: /all-bots
+Crawl-delay: 10
+
+User-agent: GoodBot
+Disallow: /extra
+
+User-agent: EmptyBot
+Disallow:
+"""
+    # exact product token: both GoodBot groups merge; '*' loses
+    got = WB.robots_txt_parse(raw, "GoodBot", "example.com")
+    assert sorted(got) == [
+        ("example.com", "/extra", False),
+        ("example.com", "/private", False),
+        ("example.com", "/private/ok", True)]
+    # longer token is more specific: GoodBot-Deep beats GoodBot
+    deep = WB.robots_txt_parse(raw, "GoodBot-Deep", "example.com")
+    assert deep == [("example.com", "/", False)]
+    # unknown crawler: the '*' group
+    other = WB.robots_txt_parse(raw, "Stranger", "example.com")
+    assert other == [("example.com", "/all-bots", False)]
+    # empty Disallow = allow everything = zero rules for EmptyBot...
+    # but '*' is still the best match for it? No: 'EmptyBot' has an
+    # exact group (specificity 8 > -1), whose only rule is void.
+    assert WB.robots_txt_parse(raw, "EmptyBot", "example.com") == []
+    # no groups at all -> no rules
+    assert WB.robots_txt_parse("# nothing here", "GoodBot",
+                               "example.com") == []
+    # end to end: parsed rules drive the gate
+    rules = WB.robots_rules_table(
+        spark, WB.robots_txt_parse(raw, "GoodBot", "example.com"))
+    urls = spark.createDataFrame(
+        [(0, "https://example.com/private/ok/x"),
+         (1, "https://example.com/private/no"),
+         (2, "https://example.com/all-bots")],  # '*' rule NOT ours
+        "doc_id long, url string")
+    got2 = {r.doc_id: r.allowed
+            for r in WB.robots_gate(urls, rules).collect()}
+    assert got2 == {0: True, 1: False, 2: True}
