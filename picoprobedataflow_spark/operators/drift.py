@@ -43,26 +43,43 @@ def _bucket(value: Column, edges: Column) -> Column:
     return F.size(F.filter(edges, lambda e: value > e))
 
 
-def psi_report(ref: DataFrame, cur: DataFrame, value_col: str,
-               n_buckets: int = 10,
-               round_digits: int = 6) -> DataFrame:
-    """(bucket, n_ref, n_cur, p_ref, p_cur, psi_term): the PSI
-    scoreboard between two snapshots of a numeric column, one row
-    per reference-quantile bucket; ``sum(psi_term)`` is the PSI.
-    Bucket edges are the reference snapshot's exact
-    ``1/n .. (n-1)/n`` quantiles (linear interpolation — Spark
-    ``percentile`` and DuckDB ``quantile_cont`` agree); a value lands
-    in the bucket counting the edges strictly below it, so boundary
-    values go LEFT in both engines. Buckets empty on both sides
-    still emit a row (p floored at :data:`PSI_EPS`, psi_term 0 —
-    the scoreboard always has exactly ``n_buckets`` rows, a contract
-    a monitoring dashboard can key on). NULL values are excluded on
-    both sides (they are a DQ concern, not a drift signal —
-    ``check_expectations`` owns null-rate tracking).
+class PsiReference:
+    """The precomputed HALF of a PSI comparison: the reference
+    snapshot's quantile edges (a k-bounded 1-row frame) and its
+    full-grid bucket counts. Build once with :func:`psi_reference`,
+    score any number of current snapshots/micro-batches against it
+    with :func:`psi_score` — the amortization the streaming monitor
+    needs (re-deriving the reference per micro-batch is exactly the
+    per-batch rebuild the decontam stream's round-13 hook fixed)."""
 
-    Cross-engine note: psi_term rounds at ``round_digits`` AFTER the
-    ln/product arithmetic; the same FP-associativity tolerance as
-    the ``rand_proj`` family applies (documented there)."""
+    __slots__ = ("edges_row", "counts", "n_buckets")
+
+    def __init__(self, edges_row: DataFrame, counts: DataFrame,
+                 n_buckets: int):
+        self.edges_row = edges_row
+        self.counts = counts
+        self.n_buckets = n_buckets
+
+
+def _bucket_counts(df: DataFrame, value_col: str,
+                   edges_row: DataFrame, alias: str) -> DataFrame:
+    return (df.filter(F.col(value_col).isNotNull())
+            .crossJoin(F.broadcast(edges_row))
+            .select(_bucket(F.col(value_col).cast("double"),
+                            F.col("_edges")).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("long").alias(alias)))
+
+
+def psi_reference(ref: DataFrame, value_col: str,
+                  n_buckets: int = 10,
+                  materialize: bool = False) -> PsiReference:
+    """Build the reference half: exact ``1/n .. (n-1)/n`` quantile
+    edges and the always-``n_buckets``-row reference bucket counts.
+    ``materialize=True`` localCheckpoints both (both are k-bounded:
+    one row of edges, ``n_buckets`` count rows) — use it when the
+    reference will be scored against repeatedly (the streaming
+    monitor); the one-shot :func:`psi_report` keeps them lazy."""
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     v = F.col(value_col).cast("double")
@@ -70,23 +87,31 @@ def psi_report(ref: DataFrame, cur: DataFrame, value_col: str,
     edges_row = ref.filter(v.isNotNull()).agg(
         F.percentile(v, F.array(*[F.lit(q) for q in qs]))
          .alias("_edges"))
-
-    def counts(df: DataFrame, alias: str) -> DataFrame:
-        return (df.filter(F.col(value_col).isNotNull())
-                .crossJoin(F.broadcast(edges_row))
-                .select(_bucket(F.col(value_col).cast("double"),
-                                F.col("_edges")).alias("bucket"))
-                .groupBy("bucket")
-                .agg(F.count("*").cast("long").alias(alias)))
-
+    if materialize:
+        edges_row = edges_row.localCheckpoint(eager=True)
     spark = ref.sparkSession
     grid = spark.range(n_buckets).select(
         F.col("id").cast("int").alias("bucket"))
-    j = (grid.join(counts(ref, "n_ref"), "bucket", "left")
-             .join(counts(cur, "n_cur"), "bucket", "left")
-             .select("bucket",
-                     F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-                     F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+    counts = (grid.join(_bucket_counts(ref, value_col, edges_row,
+                                       "n_ref"), "bucket", "left")
+              .select("bucket",
+                      F.coalesce("n_ref", F.lit(0)).alias("n_ref")))
+    if materialize:
+        counts = counts.localCheckpoint(eager=True)
+    return PsiReference(edges_row, counts, n_buckets)
+
+
+def psi_score(cur: DataFrame, value_col: str,
+              reference: PsiReference,
+              round_digits: int = 6) -> DataFrame:
+    """Score one current snapshot against a prebuilt
+    :class:`PsiReference` — the repeated half of the comparison. See
+    :func:`psi_report` for the scoreboard contract."""
+    j = (reference.counts
+         .join(_bucket_counts(cur, value_col, reference.edges_row,
+                              "n_cur"), "bucket", "left")
+         .select("bucket", "n_ref",
+                 F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
     tot = j.agg(F.sum("n_ref").alias("_tr"),
                 F.sum("n_cur").alias("_tc"))
     p_ref = F.greatest(F.col("n_ref") / F.greatest(F.col("_tr"),
@@ -102,3 +127,31 @@ def psi_report(ref: DataFrame, cur: DataFrame, value_col: str,
                     F.round((p_cur - p_ref) * F.log(p_cur / p_ref),
                             round_digits).alias("psi_term"))
             .orderBy("bucket"))
+
+
+def psi_report(ref: DataFrame, cur: DataFrame, value_col: str,
+               n_buckets: int = 10,
+               round_digits: int = 6) -> DataFrame:
+    """(bucket, n_ref, n_cur, p_ref, p_cur, psi_term): the PSI
+    scoreboard between two snapshots of a numeric column, one row
+    per reference-quantile bucket; ``sum(psi_term)`` is the PSI.
+    Bucket edges are the reference snapshot's exact
+    ``1/n .. (n-1)/n`` quantiles (linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` agree); a value lands
+    in the bucket counting the edges strictly below it, so boundary
+    values go LEFT in both engines. Buckets empty on both sides
+    still emit a row (p floored at :data:`PSI_EPS`, psi_term 0 —
+    the scoreboard always has exactly ``n_buckets`` rows, a contract
+    a monitoring dashboard can key on). NULL values are excluded on
+    both sides (they are a DQ concern, not a drift signal —
+    ``check_expectations`` owns null-rate tracking). One-shot form
+    of :func:`psi_reference` + :func:`psi_score` (ONE shared
+    implementation; the streaming monitor calls the two halves
+    directly so the reference builds once, not per micro-batch).
+
+    Cross-engine note: psi_term rounds at ``round_digits`` AFTER the
+    ln/product arithmetic; the same FP-associativity tolerance as
+    the ``rand_proj`` family applies (documented there)."""
+    return psi_score(cur, value_col,
+                     psi_reference(ref, value_col, n_buckets),
+                     round_digits)

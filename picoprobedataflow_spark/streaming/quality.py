@@ -465,3 +465,49 @@ def robots_gate_stream(spark: SparkSession, src_dir: str,
         q.stop()
         raise TimeoutError(
             f"robots gate drain did not finish in {timeout}s")
+
+
+def psi_drift_stream(spark: SparkSession, src_dir: str,
+                     ckpt_dir: str, out_dir: str,
+                     ref: DataFrame, value_col: str,
+                     schema: StructType | str,
+                     n_buckets: int = 10,
+                     timeout: int = 300) -> None:
+    """Streaming distribution-drift monitor: every arriving
+    micro-batch gets its PSI scoreboard against a FIXED reference
+    snapshot (:func:`..operators.drift.psi_score`) and the
+    (batch_id, bucket, n_ref, n_cur, p_ref, p_cur, psi_term) rows
+    append to ``out_dir`` — a dashboard alerts on
+    ``sum(psi_term) > 0.25`` per batch without scanning the data
+    stream itself (the drift twin of :func:`dq_gate_stream`'s
+    point-in-time checks).
+
+    The reference half — quantile edges and full-grid bucket counts,
+    both k-bounded — is built and localCheckpointed ONCE outside the
+    loop (:func:`..operators.drift.psi_reference` with
+    ``materialize=True``); per-batch cost is one map-side bucket
+    count over the batch plus n_buckets-row arithmetic. Verdicts are
+    per-batch with no cross-batch state, so a replayed batch appends
+    byte-identical rows (dedupe on ``batch_id`` at read, the gate
+    tables' shared idempotency contract)."""
+    from picoprobedataflow_spark.operators.drift import (
+        psi_reference, psi_score)
+
+    reference = psi_reference(ref, value_col, n_buckets,
+                              materialize=True)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (psi_score(batch_df, value_col, reference)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    q = (spark.readStream.schema(schema).parquet(src_dir)
+         .writeStream
+         .option("checkpointLocation", ckpt_dir)
+         .foreachBatch(_process)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"psi drift drain did not finish in {timeout}s")

@@ -756,3 +756,50 @@ def test_streaming_robots_gate_equals_batch(spark, tmp_path):
     have = sorted((r.doc_id, r.domain, r.rule, r.allowed)
                   for r in got.collect())
     assert have == want
+
+
+def test_streaming_psi_drift_equals_batch(spark, tmp_path):
+    """The PSI drift stream: each micro-batch's scoreboard equals
+    psi_report(ref, that_batch) exactly (the reference half is built
+    once outside the loop and shared), every batch emits the full
+    n_buckets-row grid, and a shifted batch scores high PSI while an
+    in-distribution batch scores ~0."""
+    from picoprobedataflow_spark.operators.drift import psi_report
+    from picoprobedataflow_spark.streaming.quality import \
+        psi_drift_stream
+
+    ref = spark.createDataFrame([(float(x),) for x in range(1, 101)],
+                                "v double")
+    schema = "v double"
+    src = tmp_path / "vals_in"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "psi")
+
+    b1 = spark.createDataFrame(
+        [(float(x),) for x in range(1, 101)], schema)  # same dist
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    psi_drift_stream(spark, str(src), ckpt, out, ref, "v", schema,
+                     n_buckets=4)
+    b2 = spark.createDataFrame(
+        [(float(x) + 60.0,) for x in range(1, 81)], schema)  # shift
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    psi_drift_stream(spark, str(src), ckpt, out, ref, "v", schema,
+                     n_buckets=4)
+
+    rows = spark.read.parquet(out).collect()
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    assert len(by_batch) == 2
+    assert all(len(v) == 4 for v in by_batch.values())
+    psis = {bid: sum(r.psi_term for r in v)
+            for bid, v in by_batch.items()}
+    lo, hi = sorted(psis.values())
+    assert lo < 0.01 and hi > 0.25  # in-dist ~0, shifted = action
+    # batch scoreboard == one-shot psi_report on the same batch
+    for bid, batch in ((min(by_batch), b1), (max(by_batch), b2)):
+        want = sorted(map(tuple, psi_report(ref, batch, "v",
+                                            n_buckets=4).collect()))
+        have = sorted((r.bucket, r.n_ref, r.n_cur, r.p_ref, r.p_cur,
+                       r.psi_term) for r in by_batch[bid])
+        assert have == want
