@@ -654,7 +654,12 @@ def robots_txt_parse(text: str, user_agent: str,
                     groups.append((cur_agents, cur_rules))
                 cur_agents, cur_rules = [], []
                 in_agents = True
-            cur_agents.append(value.lower())
+            # An EMPTY product token is ignored (round-13 review
+            # find: '' prefix-matches every crawler at specificity 0,
+            # so a malformed 'User-agent:' line was beating the
+            # explicit '*' group for everyone).
+            if value:
+                cur_agents.append(value.lower())
         elif field in ("allow", "disallow"):
             in_agents = False
             if value:

@@ -78,7 +78,16 @@ def logreg_predict(df: DataFrame, feature_cols: list[str],
     score column a curation pipeline thresholds on. Rounded at
     ``round_digits`` for reporting; pass ``None`` for the raw score
     (threshold decisions should gate on the UNROUNDED value — the
-    catalog rule that rounding quantizes a decision boundary)."""
+    catalog rule that rounding quantizes a decision boundary).
+    ``weights`` must be ``len(feature_cols) + 1`` values (bias
+    first) — rejected eagerly (round-13 review find: ``zip`` was
+    silently truncating a bias-less vector into plausible-looking
+    wrong scores)."""
+    if len(weights) != len(feature_cols) + 1:
+        raise ValueError(
+            f"weights must have len(feature_cols)+1 = "
+            f"{len(feature_cols) + 1} entries (bias first); "
+            f"got {len(weights)}")
     feats = [F.lit(1.0)] + [F.col(c).cast("double")
                             for c in feature_cols]
     margin = sum((F.lit(wj) * fj for wj, fj in zip(weights, feats)),

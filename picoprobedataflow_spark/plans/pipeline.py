@@ -3302,8 +3302,8 @@ def url_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Trainable-quality-filter grid for the ``logreg`` family: 2
 #: heuristic features (+bias), label = length > 300 (the corpus
 #: median is ~306, so classes are near-balanced and the fit is a
-#: real decision boundary, not a degenerate prior), 3 full-batch GD
-#: iterations at lr=1.0 from the zero vector. Both engines compute
+#: real decision boundary, not a degenerate prior), 5 full-batch GD
+#: iterations at lr=2.0 from the zero vector. Both engines compute
 #: the identical feature/label expressions; the oracle replays each
 #: gradient as a MATERIALIZED 1-row CTE and rebuilds the weights
 #: with the same left-associated arithmetic the driver loop uses.
@@ -3323,7 +3323,7 @@ _LR_FEATURES = (
 
 
 def _logreg_oracle() -> str:
-    lr, L, k = _LR_RATE, _LR_LABEL_LEN, len(_LR_FEATURES)
+    lr, L = _LR_RATE, _LR_LABEL_LEN
     fcols = ", ".join(f"{sql} AS {nm}" for nm, sql in _LR_FEATURES)
     feats = ["CAST(1 AS DOUBLE)"] + [nm for nm, _ in _LR_FEATURES]
     ctes = [f"""lrf AS MATERIALIZED (
@@ -3374,8 +3374,8 @@ def logreg_quality_scores(spark: SparkSession,
     """Trainable quality filter
     (:func:`..operators.mlfit.logreg_train` /
     :func:`..operators.mlfit.logreg_predict`): a batch-GD logistic
-    regression FIT ON THE CORPUS (3 full-batch iterations, each one
-    global aggregate) and applied back as a score column — the
+    regression FIT ON THE CORPUS (5 full-batch iterations at
+    lr=2.0, each one global aggregate) and applied back as a score column — the
     CCNet/LLaMA-style trained filter as a first-class distributed
     op rather than an imported artifact. The oracle replays the
     gradient chain as MATERIALIZED 1-row CTE stages with the same
@@ -3386,14 +3386,14 @@ def logreg_quality_scores(spark: SparkSession,
         logreg_predict, logreg_train)
     docs = tbl(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull())
-    txt = F.col("text")
+    # Features derive from the SAME _LR_FEATURES SQL the oracle uses
+    # (round-13 review find: the first cut re-wrote them in the DSL,
+    # re-creating the dual-engine twin this round eliminated; the
+    # expressions are valid Spark SQL too).
     d = docs.select(
         "doc_id",
-        ((F.length(txt) - 300) / 100.0).alias("f1"),
-        (((F.length(txt) - F.length(F.replace(txt, F.lit(" "),
-                                              F.lit("")))) - 50)
-         / 10.0).alias("f2"),
-        (F.length(txt) > _LR_LABEL_LEN).cast("double").alias("y"))
+        *[F.expr(sql).alias(nm) for nm, sql in _LR_FEATURES],
+        (F.length("text") > _LR_LABEL_LEN).cast("double").alias("y"))
     w = logreg_train(d, ["f1", "f2"], "y", n_iter=_LR_ITER,
                      lr=_LR_RATE)
     raw = logreg_predict(d, ["f1", "f2"], w, round_digits=None)

@@ -73,7 +73,14 @@ def main() -> None:
                     ("source_overlap_full", PL.source_overlap_stats),
                     ("zipf_full", PL.zipf_source_stats),
                     ("dq_full", PL.dq_expectations),
-                    ("key_skew_full", PL.key_skew_profile)):
+                    ("key_skew_full", PL.key_skew_profile),
+                    # Round 13: robots broadcast gate, PSI drift
+                    # (two map-side bucket counts), 3-iteration
+                    # PageRank, 5-iteration logreg training.
+                    ("robots_full", PL.robots_flags),
+                    ("psi_full", PL.psi_drift_stats),
+                    ("pagerank_full", PL.pagerank_scores),
+                    ("logreg_full", PL.logreg_quality_scores)):
         fns[key] = fn
 
     # containment: the UNGATED production path (hashed shingles +

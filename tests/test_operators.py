@@ -3256,3 +3256,6 @@ def test_logreg_train_matches_numpy_gd(spark):
     assert logreg_train(empty, ["a", "b"], "y") == [0.0, 0.0, 0.0]
     with _pytest.raises(ValueError):
         logreg_train(df, ["a", "b"], "y", n_iter=0)
+    # bias-less weights vector: rejected, not silently zip-truncated
+    with _pytest.raises(ValueError):
+        logreg_predict(df, ["a", "b"], w[1:])

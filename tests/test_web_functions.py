@@ -604,6 +604,13 @@ Disallow:
     # no groups at all -> no rules
     assert WB.robots_txt_parse("# nothing here", "GoodBot",
                                "example.com") == []
+    # round-13 review find: a malformed EMPTY User-agent token must
+    # be ignored, not prefix-match every crawler at specificity 0
+    # (which silently beat the explicit '*' group).
+    malformed = ("User-agent:\nDisallow: /secret\n\n"
+                 "User-agent: *\nDisallow: /all\n")
+    assert WB.robots_txt_parse(malformed, "AnyBot", "h.com") == [
+        ("h.com", "/all", False)]
     # end to end: parsed rules drive the gate
     rules = WB.robots_rules_table(
         spark, WB.robots_txt_parse(raw, "GoodBot", "example.com"))
