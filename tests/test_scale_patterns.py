@@ -998,3 +998,23 @@ def test_round12_curation_plan_shapes(spark):
     assert real <= 5, bplan
     assert "SortMergeJoin" in bplan or "ShuffledHashJoin" in bplan \
         or "BroadcastHashJoin" in bplan
+
+
+def test_logreg_gradient_pass_plan_shape(spark):
+    """Each logreg GD iteration must be ONE global aggregate: the
+    gradient frame's plan carries exactly one real Exchange (the
+    1-row final aggregation) and no join — the corpus never
+    shuffles, partial sums combine map-side."""
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = docs.select(
+        ((F.length("text") - 300) / 100.0).alias("f1"),
+        (F.length("text") > 300).cast("double").alias("y"))
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(0.0))))
+    g = d.agg(F.avg(F.col("f1") * (F.col("y") - sig)).alias("g1"))
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
+    assert "Join" not in plan
+    assert "HashAggregate" in plan  # partial+final, map-side combine

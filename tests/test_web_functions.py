@@ -622,3 +622,23 @@ Disallow:
     got2 = {r.doc_id: r.allowed
             for r in WB.robots_gate(urls, rules).collect()}
     assert got2 == {0: True, 1: False, 2: True}
+
+
+def test_robots_txt_parse_total_on_arbitrary_text():
+    """Property: the parser is TOTAL on arbitrary text — never
+    raises, always returns (domain, path, bool) triples for the
+    given domain, and is deterministic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=st.characters(
+        blacklist_categories=("Cs",)), max_size=400))
+    def prop(text):
+        out = WB.robots_txt_parse(text, "AnyBot", "h.com")
+        assert out == WB.robots_txt_parse(text, "AnyBot", "h.com")
+        for dom, path, allow in out:
+            assert dom == "h.com" and isinstance(path, str) and path
+            assert isinstance(allow, bool)
+
+    prop()
