@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 def pagerank(edges: DataFrame, n_iter: int = 10,
              damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
-             round_digits: int | None = 6) -> DataFrame:
+             round_digits: int | None = 6,
+             seeds: DataFrame | None = None) -> DataFrame:
     """(node, outdeg, pr): PageRank after exactly ``n_iter`` power
     iterations from the uniform vector, with dangling-mass
     redistribution::
@@ -50,7 +51,20 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
 
     ``round_digits`` rounds the FINAL vector only (intermediates stay
     full-precision); cross-engine FP-associativity tolerance as
-    documented on :func:`..functions.vectors.random_project`."""
+    documented on :func:`..functions.vectors.random_project`.
+
+    ``seeds`` (round 13) turns the op into TrustRank-style
+    PERSONALIZED PageRank: a 1-column frame of trusted node ids
+    replaces the uniform teleport — the ``(1-d)`` restart mass and
+    the dangling mass redistribute over the seed nodes only, so rank
+    flows outward from the trusted set and a node unreachable from
+    any seed converges to 0 (the web-spam demotion property;
+    Gyöngyi et al.'s TrustRank is exactly this with a curated seed
+    list). The initial vector is uniform over the seeds. Seeds not
+    present in the graph are ignored; an empty effective seed set is
+    rejected (the teleport would be undefined). Plan impact: the
+    teleport indicator joins in ONCE as a small broadcast (seed
+    lists are tiny by construction)."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     e = (edges.select(F.col(src_col).alias("src"),
@@ -75,8 +89,40 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
         # no nodes -> an empty, correctly-typed scoreboard.
         return base.select("node", "outdeg",
                            F.lit(0.0).alias("pr"))
-    pr = base.select("node", "outdeg",
-                     F.lit(1.0 / n_nodes).alias("pr"))
+    if seeds is not None:
+        seed_df = (seeds.select(F.col(seeds.columns[0])
+                                .alias("node"))
+                   .distinct())
+        base = (base.join(F.broadcast(
+                    seed_df.withColumn("_seed", F.lit(True))),
+                    "node", "left")
+                .select("node", "outdeg",
+                        F.coalesce("_seed", F.lit(False))
+                         .alias("_seed"))
+                .localCheckpoint(eager=True))
+        n_tele = base.filter(F.col("_seed")).count()
+        if n_tele == 0:
+            raise ValueError(
+                "seeds contains no node present in the graph — the "
+                "teleport vector would be undefined")
+    else:
+        base = base.withColumn("_seed", F.lit(True))
+        n_tele = n_nodes
+    tele = F.when(F.col("_seed"), F.lit(1.0 / n_tele)) \
+            .otherwise(F.lit(0.0))
+    # The uniform path keeps the ORIGINAL constant-division
+    # arithmetic ((1-d)/N and m/N, both division) — the seeded path's
+    # (1-d)·tele / m·tele multiplies by a reciprocal, which differs
+    # from division in the last ulp, and the oracle replays division;
+    # sharing the multiply form would put every uniform family value
+    # one ulp off its replay at the 6-dp rounding boundary.
+    if seeds is None:
+        restart = F.lit((1.0 - damping) / n_nodes)
+        dang_of = F.col("_m") / n_nodes
+    else:
+        restart = F.lit(1.0 - damping) * tele
+        dang_of = F.col("_m") * tele
+    pr = base.select("node", "outdeg", "_seed", tele.alias("pr"))
     for _ in range(n_iter):
         # Dangling mass: one 1-row aggregate, broadcast into the
         # update expression via crossJoin (the catalog's scalar-agg
@@ -98,17 +144,18 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
         pr = (base.join(contrib, base["node"] == contrib["dst"],
                         "left")
               .crossJoin(F.broadcast(dang))
-              .select("node", "outdeg",
-                      (F.lit((1.0 - damping) / n_nodes)
+              .select("node", "outdeg", "_seed",
+                      (restart
                        + F.lit(damping)
                        * (F.coalesce("_in", F.lit(0.0))
-                          + F.col("_m") / n_nodes)).alias("pr")))
+                          + dang_of)).alias("pr")))
         # Materialize each iteration: without this the lineage nests
         # n_iter joins into one plan (analysis blows up combinatorially
         # and a failure recomputes everything); with it each round is
         # one bounded job, the same reason the k-means build
         # checkpoints per iteration.
         pr = pr.localCheckpoint(eager=True)
+    pr = pr.drop("_seed")
     if round_digits is not None:
         pr = pr.select("node", "outdeg",
                        F.round("pr", round_digits).alias("pr"))

@@ -41,16 +41,27 @@ def _sigmoid(m: Column) -> Column:
 
 def logreg_train(df: DataFrame, feature_cols: list[str],
                  label_col: str, n_iter: int = 3,
-                 lr: float = 1.0) -> list[float]:
+                 lr: float = 1.0, l2: float = 0.0) -> list[float]:
     """Batch-GD logistic regression weights ``[bias, w_1..w_k]``
     after exactly ``n_iter`` iterations from the zero vector:
-    ``w ← w + lr · avg(f · (y − σ(w·f)))`` with an implicit leading
-    1-feature for the bias. Labels are boolean/0-1; rows where any
-    feature or the label is NULL are excluded (total on degenerate
-    corpora: an empty or all-NULL frame returns the zero vector —
-    zero gradient steps, not a crash)."""
+    ``w ← w + lr · (avg(f · (y − σ(w·f))) − l2 · w)`` with an
+    implicit leading 1-feature for the bias. Labels are boolean/0-1;
+    rows where any feature or the label is NULL are excluded (total
+    on degenerate corpora: an empty or all-NULL frame returns the
+    zero vector — zero gradient steps, not a crash).
+
+    ``l2`` (round 13) is standard ridge weight decay — the knob a
+    trained corpus filter needs once features correlate (length and
+    token count do) so no single weight runs away; the BIAS is
+    regularized too (deliberate: with centered features the bias
+    stays near the log-odds prior, and the symmetric form keeps the
+    update one fused expression). Decay applies driver-side to the
+    known current weights, so the per-pass plan is unchanged: still
+    ONE aggregate, no extra job."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
+    if l2 < 0.0:
+        raise ValueError("l2 must be >= 0")
     feats = [F.lit(1.0)] + [F.col(c).cast("double")
                             for c in feature_cols]
     y = F.col(label_col).cast("double")
@@ -67,7 +78,8 @@ def logreg_train(df: DataFrame, feature_cols: list[str],
                       for j, fj in enumerate(feats)]).head()
         if row is None or row[0] is None:
             return w  # empty corpus: zero gradient steps
-        w = [wj + lr * row[j] for j, wj in enumerate(w)]
+        w = [wj + lr * (row[j] - l2 * wj)
+             for j, wj in enumerate(w)]
     return w
 
 

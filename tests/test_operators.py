@@ -3259,3 +3259,68 @@ def test_logreg_train_matches_numpy_gd(spark):
     # bias-less weights vector: rejected, not silently zip-truncated
     with _pytest.raises(ValueError):
         logreg_predict(df, ["a", "b"], w[1:])
+    # L2 weight decay: matches the numpy model with the same decay,
+    # shrinks the norm vs the unregularized fit, l2=0 is exactly the
+    # plain op, negative l2 rejected
+    lam = 0.3
+    wr = logreg_train(df, ["a", "b"], "y", n_iter=it, lr=lr, l2=lam)
+    wn2 = np.zeros(3)
+    for _ in range(it):
+        p = 1.0 / (1.0 + np.exp(-(X @ wn2)))
+        wn2 = wn2 + lr * ((X.T @ (Y - p)) / len(rows) - lam * wn2)
+    assert np.allclose(wr, wn2, atol=1e-9)
+    assert np.linalg.norm(wr) < np.linalg.norm(w)
+    assert logreg_train(df, ["a", "b"], "y", n_iter=it, lr=lr,
+                        l2=0.0) == w
+    with _pytest.raises(ValueError):
+        logreg_train(df, ["a", "b"], "y", l2=-0.1)
+
+
+def test_pagerank_personalized_trustrank(spark):
+    """TrustRank-style personalized teleport: rank flows outward from
+    the seed set only — a node unreachable from any seed converges to
+    0, the vector still sums to 1, the numpy model agrees exactly,
+    seeding every node ~= the uniform op, and a seed set disjoint
+    from the graph is rejected."""
+    import numpy as np
+    import pytest as _pytest
+
+    from picoprobedataflow_spark.operators.graph import pagerank
+
+    # 0->1->2 (trusted island), 3->4 (untrusted island, unreachable
+    # from the seed), 2 dangling, 4 dangling
+    E = [(0, 1), (1, 2), (3, 4)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (99,)], "node long")  # 99 absent
+    d, it, n = 0.85, 6, 5
+    got = {r.node: r.pr for r in
+           pagerank(edges, n_iter=it, damping=d,
+                    seeds=seeds).collect()}
+    # numpy model: teleport vector concentrated on node 0
+    out = {0: 1, 1: 1, 2: 0, 3: 1, 4: 0}
+    t = np.array([1.0, 0, 0, 0, 0])
+    pr = t.copy()
+    for _ in range(it):
+        m = sum(pr[u] for u in range(n) if out[u] == 0)
+        new = (1 - d) * t + d * m * t
+        for a, b in E:
+            new[b] += d * pr[a] / out[a]
+        pr = new
+    for v in range(n):
+        assert abs(got[v] - round(float(pr[v]), 6)) <= 1e-6, (v, got[v])
+    # unreachable-from-seed island gets ZERO rank (spam demotion)
+    assert got[3] == 0.0 and got[4] == 0.0
+    assert abs(sum(got.values()) - 1.0) < 1e-5
+    # seeding EVERY node reproduces the uniform op (up to the
+    # documented multiply-vs-divide last-ulp class)
+    allseeds = spark.createDataFrame([(i,) for i in range(5)],
+                                     "node long")
+    uni = {r.node: r.pr for r in pagerank(edges, n_iter=3).collect()}
+    per = {r.node: r.pr for r in
+           pagerank(edges, n_iter=3, seeds=allseeds).collect()}
+    for v in uni:
+        assert abs(uni[v] - per[v]) <= 2e-6
+    # no seed present in the graph -> undefined teleport, rejected
+    with _pytest.raises(ValueError):
+        pagerank(edges, n_iter=2,
+                 seeds=spark.createDataFrame([(42,)], "node long"))
