@@ -83,7 +83,23 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
                     F.coalesce("outdeg", F.lit(0)).cast("long")
                      .alias("outdeg"))
             .localCheckpoint(eager=True))
+    if seeds is not None and len(seeds.columns) != 1:
+        # Eager rejection (review find, same silent-shape class as
+        # logreg_predict's zip-truncation): narrowing a multi-column
+        # frame to its first column would seed on the wrong thing
+        # and return plausible-looking wrong ranks.
+        raise ValueError(
+            f"seeds must be a 1-column frame of node ids; got "
+            f"{len(seeds.columns)} columns {seeds.columns}")
     if n_nodes == 0:
+        if seeds is not None:
+            # The documented contract — an empty EFFECTIVE seed set
+            # is rejected — must hold on the empty graph too (review
+            # find: the totality early-return ran first and silently
+            # swallowed a disjoint-by-vacuity seed list).
+            raise ValueError(
+                "seeds contains no node present in the graph — the "
+                "teleport vector would be undefined")
         # Total on the degenerate empty graph (round-13 review find:
         # 1.0 / n_nodes raised ZeroDivisionError at plan-BUILD time):
         # no nodes -> an empty, correctly-typed scoreboard.

@@ -39,6 +39,20 @@ def _sigmoid(m: Column) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
 
 
+def _gradient_frame(d: DataFrame, feats: list[Column],
+                    y: Column, w: list[float]) -> DataFrame:
+    """ONE GD pass as a frame: the per-feature average-gradient
+    aggregate at the current weights. Factored out of
+    :func:`logreg_train` so the plan-shape pin
+    (test_logreg_gradient_pass_plan_shape) asserts the OPERATOR's
+    actual per-pass plan, not a hand-built replica."""
+    margin = sum((F.lit(wj) * fj for wj, fj in zip(w, feats)),
+                 F.lit(0.0))
+    resid = y - _sigmoid(margin)
+    return d.agg(*[F.avg(fj * resid).alias(f"g{j}")
+                   for j, fj in enumerate(feats)])
+
+
 def logreg_train(df: DataFrame, feature_cols: list[str],
                  label_col: str, n_iter: int = 3,
                  lr: float = 1.0, l2: float = 0.0) -> list[float]:
@@ -71,11 +85,7 @@ def logreg_train(df: DataFrame, feature_cols: list[str],
     d = df.filter(cond)
     w = [0.0] * len(feats)
     for _ in range(n_iter):
-        margin = sum((F.lit(wj) * fj for wj, fj in zip(w, feats)),
-                     F.lit(0.0))
-        resid = y - _sigmoid(margin)
-        row = d.agg(*[F.avg(fj * resid).alias(f"g{j}")
-                      for j, fj in enumerate(feats)]).head()
+        row = _gradient_frame(d, feats, y, w).head()
         if row is None or row[0] is None:
             return w  # empty corpus: zero gradient steps
         w = [wj + lr * (row[j] - l2 * wj)

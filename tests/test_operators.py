@@ -3324,3 +3324,12 @@ def test_pagerank_personalized_trustrank(spark):
     with _pytest.raises(ValueError):
         pagerank(edges, n_iter=2,
                  seeds=spark.createDataFrame([(42,)], "node long"))
+    # ...including on the EMPTY graph (review find: the totality
+    # early-return used to swallow a disjoint-by-vacuity seed list)
+    empty = spark.createDataFrame([], "src long, dst long")
+    with _pytest.raises(ValueError):
+        pagerank(empty, n_iter=2,
+                 seeds=spark.createDataFrame([(0,)], "node long"))
+    # multi-column seeds frame: rejected, never silently narrowed
+    with _pytest.raises(ValueError):
+        pagerank(edges, n_iter=2, seeds=edges)

@@ -1007,13 +1007,18 @@ def test_logreg_gradient_pass_plan_shape(spark):
     shuffles, partial sums combine map-side."""
     from pyspark.sql import functions as F
 
+    from picoprobedataflow_spark.operators.mlfit import \
+        _gradient_frame
+
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     d = docs.select(
         ((F.length("text") - 300) / 100.0).alias("f1"),
         (F.length("text") > 300).cast("double").alias("y"))
-    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(0.0))))
-    g = d.agg(F.avg(F.col("f1") * (F.col("y") - sig)).alias("g1"))
+    # the OPERATOR's own per-pass frame (review find: the first cut
+    # pinned a hand-built replica, which a refactor could outrun)
+    g = _gradient_frame(d, [F.lit(1.0), F.col("f1")], F.col("y"),
+                        [0.0, 0.25])
     plan = g._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
     assert "Join" not in plan
