@@ -511,3 +511,50 @@ def psi_drift_stream(spark: SparkSession, src_dir: str,
         q.stop()
         raise TimeoutError(
             f"psi drift drain did not finish in {timeout}s")
+
+
+def quality_score_stream(spark: SparkSession, src_dir: str,
+                         ckpt_dir: str, out_dir: str,
+                         feature_cols: list[str],
+                         weights: list[float],
+                         schema: StructType | str,
+                         id_col: str = "doc_id",
+                         threshold: float = 0.5,
+                         timeout: int = 300) -> None:
+    """Streaming deployment of a TRAINED quality filter
+    (:func:`..operators.mlfit.logreg_predict`): every arriving
+    micro-batch of featurized documents is scored under the fixed
+    ``weights`` (bias first — train them offline with
+    ``logreg_train``, exactly how production filters ship) and the
+    (batch_id, id, score, keep) verdicts append to ``out_dir``. The
+    keep decision gates on the UNROUNDED sigmoid (the catalog's
+    decision-boundary rule); ``score`` is the 6-dp reporting value.
+
+    This is the train→deploy half-loop the mlfit module exists for:
+    fit on a corpus snapshot, inline the k+1 weight literals into a
+    whole-stage-codegen expression, and score at INGEST with zero
+    joins, zero state, zero Python — the cheapest possible streaming
+    op (one narrow projection per batch). Verdicts are per-row, so
+    drain ≡ batch (pytest-pinned) and replayed batches re-append
+    byte-identical rows (dedupe on ``batch_id`` at read)."""
+    from picoprobedataflow_spark.operators.mlfit import logreg_predict
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        raw = logreg_predict(batch_df, feature_cols, weights,
+                             round_digits=None)
+        (batch_df.select(F.col(id_col),
+                         F.round(raw, 6).alias("score"),
+                         (raw >= threshold).alias("keep"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    q = (spark.readStream.schema(schema).parquet(src_dir)
+         .writeStream
+         .option("checkpointLocation", ckpt_dir)
+         .foreachBatch(_process)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"quality score drain did not finish in {timeout}s")

@@ -803,3 +803,47 @@ def test_streaming_psi_drift_equals_batch(spark, tmp_path):
         have = sorted((r.bucket, r.n_ref, r.n_cur, r.p_ref, r.p_cur,
                        r.psi_term) for r in by_batch[bid])
         assert have == want
+
+
+def test_streaming_quality_scorer_equals_batch(spark, tmp_path):
+    """Train offline, deploy on the stream: a 2-batch drain scores
+    every row exactly as the batch predict does under the same
+    weights, keep gates on the unrounded sigmoid, and the plan is a
+    pure projection (no join, no state)."""
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.operators.mlfit import (
+        logreg_predict, logreg_train)
+    from picoprobedataflow_spark.streaming.quality import \
+        quality_score_stream
+
+    train = spark.createDataFrame(
+        [(i, float(i % 7 - 3), 1.0 if i % 7 > 3 else 0.0)
+         for i in range(40)], "doc_id long, f1 double, y double")
+    w = logreg_train(train, ["f1"], "y", n_iter=4, lr=1.0)
+
+    schema = "doc_id long, f1 double"
+    src = tmp_path / "feat_in"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "scores")
+    b1 = spark.createDataFrame(
+        [(100, -2.0), (101, 0.5)], schema)
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    quality_score_stream(spark, str(src), ckpt, out, ["f1"], w,
+                         schema)
+    b2 = spark.createDataFrame([(102, 3.0)], schema)
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    quality_score_stream(spark, str(src), ckpt, out, ["f1"], w,
+                         schema)
+
+    got = {r.doc_id: (r.score, r.keep)
+           for r in spark.read.parquet(out).collect()}
+    assert set(got) == {100, 101, 102}
+    both = b1.unionByName(b2)
+    raw = logreg_predict(both, ["f1"], w, round_digits=None)
+    want = {r.doc_id: (r.s, r.k) for r in both.select(
+        "doc_id", F.round(raw, 6).alias("s"),
+        (raw >= 0.5).alias("k")).collect()}
+    assert got == want
+    # monotone in f1 (the learned boundary is a real one)
+    assert got[100][0] < got[101][0] < got[102][0]
