@@ -3333,3 +3333,45 @@ def test_pagerank_personalized_trustrank(spark):
     # multi-column seeds frame: rejected, never silently narrowed
     with _pytest.raises(ValueError):
         pagerank(edges, n_iter=2, seeds=edges)
+
+
+def test_round13_ops_degenerate_inputs(spark):
+    """Degenerate-input cadence for the round-13 ops: null URLs
+    through the robots gate (verdict row with null host, default
+    allow — the gate is total), a reference smaller than the bucket
+    count through PSI (duplicate edges leave permanently-empty
+    buckets but the n-row contract holds), and a self-loop through
+    PageRank (it is its own in-neighbor; mass conserved)."""
+    from picoprobedataflow_spark.functions.web import (
+        robots_gate, robots_rules_table)
+    from picoprobedataflow_spark.operators.drift import psi_report
+    from picoprobedataflow_spark.operators.graph import pagerank
+
+    # null URL: total, defaults to allowed, null domain carried
+    rules = robots_rules_table(spark, [("h.com", "/", False)])
+    urls = spark.createDataFrame([(0, None), (1, "https://h.com/x")],
+                                 "doc_id long, url string")
+    got = {r.doc_id: (r.domain, r.allowed)
+           for r in robots_gate(urls, rules).collect()}
+    assert got[1] == ("h.com", False)
+    assert got[0][1] is True  # no authority -> REP default allow
+
+    # |ref distinct values| < n_buckets: duplicate quantile edges,
+    # full-grid contract still holds, identical snapshots score 0
+    tiny = spark.createDataFrame([(1.0,), (1.0,), (2.0,)], "v double")
+    rows = psi_report(tiny, tiny, "v", n_buckets=8).collect()
+    assert len(rows) == 8
+    assert sum(r.n_ref for r in rows) == 3
+    assert all(r.psi_term == 0.0 for r in rows)
+
+    # self-loop: node 0 is its own in-neighbor; vector sums to 1
+    loop = spark.createDataFrame([(0, 0), (0, 1)],
+                                 "src long, dst long")
+    pr = {r.node: r for r in pagerank(loop, n_iter=4).collect()}
+    assert pr[0].outdeg == 2
+    assert abs(sum(r.pr for r in pr.values()) - 1.0) < 1e-6
+    # this graph's exact stationary point is symmetric: 0 splits its
+    # mass between itself and 1, and 1 (dangling) returns everything
+    # uniformly — new_a = (1-d)/2 + d*(a/2 + (1-a)/2) = 1/2 exactly,
+    # from the first iteration on
+    assert pr[0].pr == 0.5 and pr[1].pr == 0.5
