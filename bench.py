@@ -285,6 +285,9 @@ def main() -> None:
     # Round 13: trainable quality filter (5 full-batch GD aggregates
     # + one scoring pass).
     variants["logreg_full"] = PL.logreg_quality_scores
+    # Round 13: the token-feature trained filter (multinomial NB —
+    # one explode→class-count fit, one broadcast-join scoring pass).
+    variants["nb_full"] = PL.nb_quality_scores
     # Round 13: the amortized twins of the tree's two most expensive
     # timings. Containment over the persisted df-capped shingle table
     # (shares dedup_jaccard_served_full's write-once parquet);

@@ -27,9 +27,22 @@ regression as a pure aggregation plan:
 Scale shape at 100 TB: n_iter passes over the corpus, each a single
 narrow aggregate — the textbook full-batch GD layout (mini-batch /
 L-BFGS variants change the driver loop, not the per-pass plan).
+
+Round 13 second half adds the TOKEN-based sibling: multinomial
+Naive Bayes (:func:`nb_train` / :func:`nb_predict`) — the closest
+closed-form analog of the fastText quality classifiers CCNet/LLaMA
+actually deploy (linear bag-of-words scorer; NB is its one-pass,
+exactly-reproducible instance). Training is non-iterative: ONE
+explode → per-term class-count aggregate (the unigram-LM shape) plus
+two 1-row scalar aggregates; the model is a vocab-bounded
+(term, llr) table that broadcasts at scoring time plus two driver
+floats (prior log-odds, OOV llr) — the same bounded driver state as
+the GD weights.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -116,3 +129,125 @@ def logreg_predict(df: DataFrame, feature_cols: list[str],
                  F.lit(0.0))
     s = _sigmoid(margin)
     return s if round_digits is None else F.round(s, round_digits)
+
+
+# --------------------------------------------------------------------------
+# Multinomial Naive Bayes — the token-based trained filter
+# --------------------------------------------------------------------------
+
+
+class NBModel:
+    """A fitted multinomial-NB corpus filter: the vocab-bounded
+    ``(term, llr)`` log-likelihood-ratio table (a DataFrame — it
+    stays distributed and broadcasts at scoring time, never
+    collected) plus three bounded driver scalars: the class-prior
+    log-odds, the OOV term's llr (every unseen term contributes the
+    same smoothed constant, so it folds into one literal), and the
+    smoothing ``alpha`` the fit used."""
+
+    __slots__ = ("llr", "prior_logodds", "oov_llr", "alpha")
+
+    def __init__(self, llr: DataFrame, prior_logodds: float,
+                 oov_llr: float, alpha: float):
+        self.llr = llr
+        self.prior_logodds = prior_logodds
+        self.oov_llr = oov_llr
+        self.alpha = alpha
+
+
+def nb_train(df: DataFrame, tokens_col: str, label_col: str,
+             alpha: float = 1.0) -> NBModel:
+    """Fit a multinomial Naive Bayes binary classifier on a tokenized
+    corpus — the closed-form analog of the fastText quality filter:
+    ``score(doc) = log(P(y=1)/P(y=0)) + Σ_t log(P(t|1)/P(t|0))`` with
+    add-``alpha`` (Laplace) smoothing over the joint vocabulary.
+    Labels are boolean/0-1; rows with a NULL label or NULL token
+    array are excluded.
+
+    Scale shape: ONE explode → per-term class-count hash aggregate
+    (the ``unigram_logprob`` shape — the llr table is
+    true-vocabulary-bounded by Heaps' law) plus two 1-row scalar
+    aggregates (doc-level class priors; token-total/vocab-size), so
+    fitting costs a single corpus pass regardless of corpus size.
+    Unlike :func:`logreg_train` there is NO iteration — NB's MLE is
+    the count ratio, which is why it is exactly replayable by a
+    non-iterative SQL oracle.
+
+    Total on degenerate corpora: an empty or all-NULL frame yields an
+    empty llr table, prior ``ln(alpha/alpha) = 0`` and ``oov_llr = 0``
+    (every doc then scores the prior). A single-class corpus stays
+    finite through the smoothing. Cross-engine FP: counts are exact
+    integers below 2^53; ``ln`` differs by ulps (the documented
+    ``rand_proj`` tolerance class — scores round at 6 dp downstream).
+    """
+    if alpha <= 0.0:
+        raise ValueError("alpha must be > 0")
+    y = F.col(label_col).cast("double")
+    d = df.filter(y.isNotNull() & F.col(tokens_col).isNotNull())
+    # 1-row doc-level priors (bounded driver hop — the GD-weights /
+    # k-means-centroid pattern).
+    pr = d.agg(F.sum(y).alias("n1"),
+               F.sum(F.lit(1.0) - y).alias("n0")).head()
+    n1 = float(pr["n1"] or 0.0)
+    n0 = float(pr["n0"] or 0.0)
+    prior = math.log((n1 + alpha) / (n0 + alpha))
+    # Per-term class counts: the corpus pass. c1/c0 are exact doc
+    # counts as doubles (integers — exact below 2^53).
+    toks = d.select(y.alias("_y"),
+                    F.explode(F.col(tokens_col)).alias("term"))
+    cc = (toks.groupBy("term")
+          .agg(F.sum("_y").alias("c1"),
+               F.sum(F.lit(1.0) - F.col("_y")).alias("c0")))
+    # 1-row totals (bounded). Collected driver-side so the llr
+    # projection inlines them as plan literals and stays in
+    # whole-stage codegen — exactly how logreg inlines its weights.
+    tot = cc.agg(F.sum("c1").alias("t1"), F.sum("c0").alias("t0"),
+                 F.count("*").alias("v")).head()
+    t1 = float(tot["t1"] or 0.0)
+    t0 = float(tot["t0"] or 0.0)
+    v = float(tot["v"] or 0.0)
+    if v == 0.0:
+        oov = 0.0  # no vocabulary at all: unseen terms are neutral
+    else:
+        oov = math.log((t0 + alpha * v) / (t1 + alpha * v))
+    den1, den0 = t1 + alpha * v, t0 + alpha * v
+    llr = cc.select(
+        "term",
+        (F.log((F.col("c1") + alpha) / F.lit(den1))
+         - F.log((F.col("c0") + alpha) / F.lit(den0))).alias("llr"))
+    return NBModel(llr, prior, oov, alpha)
+
+
+def nb_predict(docs: DataFrame, model: NBModel, tokens_col: str,
+               id_col: str = "doc_id",
+               round_digits: int | None = 6) -> DataFrame:
+    """Score every document under a fitted :class:`NBModel` —
+    returns ``(id, n_tok, score, pred)`` where ``score`` is the NB
+    log-odds (prior + Σ per-token llr, OOV terms contributing the
+    smoothed constant) and ``pred = score > 0`` gates on the
+    UNROUNDED value (the catalog rule: rounding quantizes a decision
+    boundary; ``round_digits`` only shapes the reported column).
+
+    Scale shape: one explode → ONE broadcast hash join against the
+    vocab-bounded llr table → one per-doc hash aggregate. Docs with
+    an empty or NULL token array survive (``explode_outer``) and
+    score exactly the prior — a NULL term row contributes 0, NOT the
+    OOV constant (it is the absence of tokens, not an unseen token).
+    At extreme vocabulary sizes drop the broadcast hint and let AQE
+    pick the join side — the plan is otherwise unchanged."""
+    t = docs.select(F.col(id_col),
+                    F.explode_outer(F.col(tokens_col)).alias("term"))
+    j = t.join(F.broadcast(model.llr), "term", "left")
+    contrib = (F.when(F.col("term").isNull(), F.lit(0.0))
+               .otherwise(F.coalesce(F.col("llr"),
+                                     F.lit(model.oov_llr))))
+    n_tok = F.sum(F.when(F.col("term").isNull(), 0)
+                  .otherwise(1)).cast("long")
+    per = (j.groupBy(id_col)
+           .agg(n_tok.alias("n_tok"),
+                (F.lit(model.prior_logodds)
+                 + F.sum(contrib)).alias("_raw")))
+    raw = F.col("_raw")
+    score = raw if round_digits is None else F.round(raw, round_digits)
+    return per.select(F.col(id_col), "n_tok", score.alias("score"),
+                      (raw > 0.0).alias("pred"))

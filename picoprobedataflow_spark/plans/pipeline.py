@@ -3403,6 +3403,90 @@ def logreg_quality_scores(spark: SparkSession,
                     (raw >= 0.5).alias("pred"))
 
 
+#: Naive-Bayes-filter grid for the ``nb`` family: Laplace alpha and
+#: the SAME length>300 label as the logreg family (near-balanced
+#: classes — see _LR_LABEL_LEN), but TOKEN features instead of
+#: numeric ones: the fastText-style bag-of-words filter next to the
+#: feature-engineered one. Spelled as a Python double repr wherever
+#: it enters SQL so both engines smooth with the same constant.
+_NB_ALPHA = 1.0
+
+_NB_ORACLE = f"""
+WITH nbd AS MATERIALIZED (
+  SELECT doc_id, {_WORDS} AS toks,
+         CASE WHEN length(text) > {_LR_LABEL_LEN}
+              THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
+  FROM documents WHERE text IS NOT NULL),
+nbt AS MATERIALIZED (
+  SELECT doc_id, y, unnest(toks) AS term FROM nbd),
+ncc AS MATERIALIZED (
+  SELECT term, CAST(sum(y) AS DOUBLE) AS c1,
+               CAST(sum(1.0 - y) AS DOUBLE) AS c0
+  FROM nbt GROUP BY 1),
+ntot AS MATERIALIZED (
+  SELECT CAST(sum(c1) AS DOUBLE) AS t1,
+         CAST(sum(c0) AS DOUBLE) AS t0,
+         CAST(count(*) AS DOUBLE) AS v FROM ncc),
+npri AS MATERIALIZED (
+  SELECT ln((sum(y) + {_NB_ALPHA!r}) / (sum(1.0 - y) + {_NB_ALPHA!r}))
+         AS prior FROM nbd),
+nllr AS MATERIALIZED (
+  SELECT term,
+         ln((c1 + {_NB_ALPHA!r}) / (t1 + {_NB_ALPHA!r} * v))
+       - ln((c0 + {_NB_ALPHA!r}) / (t0 + {_NB_ALPHA!r} * v)) AS llr
+  FROM ncc CROSS JOIN ntot),
+nsc AS (
+  SELECT t.doc_id, count(*) AS n_tok,
+         sum(coalesce(l.llr,
+             (SELECT ln((t0 + {_NB_ALPHA!r} * v)
+                        / (t1 + {_NB_ALPHA!r} * v)) FROM ntot))) AS s
+  FROM nbt t LEFT JOIN nllr l USING (term)
+  GROUP BY 1)
+SELECT d.doc_id,
+       CAST(d.y AS BIGINT) AS label,
+       CAST(coalesce(sc.n_tok, 0) AS BIGINT) AS n_tok,
+       round((SELECT prior FROM npri) + coalesce(sc.s, 0.0), 6)
+         AS score,
+       ((SELECT prior FROM npri) + coalesce(sc.s, 0.0)) > 0.0 AS pred
+FROM nbd d LEFT JOIN nsc sc USING (doc_id)
+"""
+
+
+def nb_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained bag-of-words quality filter
+    (:func:`..operators.mlfit.nb_train` /
+    :func:`..operators.mlfit.nb_predict`): multinomial Naive Bayes
+    FIT ON THE CORPUS over whitespace tokens — the closed-form
+    stand-in for the fastText classifiers CCNet/LLaMA deploy, and the
+    token-feature sibling of the ``logreg`` family (same
+    length>{L} label, so the two trained filters are comparable).
+    Fitting is ONE explode→per-term class-count aggregate plus two
+    1-row scalars; scoring is one broadcast join against the
+    vocab-bounded llr table. The oracle replays the count/ln chain
+    non-iteratively (NB's MLE is the count ratio — no CTE ladder);
+    scores round at 6 dp (the documented ``rand_proj`` cross-engine
+    ulp class) and ``pred`` gates on the unrounded log-odds."""
+    from picoprobedataflow_spark.operators.mlfit import (
+        nb_predict, nb_train)
+    docs = tbl(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull())
+    d = docs.select(
+        "doc_id", TX.words("text").alias("toks"),
+        (F.length("text") > _LR_LABEL_LEN).cast("double").alias("y"))
+    m = nb_train(d, "toks", "y", alpha=_NB_ALPHA)
+    scored = nb_predict(d, m, "toks", id_col="doc_id",
+                        round_digits=6)
+    return (scored
+            .join(d.select("doc_id",
+                           F.col("y").cast("long").alias("label")),
+                  "doc_id")
+            .select("doc_id", "label", "n_tok", "score", "pred"))
+
+
+nb_quality_scores.__doc__ = nb_quality_scores.__doc__.format(
+    L=_LR_LABEL_LEN)
+
+
 #: PageRank grid for the ``pagerank`` family: a deterministic
 #: 64-node link graph both engines derive from doc_id (src residues
 #: 0-47 only, so residues appearing solely as destinations are
@@ -5127,6 +5211,8 @@ _FAMILY_SPECS = [
      dict(n=("node", "outdeg"), v=("pr",))),
     ("logreg", logreg_quality_scores, _LOGREG_ORACLE,
      dict(n=("doc_id", "label"), v=("score",), b1="pred")),
+    ("nb", nb_quality_scores, _NB_ORACLE,
+     dict(n=("doc_id", "label", "n_tok"), v=("score",), b1="pred")),
 ]
 
 # Families hosted by `llm_curation_suite2` — the round-12 nine plus the
@@ -5144,6 +5230,7 @@ _SUITE2_FAMILIES = frozenset({
     "detect",
     "dq",
     "key_skew",
+    "nb",
     "nfc",
     "pagerank",
     "rand_proj",

@@ -3276,6 +3276,92 @@ def test_logreg_train_matches_numpy_gd(spark):
         logreg_train(df, ["a", "b"], "y", l2=-0.1)
 
 
+def test_nb_train_predict_matches_hand_model(spark):
+    """Multinomial Naive Bayes vs a hand-computed model: llr table,
+    prior log-odds and OOV constant all match the add-alpha formulas
+    exactly; predict reproduces prior + Σ llr with OOV terms taking
+    the smoothed constant, an empty token array scoring exactly the
+    prior (NULL explode_outer row contributes 0, not the OOV
+    constant), and pred gating on the unrounded score."""
+    import math
+
+    import pytest as _pytest
+
+    from picoprobedataflow_spark.operators.mlfit import (
+        nb_predict, nb_train)
+
+    al = 0.5
+    rows = [(0, ["good", "clean", "good"], 1.0),
+            (1, ["good", "text"], 1.0),
+            (2, ["spam", "spam", "junk"], 0.0),
+            (3, ["junk", "text"], 0.0),
+            (4, None, 1.0),          # NULL tokens: excluded from fit
+            (5, ["good"], None)]     # NULL label: excluded from fit
+    df = spark.createDataFrame(
+        rows, "doc_id long, toks array<string>, y double")
+    m = nb_train(df, "toks", "y", alpha=al)
+    # hand model over the 4 labeled+tokenized docs
+    c1 = {"good": 3.0, "clean": 1.0, "text": 1.0}
+    c0 = {"spam": 2.0, "junk": 2.0, "text": 1.0}
+    vocab = sorted(set(c1) | set(c0))
+    t1, t0, v = sum(c1.values()), sum(c0.values()), float(len(vocab))
+    want_llr = {t: (math.log((c1.get(t, 0.0) + al) / (t1 + al * v))
+                    - math.log((c0.get(t, 0.0) + al) / (t0 + al * v)))
+                for t in vocab}
+    got_llr = {r.term: r.llr for r in m.llr.collect()}
+    assert set(got_llr) == set(want_llr)
+    for t in vocab:
+        assert abs(got_llr[t] - want_llr[t]) < 1e-12, t
+    assert abs(m.prior_logodds
+               - math.log((2.0 + al) / (2.0 + al))) < 1e-12
+    assert abs(m.oov_llr
+               - math.log((t0 + al * v) / (t1 + al * v))) < 1e-12
+    # predict: seen terms, one OOV term, empty array, NULL array
+    score_df = spark.createDataFrame(
+        [(10, ["good", "clean"]),        # positive-leaning
+         (11, ["spam", "junk"]),         # negative-leaning
+         (12, ["good", "UNSEEN"]),       # one OOV token
+         (13, []),                       # empty: exactly the prior
+         (14, None)],                    # NULL: exactly the prior
+        "doc_id long, toks array<string>")
+    got = {r.doc_id: r for r in
+           nb_predict(score_df, m, "toks").collect()}
+    def want_score(terms):
+        return m.prior_logodds + sum(
+            want_llr.get(t, m.oov_llr) for t in terms)
+    assert abs(got[10].score - round(want_score(["good", "clean"]),
+                                     6)) < 1e-9
+    assert got[10].pred and got[10].n_tok == 2
+    assert abs(got[11].score - round(want_score(["spam", "junk"]),
+                                     6)) < 1e-9
+    assert not got[11].pred
+    assert abs(got[12].score
+               - round(want_score(["good", "UNSEEN"]), 6)) < 1e-9
+    assert got[12].n_tok == 2
+    for empty_id in (13, 14):
+        assert got[empty_id].n_tok == 0
+        assert abs(got[empty_id].score
+                   - round(m.prior_logodds, 6)) < 1e-9
+        assert got[empty_id].pred == (m.prior_logodds > 0.0)
+    # degenerate: empty corpus is total — neutral model, no crash
+    empty = spark.createDataFrame(
+        [], "doc_id long, toks array<string>, y double")
+    me = nb_train(empty, "toks", "y")
+    assert me.prior_logodds == 0.0 and me.oov_llr == 0.0
+    assert me.llr.count() == 0
+    ge = {r.doc_id: r for r in
+          nb_predict(score_df, me, "toks").collect()}
+    assert ge[10].score == 0.0 and not ge[10].pred
+    # degenerate: single-class corpus stays finite via smoothing
+    ms = nb_train(df.filter("y = 1.0"), "toks", "y", alpha=al)
+    assert math.isfinite(ms.prior_logodds) and ms.prior_logodds > 0
+    assert math.isfinite(ms.oov_llr)
+    for r in ms.llr.collect():
+        assert math.isfinite(r.llr)
+    with _pytest.raises(ValueError):
+        nb_train(df, "toks", "y", alpha=0.0)
+
+
 def test_pagerank_personalized_trustrank(spark):
     """TrustRank-style personalized teleport: rank flows outward from
     the seed set only — a node unreachable from any seed converges to

@@ -1023,3 +1023,24 @@ def test_logreg_gradient_pass_plan_shape(spark):
     assert plan.count("Exchange") - plan.count("ReusedExchange") == 1
     assert "Join" not in plan
     assert "HashAggregate" in plan  # partial+final, map-side combine
+
+
+def test_nb_predict_plan_broadcasts_llr(spark):
+    """NB scoring must join the corpus against the vocab-bounded llr
+    table as a BROADCAST hash join (the corpus side never shuffles
+    for the lookup) — never a SortMergeJoin."""
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.functions.text import words
+    from picoprobedataflow_spark.operators.mlfit import (
+        nb_predict, nb_train)
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    d = docs.select("doc_id", words("text").alias("toks"),
+                    (F.length("text") > 300).cast("double").alias("y"))
+    m = nb_train(d, "toks", "y")
+    plan = (nb_predict(d, m, "toks")._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
