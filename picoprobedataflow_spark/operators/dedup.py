@@ -1158,7 +1158,21 @@ def connected_components(edges: DataFrame, id_a: str = "doc_a",
     to transitive near-dup closure. Intermediate rounds are
     materialized with localCheckpoint (lineage would otherwise grow
     by two joins per round and blow up plan compilation).
+
+    Non-numeric ids (image paths, URLs) are supported via a
+    collision-CHECKED salted-hash mapping: endpoints map to
+    ``xxhash64(id, salt)``, one exact countDistinct pass verifies the
+    mapping is injective (re-salting on the astronomically-unlikely
+    collision, so the result is EXACT, never hash-approximate), the
+    numeric loop runs unchanged, and components map back with the
+    min ORIGINAL id as representative — the same comp semantics the
+    numeric path has. Costs two extra broadcast-joins and one
+    aggregate over the pair-graph's nodes (not the corpus).
     """
+    a_type = edges.schema[id_a].dataType.typeName()
+    if a_type in ("string", "binary"):
+        return _connected_components_mapped(edges, id_a, id_b,
+                                            max_iter)
     sym = (edges.select(F.col(id_a).cast("long").alias("src"),
                         F.col(id_b).cast("long").alias("dst"))
            .union(edges.select(F.col(id_b).cast("long").alias("src"),
@@ -1170,7 +1184,12 @@ def connected_components(edges: DataFrame, id_a: str = "doc_a",
     labels = (sym.groupBy(F.col("src").alias("node"))
                  .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
                  .localCheckpoint(eager=True))
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    # Σcomp in decimal(38,0): exact (integer) and overflow-safe — the
+    # salted-hash branch feeds ids spanning the full ±2^63 range, and
+    # ANSI long sums over those overflow (found by the image-lane
+    # test, not in production).
+    _fix_sum = F.sum(F.col("comp").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_fix_sum).first()[0]
     for _ in range(max_iter):
         prop = (sym.join(labels, sym["src"] == labels["node"])
                    .select(F.col("dst").alias("node"), F.col("comp")))
@@ -1192,11 +1211,56 @@ def connected_components(edges: DataFrame, id_a: str = "doc_a",
         # Labels only ever decrease, so Σcomp is strictly monotone
         # until the fixpoint: equality IS convergence — a one-row
         # aggregate over the just-materialized table, no join.
-        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        cur_sum = labels.agg(_fix_sum).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     return labels
+
+
+def _connected_components_mapped(edges: DataFrame, id_a: str,
+                                 id_b: str,
+                                 max_iter: int) -> DataFrame:
+    """String/binary-id branch of :func:`connected_components`:
+    collision-checked salted-hash ids in, numeric CC, min-original-id
+    representatives out. Split out so the numeric loop stays exactly
+    as pinned."""
+    nodes = (edges.select(F.col(id_a).alias("orig"))
+             .unionAll(edges.select(F.col(id_b).alias("orig")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    ids = None
+    for salt in range(16):
+        cand = nodes.select(
+            "orig", F.xxhash64("orig", F.lit(salt)).alias("nid"))
+        c = cand.agg(F.count("*").alias("n"),
+                     F.countDistinct("nid").alias("d")).head()
+        if c["n"] == c["d"]:
+            ids = cand.localCheckpoint(eager=True)
+            break
+    if ids is None:  # pragma: no cover — P(collision) ~ n²/2^64 per salt
+        raise RuntimeError(
+            "could not find a collision-free 64-bit id mapping in "
+            "16 salts — node count is beyond this formulation")
+    e2 = (edges
+          .join(ids.select(F.col("orig").alias(id_a),
+                           F.col("nid").alias("_na")), id_a)
+          .join(ids.select(F.col("orig").alias(id_b),
+                           F.col("nid").alias("_nb")), id_b)
+          .select(F.col("_na").alias("doc_a"),
+                  F.col("_nb").alias("doc_b")))
+    labels = connected_components(e2, "doc_a", "doc_b", max_iter)
+    # Representative: the min ORIGINAL id per component (one
+    # aggregate over the node-keyed label table + two joins back).
+    rep = (labels.join(ids.select(F.col("nid").alias("node"),
+                                  "orig"), "node")
+           .groupBy("comp").agg(F.min("orig").alias("_rep")))
+    return (labels
+            .join(ids.select(F.col("nid").alias("node"),
+                             F.col("orig").alias("_n")), "node")
+            .join(rep, "comp")
+            .select(F.col("_n").alias("node"),
+                    F.col("_rep").alias("comp")))
 
 
 def near_dup_survivors(docs: DataFrame, edges: DataFrame,

@@ -176,3 +176,89 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
         pr = pr.select("node", "outdeg",
                        F.round("pr", round_digits).alias("pr"))
     return pr
+
+
+def hits(edges: DataFrame, n_iter: int = 10,
+         src_col: str = "src", dst_col: str = "dst",
+         round_digits: int | None = 6) -> DataFrame:
+    """(node, hub, auth): Kleinberg's HITS after exactly ``n_iter``
+    mutual-reinforcement iterations — the link-analysis complement of
+    :func:`pagerank` a crawl pipeline uses to separate DIRECTORY
+    pages (high hub: they point at good content) from CONTENT pages
+    (high authority: good hubs point at them); a corpus-quality prior
+    keyed on authority demotes link farms that PageRank's single
+    score can conflate.
+
+    Per iteration::
+
+        auth(v) = Σ_{u→v} hub(u)     then L1-normalized
+        hub(u)  = Σ_{u→v} auth(v)    then L1-normalized
+
+    L1 (sum) normalization instead of the textbook L2: power
+    iteration converges to the same principal-eigenvector DIRECTION
+    under any positive normalization, and keeping the update
+    sqrt-free makes the chain exactly replayable by a SQL oracle
+    (the pagerank convention). Both vectors start uniform and sum to
+    1 after every iteration (unit-tested). Duplicate edges collapse;
+    nodes are the union of both endpoints; a node with no out-edges
+    has hub 0 from the first iteration on (and symmetrically for
+    auth), which is the demotion the operator exists for.
+
+    Scale shape: the deduped edge table materializes ONCE
+    (repartitioned on src); each iteration is two join+aggregate
+    rounds over the node-keyed vectors (the small side) plus two
+    1-row normalization scalars broadcast into the projection —
+    nothing driver-side, rounds = 2·n_iter, not data. Each iteration
+    localCheckpoints so lineage stays bounded (the pagerank /
+    k-means pattern). Total on the empty graph (empty typed frame).
+
+    ``round_digits`` rounds the FINAL vectors only; cross-engine FP
+    tolerance as documented on
+    :func:`..functions.vectors.random_project`."""
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct()
+         .repartition("src")
+         .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionAll(e.select(F.col("dst").alias("node")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select("node", F.lit(0.0).alias("hub"),
+                            F.lit(0.0).alias("auth"))
+    v = nodes.select("node",
+                     F.lit(1.0 / n_nodes).alias("hub"),
+                     F.lit(1.0 / n_nodes).alias("auth"))
+
+    def _push(vec: DataFrame, from_col: str, to_col: str,
+              val: str, out: str) -> DataFrame:
+        """Σ over edges of the neighbor's ``val``, keyed by
+        ``to_col``, L1-normalized — one join + one aggregate + one
+        1-row scalar broadcast."""
+        s = (e.join(vec.select(F.col("node").alias(from_col),
+                               F.col(val).alias("_v")), from_col)
+             .groupBy(to_col)
+             .agg(F.sum("_v").alias("_s")))
+        tot = s.agg(F.coalesce(F.sum("_s"), F.lit(0.0)).alias("_t"))
+        return (nodes.join(s, nodes["node"] == s[to_col], "left")
+                .crossJoin(F.broadcast(tot))
+                .select("node",
+                        F.when(F.col("_t") > 0,
+                               F.coalesce("_s", F.lit(0.0))
+                               / F.col("_t"))
+                        .otherwise(F.lit(0.0)).alias(out)))
+
+    for _ in range(n_iter):
+        auth = _push(v, "src", "dst", "hub", "auth")
+        hub = _push(auth, "dst", "src", "auth", "hub")
+        v = (hub.join(auth, "node")
+             .select("node", "hub", "auth")
+             .localCheckpoint(eager=True))
+    if round_digits is not None:
+        v = v.select("node", F.round("hub", round_digits).alias("hub"),
+                     F.round("auth", round_digits).alias("auth"))
+    return v

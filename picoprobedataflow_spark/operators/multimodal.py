@@ -400,3 +400,44 @@ def image_phash(images: DataFrame, grid: int = 8,
 
     return (images.select("path", "width", "height", "image")
                   .mapInPandas(gen, PHASH_SCHEMA))
+
+
+def image_near_dup_pairs(images: DataFrame, max_hamming: int = 6,
+                         n_chunks: int = 8, grid: int = 8,
+                         codec: str = "auto") -> DataFrame:
+    """(doc_a, doc_b, hamming): near-duplicate image pairs — the
+    LAION-style image-dedup stage, composed from the catalog's two
+    existing halves rather than a third pairing engine: the
+    perceptual dHash kernel (:func:`image_phash`, one Arrow-batched
+    map) feeds the SimHash banded pairing machinery
+    (:func:`..dedup.simhash_near_pairs` at ``bits=64`` — pigeonhole
+    chunk equi-join, full recall for hamming < ``n_chunks``, then a
+    ``bit_count(xor)`` verify). Scale shape is therefore exactly the
+    text SimHash lane's: one narrow map per image, band-bucket
+    equi-join only, no all-pairs anywhere; re-encoded / resized /
+    lightly-noised re-uploads land within a few bits of the original
+    and pair up."""
+    from picoprobedataflow_spark.operators.dedup import \
+        simhash_near_pairs
+    sigs = (image_phash(images, grid=grid, codec=codec)
+            .select("path", F.col("phash").alias("simhash")))
+    return simhash_near_pairs(sigs, max_hamming=max_hamming,
+                              n_chunks=n_chunks, bits=64,
+                              id_col="path")
+
+
+def image_near_dup_clusters(images: DataFrame, max_hamming: int = 6,
+                            n_chunks: int = 8, grid: int = 8,
+                            codec: str = "auto") -> DataFrame:
+    """(node, comp): connected components over
+    :func:`image_near_dup_pairs` — each re-upload cluster resolves to
+    one component (min-id label propagation,
+    :func:`..dedup.connected_components`); a keep-one-per-component
+    policy is then the standard survivor groupBy. Images pairing with
+    nothing do not appear (singletons need no resolution)."""
+    from picoprobedataflow_spark.operators.dedup import \
+        connected_components
+    pairs = image_near_dup_pairs(images, max_hamming=max_hamming,
+                                 n_chunks=n_chunks, grid=grid,
+                                 codec=codec)
+    return connected_components(pairs)

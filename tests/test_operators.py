@@ -3362,6 +3362,60 @@ def test_nb_train_predict_matches_hand_model(spark):
         nb_train(df, "toks", "y", alpha=0.0)
 
 
+def test_hits_matches_numpy_model(spark):
+    """HITS vs a hand-rolled numpy power iteration with the same L1
+    normalization: exact agreement per node, both vectors sum to 1,
+    a pure-hub star center gets auth 0 (and its leaves hub 0),
+    duplicate edges collapse, and the empty graph returns the empty
+    typed frame (total)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from picoprobedataflow_spark.operators.graph import hits
+
+    # star 0->{1,2,3} plus 4->0 so node 0 is both pointed-at and
+    # pointing; edge 0->1 duplicated to pin collapsing.
+    raw = [(0, 1), (0, 1), (0, 2), (0, 3), (4, 0)]
+    df = spark.createDataFrame(raw, "src long, dst long")
+    it = 7
+    got = {r.node: (r.hub, r.auth)
+           for r in hits(df, n_iter=it, round_digits=None).collect()}
+
+    edges = sorted(set(raw))
+    nodes = sorted({u for e in edges for u in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1.0
+    h = np.full(len(nodes), 1.0 / len(nodes))
+    a = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(it):
+        a = A.T @ h
+        a = a / a.sum() if a.sum() > 0 else a
+        h = A @ a
+        h = h / h.sum() if h.sum() > 0 else h
+    for n in nodes:
+        assert abs(got[n][0] - h[idx[n]]) < 1e-12, n
+        assert abs(got[n][1] - a[idx[n]]) < 1e-12, n
+    assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-9
+    # leaves 1,2,3 have no out-edges -> hub 0; nothing points at 4
+    # -> auth 0
+    for leaf in (1, 2, 3):
+        assert got[leaf][0] == 0.0
+    assert got[4][1] == 0.0
+    # node 0: the dominant hub (it sources 3 of the 4 edges)
+    assert got[0][0] == max(v[0] for v in got.values())
+    # empty graph: total, correctly-typed empty frame
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = hits(empty)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["node", "hub",
+                                                   "auth"]
+    with _pytest.raises(ValueError):
+        hits(df, n_iter=0)
+
+
 def test_pagerank_personalized_trustrank(spark):
     """TrustRank-style personalized teleport: rank flows outward from
     the seed set only — a node unreachable from any seed converges to

@@ -252,6 +252,64 @@ def test_image_phash_noise_and_resize_robust(spark):
     assert fps["orig"] != fps["other"]
 
 
+def test_image_near_dup_lane_pairs_and_clusters(spark):
+    """The composed image-dedup lane (phash → banded simhash pairing
+    → connected components): noisy re-uploads of the same image pair
+    up within the hamming budget and resolve into one cluster per
+    original; unrelated images never pair; singletons stay out of
+    the cluster map."""
+    import numpy as np
+
+    from picoprobedataflow_spark.operators.multimodal import (
+        image_near_dup_clusters, image_near_dup_pairs,
+        make_fake_image)
+
+    w, h = 64, 64
+    rng = np.random.default_rng(7)
+
+    def smooth(seed):
+        base = np.frombuffer(make_fake_image(w, h, seed=seed),
+                             dtype=np.uint8).reshape(h, w)
+        x = np.linspace(0, (2 + seed) * np.pi, w)
+        y = np.linspace(0, 2 * np.pi, h)
+        return (127 + 90 * np.sin(x)[None, :] * np.cos(y)[:, None]
+                + 0.05 * (base.astype("f8") - 127))
+
+    rows = []
+    for fam, seed, n_copies in (("a", 1, 3), ("b", 2, 2)):
+        img = smooth(seed)
+        rows.append((f"{fam}0", w, h,
+                     img.astype(np.uint8).tobytes()))
+        for i in range(1, n_copies):
+            noisy = np.clip(img + rng.normal(0, 2.0, img.shape),
+                            0, 255)
+            rows.append((f"{fam}{i}", w, h,
+                         noisy.astype(np.uint8).tobytes()))
+    # a singleton unrelated image (inverted structure)
+    rows.append(("solo", w, h,
+                 (255.0 - smooth(1)).astype(np.uint8).tobytes()))
+    df = spark.createDataFrame(
+        rows, "path string, width int, height int, image binary")
+
+    pairs = image_near_dup_pairs(df, max_hamming=6, codec="fake")
+    got = {(p.doc_a, p.doc_b) for p in pairs.collect()}
+    # within-family pairs all present (copies are within budget)...
+    for fam, n in (("a", 3), ("b", 2)):
+        for i in range(n):
+            for j in range(i + 1, n):
+                assert (f"{fam}{i}", f"{fam}{j}") in got, (fam, i, j)
+    # ...and no cross-family or solo pair
+    for x, y in got:
+        assert x[0] == y[0], (x, y)
+
+    comp = {r.node: r.comp
+            for r in image_near_dup_clusters(
+                df, max_hamming=6, codec="fake").collect()}
+    assert {comp[f"a{i}"] for i in range(3)} == {"a0"}
+    assert {comp[f"b{i}"] for i in range(2)} == {"b0"}
+    assert "solo" not in comp  # singleton: nothing to resolve
+
+
 def test_pcm_wav_roundtrip_property(spark):
     """PCM16 encode/decode round-trips within one quantization step
     for arbitrary waveforms, and WAV container wrapping is lossless
