@@ -193,8 +193,15 @@ def nb_train(df: DataFrame, tokens_col: str, label_col: str,
     prior = math.log((n1 + alpha) / (n0 + alpha))
     # Per-term class counts: the corpus pass. c1/c0 are exact doc
     # counts as doubles (integers — exact below 2^53).
-    toks = d.select(y.alias("_y"),
-                    F.explode(F.col(tokens_col)).alias("term"))
+    # NULL elements INSIDE a token array are excluded from the fit
+    # (degenerate-battery find: explode emits them and groupBy keeps
+    # a NULL key, so they entered the vocab/totals — but the scoring
+    # join can never look a NULL term up, so train and predict
+    # disagreed on what the corpus was). nb_predict's convention
+    # matches: a NULL term contributes 0, as token absence.
+    toks = (d.select(y.alias("_y"),
+                     F.explode(F.col(tokens_col)).alias("term"))
+            .filter(F.col("term").isNotNull()))
     cc = (toks.groupBy("term")
           .agg(F.sum("_y").alias("c1"),
                F.sum(F.lit(1.0) - F.col("_y")).alias("c0")))

@@ -558,3 +558,52 @@ def quality_score_stream(spark: SparkSession, src_dir: str,
         q.stop()
         raise TimeoutError(
             f"quality score drain did not finish in {timeout}s")
+
+
+def nb_score_stream(spark: SparkSession, src_dir: str,
+                    ckpt_dir: str, out_dir: str, model,
+                    tokens_col: str, schema: StructType | str,
+                    id_col: str = "doc_id",
+                    timeout: int = 300) -> None:
+    """Streaming deployment of a TRAINED Naive Bayes filter
+    (:func:`..operators.mlfit.nb_predict` under an offline-fit
+    :class:`..operators.mlfit.NBModel`) — the token-feature sibling
+    of :func:`quality_score_stream`: every arriving micro-batch of
+    TOKENIZED documents is scored under the fixed model and the
+    (batch_id, id, n_tok, score, keep) verdicts append to
+    ``out_dir``. ``keep`` gates on the unrounded log-odds (score > 0,
+    the decision-boundary rule); ``score`` is the 6-dp report value.
+
+    Per-batch cost: one explode → ONE broadcast join against the
+    vocab-bounded llr table → one per-doc aggregate. The llr frame is
+    ``localCheckpoint``-ed ONCE here, outside the micro-batch loop —
+    the decontam/robots amortization pattern: without it every batch
+    re-evaluates the table's full training lineage. Verdicts are
+    per-row and the model is frozen, so drain ≡ batch (pytest-pinned)
+    and replayed batches re-append byte-identical rows (dedupe on
+    ``batch_id`` at read)."""
+    from picoprobedataflow_spark.operators.mlfit import (
+        NBModel, nb_predict)
+
+    frozen = NBModel(model.llr.localCheckpoint(eager=True),
+                     model.prior_logodds, model.oov_llr, model.alpha)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (nb_predict(batch_df, frozen, tokens_col, id_col=id_col,
+                    round_digits=None)
+         .select(F.col(id_col), "n_tok",
+                 F.round("score", 6).alias("score"),
+                 F.col("pred").alias("keep"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    q = (spark.readStream.schema(schema).parquet(src_dir)
+         .writeStream
+         .option("checkpointLocation", ckpt_dir)
+         .foreachBatch(_process)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"nb score drain did not finish in {timeout}s")

@@ -275,3 +275,116 @@ def test_url_normalize_newline_and_registrable_degenerates(spark):
     out = hosts.select(
         "doc_id", WB.registrable_domain("host").alias("rd")).collect()
     assert len(out) == 4   # total: no aborts, every row a value
+
+
+def test_nb_degenerate_null_tokens(spark):
+    """NULL elements inside a token array are excluded from the NB
+    fit (they can never be looked up by the scoring join), so a
+    corpus with embedded NULL tokens trains the SAME model as the
+    null-stripped corpus, and predict counts/scores only the
+    non-null terms."""
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.operators.mlfit import (
+        nb_predict, nb_train)
+
+    dirty = spark.createDataFrame(
+        [(0, ["good", None, "good"], 1.0),
+         (1, [None, "spam"], 0.0),
+         (2, ["spam", "junk", None], 0.0)],
+        "doc_id long, toks array<string>, y double")
+    clean = dirty.select(
+        "doc_id",
+        F.filter("toks", lambda t: t.isNotNull()).alias("toks"),
+        "y")
+    md = nb_train(dirty, "toks", "y")
+    mc = nb_train(clean, "toks", "y")
+    assert md.prior_logodds == mc.prior_logodds
+    assert md.oov_llr == mc.oov_llr
+    assert sorted(map(tuple, md.llr.collect())) == \
+        sorted(map(tuple, mc.llr.collect()))
+    assert None not in {r.term for r in md.llr.collect()}
+    got = {r.doc_id: r for r in
+           nb_predict(dirty.select("doc_id", "toks"), md,
+                      "toks").collect()}
+    assert got[0].n_tok == 2 and got[1].n_tok == 1
+    want = {r.doc_id: r for r in
+            nb_predict(clean.select("doc_id", "toks"), mc,
+                       "toks").collect()}
+    for i in (0, 1, 2):
+        assert got[i].score == want[i].score
+        assert got[i].pred == want[i].pred
+
+
+def test_hits_degenerate_graphs(spark):
+    """HITS totality edges: a single self-loop gives the lone node
+    hub = auth = 1; disconnected pairs normalize jointly (each
+    source hub 1/2, each sink auth 1/2); a graph whose every node
+    is both hub and authority (2-cycle) splits both vectors
+    evenly."""
+    from picoprobedataflow_spark.operators.graph import hits
+
+    loop = spark.createDataFrame([(7, 7)], "src long, dst long")
+    got = hits(loop, n_iter=3).collect()
+    assert [(r.node, r.hub, r.auth) for r in got] == [(7, 1.0, 1.0)]
+
+    pairs = spark.createDataFrame([(0, 1), (2, 3)],
+                                  "src long, dst long")
+    g = {r.node: (r.hub, r.auth) for r in hits(pairs,
+                                               n_iter=4).collect()}
+    assert g[0] == (0.5, 0.0) and g[2] == (0.5, 0.0)
+    assert g[1] == (0.0, 0.5) and g[3] == (0.0, 0.5)
+
+    cyc = spark.createDataFrame([(0, 1), (1, 0)],
+                                "src long, dst long")
+    c = {r.node: (r.hub, r.auth) for r in hits(cyc,
+                                               n_iter=5).collect()}
+    assert c[0] == (0.5, 0.5) and c[1] == (0.5, 0.5)
+
+
+def test_image_near_dup_degenerates(spark):
+    """The image lane is total on the empty corpus (typed empty
+    frames from both halves) and pairs byte-identical images at
+    hamming 0 into one 2-cluster."""
+    from picoprobedataflow_spark.operators.multimodal import (
+        image_near_dup_clusters, image_near_dup_pairs,
+        make_fake_image)
+
+    empty = spark.createDataFrame(
+        [], "path string, width int, height int, image binary")
+    assert image_near_dup_pairs(empty, codec="fake").collect() == []
+    out = image_near_dup_clusters(empty, codec="fake")
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["node", "comp"]
+
+    img = make_fake_image(32, 32, seed=5)
+    df = spark.createDataFrame(
+        [("x/one.png", 32, 32, img), ("y/two.png", 32, 32, img)],
+        "path string, width int, height int, image binary")
+    pairs = image_near_dup_pairs(df, max_hamming=0,
+                                 codec="fake").collect()
+    assert [(p.doc_a, p.doc_b, p.hamming) for p in pairs] == \
+        [("x/one.png", "y/two.png", 0)]
+    comp = {r.node: r.comp for r in
+            image_near_dup_clusters(df, max_hamming=0,
+                                    codec="fake").collect()}
+    assert comp == {"x/one.png": "x/one.png",
+                    "y/two.png": "x/one.png"}
+
+
+def test_connected_components_string_ids_unicode(spark):
+    """String-id connected components: transitive closure over
+    path-like and unicode ids resolves with min-ORIGINAL-id
+    representatives (the salted-hash mapping is internal and never
+    leaks into the output)."""
+    from picoprobedataflow_spark.operators.dedup import \
+        connected_components
+
+    edges = spark.createDataFrame(
+        [("b/β.png", "a/α.png"), ("b/β.png", "c/γ.png"),
+         ("z1", "z2")],
+        "doc_a string, doc_b string")
+    got = {r.node: r.comp
+           for r in connected_components(edges).collect()}
+    assert got == {"a/α.png": "a/α.png", "b/β.png": "a/α.png",
+                   "c/γ.png": "a/α.png", "z1": "z1", "z2": "z1"}

@@ -847,3 +847,46 @@ def test_streaming_quality_scorer_equals_batch(spark, tmp_path):
     assert got == want
     # monotone in f1 (the learned boundary is a real one)
     assert got[100][0] < got[101][0] < got[102][0]
+
+
+def test_streaming_nb_scorer_equals_batch(spark, tmp_path):
+    """Train NB offline, deploy on the stream: a 2-batch drain scores
+    every tokenized doc exactly as the batch nb_predict does under
+    the same frozen model — including an OOV-bearing doc and an
+    empty-token doc arriving mid-stream."""
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.operators.mlfit import (
+        nb_predict, nb_train)
+    from picoprobedataflow_spark.streaming.quality import \
+        nb_score_stream
+
+    train = spark.createDataFrame(
+        [(i, (["good", "clean"] if i % 2 else ["spam", "junk"])
+          + ["text"], float(i % 2)) for i in range(20)],
+        "doc_id long, toks array<string>, y double")
+    m = nb_train(train, "toks", "y")
+
+    schema = "doc_id long, toks array<string>"
+    src = tmp_path / "tok_in"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "scores")
+    b1 = spark.createDataFrame(
+        [(100, ["good", "clean", "text"]), (101, ["spam", "junk"])],
+        schema)
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    nb_score_stream(spark, str(src), ckpt, out, m, "toks", schema)
+    b2 = spark.createDataFrame(
+        [(102, ["good", "UNSEEN"]), (103, [])], schema)
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    nb_score_stream(spark, str(src), ckpt, out, m, "toks", schema)
+
+    got = {r.doc_id: (r.n_tok, r.score, r.keep)
+           for r in spark.read.parquet(out).collect()}
+    assert set(got) == {100, 101, 102, 103}
+    both = b1.unionByName(b2)
+    want = {r.doc_id: (r.n_tok, r.score, r.pred)
+            for r in nb_predict(both, m, "toks").collect()}
+    assert got == want
+    assert got[100][2] and not got[101][2]  # the filter filters
+    assert got[103][0] == 0  # empty doc scored the prior, kept rows
