@@ -1087,6 +1087,26 @@ def simhash_dedup(docs: DataFrame, max_hamming: int = 6,
     return simhash_near_pairs(sigs, max_hamming, n_chunks, bits, id_col)
 
 
+def _simhash_chunks(sigs: DataFrame, n_chunks: int, bits: int,
+                    id_col: str,
+                    extra: tuple[str, ...] = ()) -> DataFrame:
+    """(id, simhash, j, chunk[, *extra]): the banded pigeonhole
+    decomposition shared by the full-corpus and incremental pairing
+    paths. ``extra`` columns (the incremental path's ``_new`` flag)
+    ride along unchanged."""
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    return sigs.select(
+        F.col(id_col), "simhash", *extra,
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     F.shiftright(F.col("simhash"), j * chunk_bits)
+                      .bitwiseAND(F.lit(mask)).alias("chunk"))
+            for j in range(n_chunks)])).alias("c")
+    ).select(F.col(id_col), "simhash", *extra,
+             F.col("c.j").alias("j"), F.col("c.chunk").alias("chunk"))
+
+
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 6,
                        n_chunks: int = 4, bits: int = 32,
                        id_col: str = "doc_id") -> DataFrame:
@@ -1095,17 +1115,7 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 6,
     recall for hamming < n_chunks), verify bit_count(xor) ≤ max_hamming.
     Note max_hamming above n_chunks-1 trades recall for speed — the
     standard Manku-style compromise."""
-    chunk_bits = bits // n_chunks
-    mask = (1 << chunk_bits) - 1
-    chunks = sigs.select(
-        F.col(id_col), "simhash",
-        F.explode(F.array(*[
-            F.struct(F.lit(j).alias("j"),
-                     F.shiftright(F.col("simhash"), j * chunk_bits)
-                      .bitwiseAND(F.lit(mask)).alias("chunk"))
-            for j in range(n_chunks)])).alias("c")
-    ).select(F.col(id_col), "simhash", F.col("c.j").alias("j"),
-             F.col("c.chunk").alias("chunk"))
+    chunks = _simhash_chunks(sigs, n_chunks, bits, id_col)
     a, b = chunks.alias("a"), chunks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     # Hamming filters inside the join output BEFORE the distinct: on a
@@ -1121,6 +1131,48 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 6,
                      F.col(f"b.{id_col}").alias("doc_b"),
                      ham.cast("long").alias("hamming"))
              .distinct())
+
+
+def incremental_simhash_pairs(state_sigs: DataFrame,
+                              new_sigs: DataFrame,
+                              max_hamming: int = 6,
+                              n_chunks: int = 4, bits: int = 32,
+                              id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs involving AT LEAST ONE new signature — the
+    incremental twin of :func:`simhash_near_pairs`, for the
+    daily-crawl loop: join the NEW batch's banded chunks against the
+    accumulated (state ∪ new) chunks, so per-epoch work scales with
+    the batch, never re-pairing the corpus against itself (the
+    :func:`incremental_minhash_dedup` contract, carried to
+    hamming-signature space — text SimHash and image dHash both
+    qualify; feed 64-bit dHashes with ``bits=64``).
+
+    Emission contract (what makes a drained stream ≡ one full-corpus
+    run): each pair appears exactly once, ordered ``doc_a < doc_b``,
+    in the epoch its LATER member arrives — state×new pairs emit
+    unconditionally (sorted), new×new pairs under the usual ``a < b``
+    guard. ``state_sigs`` rows must be disjoint from ``new_sigs``
+    (re-ingesting an id already in state is the caller's dedupe, as
+    in the minhash loop)."""
+    ac = _simhash_chunks(
+        state_sigs.select(F.col(id_col), "simhash")
+        .withColumn("_new", F.lit(False))
+        .unionByName(new_sigs.select(F.col(id_col), "simhash")
+                     .withColumn("_new", F.lit(True))),
+        n_chunks, bits, id_col, extra=("_new",))
+    bc = _simhash_chunks(new_sigs, n_chunks, bits, id_col)
+    a, b = ac.alias("a"), bc.alias("b")
+    ham = F.bit_count(F.col("a.simhash")
+                      .bitwiseXOR(F.col("b.simhash")))
+    ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    return (a.join(b, (F.col("a.j") == F.col("b.j"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (~F.col("a._new") | (ida < idb)))
+            .filter((ham <= max_hamming) & (ida != idb))
+            .select(F.least(ida, idb).alias("doc_a"),
+                    F.greatest(ida, idb).alias("doc_b"),
+                    ham.cast("long").alias("hamming"))
+            .distinct())
 
 
 # --------------------------------------------------------------------------

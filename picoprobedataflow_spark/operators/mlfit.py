@@ -235,6 +235,12 @@ def nb_predict(docs: DataFrame, model: NBModel, tokens_col: str,
     UNROUNDED value (the catalog rule: rounding quantizes a decision
     boundary; ``round_digits`` only shapes the reported column).
 
+    Scoring is keyed by ``id_col``: rows SHARING an id merge their
+    token multisets into one verdict (the aggregate is per doc, not
+    per row — unlike the robots gate, whose verdicts are row-level).
+    Callers scoring a frame whose ids may repeat must pre-assign
+    unique ids; this is the documented contract, not an accident.
+
     Scale shape: one explode → ONE broadcast hash join against the
     vocab-bounded llr table → one per-doc hash aggregate. Docs with
     an empty or NULL token array survive (``explode_outer``) and

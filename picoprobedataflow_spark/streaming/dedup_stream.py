@@ -110,3 +110,63 @@ def run_incremental_dedup_stream(doc_stream: DataFrame, state_dir: str,
     else:
         writer = writer.trigger(processingTime="1 second")
     return writer.start()
+
+
+PHASH_STATE_SCHEMA = "path string, simhash long"
+
+
+def run_image_dedup_stream(image_stream: DataFrame, state_dir: str,
+                           checkpoint_dir: str, max_hamming: int = 6,
+                           n_chunks: int = 8, grid: int = 8,
+                           codec: str = "auto",
+                           available_now: bool = True
+                           ) -> StreamingQuery:
+    """The image twin of :func:`run_incremental_dedup_stream`: a
+    stream of (path, width, height, image) micro-batches is
+    perceptually fingerprinted (:func:`..operators.multimodal.
+    image_phash`, one Arrow-batched map per batch) and paired against
+    the accumulated signature state with
+    :func:`..operators.dedup.incremental_simhash_pairs` — per-epoch
+    work scales with the batch; the corpus is never re-paired.
+
+    Writes under ``state_dir``: ``sigs/`` (path, simhash per epoch —
+    the growing corpus state) and ``pairs/`` (doc_a, doc_b, hamming
+    per epoch). Same exactly-once posture as the text loop: every
+    table partitioned by epoch with dynamic overwrite, pairs written
+    BEFORE state so a replayed epoch recomputes against pre-epoch
+    state and overwrites only its own partitions. Drain equivalence
+    (pytest): the union of per-epoch pairs equals one full-corpus
+    :func:`..operators.multimodal.image_near_dup_pairs` run."""
+    from picoprobedataflow_spark.operators.dedup import \
+        incremental_simhash_pairs
+    from picoprobedataflow_spark.operators.multimodal import \
+        image_phash
+
+    spark = image_stream.sparkSession
+    sig_dir = os.path.join(state_dir, "sigs")
+    pair_dir = os.path.join(state_dir, "pairs")
+
+    def _process(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.head(1):
+            return
+        state = _state(spark, sig_dir, PHASH_STATE_SCHEMA)
+        new_sigs = (image_phash(batch, grid=grid, codec=codec)
+                    .select("path", F.col("phash").alias("simhash"))
+                    .persist())
+        try:
+            pairs = incremental_simhash_pairs(
+                state, new_sigs, max_hamming=max_hamming,
+                n_chunks=n_chunks, bits=64, id_col="path")
+            _write_epoch(pairs, pair_dir, epoch_id)
+            _write_epoch(new_sigs, sig_dir, epoch_id)
+        finally:
+            new_sigs.unpersist()
+
+    writer = (image_stream.writeStream
+              .foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    return writer.start()

@@ -3276,6 +3276,41 @@ def test_logreg_train_matches_numpy_gd(spark):
         logreg_train(df, ["a", "b"], "y", l2=-0.1)
 
 
+def test_incremental_simhash_pairs_equals_full(spark):
+    """Incremental hamming pairing invariant: pairs(state) ∪
+    incremental(state, new) == pairs(state ∪ new) — every pair
+    exactly once, sorted doc_a < doc_b, including state×new pairs
+    whose OLD member has the larger id."""
+    from picoprobedataflow_spark.operators.dedup import (
+        incremental_simhash_pairs, simhash_near_pairs)
+
+    # 8-bit signatures, ids chosen so an old id (9) exceeds new ids
+    rows = [(9, 0b10110010), (1, 0b10110011), (2, 0b01001100)]
+    new = [(3, 0b10110010), (4, 0b01001101), (5, 0b11111111)]
+    state_df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    new_df = spark.createDataFrame(new, "doc_id long, simhash long")
+    all_df = state_df.unionByName(new_df)
+    kw = dict(max_hamming=2, n_chunks=4, bits=8)
+    base = {(r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_pairs(state_df, **kw).collect()}
+    inc = {(r.doc_a, r.doc_b, r.hamming)
+           for r in incremental_simhash_pairs(state_df, new_df,
+                                              **kw).collect()}
+    full = {(r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_near_pairs(all_df, **kw).collect()}
+    assert base | inc == full
+    assert base & inc == set()           # emitted exactly once
+    assert (3, 9, 0) in inc              # old id > new id, sorted
+    # empty state: incremental == full over the new batch alone
+    empty = spark.createDataFrame([], "doc_id long, simhash long")
+    inc0 = {(r.doc_a, r.doc_b, r.hamming)
+            for r in incremental_simhash_pairs(empty, new_df,
+                                               **kw).collect()}
+    full0 = {(r.doc_a, r.doc_b, r.hamming)
+             for r in simhash_near_pairs(new_df, **kw).collect()}
+    assert inc0 == full0
+
+
 def test_nb_train_predict_matches_hand_model(spark):
     """Multinomial Naive Bayes vs a hand-computed model: llr table,
     prior log-odds and OOV constant all match the add-alpha formulas

@@ -227,6 +227,78 @@ def test_incremental_dedup_stream_equals_full_recompute(spark, tmp_path):
         sorted(map(tuple, fresh.collect()))
 
 
+def test_image_dedup_stream_equals_full_recompute(spark, tmp_path):
+    """Drain a 3-batch image stream through the incremental image
+    dedup loop: the union of per-epoch pair outputs must equal one
+    full image_near_dup_pairs over the whole corpus (every near-dup
+    pair once, in the epoch its later member arrived), and the
+    accumulated signature state must equal a fresh full
+    fingerprinting."""
+    import numpy as np
+
+    from picoprobedataflow_spark.operators.multimodal import (
+        image_near_dup_pairs, image_phash, make_fake_image)
+    from picoprobedataflow_spark.streaming.dedup_stream import \
+        run_image_dedup_stream
+
+    w, h = 64, 64
+    rng = np.random.default_rng(23)
+
+    def smooth(seed):
+        base = np.frombuffer(make_fake_image(w, h, seed=seed),
+                             dtype=np.uint8).reshape(h, w)
+        x = np.linspace(0, (2 + seed) * np.pi, w)
+        y = np.linspace(0, 2 * np.pi, h)
+        return (127 + 90 * np.sin(x)[None, :] * np.cos(y)[:, None]
+                + 0.05 * (base.astype("f8") - 127))
+
+    def noisy(img):
+        return np.clip(img + rng.normal(0, 2.0, img.shape), 0, 255)
+
+    ia, ib = smooth(1), smooth(2)
+    batches = [
+        [("p0", ia), ("p1", ib)],
+        [("p2", noisy(ia)), ("p3", 255.0 - ia)],   # p2 dups p0
+        [("p4", noisy(ib)), ("p5", noisy(ia))],    # p4~p1, p5~p0/p2
+    ]
+    in_dir = tmp_path / "imgs"
+    in_dir.mkdir()
+    schema = "path string, width int, height int, image binary"
+    all_rows = []
+    for i, rows in enumerate(batches):
+        enc = [(p, w, h, a.astype(np.uint8).tobytes())
+               for p, a in rows]
+        spark.createDataFrame(enc, schema) \
+             .coalesce(1).write.parquet(str(in_dir / f"b{i}"))
+        all_rows += enc
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(in_dir)))
+    q = run_image_dedup_stream(stream, str(tmp_path / "state"),
+                               str(tmp_path / "ckpt"), codec="fake")
+    q.awaitTermination(120)
+
+    got_pairs = spark.read.parquet(str(tmp_path / "state" / "pairs"))
+    got = {(r.doc_a, r.doc_b): r.hamming for r in got_pairs.collect()}
+    assert got_pairs.select("epoch").distinct().count() >= 2
+
+    full_df = spark.createDataFrame(all_rows, schema)
+    want = {(r.doc_a, r.doc_b): r.hamming
+            for r in image_near_dup_pairs(full_df,
+                                          codec="fake").collect()}
+    assert got == want
+    assert ("p0", "p2") in got          # dup found in epoch 2
+    assert not any("p3" in p for p in got)  # inverted image: no pair
+
+    got_sigs = (spark.read.parquet(str(tmp_path / "state" / "sigs"))
+                .drop("epoch"))
+    fresh = image_phash(full_df, codec="fake")
+    assert sorted((r.path, r.simhash) for r in got_sigs.collect()) \
+        == sorted(map(tuple, fresh.collect()))
+
+
 def test_catalog_stream_query_equals_batch_twin(spark):
     """streaming_hourly_rates (executes through a real stream) and
     plans.scientific.windowed_event_rates (its batch twin) must emit
