@@ -773,3 +773,83 @@ def zipf_slope(docs, group_col: str = "source",
                     F.round(F.col("_cxy") / F.col("_vx"), 6)
                      .alias("slope"),
                     r2.alias("r2")))
+
+
+def pmi_cooccurrence(docs, window: int = 5, min_count: int = 2,
+                     text_col: str = "text"):
+    """Corpus collocation statistics: pointwise mutual information
+    over unordered within-window token pairs — the classic
+    phrase-mining / feature-engineering table (word2vec-era PMI;
+    Mikolov-style phrase detection thresholds on exactly this).
+    Returns (term_a, term_b, n_pair, pmi) with ``term_a <= term_b``,
+    ``n_pair >= min_count`` and::
+
+        pmi = ln( (n_pair / T_pairs) / ((c_a / T_tok) · (c_b / T_tok)) )
+
+    where the pair space is every unordered token pair at distance
+    ≤ ``window`` inside a document, and the unigram space is every
+    token of every (non-NULL) document. Identical-token pairs
+    (a word co-occurring with itself) are counted and reported —
+    callers mining phrases filter them, callers measuring repetition
+    want them.
+
+    Scale shape: pair generation is ROW-LOCAL (one higher-order
+    flatten/transform over the token array — no doc self-join, no
+    positional shuffle); the corpus pays ONE map-side-combinable
+    pair-count aggregate (the inherent cost — its key space is
+    min(Σ n·window, vocab²) before the ``min_count`` cut), one
+    vocab-bounded unigram aggregate, and two broadcast joins of the
+    surviving pairs against the unigram table. 1-row totals inline
+    via broadcast crossJoin (the catalog's scalar-agg pattern).
+    ``pmi`` rounds at 6 dp (the documented cross-engine ulp class)."""
+    from pyspark.sql import functions as F
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    toked = (docs.filter(F.col(text_col).isNotNull())
+             .select(words(text_col).alias("_toks")))
+    uni = (toked.select(F.explode("_toks").alias("term"))
+           .groupBy("term").agg(F.count("*").alias("c")))
+    t_tok = uni.agg(F.sum("c").cast("double").alias("_ttok"))
+    # sequence(1, n-1) DESCENDS when n < 2 (Spark fills start>stop
+    # with step -1), so short docs are filtered before the expr.
+    pair_expr = F.expr(
+        "flatten(transform(sequence(1, size(_toks) - 1), i -> "
+        f"transform(sequence(i + 1, least(i + {int(window)}, "
+        "size(_toks))), j -> "
+        "struct(least(_toks[i-1], _toks[j-1]) AS a, "
+        "greatest(_toks[i-1], _toks[j-1]) AS b))))")
+    pairs = (toked.filter(F.size("_toks") >= 2)
+             .select(F.explode(pair_expr).alias("p"))
+             .groupBy(F.col("p.a").alias("term_a"),
+                      F.col("p.b").alias("term_b"))
+             .agg(F.count("*").alias("n_pair"))
+             .filter(F.col("n_pair") >= min_count))
+    # T_pairs totals over ALL windows (totaling only the pairs
+    # surviving min_count would bias the probabilities) — computed
+    # exactly from the doc lengths in one cheap aggregate, no second
+    # pair explode.
+    t_pair = (toked.filter(F.size("_toks") >= 2)
+              .select(F.size("_toks").cast("long").alias("n"))
+              .agg(F.coalesce(F.sum(
+                  F.when(F.col("n") > window,
+                         (F.lit(window) * (F.col("n") - window)
+                          + F.lit(window * (window - 1) // 2)))
+                  .otherwise(F.col("n") * (F.col("n") - 1) / 2)
+              ), F.lit(0.0)).cast("double").alias("_tpair")))
+    ua = uni.select(F.col("term").alias("term_a"),
+                    F.col("c").alias("_ca"))
+    ub = uni.select(F.col("term").alias("term_b"),
+                    F.col("c").alias("_cb"))
+    return (pairs
+            .join(F.broadcast(ua), "term_a")
+            .join(F.broadcast(ub), "term_b")
+            .crossJoin(F.broadcast(t_pair))
+            .crossJoin(F.broadcast(t_tok))
+            .select("term_a", "term_b",
+                    F.col("n_pair").cast("long").alias("n_pair"),
+                    F.round(F.log(
+                        (F.col("n_pair") / F.col("_tpair"))
+                        / ((F.col("_ca") / F.col("_ttok"))
+                           * (F.col("_cb") / F.col("_ttok")))), 6)
+                    .alias("pmi")))

@@ -25,7 +25,7 @@ counts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Zero-proportion clamp for the PSI log ratio: an empty bucket on
@@ -155,3 +155,56 @@ def psi_report(ref: DataFrame, cur: DataFrame, value_col: str,
     return psi_score(cur, value_col,
                      psi_reference(ref, value_col, n_buckets),
                      round_digits)
+
+
+def ks_report(ref: DataFrame, cur: DataFrame, value_col: str,
+              round_to: int | None = None) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic between a
+    reference and a current snapshot of any numeric column — the
+    nonparametric sibling of :func:`psi_report`: PSI reads drift
+    through fixed quantile buckets (cheap, streaming-friendly,
+    bucket-blind inside a bucket); KS is the sup-norm CDF distance,
+    sensitive to ANY distributional shift, at the cost of an ordered
+    pass. Returns ONE row ``(n_ref, n_cur, ks)``; ``ks`` is NULL when
+    either side is empty (the statistic is undefined — a monitor
+    treats that as "no data", not "no drift") and rounds at 6 dp.
+
+    Scale shape: each side pre-aggregates to per-DISTINCT-VALUE
+    counts (map-side combinable), the two count tables full-outer
+    join on value, and the cumulative CDFs run in ONE ordered window
+    over that DISTINCT-value table — the window is single-partition,
+    so the op's sequential stage is bounded by the distinct-value
+    cardinality, NOT the corpus (exactly the zipf/top-N convention).
+    For continuous doubles whose distinct count approaches the row
+    count, pass ``round_to`` to quantize values first (e.g. 6 —
+    the KS error introduced is at most the CDF mass inside one
+    quantum) or reach for :func:`psi_report`."""
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        if round_to is not None:
+            v = F.round(v, round_to)
+        return (df.filter(v.isNotNull()).select(v.alias("v"))
+                .groupBy("v").agg(F.count("*").alias(alias)))
+
+    c = (counts(ref, "c_ref")
+         .join(counts(cur, "c_cur"), "v", "full_outer")
+         .select("v", F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+                 F.coalesce("c_cur", F.lit(0)).alias("c_cur")))
+    tot = c.agg(F.sum("c_ref").cast("long").alias("n_ref"),
+                F.sum("c_cur").cast("long").alias("n_cur"))
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0)
+    d = (c.crossJoin(F.broadcast(tot))
+         .select("n_ref", "n_cur",
+                 F.when((F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                        F.abs(F.sum("c_ref").over(w) / F.col("n_ref")
+                              - F.sum("c_cur").over(w)
+                              / F.col("n_cur")))
+                 .alias("_d")))
+    # Always-one-row contract even on empty inputs (d is then empty
+    # and a groupBy would emit nothing): totals and the max fold
+    # independently, then cross-join (both 1-row).
+    mx = d.agg(F.round(F.max("_d"), 6).alias("ks"))
+    return (tot.select(F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                       F.coalesce("n_cur", F.lit(0)).alias("n_cur"))
+            .crossJoin(F.broadcast(mx)))

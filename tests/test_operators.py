@@ -3550,3 +3550,72 @@ def test_round13_ops_degenerate_inputs(spark):
     # uniformly — new_a = (1-d)/2 + d*(a/2 + (1-a)/2) = 1/2 exactly,
     # from the first iteration on
     assert pr[0].pr == 0.5 and pr[1].pr == 0.5
+
+
+def test_pmi_cooccurrence_matches_hand_model(spark):
+    """PMI collocation table vs hand-computed values on a tiny
+    corpus: unordered within-window pairs, identical-token pairs
+    counted, T_pairs totaled over ALL windows (not just survivors),
+    min_count cuts the tail, NULL docs and sub-2-token docs
+    contribute nothing, window < 1 rejected."""
+    import math
+
+    import pytest as _pytest
+
+    from picoprobedataflow_spark.functions.text import \
+        pmi_cooccurrence
+
+    docs = spark.createDataFrame(
+        [(0, "a b a c"), (1, "b a"), (2, None), (3, "solo")],
+        "doc_id long, text string")
+    got = {(r.term_a, r.term_b): (r.n_pair, r.pmi)
+           for r in pmi_cooccurrence(docs, window=2,
+                                     min_count=1).collect()}
+    # unigrams a:3 b:2 c:1 solo:1, T_tok=7; pairs doc0: (a,b)x2,
+    # (a,a),(b,c),(a,c); doc1: (a,b). T_pairs = 5 + 1 = 6.
+    T, tt = 6.0, 7.0
+    want = {("a", "b"): 3, ("a", "a"): 1, ("b", "c"): 1,
+            ("a", "c"): 1}
+    cnt = {"a": 3.0, "b": 2.0, "c": 1.0}
+    assert {k: v[0] for k, v in got.items()} == want
+    for (x, y), n in want.items():
+        pmi = math.log((n / T) / ((cnt[x] / tt) * (cnt[y] / tt)))
+        assert abs(got[(x, y)][1] - round(pmi, 6)) <= 1e-9, (x, y)
+    # min_count prunes to the repeated pair only
+    got2 = {(r.term_a, r.term_b)
+            for r in pmi_cooccurrence(docs, window=2,
+                                      min_count=2).collect()}
+    assert got2 == {("a", "b")}
+    with _pytest.raises(ValueError):
+        pmi_cooccurrence(docs, window=0)
+
+
+def test_ks_report_matches_hand_model(spark):
+    """Exact two-sample KS vs hand-computed CDF distances: known
+    statistic on a small pair, zero on identical samples, NULL (not
+    a crash, and still exactly one row) when a side is empty, and
+    round_to quantizes before comparing."""
+    from picoprobedataflow_spark.operators.drift import ks_report
+
+    ref = spark.createDataFrame([(1.0,), (2.0,), (2.0,), (3.0,)],
+                                "v double")
+    cur = spark.createDataFrame([(2.0,), (3.0,), (3.0,), (4.0,)],
+                                "v double")
+    row = ks_report(ref, cur, "v").collect()
+    assert len(row) == 1
+    r = row[0]
+    # CDF_ref = [.25,.75,1,1], CDF_cur = [0,.25,.75,1] -> sup .5
+    assert (r.n_ref, r.n_cur, r.ks) == (4, 4, 0.5)
+    same = ks_report(ref, ref, "v").head()
+    assert same.ks == 0.0
+    empty = spark.createDataFrame([], "v double")
+    e = ks_report(ref, empty, "v").collect()
+    assert len(e) == 1
+    assert (e[0].n_ref, e[0].n_cur, e[0].ks) == (4, 0, None)
+    both = ks_report(empty, empty, "v").collect()
+    assert len(both) == 1 and both[0].ks is None
+    # round_to: 1.04 vs 1.01 collapse to 1.0 -> no drift at 1 dp
+    a = spark.createDataFrame([(1.04,), (2.0,)], "v double")
+    b = spark.createDataFrame([(1.01,), (2.0,)], "v double")
+    assert ks_report(a, b, "v", round_to=1).head().ks == 0.0
+    assert ks_report(a, b, "v").head().ks == 0.5
