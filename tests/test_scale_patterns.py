@@ -1044,3 +1044,25 @@ def test_nb_predict_plan_broadcasts_llr(spark):
             .executedPlan().toString())
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pmi_plan_rowlocal_pairs_and_broadcast_joins(spark):
+    """PMI's pair generation must be row-local (the first join in
+    the plan comes AFTER the pair-count aggregate — no doc self-join
+    builds the pairs) and the unigram/total joins must broadcast,
+    never sort-merge."""
+    from picoprobedataflow_spark.functions.text import \
+        pmi_cooccurrence
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    plan = (pmi_cooccurrence(docs, window=3, min_count=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 2  # unigram a / b
+    assert "BroadcastNestedLoopJoin" in plan     # the two 1-row totals
+    # pair explode feeds an aggregate, not a join: the deepest
+    # Generate (explode) node has no Join below it
+    gen_idx = plan.rindex("Generate")
+    assert "Join" not in plan[gen_idx:]
