@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 AUDIO_SCHEMA = ("path string, sample_rate int, n_samples int, "
                 "audio binary")
@@ -215,10 +216,40 @@ def audio_fingerprints(audio_df: DataFrame,
                     bits = (np.diff(loge) > 0).astype(np.uint64)
                     for i, b in enumerate(bits):
                         fp ^= int(b) << (i % 64)
-                rows.append((r.path, fp - (1 << 63)
-                             if fp >= (1 << 63) else fp, n_fr))
+                # Two's-complement fold into int64: subtract 2^64
+                # (NOT 2^63 — the first cut's off-by-a-bit mapped
+                # [2^63, 2^64) onto [0, 2^63), colliding any
+                # fingerprint having bit 63 set — i.e. any clip with
+                # >= 65 frames — with its bit-63-cleared twin; the
+                # gated <=7-frame family never reaches it, found in
+                # the round-13 audio-lane review).
+                if fp >= (1 << 63):
+                    fp -= 1 << 64
+                rows.append((r.path, fp, n_fr))
             yield pd.DataFrame(rows, columns=[
                 "path", "fp", "n_frames"])
 
     return (audio_df.select("path", "n_samples", "audio")
                     .mapInPandas(gen, AUDIO_FP_SCHEMA))
+
+
+def audio_near_dup_pairs(audio_df: DataFrame, max_hamming: int = 6,
+                         n_chunks: int = 8,
+                         frame: int = 1024) -> DataFrame:
+    """(doc_a, doc_b, hamming): near-duplicate audio pairs — the
+    third modality on the ONE hamming-pairing engine: the per-clip
+    energy-delta fingerprint (:func:`audio_fingerprints`, one
+    Arrow-batched map) feeds
+    :func:`..dedup.simhash_near_pairs` at ``bits=64`` exactly like
+    text SimHash and image dHash. Re-encoded or lightly-noised
+    re-uploads land within a few delta-sign flips of the original
+    and pair up; the banded chunk equi-join keeps candidate
+    generation bucket-local (full recall for hamming <
+    ``n_chunks``), never all-pairs."""
+    from picoprobedataflow_spark.operators.dedup import \
+        simhash_near_pairs
+    sigs = (audio_fingerprints(audio_df, frame=frame)
+            .select("path", F.col("fp").alias("simhash")))
+    return simhash_near_pairs(sigs, max_hamming=max_hamming,
+                              n_chunks=n_chunks, bits=64,
+                              id_col="path")

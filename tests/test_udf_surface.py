@@ -331,3 +331,52 @@ def test_pcm_wav_roundtrip_property(spark):
         wav = pcm_to_wav(pcm, 8000)
         pcm2, sr, n2 = wav_to_pcm(wav)
         assert (pcm2, sr, n2) == (pcm, 8000, n)
+
+
+def test_audio_near_dup_lane_and_bit63_fold(spark):
+    """The audio hamming lane: a lightly-noised re-encode of a clip
+    pairs with the original at small hamming while a different tone
+    does not; and the int64 fold regression — a fingerprint with
+    bit 63 set must map to its two's-complement value (fp - 2^64),
+    NOT fp - 2^63, which collided it with its bit-63-cleared twin."""
+    import numpy as np
+
+    from picoprobedataflow_spark.operators.audio import (
+        audio_fingerprints, audio_near_dup_pairs, decode_pcm16,
+        encode_pcm16, make_fake_audio)
+
+    sr, n = 16000, 1024 * 8
+    base = decode_pcm16(make_fake_audio(sr, n, freq=440.0, seed=1), n)
+    rng = np.random.default_rng(3)
+    noised = np.clip(base + 0.002 * rng.standard_normal(n), -1, 1)
+    other = decode_pcm16(make_fake_audio(sr, n, freq=97.0, seed=2), n)
+    rows = [("a0", sr, n, encode_pcm16(base)),
+            ("a1", sr, n, encode_pcm16(noised)),
+            ("b0", sr, n, encode_pcm16(other))]
+    df = spark.createDataFrame(
+        rows, "path string, sample_rate int, n_samples int, "
+              "audio binary")
+    pairs = {(p.doc_a, p.doc_b): p.hamming
+             for p in audio_near_dup_pairs(df, max_hamming=2)
+             .collect()}
+    assert ("a0", "a1") in pairs
+    assert all({x[0], y[0]} != {"a", "b"}
+               for x, y in pairs)  # no cross-tone pair
+
+    # bit-63 fold: craft a waveform whose 64th delta (i=63) is the
+    # ONLY rising one among bits >= 63's fold positions — energies
+    # strictly decreasing except frame 63 -> 64. 65 frames needed.
+    fr = 1024
+    n2 = fr * 66
+    amps = np.linspace(0.9, 0.1, 67)
+    amps[64] = 0.95  # frame index 64 louder than 63: delta bit 63 = 1
+    w = np.concatenate([
+        amps[i] * np.ones(fr) * np.sign(np.sin(
+            2 * np.pi * 440.0 * (np.arange(fr) + i * fr) / sr) + 1e-9)
+        for i in range(66)])
+    df2 = spark.createDataFrame(
+        [("c", sr, n2, encode_pcm16(w[:n2]))],
+        "path string, sample_rate int, n_samples int, audio binary")
+    fp = audio_fingerprints(df2).head().fp
+    assert fp < 0  # bit 63 set -> negative int64 (fp - 2^64)
+    assert fp == (fp & ((1 << 64) - 1)) - (1 << 64)
