@@ -298,24 +298,10 @@ def main() -> None:
     variants["containment_served_full"] = PL.containment_served_pairs
     variants["semdedup_served_full"] = PL.semdedup_served_prune
     # Round 13 session 2: PMI's pair-count shuffle and KS's
-    # distinct-value ordered pass, ungated over documents.
-    from picoprobedataflow_spark.functions import text as TXv
-    from picoprobedataflow_spark.operators import drift as DRv
-
-    def _pmi_prod(spark, sf_dir):
-        return TXv.pmi_cooccurrence(
-            tbl(spark, sf_dir, "documents"), window=3, min_count=2)
-
-    def _ks_prod(spark, sf_dir):
-        docs = tbl(spark, sf_dir, "documents")
-        ref = docs.filter(F.col("doc_id") % 2 == 0).select(
-            F.length("text").alias("v"))
-        cur = docs.filter(F.col("doc_id") % 2 == 1).select(
-            (F.length("text") + F.col("doc_id") % 97).alias("v"))
-        return DRv.ks_report(ref, cur, "v")
-
-    variants["pmi_full"] = _pmi_prod
-    variants["ks_full"] = _ks_prod
+    # distinct-value ordered pass (ONE definition in pipeline.py,
+    # shared with measure_scaling.py).
+    variants["pmi_full"] = PL.pmi_collocations
+    variants["ks_full"] = PL.ks_length_drift
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
     # shouldn't be charged to the first query. Each headline query is

@@ -1160,7 +1160,9 @@ def incremental_simhash_pairs(state_sigs: DataFrame,
         .unionByName(new_sigs.select(F.col(id_col), "simhash")
                      .withColumn("_new", F.lit(True))),
         n_chunks, bits, id_col, extra=("_new",))
-    bc = _simhash_chunks(new_sigs, n_chunks, bits, id_col)
+    # b-side derives FROM the union (one chunk decomposition, not
+    # two parallel ones to keep in sync — review find).
+    bc = ac.filter(F.col("_new")).drop("_new")
     a, b = ac.alias("a"), bc.alias("b")
     ham = F.bit_count(F.col("a.simhash")
                       .bitwiseXOR(F.col("b.simhash")))
@@ -1221,8 +1223,23 @@ def connected_components(edges: DataFrame, id_a: str = "doc_a",
     numeric path has. Costs two extra broadcast-joins and one
     aggregate over the pair-graph's nodes (not the corpus).
     """
+    # Dispatch on BOTH endpoint types (review find: inspecting only
+    # id_a let mixed numeric/string edges take the numeric path,
+    # where the string side casts to NULL and silently corrupts
+    # every component).
     a_type = edges.schema[id_a].dataType.typeName()
-    if a_type in ("string", "binary"):
+    b_type = edges.schema[id_b].dataType.typeName()
+    stringy = ("string", "binary")
+    if (a_type in stringy) != (b_type in stringy):
+        raise TypeError(
+            f"connected_components endpoints must both be numeric "
+            f"or both string/binary; got {id_a}: {a_type}, "
+            f"{id_b}: {b_type}")
+    if a_type in stringy:
+        if a_type != b_type:
+            raise TypeError(
+                f"connected_components endpoints must share one "
+                f"type; got {id_a}: {a_type}, {id_b}: {b_type}")
         return _connected_components_mapped(edges, id_a, id_b,
                                             max_iter)
     sym = (edges.select(F.col(id_a).cast("long").alias("src"),

@@ -191,8 +191,11 @@ def nb_train(df: DataFrame, tokens_col: str, label_col: str,
     n1 = float(pr["n1"] or 0.0)
     n0 = float(pr["n0"] or 0.0)
     prior = math.log((n1 + alpha) / (n0 + alpha))
-    # Per-term class counts: the corpus pass. c1/c0 are exact doc
-    # counts as doubles (integers — exact below 2^53).
+    # Per-term class counts: the corpus pass. c1/c0 are exact token
+    # OCCURRENCE counts per class (the MULTINOMIAL event model —
+    # ['good','clean','good'] contributes c1[good]=2, matching the
+    # oracle's per-unnested-token sums; Bernoulli NB would count
+    # presence once per doc), as doubles (integers — exact < 2^53).
     # NULL elements INSIDE a token array are excluded from the fit
     # (degenerate-battery find: explode emits them and groupBy keeps
     # a NULL key, so they entered the vocab/totals — but the scoring

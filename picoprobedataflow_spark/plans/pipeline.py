@@ -3487,6 +3487,31 @@ nb_quality_scores.__doc__ = nb_quality_scores.__doc__.format(
     L=_LR_LABEL_LEN)
 
 
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungated production shape for the bench/scaling harnesses (NOT
+    a catalog entry): the full PMI collocation table over documents
+    (:func:`..functions.text.pmi_cooccurrence`, window 3,
+    min_count 2). ONE definition consumed by both bench.py and
+    scripts/measure_scaling.py — the dual-harness-construction rule."""
+    return TX.pmi_cooccurrence(tbl(spark, sf_dir, "documents"),
+                               window=3, min_count=2)
+
+
+def ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungated production shape for the bench/scaling harnesses (NOT
+    a catalog entry): exact two-sample KS between the even-doc_id
+    length distribution and the odd-doc_id one shifted by
+    ``doc_id % 97`` — the same synthetic drift construction the psi
+    family uses, through :func:`..operators.drift.ks_report`."""
+    from picoprobedataflow_spark.operators.drift import ks_report
+    docs = tbl(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.length("text").alias("v"))
+    cur = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.length("text") + F.col("doc_id") % 97).alias("v"))
+    return ks_report(ref, cur, "v")
+
+
 #: PageRank grid for the ``pagerank`` family: a deterministic
 #: 64-node link graph both engines derive from doc_id (src residues
 #: 0-47 only, so residues appearing solely as destinations are

@@ -82,30 +82,14 @@ def main() -> None:
                     ("pagerank_full", PL.pagerank_scores),
                     ("logreg_full", PL.logreg_quality_scores),
                     # Round 13 session 2: one-pass NB training +
-                    # broadcast-join scoring.
-                    ("nb_full", PL.nb_quality_scores)):
+                    # broadcast-join scoring; PMI pair-count
+                    # shuffle; KS distinct-value ordered pass (the
+                    # latter two defined ONCE in pipeline.py, shared
+                    # with bench.py).
+                    ("nb_full", PL.nb_quality_scores),
+                    ("pmi_full", PL.pmi_collocations),
+                    ("ks_full", PL.ks_length_drift)):
         fns[key] = fn
-
-    # Round 13 session 2, ungated production shapes over documents:
-    # PMI's pair-count shuffle and KS's distinct-value ordered pass.
-    from picoprobedataflow_spark.functions import text as TX
-    from picoprobedataflow_spark.operators import drift as DR
-
-    def _pmi_prod(spark, sf_dir):
-        docs = tbl(spark, sf_dir, "documents")
-        return TX.pmi_cooccurrence(docs, window=3, min_count=2)
-
-    def _ks_prod(spark, sf_dir):
-        from pyspark.sql import functions as F
-        docs = tbl(spark, sf_dir, "documents")
-        ref = docs.filter(F.col("doc_id") % 2 == 0).select(
-            F.length("text").alias("v"))
-        cur = docs.filter(F.col("doc_id") % 2 == 1).select(
-            (F.length("text") + F.col("doc_id") % 97).alias("v"))
-        return DR.ks_report(ref, cur, "v")
-
-    fns["pmi_full"] = _pmi_prod
-    fns["ks_full"] = _ks_prod
 
     # containment: the UNGATED production path (hashed shingles +
     # stop-shingle cap), matching bench.py's containment_full. The

@@ -388,3 +388,24 @@ def test_connected_components_string_ids_unicode(spark):
            for r in connected_components(edges).collect()}
     assert got == {"a/α.png": "a/α.png", "b/β.png": "a/α.png",
                    "c/γ.png": "a/α.png", "z1": "z1", "z2": "z1"}
+
+
+def test_connected_components_mixed_id_types_rejected(spark):
+    """Mixed numeric/string endpoints are rejected eagerly (review
+    find: dispatching on id_a alone sent mixed edges down the
+    numeric path, where the string side cast to NULL and silently
+    corrupted every component)."""
+    import pytest as _pytest
+
+    from picoprobedataflow_spark.operators.dedup import \
+        connected_components
+
+    mixed = spark.createDataFrame([(1, "a")],
+                                  "doc_a long, doc_b string")
+    with _pytest.raises(TypeError):
+        connected_components(mixed)
+    # int/long mixes stay on the numeric path (both cast exactly)
+    il = spark.createDataFrame([(1, 2)], "doc_a int, doc_b long")
+    got = {(r.node, r.comp)
+           for r in connected_components(il).collect()}
+    assert got == {(1, 1), (2, 1)}
