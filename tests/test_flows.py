@@ -179,3 +179,88 @@ def test_read_pickled_runs(spark, tmp_path):
         spark, str(p), "run_id string, status string",
         extract=lambda obj: ((r["run_id"], r["status"]) for r in obj))
     assert sorted(r.run_id for r in df.collect()) == ["a", "b"]
+
+
+def test_curation_flow_end_to_end(spark):
+    """The composed curation funnel: each stage drops exactly the
+    planted offender — junk (quality), spam (repetition), exact
+    dups (keep-min-id), a near dup (keep-min-id over the closure),
+    a benchmark copy (decontam) — funnel counts are monotone and
+    the kept set is exactly the clean docs."""
+    from picoprobedataflow_spark.flows.curation import \
+        curate_documents
+
+    # generated prose: unique content words + each stopword exactly
+    # twice, so quality passes (stopword mass, length) while every
+    # repetition metric stays under its threshold (top word 2/28,
+    # no repeated bigram/trigram)
+    sw = ("the", "a", "of", "and", "to", "is", "in")
+    good = [" ".join(f"{s} item{i}x{j}"
+                     for j, s in enumerate(sw * 2))
+            for i in range(4)]
+    rows = [(i, t) for i, t in enumerate(good)]
+    rows += [(4, "zz"),                       # quality drop
+             (5, "spam " * 60),               # repetition drop
+             (6, good[0]), (7, good[0]),      # exact dups of 0
+             (8, good[1] + " indeed")]        # near dup of 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, good[3])],
+                                  "doc_id long, text string")
+    res = curate_documents(docs, min_quality=0.2, bench_docs=bench,
+                           contamination_threshold=0.2)
+    kept = sorted(r.doc_id for r in res.kept.collect())
+    assert kept == [0, 1, 2]
+    stages = [s for s, _ in res.funnel]
+    assert stages == ["input", "quality", "repetition", "exact",
+                      "near", "decontam"]
+    counts = [n for _, n in res.funnel]
+    assert counts == [9, 8, 7, 5, 4, 3]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    # determinism: a second run returns the identical kept set
+    res2 = curate_documents(docs, min_quality=0.2, bench_docs=bench,
+                            contamination_threshold=0.2)
+    assert sorted(r.doc_id for r in res2.kept.collect()) == kept
+    # threshold 0.0 with a bench corpus is rejected (would empty
+    # the corpus), not silently applied
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curate_documents(docs, bench_docs=bench,
+                         contamination_threshold=0.0)
+
+
+def test_curation_flow_quota_and_budget_stages(spark):
+    """The optional tail stages in isolation: the per-domain cap
+    keeps at most `quota` docs per registrable domain, and the token
+    budget keeps the greedy best-quality-first prefix."""
+    from picoprobedataflow_spark.flows.curation import \
+        curate_documents
+
+    long_t = ("the long and winding report described every one of "
+              "the many results in careful detail with the full "
+              "context that the reviewers had requested before")
+    short_t = "the short note said little and the matter rested"
+    rows = [(0, long_t, "https://a.com/x"),
+            (1, long_t + " again", "https://a.com/y"),
+            (2, long_t + " more", "https://a.com/z"),
+            (3, short_t, "https://b.org/only")]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, text string, url string")
+    res = curate_documents(docs, min_quality=None,
+                           repetition_filter=False,
+                           exact_dedup=False, near_dedup=False,
+                           url_col="url", domain_quota=2)
+    kept = {r.doc_id for r in res.kept.collect()}
+    assert len(kept & {0, 1, 2}) == 2   # a.com capped at 2
+    assert 3 in kept                     # b.org under quota
+    assert dict(res.funnel)["quota"] == 3
+
+    n_long = len(long_t.split())
+    res2 = curate_documents(docs, min_quality=None,
+                            repetition_filter=False,
+                            exact_dedup=False, near_dedup=False,
+                            token_budget=n_long)
+    kept2 = [r for r in res2.kept.collect()]
+    # greedy prefix: only docs STARTING before the budget survive;
+    # the highest-quality doc starts at 0, the next at >= n_long
+    assert len(kept2) == 1
+    assert dict(res2.funnel)["budget"] == 1
