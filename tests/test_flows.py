@@ -264,3 +264,26 @@ def test_curation_flow_quota_and_budget_stages(spark):
     # the highest-quality doc starts at 0, the next at >= n_long
     assert len(kept2) == 1
     assert dict(res2.funnel)["budget"] == 1
+
+
+def test_curation_flow_total_on_empty_corpus(spark):
+    """The full funnel with every stage enabled is total on the
+    EMPTY corpus: no stage crashes, every funnel count is 0, and the
+    kept frame is empty with the input schema."""
+    from picoprobedataflow_spark.flows.curation import \
+        curate_documents
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, url string")
+    bench = spark.createDataFrame([(0, "a benchmark of text")],
+                                  "doc_id long, text string")
+    res = curate_documents(empty, min_quality=0.2, bench_docs=bench,
+                           contamination_threshold=0.2,
+                           url_col="url", domain_quota=2,
+                           token_budget=100)
+    assert res.kept.collect() == []
+    assert res.kept.columns == ["doc_id", "text", "url"]
+    assert all(n == 0 for _, n in res.funnel)
+    assert [s for s, _ in res.funnel] == [
+        "input", "quality", "repetition", "exact", "near",
+        "decontam", "quota", "budget"]
