@@ -292,3 +292,82 @@ def test_source_overlap_matches_set_model(spark, docs):
            for r in DD.source_overlap_matrix(
                df, span_w=2).collect()}
     assert got == want
+
+
+def _ref_pmi_pairs(docs: list[list[str]], window: int):
+    """Naive reference: every unordered within-window pair of every
+    doc, counted brute-force."""
+    from collections import Counter
+    c: Counter = Counter()
+    total = 0
+    for toks in docs:
+        for i in range(len(toks) - 1):
+            for j in range(i + 1, min(i + window, len(toks) - 1) + 1):
+                c[tuple(sorted((toks[i], toks[j])))] += 1
+                total += 1
+    return c, total
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(st.lists(_WORD, min_size=0, max_size=10),
+                     min_size=1, max_size=6),
+       window=st.integers(1, 5))
+def test_pmi_pair_counts_match_bruteforce(spark, docs, window):
+    """pmi_cooccurrence's higher-order-array pair generation and its
+    closed-form T_pairs both agree with the brute-force model on
+    collision-heavy tiny-alphabet corpora, all windows 1-5."""
+    import math
+
+    from picoprobedataflow_spark.functions.text import \
+        pmi_cooccurrence
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string")
+    got = {(r.term_a, r.term_b): (r.n_pair, r.pmi)
+           for r in pmi_cooccurrence(df, window=window,
+                                     min_count=1).collect()}
+    # words('') -> [''] — the established tokenizer contract: an
+    # empty doc is one empty-string token, not zero tokens.
+    toks = [t if t else [""] for t in docs]
+    want, total = _ref_pmi_pairs(toks, window)
+    assert {k: v[0] for k, v in got.items()} == dict(want)
+    if want:
+        uni: dict = {}
+        for t in toks:
+            for w in t:
+                uni[w] = uni.get(w, 0) + 1
+        tt = sum(uni.values())
+        for (a, b), n in want.items():
+            exp = math.log((n / total)
+                           / ((uni[a] / tt) * (uni[b] / tt)))
+            assert abs(got[(a, b)][1] - round(exp, 6)) <= 1e-9
+
+
+@settings(**_SETTINGS)
+@given(sigs=st.dictionaries(st.integers(0, 30),
+                            st.integers(-2**63, 2**63 - 1),
+                            min_size=0, max_size=12),
+       cut=st.integers(0, 12),
+       max_h=st.sampled_from([0, 3, 8, 64]))
+def test_incremental_simhash_union_invariant(spark, sigs, cut,
+                                             max_h):
+    """For ANY signature set split into state/new at any point:
+    pairs(state) ∪ incremental(state, new) == pairs(state ∪ new),
+    disjointly — including full-range negative signatures and the
+    degenerate empty sides."""
+    items = sorted(sigs.items())
+    state, new = items[:cut], items[cut:]
+    schema = "doc_id long, simhash long"
+    sdf = spark.createDataFrame(state, schema)
+    ndf = spark.createDataFrame(new, schema)
+    kw = dict(max_hamming=max_h, n_chunks=4, bits=64)
+    base = {(r.doc_a, r.doc_b, r.hamming) for r in
+            DD.simhash_near_pairs(sdf, **kw).collect()}
+    inc = {(r.doc_a, r.doc_b, r.hamming) for r in
+           DD.incremental_simhash_pairs(sdf, ndf, **kw).collect()}
+    full = {(r.doc_a, r.doc_b, r.hamming) for r in
+            DD.simhash_near_pairs(sdf.unionByName(ndf),
+                                  **kw).collect()}
+    assert base | inc == full
+    assert base & inc == set()
