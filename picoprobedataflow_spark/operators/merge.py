@@ -60,3 +60,37 @@ def scd2_apply(dim: DataFrame, changes: DataFrame, key_cols: list[str],
     return (history.unionByName(closing)
                    .unionByName(unchanged)
                    .unionByName(new_rows))
+
+
+def corpus_diff(old: DataFrame, new: DataFrame,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(id, status) change detection between two corpus snapshots —
+    the audit a daily-refresh pipeline runs before re-curating:
+    ``added`` (id only in new), ``removed`` (id only in old),
+    ``changed`` (both, content differs), ``unchanged`` (both,
+    content identical). Content equality is md5-of-bytes (the exact
+    dedup fingerprint), NULL-safe: NULL ≡ NULL is unchanged, NULL vs
+    text is changed.
+
+    Scale shape: each side reduces to (id, fingerprint) — column
+    pruning reaches the scan, the text never shuffles — then ONE
+    full-outer equi-join on the id. A count-by-status summary is
+    ``.groupBy("status").count()`` away; incremental re-curation
+    feeds ``status IN ('added', 'changed')`` back through the
+    pipeline."""
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.md5(F.col(text_col).cast("binary")).alias(alias))
+
+    o = fp(old, "_fo").withColumn("_in_old", F.lit(True))
+    n = fp(new, "_fn").withColumn("_in_new", F.lit(True))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("_fo").eqNullSafe(F.col("_fn")),
+              F.lit("unchanged"))
+        .otherwise(F.lit("changed")))
+    return j.select(F.col(id_col), status.alias("status"))

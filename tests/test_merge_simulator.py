@@ -78,3 +78,27 @@ def test_simulator_feeds_ingest_stream(spark, tmp_path):
     # path-keyed, like the reference's seen-set)
     assert got.select("sha256").distinct().count() == 1
     assert got.select(F.col("path")).distinct().count() == 3
+
+
+def test_corpus_diff_statuses(spark):
+    """corpus_diff: added/removed/changed/unchanged classified
+    exactly, NULL-safe content compare (NULL vs NULL unchanged,
+    NULL vs text changed), empty sides total."""
+    from picoprobedataflow_spark.operators.merge import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone"), (4, None),
+         (5, None)],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (6, "fresh"), (4, None),
+         (5, "filled")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.status
+           for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 5: "changed", 6: "added"}
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert {r.status for r in corpus_diff(empty, new).collect()} \
+        == {"added"}
+    assert corpus_diff(empty, empty).collect() == []
