@@ -8,6 +8,10 @@ telemetry outputs.
 """
 
 from picoprobedataflow_spark.flows.analyzer import FlowAnalyzer  # noqa: F401
+from picoprobedataflow_spark.flows.curation import (  # noqa: F401
+    CurationResult,
+    curate_documents,
+)
 from picoprobedataflow_spark.flows.pipelines import (  # noqa: F401
     hyperspectral_flow,
     spatiotemporal_flow,

@@ -100,8 +100,19 @@ def curate_documents(docs: DataFrame, *,
             "contamination_threshold must be > 0: at 0.0 the "
             "overlap table returns every document and the "
             "decontamination anti-join would drop the whole corpus")
+    if near_dedup or token_budget is not None:
+        # Fail FAST on a non-integral id (the select_token_budget
+        # convention): near_dup_survivors casts the id to long deep
+        # inside the near stage — under ANSI that crashes with no
+        # hint the id dtype is the problem, and under non-ANSI the
+        # NULL casts silently drop the whole corpus.
+        id_type = dict(docs.dtypes)[id_col]
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"near_dedup/token_budget need an integral "
+                f"{id_col!r} (got {id_type}); pre-assign numeric "
+                f"ids or disable those stages")
 
-    cur = docs
     funnel: list[tuple[str, int]] = []
 
     def _mark(stage: str, df: DataFrame) -> DataFrame:
@@ -109,7 +120,12 @@ def curate_documents(docs: DataFrame, *,
         funnel.append((stage, df.count()))
         return df
 
-    cur = _mark("input", cur)
+    # The input count is one scan job with NO checkpoint: the source
+    # is already materialized storage, and duplicating the biggest,
+    # pre-filter frame into executor storage just to count it is the
+    # one place the stage-boundary rationale does not apply.
+    cur = docs
+    funnel.append(("input", cur.count()))
 
     if min_quality is not None:
         cur = _mark("quality", cur.filter(
@@ -143,8 +159,11 @@ def curate_documents(docs: DataFrame, *,
             contaminated.select(id_col), id_col, "left_anti"))
 
     if url_col is not None:
-        quota = (domain_quota_sample_lazy(cur, url_col, domain_quota,
-                                          id_col)
+        from picoprobedataflow_spark.functions.web import \
+            domain_quota_sample
+        quota = (domain_quota_sample(cur, url_col=url_col,
+                                     quota=domain_quota,
+                                     id_col=id_col)
                  .filter(F.col("kept")).select(id_col))
         cur = _mark("quota", cur.join(quota, id_col))
 
@@ -163,14 +182,3 @@ def curate_documents(docs: DataFrame, *,
                     kept.select(*cur.columns))
 
     return CurationResult(cur, funnel)
-
-
-def domain_quota_sample_lazy(cur: DataFrame, url_col: str,
-                             quota: int, id_col: str) -> DataFrame:
-    """Late import indirection for the quota stage (keeps the module
-    importable without the web stack loaded at import time, the
-    flows convention)."""
-    from picoprobedataflow_spark.functions.web import \
-        domain_quota_sample
-    return domain_quota_sample(cur, url_col=url_col, quota=quota,
-                               id_col=id_col)

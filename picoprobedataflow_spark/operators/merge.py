@@ -79,10 +79,14 @@ def corpus_diff(old: DataFrame, new: DataFrame,
     ``.groupBy("status").count()`` away; incremental re-curation
     feeds ``status IN ('added', 'changed')`` back through the
     pipeline."""
+    from picoprobedataflow_spark.functions.text import \
+        fingerprint_md5
+
     def fp(df: DataFrame, alias: str) -> DataFrame:
-        return df.select(
-            F.col(id_col),
-            F.md5(F.col(text_col).cast("binary")).alias(alias))
+        # THE canonical exact-dedup fingerprint (one definition —
+        # if normalization is ever added there, diff verdicts follow)
+        return df.select(F.col(id_col),
+                         fingerprint_md5(text_col).alias(alias))
 
     o = fp(old, "_fo").withColumn("_in_old", F.lit(True))
     n = fp(new, "_fn").withColumn("_in_new", F.lit(True))

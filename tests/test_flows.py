@@ -287,3 +287,26 @@ def test_curation_flow_total_on_empty_corpus(spark):
     assert [s for s, _ in res.funnel] == [
         "input", "quality", "repetition", "exact", "near",
         "decontam", "quota", "budget"]
+
+
+def test_curation_flow_rejects_non_integral_id_for_near_stage(spark):
+    """A non-integral id fails FAST with a clear TypeError when
+    near_dedup or token_budget is enabled (review find: the cast
+    would otherwise crash deep in the near stage under ANSI, or
+    silently empty the corpus without it), and works when those
+    stages are off."""
+    import pytest as _pytest
+
+    from picoprobedataflow_spark.flows import curate_documents
+
+    docs = spark.createDataFrame(
+        [("a", "the text of a and the rest of it is fine here")],
+        "doc_id string, text string")
+    with _pytest.raises(TypeError):
+        curate_documents(docs)
+    with _pytest.raises(TypeError):
+        curate_documents(docs, near_dedup=False, token_budget=10)
+    res = curate_documents(docs, min_quality=None,
+                           repetition_filter=False,
+                           near_dedup=False)
+    assert [r.doc_id for r in res.kept.collect()] == ["a"]
