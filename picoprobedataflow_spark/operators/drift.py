@@ -157,6 +157,72 @@ def psi_report(ref: DataFrame, cur: DataFrame, value_col: str,
                      round_digits)
 
 
+def _value_counts(df: DataFrame, value_col: str,
+                  round_to: int | None, alias: str) -> DataFrame:
+    """(v, <alias>): per-distinct-value counts of a numeric column —
+    the reduction both KS halves run (map-side combinable)."""
+    v = F.col(value_col).cast("double")
+    if round_to is not None:
+        v = F.round(v, round_to)
+    return (df.filter(v.isNotNull()).select(v.alias("v"))
+            .groupBy("v").agg(F.count("*").alias(alias)))
+
+
+class KsReference:
+    """The build-once half of the KS comparison: the reference
+    snapshot's per-distinct-value counts (bounded by distinct
+    cardinality) plus the quantization the fit used — score any
+    number of current snapshots/micro-batches against it with
+    :func:`ks_score` (the psi_reference amortization contract)."""
+
+    __slots__ = ("counts", "round_to")
+
+    def __init__(self, counts: DataFrame, round_to: int | None):
+        self.counts = counts
+        self.round_to = round_to
+
+
+def ks_reference(ref: DataFrame, value_col: str,
+                 round_to: int | None = None,
+                 materialize: bool = False) -> KsReference:
+    """Build the KS reference counts; ``materialize=True``
+    localCheckpoints them for repeated scoring (the streaming
+    monitor — without it every micro-batch re-scans the reference)."""
+    counts = _value_counts(ref, value_col, round_to, "c_ref")
+    if materialize:
+        counts = counts.localCheckpoint(eager=True)
+    return KsReference(counts, round_to)
+
+
+def ks_score(cur: DataFrame, value_col: str,
+             reference: KsReference) -> DataFrame:
+    """Score one current snapshot against a prebuilt
+    :class:`KsReference` — the repeated half. See :func:`ks_report`
+    for the one-row contract."""
+    c = (reference.counts
+         .join(_value_counts(cur, value_col, reference.round_to,
+                             "c_cur"), "v", "full_outer")
+         .select("v", F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+                 F.coalesce("c_cur", F.lit(0)).alias("c_cur")))
+    tot = c.agg(F.sum("c_ref").cast("long").alias("n_ref"),
+                F.sum("c_cur").cast("long").alias("n_cur"))
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0)
+    d = (c.crossJoin(F.broadcast(tot))
+         .select(F.when((F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                        F.abs(F.sum("c_ref").over(w) / F.col("n_ref")
+                              - F.sum("c_cur").over(w)
+                              / F.col("n_cur")))
+                 .alias("_d")))
+    # Always-one-row contract even on empty inputs (d is then empty
+    # and a groupBy would emit nothing): totals and the max fold
+    # independently, then cross-join (both 1-row).
+    mx = d.agg(F.round(F.max("_d"), 6).alias("ks"))
+    return (tot.select(F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                       F.coalesce("n_cur", F.lit(0)).alias("n_cur"))
+            .crossJoin(F.broadcast(mx)))
+
+
 def ks_report(ref: DataFrame, cur: DataFrame, value_col: str,
               round_to: int | None = None) -> DataFrame:
     """Exact two-sample Kolmogorov–Smirnov statistic between a
@@ -178,33 +244,9 @@ def ks_report(ref: DataFrame, cur: DataFrame, value_col: str,
     For continuous doubles whose distinct count approaches the row
     count, pass ``round_to`` to quantize values first (e.g. 6 —
     the KS error introduced is at most the CDF mass inside one
-    quantum) or reach for :func:`psi_report`."""
-    def counts(df: DataFrame, alias: str) -> DataFrame:
-        v = F.col(value_col).cast("double")
-        if round_to is not None:
-            v = F.round(v, round_to)
-        return (df.filter(v.isNotNull()).select(v.alias("v"))
-                .groupBy("v").agg(F.count("*").alias(alias)))
-
-    c = (counts(ref, "c_ref")
-         .join(counts(cur, "c_cur"), "v", "full_outer")
-         .select("v", F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
-                 F.coalesce("c_cur", F.lit(0)).alias("c_cur")))
-    tot = c.agg(F.sum("c_ref").cast("long").alias("n_ref"),
-                F.sum("c_cur").cast("long").alias("n_cur"))
-    w = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, 0)
-    d = (c.crossJoin(F.broadcast(tot))
-         .select("n_ref", "n_cur",
-                 F.when((F.col("n_ref") > 0) & (F.col("n_cur") > 0),
-                        F.abs(F.sum("c_ref").over(w) / F.col("n_ref")
-                              - F.sum("c_cur").over(w)
-                              / F.col("n_cur")))
-                 .alias("_d")))
-    # Always-one-row contract even on empty inputs (d is then empty
-    # and a groupBy would emit nothing): totals and the max fold
-    # independently, then cross-join (both 1-row).
-    mx = d.agg(F.round(F.max("_d"), 6).alias("ks"))
-    return (tot.select(F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-                       F.coalesce("n_cur", F.lit(0)).alias("n_cur"))
-            .crossJoin(F.broadcast(mx)))
+    quantum) or reach for :func:`psi_report`. One-shot form of
+    :func:`ks_reference` + :func:`ks_score` (ONE shared
+    implementation; the streaming monitor calls the halves directly
+    so the reference counts build once, not per micro-batch)."""
+    return ks_score(cur, value_col,
+                    ks_reference(ref, value_col, round_to))

@@ -513,6 +513,51 @@ def psi_drift_stream(spark: SparkSession, src_dir: str,
             f"psi drift drain did not finish in {timeout}s")
 
 
+def ks_drift_stream(spark: SparkSession, src_dir: str,
+                    ckpt_dir: str, out_dir: str,
+                    ref: DataFrame, value_col: str,
+                    schema: StructType | str,
+                    round_to: int | None = None,
+                    timeout: int = 300) -> None:
+    """Streaming NONPARAMETRIC drift monitor — the KS sibling of
+    :func:`psi_drift_stream`: every arriving micro-batch gets its
+    exact two-sample KS statistic against a FIXED reference snapshot
+    (:func:`..operators.drift.ks_score`) and the (batch_id, n_ref,
+    n_cur, ks) row appends to ``out_dir``. PSI reads drift through
+    fixed quantile buckets; KS catches ANY CDF shift, so the two
+    monitors together cover both bucket-blind and bucket-visible
+    drift.
+
+    The reference per-distinct-value counts are built and
+    localCheckpointed ONCE outside the loop
+    (:func:`..operators.drift.ks_reference` with
+    ``materialize=True``); per-batch cost is one map-side value
+    count over the batch plus the distinct-value-bounded ordered
+    pass. One row per batch, no cross-batch state — replayed batches
+    re-append byte-identical rows (dedupe on ``batch_id`` at read)."""
+    from picoprobedataflow_spark.operators.drift import (
+        ks_reference, ks_score)
+
+    reference = ks_reference(ref, value_col, round_to,
+                             materialize=True)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (ks_score(batch_df, value_col, reference)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    q = (spark.readStream.schema(schema).parquet(src_dir)
+         .writeStream
+         .option("checkpointLocation", ckpt_dir)
+         .foreachBatch(_process)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"ks drift drain did not finish in {timeout}s")
+
+
 def quality_score_stream(spark: SparkSession, src_dir: str,
                          ckpt_dir: str, out_dir: str,
                          feature_cols: list[str],

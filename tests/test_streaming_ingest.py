@@ -962,3 +962,39 @@ def test_streaming_nb_scorer_equals_batch(spark, tmp_path):
     assert got == want
     assert got[100][2] and not got[101][2]  # the filter filters
     assert got[103][0] == 0  # empty doc scored the prior, kept rows
+
+
+def test_streaming_ks_drift_equals_batch(spark, tmp_path):
+    """Per-micro-batch KS against a fixed reference: each batch's
+    row equals the one-shot ks_report on the same batch, the
+    in-distribution batch scores ~0 and the shifted batch scores
+    high, and the reference builds once outside the loop."""
+    from picoprobedataflow_spark.operators.drift import ks_report
+    from picoprobedataflow_spark.streaming.quality import \
+        ks_drift_stream
+
+    ref = spark.createDataFrame([(float(i % 50),) for i in range(400)],
+                                "v double")
+    schema = "v double"
+    src = tmp_path / "vals_in"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "ks")
+    b1 = spark.createDataFrame([(float(i % 50),) for i in range(200)],
+                               schema)                # in-dist
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    ks_drift_stream(spark, str(src), ckpt, out, ref, "v", schema)
+    b2 = spark.createDataFrame([(float(i % 50) + 40.0,)
+                                for i in range(200)], schema)  # shifted
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    ks_drift_stream(spark, str(src), ckpt, out, ref, "v", schema)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2
+    by_batch = {r.batch_id: r for r in rows}
+    lo, hi = sorted(r.ks for r in rows)
+    assert lo == 0.0 and hi > 0.5
+    for bid, batch in ((min(by_batch), b1), (max(by_batch), b2)):
+        want = ks_report(ref, batch, "v").head()
+        got = by_batch[bid]
+        assert (got.n_ref, got.n_cur, got.ks) == \
+            (want.n_ref, want.n_cur, want.ks)
