@@ -302,6 +302,9 @@ def main() -> None:
     # shared with measure_scaling.py).
     variants["pmi_full"] = PL.pmi_collocations
     variants["ks_full"] = PL.ks_length_drift
+    # Capped-input image lane: dHash kernel + banded hamming join
+    # over 2k generated images (times the lane, not corpus scan).
+    variants["image_neardup_full"] = PL.image_neardup_bench
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
     # shouldn't be charged to the first query. Each headline query is

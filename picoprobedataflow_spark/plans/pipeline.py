@@ -3497,6 +3497,21 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                                window=3, min_count=2)
 
 
+def image_neardup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ungated bench shape (NOT a catalog entry): the composed image
+    near-dup lane over 2,000 synthetic 16×16 images — Arrow-batched
+    dHash kernel → banded hamming pairing. Input is CAPPED (the
+    pixel fakes are generated, not read), so this times the lane's
+    kernel+join cost, not corpus scan; it deliberately mirrors the
+    oracle-gated ``dhash`` family's construction at 20× its gate."""
+    from picoprobedataflow_spark.operators.multimodal import \
+        image_near_dup_pairs
+    ids = (tbl(spark, sf_dir, "documents")
+           .select("doc_id").filter(F.col("doc_id") < 2000))
+    imgs = MM.synthetic_image_corpus(ids)
+    return image_near_dup_pairs(imgs, codec="fake")
+
+
 def ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ungated production shape for the bench/scaling harnesses (NOT
     a catalog entry): exact two-sample KS between the even-doc_id
