@@ -371,3 +371,34 @@ def test_incremental_simhash_union_invariant(spark, sigs, cut,
                                   **kw).collect()}
     assert base | inc == full
     assert base & inc == set()
+
+
+@settings(**_SETTINGS)
+@given(old=st.dictionaries(st.integers(0, 12),
+                           st.one_of(st.none(), _TEXT),
+                           max_size=8),
+       new=st.dictionaries(st.integers(0, 12),
+                           st.one_of(st.none(), _TEXT),
+                           max_size=8))
+def test_corpus_diff_matches_dict_model(spark, old, new):
+    """corpus_diff vs the naive dict model over random snapshots
+    with overlapping ids and NULL texts: every id classified, no id
+    invented, statuses exact."""
+    from picoprobedataflow_spark.operators.merge import corpus_diff
+
+    schema = "doc_id long, text string"
+    odf = spark.createDataFrame(list(old.items()), schema)
+    ndf = spark.createDataFrame(list(new.items()), schema)
+    got = {r.doc_id: r.status
+           for r in corpus_diff(odf, ndf).collect()}
+    want = {}
+    for i in set(old) | set(new):
+        if i not in old:
+            want[i] = "added"
+        elif i not in new:
+            want[i] = "removed"
+        elif old[i] == new[i]:
+            want[i] = "unchanged"
+        else:
+            want[i] = "changed"
+    assert got == want
