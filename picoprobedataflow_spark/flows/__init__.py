@@ -8,6 +8,9 @@ telemetry outputs.
 """
 
 from picoprobedataflow_spark.flows.analyzer import FlowAnalyzer  # noqa: F401
+from picoprobedataflow_spark.flows.crawl import (  # noqa: F401
+    prioritize_frontier,
+)
 from picoprobedataflow_spark.flows.curation import (  # noqa: F401
     CurationResult,
     curate_documents,

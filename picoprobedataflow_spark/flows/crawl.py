@@ -1,0 +1,68 @@
+"""The crawl-frontier prioritization flow: the ACQUISITION-side
+composition (the curation flow in :mod:`.curation` is the
+processing side) — given the link graph discovered so far and the
+resolved robots rule sets, emit the next-fetch list: PageRank-scored,
+robots-compliant, per-domain-capped, globally top-N.
+
+Every stage is an existing gated operator (:func:`..operators.graph.
+pagerank`, :func:`..functions.web.robots_gate`,
+:func:`..functions.web.domain_quota_sample` with the round-13
+``order_col`` score ranking); this module adds no new math.
+
+Scale posture: the link graph materializes once inside pagerank
+(per-iteration join + aggregate over node-keyed vectors); the robots
+verdict is ONE broadcast join; the domain cap is the skew-safe
+hierarchical window ranked by score; the final top-N is an
+``orderBy().limit()`` — Catalyst's TakeOrderedAndProject, never a
+global sort materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def prioritize_frontier(links: DataFrame, rules: DataFrame, *,
+                        src_col: str = "src_url",
+                        dst_col: str = "dst_url",
+                        quota: int = 2, top_n: int = 100,
+                        n_iter: int = 10, damping: float = 0.85,
+                        seeds: DataFrame | None = None) -> DataFrame:
+    """(url, domain, pr, allowed_rank): the next-fetch list.
+
+    Stages: normalize both link endpoints
+    (:func:`..functions.web.url_normalize` — the graph must not
+    split a page across trivially-different spellings of its URL),
+    PageRank the normalized graph (``seeds`` turns it into the
+    TrustRank-personalized form), drop robots-DISALLOWED URLs
+    (:func:`..functions.web.robots_gate` against the resolved rule
+    table), cap each registrable domain at ``quota`` by SCORE
+    (highest PageRank first — the ``order_col`` ranking), and return
+    the global top ``top_n`` by score. ``allowed_rank`` is the
+    within-domain score rank (1 = the domain's best fetch)."""
+    from picoprobedataflow_spark.functions.web import (
+        domain_quota_sample, robots_gate, url_normalize)
+    from picoprobedataflow_spark.operators.graph import pagerank
+
+    e = links.select(
+        url_normalize(F.col(src_col)).alias("src"),
+        url_normalize(F.col(dst_col)).alias("dst"))
+    pr = (pagerank(e, n_iter=n_iter, damping=damping, seeds=seeds)
+          .select(F.col("node").alias("url"), "pr"))
+    verdicts = robots_gate(
+        pr.select(F.col("url").alias("u_id"),
+                  F.col("url").alias("u")),
+        rules, url_col="u", id_col="u_id")
+    allowed = (pr.join(verdicts.filter(F.col("allowed"))
+                       .select(F.col("u_id").alias("url")), "url"))
+    capped = domain_quota_sample(allowed, url_col="url",
+                                 quota=quota, id_col="url",
+                                 order_col="pr")
+    kept = (allowed.join(capped.filter(F.col("kept"))
+                         .select(F.col("url"), "domain",
+                                 F.col("rank").alias("allowed_rank")),
+                         "url"))
+    return (kept.select("url", "domain", "pr", "allowed_rank")
+            .orderBy(F.desc("pr"), "url")
+            .limit(top_n))

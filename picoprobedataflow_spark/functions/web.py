@@ -397,8 +397,17 @@ def _auto_n_buckets(docs: DataFrame, quota: int,
     from ..operators.dedup import _plan_size_bytes
     if est is None:
         est = _plan_size_bytes(docs)
-    n = math.ceil(math.sqrt(est / (max(quota, 1)
-                                   * QUOTA_ROW_BYTES_EST)))
+    # Saturate est BEFORE the float math: Catalyst's estimate for a
+    # join-heavy or stat-less input can be a product in the 1e300s,
+    # and ``huge_int / int`` raises OverflowError at float
+    # conversion (found live: the crawl-frontier flow feeds the
+    # quota a pagerank⋈robots join). Any est at or past the cap
+    # saturates n to QUOTA_MAX_BUCKETS anyway, so clamping first is
+    # exact, not approximate.
+    est_cap = (QUOTA_MAX_BUCKETS ** 2 * max(quota, 1)
+               * QUOTA_ROW_BYTES_EST)
+    n = math.ceil(math.sqrt(min(est, est_cap)
+                            / (max(quota, 1) * QUOTA_ROW_BYTES_EST)))
     return int(max(QUOTA_MIN_BUCKETS, min(QUOTA_MAX_BUCKETS, n)))
 
 
@@ -420,11 +429,21 @@ def _phase1_marks(base: DataFrame, n_buckets: int, salt: str,
 
 
 def _quota_base(docs: DataFrame, url_col: str, id_col: str,
-                salt: str) -> DataFrame:
+                salt: str, order_col: str | None = None) -> DataFrame:
     norm = url_normalize(F.col(url_col))
     dom = registrable_domain(url_host(norm))
-    key = F.md5(F.concat(F.lit(salt + ":"),
-                         F.col(id_col).cast("string")).cast("binary"))
+    if order_col is None:
+        key = F.md5(F.concat(F.lit(salt + ":"),
+                             F.col(id_col).cast("string"))
+                    .cast("binary"))
+    else:
+        # Rank by order_col DESCENDING: negate into the ascending
+        # sort_key slot so BOTH quota methods inherit it unchanged.
+        # NULL scores coalesce to -inf BEFORE negation (+inf after),
+        # so they rank last — under Spark's NULLS FIRST an
+        # unguarded NULL would win the quota.
+        key = -F.coalesce(F.col(order_col).cast("double"),
+                          F.lit(float("-inf")))
     return docs.select(F.col(id_col), norm.alias("norm_url"),
                        dom.alias("domain"), key.alias("sort_key"))
 
@@ -433,11 +452,18 @@ def domain_quota_sample(docs: DataFrame, url_col: str = "url",
                         quota: int = 2, id_col: str = "doc_id",
                         salt: str = "quota",
                         method: str = "auto",
-                        n_buckets: int | str = "auto") -> DataFrame:
+                        n_buckets: int | str = "auto",
+                        order_col: str | None = None) -> DataFrame:
     """Per-domain cap: rank each doc inside its registrable domain by
     a salted md5 of its id (stable across runs/engines/partitionings
     — the same determinization as ``mixture_sample``) and keep the
-    first ``quota``. Output adds ``norm_url``, ``domain``, ``rank``,
+    first ``quota``. ``order_col`` (round 13) swaps the salted-hash
+    ranking for an explicit score column, DESCENDING with NULLs last
+    and the id as tiebreak — quota-by-quality for curation,
+    quota-by-PageRank for a crawl frontier — through the SAME two
+    skew-safe methods (the score negates into the ascending
+    ``sort_key`` slot, so both phases inherit it unchanged).
+    Output adds ``norm_url``, ``domain``, ``rank``,
     ``kept`` to the input id; ``rank`` is the EXACT within-domain
     rank for kept docs and NULL beyond the quota — the rank of the
     billionth doc inside a mega-domain is curation noise, and
@@ -487,7 +513,7 @@ def domain_quota_sample(docs: DataFrame, url_col: str = "url",
     # (round-12 review finds, both halves).
     if method == "hierarchical" and n_buckets == "auto":
         n_buckets = _auto_n_buckets(docs, quota, est=est)
-    base = _quota_base(docs, url_col, id_col, salt)
+    base = _quota_base(docs, url_col, id_col, salt, order_col)
     if method == "window":
         w = W.partitionBy("domain").orderBy("sort_key", id_col)
         r = F.row_number().over(w)

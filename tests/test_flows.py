@@ -310,3 +310,45 @@ def test_curation_flow_rejects_non_integral_id_for_near_stage(spark):
                            repetition_filter=False,
                            near_dedup=False)
     assert [r.doc_id for r in res.kept.collect()] == ["a"]
+
+
+def test_crawl_frontier_prioritization(spark):
+    """The acquisition-side composition: PageRank over the
+    normalized link graph, robots-disallowed URLs dropped, each
+    domain capped at quota by SCORE, global top-N by score — and
+    case-variant URL spellings merge into one node."""
+    from picoprobedataflow_spark.flows import prioritize_frontier
+    from picoprobedataflow_spark.functions.web import \
+        robots_rules_table
+
+    edges = [
+        ("https://a.com/", "https://a.com/1"),
+        ("HTTPS://A.com/", "https://a.com/2"),   # case variant of hub
+        ("https://a.com/", "https://a.com/3"),
+        ("https://a.com/1", "https://b.org/x"),
+        ("https://a.com/2", "https://b.org/x"),
+        ("https://a.com/3", "https://b.org/x"),
+        ("https://b.org/x", "https://a.com/private"),
+    ]
+    links = spark.createDataFrame(edges,
+                                  "src_url string, dst_url string")
+    rules = robots_rules_table(
+        spark, [("a.com", "/private", False)])
+    out = prioritize_frontier(links, rules, quota=2,
+                              top_n=10).collect()
+    urls = [r.url for r in out]
+    # robots: the disallowed URL never reaches the frontier
+    assert "https://a.com/private" not in urls
+    # normalization: exactly ONE hub node (the case variant merged)
+    assert urls.count("https://a.com/") <= 1
+    # quota: a.com capped at 2, ranked 1..2 by score
+    acom = [r for r in out if r.domain == "a.com"]
+    assert len(acom) == 2
+    assert sorted(r.allowed_rank for r in acom) == [1, 2]
+    # score order: the heavily-linked b.org/x leads the list
+    assert out[0].url == "https://b.org/x"
+    assert all(out[i].pr >= out[i + 1].pr
+               for i in range(len(out) - 1))
+    # top_n truncates
+    assert len(prioritize_frontier(links, rules, quota=2,
+                                   top_n=2).collect()) == 2

@@ -642,3 +642,34 @@ def test_robots_txt_parse_total_on_arbitrary_text():
             assert isinstance(allow, bool)
 
     prop()
+
+
+def test_domain_quota_order_col_ranking(spark):
+    """order_col ranks the quota by SCORE descending through BOTH
+    methods identically — NULL scores rank last, id breaks ties —
+    and an astronomically-large Catalyst estimate no longer
+    overflows the auto bucket sizing (found live via the crawl
+    flow's join-derived input)."""
+    from picoprobedataflow_spark.functions.web import (
+        _auto_n_buckets, domain_quota_sample)
+
+    rows = [(1, "https://a.com/1", 0.9), (2, "https://a.com/2", 0.5),
+            (3, "https://a.com/3", 0.7), (4, "https://a.com/4", None),
+            (5, "https://b.org/x", 0.1)]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, url string, s double")
+    outs = {}
+    for m in ("window", "hierarchical"):
+        out = domain_quota_sample(docs, quota=2, method=m,
+                                  n_buckets=8, order_col="s")
+        outs[m] = sorted((r.doc_id, r.rank, r.kept)
+                         for r in out.collect())
+    assert outs["window"] == outs["hierarchical"]
+    kept = {d: (r, k) for d, r, k in outs["window"]}
+    # a.com: scores 0.9 > 0.7 > 0.5 > NULL — top-2 kept, ranked
+    assert kept[1] == (1, True) and kept[3] == (2, True)
+    assert kept[2] == (None, False) and kept[4] == (None, False)
+    assert kept[5] == (1, True)   # b.org under quota
+    # overflow guard: a beyond-float-range estimate saturates to the
+    # bucket cap instead of raising
+    assert _auto_n_buckets(docs, 2, est=10 ** 320) == 1 << 20
