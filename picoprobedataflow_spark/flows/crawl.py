@@ -28,7 +28,8 @@ def prioritize_frontier(links: DataFrame, rules: DataFrame, *,
                         dst_col: str = "dst_url",
                         quota: int = 2, top_n: int = 100,
                         n_iter: int = 10, damping: float = 0.85,
-                        seeds: DataFrame | None = None) -> DataFrame:
+                        seeds: DataFrame | None = None,
+                        fetched: DataFrame | None = None) -> DataFrame:
     """(url, domain, pr, allowed_rank): the next-fetch list.
 
     Stages: normalize both link endpoints
@@ -40,7 +41,14 @@ def prioritize_frontier(links: DataFrame, rules: DataFrame, *,
     table), cap each registrable domain at ``quota`` by SCORE
     (highest PageRank first — the ``order_col`` ranking), and return
     the global top ``top_n`` by score. ``allowed_rank`` is the
-    within-domain score rank (1 = the domain's best fetch)."""
+    within-domain score rank (1 = the domain's best fetch).
+
+    ``fetched`` (a 1-column frame of already-crawled URLs,
+    normalized through the same canonicalizer here) anti-joins out
+    of the candidate set AFTER scoring — fetched pages still donate
+    their rank to the graph (they ARE the graph), they just stop
+    being fetch candidates. ``seeds`` must be spelled in canonical
+    form (they match against normalized nodes)."""
     from picoprobedataflow_spark.functions.web import (
         domain_quota_sample, robots_gate, url_normalize)
     from picoprobedataflow_spark.operators.graph import pagerank
@@ -50,6 +58,14 @@ def prioritize_frontier(links: DataFrame, rules: DataFrame, *,
         url_normalize(F.col(dst_col)).alias("dst"))
     pr = (pagerank(e, n_iter=n_iter, damping=damping, seeds=seeds)
           .select(F.col("node").alias("url"), "pr"))
+    if fetched is not None:
+        if len(fetched.columns) != 1:
+            raise ValueError(
+                f"fetched must be a 1-column frame of URLs; got "
+                f"{fetched.columns}")
+        done = fetched.select(
+            url_normalize(F.col(fetched.columns[0])).alias("url"))
+        pr = pr.join(done, "url", "left_anti")
     verdicts = robots_gate(
         pr.select(F.col("url").alias("u_id"),
                   F.col("url").alias("u")),

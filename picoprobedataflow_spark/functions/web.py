@@ -710,3 +710,37 @@ def robots_txt_parse(text: str, user_agent: str,
         if spec == best and best > -2:
             rules.extend((domain, p, allow) for p, allow in grp_rules)
     return rules
+
+
+def sitemap_urls(docs: DataFrame, content_col: str = "content",
+                 host_col: str = "host") -> DataFrame:
+    """(host, url): URL inventory from fetched sitemap XML — the
+    discovery half the robots lane's fetch side pairs with
+    (:func:`robots_txt_parse` resolves what you MAY fetch; the
+    sitemap says what the host WANTS fetched). Extracts every
+    ``<loc>…</loc>`` entry (the shared element of urlset AND
+    sitemap-index files, so nested indexes chain through the same
+    op), trims surrounding whitespace, entity-decodes the five XML
+    escapes (``&amp; &lt; &gt; &quot; &apos;`` — required output
+    escaping per the sitemap protocol), and normalizes through
+    :func:`url_normalize`. Row-local regexp work (one
+    ``regexp_extract_all`` + explode per document, JVM-side, no
+    Python); a malformed or loc-less document contributes zero rows,
+    not an error."""
+    # RE2-safe (module convention): no lazy quantifier — loc content
+    # cannot contain '<', so [^<]* is exact; surrounding whitespace
+    # trims afterwards.
+    locs = F.expr(
+        f"regexp_extract_all({content_col}, '<loc>([^<]*)</loc>', 1)")
+    # regexp trim, not F.trim: Spark's trim strips SPACES only, and
+    # sitemap loc values routinely carry newlines/tabs (pinned).
+    u = F.regexp_replace(
+        F.regexp_replace(F.col("_loc"), "^\\s+", ""), "\\s+$", "")
+    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&apos;", "'")):
+        u = F.replace(u, F.lit(ent), F.lit(ch))
+    return (docs
+            .filter(F.col(content_col).isNotNull())
+            .select(F.col(host_col).alias("host"),
+                    F.explode(locs).alias("_loc"))
+            .select("host", url_normalize(u).alias("url")))

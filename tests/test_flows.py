@@ -352,3 +352,35 @@ def test_crawl_frontier_prioritization(spark):
     # top_n truncates
     assert len(prioritize_frontier(links, rules, quota=2,
                                    top_n=2).collect()) == 2
+
+
+def test_crawl_frontier_excludes_fetched(spark):
+    """Already-fetched URLs leave the candidate set (even under a
+    spelling variant) but keep donating rank to the graph; a
+    multi-column fetched frame is rejected."""
+    import pytest as _pytest
+
+    from picoprobedataflow_spark.flows import prioritize_frontier
+    from picoprobedataflow_spark.functions.web import \
+        robots_rules_table
+
+    links = spark.createDataFrame(
+        [("https://a.com/", "https://b.org/x"),
+         ("https://a.com/", "https://a.com/1"),
+         ("https://b.org/x", "https://a.com/1")],
+        "src_url string, dst_url string")
+    rules = robots_rules_table(spark, [])
+    base = prioritize_frontier(links, rules, top_n=10).collect()
+    assert "https://b.org/x" in {r.url for r in base}
+    fetched = spark.createDataFrame([("HTTPS://B.org/x#seen",)],
+                                    "u string")
+    out = prioritize_frontier(links, rules, top_n=10,
+                              fetched=fetched).collect()
+    urls = {r.url for r in out}
+    assert "https://b.org/x" not in urls          # excluded
+    assert "https://a.com/1" in urls              # still ranked by it
+    pr_a1 = {r.url: r.pr for r in base}["https://a.com/1"]
+    assert {r.url: r.pr for r in out}["https://a.com/1"] == pr_a1
+    with _pytest.raises(ValueError):
+        prioritize_frontier(links, rules,
+                            fetched=links)  # 2 columns

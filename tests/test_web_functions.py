@@ -673,3 +673,28 @@ def test_domain_quota_order_col_ranking(spark):
     # overflow guard: a beyond-float-range estimate saturates to the
     # bucket cap instead of raising
     assert _auto_n_buckets(docs, 2, est=10 ** 320) == 1 << 20
+
+
+def test_sitemap_urls_extraction(spark):
+    """Sitemap <loc> extraction: urlset and sitemap-index files both
+    yield their entries, whitespace trims, XML entities decode,
+    URLs normalize, loc-less or NULL content contributes nothing."""
+    from picoprobedataflow_spark.functions.web import sitemap_urls
+
+    urlset = ("<?xml version='1.0'?><urlset>"
+              "<url><loc> https://A.com/page?a=1&amp;b=2 </loc></url>"
+              "<url><loc>\nhttps://a.com/two#frag\n</loc></url>"
+              "</urlset>")
+    index = ("<sitemapindex><sitemap>"
+             "<loc>https://a.com/sitemap2.xml</loc>"
+             "</sitemap></sitemapindex>")
+    docs = spark.createDataFrame(
+        [("a.com", urlset), ("a.com", index),
+         ("b.org", "<urlset></urlset>"), ("c.net", None)],
+        "host string, content string")
+    got = {(r.host, r.url) for r in sitemap_urls(docs).collect()}
+    assert got == {
+        ("a.com", "https://a.com/page?a=1&b=2"),   # entity + case
+        ("a.com", "https://a.com/two"),            # fragment dropped
+        ("a.com", "https://a.com/sitemap2.xml"),   # index chains
+    }
