@@ -47,8 +47,10 @@ def prioritize_frontier(links: DataFrame, rules: DataFrame, *,
     normalized through the same canonicalizer here) anti-joins out
     of the candidate set AFTER scoring — fetched pages still donate
     their rank to the graph (they ARE the graph), they just stop
-    being fetch candidates. ``seeds`` must be spelled in canonical
-    form (they match against normalized nodes)."""
+    being fetch candidates. ``seeds`` normalize through the same
+    canonicalizer before entering the teleport set (review find: a
+    raw-cased seed silently matched no node and dropped out of the
+    TrustRank restart)."""
     from picoprobedataflow_spark.functions.web import (
         domain_quota_sample, robots_gate, url_normalize)
     from picoprobedataflow_spark.operators.graph import pagerank
@@ -56,6 +58,16 @@ def prioritize_frontier(links: DataFrame, rules: DataFrame, *,
     e = links.select(
         url_normalize(F.col(src_col)).alias("src"),
         url_normalize(F.col(dst_col)).alias("dst"))
+    if seeds is not None:
+        if len(seeds.columns) != 1:
+            # pagerank rejects multi-column seed frames itself;
+            # narrowing to columns[0] here would silently bypass
+            # that guard (the same silent-shape class).
+            raise ValueError(
+                f"seeds must be a 1-column frame of URLs; got "
+                f"{seeds.columns}")
+        seeds = seeds.select(
+            url_normalize(F.col(seeds.columns[0])).alias("seed"))
     pr = (pagerank(e, n_iter=n_iter, damping=damping, seeds=seeds)
           .select(F.col("node").alias("url"), "pr"))
     if fetched is not None:

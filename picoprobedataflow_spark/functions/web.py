@@ -729,15 +729,22 @@ def sitemap_urls(docs: DataFrame, content_col: str = "content",
     not an error."""
     # RE2-safe (module convention): no lazy quantifier — loc content
     # cannot contain '<', so [^<]* is exact; surrounding whitespace
-    # trims afterwards.
-    locs = F.expr(
-        f"regexp_extract_all({content_col}, '<loc>([^<]*)</loc>', 1)")
+    # trims afterwards. F.regexp_extract_all (not an f-string into
+    # F.expr) so an exotic content_col name needs no quoting.
+    locs = F.regexp_extract_all(
+        F.col(content_col), F.lit("<loc>([^<]*)</loc>"), F.lit(1))
     # regexp trim, not F.trim: Spark's trim strips SPACES only, and
     # sitemap loc values routinely carry newlines/tabs (pinned).
     u = F.regexp_replace(
         F.regexp_replace(F.col("_loc"), "^\\s+", ""), "\\s+$", "")
-    for ent, ch in (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-                    ("&quot;", '"'), ("&apos;", "'")):
+    # '&amp;' decodes LAST (review find, reproduced live): decoding
+    # it first turns '&amp;lt;' — the legal escaping of a literal
+    # '&lt;' in the URL — into '&lt;' and then a second pass eats it
+    # to '<', corrupting every URL whose text contains an
+    # escaped-ampersand entity.
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&apos;", "'"),
+                    ("&amp;", "&")):
         u = F.replace(u, F.lit(ent), F.lit(ch))
     return (docs
             .filter(F.col(content_col).isNotNull())

@@ -339,8 +339,16 @@ def test_crawl_frontier_prioritization(spark):
     urls = [r.url for r in out]
     # robots: the disallowed URL never reaches the frontier
     assert "https://a.com/private" not in urls
-    # normalization: exactly ONE hub node (the case variant merged)
-    assert urls.count("https://a.com/") <= 1
+    # normalization: the case variant MERGED into one hub — no raw
+    # spelling survives, and /1 /2 /3 share identical pr (an
+    # unmerged hub would split its rank: /2 fed by one spelling,
+    # /1 /3 by the other, unequal scores — review find: the old
+    # count()<=1 assertion was vacuously true)
+    assert "HTTPS://A.com/" not in urls
+    prs = {r.url: r.pr for r in out}
+    fed = [prs[u] for u in ("https://a.com/1", "https://a.com/2",
+                            "https://a.com/3") if u in prs]
+    assert len(set(fed)) == 1 and len(fed) >= 2
     # quota: a.com capped at 2, ranked 1..2 by score
     acom = [r for r in out if r.domain == "a.com"]
     assert len(acom) == 2

@@ -698,3 +698,12 @@ def test_sitemap_urls_extraction(spark):
         ("a.com", "https://a.com/two"),            # fragment dropped
         ("a.com", "https://a.com/sitemap2.xml"),   # index chains
     }
+    # entity decode ORDER (review find, reproduced live): '&amp;lt;'
+    # is the legal escaping of a literal '&lt;' in the URL — decoding
+    # '&amp;' first would double-decode it to '<'
+    tricky = spark.createDataFrame(
+        [("t.com", "<urlset><url><loc>"
+          "https://t.com/?q=x&amp;lt;y</loc></url></urlset>")],
+        "host string, content string")
+    assert [r.url for r in sitemap_urls(tricky).collect()] == \
+        ["https://t.com/?q=x&lt;y"]
