@@ -392,3 +392,19 @@ def test_crawl_frontier_excludes_fetched(spark):
     with _pytest.raises(ValueError):
         prioritize_frontier(links, rules,
                             fetched=links)  # 2 columns
+
+
+def test_crawl_frontier_total_on_empty_graph(spark):
+    """An empty link graph yields an empty frontier with the output
+    schema — no stage crashes (pagerank's empty-graph totality,
+    the robots gate and quota over zero candidates)."""
+    from picoprobedataflow_spark.flows import prioritize_frontier
+    from picoprobedataflow_spark.functions.web import \
+        robots_rules_table
+
+    links = spark.createDataFrame(
+        [], "src_url string, dst_url string")
+    rules = robots_rules_table(spark, [("a.com", "/x", False)])
+    out = prioritize_frontier(links, rules)
+    assert out.collect() == []
+    assert out.columns == ["url", "domain", "pr", "allowed_rank"]
