@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 
 from picoprobedataflow_spark.functions import web as WB
 from picoprobedataflow_spark.operators import dedup as DD
+from picoprobedataflow_spark.operators.graph import \
+    pagerank as DD_pagerank
 
 _SETTINGS = dict(max_examples=8, deadline=None,
                  suppress_health_check=[
@@ -402,3 +404,105 @@ def test_corpus_diff_matches_dict_model(spark, old, new):
         else:
             want[i] = "changed"
     assert got == want
+
+
+def _np_pagerank(edges, n_iter, d, seeds=None):
+    import numpy as np
+    nodes = sorted({u for e in edges for u in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    out = {n: 0 for n in nodes}
+    for s, _t in edges:
+        out[s] += 1
+    tele = np.zeros(N)
+    if seeds is None:
+        tele[:] = 1.0 / N
+    else:
+        eff = [s for s in seeds if s in idx]
+        for s in eff:
+            tele[idx[s]] = 1.0 / len(eff)
+    pr = tele.copy()
+    for _ in range(n_iter):
+        nxt = np.zeros(N)
+        m = 0.0
+        for n in nodes:
+            if out[n] == 0:
+                m += pr[idx[n]]
+        for s, t in edges:
+            nxt[idx[t]] += pr[idx[s]] / out[s]
+        if seeds is None:
+            pr = (1 - d) / N + d * (nxt + m / N)
+        else:
+            pr = (1 - d) * tele + d * (nxt + m * tele)
+    return {n: pr[idx[n]] for n in nodes}
+
+
+@settings(**_SETTINGS)
+@given(edges=st.sets(st.tuples(st.integers(0, 6),
+                               st.integers(0, 6)),
+                     min_size=1, max_size=14),
+       n_iter=st.integers(1, 4),
+       seeded=st.booleans())
+def test_pagerank_matches_numpy_on_random_graphs(spark, edges,
+                                                 n_iter, seeded):
+    """pagerank (uniform AND TrustRank-seeded) vs the numpy model on
+    arbitrary small digraphs — self-loops, dangling tangles, seed
+    sets of every shape; vector always sums to 1."""
+    elist = sorted(edges)
+    df = spark.createDataFrame(elist, "src long, dst long")
+    seeds = None
+    seeds_df = None
+    if seeded:
+        nodes = sorted({u for e in elist for u in e})
+        seeds = nodes[:max(1, len(nodes) // 2)]
+        seeds_df = spark.createDataFrame([(s,) for s in seeds],
+                                         "node long")
+    got = {r.node: r.pr
+           for r in DD_pagerank(df, n_iter=n_iter,
+                                round_digits=None,
+                                seeds=seeds_df).collect()}
+    want = _np_pagerank(elist, n_iter, 0.85, seeds)
+    assert set(got) == set(want)
+    for n, v in want.items():
+        assert abs(got[n] - v) < 1e-9, n
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def _np_hits(edges, n_iter):
+    import numpy as np
+    nodes = sorted({u for e in edges for u in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, t in edges:
+        A[idx[s], idx[t]] = 1.0
+    h = np.full(len(nodes), 1.0 / len(nodes))
+    a = h.copy()
+    for _ in range(n_iter):
+        a = A.T @ h
+        if a.sum() > 0:
+            a = a / a.sum()
+        h = A @ a
+        if h.sum() > 0:
+            h = h / h.sum()
+    return {n: (h[idx[n]], a[idx[n]]) for n in nodes}
+
+
+@settings(**_SETTINGS)
+@given(edges=st.sets(st.tuples(st.integers(0, 6),
+                               st.integers(0, 6)),
+                     min_size=1, max_size=14),
+       n_iter=st.integers(1, 4))
+def test_hits_matches_numpy_on_random_graphs(spark, edges, n_iter):
+    """hits vs the L1-normalized numpy model on arbitrary small
+    digraphs, incl. graphs where one side's mass goes to zero."""
+    elist = sorted(edges)
+    df = spark.createDataFrame(elist, "src long, dst long")
+    from picoprobedataflow_spark.operators.graph import hits
+    got = {r.node: (r.hub, r.auth)
+           for r in hits(df, n_iter=n_iter,
+                         round_digits=None).collect()}
+    want = _np_hits(elist, n_iter)
+    assert set(got) == set(want)
+    for n, (wh, wa) in want.items():
+        assert abs(got[n][0] - wh) < 1e-9, n
+        assert abs(got[n][1] - wa) < 1e-9, n
