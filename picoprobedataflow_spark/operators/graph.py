@@ -262,3 +262,44 @@ def hits(edges: DataFrame, n_iter: int = 10,
         v = v.select("node", F.round("hub", round_digits).alias("hub"),
                      F.round("auth", round_digits).alias("auth"))
     return v
+
+
+def spam_mass(edges: DataFrame, seeds: DataFrame,
+              n_iter: int = 10, damping: float = 0.85,
+              src_col: str = "src", dst_col: str = "dst",
+              round_digits: int | None = 6) -> DataFrame:
+    """(node, pr, trust, rel_spam_mass): the Gyöngyi et al. spam-mass
+    estimate — how much of a page's PageRank is NOT accounted for by
+    rank flowing from a trusted seed set:
+    ``rel_spam_mass = (pr − trust) / pr`` with ``pr`` the uniform
+    PageRank and ``trust`` the TrustRank-personalized score over the
+    same graph (both vectors sum to 1, so the two scales align with
+    no calibration constant — the paper's relative-mass form). Values
+    near 1 mean virtually all of the page's rank arrives from outside
+    the trusted region (the link-spam signature a crawl corpus
+    demotes); near or below 0 means trusted flow covers it.
+
+    A pure composition of two :func:`pagerank` runs (uniform +
+    seeded) joined on node — no third iteration engine; cost is
+    exactly 2× one pagerank. ``pr`` is strictly positive (the uniform
+    restart mass reaches every node), so the ratio is total."""
+    pr = pagerank(edges, n_iter=n_iter, damping=damping,
+                  src_col=src_col, dst_col=dst_col,
+                  round_digits=None)
+    tr = pagerank(edges, n_iter=n_iter, damping=damping,
+                  src_col=src_col, dst_col=dst_col,
+                  round_digits=None, seeds=seeds)
+    j = (pr.select("node", F.col("pr"))
+         .join(tr.select("node", F.col("pr").alias("trust")),
+               "node"))
+    rel = (F.col("pr") - F.col("trust")) / F.col("pr")
+    out = j.select("node", "pr", "trust",
+                   rel.alias("rel_spam_mass"))
+    if round_digits is not None:
+        out = out.select(
+            "node",
+            F.round("pr", round_digits).alias("pr"),
+            F.round("trust", round_digits).alias("trust"),
+            F.round("rel_spam_mass", round_digits)
+            .alias("rel_spam_mass"))
+    return out

@@ -3619,3 +3619,31 @@ def test_ks_report_matches_hand_model(spark):
     b = spark.createDataFrame([(1.01,), (2.0,)], "v double")
     assert ks_report(a, b, "v", round_to=1).head().ks == 0.0
     assert ks_report(a, b, "v").head().ks == 0.5
+
+
+def test_spam_mass_separates_islands(spark):
+    """Spam-mass composition: nodes of an island unreachable from
+    the trusted seeds carry rel_spam_mass 1 (their trust is 0),
+    seed-reachable nodes sit well below, and pr/trust columns match
+    standalone pagerank runs exactly."""
+    from picoprobedataflow_spark.operators.graph import (
+        pagerank, spam_mass)
+
+    # trusted island 0->1->2 (seed 0); spam farm 3<->4->5
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 3), (4, 5)],
+        "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r for r in spam_mass(edges, seeds,
+                                        n_iter=6).collect()}
+    for spammy in (3, 4, 5):
+        assert got[spammy].trust == 0.0
+        assert got[spammy].rel_spam_mass == 1.0
+    for trusted in (0, 1, 2):
+        assert got[trusted].rel_spam_mass < 0.9
+    assert got[2].trust > 0.0
+    # columns equal the standalone runs (pure composition)
+    pr = {r.node: round(r.pr, 6) for r in
+          pagerank(edges, n_iter=6, round_digits=None).collect()}
+    for n, r in got.items():
+        assert r.pr == round(pr[n], 6)
