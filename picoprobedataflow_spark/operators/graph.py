@@ -31,7 +31,8 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
              damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
              round_digits: int | None = 6,
-             seeds: DataFrame | None = None) -> DataFrame:
+             seeds: DataFrame | None = None,
+             weight_col: str | None = None) -> DataFrame:
     """(node, outdeg, pr): PageRank after exactly ``n_iter`` power
     iterations from the uniform vector, with dangling-mass
     redistribution::
@@ -64,25 +65,60 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
     present in the graph are ignored; an empty effective seed set is
     rejected (the teleport would be undefined). Plan impact: the
     teleport indicator joins in ONCE as a small broadcast (seed
-    lists are tiny by construction)."""
+    lists are tiny by construction).
+
+    ``weight_col`` (round 13) makes the walk WEIGHTED: a node's rank
+    divides over its out-edges proportionally to edge weight
+    (``share(u→v) = pr(u) · w(u→v) / Σ_x w(u→x)``) — link
+    multiplicities, citation counts, click-through mass. Duplicate
+    (src, dst) rows SUM their weights (the weighted analog of the
+    unweighted collapse); non-positive and NULL weights drop (a
+    zero-weight edge is no edge — it must not leave its source
+    looking non-dangling). The default ``None`` keeps the original
+    unweighted arithmetic bit-for-bit (the gated family's oracle
+    replays that form); ``outdeg`` reports the distinct out-edge
+    count in both modes."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    e = (edges.select(F.col(src_col).alias("src"),
-                      F.col(dst_col).alias("dst"))
-         .distinct()
-         .repartition("src")
-         .localCheckpoint(eager=True))
+    if weight_col is None:
+        e = (edges.select(F.col(src_col).alias("src"),
+                          F.col(dst_col).alias("dst"))
+             .distinct()
+             .repartition("src")
+             .localCheckpoint(eager=True))
+    else:
+        e = (edges.select(F.col(src_col).alias("src"),
+                          F.col(dst_col).alias("dst"),
+                          F.col(weight_col).cast("double")
+                          .alias("_w"))
+             .filter(F.col("_w") > 0)
+             .groupBy("src", "dst").agg(F.sum("_w").alias("_w"))
+             .repartition("src")
+             .localCheckpoint(eager=True))
     nodes = (e.select(F.col("src").alias("node"))
              .unionAll(e.select(F.col("dst").alias("node")))
              .distinct()
              .localCheckpoint(eager=True))
     n_nodes = nodes.count()
-    outd = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    base = (nodes.join(outd, nodes["node"] == outd["src"], "left")
-            .select("node",
-                    F.coalesce("outdeg", F.lit(0)).cast("long")
-                     .alias("outdeg"))
-            .localCheckpoint(eager=True))
+    if weight_col is None:
+        outd = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+        base = (nodes.join(outd, nodes["node"] == outd["src"],
+                           "left")
+                .select("node",
+                        F.coalesce("outdeg", F.lit(0)).cast("long")
+                         .alias("outdeg"))
+                .localCheckpoint(eager=True))
+    else:
+        outd = e.groupBy("src").agg(
+            F.count("*").alias("outdeg"),
+            F.sum("_w").alias("_s"))
+        base = (nodes.join(outd, nodes["node"] == outd["src"],
+                           "left")
+                .select("node",
+                        F.coalesce("outdeg", F.lit(0)).cast("long")
+                         .alias("outdeg"),
+                        F.coalesce("_s", F.lit(0.0)).alias("_s"))
+                .localCheckpoint(eager=True))
     if seeds is not None and len(seeds.columns) != 1:
         # Eager rejection (review find, same silent-shape class as
         # logreg_predict's zip-truncation): narrowing a multi-column
@@ -138,7 +174,9 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
     else:
         restart = F.lit(1.0 - damping) * tele
         dang_of = F.col("_m") * tele
-    pr = base.select("node", "outdeg", "_seed", tele.alias("pr"))
+    keep = ["node", "outdeg", "_seed"] + \
+        (["_s"] if weight_col is not None else [])
+    pr = base.select(*keep, tele.alias("pr"))
     for _ in range(n_iter):
         # Dangling mass: one 1-row aggregate, broadcast into the
         # update expression via crossJoin (the catalog's scalar-agg
@@ -150,17 +188,31 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
         # DIVIDE_BY_ZERO even though the join would drop the row
         # (the round-9 totality-under-ANSI bug class — the predicate
         # does not shield the projection).
-        contrib = (e.join(pr.select(F.col("node").alias("src"),
-                                    F.when(F.col("outdeg") > 0,
-                                           F.col("pr")
-                                           / F.col("outdeg"))
-                                    .alias("_share")), "src")
-                   .groupBy("dst")
-                   .agg(F.sum("_share").alias("_in")))
+        if weight_col is None:
+            contrib = (e.join(
+                pr.select(F.col("node").alias("src"),
+                          F.when(F.col("outdeg") > 0,
+                                 F.col("pr") / F.col("outdeg"))
+                          .alias("_share")), "src")
+                .groupBy("dst")
+                .agg(F.sum("_share").alias("_in")))
+        else:
+            # Weighted share: pr·w/Σw — w lives on the edge, so the
+            # expression evaluates AFTER the join. The Σw guard is
+            # the same ANSI-totality point as the outdeg one.
+            contrib = (e.join(
+                pr.select(F.col("node").alias("src"), "pr", "_s"),
+                "src")
+                .select("dst",
+                        F.when(F.col("_s") > 0,
+                               F.col("pr") * F.col("_w")
+                               / F.col("_s")).alias("_share"))
+                .groupBy("dst")
+                .agg(F.sum("_share").alias("_in")))
         pr = (base.join(contrib, base["node"] == contrib["dst"],
                         "left")
               .crossJoin(F.broadcast(dang))
-              .select("node", "outdeg", "_seed",
+              .select(*keep,
                       (restart
                        + F.lit(damping)
                        * (F.coalesce("_in", F.lit(0.0))
@@ -171,7 +223,7 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
         # one bounded job, the same reason the k-means build
         # checkpoints per iteration.
         pr = pr.localCheckpoint(eager=True)
-    pr = pr.drop("_seed")
+    pr = pr.drop("_seed", "_s")
     if round_digits is not None:
         pr = pr.select("node", "outdeg",
                        F.round("pr", round_digits).alias("pr"))

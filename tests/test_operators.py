@@ -3647,3 +3647,51 @@ def test_spam_mass_separates_islands(spark):
           pagerank(edges, n_iter=6, round_digits=None).collect()}
     for n, r in got.items():
         assert r.pr == round(pr[n], 6)
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    """weight_col: rank divides over out-edges proportionally to
+    weight (numpy model agreement), duplicate edges SUM weights,
+    non-positive/NULL weights drop (and a node whose only out-edge
+    had weight 0 is dangling), uniform weights reproduce the
+    unweighted op exactly."""
+    import numpy as np
+
+    from picoprobedataflow_spark.operators.graph import pagerank
+
+    rows = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0),
+            (0, 1, 1.0),            # duplicate edge: sums to 4.0
+            (2, 0, 0.0),            # zero weight: dropped -> 2 dangling
+            (1, 0, None)]           # NULL weight: dropped
+    df = spark.createDataFrame(rows,
+                               "src long, dst long, w double")
+    it, d = 5, 0.85
+    got = {r.node: (r.outdeg, r.pr)
+           for r in pagerank(df, n_iter=it, weight_col="w",
+                             round_digits=None).collect()}
+    # numpy model over the effective weighted graph
+    W = {(0, 1): 4.0, (0, 2): 1.0, (1, 2): 2.0}
+    nodes = [0, 1, 2]
+    s = {0: 5.0, 1: 2.0, 2: 0.0}
+    pr = np.full(3, 1 / 3)
+    for _ in range(it):
+        nxt = np.zeros(3)
+        m = pr[2]  # node 2 dangling
+        for (u, v), w in W.items():
+            nxt[v] += pr[u] * w / s[u]
+        pr = (1 - d) / 3 + d * (nxt + m / 3)
+    for n in nodes:
+        assert abs(got[n][1] - pr[n]) < 1e-9, n
+    assert abs(sum(v for _, v in got.values()) - 1.0) < 1e-9
+    assert got[2][0] == 0                     # dangling after drops
+    assert got[0][0] == 2 and got[1][0] == 1  # distinct out-edges
+    # uniform weights == the unweighted op exactly
+    uni = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0)],
+        "src long, dst long, w double")
+    plain = spark.createDataFrame([(0, 1), (0, 2), (1, 2)],
+                                  "src long, dst long")
+    a = sorted(map(tuple, pagerank(uni, n_iter=3,
+                                   weight_col="w").collect()))
+    b = sorted(map(tuple, pagerank(plain, n_iter=3).collect()))
+    assert a == b
