@@ -86,17 +86,31 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
              .distinct()
              .repartition("src")
              .localCheckpoint(eager=True))
+        node_src = e
     else:
-        e = (edges.select(F.col(src_col).alias("src"),
-                          F.col(dst_col).alias("dst"),
-                          F.col(weight_col).cast("double")
-                          .alias("_w"))
-             .filter(F.col("_w") > 0)
+        raw = edges.select(F.col(src_col).alias("src"),
+                           F.col(dst_col).alias("dst"),
+                           F.col(weight_col).cast("double")
+                           .alias("_w"))
+        # Finite-positive weights only (review find, reproduced
+        # live): NaN orders GREATER than every number in Spark, so
+        # an unguarded `_w > 0` let a single NaN weight poison the
+        # whole rank vector; +inf similarly NaN-ed pr·w/Σw.
+        e = (raw.filter(F.col("_w").isNotNull()
+                        & ~F.isnan("_w")
+                        & (F.col("_w") > 0)
+                        & (F.col("_w") < float("inf")))
              .groupBy("src", "dst").agg(F.sum("_w").alias("_w"))
              .repartition("src")
              .localCheckpoint(eager=True))
-    nodes = (e.select(F.col("src").alias("node"))
-             .unionAll(e.select(F.col("dst").alias("node")))
+        # Node universe from the UNFILTERED endpoints (review find):
+        # a node mentioned only by dropped-weight edges must still
+        # rank (as dangling/isolated — "a zero-weight edge is no
+        # edge" removes the FLOW, not the node), matching what the
+        # unweighted run over the same table returns.
+        node_src = raw
+    nodes = (node_src.select(F.col("src").alias("node"))
+             .unionAll(node_src.select(F.col("dst").alias("node")))
              .distinct()
              .localCheckpoint(eager=True))
     n_nodes = nodes.count()
@@ -148,7 +162,11 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
         base = (base.join(F.broadcast(
                     seed_df.withColumn("_seed", F.lit(True))),
                     "node", "left")
-                .select("node", "outdeg",
+                # Re-select by the PRE-JOIN column list (review
+                # find, reproduced live: naming node/outdeg here
+                # dropped the weighted path's _s column, making
+                # seeds + weight_col crash at the pr init).
+                .select(*[c for c in base.columns],
                         F.coalesce("_seed", F.lit(False))
                          .alias("_seed"))
                 .localCheckpoint(eager=True))
@@ -333,8 +351,11 @@ def spam_mass(edges: DataFrame, seeds: DataFrame,
 
     A pure composition of two :func:`pagerank` runs (uniform +
     seeded) joined on node — no third iteration engine; cost is
-    exactly 2× one pagerank. ``pr`` is strictly positive (the uniform
-    restart mass reaches every node), so the ratio is total."""
+    exactly 2× one pagerank. ``pr`` is strictly positive for any
+    ``damping < 1`` (the uniform restart mass reaches every node);
+    at the degenerate ``damping = 1.0`` a node with no in-links has
+    ``pr = 0`` and its ratio is undefined — ``rel_spam_mass`` is
+    NULL there, not a crash (the ANSI totality convention)."""
     pr = pagerank(edges, n_iter=n_iter, damping=damping,
                   src_col=src_col, dst_col=dst_col,
                   round_digits=None)
@@ -344,7 +365,8 @@ def spam_mass(edges: DataFrame, seeds: DataFrame,
     j = (pr.select("node", F.col("pr"))
          .join(tr.select("node", F.col("pr").alias("trust")),
                "node"))
-    rel = (F.col("pr") - F.col("trust")) / F.col("pr")
+    rel = F.when(F.col("pr") > 0,
+                 (F.col("pr") - F.col("trust")) / F.col("pr"))
     out = j.select("node", "pr", "trust",
                    rel.alias("rel_spam_mass"))
     if round_digits is not None:

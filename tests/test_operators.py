@@ -3695,3 +3695,51 @@ def test_weighted_pagerank_matches_numpy(spark):
                                    weight_col="w").collect()))
     b = sorted(map(tuple, pagerank(plain, n_iter=3).collect()))
     assert a == b
+
+
+def test_weighted_pagerank_review_edges(spark):
+    """Review-pass pins: seeds + weight_col compose (weighted
+    TrustRank); NaN/+inf weights drop instead of poisoning the
+    vector; a node mentioned only by dropped-weight edges still
+    ranks (dangling), matching the unweighted node universe; and
+    spam_mass at damping=1.0 reports NULL (not DIVIDE_BY_ZERO) for
+    a zero-pr node."""
+    import math
+
+    from picoprobedataflow_spark.operators.graph import (
+        pagerank, spam_mass)
+
+    # seeds + weights together
+    wdf = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 2, 1.0)], "src long, dst long, w double")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.pr for r in
+           pagerank(wdf, n_iter=3, weight_col="w",
+                    seeds=seeds).collect()}
+    assert set(got) == {0, 1, 2}
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # NaN / +inf weights drop; the rest of the graph stays finite
+    bad = spark.createDataFrame(
+        [(0, 1, float("nan")), (1, 2, 1.0),
+         (0, 2, float("inf"))], "src long, dst long, w double")
+    vals = {r.node: r.pr for r in
+            pagerank(bad, n_iter=3, weight_col="w",
+                     round_digits=None).collect()}
+    assert all(math.isfinite(v) for v in vals.values()), vals
+    assert abs(sum(vals.values()) - 1.0) < 1e-9
+    # zero-weight-only nodes remain in the universe, as dangling
+    zdf = spark.createDataFrame(
+        [(0, 1, 1.0), (2, 3, 0.0)], "src long, dst long, w double")
+    zz = {r.node: (r.outdeg, r.pr) for r in
+          pagerank(zdf, n_iter=2, weight_col="w").collect()}
+    assert set(zz) == {0, 1, 2, 3}
+    assert zz[2][0] == 0 and zz[3][0] == 0
+    assert zz[2][1] > 0 and zz[3][1] > 0
+    # spam_mass damping=1.0: zero-pr node -> NULL rel, no crash
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 1)],
+                                  "src long, dst long")
+    s1 = spark.createDataFrame([(1,)], "node long")
+    sm = {r.node: r.rel_spam_mass for r in
+          spam_mass(edges, s1, n_iter=3, damping=1.0).collect()}
+    assert sm[0] is None
+    assert all(v is not None for n, v in sm.items() if n != 0)
