@@ -853,3 +853,52 @@ def pmi_cooccurrence(docs, window: int = 5, min_count: int = 2,
                         / ((F.col("_ca") / F.col("_ttok"))
                            * (F.col("_cb") / F.col("_ttok")))), 6)
                     .alias("pmi")))
+
+
+def upsample_sources(docs, weights: dict[str, float],
+                     by_col: str = "source", id_col: str = "doc_id",
+                     salt: str = "mix"):
+    """Deterministic source UPSAMPLING — the other half of the
+    data-mixture recipe (:func:`mixture_sample` keeps a fraction;
+    real pretraining tables also specify epochs ABOVE 1: e.g.
+    "Wikipedia 2.5 epochs, crawl 0.7"). Each document of source
+    ``s`` appears ``floor(w)`` times plus one more iff its stable
+    hash bucket falls under the fractional part, so a source's
+    expected multiplicity is exactly ``weights[s]``; the output adds
+    an ``epoch`` column (0..k-1) identifying the copy — feed it into
+    the epoch-shuffle layout so each repeat lands in a different
+    global order. Missing sources drop (the mixture convention);
+    negative weights are rejected.
+
+    Consistency contract (pytest-pinned): the SAME md5 bucket as
+    ``mixture_sample``, so for every ``w ≤ 1`` the kept set equals
+    ``mixture_sample``'s exactly (with ``epoch = 0``) — a recipe can
+    move a source across the 1.0 boundary without reshuffling which
+    of its documents survive.
+
+    Scale shape: one row-local map lookup + a ≤⌈w⌉-element
+    ``sequence`` explode — zero shuffle; the multiplicity never
+    touches the driver."""
+    from pyspark.sql import functions as F
+
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be >= 0")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt + ":"),
+                       F.col(id_col).cast("string")).cast("binary")),
+        1, 8), 16, 10).cast("long") % 10000)
+    whole = F.create_map(*[
+        F.lit(x) for kv in weights.items()
+        for x in (kv[0], int(kv[1]))])
+    frac = F.create_map(*[
+        F.lit(x) for kv in weights.items()
+        for x in (kv[0], int(round((kv[1] - int(kv[1])) * 10000)))])
+    n = (F.coalesce(whole[F.col(by_col)], F.lit(0))
+         + (bucket < F.coalesce(frac[F.col(by_col)], F.lit(0)))
+         .cast("int"))
+    cols = docs.columns
+    return (docs.withColumn("_n", n)
+            .filter(F.col("_n") > 0)
+            .select(*cols,
+                    F.explode(F.sequence(F.lit(0), F.col("_n") - 1))
+                    .alias("epoch")))

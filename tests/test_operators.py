@@ -3743,3 +3743,51 @@ def test_weighted_pagerank_review_edges(spark):
           spam_mass(edges, s1, n_iter=3, damping=1.0).collect()}
     assert sm[0] is None
     assert all(v is not None for n, v in sm.items() if n != 0)
+
+
+def test_upsample_sources_multiplicity_and_mixture_consistency(spark):
+    """Source upsampling: per-doc multiplicity is floor(w) plus a
+    hash-fraction extra, expected source multiplicity hits w, the
+    w<=1 kept set EQUALS mixture_sample's exactly (epoch 0), missing
+    sources drop, epoch labels run 0..k-1, negative weights
+    rejected."""
+    import pytest as _pytest
+
+    from picoprobedataflow_spark.functions.text import (
+        mixture_sample, upsample_sources)
+
+    docs = spark.createDataFrame(
+        [(i, "wiki" if i < 400 else ("crawl" if i < 800 else "other"),
+          f"t{i}") for i in range(1000)],
+        "doc_id long, source string, text string")
+    w = {"wiki": 2.5, "crawl": 0.7}
+    out = upsample_sources(docs, w)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    # wiki: every doc 2 or 3 copies, epochs 0..k-1; crawl: 0/1;
+    # other: absent
+    n_wiki3 = 0
+    for i in range(400):
+        eps = sorted(by_doc.get(i, []))
+        assert eps in ([0, 1], [0, 1, 2]), i
+        n_wiki3 += len(eps) == 3
+    assert 120 <= n_wiki3 <= 280          # ~50% of 400, hash-spread
+    crawl_kept = {i for i in range(400, 800) if i in by_doc}
+    for i in crawl_kept:
+        assert by_doc[i] == [0]
+    assert 200 <= len(crawl_kept) <= 350  # ~70% of 400
+    assert not any(i in by_doc for i in range(800, 1000))
+    # w<=1 equivalence with mixture_sample (same salt, same bucket)
+    mixed = {r.doc_id for r in
+             mixture_sample(docs, {"crawl": 0.7}).collect()}
+    assert crawl_kept == mixed
+    # determinism
+    out2 = upsample_sources(docs, w)
+    by_doc2 = {}
+    for r in out2.collect():
+        by_doc2.setdefault(r.doc_id, []).append(r.epoch)
+    assert {k: sorted(v) for k, v in by_doc.items()} == \
+        {k: sorted(v) for k, v in by_doc2.items()}
+    with _pytest.raises(ValueError):
+        upsample_sources(docs, {"wiki": -0.1})
