@@ -883,6 +883,10 @@ def upsample_sources(docs, weights: dict[str, float],
 
     if any(w < 0 for w in weights.values()):
         raise ValueError("weights must be >= 0")
+    if "epoch" in docs.columns:
+        raise ValueError(
+            "input already has an 'epoch' column — rename it before "
+            "upsampling (the output's copy index uses that name)")
     bucket = (F.conv(F.substring(
         F.md5(F.concat(F.lit(salt + ":"),
                        F.col(id_col).cast("string")).cast("binary")),
