@@ -14,6 +14,8 @@ across engines.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -5255,31 +5257,64 @@ _FAMILY_SPECS = [
      dict(n=("doc_id", "label", "n_tok"), v=("score",), b1="pred")),
 ]
 
-# Families hosted by `llm_curation_suite2` — the round-12 nine plus the
-# round-13 rebalance (audio_stats, resample_stats, detect, bigram_lm,
-# cdc_dedup, winnow moved over), chosen by measured union floors:
-# 650/280 MB before, 450/450 MB after under the no-spill bisection of
-# scripts/measure_oracle_floors.py (table in COVERAGE.md).
+# Suite membership (round 14: THREE hosting entries). Round 13 left
+# both unions measuring AT the 575 strict-MB cap with no single hog
+# (per-family floors: 38 families at the 48 MB rung, max 128 —
+# COVERAGE.md), i.e. the floor tracks union BREADTH, so the round-14
+# headroom move is a 3-way split: q14/q17 were folded into
+# tpch_extra_suite to free the catalog slot, and membership is
+# re-balanced ~16/16/16 with prefix-sharing clusters kept together so
+# the `_hoist_prefixes` pass keeps its wins (url_norm/domain_quota/
+# robots share the URL-normalization chain; bpe/bpe_encode the merge
+# ladder; the span/boiler group its tokenize+explode CTEs; the image
+# group its `ids` frame; decontam_spans/decontam_bloom their verbatim
+# inner). Suite 2 hosts the span/text-hygiene cluster, suite 3 the
+# web/multimodal/trained-filter cluster; heavier families (128/96 MB
+# rungs) are spread across the three.
 _SUITE2_FAMILIES = frozenset({
-    "audio_stats",
     "bigram_lm",
     "boiler_clean",
     "cdc_dedup",
     "chunks",
     "containment",
-    "detect",
+    "decontam_bloom",
+    "decontam_spans",
     "dq",
     "key_skew",
-    "nb",
     "nfc",
-    "pagerank",
     "rand_proj",
-    "resample_stats",
-    "robots",
-    "source_overlap",
-    "winnow",
+    "span_clean",
+    "span_dedup",
+    "span_strided",
     "zipf",
 })
+
+_SUITE3_FAMILIES = frozenset({
+    "audio_fp",
+    "audio_stats",
+    "detect",
+    "dhash",
+    "domain_quota",
+    "img_stats",
+    "logreg",
+    "nb",
+    "pagerank",
+    "psi",
+    "resample_stats",
+    "resize_stats",
+    "robots",
+    "url_norm",
+    "url_psl",
+    "video_sample",
+})
+
+
+def _suite_of(fam: str) -> int:
+    if fam in _SUITE2_FAMILIES:
+        return 2
+    if fam in _SUITE3_FAMILIES:
+        return 3
+    return 1
 
 
 def family_oracles() -> dict[str, str]:
@@ -5291,36 +5326,205 @@ def family_oracles() -> dict[str, str]:
             for fam, _fn, inner, kw in _FAMILY_SPECS}
 
 
-def _suite_oracle(suite2: bool) -> str:
-    """Union of the suite's family branches, with any inner oracle
-    shared verbatim by 2+ members (decontam_spans / decontam_bloom
-    replay the same sweep-line union) hoisted into ONE top-level
-    MATERIALIZED CTE — DuckDB has no common-subexpression elimination
-    across UNION ALL branches, so without the hoist the shared chain
-    is evaluated (and holds memory) once per member."""
+def _split_ctes(sql: str):
+    """Parse a leading ``WITH`` clause into ``([(name, collist, body,
+    materialized)], tail)`` where ``collist`` is the optional
+    ``(col, ...)`` column-name list (empty string when absent, e.g.
+    the robots oracle's ``rrules(domain, rule_path, allow) AS
+    (VALUES ...)``). String literals (``'...'`` with ``''`` escape),
+    quoted identifiers and ``--`` comments are skipped when balancing
+    parentheses, so regex literals containing parens inside CTE
+    bodies cannot mis-split the chain. A query with no leading WITH
+    parses to ``([], sql)``."""
+    s = sql.strip()
+    if not re.match(r"WITH\b", s, re.I):
+        return [], s
+    i, n, ctes = 4, len(s), []
+    while True:
+        while i < n and s[i] in " \t\n,":
+            i += 1
+        m = re.match(
+            r"([A-Za-z_][A-Za-z0-9_]*)\s*(\([A-Za-z0-9_,\s]*\))?"
+            r"\s*AS\s+(MATERIALIZED\s+)?\(",
+            s[i:], re.I)
+        if not m:
+            break
+        start = i + m.end()
+        j, depth = start, 1
+        while j < n and depth:
+            c = s[j]
+            if c == "'" or c == '"':
+                q = c
+                j += 1
+                while j < n:
+                    if s[j] == q:
+                        if j + 1 < n and s[j + 1] == q:
+                            j += 2
+                            continue
+                        break
+                    j += 1
+            elif c == "-" and j + 1 < n and s[j + 1] == "-":
+                while j < n and s[j] != "\n":
+                    j += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if not depth:
+                    break
+            j += 1
+        ctes.append((m.group(1), m.group(2) or "", s[start:j].strip(),
+                     bool(m.group(3))))
+        i = j + 1
+    return ctes, s[i:].strip()
+
+
+def _hoist_prefixes(units: "list[list]"):
+    """Hoist CTE-chain prefixes shared by 2+ units to uniquely-named
+    top-level CTEs.
+
+    ``units`` is ``[[sql], ...]`` (1-element lists, mutated in
+    place). Two chains share a prefix position only when every
+    ``(name, body)`` pair up to and including it matches exactly —
+    keying on the full prefix, not the single CTE, is what makes the
+    hoist sound: an identical ``tf`` body over two *different*
+    ``toks`` definitions hashes to two different prefixes and is
+    never merged. Each hoisted CTE is emitted once at top level,
+    wrapped in a small ``WITH`` of alias CTEs restoring the original
+    local names of its own prefix (so bodies need no identifier
+    rewriting), and each unit's hoisted prefix is replaced by the
+    same aliases — branch-local CTEs keep their names and DuckDB's
+    inner-shadows-outer scoping keeps unrelated same-named CTEs in
+    other branches independent. A hoisted CTE is MATERIALIZED when
+    its original flag said so or when 2+ units consume it past their
+    prefix (DuckDB has no cross-branch common-subexpression
+    elimination, so this single materialization replaces one copy
+    per consuming branch — the round-14 memory-headroom mechanism).
+    Returns the top-level CTE definitions in first-seen order."""
+    parsed = [_split_ctes(u[0]) for u in units]
+    seen: dict[tuple, int] = {}
+    for ctes, _tail in parsed:
+        key = ()
+        for name, cols, body, _mat in ctes:
+            key += ((name, cols, body),)
+            seen[key] = seen.get(key, 0) + 1
+    hoisted: dict[tuple, str] = {}   # prefix-key -> top-level name
+    order: list[tuple] = []          # prefix-keys, first-seen order
+    flags: dict[tuple, bool] = {}    # forced/original MATERIALIZED
+    consumers: dict[tuple, int] = {}
+    for (ctes, tail) in parsed:
+        key = ()
+        hoist_len = 0
+        for i, (name, cols, body, mat) in enumerate(ctes):
+            key += ((name, cols, body),)
+            if seen[key] < 2:
+                break
+            hoist_len = i + 1
+            if key not in hoisted:
+                hoisted[key] = f"__h{len(hoisted)}"
+                order.append(key)
+                flags[key] = mat
+                consumers[key] = 0
+        if not hoist_len:
+            continue
+        # Count post-prefix consumers (remainder CTE bodies + tail)
+        # per hoisted CTE of THIS unit's prefix; a name match in the
+        # remainder can only resolve to the prefix CTE unless a later
+        # local CTE shadows it first.
+        rest_ctes = ctes[hoist_len:]
+        rest_text = (" ".join(b for _n, _c, b, _m in rest_ctes)
+                     + " " + tail)
+        key = ()
+        for name, cols, body, _mat in ctes[:hoist_len]:
+            key += ((name, cols, body),)
+            shadowed = any(n == name for n, _c, _b, _m in rest_ctes)
+            if not shadowed and re.search(
+                    rf"\b{re.escape(name)}\b", rest_text):
+                consumers[key] += 1
+    for key, cnt in consumers.items():
+        if cnt >= 2:
+            flags[key] = True
+    # Rewrite each unit: aliases for its hoisted prefix + remainder.
+    for u, (ctes, tail) in zip(units, parsed):
+        key = ()
+        hoist_len = 0
+        for i, (name, cols, body, _mat) in enumerate(ctes):
+            key += ((name, cols, body),)
+            if key not in hoisted:
+                break
+            hoist_len = i + 1
+        if not hoist_len:
+            continue
+        parts = []
+        key = ()
+        for name, cols, body, _mat in ctes[:hoist_len]:
+            key += ((name, cols, body),)
+            parts.append(f"{name} AS (SELECT * FROM {hoisted[key]})")
+        for name, cols, body, mat in ctes[hoist_len:]:
+            kw = " MATERIALIZED" if mat else ""
+            parts.append(f"{name}{cols} AS{kw} (\n{body}\n)")
+        u[0] = "WITH " + ",\n".join(parts) + "\n" + tail
+    # Top-level definitions, each self-contained via alias WITH.
+    defs = []
+    for key in order:
+        name, cols, body = key[-1]
+        aliases = ", ".join(
+            f"{n} AS (SELECT * FROM {hoisted[key[:i + 1]]})"
+            for i, (n, _c, _b) in enumerate(key[:-1]))
+        kw = " MATERIALIZED" if flags[key] else ""
+        inner = f"WITH {aliases}\n{body}" if aliases else body
+        defs.append(f"{hoisted[key]}{cols} AS{kw} (\n{inner}\n)")
+    return defs
+
+
+def _suite_oracle(idx: int) -> str:
+    """Union of the suite's family branches with two sharing passes —
+    DuckDB has no common-subexpression elimination across UNION ALL
+    branches, so both are load-bearing for the driver sandbox's
+    memory envelope:
+
+    1. any inner oracle shared *verbatim* by 2+ members
+       (decontam_spans / decontam_bloom replay the same sweep-line
+       union) is hoisted into ONE top-level MATERIALIZED CTE;
+    2. any CTE-chain *prefix* shared by 2+ distinct inners (the url
+       normalization chain under url_norm / domain_quota / robots,
+       the BPE merge ladder under bpe / bpe_encode, the span
+       tokenize+explode chains, ...) is hoisted once via
+       :func:`_hoist_prefixes`, so the chain is evaluated — and holds
+       memory — once instead of once per member."""
     members = [(fam, inner, kw)
                for fam, _fn, inner, kw in _FAMILY_SPECS
-               if (fam in _SUITE2_FAMILIES) == suite2]
+               if _suite_of(fam) == idx]
     counts: dict[str, int] = {}
     for _fam, inner, _kw in members:
         counts[inner] = counts.get(inner, 0) + 1
     shared = {inner: f"__shared{i}" for i, inner in enumerate(
         [s for s in counts if counts[s] > 1])}
+    # Units: every distinct inner that will be emitted somewhere —
+    # one per unshared member plus one per verbatim-shared group.
+    unit_map: dict[str, list] = {}
+    for _fam, inner, _kw in members:
+        if inner not in unit_map:
+            unit_map[inner] = [inner]
+    units = list(unit_map.values())
+    hoist_defs = _hoist_prefixes(units)
     branches = [
         _fam_sql(fam,
                  f"SELECT * FROM {shared[inner]}"
-                 if inner in shared else inner, **kw)
+                 if inner in shared else unit_map[inner][0], **kw)
         for fam, inner, kw in members]
     sql = "\nUNION ALL\n".join(branches)
-    if shared:
-        ctes = ",\n".join(f"{name} AS MATERIALIZED (\n{inner}\n)"
-                          for inner, name in shared.items())
-        sql = f"WITH {ctes}\n{sql}"
+    ctes = list(hoist_defs)
+    ctes += [f"{name} AS MATERIALIZED (\n{unit_map[inner][0]}\n)"
+             for inner, name in shared.items()]
+    if ctes:
+        sql = "WITH " + ",\n".join(ctes) + "\n" + sql
     return sql
 
 
-_LLM_SUITE_ORACLE = _suite_oracle(False)
-_LLM_SUITE2_ORACLE = _suite_oracle(True)
+_LLM_SUITE_ORACLE = _suite_oracle(1)
+_LLM_SUITE2_ORACLE = _suite_oracle(2)
+_LLM_SUITE3_ORACLE = _suite_oracle(3)
 
 
 def _nulls_long():
@@ -5344,11 +5548,10 @@ def _fam_df(df, family: str, k1=None, n=(), v=(), b1=None):
     return df.select(*cols)
 
 
-def _suite_df(spark: SparkSession, sf_dir: str,
-              suite2: bool) -> DataFrame:
+def _suite_df(spark: SparkSession, sf_dir: str, idx: int) -> DataFrame:
     out = None
     for fam, fn, _inner, kw in _FAMILY_SPECS:
-        if (fam in _SUITE2_FAMILIES) != suite2:
+        if _suite_of(fam) != idx:
             continue
         part = _fam_df(fn(spark, sf_dir), fam, **kw)
         out = part if out is None else out.unionByName(part)
@@ -5370,34 +5573,29 @@ def llm_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans and oracles unchanged; the fold exists so every entry stays
     inside the external checker's ~50-entry correctness window, the
     same consolidation round 2 performed). Membership is driven by
-    ``_FAMILY_SPECS`` minus ``_SUITE2_FAMILIES``: both the Spark union
-    and the DuckDB oracle union derive from that one table, and a
-    family's placement between this entry and
-    :func:`llm_curation_suite2` is a measured memory-budget decision
+    ``_FAMILY_SPECS`` minus ``_SUITE2_FAMILIES`` /
+    ``_SUITE3_FAMILIES``: the Spark union and the DuckDB oracle union
+    both derive from that one table, and a family's placement among
+    this entry, :func:`llm_curation_suite2` and
+    :func:`llm_curation_suite3` is a measured memory-budget decision
     (each suite's oracle UNION holds its branches concurrently in
-    DuckDB, so the two unions are balanced against the driver
+    DuckDB, so the three unions are balanced against the driver
     sandbox's ~500 MB envelope — per-family floors in COVERAGE.md).
     See each underlying function's docstring for semantics and 100 TB
     posture: retrieval/LM scoring (``bm25`` ``tfidf`` ``unigram_lm``
-    ``bigram_lm`` ``ppl_bucket`` ``rrf``), vocabulary/coverage
-    (``vocab_cov`` ``quality_cut`` ``repetition``), span/chunk dedup
-    (``span_dedup`` ``span_strided`` ``cdc_dedup`` ``span_clean``
-    ``winnow`` ``winnow_pairs``), benchmark decontamination
-    (``decontam_spans`` ``decontam_bloom``), tokenizer training
-    (``bpe`` ``bpe_encode``), data layout (``curriculum``
-    ``epoch_shuffle`` ``pack_manifest``), web-crawl hygiene
-    (``url_norm`` ``url_psl`` ``domain_quota``), retrieval over
-    embeddings (``batch_ann``), and the multimodal fingerprint/feature
-    lanes (``dhash`` ``audio_fp`` ``img_stats`` ``audio_stats``
-    ``resize_stats`` ``video_sample`` ``resample_stats``
-    ``detect``)."""
-    return _suite_df(spark, sf_dir, suite2=False)
+    ``ppl_bucket`` ``rrf``), vocabulary/coverage (``vocab_cov``
+    ``quality_cut`` ``repetition``), fingerprint dedup (``winnow``
+    ``winnow_pairs``), tokenizer training (``bpe`` ``bpe_encode``),
+    data layout (``curriculum`` ``epoch_shuffle`` ``pack_manifest``),
+    and retrieval over embeddings (``batch_ann``)."""
+    return _suite_df(spark, sf_dir, idx=1)
 
 
 @query(
     "llm_curation_suite2",
     oracle=_LLM_SUITE2_ORACLE,
-    tags=("boilerplate-removal", "nfc", "chunking",
+    tags=("span-dedup", "cdc", "decontamination",
+          "boilerplate-removal", "nfc", "chunking",
           "source-overlap", "random-projection", "containment",
           "zipf", "data-quality", "key-skew", "llm-pipeline"),
 )
@@ -5406,13 +5604,40 @@ def llm_curation_suite2(spark: SparkSession,
     """The second hosting entry for the curation families — same
     normalized (family, k1, n1-n5, v1-v3, b1) surface and the same
     ``_FAMILY_SPECS`` table as :func:`llm_curation_suite`, holding the
-    ``_SUITE2_FAMILIES`` subset. The split exists purely to bound each
-    union's DuckDB-oracle memory peak (every branch passes ~100 MB
-    alone; a single 41-family union had crept to a 400-450 MB floor
-    against the sandbox's ~500 MB envelope), and membership is
-    rebalanced from measured floors (COVERAGE.md) rather than by
-    arrival order."""
-    return _suite_df(spark, sf_dir, suite2=True)
+    ``_SUITE2_FAMILIES`` subset (the span/text-hygiene cluster). The
+    split exists purely to bound each union's DuckDB-oracle memory
+    peak (every branch passes ~100 MB alone; a single 41-family union
+    had crept to a 400-450 MB floor against the sandbox's ~500 MB
+    envelope), and membership is rebalanced from measured floors
+    (COVERAGE.md) rather than by arrival order."""
+    return _suite_df(spark, sf_dir, idx=2)
+
+
+@query(
+    "llm_curation_suite3",
+    oracle=_LLM_SUITE3_ORACLE,
+    tags=("url-normalization", "public-suffix", "domain-quota",
+          "robots", "image-fingerprint", "audio-fingerprint",
+          "multimodal", "trained-filter", "pagerank", "drift",
+          "llm-pipeline"),
+)
+def llm_curation_suite3(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """The third hosting entry (round 14) — same normalized surface
+    and ``_FAMILY_SPECS`` table, holding the ``_SUITE3_FAMILIES``
+    subset: the web-acquisition cluster (``url_norm`` ``url_psl``
+    ``domain_quota`` ``robots`` ``pagerank``), the multimodal
+    fingerprint/feature lanes (``dhash`` ``audio_fp`` ``img_stats``
+    ``audio_stats`` ``resize_stats`` ``video_sample``
+    ``resample_stats`` ``detect``), and the trained-filter/drift ops
+    (``logreg`` ``nb`` ``psi``). Round 13 left BOTH two-way unions
+    measuring at the 575 strict-MB cap with no single hog — the floor
+    tracks union breadth — so round 14 freed a catalog slot
+    (q14/q17 → tpch_extra_suite) and split three ways, keeping each
+    prefix-sharing cluster within one suite so the
+    :func:`_hoist_prefixes` single-evaluation wins survive the
+    split."""
+    return _suite_df(spark, sf_dir, idx=3)
 
 
 def _ann_quant_shared_oracle() -> str:

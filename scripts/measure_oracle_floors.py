@@ -96,7 +96,8 @@ def main() -> None:
     specs = catalog.specs()
     t0 = time.time()
     suites: dict[str, int | None] = {}
-    for name in ("llm_curation_suite", "llm_curation_suite2"):
+    for name in ("llm_curation_suite", "llm_curation_suite2",
+                 "llm_curation_suite3"):
         suites[name] = floor_mb(specs[name].oracle, sf_dir)
         print(f"  suite {name}: {suites[name]} MB", file=sys.stderr)
 
