@@ -314,6 +314,10 @@ def main() -> None:
     # Capped-input image lane: dHash kernel + banded hamming join
     # over 2k generated images (times the lane, not corpus scan).
     variants["image_neardup_full"] = PL.image_neardup_bench
+    # Round 14: suffix-array exact substring dedup (KMR prefix
+    # doubling — O(log L) Window ops on one doc-keyed sort + one
+    # sig-count shuffle + island merge).
+    variants["substr_dedup_full"] = PL.substr_dedup_stats
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
     # shouldn't be charged to the first query. Each headline query is

@@ -1636,6 +1636,137 @@ def _reassemble_spans(docs: DataFrame, marked: DataFrame, keep,
                      .alias("n_kept")))
 
 
+def kmr_fingerprint_positions(docs: DataFrame, min_len: int,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """(id, pos, n_tok, sig): one row per token position, with ``sig``
+    the fingerprint of the exact ``min_len``-token window starting at
+    ``pos`` (NULL where the window would run past the document end) —
+    the suffix-array-style primitive under
+    :func:`substring_dedup_stats`.
+
+    Construction is Karp–Miller–Rosenberg prefix doubling over md5
+    fingerprints: ``h_1(i) = md5(tok_i)``, then ``h_{2k}(i) =
+    md5(h_k(i) || '|' || h_k(i+k))`` via ``lead`` windows, up to the
+    largest power of two ``a ≤ min_len``, and finally ``sig(i) =
+    md5(h_a(i) || '|' || h_a(i + min_len - a))`` — the overlapping
+    sparse-table combine (equal windows ⟺ equal (prefix-a, suffix-a)
+    pair, overlap included, because equality of md5 chains is
+    equality of the underlying token runs modulo 128-bit collisions,
+    the same fingerprint trust the exact-dedup family already
+    stands on). Two suffixes share a ``min_len``-token prefix iff
+    their sigs match — the exact "substring of length ≥ L occurs
+    twice" criterion of suffix-array dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr), with NO fixed-k shingle approximation: any
+    arbitrary-length verbatim repeat ≥ min_len is a run of matching
+    sigs.
+
+    Scale shape: each position carries O(log min_len) fingerprints
+    over the chain instead of the O(min_len) tokens a naive window
+    concat would shuffle (the span_dedup family's cost). All levels
+    ride ONE doc-keyed sort — the lead windows share the
+    (partition by id, order by pos) spec, so Catalyst plans a single
+    Exchange + Sort followed by a Window chain; NULL propagation
+    through concat/md5 marks past-end windows with no special
+    casing. Documents partition independently; nothing global.
+
+    Spark has no suffix-array operator; the reference
+    (ramanathanlab/PicoProbeDataFlow) has no dedup at all — this is
+    the engine-side primitive a curation flow needs to drop a doc
+    that embeds a long verbatim quote of another even when shingle
+    alignment misses it.
+    """
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    toks = (docs.select(F.col(id_col), words(text_col).alias("_w"))
+            .select(F.col(id_col), F.size("_w").alias("n_tok"),
+                    F.posexplode("_w").alias("pos", "tok")))
+    w = W.partitionBy(id_col).orderBy("pos")
+    out = toks.withColumn("_h", F.md5("tok"))
+    k = 1
+    while k * 2 <= min_len:
+        out = out.withColumn(
+            "_h", F.md5(F.concat(F.col("_h"), F.lit("|"),
+                                 F.lead("_h", k).over(w))))
+        k *= 2
+    if k == min_len:
+        out = out.withColumn("sig", F.col("_h"))
+    else:
+        out = out.withColumn(
+            "sig", F.md5(F.concat(F.col("_h"), F.lit("|"),
+                                  F.lead("_h", min_len - k).over(w))))
+    return out.select(F.col(id_col), "pos", "n_tok", "sig")
+
+
+def substring_dedup_stats(docs: DataFrame, min_len: int = 12,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Per-document exact-substring duplication accounting — the
+    suffix-array dedup criterion (Lee et al. 2022 ExactSubstr): a
+    token position is duplicated iff the exact ``min_len``-token
+    window starting there occurs ≥ 2 times anywhere in the corpus
+    (self-repeats included, as in the paper), and contiguous
+    duplicated windows merge into maximal duplicated regions of
+    ARBITRARY length. Returns one row per document:
+
+    - ``n_dup_pos`` — duplicated window-start positions;
+    - ``n_spans`` — maximal duplicated regions after merging
+      (two positions merge when the younger starts within
+      ``min_len`` tokens of the elder, i.e. their covered token
+      ranges touch or overlap);
+    - ``dup_tok`` — tokens covered by duplicated regions (Σ region
+      lengths — the count ExactSubstr would delete);
+    - ``max_span`` — longest duplicated region in tokens (a 60-token
+      verbatim quote reports ≈ 60+, not the fixed window size);
+    - ``dup_ratio`` — dup_tok / n_tok, 6 dp.
+
+    Documents with no duplicated window (including docs shorter than
+    ``min_len``) report zeros — totality over the whole corpus.
+
+    Scale shape: the :func:`kmr_fingerprint_positions` chain (one
+    doc-keyed sort, O(log min_len) Window ops), then ONE
+    count-over-sig window on the non-NULL sigs (high-cardinality
+    key; hot sigs are bounded by how often a passage can repeat, the
+    span_dedup argument), one doc-keyed island merge
+    (lag + conditional cumsum — the sessionize pattern), and one
+    doc-keyed aggregate joined back onto the doc list. No
+    all-pairs, no driver state; at 100 TB every stage keys on doc or
+    sig."""
+    sigs = kmr_fingerprint_positions(docs, min_len, text_col, id_col)
+    valid = sigs.filter(F.col("sig").isNotNull())
+    cnt = F.count("*").over(W.partitionBy("sig"))
+    dup = (valid.withColumn("_c", cnt).filter(F.col("_c") >= 2)
+           .select(id_col, "pos"))
+    w = W.partitionBy(id_col).orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    islands = (dup.withColumn(
+        "_new", F.when(gap.isNull() | (gap > min_len), 1)
+                 .otherwise(0).cast("long"))
+        .withColumn("_isl", F.sum("_new").over(
+            w.rowsBetween(W.unboundedPreceding, 0))))
+    spans = (islands.groupBy(id_col, "_isl")
+             .agg(F.count("*").alias("_n_pos"),
+                  (F.max("pos") + min_len - F.min("pos"))
+                  .cast("long").alias("_len")))
+    per_doc = (spans.groupBy(id_col)
+               .agg(F.sum("_n_pos").cast("long").alias("n_dup_pos"),
+                    F.count("*").cast("long").alias("n_spans"),
+                    F.sum("_len").cast("long").alias("dup_tok"),
+                    F.max("_len").cast("long").alias("max_span")))
+    base = docs.select(F.col(id_col),
+                       F.size(words(text_col)).alias("_n_tok"))
+    zero = F.lit(0).cast("long")
+    return (base.join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_dup_pos", zero).alias("n_dup_pos"),
+                    F.coalesce("n_spans", zero).alias("n_spans"),
+                    F.coalesce("dup_tok", zero).alias("dup_tok"),
+                    F.coalesce("max_span", zero).alias("max_span"),
+                    F.round(F.coalesce("dup_tok", zero)
+                            / F.col("_n_tok"), 6).alias("dup_ratio")))
+
+
 def remove_frequent_segments(docs: DataFrame, span_w: int = 4,
                              min_df: int = 2,
                              text_col: str = "text",

@@ -3742,10 +3742,104 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Deterministic epoch shuffle (round 5): the training-loader layout
-# primitive — every epoch is a reproducible pseudo-random permutation
-# addressed as (shard, pos), no rand() anywhere.
+# Suffix-array exact substring dedup (round 14): the Lee et al. 2022
+# ExactSubstr criterion via Karp–Miller–Rosenberg prefix doubling —
+# arbitrary-length verbatim repeats, not fixed-k shingles.
 # --------------------------------------------------------------------------
+
+_SUBSTR_L = 12           # duplication threshold (tokens)
+_SUBSTR_A = 8            # largest power of two <= _SUBSTR_L
+
+_SUBSTR_DEDUP_ORACLE = f"""
+WITH kst AS MATERIALIZED (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+),
+kh1 AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, n_tok, md5(w[i]) AS h
+  FROM (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w,
+               CAST(len(w) AS BIGINT) AS n_tok
+        FROM kst)
+),
+kh2 AS MATERIALIZED (
+  SELECT doc_id, pos, n_tok,
+         md5(h || '|' || lead(h, 1)
+               OVER (PARTITION BY doc_id ORDER BY pos)) AS h
+  FROM kh1
+),
+kh4 AS MATERIALIZED (
+  SELECT doc_id, pos, n_tok,
+         md5(h || '|' || lead(h, 2)
+               OVER (PARTITION BY doc_id ORDER BY pos)) AS h
+  FROM kh2
+),
+kh8 AS MATERIALIZED (
+  SELECT doc_id, pos, n_tok,
+         md5(h || '|' || lead(h, 4)
+               OVER (PARTITION BY doc_id ORDER BY pos)) AS h
+  FROM kh4
+),
+ksig AS MATERIALIZED (
+  SELECT doc_id, pos,
+         md5(h || '|' || lead(h, {_SUBSTR_L - _SUBSTR_A})
+               OVER (PARTITION BY doc_id ORDER BY pos)) AS sig
+  FROM kh8
+),
+kdup AS MATERIALIZED (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY sig) AS c
+        FROM ksig WHERE sig IS NOT NULL)
+  WHERE c >= 2
+),
+kisl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN gap IS NULL OR gap > {_SUBSTR_L}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS isl
+  FROM (SELECT doc_id, pos,
+               pos - lag(pos) OVER (PARTITION BY doc_id
+                                    ORDER BY pos) AS gap
+        FROM kdup)
+),
+kspans AS (
+  SELECT doc_id, isl, count(*) AS n_pos,
+         max(pos) + {_SUBSTR_L} - min(pos) AS len
+  FROM kisl GROUP BY 1, 2
+),
+kdoc AS (
+  SELECT doc_id,
+         CAST(sum(n_pos) AS BIGINT) AS n_dup_pos,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(len) AS BIGINT) AS dup_tok,
+         CAST(max(len) AS BIGINT) AS max_span
+  FROM kspans GROUP BY 1
+)
+SELECT t.doc_id,
+       COALESCE(d.n_dup_pos, 0) AS n_dup_pos,
+       COALESCE(d.n_spans, 0) AS n_spans,
+       COALESCE(d.dup_tok, 0) AS dup_tok,
+       COALESCE(d.max_span, 0) AS max_span,
+       round(COALESCE(d.dup_tok, 0) * 1.0 / len(t.w), 6) AS dup_ratio
+FROM kst t LEFT JOIN kdoc d USING (doc_id)
+"""
+
+
+def substr_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array exact substring dedup
+    (:func:`..operators.dedup.substring_dedup_stats`): a position is
+    duplicated iff its exact {_SUBSTR_L}-token window recurs anywhere
+    in the corpus, and contiguous duplicated windows merge into
+    maximal regions of ARBITRARY length — the ExactSubstr criterion
+    (Lee et al. 2022), which the fixed-k ``span_dedup`` family only
+    approximates when shingle alignment happens to line up. The
+    Karp–Miller–Rosenberg prefix-doubling fingerprint chain gives
+    O(log L) Window ops over ONE doc-keyed sort instead of O(L)
+    token concat per position; the oracle replays the identical md5
+    chain level by level (MATERIALIZED stages, the pagerank rule),
+    so the two engines agree bit-for-bit on every signature."""
+    docs = tbl(spark, sf_dir, "documents")
+    return DD.substring_dedup_stats(docs, min_len=_SUBSTR_L)
 
 _EPOCH, _EPOCH_SHARDS = 1, 8
 
@@ -5156,6 +5250,9 @@ _FAMILY_SPECS = [
           v=("oov_rate", "mean_doc_oov"))),
     ("span_dedup", span_dedup_stats, _SPAN_DEDUP_ORACLE,
      dict(n=("doc_id", "n_spans", "n_dup", "n_dup_bounded"),
+          v=("dup_ratio",))),
+    ("substr_dedup", substr_dedup_stats, _SUBSTR_DEDUP_ORACLE,
+     dict(n=("doc_id", "n_dup_pos", "n_spans", "dup_tok", "max_span"),
           v=("dup_ratio",))),
     ("cdc_dedup", cdc_chunk_dedup_stats, _CDC_ORACLE,
      dict(n=("doc_id", "n_chunks", "n_dup_chunks"),

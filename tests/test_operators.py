@@ -3791,3 +3791,98 @@ def test_upsample_sources_multiplicity_and_mixture_consistency(spark):
         {k: sorted(v) for k, v in by_doc2.items()}
     with _pytest.raises(ValueError):
         upsample_sources(docs, {"wiki": -0.1})
+
+
+def test_substring_dedup_matches_bruteforce(spark):
+    """KMR prefix-doubling exact-substring dedup == an O(n²)
+    brute-force window count on a planted corpus, at a
+    non-power-of-two threshold (exercises the sparse-table combine)
+    AND a power-of-two one (exercises the k == min_len early-out).
+    The planted 7-token cross-doc quote must surface as a maximal
+    span LONGER than the threshold — the arbitrary-length property
+    fixed-k shingles can't express."""
+    from picoprobedataflow_spark.operators.dedup import (
+        substring_dedup_stats,
+    )
+
+    corpus = [
+        (0, "a b c d e f g h i j"),
+        (1, "x y a b c d e f g z"),        # embeds a..g from doc 0
+        (2, "p q r s t"),
+        (3, "short doc"),
+        (4, "m m m m m m m m"),            # self-repeat
+        (5, ""),
+        (6, "u v w x1 y1 z1 u v w x1 y1 z1"),
+    ]
+    docs = spark.createDataFrame(corpus, ["doc_id", "text"])
+
+    for L in (5, 4):
+        got = {r.doc_id: r for r in
+               substring_dedup_stats(docs, min_len=L).collect()}
+        toks = {d: (t.split() if t.strip() else [""])
+                for d, t in corpus}
+        from collections import Counter
+        wins = Counter(tuple(w[i:i + L])
+                       for w in toks.values()
+                       for i in range(len(w) - L + 1))
+        for d, w in toks.items():
+            dup = [i for i in range(len(w) - L + 1)
+                   if wins[tuple(w[i:i + L])] >= 2]
+            merged = []
+            for p in dup:
+                if merged and p <= merged[-1][1] + L:
+                    merged[-1][1] = p
+                else:
+                    merged.append([p, p])
+            dup_tok = sum(b + L - a for a, b in merged)
+            r = got[d]
+            assert r.n_dup_pos == len(dup), (L, d)
+            assert r.n_spans == len(merged), (L, d)
+            assert r.dup_tok == dup_tok, (L, d)
+            assert r.max_span == max(
+                [b + L - a for a, b in merged], default=0), (L, d)
+            assert r.dup_ratio == round(dup_tok / len(w), 6), (L, d)
+    # the arbitrary-length property: a 7-token quote at L=5 reports
+    # a 7-token maximal span on both the source and the quoting doc
+    r5 = {r.doc_id: r for r in
+          substring_dedup_stats(docs, min_len=5).collect()}
+    assert r5[0].max_span == 7 and r5[1].max_span == 7
+    # a repeat never crosses a document boundary
+    boundary = spark.createDataFrame(
+        [(0, "h1 h2 h3 t1 t2"), (1, "t1 t2 h1 h2 h3")],
+        ["doc_id", "text"])
+    rb = {r.doc_id: r for r in
+          substring_dedup_stats(boundary, min_len=4).collect()}
+    assert all(r.n_dup_pos == 0 for r in rb.values())
+
+
+def test_substring_dedup_degenerates(spark):
+    """Totality: empty corpus, all-empty texts, min_len=1 (every
+    repeated token is a span), threshold longer than every doc, and
+    a doc that is ONE giant repeat."""
+    from picoprobedataflow_spark.operators.dedup import (
+        substring_dedup_stats,
+    )
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert substring_dedup_stats(empty, min_len=3).count() == 0
+
+    blank = spark.createDataFrame([(0, ""), (1, "  ")],
+                                  ["doc_id", "text"])
+    rows = substring_dedup_stats(blank, min_len=2).collect()
+    assert {r.doc_id for r in rows} == {0, 1}
+    assert all(r.n_dup_pos == 0 and r.dup_ratio == 0.0 for r in rows)
+
+    one = spark.createDataFrame([(0, "a b a b"), (1, "c a d")],
+                                ["doc_id", "text"])
+    r1 = {r.doc_id: r for r in
+          substring_dedup_stats(one, min_len=1).collect()}
+    # 'a' occurs 3x, 'b' 2x: doc0 all four positions dup, doc1 pos 1
+    assert r1[0].n_dup_pos == 4 and r1[1].n_dup_pos == 1
+
+    toolong = substring_dedup_stats(one, min_len=50).collect()
+    assert all(r.n_dup_pos == 0 for r in toolong)
+
+    with _pytest.raises(ValueError):
+        substring_dedup_stats(one, min_len=0).collect()
