@@ -291,6 +291,9 @@ def main() -> None:
     # Round 13: 3-iteration PageRank over the synthetic link graph
     # (edges materialized once on src; per-iteration join + agg).
     variants["pagerank_full"] = PL.pagerank_scores
+    # Round 14: the warm-started epoch-2 twin (converged vector
+    # cached per session+SF; timed path = 2 warm iterations).
+    variants["pagerank_warm_full"] = PL.pagerank_warm_scores
     # Round 13: trainable quality filter (5 full-batch GD aggregates
     # + one scoring pass).
     variants["logreg_full"] = PL.logreg_quality_scores

@@ -29,7 +29,9 @@ def prioritize_frontier(links: DataFrame, rules: DataFrame, *,
                         quota: int = 2, top_n: int = 100,
                         n_iter: int = 10, damping: float = 0.85,
                         seeds: DataFrame | None = None,
-                        fetched: DataFrame | None = None) -> DataFrame:
+                        fetched: DataFrame | None = None,
+                        init_ranks: DataFrame | None = None
+                        ) -> DataFrame:
     """(url, domain, pr, allowed_rank): the next-fetch list.
 
     Stages: normalize both link endpoints
@@ -50,7 +52,17 @@ def prioritize_frontier(links: DataFrame, rules: DataFrame, *,
     being fetch candidates. ``seeds`` normalize through the same
     canonicalizer before entering the teleport set (review find: a
     raw-cased seed silently matched no node and dropped out of the
-    TrustRank restart)."""
+    TrustRank restart).
+
+    ``init_ranks`` (round 14) is the per-epoch warm start: pass the
+    PREVIOUS epoch's (url, pr) scoreboard and drop ``n_iter`` to
+    1-3 — over a slowly-growing graph the previous vector is nearly
+    the fixpoint, so a warm epoch converges in a couple of
+    iterations where a cold one needs ~10 (pytest-pinned: a warm
+    start from a converged vector reproduces the cold ranks at
+    n_iter=1 within 1e-9; bench: the warm epoch-2 variant).
+    The url column normalizes through the same canonicalizer as the
+    graph, for the same reason the seeds do."""
     from picoprobedataflow_spark.functions.web import (
         domain_quota_sample, robots_gate, url_normalize)
     from picoprobedataflow_spark.operators.graph import pagerank
@@ -68,7 +80,18 @@ def prioritize_frontier(links: DataFrame, rules: DataFrame, *,
                 f"{seeds.columns}")
         seeds = seeds.select(
             url_normalize(F.col(seeds.columns[0])).alias("seed"))
-    pr = (pagerank(e, n_iter=n_iter, damping=damping, seeds=seeds)
+    if init_ranks is not None:
+        if len(init_ranks.columns) != 2:
+            # pagerank re-checks the arity, but AFTER this flow has
+            # renamed columns — reject on the caller's shape.
+            raise ValueError(
+                f"init_ranks must be a 2-column (url, pr) frame; "
+                f"got {init_ranks.columns}")
+        init_ranks = init_ranks.select(
+            url_normalize(F.col(init_ranks.columns[0])).alias("node"),
+            F.col(init_ranks.columns[1]).alias("pr"))
+    pr = (pagerank(e, n_iter=n_iter, damping=damping, seeds=seeds,
+                   init_ranks=init_ranks)
           .select(F.col("node").alias("url"), "pr"))
     if fetched is not None:
         if len(fetched.columns) != 1:

@@ -32,7 +32,8 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
              src_col: str = "src", dst_col: str = "dst",
              round_digits: int | None = 6,
              seeds: DataFrame | None = None,
-             weight_col: str | None = None) -> DataFrame:
+             weight_col: str | None = None,
+             init_ranks: DataFrame | None = None) -> DataFrame:
     """(node, outdeg, pr): PageRank after exactly ``n_iter`` power
     iterations from the uniform vector, with dangling-mass
     redistribution::
@@ -77,7 +78,24 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
     looking non-dangling). The default ``None`` keeps the original
     unweighted arithmetic bit-for-bit (the gated family's oracle
     replays that form); ``outdeg`` reports the distinct out-edge
-    count in both modes."""
+    count in both modes.
+
+    ``init_ranks`` (round 14) WARM-STARTS the power iteration: a
+    2-column (node, pr) frame — typically the previous epoch's
+    output over a slowly-growing graph — replaces the teleport
+    vector as the starting point, and nodes absent from it (new
+    pages) start at their teleport mass. The update map contracts
+    toward the same fixpoint from any starting vector (a vector
+    summing ``s`` maps to one summing ``(1-d) + d·s``, so even an
+    un-normalized start converges), which is why a converged warm
+    start needs 1-3 iterations where the cold start needs ~10 — the
+    steady-state amortization the frontier loop was missing
+    (round-13 VERDICT #3). Non-finite and negative init ranks drop
+    to the teleport default (the NaN-poisoning guard class);
+    duplicate node rows collapse by max (deterministic). Plan
+    impact: ONE extra node-keyed left join before the loop; the
+    per-iteration shape is unchanged. The default ``None`` keeps
+    the cold-start arithmetic bit-for-bit (the gated family)."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     if weight_col is None:
@@ -194,7 +212,29 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
         dang_of = F.col("_m") * tele
     keep = ["node", "outdeg", "_seed"] + \
         (["_s"] if weight_col is not None else [])
-    pr = base.select(*keep, tele.alias("pr"))
+    if init_ranks is not None:
+        if len(init_ranks.columns) != 2:
+            # Same eager-rejection class as the seeds guard: a wider
+            # frame narrowed silently would warm-start on the wrong
+            # column and return plausible-looking wrong ranks.
+            raise ValueError(
+                f"init_ranks must be a 2-column (node, pr) frame; "
+                f"got {len(init_ranks.columns)} columns "
+                f"{init_ranks.columns}")
+        c_node, c_pr = init_ranks.columns
+        ir = (init_ranks.select(
+                F.col(c_node).alias("node"),
+                F.col(c_pr).cast("double").alias("_pr0"))
+              .filter(F.col("_pr0").isNotNull()
+                      & ~F.isnan("_pr0")
+                      & (F.col("_pr0") >= 0)
+                      & (F.col("_pr0") < float("inf")))
+              .groupBy("node").agg(F.max("_pr0").alias("_pr0")))
+        pr = (base.join(ir, "node", "left")
+              .select(*keep,
+                      F.coalesce("_pr0", tele).alias("pr")))
+    else:
+        pr = base.select(*keep, tele.alias("pr"))
     for _ in range(n_iter):
         # Dangling mass: one 1-row aggregate, broadcast into the
         # update expression via crossJoin (the catalog's scalar-agg
