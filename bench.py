@@ -288,6 +288,9 @@ def main() -> None:
     # Round 13: the PSI snapshot-drift scoreboard (edges broadcast +
     # two map-side bucket counts).
     variants["psi_full"] = PL.psi_drift_stats
+    # Round 14: the categorical drift sibling (two map-side category
+    # counts + a cardinality-bounded full-outer join).
+    variants["chi2_full"] = PL.chi2_drift_stats
     # Round 13: 3-iteration PageRank over the synthetic link graph
     # (edges materialized once on src; per-iteration join + agg).
     variants["pagerank_full"] = PL.pagerank_scores

@@ -250,3 +250,140 @@ def ks_report(ref: DataFrame, cur: DataFrame, value_col: str,
     so the reference counts build once, not per micro-batch)."""
     return ks_score(cur, value_col,
                     ks_reference(ref, value_col, round_to))
+
+
+class Chi2Reference:
+    """The build-once half of the chi-square comparison: the
+    reference snapshot's per-category counts (bounded by category
+    cardinality, optionally top-k rolled), scored repeatedly with
+    :func:`chi2_score` — the psi_reference amortization contract."""
+
+    __slots__ = ("counts", "top_k", "other_label")
+
+    def __init__(self, counts: DataFrame, top_k: int | None,
+                 other_label: str):
+        self.counts = counts
+        self.top_k = top_k
+        self.other_label = other_label
+
+
+def _cat_counts(df: DataFrame, cat_col: str,
+                alias: str) -> DataFrame:
+    """(cat, <alias>): per-category counts of a categorical column —
+    map-side combinable, cardinality-bounded. NULL categories are
+    excluded on both sides (the psi/ks convention: null-rate
+    tracking belongs to check_expectations, not drift)."""
+    c = F.col(cat_col).cast("string")
+    return (df.filter(c.isNotNull()).select(c.alias("cat"))
+            .groupBy("cat").agg(F.count("*").alias(alias)))
+
+
+def chi2_reference(ref: DataFrame, cat_col: str,
+                   top_k: int | None = None,
+                   other_label: str = "__other__",
+                   materialize: bool = False) -> Chi2Reference:
+    """Build the chi-square reference counts. ``top_k`` keeps the k
+    most frequent reference categories (ties broken by category
+    value — deterministic) and rolls the rest into ``other_label``;
+    scoring rolls the current side against the SAME kept set, so a
+    category that was rare at reference time lands in the other
+    bucket on both sides and never inflates the table. The rank
+    window is global but runs over the category-cardinality-bounded
+    count table (the zipf/top-N convention), not the corpus.
+    ``materialize=True`` localCheckpoints the counts for repeated
+    scoring (the streaming monitor)."""
+    counts = _cat_counts(ref, cat_col, "c_ref")
+    if top_k is not None:
+        if top_k < 1:
+            raise ValueError("top_k must be >= 1")
+        w = Window.orderBy(F.desc("c_ref"), F.asc("cat"))
+        counts = (counts
+                  .withColumn("_rk", F.row_number().over(w))
+                  .select(F.when(F.col("_rk") <= top_k, F.col("cat"))
+                          .otherwise(F.lit(other_label)).alias("cat"),
+                          "c_ref")
+                  .groupBy("cat")
+                  .agg(F.sum("c_ref").alias("c_ref")))
+    if materialize:
+        counts = counts.localCheckpoint(eager=True)
+    return Chi2Reference(counts, top_k, other_label)
+
+
+def chi2_score(cur: DataFrame, cat_col: str,
+               reference: Chi2Reference,
+               round_digits: int = 6) -> DataFrame:
+    """Score one current snapshot against a prebuilt
+    :class:`Chi2Reference` — the repeated half. See
+    :func:`chi2_report` for the scoreboard contract."""
+    cc = _cat_counts(cur, cat_col, "c_cur")
+    if reference.top_k is not None:
+        kept = reference.counts.select("cat") \
+            .filter(F.col("cat") != reference.other_label)
+        cc = (cc.join(F.broadcast(kept.withColumn("_k", F.lit(True))),
+                      "cat", "left")
+              .select(F.when(F.col("_k"), F.col("cat"))
+                      .otherwise(F.lit(reference.other_label))
+                      .alias("cat"), "c_cur")
+              .groupBy("cat").agg(F.sum("c_cur").alias("c_cur")))
+    j = (reference.counts.join(cc, "cat", "full_outer")
+         .select(F.col("cat").alias("category"),
+                 F.coalesce("c_ref", F.lit(0)).cast("long")
+                  .alias("n_ref"),
+                 F.coalesce("c_cur", F.lit(0)).cast("long")
+                  .alias("n_cur")))
+    tot = j.agg(F.sum("n_ref").cast("long").alias("_tr"),
+                F.sum("n_cur").cast("long").alias("_tc"))
+    col_tot = F.col("n_ref") + F.col("n_cur")
+    grand = F.col("_tr") + F.col("_tc")
+    # Exact long products before the one double division (the q14
+    # cents convention); at corpus scales where tr·col would
+    # overflow int64 cast both to double first — the statistic is a
+    # ratio, the last-ulp loss is irrelevant there.
+    e_ref = (F.col("_tr") * col_tot).cast("double") / grand
+    e_cur = (F.col("_tc") * col_tot).cast("double") / grand
+    defined = (F.col("_tr") > 0) & (F.col("_tc") > 0)
+    term = (F.pow(F.col("n_ref") - e_ref, F.lit(2.0)) / e_ref
+            + F.pow(F.col("n_cur") - e_cur, F.lit(2.0)) / e_cur)
+    return (j.crossJoin(F.broadcast(tot))
+            .select("category", "n_ref", "n_cur",
+                    F.round(F.when(defined, e_cur), round_digits)
+                     .alias("e_cur"),
+                    F.round(F.when(defined, term), round_digits)
+                     .alias("chi2_term"))
+            .orderBy("category"))
+
+
+def chi2_report(ref: DataFrame, cur: DataFrame, cat_col: str,
+                top_k: int | None = None,
+                round_digits: int = 6) -> DataFrame:
+    """(category, n_ref, n_cur, e_cur, chi2_term): the two-sample
+    chi-square homogeneity scoreboard between two snapshots of a
+    CATEGORICAL column — the sibling PSI/KS can't cover: a corpus
+    refresh also shifts language / source / domain MIXES, where
+    quantile buckets are meaningless. One row per category observed
+    on either side (union; a category absent from one side counts 0
+    there — new-at-cur categories are exactly the drift worth
+    flagging); ``sum(chi2_term)`` is the 2×k contingency statistic
+    (each term sums the ref and cur cells of its column) and
+    ``count(*) - 1`` its degrees of freedom — the scipy
+    ``chi2_contingency``-style monitor test, per-category
+    attributable. ``e_cur`` is the expected current count under
+    homogeneity (``tc·(n_ref+n_cur)/(tr+tc)``). When either side is
+    empty the statistic is undefined: e_cur/chi2_term are NULL (the
+    KS "no data ≠ no drift" contract). Expected counts are always
+    positive on defined rows (a category appears on some side, so
+    its column total > 0) — no epsilon clamp needed, unlike PSI's
+    log ratio.
+
+    Scale shape: two map-side category counts (cardinality-bounded),
+    one full-outer join on category, a 1-row totals broadcast —
+    nothing after the first pass exceeds category cardinality. For
+    unbounded-cardinality columns (raw domains), ``top_k`` rolls the
+    tail into one bucket against the REFERENCE's top set, keeping
+    the table k-bounded without letting the current side re-pick the
+    buckets. One-shot form of :func:`chi2_reference` +
+    :func:`chi2_score` (ONE shared implementation; the streaming
+    monitor calls the halves directly)."""
+    return chi2_score(cur, cat_col,
+                      chi2_reference(ref, cat_col, top_k),
+                      round_digits)

@@ -2432,6 +2432,70 @@ def psi_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_report(ref, cur, "v", n_buckets=_PSI_BUCKETS)
 
 
+#: Planted categorical drift for the ``chi2`` family: every 7th odd
+#: doc relabels to a category ABSENT from the reference side, so the
+#: family pins the full-outer path (new-at-cur category) alongside
+#: ordinary mix shift.
+_CHI2_DRIFT_MOD = 7
+
+_CHI2_ORACLE = f"""
+WITH xr AS (
+  SELECT source AS category, count(*) AS c_ref
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+xc AS (
+  SELECT category, count(*) AS c_cur FROM (
+    SELECT CASE WHEN doc_id % {_CHI2_DRIFT_MOD} = 0
+                THEN '__drift__' ELSE source END AS category
+    FROM documents WHERE doc_id % 2 = 1
+  ) GROUP BY 1
+),
+xj AS (
+  SELECT coalesce(r.category, c.category) AS category,
+         coalesce(c_ref, 0) AS n_ref,
+         coalesce(c_cur, 0) AS n_cur
+  FROM xr r FULL OUTER JOIN xc c ON r.category = c.category
+),
+xt AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM xj)
+SELECT category, n_ref, n_cur,
+       round(CASE WHEN tr > 0 AND tc > 0 THEN
+         CAST(tc * (n_ref + n_cur) AS DOUBLE) / (tr + tc) END, 6)
+         AS e_cur,
+       round(CASE WHEN tr > 0 AND tc > 0 THEN
+           pow(n_ref - CAST(tr * (n_ref + n_cur) AS DOUBLE)
+                       / (tr + tc), 2)
+             / (CAST(tr * (n_ref + n_cur) AS DOUBLE) / (tr + tc))
+         + pow(n_cur - CAST(tc * (n_ref + n_cur) AS DOUBLE)
+                       / (tr + tc), 2)
+             / (CAST(tc * (n_ref + n_cur) AS DOUBLE) / (tr + tc))
+         END, 6) AS chi2_term
+FROM xj CROSS JOIN xt
+"""
+
+
+def chi2_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-square categorical-drift scoreboard
+    (:func:`..operators.drift.chi2_report`) between two snapshot
+    halves of the corpus: even doc_ids are the REFERENCE source mix,
+    odd doc_ids the CURRENT snapshot with every 7th doc relabeled to
+    a category the reference never saw — the language/source/domain
+    MIX shift PSI's quantile buckets are meaningless for. One row
+    per category on either side; sum(chi2_term) is the 2×k
+    contingency statistic, count-1 its dof. The oracle replays the
+    full-outer category union, the exact long products before the
+    one double division, the both-sides-nonempty NULL guard and the
+    6-dp rounding."""
+    from picoprobedataflow_spark.operators.drift import chi2_report
+    docs = tbl(spark, sf_dir, "documents")
+    ref = (docs.filter(F.col("doc_id") % 2 == 0)
+           .select(F.col("source").alias("cat")))
+    cur = (docs.filter(F.col("doc_id") % 2 == 1)
+           .select(F.when(F.col("doc_id") % _CHI2_DRIFT_MOD == 0,
+                          F.lit("__drift__"))
+                   .otherwise(F.col("source")).alias("cat")))
+    return chi2_report(ref, cur, "cat")
+
+
 #: (table, column) pairs profiled by the ``key_skew`` family — the
 #: shuffle keys the engine's own heavy plans actually use.
 _SKEW_KEYS = (("events", "user_id"), ("events", "event_type"),
@@ -5383,6 +5447,9 @@ _FAMILY_SPECS = [
     ("psi", psi_drift_stats, _PSI_ORACLE,
      dict(n=("bucket", "n_ref", "n_cur"),
           v=("p_ref", "p_cur", "psi_term"))),
+    ("chi2", chi2_drift_stats, _CHI2_ORACLE,
+     dict(k1="category", n=("n_ref", "n_cur"),
+          v=("e_cur", "chi2_term"))),
     ("pagerank", pagerank_scores, _PAGERANK_ORACLE,
      dict(n=("node", "outdeg"), v=("pr",))),
     ("logreg", logreg_quality_scores, _LOGREG_ORACLE,
@@ -5426,6 +5493,7 @@ _SUITE2_FAMILIES = frozenset({
 _SUITE3_FAMILIES = frozenset({
     "audio_fp",
     "audio_stats",
+    "chi2",
     "detect",
     "dhash",
     "domain_quota",

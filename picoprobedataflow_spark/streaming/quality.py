@@ -652,3 +652,51 @@ def nb_score_stream(spark: SparkSession, src_dir: str,
         q.stop()
         raise TimeoutError(
             f"nb score drain did not finish in {timeout}s")
+
+
+def chi2_drift_stream(spark: SparkSession, src_dir: str,
+                      ckpt_dir: str, out_dir: str,
+                      ref: DataFrame, cat_col: str,
+                      schema: StructType | str,
+                      top_k: int | None = None,
+                      timeout: int = 300) -> None:
+    """Streaming CATEGORICAL drift monitor — the chi-square sibling
+    of :func:`psi_drift_stream` / :func:`ks_drift_stream`: every
+    arriving micro-batch gets its 2×k homogeneity scoreboard against
+    a FIXED reference snapshot
+    (:func:`..operators.drift.chi2_score`) and the (batch_id,
+    category, n_ref, n_cur, e_cur, chi2_term) rows append to
+    ``out_dir`` — a dashboard sums chi2_term per batch against the
+    χ²(k-1) critical value. PSI/KS watch numeric columns; this lane
+    watches the language/source/domain MIX, the shift a crawl
+    refresh causes first.
+
+    The reference category counts — cardinality-bounded, optionally
+    ``top_k``-rolled — are built and localCheckpointed ONCE outside
+    the loop (:func:`..operators.drift.chi2_reference` with
+    ``materialize=True``); per-batch cost is one map-side category
+    count plus a category-bounded join. Per-batch verdicts, no
+    cross-batch state: replayed batches append byte-identical rows
+    (dedupe on ``batch_id`` at read, the gate tables' shared
+    idempotency contract)."""
+    from picoprobedataflow_spark.operators.drift import (
+        chi2_reference, chi2_score)
+
+    reference = chi2_reference(ref, cat_col, top_k,
+                               materialize=True)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (chi2_score(batch_df, cat_col, reference)
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out_dir))
+
+    q = (spark.readStream.schema(schema).parquet(src_dir)
+         .writeStream
+         .option("checkpointLocation", ckpt_dir)
+         .foreachBatch(_process)
+         .trigger(availableNow=True)
+         .start())
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"chi2 drift drain did not finish in {timeout}s")

@@ -3995,3 +3995,57 @@ def test_frontier_warm_start_matches_cold(spark):
     assert [r.url for r in cold] == [r.url for r in warm]
     for a, b in zip(cold, warm):
         assert abs(a.pr - b.pr) < 1e-9
+
+
+def test_chi2_report_matches_hand_model(spark):
+    """chi2_report == the scipy chi2_contingency arithmetic computed
+    by hand on the 2×k table (union of categories, zero fills), with
+    the new-at-cur category path exercised; identical mixes score
+    ~0; empty sides yield NULL terms (the KS no-data contract); and
+    the top_k rollup is deterministic against the REFERENCE's top
+    set."""
+    from picoprobedataflow_spark.operators.drift import (
+        chi2_reference, chi2_report, chi2_score)
+
+    ref = spark.createDataFrame(
+        [("en",)] * 50 + [("de",)] * 30 + [("fr",)] * 20, "cat string")
+    cur = spark.createDataFrame(
+        [("en",)] * 30 + [("de",)] * 25 + [("zh",)] * 45, "cat string")
+    rows = {r.category: r for r in
+            chi2_report(ref, cur, "cat").collect()}
+    table = {"en": (50, 30), "de": (30, 25), "fr": (20, 0),
+             "zh": (0, 45)}
+    tr, tc = 100, 100
+    for cat, (a, b) in table.items():
+        col = a + b
+        e_r, e_c = tr * col / (tr + tc), tc * col / (tr + tc)
+        want = (a - e_r) ** 2 / e_r + (b - e_c) ** 2 / e_c
+        r = rows[cat]
+        assert (r.n_ref, r.n_cur) == (a, b)
+        assert abs(r.e_cur - round(e_c, 6)) < 1e-12, cat
+        assert abs(r.chi2_term - round(want, 6)) < 1e-12, cat
+    # identical mix -> every term 0 (expected == observed exactly)
+    same = chi2_report(ref, ref, "cat").collect()
+    assert all(r.chi2_term == 0.0 for r in same)
+    # empty current side -> terms NULL, categories still listed
+    empty = spark.createDataFrame([], "cat string")
+    nul = chi2_report(ref, empty, "cat").collect()
+    assert {r.category for r in nul} == {"en", "de", "fr"}
+    assert all(r.chi2_term is None and r.e_cur is None for r in nul)
+    # NULL categories drop on both sides
+    withnull = spark.createDataFrame(
+        [("en",), (None,)], "cat string")
+    nn = chi2_report(withnull, withnull, "cat").collect()
+    assert {r.category for r in nn} == {"en"}
+    assert nn[0].n_ref == nn[0].n_cur == 1
+
+    # top_k: reference picks {en, de} (count desc, cat asc ties);
+    # fr rolls to __other__ on BOTH sides, zh (unseen at ref) joins
+    # the other bucket instead of minting a category
+    reference = chi2_reference(ref, "cat", top_k=2)
+    kept = {r.cat: r.c_ref for r in reference.counts.collect()}
+    assert kept == {"en": 50, "de": 30, "__other__": 20}
+    rolled = {r.category: (r.n_ref, r.n_cur) for r in
+              chi2_score(cur, "cat", reference).collect()}
+    assert rolled == {"en": (50, 30), "de": (30, 25),
+                      "__other__": (20, 45)}

@@ -998,3 +998,49 @@ def test_streaming_ks_drift_equals_batch(spark, tmp_path):
         got = by_batch[bid]
         assert (got.n_ref, got.n_cur, got.ks) == \
             (want.n_ref, want.n_cur, want.ks)
+
+
+def test_streaming_chi2_drift_equals_batch(spark, tmp_path):
+    """The chi-square categorical drift stream: each micro-batch's
+    scoreboard equals chi2_report(ref, that_batch) exactly (the
+    reference counts build once outside the loop), an
+    in-distribution batch sums ~0 while a mix-shifted batch clears
+    the χ²(k-1) alert bar, and replay appends byte-identical rows."""
+    from picoprobedataflow_spark.operators.drift import chi2_report
+    from picoprobedataflow_spark.streaming.quality import \
+        chi2_drift_stream
+
+    ref = spark.createDataFrame(
+        [("en",)] * 60 + [("de",)] * 30 + [("fr",)] * 10,
+        "cat string")
+    schema = "cat string"
+    src = tmp_path / "cat_in"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "chi2")
+
+    b1 = spark.createDataFrame(
+        [("en",)] * 30 + [("de",)] * 15 + [("fr",)] * 5, schema)
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    chi2_drift_stream(spark, str(src), ckpt, out, ref, "cat", schema)
+    b2 = spark.createDataFrame(
+        [("en",)] * 5 + [("zh",)] * 45, schema)  # mix shift + new cat
+    b2.coalesce(1).write.mode("append").parquet(str(src))
+    chi2_drift_stream(spark, str(src), ckpt, out, ref, "cat", schema)
+
+    rows = spark.read.parquet(out).collect()
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r.batch_id, []).append(r)
+    assert len(by_batch) == 2
+    sums = {bid: sum(r.chi2_term for r in v)
+            for bid, v in by_batch.items()}
+    lo, hi = sorted(sums.values())
+    # same mix: exactly expected counts -> 0; the shifted batch is
+    # far beyond the χ²(3 dof, 0.001) ≈ 16.27 critical value
+    assert lo < 0.01 and hi > 16.27
+    for bid, batch in ((min(by_batch), b1), (max(by_batch), b2)):
+        want = sorted(map(tuple,
+                          chi2_report(ref, batch, "cat").collect()))
+        have = sorted((r.category, r.n_ref, r.n_cur, r.e_cur,
+                       r.chi2_term) for r in by_batch[bid])
+        assert have == want
