@@ -55,6 +55,7 @@ def curate_documents(docs: DataFrame, *,
                      contamination_threshold: float = 0.2,
                      url_col: str | None = None,
                      domain_quota: int = 2,
+                     quota_order: str = "quality",
                      token_budget: int | None = None
                      ) -> CurationResult:
     """Run the curation funnel over ``docs`` and return the kept
@@ -82,7 +83,18 @@ def curate_documents(docs: DataFrame, *,
        anti-join would empty the corpus.
     6. **quota** — :func:`..functions.web.domain_quota_sample` keeps
        at most ``domain_quota`` docs per registrable domain
-       (skipped when ``url_col`` is None).
+       (skipped when ``url_col`` is None). ``quota_order`` picks
+       WHICH docs survive a capped domain (round-14 review fix: the
+       flow used to cap by the salted id hash, so a domain's
+       highest-quality docs could be capped away before the budget
+       stage ever saw them): ``"quality"`` (default) ranks by the
+       1e6-scaled rounded quality score — the same exact-integer
+       key the budget stage orders by, so the two stages agree on
+       what "best" means; ``"hash"`` keeps the stable salted-hash
+       cap (sampling semantics, partition-independent); any other
+       string names an existing column ranked DESCENDING (the
+       ``order_col`` contract — quota-by-PageRank, quota-by-arrival
+       for the streaming twin's equivalence pin).
     7. **budget** — :func:`..operators.packing.select_token_budget`
        greedy best-quality-first prefix under ``token_budget``
        whitespace tokens (skipped when None; ordering key is the
@@ -161,9 +173,23 @@ def curate_documents(docs: DataFrame, *,
     if url_col is not None:
         from picoprobedataflow_spark.functions.web import \
             domain_quota_sample
-        quota = (domain_quota_sample(cur, url_col=url_col,
+        if quota_order == "quality":
+            qcur = cur.withColumn(
+                "_q_ord",
+                F.round(quality_score(text_col) * 1e6).cast("long"))
+            ocol: str | None = "_q_ord"
+        elif quota_order == "hash":
+            qcur, ocol = cur, None
+        else:
+            if quota_order not in cur.columns:
+                raise ValueError(
+                    f"quota_order column {quota_order!r} not in "
+                    f"frame columns {cur.columns}")
+            qcur, ocol = cur, quota_order
+        quota = (domain_quota_sample(qcur, url_col=url_col,
                                      quota=domain_quota,
-                                     id_col=id_col)
+                                     id_col=id_col,
+                                     order_col=ocol)
                  .filter(F.col("kept")).select(id_col))
         cur = _mark("quota", cur.join(quota, id_col))
 

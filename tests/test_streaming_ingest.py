@@ -1044,3 +1044,104 @@ def test_streaming_chi2_drift_equals_batch(spark, tmp_path):
         have = sorted((r.category, r.n_ref, r.n_cur, r.e_cur,
                        r.chi2_term) for r in by_batch[bid])
         assert have == want
+
+
+def test_streaming_curation_flow_equals_batch(spark, tmp_path):
+    """The composed streaming curation loop (VERDICT r13 #5): a
+    3-batch id-ordered drain admits EXACTLY the docs the batch flow
+    keeps under arrival-rank quota — quality and repetition gates
+    row-local, exact dedup first-arrival-survives via the fps state
+    (== keep-min-id over id-ordered batches), decontamination
+    against the once-checkpointed bench universe, and the per-domain
+    cap spanning epochs through the domains state. Funnel counts per
+    epoch ride along; the per-epoch funnels sum to the batch
+    funnel's input count."""
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.flows.curation import \
+        curate_documents
+    from picoprobedataflow_spark.streaming.curation import \
+        run_curation_stream
+
+    # Distinct-token generator: every doc clears the Gopher
+    # repetition battery (top word = a sparse "the" at 1/12) and the
+    # 0.2 quality bar (stopword ratio) — only the planted offenders
+    # drop at their intended stage.
+    def gen(i: int) -> str:
+        return " ".join("the" if j % 12 == 0 else f"doc{i}word{j}"
+                        for j in range(36))
+
+    bench_text = ("the held benchmark asked about capital france "
+                  "and paris answer questions knowledge probe "
+                  "evaluation test suite item prompt under the "
+                  "usual protocol")
+    rows = []
+    for i in range(30):
+        if i % 10 == 7:
+            text = gen(i - 7)        # exact dup of the i%10==0 doc
+        elif i % 10 == 3:
+            text = bench_text + f" variantx{i} extray{i}"  # contam
+        elif i % 10 == 5:
+            text = "spam spam spam spam spam spam spam spam"
+        else:
+            text = gen(i)
+        rows.append((i, text,
+                     f"https://site{i % 4}.example.com/p{i}"))
+    schema = "doc_id long, text string, url string"
+    docs = spark.createDataFrame(rows, schema)
+    bench = spark.createDataFrame([(0, bench_text)],
+                                  "doc_id long, text string")
+
+    # batch comparator: same stages, quota by ARRIVAL (desc -id)
+    bdocs = docs.withColumn("_arr", -F.col("doc_id"))
+    want = curate_documents(
+        bdocs, min_quality=0.2, repetition_filter=True,
+        exact_dedup=True, near_dedup=False, bench_docs=bench,
+        contamination_threshold=0.2, url_col="url",
+        domain_quota=2, quota_order="_arr", token_budget=None)
+    want_ids = {r.doc_id for r in want.kept.collect()}
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ck")
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        (docs.filter((F.col("doc_id") >= lo)
+                     & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("append").parquet(str(src)))
+        q = run_curation_stream(
+            spark.readStream.schema(schema).parquet(str(src)),
+            state, ckpt, min_quality=0.2, bench_docs=bench,
+            contamination_threshold=0.2, url_col="url",
+            domain_quota=2)
+        assert q.awaitTermination(300)
+
+    kept = spark.read.parquet(os.path.join(state, "kept"))
+    got_ids = {r.doc_id for r in kept.collect()}
+    assert got_ids == want_ids
+    # every admitted doc carries its registrable domain
+    assert all(r.domain == "example.com" for r in kept.collect())
+
+    funnel = spark.read.parquet(os.path.join(state, "funnel"))
+    by_epoch = {}
+    for r in funnel.collect():
+        by_epoch.setdefault(r.epoch, {})[r.stage] = r.n
+    assert len(by_epoch) == 3
+    order = ["input", "quality", "repetition", "exact", "decontam",
+             "quota"]
+    for stages in by_epoch.values():
+        assert set(stages) == set(order)  # all stages, every epoch
+        ns = [stages[s] for s in order]
+        assert all(a >= b for a, b in zip(ns, ns[1:]))  # monotone
+    assert sum(s["input"] for s in by_epoch.values()) == 30
+    assert (sum(s["quota"] for s in by_epoch.values())
+            == len(want_ids))
+
+    # replay idempotence: re-running the drained stream adds nothing
+    q = run_curation_stream(
+        spark.readStream.schema(schema).parquet(str(src)),
+        state, ckpt, min_quality=0.2, bench_docs=bench,
+        contamination_threshold=0.2, url_col="url", domain_quota=2)
+    assert q.awaitTermination(300)
+    assert ({r.doc_id for r in spark.read.parquet(
+        os.path.join(state, "kept")).collect()} == got_ids)
