@@ -803,11 +803,18 @@ def pmi_cooccurrence(docs, window: int = 5, min_count: int = 2,
     via broadcast crossJoin (the catalog's scalar-agg pattern).
     ``pmi`` rounds at 6 dp (the documented cross-engine ulp class)."""
     from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
 
     if window < 1:
         raise ValueError("window must be >= 1")
+    # Three consumers fan out of this frame (unigram counts, pair
+    # counts, T_pairs totals); without the persist the filter +
+    # tokenize scan re-executes per consumer (the minhash shared-
+    # vector rule — round-14 review fix). MEMORY_ONLY: evictable,
+    # never spills.
     toked = (docs.filter(F.col(text_col).isNotNull())
-             .select(words(text_col).alias("_toks")))
+             .select(words(text_col).alias("_toks"))
+             .persist(StorageLevel.MEMORY_ONLY))
     uni = (toked.select(F.explode("_toks").alias("term"))
            .groupBy("term").agg(F.count("*").alias("c")))
     t_tok = uni.agg(F.sum("c").cast("double").alias("_ttok"))

@@ -97,6 +97,28 @@ def _c(col: Column | str) -> Column:
 _PCT_DECODE = (("%2D", "-"), ("%2E", "."), ("%5F", "_"), ("%7E", "~"))
 
 
+def _pct_normalize_py(s: str) -> str:
+    """Python twin of :func:`_percent_normalize` for driver-side
+    inputs (robots rule paths at table-build time): valid escapes'
+    hex uppercases, the four unreserved marks decode, invalid
+    escapes pass through verbatim. Kept in lockstep with the Column
+    version (equivalence pinned in tests/test_web_functions.py)."""
+    if "%" not in s:
+        return s
+    pieces = s.split("%")
+    out = [pieces[0]]
+    for x in pieces[1:]:
+        if len(x) >= 2 and all(c in "0123456789abcdefABCDEF"
+                               for c in x[:2]):
+            out.append("%" + x[:2].upper() + x[2:])
+        else:
+            out.append("%" + x)
+    fixed = "".join(out)
+    for hx, ch in _PCT_DECODE:
+        fixed = fixed.replace(hx, ch)
+    return fixed
+
+
 def _percent_normalize(r: Column) -> Column:
     """RFC 3986 §6.2.2 percent-encoding normalization, RE2-safely and
     DuckDB-replayably: every valid escape's hex uppercases ('%2f' →
@@ -579,9 +601,20 @@ def robots_rules_table(spark, rules) -> DataFrame:
     Rule paths are literal PREFIXES — the documented subset, like
     :data:`DEFAULT_PSL_SUFFIXES` for the PSL: RFC 9309 ``*`` / ``$``
     wildcards expand at parse time into this table's prefix form or
-    stay out of scope; the JOIN SHAPE is identical either way."""
+    stay out of scope; the JOIN SHAPE is identical either way.
+
+    Percent-encoding (round-14 battery, RFC 9309 §2.2.2): rule paths
+    normalize here through the SAME projection
+    :func:`url_normalize` applies to URL paths — valid escapes' hex
+    uppercases and the four unreserved MARKS decode
+    (:data:`_PCT_DECODE`) — so a rule authored ``/p%2dq`` (or
+    ``/p%2Fq`` vs a URL's ``%2f``) matches the canonicalized URL it
+    denotes. This is the spec's "percent-decode before comparison"
+    requirement restricted to the engine's documented idempotent
+    subset; the gate's prefix test then compares like with like."""
     return spark.createDataFrame(
-        list(rules), "domain string, rule_path string, allow boolean")
+        [(d, _pct_normalize_py(p), a) for d, p, a in rules],
+        "domain string, rule_path string, allow boolean")
 
 
 def robots_gate(urls: DataFrame, rules: DataFrame,
@@ -661,7 +694,16 @@ def robots_txt_parse(text: str, user_agent: str,
       contributes no rule.
 
     Returns ``[(domain, rule_path, allow), ...]`` ready to feed
-    :func:`robots_rules_table` (one call per fetched host)."""
+    :func:`robots_rules_table` (one call per fetched host).
+
+    Degenerate handling (round-14 battery): a leading UTF-8 BOM
+    strips before parsing (RFC 9309 files are UTF-8; a BOM glued to
+    the first ``User-agent`` line otherwise makes its field name
+    ``\\ufeffuser-agent`` and silently drops the whole first group),
+    and CRLF/CR line endings parse identically to LF
+    (``splitlines`` + per-line strip — pinned)."""
+    if text.startswith("﻿"):
+        text = text[1:]
     ua = user_agent.lower()
     groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
     cur_agents: list[str] = []

@@ -1235,6 +1235,15 @@ def connected_components(edges: DataFrame, id_a: str = "doc_a",
             f"connected_components endpoints must both be numeric "
             f"or both string/binary; got {id_a}: {a_type}, "
             f"{id_b}: {b_type}")
+    # NULL endpoints drop the EDGE, uniformly across both branches
+    # (round-14 review fix: the mapped branch's inner joins silently
+    # vanished such edges — including their non-NULL endpoint —
+    # while the numeric branch retained a NULL pseudo-node; a NULL
+    # id identifies no document, so the edge carries no closure
+    # information and the non-NULL endpoint simply isn't pulled into
+    # any component by it).
+    edges = edges.filter(F.col(id_a).isNotNull()
+                         & F.col(id_b).isNotNull())
     if a_type in stringy:
         if a_type != b_type:
             raise TypeError(

@@ -114,11 +114,29 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
         # live): NaN orders GREATER than every number in Spark, so
         # an unguarded `_w > 0` let a single NaN weight poison the
         # whole rank vector; +inf similarly NaN-ed pr·w/Σw.
-        e = (raw.filter(F.col("_w").isNotNull()
-                        & ~F.isnan("_w")
-                        & (F.col("_w") > 0)
-                        & (F.col("_w") < float("inf")))
-             .groupBy("src", "dst").agg(F.sum("_w").alias("_w"))
+        ecol = (raw.filter(F.col("_w").isNotNull()
+                           & ~F.isnan("_w")
+                           & (F.col("_w") > 0)
+                           & (F.col("_w") < float("inf")))
+                .groupBy("src", "dst").agg(F.sum("_w").alias("_w"))
+                # Re-guard after the collapse: duplicate-edge weight
+                # SUMS can overflow to +inf even though every input
+                # was finite (round-14 battery) — same drop rule as
+                # the ingest filter.
+                .filter(F.col("_w") < float("inf")))
+        # Per-src MAX-normalization (round-14 battery find,
+        # reproduced live): Σw over a node's edges can overflow to
+        # +inf on large-but-finite weights (three 1e308 edges), and
+        # pr·w/inf = 0 then silently leaked 75% of the rank mass.
+        # Shares only ever use w RELATIVE to the src's total, so
+        # dividing each edge by its src's max first (w/max ∈ (0,1],
+        # Σ ≤ outdeg — finite by construction) preserves every
+        # share ratio exactly while making the arithmetic
+        # overflow-free at any weight magnitude.
+        emax = ecol.groupBy("src").agg(F.max("_w").alias("_mx"))
+        e = (ecol.join(emax, "src")
+             .select("src", "dst",
+                     (F.col("_w") / F.col("_mx")).alias("_w"))
              .repartition("src")
              .localCheckpoint(eager=True))
         # Node universe from the UNFILTERED endpoints (review find):

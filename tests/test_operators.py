@@ -4049,3 +4049,116 @@ def test_chi2_report_matches_hand_model(spark):
               chi2_score(cur, "cat", reference).collect()}
     assert rolled == {"en": (50, 30), "de": (30, 25),
                       "__other__": (20, 45)}
+
+
+def test_connected_components_null_endpoints_uniform(spark):
+    """NULL-endpoint edges drop uniformly (round-14 review fix): the
+    numeric and string branches agree — the edge vanishes, the
+    non-NULL endpoint is simply not pulled into any component by it,
+    and a node connected only through NULL edges is absent (callers
+    treat absent nodes as their own canonical)."""
+    from picoprobedataflow_spark.operators.dedup import \
+        connected_components
+
+    num = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, None), (None, 9), (None, None)],
+        "a long, b long")
+    got_n = {(r.node, r.comp) for r in
+             connected_components(num, "a", "b").collect()}
+    assert got_n == {(1, 1), (2, 1), (3, 1)}
+
+    s = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("q", None), (None, "r")],
+        "a string, b string")
+    got_s = {(r.node, r.comp) for r in
+             connected_components(s, "a", "b").collect()}
+    assert got_s == {("x", "x"), ("y", "x"), ("z", "x")}
+
+
+def test_weighted_pagerank_float_extreme_weights(spark):
+    """Round-14 battery fix, reproduced live: three 1e308 edges from
+    one node overflowed Σw to +inf and pr·w/inf = 0 leaked 75% of
+    the rank mass. Max-normalized shares (w/max per src) preserve
+    every ratio exactly and keep the walk overflow-free: mass sums
+    to 1, the three equal-weight targets split equally, a
+    duplicate-edge weight SUM that overflows drops under the same
+    rule as an infinite input, and denormal-tiny weights still
+    divide cleanly."""
+    from picoprobedataflow_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1e308), (0, 2, 1e308), (0, 3, 1e308), (1, 0, 1.0),
+         (2, 0, 1.0), (3, 0, 1.0)],
+        "src long, dst long, w double")
+    rows = pagerank(edges, n_iter=5, weight_col="w",
+                    round_digits=None).collect()
+    assert abs(sum(r.pr for r in rows) - 1.0) < 1e-9
+    prs = {r.node: r.pr for r in rows}
+    assert abs(prs[1] - prs[2]) < 1e-15 and abs(prs[2] - prs[3]) < 1e-15
+    # identical ranks to the same graph at weight 1.0 (ratios are
+    # all that matter): equal weights of ANY magnitude == unweighted
+    uni = {r.node: r.pr for r in pagerank(
+        edges.withColumn("w", F.lit(1.0)), n_iter=5,
+        weight_col="w", round_digits=None).collect()}
+    for n in prs:
+        assert abs(prs[n] - uni[n]) < 1e-12, n
+
+    # duplicate-edge sum overflow: two 1e308 rows for 0->1 collapse
+    # to +inf and drop; the remaining 0->2 edge carries all of 0's
+    # rank (node 1 still ranks as a node — dangling drop rule)
+    dup = spark.createDataFrame(
+        [(0, 1, 1e308), (0, 1, 1e308), (0, 2, 1.0), (2, 0, 1.0),
+         (1, 0, 1.0)],
+        "src long, dst long, w double")
+    d = {r.node: r for r in pagerank(dup, n_iter=3, weight_col="w",
+                                     round_digits=None).collect()}
+    assert set(d) == {0, 1, 2}
+    assert abs(sum(r.pr for r in d.values()) - 1.0) < 1e-9
+    assert d[2].pr > d[1].pr  # node 1 gets no flow, only teleport
+
+    # denormal-tiny weights: 5e-324 / max(...) is exact (same key)
+    tiny = spark.createDataFrame(
+        [(0, 1, 5e-324), (0, 2, 5e-324), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double")
+    t = {r.node: r.pr for r in pagerank(
+        tiny, n_iter=4, weight_col="w", round_digits=None).collect()}
+    assert abs(sum(t.values()) - 1.0) < 1e-9
+    assert abs(t[1] - t[2]) < 1e-15
+
+
+def test_upsample_sources_integer_boundary_weights(spark):
+    """Round-14 battery pin: multiplicities at and just across
+    integer weight boundaries. int() + round-to-1e-4-grid makes the
+    op exact at w=2.0, snaps float fuzz (1.9999999999999998 /
+    3.0000000000000004) to the intended integer, and documents the
+    1e-4 fractional resolution floor (w=1e-5 rounds to zero — a
+    sub-resolution source vanishes rather than keeping a random
+    sliver)."""
+    from picoprobedataflow_spark.functions.text import \
+        upsample_sources
+
+    docs = spark.createDataFrame(
+        [(i, f"s{k}", "t") for k in range(5) for i in
+         range(k * 100, k * 100 + 40)],
+        "doc_id long, source string, text string")
+    w = {"s0": 2.0, "s1": 1.9999999999999998,
+         "s2": 3.0000000000000004, "s3": 0.00001, "s4": 1.0}
+    out = upsample_sources(docs, w, by_col="source")
+    mult = {r.source: r.n for r in
+            (out.groupBy("source", "doc_id").count()
+             .groupBy("source")
+             .agg(F.max("count").alias("mx"),
+                  F.min("count").alias("mn"),
+                  F.count("*").alias("docs"))
+             .select("source", F.struct("mx", "mn", "docs")
+                     .alias("n")).collect())}
+    assert (mult["s0"].mx, mult["s0"].mn, mult["s0"].docs) == (2, 2, 40)
+    assert (mult["s1"].mx, mult["s1"].mn, mult["s1"].docs) == (2, 2, 40)
+    assert (mult["s2"].mx, mult["s2"].mn, mult["s2"].docs) == (3, 3, 40)
+    assert "s3" not in mult          # sub-resolution source drops
+    assert (mult["s4"].mx, mult["s4"].mn, mult["s4"].docs) == (1, 1, 40)
+    # epoch ids are dense 0..n-1 per copy group
+    eps = (out.filter(F.col("source") == "s2")
+           .groupBy("doc_id").agg(F.collect_set("epoch").alias("e"))
+           .collect())
+    assert all(sorted(r.e) == [0, 1, 2] for r in eps)

@@ -707,3 +707,119 @@ def test_sitemap_urls_extraction(spark):
         "host string, content string")
     assert [r.url for r in sitemap_urls(tricky).collect()] == \
         ["https://t.com/?q=x&lt;y"]
+
+
+def test_robots_txt_parse_bom_and_crlf():
+    """Round-14 degenerate battery: a UTF-8 BOM glued to the first
+    line must not corrupt its field name (pre-fix the whole first
+    group silently dropped), and CRLF / bare-CR files parse exactly
+    like LF."""
+    from picoprobedataflow_spark.functions.web import \
+        robots_txt_parse
+
+    body = ("User-agent: probe\r\n"
+            "Disallow: /private\r\n"
+            "Allow: /private/ok\r\n")
+    want = [("h.example", "/private", False),
+            ("h.example", "/private/ok", True)]
+    assert robots_txt_parse("﻿" + body, "probe-1",
+                            "h.example") == want
+    assert robots_txt_parse(body, "probe-1", "h.example") == want
+    assert robots_txt_parse(body.replace("\r\n", "\n"), "probe-1",
+                            "h.example") == want
+    # BOM on a LATER line is part of that line's field name and the
+    # line is ignored as unknown — only the file-leading BOM strips
+    noisy = "User-agent: *\nDisallow: /a\n﻿Disallow: /b\n"
+    assert robots_txt_parse(noisy, "anybot", "h.example") == [
+        ("h.example", "/a", False)]
+
+
+def test_robots_rules_percent_equivalence(spark):
+    """RFC 9309 §2.2.2 percent-decode-before-comparison, restricted
+    to the engine's documented idempotent subset: a rule authored
+    with a lowercase escape or an encoded unreserved mark matches
+    the canonicalized URL it denotes — both sides normalize through
+    the SAME projection. The Python rule-side twin is pinned equal
+    to the Column version on an adversarial battery."""
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.functions.web import (
+        _pct_normalize_py, _percent_normalize, robots_gate,
+        robots_rules_table, url_normalize)
+
+    battery = ["/p%2dq", "/p%2Dq", "/a%2fb", "/a%2Fb", "/x%7e",
+               "/x%7E", "/%zz", "/%4", "/trailing%", "/plain",
+               "/%2e%2e/up", "/mix%5fand%2Fkeep", "%", "", "/%2541"]
+    got = (spark.createDataFrame([(s,) for s in battery], "s string")
+           .select(_percent_normalize(F.col("s")).alias("n"))
+           .collect())
+    for s, r in zip(battery, got):
+        assert r.n == _pct_normalize_py(s), s
+
+    rules = robots_rules_table(spark, [
+        ("h.example", "/p%2dq", False),      # means /p-q
+        ("h.example", "/a%2fb", False),      # hex case normalizes
+        ("h.example", "/t%7euser", False),   # means /t~user
+    ])
+    urls = spark.createDataFrame(
+        [(0, "http://h.example/p-q/page"),
+         (1, "http://h.example/a%2Fb/x"),
+         (2, "http://h.example/t%7Euser/site"),
+         (3, "http://h.example/p-other")],
+        "doc_id long, url string")
+    u = urls.select("doc_id", url_normalize("url").alias("url"))
+    got = {r.doc_id: r.allowed
+           for r in robots_gate(u, rules).collect()}
+    assert got == {0: False, 1: False, 2: False, 3: True}
+
+
+def test_sitemap_self_reference_cycle(spark):
+    """A sitemap index whose <loc> points at ITSELF (or at a sibling
+    that points back) is inert: the extractor emits the URL once per
+    containing document — it fetches nothing, so no loop — and the
+    frontier composition drops already-fetched sitemap URLs through
+    the fetched anti-join, so the cycle cannot re-enter the
+    next-fetch list in any later epoch."""
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.flows.crawl import \
+        prioritize_frontier
+    from picoprobedataflow_spark.functions.web import sitemap_urls
+
+    self_ref = ("<sitemapindex><sitemap>"
+                "<loc>https://h.example/sitemap.xml</loc>"
+                "</sitemap></sitemapindex>")
+    mutual_a = ("<sitemapindex><sitemap>"
+                "<loc>https://h.example/sitemap-b.xml</loc>"
+                "</sitemap></sitemapindex>")
+    mutual_b = ("<sitemapindex><sitemap>"
+                "<loc>https://h.example/sitemap-a.xml</loc>"
+                "</sitemap><url>"
+                "<loc>https://h.example/real-page</loc>"
+                "</url></sitemapindex>")
+    fetched_content = spark.createDataFrame(
+        [("h.example", self_ref, "https://h.example/sitemap.xml"),
+         ("h.example", mutual_a, "https://h.example/sitemap-a.xml"),
+         ("h.example", mutual_b, "https://h.example/sitemap-b.xml")],
+        "host string, content string, fetch_url string")
+    inv = sitemap_urls(fetched_content)
+    # one row per containing doc — the self-loc emits exactly once
+    assert inv.count() == 4
+
+    links = inv.select(F.col("url").alias("src_url"),
+                       F.col("url").alias("dst_url")).limit(0) \
+        .unionByName(spark.createDataFrame(
+            [("https://h.example/", u.url) for u in inv.collect()],
+            "src_url string, dst_url string"))
+    rules = spark.createDataFrame(
+        [], "domain string, rule_path string, allow boolean")
+    fetched = fetched_content.select(
+        F.col("fetch_url").alias("url")).unionByName(
+        spark.createDataFrame([("https://h.example/",)],
+                              "url string"))
+    out = prioritize_frontier(links, rules, quota=10, top_n=10,
+                              n_iter=2, fetched=fetched)
+    urls = {r.url for r in out.collect()}
+    # every already-fetched sitemap (incl. the self-reference) is
+    # excluded; the real page is the only new fetch candidate
+    assert urls == {"https://h.example/real-page"}
