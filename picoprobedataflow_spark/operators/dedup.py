@@ -1688,9 +1688,20 @@ def kmr_fingerprint_positions(docs: DataFrame, min_len: int,
     """
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
-    toks = (docs.select(F.col(id_col), words(text_col).alias("_w"))
-            .select(F.col(id_col), F.size("_w").alias("n_tok"),
-                    F.posexplode("_w").alias("pos", "tok")))
+    toks0 = docs.select(F.col(id_col), words(text_col).alias("_w"))
+    return _kmr_from_tokens(toks0, min_len, id_col)
+
+
+def _kmr_from_tokens(toks0: DataFrame, min_len: int,
+                     id_col: str) -> DataFrame:
+    """The fingerprint chain over a prebuilt (id, _w token array)
+    frame — split out so :func:`substring_dedup_stats` can share ONE
+    (persisted) tokenize between the chain and its per-doc token
+    counts (round-14 review fix: the two consumers each re-ran the
+    corpus tokenize, the same multi-consumer re-scan class the
+    pmi_cooccurrence persist closed)."""
+    toks = toks0.select(F.col(id_col), F.size("_w").alias("n_tok"),
+                        F.posexplode("_w").alias("pos", "tok"))
     w = W.partitionBy(id_col).orderBy("pos")
     out = toks.withColumn("_h", F.md5("tok"))
     k = 1
@@ -1742,7 +1753,13 @@ def substring_dedup_stats(docs: DataFrame, min_len: int = 12,
     doc-keyed aggregate joined back onto the doc list. No
     all-pairs, no driver state; at 100 TB every stage keys on doc or
     sig."""
-    sigs = kmr_fingerprint_positions(docs, min_len, text_col, id_col)
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    # ONE tokenize, two consumers (the fingerprint chain and the
+    # per-doc token counts) — MEMORY_ONLY: evictable, never spills.
+    toks0 = (docs.select(F.col(id_col), words(text_col).alias("_w"))
+             .persist(StorageLevel.MEMORY_ONLY))
+    sigs = _kmr_from_tokens(toks0, min_len, id_col)
     valid = sigs.filter(F.col("sig").isNotNull())
     cnt = F.count("*").over(W.partitionBy("sig"))
     dup = (valid.withColumn("_c", cnt).filter(F.col("_c") >= 2)
@@ -1763,8 +1780,7 @@ def substring_dedup_stats(docs: DataFrame, min_len: int = 12,
                     F.count("*").cast("long").alias("n_spans"),
                     F.sum("_len").cast("long").alias("dup_tok"),
                     F.max("_len").cast("long").alias("max_span")))
-    base = docs.select(F.col(id_col),
-                       F.size(words(text_col)).alias("_n_tok"))
+    base = toks0.select(F.col(id_col), F.size("_w").alias("_n_tok"))
     zero = F.lit(0).cast("long")
     return (base.join(per_doc, id_col, "left")
             .select(F.col(id_col),

@@ -2441,14 +2441,17 @@ _CHI2_DRIFT_MOD = 7
 _CHI2_ORACLE = f"""
 WITH xr AS (
   SELECT source AS category, count(*) AS c_ref
-  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+  FROM documents
+  WHERE doc_id % 2 = 0 AND source IS NOT NULL
+  GROUP BY 1
 ),
 xc AS (
   SELECT category, count(*) AS c_cur FROM (
     SELECT CASE WHEN doc_id % {_CHI2_DRIFT_MOD} = 0
                 THEN '__drift__' ELSE source END AS category
     FROM documents WHERE doc_id % 2 = 1
-  ) GROUP BY 1
+  ) WHERE category IS NOT NULL
+  GROUP BY 1
 ),
 xj AS (
   SELECT coalesce(r.category, c.category) AS category,

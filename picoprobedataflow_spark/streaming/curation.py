@@ -126,20 +126,34 @@ def run_curation_stream(doc_stream: DataFrame, state_dir: str,
 
         # exact dedup vs state: first arrival survives. Within the
         # batch the min id per fingerprint wins (the batch flow's
-        # keep-min-id mapping restricted to one epoch); across
+        # keep-min-id mapping restricted to one epoch, on the RAW id
+        # type — round-14 review fix: an unconditional long cast
+        # NULLed string ids and silently emptied the batch); across
         # batches the state anti-join drops every re-arrival.
-        seen = _state(spark, fp_dir, FP_SCHEMA)
+        # before_epoch keeps a REPLAYED epoch from reading its own
+        # partial state back (second review fix, same pass). A
+        # NULL-text doc has a NULL fingerprint and passes through
+        # untouched — it is nobody's duplicate, matching the batch
+        # flow's fingerprint-join semantics when the quality gate
+        # (which otherwise drops NULL texts) is disabled.
+        seen = _state(spark, fp_dir, FP_SCHEMA,
+                      before_epoch=epoch_id)
         withfp = cur.withColumn("_fp", fingerprint_md5(text_col))
-        firsts = (withfp.groupBy("_fp")
-                  .agg(F.min(F.col(id_col).cast("long"))
-                       .alias("_first")))
-        cur = (withfp.join(firsts, "_fp")
-               .filter(F.col(id_col).cast("long") == F.col("_first"))
-               .join(seen.withColumnRenamed("fingerprint", "_fp"),
-                     "_fp", "left_anti")
-               .drop("_first")
+        firsts = (withfp.filter(F.col("_fp").isNotNull())
+                  .groupBy("_fp")
+                  .agg(F.min(F.col(id_col)).alias("_first")))
+        deduped = (withfp.filter(F.col("_fp").isNotNull())
+                   .join(firsts, "_fp")
+                   .filter(F.col(id_col) == F.col("_first"))
+                   .join(seen.withColumnRenamed("fingerprint",
+                                                "_fp"),
+                         "_fp", "left_anti")
+                   .drop("_first"))
+        cur = (deduped
+               .unionByName(withfp.filter(F.col("_fp").isNull()))
                .localCheckpoint(eager=True))
-        new_fps = (withfp.select(F.col("_fp").alias("fingerprint"))
+        new_fps = (withfp.filter(F.col("_fp").isNotNull())
+                   .select(F.col("_fp").alias("fingerprint"))
                    .distinct()
                    .join(seen, "fingerprint", "left_anti"))
         funnel.append(("exact", cur.count()))
@@ -158,7 +172,8 @@ def run_curation_stream(doc_stream: DataFrame, state_dir: str,
         if url_col is not None:
             from picoprobedataflow_spark.functions.web import \
                 domain_quota_sample
-            prior = (_state(spark, dom_dir, DOMAIN_SCHEMA)
+            prior = (_state(spark, dom_dir, DOMAIN_SCHEMA,
+                            before_epoch=epoch_id)
                      .groupBy("domain")
                      .agg(F.sum("n").alias("_prior")))
             # Within-batch arrival rank: order_col ranks DESCENDING,

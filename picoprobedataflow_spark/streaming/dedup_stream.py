@@ -42,11 +42,22 @@ SIG_SCHEMA = "doc_id long, salt bigint, minhash bigint"
 BAND_SCHEMA = "doc_id long, band bigint, band_sig string"
 
 
-def _state(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    """Accumulated state table; typed-empty before the first epoch."""
+def _state(spark: SparkSession, path: str, schema: str,
+           before_epoch: int | None = None) -> DataFrame:
+    """Accumulated state table; typed-empty before the first epoch.
+
+    ``before_epoch`` restricts the read to partitions written by
+    EARLIER epochs (round-14 review fix): a replayed epoch (crash
+    after its state write, before the streaming checkpoint commit)
+    otherwise reads its OWN partial partitions back as prior state —
+    the exact corruption the 'recompute against pre-epoch state'
+    contract forbids. Every foreachBatch loop in this package passes
+    its epoch_id here."""
     if os.path.isdir(path):
-        return spark.read.schema(schema + ", epoch long").parquet(path) \
-                    .drop("epoch")
+        df = spark.read.schema(schema + ", epoch long").parquet(path)
+        if before_epoch is not None:
+            df = df.filter(F.col("epoch") < before_epoch)
+        return df.drop("epoch")
     return spark.createDataFrame([], schema)
 
 
@@ -78,8 +89,10 @@ def run_incremental_dedup_stream(doc_stream: DataFrame, state_dir: str,
     def _process(batch: DataFrame, epoch_id: int) -> None:
         if not batch.head(1):
             return
-        corpus_sigs = _state(spark, sig_dir, SIG_SCHEMA)
-        corpus_bands = _state(spark, band_dir, BAND_SCHEMA)
+        corpus_sigs = _state(spark, sig_dir, SIG_SCHEMA,
+                             before_epoch=epoch_id)
+        corpus_bands = _state(spark, band_dir, BAND_SCHEMA,
+                              before_epoch=epoch_id)
         new_sigs, new_bands, pairs = incremental_minhash_dedup(
             batch, corpus_sigs, corpus_bands,
             num_hashes=num_hashes, k=k, band_size=band_size,
@@ -149,7 +162,8 @@ def run_image_dedup_stream(image_stream: DataFrame, state_dir: str,
     def _process(batch: DataFrame, epoch_id: int) -> None:
         if not batch.head(1):
             return
-        state = _state(spark, sig_dir, PHASH_STATE_SCHEMA)
+        state = _state(spark, sig_dir, PHASH_STATE_SCHEMA,
+                       before_epoch=epoch_id)
         new_sigs = (image_phash(batch, grid=grid, codec=codec)
                     .select("path", F.col("phash").alias("simhash"))
                     .persist())
