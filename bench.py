@@ -324,6 +324,7 @@ def main() -> None:
     # doubling — O(log L) Window ops on one doc-keyed sort + one
     # sig-count shuffle + island merge).
     variants["substr_dedup_full"] = PL.substr_dedup_stats
+    variants["substr_clean_full"] = PL.substr_clean_texts
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
     # shouldn't be charged to the first query. Each headline query is

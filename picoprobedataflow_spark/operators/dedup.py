@@ -1792,6 +1792,92 @@ def substring_dedup_stats(docs: DataFrame, min_len: int = 12,
                             / F.col("_n_tok"), 6).alias("dup_ratio")))
 
 
+def remove_duplicate_substrings(docs: DataFrame, min_len: int = 12,
+                                text_col: str = "text",
+                                id_col: str = "doc_id"
+                                ) -> DataFrame:
+    """(doc_id, cleaned, n_removed, n_kept): the REMOVAL half of
+    suffix-array substring dedup — ExactSubstr's actual edit (Lee et
+    al. 2022 delete the duplicated text, keeping one occurrence;
+    :func:`substring_dedup_stats` is the diagnostic half). A token
+    deletes iff it is covered by a duplicated ``min_len``-window
+    whose start is NOT the corpus-wide first occurrence of that
+    window (first occurrence = exact-int min of
+    ``(doc_id << 32) + pos``, the cross_doc_span_dedup key — so one
+    copy of every duplicated passage survives, at its earliest
+    corpus position). Unlike :func:`remove_duplicate_spans` this
+    needs no alignment: a quote at ANY offset deletes, and a
+    100-token verbatim quote deletes in full, not just its aligned
+    k-windows. Docs with nothing duplicated pass through untouched
+    (whitespace normalized to single spaces, the span-cleaner
+    contract).
+
+    Scale shape: the :func:`kmr_fingerprint_positions` chain (one
+    persisted tokenize, one doc-keyed sort, O(log L) Windows), one
+    sig-keyed count+min aggregate joined back on sig, one island
+    merge of the delete intervals, then ONE doc-keyed reassembly
+    whose ``collect_list`` is bounded by the document's own
+    duplicated-region count — per-doc state, the
+    ``_reassemble_spans`` bound. The final token filter is a
+    row-local ``exists`` over that bounded interval array."""
+    if min_len < 1:
+        raise ValueError(f"min_len must be >= 1, got {min_len}")
+    id_type = dict(docs.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"remove_duplicate_substrings needs an integral "
+            f"{id_col!r} for the first-occurrence key (got "
+            f"{id_type}); pre-assign numeric ids")
+    toks0 = (docs.select(F.col(id_col), words(text_col).alias("_w"))
+             .persist(StorageLevel.MEMORY_ONLY))
+    sigs = _kmr_from_tokens(toks0, min_len, id_col)
+    valid = sigs.filter(F.col("sig").isNotNull())
+    key = (F.shiftleft(F.col(id_col).cast("long"), 32)
+           + F.col("pos").cast("long"))
+    firsts = (valid.withColumn("_key", key)
+              .groupBy("sig")
+              .agg(F.count("*").alias("_c"),
+                   F.min("_key").alias("_first")))
+    # delete coverage = windows that are duplicated AND not the
+    # first occurrence of their content
+    dup = (valid.withColumn("_key", key)
+           .join(firsts, "sig")
+           .filter((F.col("_c") >= 2)
+                   & (F.col("_key") != F.col("_first")))
+           .select(id_col, "pos"))
+    w = W.partitionBy(id_col).orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    islands = (dup.withColumn(
+        "_new", F.when(gap.isNull() | (gap > min_len), 1)
+                 .otherwise(0).cast("long"))
+        .withColumn("_isl", F.sum("_new").over(
+            w.rowsBetween(W.unboundedPreceding, 0))))
+    ivls = (islands.groupBy(id_col, "_isl")
+            .agg(F.min("pos").alias("_s"),
+                 (F.max("pos") + min_len).alias("_e"))
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list(
+                F.struct(F.col("_s"), F.col("_e")))).alias("_ivl")))
+    joined = toks0.join(ivls, id_col, "left")
+    idx = F.transform(F.col("_w"),
+                      lambda t, i: F.struct(t.alias("t"),
+                                            i.alias("i")))
+    kept_arr = F.filter(
+        idx,
+        lambda s: ~F.exists(
+            F.coalesce(F.col("_ivl"),
+                       F.array().cast("array<struct<_s:long,"
+                                      "_e:long>>")),
+            lambda v: (s.i >= v._s) & (s.i < v._e)))
+    return (joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", F.transform(kept_arr, lambda s: s.t))
+         .alias("cleaned"),
+        (F.size("_w") - F.size(kept_arr)).cast("long")
+         .alias("n_removed"),
+        F.size(kept_arr).cast("long").alias("n_kept")))
+
+
 def remove_frequent_segments(docs: DataFrame, span_w: int = 4,
                              min_df: int = 2,
                              text_col: str = "text",

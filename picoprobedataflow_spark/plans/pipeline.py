@@ -3859,25 +3859,24 @@ WITH kst AS MATERIALIZED (
   SELECT doc_id, {_WORDS} AS w FROM documents
 ),
 kh1 AS MATERIALIZED (
-  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, n_tok, md5(w[i]) AS h
-  FROM (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w,
-               CAST(len(w) AS BIGINT) AS n_tok
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, md5(w[i]) AS h
+  FROM (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w
         FROM kst)
 ),
 kh2 AS MATERIALIZED (
-  SELECT doc_id, pos, n_tok,
+  SELECT doc_id, pos,
          md5(h || '|' || lead(h, 1)
                OVER (PARTITION BY doc_id ORDER BY pos)) AS h
   FROM kh1
 ),
 kh4 AS MATERIALIZED (
-  SELECT doc_id, pos, n_tok,
+  SELECT doc_id, pos,
          md5(h || '|' || lead(h, 2)
                OVER (PARTITION BY doc_id ORDER BY pos)) AS h
   FROM kh2
 ),
 kh8 AS MATERIALIZED (
-  SELECT doc_id, pos, n_tok,
+  SELECT doc_id, pos,
          md5(h || '|' || lead(h, 4)
                OVER (PARTITION BY doc_id ORDER BY pos)) AS h
   FROM kh4
@@ -3927,6 +3926,101 @@ SELECT t.doc_id,
        round(COALESCE(d.dup_tok, 0) * 1.0 / len(t.w), 6) AS dup_ratio
 FROM kst t LEFT JOIN kdoc d USING (doc_id)
 """
+
+
+_SUBSTR_CLEAN_ORACLE = f"""
+WITH kst AS MATERIALIZED (
+  SELECT doc_id, {_WORDS} AS w FROM documents
+),
+kh1 AS MATERIALIZED (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, md5(w[i]) AS h
+  FROM (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w
+        FROM kst)
+),
+kh2 AS MATERIALIZED (
+  SELECT doc_id, pos,
+         md5(h || '|' || lead(h, 1)
+               OVER (PARTITION BY doc_id ORDER BY pos)) AS h
+  FROM kh1
+),
+kh4 AS MATERIALIZED (
+  SELECT doc_id, pos,
+         md5(h || '|' || lead(h, 2)
+               OVER (PARTITION BY doc_id ORDER BY pos)) AS h
+  FROM kh2
+),
+kh8 AS MATERIALIZED (
+  SELECT doc_id, pos,
+         md5(h || '|' || lead(h, 4)
+               OVER (PARTITION BY doc_id ORDER BY pos)) AS h
+  FROM kh4
+),
+ksig AS MATERIALIZED (
+  SELECT doc_id, pos,
+         md5(h || '|' || lead(h, {_SUBSTR_L - _SUBSTR_A})
+               OVER (PARTITION BY doc_id ORDER BY pos)) AS sig
+  FROM kh8
+),
+kfirst AS MATERIALIZED (
+  SELECT sig, count(*) AS c,
+         min((doc_id << 32) + pos) AS fk
+  FROM ksig WHERE sig IS NOT NULL GROUP BY 1
+),
+kdel AS MATERIALIZED (
+  SELECT s.doc_id, s.pos
+  FROM ksig s JOIN kfirst f USING (sig)
+  WHERE f.c >= 2 AND (s.doc_id << 32) + s.pos <> f.fk
+),
+kisl AS (
+  SELECT doc_id, pos,
+         sum(CASE WHEN gap IS NULL OR gap > {_SUBSTR_L}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS UNBOUNDED PRECEDING) AS isl
+  FROM (SELECT doc_id, pos,
+               pos - lag(pos) OVER (PARTITION BY doc_id
+                                    ORDER BY pos) AS gap
+        FROM kdel)
+),
+kivl AS (
+  SELECT doc_id,
+         list_sort(list(struct_pack(s := s, e := e))) AS ivl
+  FROM (SELECT doc_id, isl, min(pos) AS s,
+               max(pos) + {_SUBSTR_L} AS e
+        FROM kisl GROUP BY 1, 2)
+  GROUP BY 1
+),
+kkept AS (
+  SELECT t.doc_id, t.w,
+         list_filter(generate_series(1, len(t.w)),
+                     i -> len(list_filter(
+                         coalesce(v.ivl, []),
+                         x -> i - 1 >= x.s AND i - 1 < x.e)) = 0)
+           AS keep_idx
+  FROM kst t LEFT JOIN kivl v USING (doc_id)
+)
+SELECT doc_id,
+       coalesce(array_to_string(
+           list_transform(keep_idx, i -> w[i]), ' '), '')
+         AS cleaned,
+       CAST(len(w) - len(keep_idx) AS BIGINT) AS n_removed,
+       CAST(len(keep_idx) AS BIGINT) AS n_kept
+FROM kkept
+"""
+
+
+def substr_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of suffix-array substring dedup
+    (:func:`..operators.dedup.remove_duplicate_substrings`): every
+    token covered by a duplicated {_SUBSTR_L}-token window that is
+    not the window content's corpus-wide FIRST occurrence deletes —
+    ExactSubstr's actual edit (Lee et al. 2022), alignment-free
+    where ``span_clean`` needs the span_w grid to line up. The
+    oracle replays the identical fingerprint chain, first-occurrence
+    key ((doc_id << 32) + pos), interval merge and list-filter
+    reassembly."""
+    docs = tbl(spark, sf_dir, "documents")
+    return DD.remove_duplicate_substrings(docs, min_len=_SUBSTR_L)
 
 
 def substr_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5358,6 +5452,8 @@ _FAMILY_SPECS = [
     ("substr_dedup", substr_dedup_stats, _SUBSTR_DEDUP_ORACLE,
      dict(n=("doc_id", "n_dup_pos", "n_spans", "dup_tok", "max_span"),
           v=("dup_ratio",))),
+    ("substr_clean", substr_clean_texts, _SUBSTR_CLEAN_ORACLE,
+     dict(k1="cleaned", n=("doc_id", "n_removed", "n_kept"))),
     ("cdc_dedup", cdc_chunk_dedup_stats, _CDC_ORACLE,
      dict(n=("doc_id", "n_chunks", "n_dup_chunks"),
           v=("dup_ratio",))),

@@ -4162,3 +4162,48 @@ def test_upsample_sources_integer_boundary_weights(spark):
            .groupBy("doc_id").agg(F.collect_set("epoch").alias("e"))
            .collect())
     assert all(sorted(r.e) == [0, 1, 2] for r in eps)
+
+
+def test_remove_duplicate_substrings_hand_model(spark):
+    """The ExactSubstr deletion half: a doc quoting a 7-token run of
+    another loses exactly the quoted tokens (unaligned — no span_w
+    grid), the SOURCE keeps its text (first occurrence survives), a
+    self-repeating doc keeps its first copy, untouched docs pass
+    through verbatim (single-space normalized), and the removal is
+    consistent with the diagnostic: n_removed equals the dup_tok of
+    the non-first regions."""
+    from picoprobedataflow_spark.operators.dedup import (
+        remove_duplicate_substrings,
+    )
+    import pytest as _pytest
+
+    L = 5
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"),
+         (1, "x y a b c d e f g z"),     # quotes a..g at offset 2
+         (2, "p q r s t u"),
+         (3, "m1 m2 m3 m4 m5 m1 m2 m3 m4 m5")],  # self-repeat
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           remove_duplicate_substrings(docs, min_len=L).collect()}
+    # source doc 0 intact
+    assert got[0].cleaned == "a b c d e f g h i j"
+    assert got[0].n_removed == 0 and got[0].n_kept == 10
+    # doc 1: positions 2..4 start dup windows (a..g run) -> tokens
+    # 2..9 (a b c d e f g) minus... coverage = [2, 4+5) = [2,9):
+    # a b c d e f g delete; x y z stay
+    assert got[1].cleaned == "x y z"
+    assert got[1].n_removed == 7 and got[1].n_kept == 3
+    # doc 2 untouched
+    assert got[2].cleaned == "p q r s t u"
+    # doc 3: windows at 0..5; first occurrences are the window
+    # CONTENTS' first keys — the second copy (positions 5..) is
+    # non-first, coverage [5,10); the first five tokens survive
+    assert got[3].cleaned == "m1 m2 m3 m4 m5"
+    assert got[3].n_removed == 5 and got[3].n_kept == 5
+
+    # non-integral ids rejected eagerly
+    sdocs = spark.createDataFrame([("a", "x y z")],
+                                  ["doc_id", "text"])
+    with _pytest.raises(TypeError):
+        remove_duplicate_substrings(sdocs, min_len=2)
