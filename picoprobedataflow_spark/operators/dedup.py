@@ -1794,7 +1794,8 @@ def substring_dedup_stats(docs: DataFrame, min_len: int = 12,
 
 def remove_duplicate_substrings(docs: DataFrame, min_len: int = 12,
                                 text_col: str = "text",
-                                id_col: str = "doc_id"
+                                id_col: str = "doc_id",
+                                seen_sigs: DataFrame | None = None
                                 ) -> DataFrame:
     """(doc_id, cleaned, n_removed, n_kept): the REMOVAL half of
     suffix-array substring dedup — ExactSubstr's actual edit (Lee et
@@ -1819,7 +1820,16 @@ def remove_duplicate_substrings(docs: DataFrame, min_len: int = 12,
     whose ``collect_list`` is bounded by the document's own
     duplicated-region count — per-doc state, the
     ``_reassemble_spans`` bound. The final token filter is a
-    row-local ``exists`` over that bounded interval array."""
+    row-local ``exists`` over that bounded interval array.
+
+    ``seen_sigs`` (round 14, the streaming hook): a 1-column frame
+    of window fingerprints already seen in EARLIER corpus slices —
+    an occurrence whose sig is in it deletes regardless of local
+    first-occurrence status (its true first occurrence lives in a
+    prior slice). Over id-ordered slices, slicing + seen_sigs
+    reproduces the one-shot corpus run exactly (the
+    :func:`..streaming.substr_stream.run_substr_clean_stream`
+    drain-equivalence pin)."""
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
     id_type = dict(docs.dtypes)[id_col]
@@ -1839,12 +1849,26 @@ def remove_duplicate_substrings(docs: DataFrame, min_len: int = 12,
               .agg(F.count("*").alias("_c"),
                    F.min("_key").alias("_first")))
     # delete coverage = windows that are duplicated AND not the
-    # first occurrence of their content
-    dup = (valid.withColumn("_key", key)
-           .join(firsts, "sig")
-           .filter((F.col("_c") >= 2)
-                   & (F.col("_key") != F.col("_first")))
-           .select(id_col, "pos"))
+    # first occurrence of their content; a sig already seen in an
+    # earlier slice (seen_sigs) deletes unconditionally — its true
+    # first occurrence is not in this frame.
+    local_dup = ((F.col("_c") >= 2)
+                 & (F.col("_key") != F.col("_first")))
+    if seen_sigs is not None:
+        prior = (seen_sigs
+                 .select(F.col(seen_sigs.columns[0]).alias("sig"))
+                 .distinct()
+                 .withColumn("_seen", F.lit(True)))
+        dup = (valid.withColumn("_key", key)
+               .join(firsts, "sig")
+               .join(prior, "sig", "left")
+               .filter(local_dup | F.coalesce("_seen", F.lit(False)))
+               .select(id_col, "pos"))
+    else:
+        dup = (valid.withColumn("_key", key)
+               .join(firsts, "sig")
+               .filter(local_dup)
+               .select(id_col, "pos"))
     w = W.partitionBy(id_col).orderBy("pos")
     gap = F.col("pos") - F.lag("pos").over(w)
     islands = (dup.withColumn(

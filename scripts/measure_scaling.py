@@ -88,7 +88,14 @@ def main() -> None:
                     # with bench.py).
                     ("nb_full", PL.nb_quality_scores),
                     ("pmi_full", PL.pmi_collocations),
-                    ("ks_full", PL.ks_length_drift)):
+                    ("ks_full", PL.ks_length_drift),
+                    # Round 14: the KMR substring-dedup pair (one
+                    # doc-keyed sort + O(log L) windows + one
+                    # sig-count shuffle) and the categorical drift
+                    # scoreboard (two map-side category counts).
+                    ("substr_dedup_full", PL.substr_dedup_stats),
+                    ("substr_clean_full", PL.substr_clean_texts),
+                    ("chi2_full", PL.chi2_drift_stats)):
         fns[key] = fn
 
     # containment: the UNGATED production path (hashed shingles +

@@ -1145,3 +1145,69 @@ def test_streaming_curation_flow_equals_batch(spark, tmp_path):
     assert q.awaitTermination(300)
     assert ({r.doc_id for r in spark.read.parquet(
         os.path.join(state, "kept")).collect()} == got_ids)
+
+
+def test_streaming_substr_clean_equals_batch(spark, tmp_path):
+    """The streaming ExactSubstr deletion loop: a 3-batch id-ordered
+    drain produces per-doc cleaned text identical to ONE
+    remove_duplicate_substrings run over the whole corpus — a
+    passage quoted ACROSS batches deletes in the later epoch (its
+    first occurrence survived in the earlier one), a within-batch
+    repeat keeps its batch-first copy, and replay adds nothing."""
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.operators.dedup import \
+        remove_duplicate_substrings
+    from picoprobedataflow_spark.streaming.substr_stream import \
+        run_substr_clean_stream
+
+    L = 4
+    quote = "q1 q2 q3 q4 q5 q6"             # 6-token passage
+    rows = []
+    for i in range(12):
+        if i == 1:
+            t = f"a{i} b{i} " + quote        # source (batch 0)
+        elif i == 6:
+            t = quote + f" tail{i} t2{i}"    # cross-batch quote
+        elif i == 9:
+            t = f"x{i} y{i} r1 r2 r3 r4 r1 r2 r3 r4"  # in-batch
+        else:
+            t = f"a{i} b{i} c{i} d{i} e{i} f{i}"
+        rows.append((i, t))
+    schema = "doc_id long, text string"
+    docs = spark.createDataFrame(rows, schema)
+    want = {r.doc_id: (r.cleaned, r.n_removed, r.n_kept)
+            for r in remove_duplicate_substrings(
+                docs, min_len=L).collect()}
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ck")
+    for lo, hi in ((0, 4), (4, 8), (8, 12)):
+        (docs.filter((F.col("doc_id") >= lo)
+                     & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("append").parquet(str(src)))
+        q = run_substr_clean_stream(
+            spark.readStream.schema(schema).parquet(str(src)),
+            state, ckpt, min_len=L)
+        assert q.awaitTermination(300)
+
+    got = {r.doc_id: (r.cleaned, r.n_removed, r.n_kept)
+           for r in spark.read.parquet(
+               os.path.join(state, "cleaned")).collect()}
+    assert got == want
+    # the planted semantics actually exercised
+    assert want[1][1] == 0              # source intact
+    assert got[6][0].startswith("tail6") or "q1" not in got[6][0]
+    assert got[6][1] == 6               # cross-batch quote deleted
+    assert got[9][1] == 4               # second in-batch copy only
+
+    q = run_substr_clean_stream(
+        spark.readStream.schema(schema).parquet(str(src)),
+        state, ckpt, min_len=L)
+    assert q.awaitTermination(300)
+    got2 = {r.doc_id: (r.cleaned, r.n_removed, r.n_kept)
+            for r in spark.read.parquet(
+                os.path.join(state, "cleaned")).collect()}
+    assert got2 == got
