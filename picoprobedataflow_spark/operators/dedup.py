@@ -1795,7 +1795,8 @@ def substring_dedup_stats(docs: DataFrame, min_len: int = 12,
 def remove_duplicate_substrings(docs: DataFrame, min_len: int = 12,
                                 text_col: str = "text",
                                 id_col: str = "doc_id",
-                                seen_sigs: DataFrame | None = None
+                                seen_sigs: DataFrame | None = None,
+                                sigs: DataFrame | None = None
                                 ) -> DataFrame:
     """(doc_id, cleaned, n_removed, n_kept): the REMOVAL half of
     suffix-array substring dedup — ExactSubstr's actual edit (Lee et
@@ -1829,7 +1830,18 @@ def remove_duplicate_substrings(docs: DataFrame, min_len: int = 12,
     prior slice). Over id-ordered slices, slicing + seen_sigs
     reproduces the one-shot corpus run exactly (the
     :func:`..streaming.substr_stream.run_substr_clean_stream`
-    drain-equivalence pin)."""
+    drain-equivalence pin).
+
+    ``sigs`` (round-14 review fix): a precomputed
+    :func:`kmr_fingerprint_positions` frame for exactly these docs.
+    When given, the op builds NO cache of its own — the streaming
+    loop computes (and persists/unpersists) the fingerprints once
+    per epoch and shares them between this deletion pass and its
+    new-state write, the 'loop owns the cache' rule of
+    dedup_stream. When None (one-shot batch), the tokenize persists
+    MEMORY_ONLY internally (the minhash shared-vector convention —
+    acceptable for session-lived one-shot calls, the leak class
+    only bites ops invoked per micro-batch)."""
     if min_len < 1:
         raise ValueError(f"min_len must be >= 1, got {min_len}")
     id_type = dict(docs.dtypes)[id_col]
@@ -1838,9 +1850,14 @@ def remove_duplicate_substrings(docs: DataFrame, min_len: int = 12,
             f"remove_duplicate_substrings needs an integral "
             f"{id_col!r} for the first-occurrence key (got "
             f"{id_type}); pre-assign numeric ids")
-    toks0 = (docs.select(F.col(id_col), words(text_col).alias("_w"))
-             .persist(StorageLevel.MEMORY_ONLY))
-    sigs = _kmr_from_tokens(toks0, min_len, id_col)
+    if sigs is None:
+        toks0 = (docs.select(F.col(id_col),
+                             words(text_col).alias("_w"))
+                 .persist(StorageLevel.MEMORY_ONLY))
+        sigs = _kmr_from_tokens(toks0, min_len, id_col)
+    else:
+        toks0 = docs.select(F.col(id_col),
+                            words(text_col).alias("_w"))
     valid = sigs.filter(F.col("sig").isNotNull())
     key = (F.shiftleft(F.col(id_col).cast("long"), 32)
            + F.col("pos").cast("long"))
@@ -1854,21 +1871,18 @@ def remove_duplicate_substrings(docs: DataFrame, min_len: int = 12,
     # first occurrence is not in this frame.
     local_dup = ((F.col("_c") >= 2)
                  & (F.col("_key") != F.col("_first")))
+    base = valid.withColumn("_key", key).join(firsts, "sig")
     if seen_sigs is not None:
         prior = (seen_sigs
                  .select(F.col(seen_sigs.columns[0]).alias("sig"))
                  .distinct()
                  .withColumn("_seen", F.lit(True)))
-        dup = (valid.withColumn("_key", key)
-               .join(firsts, "sig")
-               .join(prior, "sig", "left")
-               .filter(local_dup | F.coalesce("_seen", F.lit(False)))
+        dup = (base.join(prior, "sig", "left")
+               .filter(local_dup
+                       | F.coalesce("_seen", F.lit(False)))
                .select(id_col, "pos"))
     else:
-        dup = (valid.withColumn("_key", key)
-               .join(firsts, "sig")
-               .filter(local_dup)
-               .select(id_col, "pos"))
+        dup = base.filter(local_dup).select(id_col, "pos")
     w = W.partitionBy(id_col).orderBy("pos")
     gap = F.col("pos") - F.lag("pos").over(w)
     islands = (dup.withColumn(

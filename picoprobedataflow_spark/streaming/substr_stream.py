@@ -70,17 +70,25 @@ def run_substr_clean_stream(doc_stream: DataFrame, state_dir: str,
             return
         seen = _state(spark, sig_dir, SUBSTR_SIG_SCHEMA,
                       before_epoch=epoch_id)
-        cleaned = remove_duplicate_substrings(
-            batch, min_len=min_len, text_col=text_col,
-            id_col=id_col, seen_sigs=seen)
-        new_sigs = (kmr_fingerprint_positions(
-                        batch, min_len, text_col, id_col)
-                    .filter(F.col("sig").isNotNull())
-                    .select("sig").distinct()
-                    .join(seen, "sig", "left_anti"))
-        # cleaned BEFORE state (the dedup_stream replay rule).
-        _write_epoch(cleaned, out_dir, epoch_id)
-        _write_epoch(new_sigs, sig_dir, epoch_id)
+        # The batch fingerprints ONCE: the loop owns the persisted
+        # sigs frame and shares it between the deletion pass and the
+        # new-state write (review fix — the op invoked per
+        # micro-batch must own no cache, and two independent writes
+        # would otherwise each re-run the whole KMR chain).
+        sigs = kmr_fingerprint_positions(
+            batch, min_len, text_col, id_col).persist()
+        try:
+            cleaned = remove_duplicate_substrings(
+                batch, min_len=min_len, text_col=text_col,
+                id_col=id_col, seen_sigs=seen, sigs=sigs)
+            new_sigs = (sigs.filter(F.col("sig").isNotNull())
+                        .select("sig").distinct()
+                        .join(seen, "sig", "left_anti"))
+            # cleaned BEFORE state (the dedup_stream replay rule).
+            _write_epoch(cleaned, out_dir, epoch_id)
+            _write_epoch(new_sigs, sig_dir, epoch_id)
+        finally:
+            sigs.unpersist()
 
     writer = (doc_stream.writeStream
               .foreachBatch(_process)
