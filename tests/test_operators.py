@@ -4207,3 +4207,27 @@ def test_remove_duplicate_substrings_hand_model(spark):
                                   ["doc_id", "text"])
     with _pytest.raises(TypeError):
         remove_duplicate_substrings(sdocs, min_len=2)
+
+
+def test_remove_duplicate_substrings_streaming_path_owns_no_cache(spark):
+    """Round-14 review pin, same leak class as the contam/minhash
+    ones: invoked per micro-batch (the substr stream), the op must
+    own NO cache — the loop persists/unpersists the sigs frame it
+    shares. The one-shot batch path (sigs=None) keeps its internal
+    evictable tokenize by design (the minhash shared-vector
+    convention), so only the sigs-supplied path is pinned."""
+    from picoprobedataflow_spark.operators.dedup import (
+        kmr_fingerprint_positions, remove_duplicate_substrings)
+
+    docs = (spark.read
+            .parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(40))
+    sigs = kmr_fingerprint_positions(docs, 6)
+    seen = spark.createDataFrame([("deadbeef",)], "sig string")
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                 .toArray())
+    remove_duplicate_substrings(docs, min_len=6, seen_sigs=seen,
+                                sigs=sigs).collect()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                .toArray())
+    assert after - before == set()
