@@ -645,13 +645,35 @@ def robots_gate(urls: DataFrame, rules: DataFrame,
     u = urls.select(F.col(id_col),
                     url_host(F.col(url_col)).alias("domain"),
                     url_path(F.col(url_col)).alias("_path"))
+    # RFC 9309 §2.2.3 wildcards (round 14): '*' in a rule matches
+    # any character run, a TRAILING '$' anchors the end; everything
+    # else is literal. Each rule compiles to an anchored regex
+    # JVM-side (escape metachars, un-escape the stars, conditionally
+    # anchor), so a wildcard-free rule degenerates to exactly the
+    # old literal-prefix test and existing rule tables change
+    # behavior ONLY where they contain '*' / trailing '$'.
+    # Compilation is one projection over the (tiny, broadcast) rule
+    # table; the per-candidate rlike runs on urls × matching-host
+    # rules — the same pair set the prefix test walked.
+    has_anchor = F.col("rule_path").endswith("$")
+    body = F.when(has_anchor,
+                  F.expr("substring(rule_path, 1, "
+                         "length(rule_path) - 1)")) \
+            .otherwise(F.col("rule_path"))
+    esc = F.regexp_replace(
+        body, r"([\\^$.|?*+()\[\]{}])", r"\\$1")
+    pattern = F.concat(
+        F.lit("^"),
+        F.replace(esc, F.lit(r"\*"), F.lit(".*")),
+        F.when(has_anchor, F.lit("$")).otherwise(F.lit("")))
     r = rules.select(F.col("domain"),
                      F.col("rule_path").alias("_rp"),
+                     pattern.alias("_re"),
                      F.col("allow").alias("_allow"))
-    j = u.join(F.broadcast(r),
-               (u["domain"] == r["domain"])
-               & F.col("_path").startswith(F.col("_rp")),
-               "left").drop(r["domain"])
+    j = (u.join(F.broadcast(r),
+                (u["domain"] == r["domain"])
+                & F.expr("rlike(_path, _re)"),
+                "left").drop(r["domain"]).drop("_re"))
     # Partition by the full (id, domain, path) row identity, not the
     # id alone (round-13 review find): a caller feeding duplicate ids
     # with DIFFERENT URLs would otherwise have both URLs' candidate

@@ -1342,23 +1342,57 @@ def _connected_components_mapped(edges: DataFrame, id_a: str,
 
 
 def near_dup_survivors(docs: DataFrame, edges: DataFrame,
-                       id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, canonical_id, keep): per-document survivor map under
-    keep-min-id policy over the transitive closure of ``edges``.
+                       id_col: str = "doc_id",
+                       order_col: str | None = None) -> DataFrame:
+    """(doc_id, canonical_id, keep): per-document survivor map over
+    the transitive closure of ``edges``.
 
     Documents in no pair are their own canonical (keep = true) via the
     left join — the full corpus gets a verdict, which is what a
     training-data filter stage consumes (mirrors ``exact_dup_mapping``
-    for the exact case)."""
+    for the exact case).
+
+    ``order_col`` (round 14) picks WHICH member of a duplicate
+    cluster survives: ``None`` keeps the min-id member (the stable
+    default every existing pin relies on); a numeric column name
+    keeps the cluster's HIGHEST-scoring member, NULL scores last,
+    min id as tiebreak — the domain_quota ``order_col`` convention.
+    Keep-best-quality-per-cluster is the curation policy Lee et al.
+    style pipelines actually want: min-id keeps whichever copy was
+    crawled first, which is uncorrelated with which copy is
+    cleanest. Plan cost: one extra comp-keyed ``max_by`` aggregate
+    + one broadcast-back join on comp — both bounded by cluster
+    count, not corpus size."""
     comps = connected_components(edges, max_iter=25)
-    return (docs.select(F.col(id_col).cast("long").alias(id_col))
-                .join(comps.withColumnRenamed("node", id_col),
-                      id_col, "left")
-                .select(F.col(id_col),
-                        F.coalesce("comp", F.col(id_col))
-                         .alias("canonical_id"),
-                        (F.coalesce("comp", F.col(id_col))
-                         == F.col(id_col)).alias("keep")))
+    sel = [F.col(id_col).cast("long").alias(id_col)]
+    if order_col is not None:
+        sel.append(F.col(order_col).cast("double").alias("_ord"))
+    base = (docs.select(*sel)
+            .join(comps.withColumnRenamed("node", id_col),
+                  id_col, "left")
+            .withColumn("comp",
+                        F.coalesce("comp", F.col(id_col))))
+    if order_col is None:
+        return base.select(
+            F.col(id_col),
+            F.col("comp").alias("canonical_id"),
+            (F.col("comp") == F.col(id_col)).alias("keep"))
+    # NaN orders ABOVE every number in Spark (the weighted-pagerank
+    # poisoning class) — a NaN score must lose like a NULL, not win.
+    ord_clean = F.when(~F.isnan("_ord"), F.col("_ord"))
+    best = (base.groupBy("comp")
+            .agg(F.max_by(
+                id_col,
+                F.struct(F.coalesce(ord_clean,
+                                    F.lit(float("-inf")))
+                         .alias("o"),
+                         (-F.col(id_col)).alias("t")))
+                .alias("_canon")))
+    return (base.join(best, "comp")
+            .select(F.col(id_col),
+                    F.col("_canon").alias("canonical_id"),
+                    (F.col("_canon") == F.col(id_col))
+                    .alias("keep")))
 
 
 def _sym(e: DataFrame) -> DataFrame:

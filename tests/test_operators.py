@@ -4231,3 +4231,33 @@ def test_remove_duplicate_substrings_streaming_path_owns_no_cache(spark):
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
                 .toArray())
     assert after - before == set()
+
+
+def test_near_dup_survivors_order_col_policy(spark):
+    """Keep-best-per-cluster (round 14): with order_col the cluster's
+    highest-scoring member is canonical (NULL and NaN scores lose,
+    min id breaks ties); default stays keep-min-id byte-for-byte;
+    singletons keep themselves under both policies."""
+    from picoprobedataflow_spark.operators.dedup import \
+        near_dup_survivors
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, None),
+         (5, float("nan")), (6, 0.1), (7, 0.5)],
+        "doc_id long, q double")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6)], "doc_a long, doc_b long")
+
+    dflt = {r.doc_id: (r.canonical_id, r.keep) for r in
+            near_dup_survivors(docs, edges).collect()}
+    assert dflt == {1: (1, True), 2: (1, False), 3: (1, False),
+                    4: (4, True), 5: (4, False), 6: (4, False),
+                    7: (7, True)}
+
+    byq = {r.doc_id: (r.canonical_id, r.keep) for r in
+           near_dup_survivors(docs, edges, order_col="q").collect()}
+    # cluster {1,2,3}: q 0.2/0.9/0.9 -> tie at 0.9, min id 2 wins;
+    # cluster {4,5,6}: NULL/NaN/0.1 -> the only real score wins
+    assert byq == {1: (2, False), 2: (2, True), 3: (2, False),
+                   4: (6, False), 5: (6, False), 6: (6, True),
+                   7: (7, True)}

@@ -823,3 +823,52 @@ def test_sitemap_self_reference_cycle(spark):
     # every already-fetched sitemap (incl. the self-reference) is
     # excluded; the real page is the only new fetch candidate
     assert urls == {"https://h.example/real-page"}
+
+
+def test_robots_gate_rfc9309_wildcards(spark):
+    """RFC 9309 §2.2.3 wildcard matching (round 14): '*' spans any
+    character run, a trailing '$' anchors the end, inner '$' and
+    every regex metachar are literal, and wildcard-free rules keep
+    the exact prefix semantics (specificity still by rule length,
+    ties to allow)."""
+    from picoprobedataflow_spark.functions.web import (
+        robots_gate, robots_rules_table)
+
+    rules = robots_rules_table(spark, [
+        ("h.example", "/fish*", False),
+        ("h.example", "/*.php$", False),
+        ("h.example", "/fish*.cgi", False),
+        ("h.example", "/lit(x)", False),       # metachars literal
+        ("h.example", "/a$b", False),          # inner $ literal
+        ("h.example", "/$", False),            # matches root only
+        ("w.example", "/p", False),
+        ("w.example", "/p/ok*", True),         # wildcard allow wins
+    ])
+    urls = spark.createDataFrame(
+        [(0, "http://h.example/fish"),
+         (1, "http://h.example/fishheads/x"),
+         (2, "http://h.example/filename.php"),
+         (3, "http://h.example/filename.php5"),
+         (4, "http://h.example/filename.php/"),
+         (5, "http://h.example/fishheads/catfish.cgi"),
+         (6, "http://h.example/lit(x)/page"),
+         (7, "http://h.example/a$b/c"),
+         (8, "http://h.example/"),
+         (9, "http://h.example/other"),
+         (10, "http://w.example/p/ok-page"),
+         (11, "http://w.example/p/no")],
+        "doc_id long, url string")
+    got = {r.doc_id: (r.rule, r.allowed)
+           for r in robots_gate(urls, rules).collect()}
+    assert got[0] == ("/fish*", False)
+    assert got[1] == ("/fish*", False)
+    assert got[2] == ("/*.php$", False)
+    assert got[3][1] is True       # .php5 not anchored-matched
+    assert got[4][1] is True       # trailing slash defeats $
+    assert got[5] == ("/fish*.cgi", False)
+    assert got[6] == ("/lit(x)", False)
+    assert got[7] == ("/a$b", False)
+    assert got[8] == ("/$", False)
+    assert got[9] == (None, True)
+    assert got[10] == ("/p/ok*", True)   # longer rule beats /p
+    assert got[11] == ("/p", False)
