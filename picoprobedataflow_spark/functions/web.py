@@ -598,10 +598,13 @@ def robots_rules_table(spark, rules) -> DataFrame:
     resolution (RFC 9309 §2.2.1 — picking the most specific
     User-agent group happens at fetch/parse time, once per host;
     what the per-URL join needs is only the resolved rule set).
-    Rule paths are literal PREFIXES — the documented subset, like
-    :data:`DEFAULT_PSL_SUFFIXES` for the PSL: RFC 9309 ``*`` / ``$``
-    wildcards expand at parse time into this table's prefix form or
-    stay out of scope; the JOIN SHAPE is identical either way.
+    Rule paths may use the full RFC 9309 §2.2.3 match syntax since
+    round 14: ``*`` spans any character run, a trailing ``$``
+    anchors the end, everything else is literal — a wildcard-free
+    rule is exactly a literal prefix. :func:`robots_gate` compiles
+    each rule to an anchored regex in one projection over this
+    (tiny, broadcast) table; the JOIN SHAPE is identical either
+    way.
 
     Percent-encoding (round-14 battery, RFC 9309 §2.2.2): rule paths
     normalize here through the SAME projection
@@ -709,11 +712,11 @@ def robots_txt_parse(text: str, user_agent: str,
       LONGEST case-insensitive prefix of ``user_agent``; if none
       matches, the ``*`` group(s); if neither exists, no rules
       (everything allowed). All groups with the winning token merge.
-    - ``Allow`` / ``Disallow`` values are path prefixes (the
-      documented subset — RFC 9309 ``*``/``$`` wildcards are out of
-      scope here, as :func:`robots_rules_table` states). An EMPTY
-      Disallow value means "allow everything" per the spec and
-      contributes no rule.
+    - ``Allow`` / ``Disallow`` values pass through verbatim —
+      including RFC 9309 §2.2.3 ``*`` / trailing-``$`` wildcards,
+      which :func:`robots_gate` compiles and matches since round
+      14. An EMPTY Disallow value means "allow everything" per the
+      spec and contributes no rule.
 
     Returns ``[(domain, rule_path, allow), ...]`` ready to feed
     :func:`robots_rules_table` (one call per fetched host).
