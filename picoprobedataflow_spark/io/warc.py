@@ -1,0 +1,119 @@
+"""WET / WARC-conversion record ingestion — the CommonCrawl entry
+point of a web-scale training-data pipeline (every public LLM corpus
+recipe — C4, CCNet, RefinedWeb, Dolma — starts by splitting WET
+files into per-page records before any quality gate runs).
+
+Spark-native formulation: a WET file is a sequence of records, each
+``WARC/1.0`` header block + blank line + extracted text, with records
+separated by exactly two CRLFs (the WARC 1.0 spec, ISO 28500 §4 —
+WET conversions are CRLF-delimited). ``spark.read.text`` with the
+record boundary as ``lineSep`` yields ONE ROW PER RECORD straight
+off the distributed file scan — no custom InputFormat, no Python in
+the read path — and header fields extract with JVM multiline
+regexes. A body containing the literal string ``WARC/1.0`` mid-line
+survives (only the exact CRLF-CRLF-header boundary splits).
+
+Scale shape: the scan parallelizes per file (WET archives ship as
+many ~150 MB members, the natural partition grain); everything after
+the scan is a row-local projection. gzip members are splittable only
+per-file — standard for CommonCrawl jobs — and Spark's text source
+decompresses them transparently by extension.
+
+Reference: the reference repo ingests instrument files, not web
+archives (picoprobe/tools/*.py); this source exists for the
+training-data mandate, not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: The WARC 1.0 record boundary: blank line (two CRLFs) + the next
+#: record's version line. Using the full boundary as the split token
+#: (not just "WARC/1.0") keeps bodies that mention the version string
+#: intact.
+WET_RECORD_SEP = "\r\n\r\nWARC/1.0\r\n"
+
+
+def _hdr(field: str):
+    """Extract one WARC header value (multiline anchor, CR-tolerant)."""
+    return F.regexp_extract(
+        F.col("_hdr"), rf"(?m)^{field}:[ \t]*([^\r\n]*)", 1)
+
+
+def read_wet(spark: SparkSession, path: str,
+             record_type: str | None = "conversion") -> DataFrame:
+    """(target_uri, warc_date, content_type, content_length, text):
+    one row per WET record.
+
+    - ``record_type`` filters on ``WARC-Type`` (default
+      ``"conversion"`` drops the leading ``warcinfo`` record — the
+      rows a corpus pipeline wants; ``None`` keeps everything).
+    - ``warc_date`` parses the ISO-8601 ``WARC-Date`` to a
+      timestamp (NULL if absent/malformed under the session's
+      ANSI-off parse; the raw header is recoverable by re-reading).
+    - ``content_length`` is the declared header value; ``text`` is
+      the record body as split (headers end at the first blank
+      line). The two can disagree on multi-byte content (the header
+      counts octets, Spark strings count chars) — consumers
+      needing exact octet truncation re-encode; every downstream
+      gate here tokenizes, so char-exactness is what matters.
+    - A record missing ``WARC-Target-URI`` keeps a NULL uri rather
+      than erroring (malformed members exist in the wild; the DQ
+      expectations stage owns null-rate alerts).
+    """
+    raw = spark.read.text(path, lineSep=WET_RECORD_SEP)
+    # The FIRST record of each file still carries its own leading
+    # "WARC/1.0\r\n" (it is a prefix, not a separator); later
+    # records had it consumed by the split. Normalize, then split
+    # headers from body at the first blank line.
+    rec = raw.select(
+        F.regexp_replace("value", r"\A(\xef\xbb\xbf)?WARC/1\.0\r?\n",
+                         "").alias("_r"))
+    parts = F.split(F.col("_r"), r"\r?\n\r?\n", 2)
+    # The FINAL record of a file keeps its two-CRLF record
+    # terminator (mid-file ones lose it to the separator split) —
+    # strip exactly one terminator, never content newlines.
+    rec = rec.select(parts.getItem(0).alias("_hdr"),
+                     F.regexp_replace(parts.getItem(1),
+                                      r"\r\n\r\n\Z", "")
+                     .alias("_body"))
+    out = rec.select(
+        _hdr("WARC-Type").alias("_type"),
+        F.nullif(_hdr("WARC-Target-URI"), F.lit(""))
+         .alias("target_uri"),
+        F.to_timestamp(F.nullif(_hdr("WARC-Date"), F.lit("")),
+                       "yyyy-MM-dd'T'HH:mm:ss'Z'")
+         .alias("warc_date"),
+        F.nullif(_hdr("Content-Type"), F.lit(""))
+         .alias("content_type"),
+        F.nullif(_hdr("Content-Length"), F.lit("")).cast("long")
+         .alias("content_length"),
+        F.coalesce(F.col("_body"), F.lit("")).alias("text"))
+    if record_type is not None:
+        out = out.filter(F.col("_type") == record_type)
+    return out.drop("_type")
+
+
+def wet_documents(spark: SparkSession, path: str) -> DataFrame:
+    """(doc_id, source, text): WET conversions shaped like the
+    engine's ``documents`` table, ready for every downstream gate
+    (quality → dedup → decontam → quota → budget, or the composed
+    :func:`..flows.curation.curate_documents`). ``doc_id`` is the
+    xxhash64 of (uri, date) — deterministic across runs and
+    partitionings, the content-address convention; ``source`` is
+    the registrable domain of the canonicalized URI (the quota /
+    mixture key)."""
+    from picoprobedataflow_spark.functions.web import (
+        registrable_domain, url_host, url_normalize)
+
+    w = read_wet(spark, path).filter(
+        F.col("target_uri").isNotNull())
+    return w.select(
+        F.xxhash64(F.col("target_uri"),
+                   F.col("warc_date").cast("string"))
+         .alias("doc_id"),
+        registrable_domain(url_host(url_normalize("target_uri")))
+         .alias("source"),
+        "text")

@@ -327,3 +327,63 @@ def test_jsonl_roundtrip_with_corrupt_lines(spark, tmp_path):
     bad = [r for r in rows if r._corrupt_record is not None]
     assert sum(1 for r in good if r.doc_id == 999999) == 1
     assert len(bad) == 1 and "broken-json" in bad[0]._corrupt_record
+
+
+def test_read_wet_records(spark, tmp_path):
+    """WET ingestion (round 14): one row per record off the lineSep
+    split — warcinfo filtered by default, headers extracted (URI,
+    ISO date, type, length), a body MENTIONING 'WARC/1.0' mid-line
+    stays intact, a record without a Target-URI keeps NULL rather
+    than erroring, and the documents-shaped view derives stable
+    hash ids + registrable-domain sources."""
+    from picoprobedataflow_spark.io.warc import (
+        read_wet, wet_documents)
+
+    def rec(headers, body):
+        return ("WARC/1.0\r\n" + "\r\n".join(headers)
+                + "\r\n\r\n" + body)
+
+    wet = "\r\n\r\n".join([
+        rec(["WARC-Type: warcinfo",
+             "Content-Type: application/warc-fields",
+             "Content-Length: 10"], "robots: x"),
+        rec(["WARC-Type: conversion",
+             "WARC-Target-URI: https://WWW.Example.COM/a",
+             "WARC-Date: 2024-03-01T12:30:00Z",
+             "Content-Type: text/plain",
+             "Content-Length: 25"],
+            "first page text\nWARC/1.0 mentioned inline"),
+        rec(["WARC-Type: conversion",
+             "WARC-Target-URI: http://blog.example.co.uk/p",
+             "WARC-Date: 2024-03-01T12:31:00Z",
+             "Content-Type: text/plain",
+             "Content-Length: 11"], "second page"),
+        rec(["WARC-Type: conversion",
+             "WARC-Date: 2024-03-01T12:32:00Z",
+             "Content-Length: 7"], "no uri"),
+    ]) + "\r\n\r\n"
+    p = tmp_path / "crawl.wet"
+    p.write_bytes(wet.encode())
+
+    rows = {r.target_uri: r for r in
+            read_wet(spark, str(p)).collect()}
+    assert len(rows) == 3                      # warcinfo dropped
+    a = rows["https://WWW.Example.COM/a"]
+    assert a.text == "first page text\nWARC/1.0 mentioned inline"
+    assert str(a.warc_date).startswith("2024-03-01 12:30")
+    assert a.content_type == "text/plain"
+    assert a.content_length == 25
+    assert rows["http://blog.example.co.uk/p"].text == "second page"
+    assert None in rows and rows[None].text == "no uri"
+
+    allr = read_wet(spark, str(p), record_type=None)
+    assert allr.count() == 4                   # warcinfo kept
+
+    docs = {r.source: r for r in
+            wet_documents(spark, str(p)).collect()}
+    assert set(docs) == {"example.com", "example.co.uk"}
+    assert all(r.doc_id is not None for r in docs.values())
+    # deterministic ids: a second read produces the same ids
+    again = {r.source: r.doc_id for r in
+             wet_documents(spark, str(p)).collect()}
+    assert {s: r.doc_id for s, r in docs.items()} == again
