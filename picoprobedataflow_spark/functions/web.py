@@ -626,10 +626,14 @@ def robots_gate(urls: DataFrame, rules: DataFrame,
     """Per-URL robots.txt verdict (RFC 9309 matching core):
     (id, domain, rule, allowed) — ``rule`` is the winning rule's
     path, NULL when no rule matched. A URL's candidate rules are its
-    host's rows whose ``rule_path`` is a prefix of the URL's path;
-    the MOST SPECIFIC (longest) rule wins, a specificity TIE goes to
-    ``allow`` (RFC 9309 §2.2.2: the least restrictive rule), and a
-    URL matching no rule is allowed (the REP default). This is the
+    host's rows whose ``rule_path`` MATCHES the URL's path under the
+    RFC 9309 §2.2.3 syntax (round 14): literal prefix by default,
+    ``*`` spanning any character run, a trailing ``$`` anchoring
+    the end. The MOST SPECIFIC (longest) rule wins — rule-string
+    length, wildcards included, the reference-implementation
+    convention — a specificity TIE goes to ``allow`` (RFC 9309
+    §2.2.2: the least restrictive rule), and a URL matching no rule
+    is allowed (the REP default). This is the
     compliance gate a crawl-derived corpus runs before training —
     retroactively honoring robots exclusions is a standard curation
     pass, and it needs exactly this join, not a re-crawl. One verdict
@@ -639,12 +643,15 @@ def robots_gate(urls: DataFrame, rules: DataFrame,
 
     Scale shape: robots rule sets are small (a few KB per host, and
     only hosts you crawled) — ONE broadcast hash join on the host
-    key with the prefix test as the join's residual condition, so
-    the corpus side never shuffles; the winner is a doc-keyed
-    ``row_number`` (corpus-cardinality key, never global), and
-    unmatched URLs ride the same left join (no second pass). The
-    DuckDB oracle replays the identical join + window
-    (``length DESC NULLS LAST, allow DESC NULLS LAST``)."""
+    key with the match test as the join's residual condition
+    (startswith for wildcard-free rules, a pre-compiled anchored
+    regex for wild ones), so the corpus side never shuffles; the
+    winner is a doc-keyed ``row_number`` (corpus-cardinality key,
+    never global), and unmatched URLs ride the same left join (no
+    second pass). The DuckDB oracle replays the identical join +
+    window (``length DESC NULLS LAST, allow DESC NULLS LAST``) for
+    the gated family's wildcard-free fixture — wild rules are
+    pytest-gated (the RFC example battery)."""
     u = urls.select(F.col(id_col),
                     url_host(F.col(url_col)).alias("domain"),
                     url_path(F.col(url_col)).alias("_path"))
@@ -659,24 +666,32 @@ def robots_gate(urls: DataFrame, rules: DataFrame,
     # table; the per-candidate rlike runs on urls × matching-host
     # rules — the same pair set the prefix test walked.
     has_anchor = F.col("rule_path").endswith("$")
+    has_wild = has_anchor | F.col("rule_path").contains("*")
     body = F.when(has_anchor,
                   F.expr("substring(rule_path, 1, "
                          "length(rule_path) - 1)")) \
             .otherwise(F.col("rule_path"))
     esc = F.regexp_replace(
         body, r"([\\^$.|?*+()\[\]{}])", r"\\$1")
-    pattern = F.concat(
+    pattern = F.when(has_wild, F.concat(
         F.lit("^"),
         F.replace(esc, F.lit(r"\*"), F.lit(".*")),
-        F.when(has_anchor, F.lit("$")).otherwise(F.lit("")))
+        F.when(has_anchor, F.lit("$")).otherwise(F.lit(""))))
     r = rules.select(F.col("domain"),
                      F.col("rule_path").alias("_rp"),
+                     has_wild.alias("_wild"),
                      pattern.alias("_re"),
                      F.col("allow").alias("_allow"))
+    # Wildcard-free rules (the overwhelmingly common case) take the
+    # allocation-free startswith fast path; only genuinely-wild
+    # rules pay the rlike, whose non-foldable pattern column
+    # recompiles per candidate pair (review find — the rule table
+    # is broadcast-tiny, but the residual runs per URL×rule pair).
+    match = F.when(F.col("_wild"), F.expr("rlike(_path, _re)")) \
+             .otherwise(F.col("_path").startswith(F.col("_rp")))
     j = (u.join(F.broadcast(r),
-                (u["domain"] == r["domain"])
-                & F.expr("rlike(_path, _re)"),
-                "left").drop(r["domain"]).drop("_re"))
+                (u["domain"] == r["domain"]) & match,
+                "left").drop(r["domain"]).drop("_re", "_wild"))
     # Partition by the full (id, domain, path) row identity, not the
     # id alone (round-13 review find): a caller feeding duplicate ids
     # with DIFFERENT URLs would otherwise have both URLs' candidate

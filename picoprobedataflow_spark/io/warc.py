@@ -13,6 +13,17 @@ the read path — and header fields extract with JVM multiline
 regexes. A body containing the literal string ``WARC/1.0`` mid-line
 survives (only the exact CRLF-CRLF-header boundary splits).
 
+KNOWN LIMIT of boundary splitting: a body that itself contains the
+full boundary sequence — a blank line followed by a ``WARC/1.0``
+line, e.g. a page QUOTING a WARC dump — splits there: the record
+truncates at the quote and the phantom fragment (no ``WARC-Type:
+conversion`` header) drops under the default filter. The spec's
+authoritative framing is ``Content-Length`` octet counting, which a
+boundary split cannot honor; pipelines that must survive
+adversarial quoted-dump pages should reconcile ``content_length``
+against ``length(text)`` and route mismatches to quarantine (one
+row-local comparison on this output).
+
 Scale shape: the scan parallelizes per file (WET archives ship as
 many ~150 MB members, the natural partition grain); everything after
 the scan is a row-local projection. gzip members are splittable only
@@ -69,7 +80,7 @@ def read_wet(spark: SparkSession, path: str,
     # records had it consumed by the split. Normalize, then split
     # headers from body at the first blank line.
     rec = raw.select(
-        F.regexp_replace("value", r"\A(\xef\xbb\xbf)?WARC/1\.0\r?\n",
+        F.regexp_replace("value", "\\A(\uFEFF)?WARC/1\\.0\r?\n",
                          "").alias("_r"))
     parts = F.split(F.col("_r"), r"\r?\n\r?\n", 2)
     # The FINAL record of a file keeps its two-CRLF record
@@ -83,12 +94,22 @@ def read_wet(spark: SparkSession, path: str,
         _hdr("WARC-Type").alias("_type"),
         F.nullif(_hdr("WARC-Target-URI"), F.lit(""))
          .alias("target_uri"),
-        F.to_timestamp(F.nullif(_hdr("WARC-Date"), F.lit("")),
-                       "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        # try_to_timestamp, not to_timestamp: the engine's sessions
+        # run ANSI-on, where one malformed date in a multi-TB crawl
+        # would abort the whole job instead of the documented NULL
+        # (round-14 review find, reproduced live). The 'X' offset
+        # pattern parses the trailing Z as UTC — a literal-'Z'
+        # pattern read the stamp as session-local wall time,
+        # shifting every instant by the session offset. WARC 1.1
+        # fractional-second dates fall to NULL (documented).
+        F.try_to_timestamp(F.nullif(_hdr("WARC-Date"), F.lit("")),
+                           F.lit("yyyy-MM-dd'T'HH:mm:ssX"))
          .alias("warc_date"),
         F.nullif(_hdr("Content-Type"), F.lit(""))
          .alias("content_type"),
-        F.nullif(_hdr("Content-Length"), F.lit("")).cast("long")
+        # try_cast for the same ANSI-totality reason.
+        F.nullif(_hdr("Content-Length"), F.lit(""))
+         .try_cast("long")
          .alias("content_length"),
         F.coalesce(F.col("_body"), F.lit("")).alias("text"))
     if record_type is not None:

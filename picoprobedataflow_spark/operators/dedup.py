@@ -1355,44 +1355,50 @@ def near_dup_survivors(docs: DataFrame, edges: DataFrame,
     ``order_col`` (round 14) picks WHICH member of a duplicate
     cluster survives: ``None`` keeps the min-id member (the stable
     default every existing pin relies on); a numeric column name
-    keeps the cluster's HIGHEST-scoring member, NULL scores last,
-    min id as tiebreak — the domain_quota ``order_col`` convention.
-    Keep-best-quality-per-cluster is the curation policy Lee et al.
-    style pipelines actually want: min-id keeps whichever copy was
-    crawled first, which is uncorrelated with which copy is
-    cleanest. Plan cost: one extra comp-keyed ``max_by`` aggregate
-    + one broadcast-back join on comp — both bounded by cluster
-    count, not corpus size."""
+    keeps the cluster's HIGHEST-scoring member, NULL and NaN scores
+    losing to ANY real score (including a real ``-inf`` — the
+    ordering key leads with a has-score flag, no sentinel
+    collision), min id as tiebreak — the domain_quota ``order_col``
+    convention. Keep-best-quality-per-cluster is the curation
+    policy Lee et al. style pipelines actually want: min-id keeps
+    whichever copy was crawled first, which is uncorrelated with
+    which copy is cleanest. Plan cost: one ``max_by`` aggregate and
+    one join back, BOTH over only the rows the closure actually
+    clustered (singletons never enter them), so the extra work is
+    bounded by clustered-doc count, not corpus size. The id
+    tiebreak negates via bitwise NOT (order-reversing and total on
+    int64 — an arithmetic ``-id`` overflows ANSI at Long.MIN_VALUE,
+    a value xxhash64-derived ids can hit)."""
     comps = connected_components(edges, max_iter=25)
     sel = [F.col(id_col).cast("long").alias(id_col)]
     if order_col is not None:
         sel.append(F.col(order_col).cast("double").alias("_ord"))
-    base = (docs.select(*sel)
-            .join(comps.withColumnRenamed("node", id_col),
-                  id_col, "left")
-            .withColumn("comp",
-                        F.coalesce("comp", F.col(id_col))))
+    joined = docs.select(*sel).join(
+        comps.withColumnRenamed("node", id_col), id_col, "left")
     if order_col is None:
-        return base.select(
+        comp = F.coalesce("comp", F.col(id_col))
+        return joined.select(
             F.col(id_col),
-            F.col("comp").alias("canonical_id"),
-            (F.col("comp") == F.col(id_col)).alias("keep"))
+            comp.alias("canonical_id"),
+            (comp == F.col(id_col)).alias("keep"))
     # NaN orders ABOVE every number in Spark (the weighted-pagerank
     # poisoning class) — a NaN score must lose like a NULL, not win.
     ord_clean = F.when(~F.isnan("_ord"), F.col("_ord"))
-    best = (base.groupBy("comp")
+    clustered = joined.filter(F.col("comp").isNotNull())
+    best = (clustered.groupBy("comp")
             .agg(F.max_by(
                 id_col,
-                F.struct(F.coalesce(ord_clean,
-                                    F.lit(float("-inf")))
-                         .alias("o"),
-                         (-F.col(id_col)).alias("t")))
+                F.struct(ord_clean.isNotNull().alias("h"),
+                         F.coalesce(ord_clean, F.lit(0.0))
+                          .alias("o"),
+                         F.bitwise_not(F.col(id_col)).alias("t")))
                 .alias("_canon")))
-    return (base.join(best, "comp")
+    return (joined.join(best, "comp", "left")
             .select(F.col(id_col),
-                    F.col("_canon").alias("canonical_id"),
-                    (F.col("_canon") == F.col(id_col))
-                    .alias("keep")))
+                    F.coalesce("_canon", F.col(id_col))
+                     .alias("canonical_id"),
+                    (F.coalesce("_canon", F.col(id_col))
+                     == F.col(id_col)).alias("keep")))
 
 
 def _sym(e: DataFrame) -> DataFrame:

@@ -177,10 +177,14 @@ def run_curation_stream(doc_stream: DataFrame, state_dir: str,
                      .groupBy("domain")
                      .agg(F.sum("n").alias("_prior")))
             # Within-batch arrival rank: order_col ranks DESCENDING,
-            # so the negated id ranks ascending-id = arrival order.
+            # so the bit-inverted id ranks ascending-id = arrival
+            # order (bitwise NOT, not arithmetic negation — the
+            # latter overflows ANSI at Long.MIN_VALUE, reachable
+            # with xxhash64-derived ids).
             ranked = domain_quota_sample(
                 cur.withColumn("_neg_id",
-                               -F.col(id_col).cast("long")),
+                               F.bitwise_not(
+                                   F.col(id_col).cast("long"))),
                 url_col=url_col, quota=domain_quota, id_col=id_col,
                 order_col="_neg_id")
             admitted = (ranked.filter(F.col("kept"))

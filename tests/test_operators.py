@@ -4261,3 +4261,33 @@ def test_near_dup_survivors_order_col_policy(spark):
     assert byq == {1: (2, False), 2: (2, True), 3: (2, False),
                    4: (6, False), 5: (6, False), 6: (6, True),
                    7: (7, True)}
+
+
+def test_near_dup_survivors_order_col_edge_values(spark):
+    """Review pins for the survivor policy: a genuine -inf score
+    still beats NULL/NaN (no sentinel collision), and ids at the
+    int64 extremes don't overflow the tiebreak (bitwise-NOT, not
+    arithmetic negation)."""
+    from picoprobedataflow_spark.operators.dedup import \
+        near_dup_survivors
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, float("-inf")), (3, float("nan"))],
+        "doc_id long, q double")
+    edges = spark.createDataFrame([(1, 2), (2, 3)],
+                                  "doc_a long, doc_b long")
+    byq = {r.doc_id: r.keep for r in
+           near_dup_survivors(docs, edges, order_col="q").collect()}
+    assert byq == {1: False, 2: True, 3: False}
+
+    lo, hi = -(2 ** 63), 2 ** 63 - 1
+    extremes = spark.createDataFrame(
+        [(lo, 0.5), (hi, 0.5), (0, 0.1)], "doc_id long, q double")
+    eedges = spark.createDataFrame([(lo, hi), (hi, 0)],
+                                   "doc_a long, doc_b long")
+    got = {r.doc_id: (r.canonical_id, r.keep) for r in
+           near_dup_survivors(extremes, eedges,
+                              order_col="q").collect()}
+    # tie at 0.5 -> smaller id (Long.MIN) canonical, no overflow
+    assert got[lo] == (lo, True)
+    assert got[hi][1] is False and got[0][1] is False
