@@ -53,32 +53,11 @@ def _hdr(field: str):
         F.col("_hdr"), rf"(?m)^{field}:[ \t]*([^\r\n]*)", 1)
 
 
-def read_wet(spark: SparkSession, path: str,
-             record_type: str | None = "conversion") -> DataFrame:
-    """(target_uri, warc_date, content_type, content_length, text):
-    one row per WET record.
-
-    - ``record_type`` filters on ``WARC-Type`` (default
-      ``"conversion"`` drops the leading ``warcinfo`` record — the
-      rows a corpus pipeline wants; ``None`` keeps everything).
-    - ``warc_date`` parses the ISO-8601 ``WARC-Date`` to a
-      timestamp (NULL if absent/malformed under the session's
-      ANSI-off parse; the raw header is recoverable by re-reading).
-    - ``content_length`` is the declared header value; ``text`` is
-      the record body as split (headers end at the first blank
-      line). The two can disagree on multi-byte content (the header
-      counts octets, Spark strings count chars) — consumers
-      needing exact octet truncation re-encode; every downstream
-      gate here tokenizes, so char-exactness is what matters.
-    - A record missing ``WARC-Target-URI`` keeps a NULL uri rather
-      than erroring (malformed members exist in the wild; the DQ
-      expectations stage owns null-rate alerts).
-    """
-    raw = spark.read.text(path, lineSep=WET_RECORD_SEP)
-    # The FIRST record of each file still carries its own leading
-    # "WARC/1.0\r\n" (it is a prefix, not a separator); later
-    # records had it consumed by the split. Normalize, then split
-    # headers from body at the first blank line.
+def _parse_wet(raw: DataFrame,
+               record_type: str | None) -> DataFrame:
+    """The shared record parser over a ``value``-columned frame of
+    boundary-split records — one implementation under both the
+    batch reader and the streaming watcher."""
     rec = raw.select(
         F.regexp_replace("value", "\\A(\uFEFF)?WARC/1\\.0\r?\n",
                          "").alias("_r"))
@@ -115,6 +94,52 @@ def read_wet(spark: SparkSession, path: str,
     if record_type is not None:
         out = out.filter(F.col("_type") == record_type)
     return out.drop("_type")
+
+
+def read_wet(spark: SparkSession, path: str,
+             record_type: str | None = "conversion") -> DataFrame:
+    """(target_uri, warc_date, content_type, content_length, text):
+    one row per WET record.
+
+    - ``record_type`` filters on ``WARC-Type`` (default
+      ``"conversion"`` drops the leading ``warcinfo`` record — the
+      rows a corpus pipeline wants; ``None`` keeps everything).
+    - ``warc_date`` parses the ISO-8601 ``WARC-Date`` to a
+      timestamp (NULL if absent/malformed under the session's
+      ANSI-off parse; the raw header is recoverable by re-reading).
+    - ``content_length`` is the declared header value; ``text`` is
+      the record body as split (headers end at the first blank
+      line). The two can disagree on multi-byte content (the header
+      counts octets, Spark strings count chars) — consumers
+      needing exact octet truncation re-encode; every downstream
+      gate here tokenizes, so char-exactness is what matters.
+    - A record missing ``WARC-Target-URI`` keeps a NULL uri rather
+      than erroring (malformed members exist in the wild; the DQ
+      expectations stage owns null-rate alerts).
+    """
+    # The FIRST record of each file still carries its own leading
+    # "WARC/1.0\r\n" (it is a prefix, not a separator); later
+    # records had it consumed by the split — _parse_wet normalizes.
+    return _parse_wet(spark.read.text(path, lineSep=WET_RECORD_SEP),
+                      record_type)
+
+
+def wet_watch_stream(spark: SparkSession, path: str,
+                     record_type: str | None = "conversion"
+                     ) -> DataFrame:
+    """The STREAMING twin of :func:`read_wet`: watch a directory for
+    arriving WET members and emit parsed records per micro-batch —
+    drop CommonCrawl files in, feed the result straight to
+    :func:`..streaming.curation.run_curation_stream` (after a
+    ``wet_documents``-style projection) or any foreachBatch gate.
+    Same ``lineSep`` record split on the distributed scan, same
+    shared parser, so stream rows are byte-identical to a batch
+    :func:`read_wet` of the same files (pytest-pinned); Structured
+    Streaming's file-source tracking gives exactly-once per member
+    under a checkpoint."""
+    return _parse_wet(
+        spark.readStream.text(path, lineSep=WET_RECORD_SEP),
+        record_type)
 
 
 def wet_documents(spark: SparkSession, path: str) -> DataFrame:
