@@ -4291,3 +4291,26 @@ def test_near_dup_survivors_order_col_edge_values(spark):
     # tie at 0.5 -> smaller id (Long.MIN) canonical, no overflow
     assert got[lo] == (lo, True)
     assert got[hi][1] is False and got[0][1] is False
+
+
+def test_substring_dedup_plan_shape(spark):
+    """The KMR fingerprint chain's load-bearing plan property: ALL
+    O(log L) lead-windows (plus the sig combine) ride ONE doc-keyed
+    Exchange + ONE Sort — per-level re-shuffles would multiply the
+    dominant cost by the chain depth at corpus scale. Pinned via
+    the formatted plan of the sig frame."""
+    import re
+
+    from picoprobedataflow_spark.operators.dedup import \
+        kmr_fingerprint_positions
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    plan = (kmr_fingerprint_positions(docs, 12)
+            ._jdf.queryExecution().executedPlan().toString())
+    n_exch = len(re.findall(r"\bExchange\b", plan)) \
+        - len(re.findall(r"ReusedExchange", plan))
+    n_win = len(re.findall(r"\bWindow\b", plan))
+    assert n_exch == 1, plan
+    assert n_win >= 4                      # h2,h4,h8 + sig combine
+    assert plan.count("Sort [") == 1, plan  # one sort, whole chain
