@@ -325,6 +325,9 @@ def main() -> None:
     # sig-count shuffle + island merge).
     variants["substr_dedup_full"] = PL.substr_dedup_stats
     variants["substr_clean_full"] = PL.substr_clean_texts
+    # Round 14: embedding-space benchmark decontamination (bench
+    # broadcast + one corpus-keyed max aggregate).
+    variants["semdecon_full"] = PL.semantic_decontam_flags
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
     # shouldn't be charged to the first query. Each headline query is

@@ -1308,3 +1308,58 @@ def ivfpq_residual_search(emb: DataFrame, query_vec: list[float],
                             round_digits).alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc(id_col))
             .limit(k))
+
+
+def semantic_decontam(corpus: DataFrame, bench: DataFrame,
+                      threshold: float = 0.9,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      round_digits: int = 6) -> DataFrame:
+    """(id, nearest_bench, max_cosine, contaminated): per-corpus-row
+    maximum cosine against a benchmark embedding set — the SEMANTIC
+    transport of benchmark decontamination, completing the lane's
+    trio (exact n-gram overlap, Bloom-prefiltered spans, and now
+    embeddings): n-gram decontam misses PARAPHRASED eval items, and
+    checking the corpus against embedded benchmark questions is the
+    published mitigation (the Phi / LLaMA-3 report decontam recipe).
+    ``nearest_bench`` is the argmax benchmark id (score desc, min id
+    on ties — rounded scores first, the cross-engine tie rule);
+    ``contaminated`` gates on the rounded score.
+
+    Scale shape: eval sets are k-bounded by construction, so the
+    bench side BROADCASTS (norms precomputed once per side) — one
+    broadcast nested-loop against the corpus scan, then ONE
+    corpus-id-keyed max/max_by aggregate. No corpus self-join, no
+    window; the per-row cost is |bench|·dim multiply-adds JVM-side.
+    Corpora too big for even that linear pass pre-filter with the
+    SRP/IVF buckets (``srp_ann_search`` machinery) and run this
+    exact pass on candidates only."""
+    b = bench.select(F.col(id_col).alias("_bid"),
+                     F.col(vec_col).alias("_bv"),
+                     V.norm(F.col(vec_col)).alias("_nb"))
+    scored = (corpus.select(F.col(id_col),
+                            F.col(vec_col),
+                            V.norm(F.col(vec_col)).alias("_nv"))
+              .join(F.broadcast(b))
+              .select(id_col, "_bid",
+                      F.round(V.cosine_prenorm(
+                          F.col(vec_col), F.col("_bv"),
+                          F.col("_nv"), F.col("_nb")),
+                          round_digits).alias("_cos")))
+    return (scored.groupBy(id_col)
+            .agg(F.max_by("_bid",
+                          F.struct(F.col("_cos").alias("c"),
+                                   F.bitwise_not(
+                                       F.col("_bid").cast("long"))
+                                   .alias("t")))
+                 .alias("nearest_bench"),
+                 F.max("_cos").alias("max_cosine"))
+            .select(F.col(id_col), "nearest_bench", "max_cosine",
+                    # A degenerate (zero-norm) vector has NULL
+                    # cosines — undefined similarity CANNOT flag as
+                    # contamination, so the gate coalesces to false
+                    # (max_cosine stays NULL, the honest signal;
+                    # nearest_bench is meaningless on such rows).
+                    F.coalesce(F.col("max_cosine") >= threshold,
+                               F.lit(False))
+                    .alias("contaminated")))

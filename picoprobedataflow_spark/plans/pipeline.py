@@ -4425,6 +4425,56 @@ def ppl_bucket_assignments(spark: SparkSession,
 
 _BATCH_ANN_NQ, _BATCH_ANN_K = 5, 5
 
+#: Semantic-decontam fixture: the first 8 vectors play the embedded
+#: benchmark, the rest the corpus; 0.3 sits between the observed p90
+#: and p99 of max-cosine at sf0.01, so the family pins a non-trivial
+#: contaminated/clean mix.
+_SEMDECON_NB, _SEMDECON_THR = 8, 0.3
+
+_SEMDECON_ORACLE = f"""
+WITH sdb AS (
+  SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
+  FROM embeddings WHERE vec_id < {_SEMDECON_NB}
+),
+sdc AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= {_SEMDECON_NB}
+),
+sds AS (
+  SELECT vec_id, bid,
+         round(list_cosine_similarity(v, bv), 6) AS cos
+  FROM sdc CROSS JOIN sdb
+)
+SELECT vec_id, bid AS nearest_bench, cos AS max_cosine,
+       cos >= {_SEMDECON_THR} AS contaminated
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY cos DESC, bid) AS rn
+  FROM sds
+)
+WHERE rn = 1
+"""
+
+
+def semantic_decontam_flags(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (:func:`..operators.similarity.semantic_decontam`): every corpus
+    vector's max cosine against the embedded benchmark set, flagged
+    at {_SEMDECON_THR} — the paraphrase-robust transport n-gram
+    decontam can't provide. Bench broadcasts (k-bounded); one
+    corpus-keyed max/max_by aggregate. The oracle replays the
+    rounded cross-join scores through a desc-cos/asc-id window —
+    identical argmax under the 6-dp round-before-rank rule."""
+    from picoprobedataflow_spark.operators.similarity import \
+        semantic_decontam
+    emb = tbl(spark, sf_dir, "embeddings")
+    return semantic_decontam(
+        emb.filter(F.col("vec_id") >= _SEMDECON_NB),
+        emb.filter(F.col("vec_id") < _SEMDECON_NB),
+        threshold=_SEMDECON_THR)
+
+
 _BATCH_ANN_ORACLE = f"""
 WITH q AS (
   SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
@@ -5466,6 +5516,9 @@ _FAMILY_SPECS = [
           n=("bin", "n_docs", "first_doc", "last_doc", "occupancy"))),
     ("batch_ann", batch_ann_topk, _BATCH_ANN_ORACLE,
      dict(n=("qid", "vec_id", "rk"), v=("cosine",))),
+    ("semdecon", semantic_decontam_flags, _SEMDECON_ORACLE,
+     dict(n=("vec_id", "nearest_bench"), v=("max_cosine",),
+          b1="contaminated")),
     ("repetition", text_repetition_filters, _REPETITION_ORACLE,
      dict(n=("doc_id",),
           v=("top_word_frac", "top_bigram_frac", "dup_trigram_frac"),
@@ -5593,6 +5646,7 @@ _SUITE3_FAMILIES = frozenset({
     "audio_fp",
     "audio_stats",
     "chi2",
+    "semdecon",
     "detect",
     "dhash",
     "domain_quota",

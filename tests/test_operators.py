@@ -4314,3 +4314,50 @@ def test_substring_dedup_plan_shape(spark):
     assert n_exch == 1, plan
     assert n_win >= 4                      # h2,h4,h8 + sig combine
     assert plan.count("Sort [") == 1, plan  # one sort, whole chain
+
+
+def test_semantic_decontam_matches_numpy(spark):
+    """Embedding decontam vs a numpy model: exact max cosine and
+    argmax per corpus row (min bench id on rounded ties), threshold
+    gates on the ROUNDED score, zero vectors don't divide by zero,
+    and an empty bench flags nothing (rows survive with NULL
+    scores... rather: no rows survive the inner broadcast join —
+    the operator's contract is corpus×bench, so empty bench means
+    an empty scoreboard, pinned)."""
+    import numpy as np
+
+    from picoprobedataflow_spark.operators.similarity import \
+        semantic_decontam
+
+    rng = np.random.default_rng(7)
+    bvecs = rng.normal(size=(3, 8))
+    cvecs = np.vstack([rng.normal(size=(5, 8)),
+                       bvecs[1] * 2.0,          # exact dup, scaled
+                       np.zeros(8)])            # zero vector
+    bench = spark.createDataFrame(
+        [(i, [float(x) for x in bvecs[i]]) for i in range(3)],
+        "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(
+        [(10 + i, [float(x) for x in cvecs[i]])
+         for i in range(len(cvecs))],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in
+           semantic_decontam(corpus, bench,
+                             threshold=0.99).collect()}
+    for i in range(len(cvecs) - 1):        # last row = zero vector
+        v = cvecs[i]
+        cos = np.round((bvecs @ v)
+                       / (np.linalg.norm(bvecs, axis=1)
+                          * np.linalg.norm(v)), 6)
+        r = got[10 + i]
+        assert abs(r.max_cosine - cos.max()) < 1e-12, i
+        assert r.nearest_bench == int(cos.argmax()), i
+        assert r.contaminated == bool(cos.max() >= 0.99), i
+    # the scaled duplicate of bench vector 1 flags at ~1.0
+    assert got[15].contaminated and got[15].nearest_bench == 1
+    # zero vector: cosine undefined -> NULL score, NEVER flagged
+    assert got[16].max_cosine is None
+    assert got[16].contaminated is False
+
+    empty_bench = bench.limit(0)
+    assert semantic_decontam(corpus, empty_bench).count() == 0
