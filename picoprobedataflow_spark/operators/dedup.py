@@ -1564,8 +1564,14 @@ def _aligned_spans(docs: DataFrame, span_w: int, text_col: str,
     :func:`remove_frequent_segments` and
     :func:`source_overlap_matrix` — each document's token stream
     chopped into ``span_w``-token windows every ``stride`` tokens
-    (aligned, non-overlapping by default), keyed by the exact-int64
-    corpus position ``(doc_id << 32) + idx``. ``extra_cols`` ride
+    (aligned, non-overlapping by default), keyed by the corpus
+    position struct ``(id, pos)`` — structs order lexicographically,
+    so ``min(_key)`` is the true earliest occurrence for ANY bigint
+    id (a packed ``(id << 32) + pos`` long truncates 64-bit ids:
+    two ids equal mod 2^32 collide and both "survive" dedup — the
+    round-15 fix; WET ingestion mints xxhash64 ids, where birthday
+    counting makes that collision certain at scale). ``extra_cols``
+    ride
     through the explode verbatim (cheaper than a join back on the
     id). One explode; no shuffle of its own."""
     from picoprobedataflow_spark.functions.text import words
@@ -1591,8 +1597,8 @@ def _aligned_spans(docs: DataFrame, span_w: int, text_col: str,
                          lambda i: F.concat_ws(
                              " ", F.slice("_w", i * st + 1, span_w))))
                      .alias("idx", "span")))
-    key = (F.shiftleft(F.col(id_col).cast("long"), 32)
-           + F.col("idx").cast("long"))
+    key = F.struct(F.col(id_col).cast("long").alias("id"),
+                   F.col("idx").cast("long").alias("pos"))
     return spans.withColumn("_key", key)
 
 
@@ -1606,11 +1612,12 @@ def cross_doc_span_dedup(docs: DataFrame, span_w: int = 4,
     token stream into non-overlapping ``span_w``-token windows and
     mark every window whose exact text occurred at an earlier
     (doc, window) position anywhere in the corpus. Returns one row
-    per window: (id, idx, span, first_key, is_dup) where
-    ``first_key`` is the corpus-wide first occurrence encoded as
-    ``(doc_id << 32) + idx`` (exact int64: supports 4B windows per
-    doc — ~17B tokens at span_w=4 — and doc ids below 2^31;
-    corpora beyond either bound need a struct-min key instead).
+    per window: (id, idx, span, first_id, first_pos, is_dup) where
+    (first_id, first_pos) is the corpus-wide first occurrence —
+    the lexicographic ``min(struct(id, pos))``, exact for ANY
+    bigint id including the xxhash64 ids WET ingestion mints (a
+    packed ``(id << 32) + pos`` long would truncate to the low 32
+    id bits, letting mod-2^32-colliding ids under-delete).
 
     Scale shape: one explode (corpus token count / span_w rows), one
     hash aggregate keyed by the span text (high cardinality, skew
@@ -1621,10 +1628,12 @@ def cross_doc_span_dedup(docs: DataFrame, span_w: int = 4,
     (same trick as content_fingerprints)."""
     spans = _aligned_spans(docs, span_w, text_col, id_col, stride)
     firsts = (spans.groupBy("span")
-              .agg(F.min("_key").alias("first_key")))
+              .agg(F.min("_key").alias("_first")))
     return (spans.join(firsts, "span")
-            .select(F.col(id_col), "idx", "span", "first_key",
-                    (F.col("_key") != F.col("first_key")).alias("is_dup")))
+            .select(F.col(id_col), "idx", "span",
+                    F.col("_first.id").alias("first_id"),
+                    F.col("_first.pos").alias("first_pos"),
+                    (F.col("_key") != F.col("_first")).alias("is_dup")))
 
 
 def remove_duplicate_spans(docs: DataFrame, span_w: int = 4,
@@ -1844,8 +1853,8 @@ def remove_duplicate_substrings(docs: DataFrame, min_len: int = 12,
     :func:`substring_dedup_stats` is the diagnostic half). A token
     deletes iff it is covered by a duplicated ``min_len``-window
     whose start is NOT the corpus-wide first occurrence of that
-    window (first occurrence = exact-int min of
-    ``(doc_id << 32) + pos``, the cross_doc_span_dedup key — so one
+    window (first occurrence = lexicographic min over
+    ``struct(doc_id, pos)``, exact for any bigint id — so one
     copy of every duplicated passage survives, at its earliest
     corpus position). Unlike :func:`remove_duplicate_spans` this
     needs no alignment: a quote at ANY offset deletes, and a
@@ -1899,8 +1908,13 @@ def remove_duplicate_substrings(docs: DataFrame, min_len: int = 12,
         toks0 = docs.select(F.col(id_col),
                             words(text_col).alias("_w"))
     valid = sigs.filter(F.col("sig").isNotNull())
-    key = (F.shiftleft(F.col(id_col).cast("long"), 32)
-           + F.col("pos").cast("long"))
+    # first occurrence = lexicographic min over (id, pos) structs —
+    # exact for ANY bigint id (xxhash64 ids from WET ingestion
+    # included); a packed (id << 32) + pos long truncates to the low
+    # 32 id bits, and mod-2^32-colliding ids then share one key so
+    # BOTH occurrences survive (round-15 fix, oracle in lockstep).
+    key = F.struct(F.col(id_col).cast("long").alias("id"),
+                   F.col("pos").cast("long").alias("pos"))
     firsts = (valid.withColumn("_key", key)
               .groupBy("sig")
               .agg(F.count("*").alias("_c"),
@@ -2253,7 +2267,9 @@ def cdc_chunk_dedup(docs: DataFrame, n_buckets: int = 8,
     insertion re-phases every later window. Each chunk's exact text
     is then deduplicated corpus-wide against its first occurrence.
     Returns one row per chunk:
-    (id, chunk_id, n_toks, chunk_text, first_key, is_dup).
+    (id, chunk_id, n_toks, chunk_text, first_id, first_pos, is_dup),
+    first occurrence = lexicographic min(struct(id, chunk_id)) —
+    exact for any bigint id.
 
     Scale shape: one explode, a doc-keyed cumulative sum (windows
     partitioned by the high-cardinality doc id — never global), one
@@ -2282,13 +2298,14 @@ def cdc_chunk_dedup(docs: DataFrame, n_buckets: int = 8,
                        F.array_sort(F.collect_list(
                            F.struct("idx", "term"))),
                        lambda s: s.term)).alias("chunk_text")))
-    key = (F.shiftleft(F.col(id_col).cast("long"), 32)
-           + F.col("chunk_id").cast("long"))
+    key = F.struct(F.col(id_col).cast("long").alias("id"),
+                   F.col("chunk_id").cast("long").alias("pos"))
     chunks = chunks.withColumn("_key", key)
     firsts = (chunks.groupBy("chunk_text")
-              .agg(F.min("_key").alias("first_key")))
+              .agg(F.min("_key").alias("_first")))
     return (chunks.join(firsts, "chunk_text")
             .select(F.col(id_col), "chunk_id", "n_toks", "chunk_text",
-                    "first_key",
-                    (F.col("_key") != F.col("first_key"))
+                    F.col("_first.id").alias("first_id"),
+                    F.col("_first.pos").alias("first_pos"),
+                    (F.col("_key") != F.col("_first"))
                     .alias("is_dup")))

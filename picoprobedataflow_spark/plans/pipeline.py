@@ -2210,30 +2210,29 @@ ids AS (
 spans AS (
   SELECT doc_id, CAST(idx AS BIGINT) AS idx,
          array_to_string(w[idx * {_SPAN_W} + 1 : idx * {_SPAN_W} + {_SPAN_W}],
-                         ' ') AS span,
-         (doc_id << 32) + idx AS key
+                         ' ') AS span
   FROM ids
 ),
-firsts AS (
-  SELECT span, min(key) AS first_key FROM spans GROUP BY 1
-),
-b_firsts AS (
-  SELECT doc_id // {_SPAN_BUCKET_DOCS} AS bucket, span,
-         min(key) AS b_first_key
-  FROM spans GROUP BY 1, 2
+ranked AS (
+  -- first occurrence = lexicographic min over (doc_id, idx), the
+  -- Spark side's min(struct(id, pos)) — rn = 1 IS the first
+  SELECT doc_id, idx, span,
+         row_number() OVER (PARTITION BY span
+                            ORDER BY doc_id, idx) AS rn,
+         row_number() OVER (PARTITION BY doc_id // {_SPAN_BUCKET_DOCS},
+                                         span
+                            ORDER BY doc_id, idx) AS b_rn
+  FROM spans
 )
-SELECT s.doc_id,
+SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_spans,
-       CAST(sum(CASE WHEN s.key <> f.first_key THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_dup,
-       round(sum(CASE WHEN s.key <> f.first_key THEN 1 ELSE 0 END)
+       round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
              * 1.0 / count(*), 6) AS dup_ratio,
-       CAST(sum(CASE WHEN s.key <> b.b_first_key THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN b_rn > 1 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_dup_bounded
-FROM spans s
-JOIN firsts f USING (span)
-JOIN b_firsts b
-  ON b.bucket = s.doc_id // {_SPAN_BUCKET_DOCS} AND b.span = s.span
+FROM ranked
 GROUP BY 1
 """
 
@@ -2249,22 +2248,24 @@ ids AS (
 spans AS (
   SELECT doc_id, CAST(idx AS BIGINT) AS idx,
          array_to_string(w[idx * {_SPAN_W} + 1 : idx * {_SPAN_W} + {_SPAN_W}],
-                         ' ') AS span,
-         (doc_id << 32) + idx AS key
+                         ' ') AS span
   FROM ids
 ),
-firsts AS (
-  SELECT span, min(key) AS first_key FROM spans GROUP BY 1
+ranked AS (
+  SELECT doc_id, idx, span,
+         row_number() OVER (PARTITION BY span
+                            ORDER BY doc_id, idx) AS rn
+  FROM spans
 ),
 kept AS (
-  SELECT s.doc_id,
-         string_agg(s.span, ' ' ORDER BY s.idx)
-           FILTER (WHERE s.key = f.first_key) AS body,
-         CAST(sum(CASE WHEN s.key <> f.first_key THEN 1 ELSE 0 END)
+  SELECT doc_id,
+         string_agg(span, ' ' ORDER BY idx)
+           FILTER (WHERE rn = 1) AS body,
+         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
               AS BIGINT) AS n_removed,
-         CAST(sum(CASE WHEN s.key = f.first_key THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
               AS BIGINT) AS n_kept
-  FROM spans s JOIN firsts f USING (span)
+  FROM ranked
   GROUP BY 1
 )
 SELECT t.doc_id,
@@ -3808,8 +3809,10 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signal a pipeline uses to drop or trim boilerplate-heavy
     documents rather than whole near-dups. One explode + one span
     aggregate + one same-key join + one doc aggregate; first
-    occurrence is the exact-int min of (doc_id << 32) + idx on both
-    engines.
+    occurrence is the lexicographic min over (doc_id, idx) — a
+    struct min in Spark, a row_number window in the oracle — exact
+    for any bigint id (round 15: the packed (id << 32) + idx long
+    truncated 64-bit ids).
 
     ``n_dup_bounded`` is the ST4-style bounded-state variant: first
     occurrences scoped to tumbling 100-doc ingestion buckets, the
@@ -3823,8 +3826,8 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_dup."""
     docs = tbl(spark, sf_dir, "documents")
     marks = DD.cross_doc_span_dedup(docs, span_w=_SPAN_W)
-    key = (F.shiftleft(F.col("doc_id").cast("long"), 32)
-           + F.col("idx").cast("long"))
+    key = F.struct(F.col("doc_id").cast("long").alias("id"),
+                   F.col("idx").cast("long").alias("pos"))
     bucket = F.expr(f"doc_id div {_SPAN_BUCKET_DOCS}")
     with_b = (marks.withColumn("_key", key)
               .withColumn("_bucket", bucket))
@@ -3961,15 +3964,17 @@ ksig AS MATERIALIZED (
                OVER (PARTITION BY doc_id ORDER BY pos)) AS sig
   FROM kh8
 ),
-kfirst AS MATERIALIZED (
-  SELECT sig, count(*) AS c,
-         min((doc_id << 32) + pos) AS fk
-  FROM ksig WHERE sig IS NOT NULL GROUP BY 1
-),
 kdel AS MATERIALIZED (
-  SELECT s.doc_id, s.pos
-  FROM ksig s JOIN kfirst f USING (sig)
-  WHERE f.c >= 2 AND (s.doc_id << 32) + s.pos <> f.fk
+  -- delete every occurrence except the lexicographic-(doc_id, pos)
+  -- first — the Spark side's min(struct(id, pos)), exact for any
+  -- bigint id
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY sig) AS c,
+               row_number() OVER (PARTITION BY sig
+                                  ORDER BY doc_id, pos) AS rn
+        FROM ksig WHERE sig IS NOT NULL)
+  WHERE c >= 2 AND rn > 1
 ),
 kisl AS (
   SELECT doc_id, pos,
@@ -4016,9 +4021,10 @@ def substr_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the window content's corpus-wide FIRST occurrence deletes —
     ExactSubstr's actual edit (Lee et al. 2022), alignment-free
     where ``span_clean`` needs the span_w grid to line up. The
-    oracle replays the identical fingerprint chain, first-occurrence
-    key ((doc_id << 32) + pos), interval merge and list-filter
-    reassembly."""
+    oracle replays the identical fingerprint chain, the
+    lexicographic-(doc_id, pos) first-occurrence rule (a struct min
+    on the Spark side, a row_number window here — exact for any
+    bigint id), interval merge and list-filter reassembly."""
     docs = tbl(spark, sf_dir, "documents")
     return DD.remove_duplicate_substrings(docs, min_len=_SUBSTR_L)
 
@@ -4703,20 +4709,22 @@ chunked AS (
 chunks AS (
   SELECT doc_id, chunk_id,
          CAST(count(*) AS BIGINT) AS n_toks,
-         string_agg(term, ' ' ORDER BY idx) AS chunk_text,
-         (doc_id << 32) + chunk_id AS key
+         string_agg(term, ' ' ORDER BY idx) AS chunk_text
   FROM chunked GROUP BY 1, 2
 ),
-firsts AS (
-  SELECT chunk_text, min(key) AS first_key FROM chunks GROUP BY 1
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY chunk_text
+                            ORDER BY doc_id, chunk_id) AS rn
+  FROM chunks
 )
-SELECT c.doc_id,
+SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_chunks,
-       CAST(sum(CASE WHEN c.key <> f.first_key THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_dup_chunks,
-       round(sum(CASE WHEN c.key <> f.first_key THEN 1 ELSE 0 END)
+       round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
              * 1.0 / count(*), 6) AS dup_ratio
-FROM chunks c JOIN firsts f USING (chunk_text)
+FROM ranked
 GROUP BY 1
 """
 
@@ -4760,20 +4768,22 @@ spans AS (
   SELECT doc_id, CAST(idx AS BIGINT) AS idx,
          array_to_string(
            w[idx * {_SPAN_STRIDE} + 1 : idx * {_SPAN_STRIDE} + {_SPAN_W}],
-           ' ') AS span,
-         (doc_id << 32) + idx AS key
+           ' ') AS span
   FROM ids
 ),
-firsts AS (
-  SELECT span, min(key) AS first_key FROM spans GROUP BY 1
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY span
+                            ORDER BY doc_id, idx) AS rn
+  FROM spans
 )
-SELECT s.doc_id,
+SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_spans,
-       CAST(sum(CASE WHEN s.key <> f.first_key THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_dup,
-       round(sum(CASE WHEN s.key <> f.first_key THEN 1 ELSE 0 END)
+       round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
              * 1.0 / count(*), 6) AS dup_ratio
-FROM spans s JOIN firsts f USING (span)
+FROM ranked
 GROUP BY 1
 """
 

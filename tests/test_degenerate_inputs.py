@@ -409,3 +409,69 @@ def test_connected_components_mixed_id_types_rejected(spark):
     got = {(r.node, r.comp)
            for r in connected_components(il).collect()}
     assert got == {(1, 1), (2, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Round-15 pins: 64-bit first-occurrence keys (VERDICT r14 ask #1).
+# The packed (doc_id << 32) + pos long silently truncated to the low
+# 32 id bits, so two ids equal mod 2^32 holding the same duplicated
+# window at the same pos shared ONE key and both survived dedup —
+# and WET ingestion mints xxhash64 ids, where birthday counting makes
+# that collision certain at scale. The key is now min(struct(id, pos)).
+# ---------------------------------------------------------------------------
+
+def test_span_dedup_ids_colliding_mod_2_32(spark):
+    """Two doc ids equal mod 2^32 with the same duplicated window at
+    the same idx: exactly ONE row is the first occurrence (the packed
+    key gave both rows the same key, so NEITHER was flagged)."""
+    lo, hi = 7, 7 + (1 << 32)
+    docs = spark.createDataFrame(
+        [(lo, "a b c d"), (hi, "a b c d")], "doc_id long, text string")
+    rows = DD.cross_doc_span_dedup(docs, span_w=4).collect()
+    by = {r.doc_id: r for r in rows}
+    assert not by[lo].is_dup and by[hi].is_dup
+    assert (by[hi].first_id, by[hi].first_pos) == (lo, 0)
+
+
+def test_span_dedup_negative_and_xxhash64_ids(spark):
+    """Negative / full-range-bigint ids: the first occurrence is the
+    lexicographic (id, pos) min — the negative id — and the packed
+    key's arbitrary-but-wrong ordering is gone."""
+    neg, big = -5_000_000_000, 0x7FEDCBA987654321
+    docs = spark.createDataFrame(
+        [(big, "x y z w"), (neg, "x y z w")], "doc_id long, text string")
+    rows = DD.cross_doc_span_dedup(docs, span_w=4).collect()
+    by = {r.doc_id: r for r in rows}
+    assert not by[neg].is_dup and by[big].is_dup
+    assert (by[big].first_id, by[big].first_pos) == (neg, 0)
+
+
+def test_substr_clean_ids_colliding_mod_2_32(spark):
+    """remove_duplicate_substrings under mod-2^32-colliding ids: the
+    lower id keeps its text, the colliding higher id's duplicated
+    window deletes in full (the packed key deleted NEITHER)."""
+    toks = " ".join(f"t{i}" for i in range(12))
+    lo, hi = 42, 42 + (1 << 32)
+    docs = spark.createDataFrame(
+        [(lo, toks), (hi, toks)], "doc_id long, text string")
+    out = {r.doc_id: r
+           for r in DD.remove_duplicate_substrings(
+               docs, min_len=12).collect()}
+    assert out[lo].cleaned == toks and out[lo].n_removed == 0
+    assert out[hi].cleaned == "" and out[hi].n_removed == 12
+
+
+def test_cdc_chunk_dedup_ids_colliding_mod_2_32(spark):
+    """cdc_chunk_dedup under colliding ids: every chunk of the higher
+    id is flagged against the lower id's first occurrence."""
+    lo, hi = 9, 9 + (2 << 32)
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(lo, text), (hi, text)], "doc_id long, text string")
+    rows = DD.cdc_chunk_dedup(docs).collect()
+    assert rows
+    for r in rows:
+        if r.doc_id == lo:
+            assert not r.is_dup
+        else:
+            assert r.is_dup and r.first_id == lo

@@ -1575,7 +1575,7 @@ def test_cross_doc_span_dedup_first_occurrence_semantics(spark):
     assert not by[(1, 0)].is_dup and not by[(1, 1)].is_dup
     assert by[(2, 0)].is_dup and not by[(2, 1)].is_dup
     assert by[(3, 0)].is_dup and by[(3, 1)].is_dup
-    assert by[(3, 0)].first_key == (1 << 32) + 1
+    assert (by[(3, 0)].first_id, by[(3, 0)].first_pos) == (1, 1)
     assert not by[(5, 0)].is_dup
     assert not any(d == 4 for d, _ in by)
     assert len(by) == 7

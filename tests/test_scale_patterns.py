@@ -641,11 +641,12 @@ def test_span_dedup_accounting_property(spark, texts):
     for r in rows:
         by_span.setdefault(r.span, []).append(r)
     for span, grp in by_span.items():
-        keys = sorted((r.doc_id << 32) + r.idx for r in grp)
+        keys = sorted((r.doc_id, r.idx) for r in grp)
         unflagged = [r for r in grp if not r.is_dup]
         assert len(unflagged) == 1
-        assert ((unflagged[0].doc_id << 32) + unflagged[0].idx
-                == keys[0] == grp[0].first_key)
+        assert ((unflagged[0].doc_id, unflagged[0].idx)
+                == keys[0]
+                == (grp[0].first_id, grp[0].first_pos))
     assert sum(r.is_dup for r in rows) == len(rows) - len(by_span)
 
 
