@@ -652,9 +652,18 @@ def robots_gate(urls: DataFrame, rules: DataFrame,
     window (``length DESC NULLS LAST, allow DESC NULLS LAST``) for
     the gated family's wildcard-free fixture — wild rules are
     pytest-gated (the RFC example battery)."""
+    # Percent-normalize the URL path through the SAME projection
+    # robots_rules_table applies to rule paths (round-15 ADVICE fix):
+    # rules are stored normalized ('/p%2dq' → '/p-q'), so a caller
+    # feeding RAW (non-url_normalize'd) URLs would otherwise compare
+    # normalized-to-raw and a disallow could silently stop applying —
+    # the bad direction for a compliance gate. _percent_normalize is
+    # idempotent, so canonicalized callers (the gated family) are
+    # unaffected.
     u = urls.select(F.col(id_col),
                     url_host(F.col(url_col)).alias("domain"),
-                    url_path(F.col(url_col)).alias("_path"))
+                    _percent_normalize(url_path(F.col(url_col)))
+                    .alias("_path"))
     # RFC 9309 §2.2.3 wildcards (round 14): '*' in a rule matches
     # any character run, a TRAILING '$' anchors the end; everything
     # else is literal. Each rule compiles to an anchored regex

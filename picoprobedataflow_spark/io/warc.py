@@ -48,9 +48,17 @@ WET_RECORD_SEP = "\r\n\r\nWARC/1.0\r\n"
 
 
 def _hdr(field: str):
-    """Extract one WARC header value (multiline anchor, CR-tolerant)."""
+    """Extract one WARC header value (multiline anchor, CR-tolerant).
+    Field names match case-INSENSITIVELY — ISO 28500 §5 named fields
+    are case-insensitive, and conforming members with
+    ``Warc-Type:`` / ``WARC-TARGET-URI:`` casing exist in the wild
+    (round-15 ADVICE fix: the case-sensitive match silently dropped
+    every record of such a file under the default type filter). The
+    ``(?i)`` scopes to the whole pattern but the value capture is
+    ``[^\\r\\n]*`` — case never alters WHAT is captured, only
+    whether the field name matches."""
     return F.regexp_extract(
-        F.col("_hdr"), rf"(?m)^{field}:[ \t]*([^\r\n]*)", 1)
+        F.col("_hdr"), rf"(?mi)^{field}:[ \t]*([^\r\n]*)", 1)
 
 
 def _parse_wet(raw: DataFrame,
@@ -65,8 +73,13 @@ def _parse_wet(raw: DataFrame,
     # The FINAL record of a file keeps its two-CRLF record
     # terminator (mid-file ones lose it to the separator split) —
     # strip exactly one terminator, never content newlines.
+    # F.get, not getItem: a record with NO header/body divider (a
+    # CR-only member, a truncated tail) splits to ONE part, and
+    # under the engine's ANSI sessions getItem(1) aborts the whole
+    # job with INVALID_ARRAY_INDEX — the round-15 degenerate battery
+    # reproduced it live; get() yields NULL, which coalesces to ''.
     rec = rec.select(parts.getItem(0).alias("_hdr"),
-                     F.regexp_replace(parts.getItem(1),
+                     F.regexp_replace(F.get(parts, 1),
                                       r"\r\n\r\n\Z", "")
                      .alias("_body"))
     out = rec.select(

@@ -192,9 +192,19 @@ def run_curation_stream(doc_stream: DataFrame, state_dir: str,
                         .filter(F.col("rank")
                                 + F.coalesce("_prior", F.lit(0))
                                 <= domain_quota)
-                        .select(id_col, "domain"))
-            cur = (cur.drop("_fp")
+                        .select(id_col,
+                                F.col("domain").alias("_q_dom")))
+            # Join under a private name, then drop any pre-existing
+            # 'domain' column before renaming (round-15 ADVICE fix:
+            # an input stream already carrying 'domain' made the
+            # using-join emit TWO domain columns, and the groupBy /
+            # kept/ write below failed with an ambiguous reference
+            # at micro-batch time). The quota-derived domain — the
+            # registrable domain of url_col — is authoritative for
+            # the kept/ contract and the domains/ state.
+            cur = (cur.drop("_fp", "domain")
                    .join(admitted, id_col)
+                   .withColumnRenamed("_q_dom", "domain")
                    .localCheckpoint(eager=True))
             funnel.append(("quota", cur.count()))
             new_doms = (cur.groupBy("domain")

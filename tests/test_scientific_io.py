@@ -432,3 +432,63 @@ def test_wet_watch_stream_equals_batch(spark, tmp_path):
     # restart with nothing new adds nothing (file-source tracking)
     drain()
     assert spark.read.parquet(out).count() == 3
+
+
+def test_read_wet_header_case_variance(spark, tmp_path):
+    """ISO 28500 field names are case-INSENSITIVE (round-15 ADVICE
+    fix): a conforming member with 'Warc-Type:' / 'WARC-TARGET-URI:'
+    / 'content-length:' casing parses identically to canonical
+    casing — before the fix the type extracted as '' and the default
+    conversion filter silently dropped every record of the file."""
+    from picoprobedataflow_spark.io.warc import read_wet
+
+    wet = ("WARC/1.0\r\n"
+           "Warc-Type: conversion\r\n"
+           "WARC-TARGET-URI: https://odd.example/x\r\n"
+           "warc-date: 2024-06-01T08:00:00Z\r\n"
+           "content-type: text/plain\r\n"
+           "CONTENT-LENGTH: 9\r\n"
+           "\r\n"
+           "page text\r\n\r\n")
+    p = tmp_path / "cased.wet"
+    p.write_bytes(wet.encode())
+    rows = read_wet(spark, str(p)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.target_uri == "https://odd.example/x"
+    assert str(r.warc_date).startswith("2024-06-01 08:00")
+    assert r.content_type == "text/plain"
+    assert r.content_length == 9 and r.text == "page text"
+    # header VALUES keep their case — only field-name matching is
+    # case-blind (the (?i) must not rewrite what is captured)
+    wet2 = ("WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            "WARC-Target-URI: https://Mixed.Example/Path%2Fq\r\n"
+            "\r\nbody\r\n\r\n")
+    p2 = tmp_path / "vals.wet"
+    p2.write_bytes(wet2.encode())
+    assert (read_wet(spark, str(p2)).collect()[0].target_uri
+            == "https://Mixed.Example/Path%2Fq")
+
+
+def test_read_wet_cr_only_line_ends(spark, tmp_path):
+    """CR-only line ends (round-15 degenerate battery): the WARC 1.0
+    record boundary is CRLF by spec, so a CR-only member never
+    splits — the defined degradation is ONE row for the whole file
+    (headers still extract: Java MULTILINE ^ matches after a bare
+    CR) with an EMPTY body (no CRLF-CRLF header/body divider
+    exists), never an abort or a half-parsed phantom record."""
+    from picoprobedataflow_spark.io.warc import read_wet
+
+    wet = ("WARC/1.0\r"
+           "WARC-Type: conversion\r"
+           "WARC-Target-URI: https://cr.example/only\r"
+           "\r"
+           "body that never separates\r")
+    p = tmp_path / "cr.wet"
+    p.write_bytes(wet.encode())
+    rows = read_wet(spark, str(p), record_type=None).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.target_uri == "https://cr.example/only"
+    assert r.text == ""

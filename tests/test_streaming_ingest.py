@@ -1211,3 +1211,65 @@ def test_streaming_substr_clean_equals_batch(spark, tmp_path):
             for r in spark.read.parquet(
                 os.path.join(state, "cleaned")).collect()}
     assert got2 == got
+
+
+def test_streaming_curation_input_carrying_domain_column(
+        spark, tmp_path):
+    """Round-15 ADVICE fix: an input stream ALREADY carrying a
+    'domain' column used to make the quota stage's using-join emit
+    two domain columns, failing the groupBy / kept write with an
+    ambiguous reference at micro-batch time. Now the quota-derived
+    registrable domain is authoritative: the stream runs, and kept
+    rows carry it — not the input's stale value."""
+    from picoprobedataflow_spark.streaming.curation import \
+        run_curation_stream
+
+    schema = ("doc_id long, text string, url string, domain string")
+    rows = [(i, " ".join(f"tok{i}w{j}" for j in range(12)),
+             f"https://site{i}.example.com/p{i}", "stale.junk")
+            for i in range(4)]
+    docs = spark.createDataFrame(rows, schema)
+    src = tmp_path / "in"
+    src.mkdir()
+    docs.coalesce(1).write.mode("append").parquet(str(src))
+    q = run_curation_stream(
+        spark.readStream.schema(schema).parquet(str(src)),
+        str(tmp_path / "state"), str(tmp_path / "ck"),
+        min_quality=None, repetition_filter=False,
+        url_col="url", domain_quota=10)
+    assert q.awaitTermination(300)
+    kept = spark.read.parquet(
+        os.path.join(str(tmp_path / "state"), "kept")).collect()
+    assert {r.doc_id for r in kept} == {0, 1, 2, 3}
+    assert all(r.domain == "example.com" for r in kept)
+
+
+def test_streaming_curation_domain_quota_zero(spark, tmp_path):
+    """domain_quota=0 (round-15 degenerate battery): the quota stage
+    admits NOTHING — rank >= 1 never fits a zero budget — so kept is
+    empty, the funnel records quota=0, and no epoch errors."""
+    from picoprobedataflow_spark.streaming.curation import \
+        run_curation_stream
+
+    schema = "doc_id long, text string, url string"
+    rows = [(i, " ".join(f"tok{i}w{j}" for j in range(12)),
+             f"https://h{i}.example.com/") for i in range(3)]
+    docs = spark.createDataFrame(rows, schema)
+    src = tmp_path / "in"
+    src.mkdir()
+    docs.coalesce(1).write.mode("append").parquet(str(src))
+    q = run_curation_stream(
+        spark.readStream.schema(schema).parquet(str(src)),
+        str(tmp_path / "state"), str(tmp_path / "ck"),
+        min_quality=None, repetition_filter=False,
+        url_col="url", domain_quota=0)
+    assert q.awaitTermination(300)
+    # an all-filtered epoch writes no part files — read kept/ with
+    # an explicit schema (inference has no footer to look at)
+    kept_dir = os.path.join(str(tmp_path / "state"), "kept")
+    assert (spark.read.schema(schema + ", domain string, epoch long")
+            .parquet(kept_dir).count() == 0)
+    funnel = spark.read.parquet(
+        os.path.join(str(tmp_path / "state"), "funnel"))
+    by = {r.stage: r.n for r in funnel.collect()}
+    assert by["input"] == 3 and by["quota"] == 0

@@ -872,3 +872,55 @@ def test_robots_gate_rfc9309_wildcards(spark):
     assert got[9] == (None, True)
     assert got[10] == ("/p/ok*", True)   # longer rule beats /p
     assert got[11] == ("/p", False)
+
+
+def test_robots_gate_raw_url_percent_paths(spark):
+    """Round-15 ADVICE fix: robots_gate percent-normalizes the URL
+    path itself, so a caller feeding RAW (non-url_normalize'd) URLs
+    still gets two-sided comparison — a rule authored '/p%2dq'
+    (stored normalized '/p-q') matches the raw path '/p%2dq'. Before
+    the fix the disallow silently stopped applying (REP
+    default-allow), the bad direction for a compliance gate."""
+    from picoprobedataflow_spark.functions.web import (
+        robots_gate, robots_rules_table)
+
+    rules = robots_rules_table(spark, [
+        ("h.example", "/p%2dq", False),
+        ("h.example", "/t%7Euser", False),
+    ])
+    raw = spark.createDataFrame(
+        [(0, "http://h.example/p%2dq/page"),   # raw escape, lower hex
+         (1, "http://h.example/p-q/page"),     # decoded form
+         (2, "http://h.example/t%7euser"),     # raw escape
+         (3, "http://h.example/p%2Fq")],       # %2F does NOT decode
+        "doc_id long, url string")
+    got = {r.doc_id: r.allowed
+           for r in robots_gate(raw, rules).collect()}
+    assert got == {0: False, 1: False, 2: False, 3: True}
+
+
+def test_robots_wildcard_rules_with_percent_escapes(spark):
+    """RFC 9309 wildcards × percent-escapes (round-15 degenerate
+    battery): '*' is matched BEFORE any escape decoding question
+    arises — '%2A' is NOT in the idempotent decode subset, so a rule
+    containing '%2a' normalizes its HEX CASE only and matches the
+    literal three chars '%2A', never acting as a wildcard; a decoded
+    mark inside a wild rule ('/p%2d*') normalizes to '/p-*' and
+    matches raw or canonical paths alike."""
+    from picoprobedataflow_spark.functions.web import (
+        robots_gate, robots_rules_table)
+
+    rules = robots_rules_table(spark, [
+        ("h.example", "/d%2a*e$", False),   # literal %2A then wild *
+        ("h.example", "/p%2d*", False),     # decodes to /p-*
+    ])
+    urls = spark.createDataFrame(
+        [(0, "http://h.example/d%2Axxe"),   # matches literal %2A + *e$
+         (1, "http://h.example/dxxe"),      # no literal %2A -> allowed
+         (2, "http://h.example/p%2dq"),     # raw escape, wild suffix
+         (3, "http://h.example/p-anything"),
+         (4, "http://h.example/q-other")],
+        "doc_id long, url string")
+    got = {r.doc_id: r.allowed
+           for r in robots_gate(urls, rules).collect()}
+    assert got == {0: False, 1: True, 2: False, 3: False, 4: True}
