@@ -62,11 +62,16 @@ def _hdr(field: str):
 
 
 def _parse_wet(raw: DataFrame,
-               record_type: str | None) -> DataFrame:
+               record_type: str | None,
+               extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """The shared record parser over a ``value``-columned frame of
-    boundary-split records — one implementation under both the
-    batch reader and the streaming watcher."""
+    boundary-split records — one implementation under the batch
+    reader, the streaming watcher and the oracle-gated fixture
+    replay (``extra_cols`` ride through verbatim, e.g. the
+    fixture's record ordinal)."""
+    ex = [F.col(c) for c in extra_cols]
     rec = raw.select(
+        *ex,
         F.regexp_replace("value", "\\A(\uFEFF)?WARC/1\\.0\r?\n",
                          "").alias("_r"))
     parts = F.split(F.col("_r"), r"\r?\n\r?\n", 2)
@@ -78,11 +83,13 @@ def _parse_wet(raw: DataFrame,
     # under the engine's ANSI sessions getItem(1) aborts the whole
     # job with INVALID_ARRAY_INDEX — the round-15 degenerate battery
     # reproduced it live; get() yields NULL, which coalesces to ''.
-    rec = rec.select(parts.getItem(0).alias("_hdr"),
+    rec = rec.select(*ex,
+                     parts.getItem(0).alias("_hdr"),
                      F.regexp_replace(F.get(parts, 1),
                                       r"\r\n\r\n\Z", "")
                      .alias("_body"))
     out = rec.select(
+        *ex,
         _hdr("WARC-Type").alias("_type"),
         F.nullif(_hdr("WARC-Target-URI"), F.lit(""))
          .alias("target_uri"),
@@ -153,6 +160,45 @@ def wet_watch_stream(spark: SparkSession, path: str,
     return _parse_wet(
         spark.readStream.text(path, lineSep=WET_RECORD_SEP),
         record_type)
+
+
+def wet_reconcile(records: DataFrame) -> DataFrame:
+    """``records`` + ``(text_octets, reconciled)``: the
+    Content-Length reconciliation the module docstring's KNOWN LIMIT
+    names (round-15, VERDICT ask #4). ``text_octets`` re-encodes the
+    char-split body to its UTF-8 octet count (``octet_length`` —
+    the header's unit per ISO 28500); ``reconciled`` is TRUE when the
+    declared and actual counts agree or nothing was declared
+    (``content_length`` NULL — nothing to dispute; the DQ
+    expectations stage owns null-rate alerts), FALSE on a definite
+    mismatch. The canonical mismatch is the adversarial quoted-dump
+    page: a body CONTAINING the full record boundary splits there,
+    the record truncates at the quote, and the declared length —
+    counted over the full body — exceeds the split octets
+    (pytest-pinned). One row-local projection; no shuffle."""
+    octets = F.octet_length("text").cast("long")
+    return (records
+            .withColumn("text_octets", octets)
+            .withColumn(
+                "reconciled",
+                F.col("content_length").isNull()
+                | (F.col("content_length") == F.col("text_octets"))))
+
+
+def read_wet_reconciled(spark: SparkSession, path: str,
+                        record_type: str | None = "conversion"
+                        ) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine): :func:`read_wet` routed through
+    :func:`wet_reconcile` — records whose declared Content-Length
+    disagrees with the split body's octet count land in the
+    quarantine frame (truncated quoted-dump pages, malformed
+    members) instead of silently feeding the corpus. Both frames
+    carry the reconciliation columns; both derive from ONE scan
+    (Spark reuses the shared subplan under AQE, and at worst the
+    text source re-scans — cheap relative to a quarantine review)."""
+    rec = wet_reconcile(read_wet(spark, path, record_type))
+    return (rec.filter(F.col("reconciled")),
+            rec.filter(~F.col("reconciled")))
 
 
 def wet_documents(spark: SparkSession, path: str) -> DataFrame:
