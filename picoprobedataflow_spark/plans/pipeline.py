@@ -2352,6 +2352,70 @@ def boiler_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        min_df=_BOILER_MIN_DF)
 
 
+#: Document-frequency threshold for the ``line_clean`` family: 3, so
+#: the synthetic per-source footers split — sources with >= 3 docs
+#: lose their footer, rarer sources keep it — while the nav bar
+#: stamped on EVERY doc always goes.
+_LINE_MIN_DF = 3
+
+_LINE_CLEAN_ORACLE = f"""
+WITH ldocs AS (
+  SELECT doc_id,
+         concat_ws(chr(10), 'NAV HOME ABOUT CONTACT', text,
+                   'footer for ' || source) AS text
+  FROM documents
+),
+llines AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, parts[i] AS line,
+         trim(parts[i], ' ' || chr(9)) AS k
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\\r?\\n')
+                 AS parts
+        FROM ldocs),
+       unnest(generate_series(1, len(parts))) AS u(i)
+),
+ldf AS (
+  SELECT k, count(DISTINCT doc_id) AS df
+  FROM llines WHERE k <> '' GROUP BY 1
+),
+lm AS (
+  SELECT l.doc_id, l.idx, l.line, d.df
+  FROM llines l LEFT JOIN ldf d USING (k)
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY idx)
+                FILTER (WHERE df IS NULL OR df < {_LINE_MIN_DF}),
+                '') AS cleaned,
+       CAST(sum(CASE WHEN df >= {_LINE_MIN_DF} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN df IS NULL OR df < {_LINE_MIN_DF}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM lm GROUP BY 1
+"""
+
+
+def line_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWLINE-grain boilerplate removal
+    (:func:`..operators.dedup.remove_frequent_lines`, round 15 —
+    the RefinedWeb/Dolma line rule at its real grain, where
+    ``boiler_clean`` is the aligned-window stand-in for newline-free
+    corpora). The testdata corpus has no newlines, so the multi-line
+    structure is CONSTRUCTED identically in both engines: a nav-bar
+    line prepended to every doc (df = corpus, always removed), a
+    per-source footer appended (removed only for sources with ≥
+    ``_LINE_MIN_DF`` docs — the threshold split), the original text
+    riding as the body line (exact-duplicate texts hit the line rule
+    too). Trimmed-key matching, blank-line exemption and
+    distinct-doc df all replay in the oracle."""
+    docs = tbl(spark, sf_dir, "documents")
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.lit("NAV HOME ABOUT CONTACT"),
+                    F.col("text"),
+                    F.concat(F.lit("footer for "), F.col("source")))
+         .alias("text"))
+    return DD.remove_frequent_lines(multi, min_df=_LINE_MIN_DF)
+
+
 #: PSI grid for the ``psi`` family: 8 buckets so every reference
 #: quantile is an exact binary fraction (k/8) — the linear
 #: interpolation inside Spark ``percentile`` and DuckDB
@@ -5764,6 +5828,8 @@ _FAMILY_SPECS = [
      dict(n=("doc_id", "n_samples"), v=("rms", "peak", "zcr"))),
     ("detect", detect_stub_boxes, _DETECT_ORACLE,
      dict(n=("doc_id", "x1", "y1", "x2", "y2"), v=("conf",))),
+    ("line_clean", line_clean_texts, _LINE_CLEAN_ORACLE,
+     dict(k1="cleaned", n=("doc_id", "n_removed", "n_kept"))),
     ("boiler_clean", boiler_clean_texts, _BOILER_CLEAN_ORACLE,
      dict(k1="cleaned", n=("doc_id", "n_removed", "n_kept"))),
     ("nfc", nfc_normalized_texts, _NFC_ORACLE,
@@ -5831,6 +5897,7 @@ _SUITE2_FAMILIES = frozenset({
     "decontam_spans",
     "dq",
     "key_skew",
+    "line_clean",
     "nfc",
     "rand_proj",
     "span_clean",

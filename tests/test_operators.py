@@ -4361,3 +4361,42 @@ def test_semantic_decontam_matches_numpy(spark):
 
     empty_bench = bench.limit(0)
     assert semantic_decontam(corpus, empty_bench).count() == 0
+
+
+def test_remove_frequent_lines_hand_model(spark):
+    """Line-grain boilerplate removal (round 15): a nav-bar line
+    stamped on N pages keeps ZERO copies; unique body lines are
+    untouched; a line repeated only WITHIN one doc has df = 1 and
+    survives; blank lines are exempt; the trimmed text is the match
+    key but the untrimmed line is what survives; CRLF splits and
+    cleaned re-joins with LF; NULL text passes through NULL."""
+    from picoprobedataflow_spark.operators.dedup import \
+        remove_frequent_lines
+
+    nav = "HOME | ABOUT | CONTACT"
+    docs = spark.createDataFrame(
+        [(1, f"{nav}\nunique body one\n\nself echo\nself echo"),
+         (2, f"  {nav}  \r\nunique body two"),     # trimmed key hits
+         (3, f"{nav}\nunique body three\n   \nlast line"),
+         (4, None),
+         (5, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r
+           for r in remove_frequent_lines(docs, min_df=3).collect()}
+    # nav stamped on 3 pages -> zero copies survive, first included
+    assert out[1].cleaned == "unique body one\n\nself echo\nself echo"
+    assert out[1].n_removed == 1 and out[1].n_kept == 4
+    # intra-doc repeat: df = 1 (distinct docs), both copies kept
+    assert out[1].cleaned.count("self echo") == 2
+    # untrimmed variant matched via the trimmed key; CRLF split
+    assert out[2].cleaned == "unique body two"
+    assert out[2].n_removed == 1
+    # whitespace-only line exempt and preserved verbatim
+    assert out[3].cleaned == "unique body three\n   \nlast line"
+    assert out[4].cleaned is None and out[4].n_kept == 0
+    assert out[5].cleaned == "" and out[5].n_kept == 1
+    # below the threshold nothing is touched
+    out2 = {r.doc_id: r
+            for r in remove_frequent_lines(docs, min_df=4).collect()}
+    assert out2[1].n_removed == 0
+    assert out2[2].cleaned == f"  {nav}  \nunique body two"
