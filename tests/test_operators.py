@@ -4400,3 +4400,44 @@ def test_remove_frequent_lines_hand_model(spark):
             for r in remove_frequent_lines(docs, min_df=4).collect()}
     assert out2[1].n_removed == 0
     assert out2[2].cleaned == f"  {nav}  \nunique body two"
+
+
+def test_chi2_single_shared_category_and_top_k_one(spark):
+    """Round-15 degenerate battery: (a) ref and cur sharing ONE
+    category — the statistic is defined and exactly zero (perfect
+    homogeneity), df = 0; (b) top_k=1 — the table collapses to the
+    kept winner + __other__, the winner chosen by count with the
+    category value breaking ties deterministically, and a
+    new-at-cur category rolls into __other__ instead of minting a
+    row; (c) top_k=1 with an all-tied reference — the
+    lexicographically first category wins."""
+    from picoprobedataflow_spark.operators.drift import chi2_report
+
+    one = lambda rows: spark.createDataFrame(rows, "cat string")
+    # (a) single shared category
+    out = chi2_report(one([("x",)] * 5), one([("x",)] * 3),
+                      "cat").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.category, r.n_ref, r.n_cur) == ("x", 5, 3)
+    assert r.chi2_term == 0.0 and r.e_cur == 3.0
+    # (b) top_k=1: winner kept, tail + new-at-cur rolled
+    ref = one([("a",)] * 6 + [("b",)] * 2 + [("c",)])
+    cur = one([("a",)] * 3 + [("b",)] * 2 + [("new",)] * 2)
+    got = {r.category: r for r in
+           chi2_report(ref, cur, "cat", top_k=1).collect()}
+    assert set(got) == {"a", "__other__"}
+    assert (got["a"].n_ref, got["a"].n_cur) == (6, 3)
+    assert (got["__other__"].n_ref, got["__other__"].n_cur) == (3, 4)
+    # terms sum to the exact 2x2 hand value
+    tr, tc, g = 9, 7, 16
+    exp = 0.0
+    for nr, nc in ((6, 3), (3, 4)):
+        er, ec = tr * (nr + nc) / g, tc * (nr + nc) / g
+        exp += (nr - er) ** 2 / er + (nc - ec) ** 2 / ec
+    assert abs(sum(r.chi2_term for r in got.values()) - exp) < 1e-6
+    # (c) all-tied reference: lexicographic winner
+    tied = one([("zeta",), ("alpha",), ("mid",)])
+    got2 = {r.category for r in
+            chi2_report(tied, tied, "cat", top_k=1).collect()}
+    assert got2 == {"alpha", "__other__"}
