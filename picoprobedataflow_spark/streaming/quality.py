@@ -382,9 +382,6 @@ def boiler_flag_stream(spark: SparkSession, src_dir: str,
     ``max_files_per_trigger`` on large backlogs; the batch op
     (:func:`..operators.dedup.remove_frequent_segments`) is the
     right tool for a finished corpus."""
-    from pyspark.sql.streaming.state import (GroupState,
-                                             GroupStateTimeout)
-
     from ..operators.dedup import _aligned_spans
 
     reader = spark.readStream.schema(schema)
@@ -396,23 +393,40 @@ def boiler_flag_stream(spark: SparkSession, src_dir: str,
              .select(F.col(id_col).alias("doc_id"),
                      F.col("idx").cast("long").alias("idx"),
                      F.xxhash64("span").alias("span_h")))
+    _prefix_df_stream(keyed, "span_h", BOILER_STREAM_OUT_SCHEMA,
+                      "is_boiler", min_df, ckpt_dir, out_dir,
+                      timeout, "boiler")
+
+
+def _prefix_df_stream(keyed: DataFrame, key_col: str,
+                      out_schema: str, flag_col: str, min_df: int,
+                      ckpt_dir: str, out_dir: str, timeout: int,
+                      what: str) -> None:
+    """The shared stateful core under :func:`boiler_flag_stream` and
+    :func:`line_flag_stream`: one 8-byte cumulative distinct-doc
+    counter per DISTINCT key hash inside ``applyInPandasWithState``,
+    prefix-df flagging semantics (see boiler_flag_stream's
+    docstring — state bound, exactly-once, per-batch bound all
+    documented there and shared verbatim by every caller)."""
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
 
     def _update(key, pdfs, state: GroupState):
         import pandas as pd
-        (span_h,) = key
+        (key_h,) = key
         seen = state.get[0] if state.exists else 0
         pdf = pd.concat(list(pdfs), ignore_index=True)
         cum = seen + int(pdf["doc_id"].nunique())
         state.update((cum,))
         yield pd.DataFrame({
             "doc_id": pdf["doc_id"], "idx": pdf["idx"],
-            "span_h": span_h, "df_after": cum,
-            "is_boiler": cum >= min_df})
+            key_col: key_h, "df_after": cum,
+            flag_col: cum >= min_df})
 
-    out = (keyed.groupBy("span_h")
+    out = (keyed.groupBy(key_col)
            .applyInPandasWithState(
                _update,
-               outputStructType=BOILER_STREAM_OUT_SCHEMA,
+               outputStructType=out_schema,
                stateStructType="df long",
                outputMode="append",
                timeoutConf=GroupStateTimeout.NoTimeout))
@@ -424,7 +438,58 @@ def boiler_flag_stream(spark: SparkSession, src_dir: str,
     if not q.awaitTermination(timeout):
         q.stop()
         raise TimeoutError(
-            f"boiler stream drain did not finish in {timeout}s")
+            f"{what} stream drain did not finish in {timeout}s")
+
+
+LINE_STREAM_OUT_SCHEMA = ("doc_id long, idx long, line_h long, "
+                          "df_after long, is_frequent boolean")
+
+
+def line_flag_stream(spark: SparkSession, src_dir: str,
+                     ckpt_dir: str, out_dir: str,
+                     schema: StructType | str,
+                     min_df: int = 2,
+                     text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_files_per_trigger: int | None = None,
+                     timeout: int = 300) -> None:
+    """Streaming CROSS-BATCH frequent-LINE detection (round 15) —
+    the ingest-time twin of
+    :func:`..operators.dedup.remove_frequent_lines`, exactly as
+    :func:`boiler_flag_stream` twins the aligned-window op: each
+    arriving document's newline-split lines are checked against the
+    cumulative count of DISTINCT documents that line's trimmed text
+    has appeared in across every batch so far, and flagged once the
+    df reaches ``min_df``. WET/CommonCrawl text has real newlines,
+    so this — not the window grain — is the boilerplate signal an
+    ingest loop watches.
+
+    Line key = xxhash64 of the space/tab-trimmed line, the batch
+    op's matching rule; blank/whitespace-only lines are EXEMPT there
+    and never enter the stream here (no state row, no flag — a
+    blank line's df is structure, not boilerplate). Prefix-df
+    semantics, state bound, exactly-once and the per-batch
+    concatenation bound are the shared-core contract
+    (:func:`boiler_flag_stream`); a single-batch drain flags exactly
+    the lines the batch op removes (pytest-pinned)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               max_files_per_trigger)
+    docs = reader.parquet(src_dir)
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n"))
+         .alias("idx", "line"))
+    keyed = (lines
+             .withColumn("_k", F.expr("trim(BOTH ' \t' FROM line)"))
+             .filter(F.col("_k") != "")
+             .select(F.col("doc_id"),
+                     F.col("idx").cast("long").alias("idx"),
+                     F.xxhash64("_k").alias("line_h")))
+    _prefix_df_stream(keyed, "line_h", LINE_STREAM_OUT_SCHEMA,
+                      "is_frequent", min_df, ckpt_dir, out_dir,
+                      timeout, "line")
 
 
 def robots_gate_stream(spark: SparkSession, src_dir: str,

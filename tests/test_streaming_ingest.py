@@ -1273,3 +1273,53 @@ def test_streaming_curation_domain_quota_zero(spark, tmp_path):
         os.path.join(str(tmp_path / "state"), "funnel"))
     by = {r.stage: r.n for r in funnel.collect()}
     assert by["input"] == 3 and by["quota"] == 0
+
+
+def test_streaming_line_flags_prefix_df_across_batches(spark,
+                                                       tmp_path):
+    """Line-grain streaming boilerplate flags (round 15): a
+    single-batch drain flags exactly the lines the batch op removes;
+    across batches the flag is prefix-df; blank lines never enter
+    the stream; the trimmed line is the state key (indent variants
+    share a counter); restart resumes state."""
+    from picoprobedataflow_spark.operators.dedup import \
+        remove_frequent_lines
+    from picoprobedataflow_spark.streaming.quality import \
+        line_flag_stream
+
+    nav = "HOME | ABOUT"
+    schema = "doc_id long, text string"
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    ckpt, out = str(tmp_path / "ck"), str(tmp_path / "flags")
+
+    b1 = [(1, f"{nav}\nunique one\n\nbody a"),
+          (2, f"  {nav}\nunique two"),      # indented nav, same key
+          (3, "solo line only")]
+    b1df = spark.createDataFrame(b1, schema)
+    b1df.coalesce(1).write.mode("append").parquet(str(src))
+    line_flag_stream(spark, str(src), ckpt, out, schema, min_df=2)
+
+    got1 = spark.read.parquet(out)
+    flagged = {r.doc_id: 0 for r in got1.collect()}
+    for r in got1.collect():
+        flagged[r.doc_id] += int(r.is_frequent)
+    batch = {r.doc_id: r.n_removed
+             for r in remove_frequent_lines(b1df, min_df=2).collect()}
+    assert flagged == batch            # nav flagged in docs 1+2 only
+    # the blank line of doc 1 contributed NO stream row
+    assert all(not (r.doc_id == 1 and r.idx == 2)
+               for r in got1.collect())
+
+    # batch 2: doc 4 repeats doc 3's line -> flagged now, doc 3's
+    # batch-1 row keeps its unflagged verdict; nav keeps counting
+    spark.createDataFrame(
+        [(4, "solo line only"), (5, nav)], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    line_flag_stream(spark, str(src), ckpt, out, schema, min_df=2)
+    rows = {(r.doc_id, r.idx): r
+            for r in spark.read.parquet(out).collect()}
+    assert not rows[(3, 0)].is_frequent
+    assert rows[(3, 0)].df_after == 1
+    assert rows[(4, 0)].is_frequent and rows[(4, 0)].df_after == 2
+    assert rows[(5, 0)].is_frequent and rows[(5, 0)].df_after == 3
