@@ -33,7 +33,8 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
              round_digits: int | None = 6,
              seeds: DataFrame | None = None,
              weight_col: str | None = None,
-             init_ranks: DataFrame | None = None) -> DataFrame:
+             init_ranks: DataFrame | None = None,
+             normalize_init: bool = True) -> DataFrame:
     """(node, outdeg, pr): PageRank after exactly ``n_iter`` power
     iterations from the uniform vector, with dangling-mass
     redistribution::
@@ -92,8 +93,15 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
     steady-state amortization the frontier loop was missing
     (round-13 VERDICT #3). Non-finite and negative init ranks drop
     to the teleport default (the NaN-poisoning guard class);
-    duplicate node rows collapse by max (deterministic). Plan
-    impact: ONE extra node-keyed left join before the loop; the
+    duplicate node rows collapse by max (deterministic).
+    ``normalize_init`` (round 15, default True) rescales the merged
+    start vector to sum 1 — over a growing graph the prior vector
+    plus new-node teleport defaults sums to 1+ε, and without the
+    rescale a short warm epoch keeps ~d^k·ε inflation (the
+    incremental-PageRank stream reproduced 27%); the rescale
+    preserves the fixpoint and is a ÷(1±FP) no-op for a converged
+    same-graph start. Plan impact: ONE extra node-keyed left join
+    (+ a 1-row sum broadcast when normalizing) before the loop; the
     per-iteration shape is unchanged. The default ``None`` keeps
     the cold-start arithmetic bit-for-bit (the gated family)."""
     if n_iter < 1:
@@ -251,6 +259,25 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
         pr = (base.join(ir, "node", "left")
               .select(*keep,
                       F.coalesce("_pr0", tele).alias("pr")))
+        if normalize_init:
+            # Rescale the merged start vector to sum 1 (round 15 —
+            # the incremental-PageRank convention): over a GROWING
+            # graph the prior epoch's sum-1 vector plus the new
+            # nodes' teleport defaults sums to 1+ε, and the excess
+            # mass decays only as d^k — a 2-iteration warm epoch
+            # would carry ~d²·ε forever-compounding inflation (the
+            # round-15 stream pin reproduced a 27% inflated vector).
+            # Normalizing is a fixpoint-preserving rescale; for an
+            # already-converged same-graph start it divides by
+            # 1.0±FP, keeping the resume-equivalence pin tight. An
+            # all-zero start (sum 0) falls back to the teleport
+            # vector — the degenerate guard.
+            s0 = pr.agg(F.sum("pr").alias("_s0"))
+            pr = (pr.crossJoin(F.broadcast(s0))
+                  .select(*keep,
+                          F.when(F.col("_s0") > 0,
+                                 F.col("pr") / F.col("_s0"))
+                          .otherwise(tele).alias("pr")))
     else:
         pr = base.select(*keep, tele.alias("pr"))
     for _ in range(n_iter):
