@@ -5106,6 +5106,118 @@ def quality_percentile_cut(spark: SparkSession,
                     F.round(F.col("thr") / 1e6, 6).alias("thr_q")))
 
 
+# --------------------------------------------------------------------------
+# DoReMi-style mixture reweighting (round 15): multiplicative-weights
+# over per-source excess loss — the domain-reweighting step (Xie et
+# al. 2023 "DoReMi", reduced to its optimizer core) a pipeline runs
+# between curation and sampling. The published method trains a proxy
+# model for the per-domain losses; the engine's relational analog
+# takes a deterministic per-source loss from the quality composite
+# (loss = 1 − mean quality) and runs the SAME multiplicative-weights
+# ascent: sources with above-average loss gain sampling weight, the
+# ones a mixture should spend more of its budget teaching. The
+# linearized update w·(1 + η·excess) (not exp) keeps every iteration
+# inside +,*,/ — the pagerank FP-parity class — so DuckDB replays the
+# ladder stage by stage.
+# --------------------------------------------------------------------------
+
+_DOREMI_ETA, _DOREMI_T = 0.5, 5
+
+
+def _doremi_oracle() -> str:
+    # First CTE is BYTE-IDENTICAL to the quality_cut oracle's `q`
+    # (both render from _QUALITY_SQL) so the suite-1 prefix hoist
+    # evaluates the scored scan once for both families.
+    ctes = [f"""q AS (
+  SELECT doc_id, source,
+         CAST(round(({_QUALITY_SQL}) * 1e6) AS BIGINT) AS qb
+  FROM documents
+)""", """dsrc AS MATERIALIZED (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         (count(*) * 1000000 - sum(qb)) * 1.0
+           / (count(*) * 1000000) AS loss
+  FROM q GROUP BY 1
+)""", """dw0 AS MATERIALIZED (
+  SELECT source, n_docs, loss,
+         1.0 / (SELECT count(*) FROM dsrc) AS w
+  FROM dsrc
+)"""]
+    for t in range(1, _DOREMI_T + 1):
+        p = f"dw{t - 1}"
+        ctes.append(f"""dr{t} AS MATERIALIZED (
+  SELECT source, n_docs, loss,
+         w * (1 + {_DOREMI_ETA} * (loss -
+              (SELECT sum(w * loss) FROM {p}))) AS raw
+  FROM {p}
+)""")
+        ctes.append(f"""dw{t} AS MATERIALIZED (
+  SELECT source, n_docs, loss,
+         raw / (SELECT sum(raw) FROM dr{t}) AS w
+  FROM dr{t}
+)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT source, n_docs, round(loss, 6) AS loss,
+       round(w, 6) AS w_final
+FROM dw{_DOREMI_T}""")
+
+
+_DOREMI_ORACLE = _doremi_oracle()
+
+
+def doremi_mixture_weights(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """(source, n_docs, loss, w_final): per-source mixture weights
+    after ``_DOREMI_T`` multiplicative-weights steps at step size
+    ``_DOREMI_ETA`` — w ∝ w·(1 + η·(loss_s − ⟨loss⟩_w)), uniform
+    start, renormalized each step. Loss is the exact rational
+    ``(n·10⁶ − Σqb) / n·10⁶`` over the 1e6-scaled quality ints (the
+    ``quality_cut`` currency, so both engines agree bit-for-bit
+    before the first double op); η = 0.5 keeps every update factor
+    positive (loss ∈ [0, 1.25] ⇒ |η·excess| < 0.63). Intermediates
+    stay full-precision, the output rounds to 6 dp — the pagerank
+    convention, same FP-associativity tolerance note.
+
+    Scale shape: ONE corpus aggregate (source-keyed count+sum over
+    the scored scan) reduces 100 TB to k = |sources| rows; the T
+    iterations are k-row arithmetic with two 1-row broadcast
+    aggregates each — free at any corpus size. The published
+    method's proxy-model losses slot in by replacing the loss
+    column; the optimizer — the part that decides the mixture — is
+    exactly this."""
+    docs = tbl(spark, sf_dir, "documents").select(
+        "source",
+        F.round(TX.quality_score("text") * 1e6, 0).cast("long")
+         .alias("qb"))
+    src = (docs.groupBy("source")
+           .agg(F.count("*").cast("long").alias("n_docs"),
+                F.sum("qb").alias("_sq")))
+    loss = ((F.col("n_docs") * 1000000 - F.col("_sq"))
+            .cast("double")
+            / (F.col("n_docs") * 1000000))
+    cur = src.select("source", "n_docs", loss.alias("loss"))
+    nsrc = cur.agg(F.count("*").alias("_k"))
+    cur = (cur.crossJoin(F.broadcast(nsrc))
+           .withColumn("w", F.lit(1.0) / F.col("_k"))
+           .drop("_k"))
+    for _ in range(_DOREMI_T):
+        avg = cur.agg(F.sum(F.col("w") * F.col("loss"))
+                      .alias("_avg"))
+        cur = (cur.crossJoin(F.broadcast(avg))
+               .withColumn(
+                   "_raw",
+                   F.col("w") * (F.lit(1.0)
+                                 + _DOREMI_ETA * (F.col("loss")
+                                                  - F.col("_avg"))))
+               .drop("_avg", "w"))
+        z = cur.agg(F.sum("_raw").alias("_z"))
+        cur = (cur.crossJoin(F.broadcast(z))
+               .withColumn("w", F.col("_raw") / F.col("_z"))
+               .drop("_raw", "_z"))
+    return cur.select("source", "n_docs",
+                      F.round("loss", 6).alias("loss"),
+                      F.round("w", 6).alias("w_final"))
+
+
 _BPE_MERGES, _BPE_TOPV = 4, 10
 
 
@@ -5855,6 +5967,8 @@ _FAMILY_SPECS = [
           v=("p50", "p99", "skew_ratio"))),
     ("robots", robots_flags, _ROBOTS_ORACLE,
      dict(k1="rule", n=("doc_id",), b1="allowed")),
+    ("doremi_mix", doremi_mixture_weights, _DOREMI_ORACLE,
+     dict(k1="source", n=("n_docs",), v=("loss", "w_final"))),
     ("wet_parse", wet_parse_records, _WET_PARSE_ORACLE,
      dict(k1="rec", n=("pos", "epoch_s", "content_length",
                        "text_chars", "text_octets"),

