@@ -292,6 +292,12 @@ def main() -> None:
     # Round 14: the categorical drift sibling (two map-side category
     # counts + a cardinality-bounded full-outer join).
     variants["chi2_full"] = PL.chi2_drift_stats
+    # Round 15: newline-grain boilerplate removal (explode +
+    # distinct-doc df agg + doc-bounded reassembly) and the
+    # DoReMi-style mixture optimizer (one corpus aggregate + k-row
+    # multiplicative-weights ladder).
+    variants["line_clean_full"] = PL.line_clean_texts
+    variants["doremi_full"] = PL.doremi_mixture_weights
     # Round 13: 3-iteration PageRank over the synthetic link graph
     # (edges materialized once on src; per-iteration join + agg).
     variants["pagerank_full"] = PL.pagerank_scores
