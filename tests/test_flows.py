@@ -408,3 +408,74 @@ def test_crawl_frontier_total_on_empty_graph(spark):
     out = prioritize_frontier(links, rules)
     assert out.collect() == []
     assert out.columns == ["url", "domain", "pr", "allowed_rank"]
+
+
+def test_wet_to_corpus_composition(spark, tmp_path):
+    """Acquisition-to-corpus end-to-end (round 15): a WET member on
+    disk flows through reconciliation (the truncated quoted-dump
+    page quarantines), the documents-shaped projection, line-grain
+    boilerplate removal (the nav bar stamped on every page keeps
+    zero copies) and the curation funnel (the post-clean exact dup
+    drops, everything honest survives) — every stage the real
+    CommonCrawl recipe runs, composed over one fixture."""
+    from picoprobedataflow_spark.flows.curation import \
+        curate_documents
+    from picoprobedataflow_spark.io.warc import (
+        read_wet_reconciled, wet_documents)
+    from picoprobedataflow_spark.operators.dedup import \
+        remove_frequent_lines
+
+    nav = "HOME | ABOUT | CONTACT"
+    sw = ("the", "a", "of", "and", "to", "is", "in")
+    prose = [" ".join(f"{s} page{i}tok{j}"
+                      for j, s in enumerate(sw * 2))
+             for i in range(4)]
+    bodies = [f"{nav}\r\n{prose[0]}",
+              f"{nav}\r\n{prose[1]}",
+              f"{nav}\r\n{prose[2]}",
+              f"{nav}\r\n{prose[0]}",        # dup of page 0's prose
+              f"{nav}\r\nsee:\r\n\r\nWARC/1.0\r\nquoted dump"]
+
+    def rec(i, body):
+        return ("WARC/1.0\r\n"
+                "WARC-Type: conversion\r\n"
+                f"WARC-Target-URI: https://s{i}.example.com/p{i}\r\n"
+                f"WARC-Date: 2024-07-01T00:0{i}:00Z\r\n"
+                f"Content-Length: {len(body.encode())}\r\n"
+                "\r\n" + body)
+
+    member = "\r\n\r\n".join(
+        rec(i, b) for i, b in enumerate(bodies)) + "\r\n\r\n"
+    p = tmp_path / "crawl.wet"
+    p.write_bytes(member.encode())
+
+    clean, quar = read_wet_reconciled(spark, str(p))
+    assert clean.count() == 4
+    assert [r.target_uri for r in quar.collect()] \
+        == ["https://s4.example.com/p4"]
+
+    # drop the quarantined page the way a pipeline would: anti-join
+    # the documents projection against the quarantine frame's ids
+    # (wet_documents ids are xxhash64(uri, date) — recompute on quar)
+    bad_ids = quar.select(
+        F.xxhash64(F.col("target_uri"),
+                   F.col("warc_date").cast("string"))
+        .alias("doc_id"))
+    docs = (wet_documents(spark, str(p))
+            .join(bad_ids, "doc_id", "left_anti"))
+    assert docs.count() == 4
+    assert {r.source for r in docs.collect()} == {"example.com"}
+
+    cleaned = remove_frequent_lines(docs, min_df=3)
+    texts = {r.doc_id: r.cleaned for r in cleaned.collect()}
+    assert all(nav not in t for t in texts.values())     # nav gone
+    assert sorted(t for t in texts.values()) \
+        == sorted([prose[0], prose[1], prose[2], prose[0]])
+
+    res = curate_documents(
+        cleaned.select("doc_id", F.col("cleaned").alias("text")),
+        min_quality=0.2, near_dedup=False)
+    kept_texts = sorted(r.text for r in res.kept.collect())
+    assert kept_texts == sorted([prose[0], prose[1], prose[2]])
+    counts = dict(res.funnel)
+    assert counts["input"] == 4 and counts["exact"] == 3
