@@ -686,6 +686,16 @@ def robots_gate(urls: DataFrame, rules: DataFrame,
         F.lit("^"),
         F.replace(esc, F.lit(r"\*"), F.lit(".*")),
         F.when(has_anchor, F.lit("$")).otherwise(F.lit(""))))
+    # Rule paths normalize HERE too, not only in robots_rules_table
+    # (round-15 review find): a caller hand-building the rules frame
+    # (loaded from parquet, a foreign producer) with raw escapes
+    # would otherwise compare un-normalized rules against the now-
+    # normalized URL path — the same one-sided-compare regression in
+    # mirror image. Idempotent for robots_rules_table output. The
+    # wildcard compilation below runs on the NORMALIZED body, so
+    # '%2d' inside a wild rule means '-' exactly as in a literal one.
+    rules = rules.withColumn("rule_path",
+                             _percent_normalize(F.col("rule_path")))
     r = rules.select(F.col("domain"),
                      F.col("rule_path").alias("_rp"),
                      has_wild.alias("_wild"),

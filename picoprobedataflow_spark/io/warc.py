@@ -193,9 +193,13 @@ def read_wet_reconciled(spark: SparkSession, path: str,
     disagrees with the split body's octet count land in the
     quarantine frame (truncated quoted-dump pages, malformed
     members) instead of silently feeding the corpus. Both frames
-    carry the reconciliation columns; both derive from ONE scan
-    (Spark reuses the shared subplan under AQE, and at worst the
-    text source re-scans — cheap relative to a quarantine review)."""
+    carry the reconciliation columns. NOTE (round-15 review): the
+    two returns are two LAZY plans over the same scan — acting on
+    both re-scans and re-parses the files (AQE reuses exchanges
+    only within one action, never across two). A pipeline writing
+    both sides should persist once and filter, i.e.
+    ``rec = wet_reconcile(read_wet(...)).persist()`` — this helper
+    is the convenience split for one-sided consumers."""
     rec = wet_reconcile(read_wet(spark, path, record_type))
     return (rec.filter(F.col("reconciled")),
             rec.filter(~F.col("reconciled")))

@@ -3888,8 +3888,10 @@ def _wet_fixture() -> str:
     length, a multi-byte body whose char length differs from its
     octet count, mixed-case field names (ISO 28500 case-blind), an
     empty body, a QUOTED-DUMP body containing the full record
-    boundary (truncates at the quote; the phantom fragment has no
-    WARC-Type and drops; reconciliation flags the truncation), and a
+    boundary (truncates at the quote; the phantom fragment parses
+    with WARC-Type "response" and drops under the conversion
+    filter — under record_type=None it WOULD be emitted;
+    reconciliation flags the truncation), and a
     negative declared length. No single quotes anywhere — the same
     constant embeds in the DuckDB oracle as a string literal."""
     def rec(headers: list[str], body: str) -> str:
@@ -5200,6 +5202,13 @@ def doremi_mixture_weights(spark: SparkSession,
            .withColumn("w", F.lit(1.0) / F.col("_k"))
            .drop("_k"))
     for _ in range(_DOREMI_T):
+        # localCheckpoint per iteration (review find — the pagerank
+        # rule at operators/graph.py): each step embeds `cur` twice
+        # per scalar-agg crossJoin, so an un-materialized loop builds
+        # a 4^T-leaf plan (~1024 corpus-aggregate copies at T=5) that
+        # Catalyst must analyze; checkpointing k rows per step is
+        # free and keeps the plan linear in T.
+        cur = cur.localCheckpoint(eager=True)
         avg = cur.agg(F.sum(F.col("w") * F.col("loss"))
                       .alias("_avg"))
         cur = (cur.crossJoin(F.broadcast(avg))

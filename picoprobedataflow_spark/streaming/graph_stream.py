@@ -53,6 +53,31 @@ EDGE_SCHEMA = "src string, dst string"
 RANK_SCHEMA = "node string, pr double"
 
 
+def _max_rank_epoch(rank_dir: str,
+                    before_epoch: int | None = None) -> int | None:
+    """Largest ``epoch=N`` partition under ``rank_dir`` (< the
+    bound, when given) from the DIRECTORY LISTING — the data files
+    are never read (round-15 review find: deriving it with
+    ``agg(max(epoch))`` scanned every historical rank partition per
+    micro-batch, O(stream lifetime) where the loop's contract is
+    per-epoch cost)."""
+    if not os.path.isdir(rank_dir):
+        return None
+    best = None
+    for name in os.listdir(rank_dir):
+        if not name.startswith("epoch="):
+            continue
+        try:
+            e = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if before_epoch is not None and e >= before_epoch:
+            continue
+        if best is None or e > best:
+            best = e
+    return best
+
+
 def run_pagerank_stream(edge_stream: DataFrame, state_dir: str,
                         checkpoint_dir: str, *,
                         n_iter_cold: int = 10,
@@ -77,13 +102,18 @@ def run_pagerank_stream(edge_stream: DataFrame, state_dir: str,
     rank_dir = os.path.join(state_dir, "ranks")
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
+        # eager materialization (review find — the curation/dedup
+        # loop convention): delta otherwise re-reads the micro-batch
+        # source for the head(1) guard, the graph checkpoint inside
+        # pagerank, and the new-edges write — three scans per epoch.
         delta = (batch.select(F.col(src_col).cast("string")
                               .alias("src"),
                               F.col(dst_col).cast("string")
                               .alias("dst"))
                  .filter(F.col("src").isNotNull()
                          & F.col("dst").isNotNull())
-                 .distinct())
+                 .distinct()
+                 .localCheckpoint(eager=True))
         if not delta.head(1):
             return
         prior_edges = _state(spark, edge_dir, EDGE_SCHEMA,
@@ -97,17 +127,16 @@ def run_pagerank_stream(edge_stream: DataFrame, state_dir: str,
         # prior vector = the LATEST pre-epoch rank partition (the
         # before_epoch scope keeps a replayed epoch from reading its
         # own partial write back — the _state rule, applied to the
-        # max-epoch pick too)
+        # max-epoch pick too); partition pruning makes the read
+        # touch only that one epoch directory
         init = None
-        if os.path.isdir(rank_dir):
-            ranks_all = (spark.read
-                         .schema(RANK_SCHEMA + ", epoch long")
-                         .parquet(rank_dir)
-                         .filter(F.col("epoch") < epoch_id))
-            last = ranks_all.agg(F.max("epoch")).head()[0]
-            if last is not None:
-                init = (ranks_all.filter(F.col("epoch") == last)
-                        .select("node", "pr"))
+        last = _max_rank_epoch(rank_dir, before_epoch=epoch_id)
+        if last is not None:
+            init = (spark.read
+                    .schema(RANK_SCHEMA + ", epoch long")
+                    .parquet(rank_dir)
+                    .filter(F.col("epoch") == last)
+                    .select("node", "pr"))
         if init is None:
             out = pagerank(graph, n_iter=n_iter_cold,
                            damping=damping, round_digits=None)
@@ -130,9 +159,15 @@ def run_pagerank_stream(edge_stream: DataFrame, state_dir: str,
 
 def latest_ranks(spark, state_dir: str) -> DataFrame:
     """(node, pr) of the most recent drained epoch — what a frontier
-    scoreboard joins against."""
+    scoreboard joins against. The epoch pick is a directory listing
+    (:func:`_max_rank_epoch`); only that partition is read."""
     rank_dir = os.path.join(state_dir, "ranks")
-    df = (spark.read.schema(RANK_SCHEMA + ", epoch long")
-          .parquet(rank_dir))
-    last = df.agg(F.max("epoch")).head()[0]
-    return df.filter(F.col("epoch") == last).select("node", "pr")
+    last = _max_rank_epoch(rank_dir)
+    if last is None:
+        raise FileNotFoundError(
+            f"no rank epochs under {rank_dir} — drain the stream "
+            f"first")
+    return (spark.read.schema(RANK_SCHEMA + ", epoch long")
+            .parquet(rank_dir)
+            .filter(F.col("epoch") == last)
+            .select("node", "pr"))

@@ -924,3 +924,27 @@ def test_robots_wildcard_rules_with_percent_escapes(spark):
     got = {r.doc_id: r.allowed
            for r in robots_gate(urls, rules).collect()}
     assert got == {0: False, 1: True, 2: False, 3: False, 4: True}
+
+
+def test_robots_gate_hand_built_rules_frame_normalizes(spark):
+    """Round-15 review find: a caller that hand-builds the rules
+    DataFrame (bypassing robots_rules_table — e.g. rules loaded from
+    parquet) with RAW percent-escapes must still match: robots_gate
+    normalizes rule paths itself, so both sides of the prefix
+    compare are canonical regardless of which constructor produced
+    the frame."""
+    from picoprobedataflow_spark.functions.web import robots_gate
+
+    raw_rules = spark.createDataFrame(
+        [("h.example", "/p%2dq", False),     # raw escape in the rule
+         ("h.example", "/w%2d*", False)],    # raw escape, wild rule
+        "domain string, rule_path string, allow boolean")
+    urls = spark.createDataFrame(
+        [(0, "http://h.example/p%2dq/x"),    # raw URL
+         (1, "http://h.example/p-q/x"),      # canonical URL
+         (2, "http://h.example/w-anything"),
+         (3, "http://h.example/other")],
+        "doc_id long, url string")
+    got = {r.doc_id: r.allowed
+           for r in robots_gate(urls, raw_rules).collect()}
+    assert got == {0: False, 1: False, 2: False, 3: True}
