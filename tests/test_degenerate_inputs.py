@@ -475,3 +475,107 @@ def test_cdc_chunk_dedup_ids_colliding_mod_2_32(spark):
             assert not r.is_dup
         else:
             assert r.is_dup and r.first_id == lo
+
+
+def test_doremi_degenerate_corpora(spark):
+    """Round-15 new-surface degenerates: a SINGLE source holds
+    weight exactly 1 through every step (its excess is identically
+    zero); an empty corpus yields an empty, correctly-typed
+    scoreboard instead of erroring."""
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.operators import dedup as _  # noqa
+    from picoprobedataflow_spark.plans.pipeline import (
+        _DOREMI_ETA, _DOREMI_T)
+
+    # replicate the family's ladder over an arbitrary docs frame by
+    # calling the public fn with a temp sf_dir is not possible (it
+    # reads the documents table), so exercise the same math through
+    # a one-source slice written to parquet
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "one", "the a of and to is in text here"),
+             (2, "one", "the a of and to is in more words")],
+            "doc_id long, source string, text string") \
+            .write.parquet(f"{d}/documents.parquet")
+        from picoprobedataflow_spark.plans.pipeline import \
+            doremi_mixture_weights
+        rows = doremi_mixture_weights(spark, d).collect()
+        assert len(rows) == 1
+        assert rows[0].w_final == 1.0
+
+        # empty corpus
+        spark.createDataFrame(
+            [], "doc_id long, source string, text string") \
+            .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        assert doremi_mixture_weights(spark, d).collect() == []
+
+
+def test_remove_frequent_lines_all_boilerplate_doc(spark):
+    """A document that is ONLY the stamped nav line cleans to the
+    empty string with n_kept = 0 — never NULL, never an error."""
+    from picoprobedataflow_spark.operators.dedup import \
+        remove_frequent_lines
+
+    nav = "NAV BAR"
+    docs = spark.createDataFrame(
+        [(1, nav), (2, nav), (3, f"{nav}\nbody")],
+        "doc_id long, text string")
+    out = {r.doc_id: r
+           for r in remove_frequent_lines(docs, min_df=2).collect()}
+    assert out[1].cleaned == "" and out[1].n_kept == 0
+    assert out[1].n_removed == 1
+    assert out[3].cleaned == "body"
+
+
+def test_pagerank_stream_skips_empty_epoch(spark, tmp_path):
+    """An all-NULL (effectively empty) edge batch mid-stream writes
+    no rank partition; the next real epoch warm-starts from the
+    last EXISTING partition across the gap (the directory-listing
+    max-epoch pick tolerates holes)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.operators.graph import pagerank
+    from picoprobedataflow_spark.streaming.graph_stream import (
+        latest_ranks, run_pagerank_stream)
+
+    schema = "src string, dst string"
+    src = tmp_path / "edges_in"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
+
+    batches = [
+        [("a", "b"), ("b", "a")],
+        [(None, None)],                 # drops to empty -> no epoch
+        [("b", "c"), ("c", "a")],
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        q = run_pagerank_stream(
+            spark.readStream.schema(schema).parquet(str(src)),
+            state, ckpt, n_iter_cold=10, n_iter_warm=3)
+        assert q.awaitTermination(300)
+
+    epochs = sorted(
+        int(n.split("=")[1])
+        for n in _os.listdir(_os.path.join(state, "ranks"))
+        if n.startswith("epoch="))
+    assert len(epochs) == 2             # the empty epoch wrote none
+
+    # the drain still equals the composed batch calls across the gap
+    g1 = spark.createDataFrame(batches[0], schema)
+    g3 = spark.createDataFrame(batches[0] + batches[2], schema)
+    v1 = pagerank(g1, n_iter=10, round_digits=None) \
+        .select("node", "pr")
+    want = {r.node: r.pr
+            for r in pagerank(g3, n_iter=3, round_digits=None,
+                              init_ranks=v1).collect()}
+    got = {r.node: r.pr
+           for r in latest_ranks(spark, state).collect()}
+    assert set(got) == set(want)
+    assert max(abs(got[n] - want[n]) for n in want) < 1e-12
