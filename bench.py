@@ -298,6 +298,9 @@ def main() -> None:
     # multiplicative-weights ladder).
     variants["line_clean_full"] = PL.line_clean_texts
     variants["doremi_full"] = PL.doremi_mixture_weights
+    # Round 15: count-min heavy hitters (term agg + d bucket aggs +
+    # one (seed,bucket) join + top-k).
+    variants["cms_full"] = PL.cms_heavy_hitters
     # Round 13: 3-iteration PageRank over the synthetic link graph
     # (edges materialized once on src; per-iteration join + agg).
     variants["pagerank_full"] = PL.pagerank_scores

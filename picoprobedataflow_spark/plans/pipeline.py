@@ -2710,6 +2710,123 @@ def zipf_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.zipf_slope(docs, top_n=_ZIPF_TOP_N)
 
 
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters (round 15): the bounded-memory
+# frequency summary a 100 TB pipeline keeps when the exact term table
+# is too hot to hold — d hash rows × w buckets, estimate = min over
+# rows of the term's cell, NEVER an underestimate (the CMS
+# invariant). The hashing is the engine's md5-bucket convention, so
+# the sketch is a DETERMINISTIC function of the corpus and DuckDB
+# replays the exact cells — this family is hash-gated end to end,
+# not merely self-validated (the approx_sketches HLL/quantile
+# estimates are engine-specific; CMS is not).
+# --------------------------------------------------------------------------
+
+_CMS_W, _CMS_D, _CMS_TOP = 8, 3, 10
+
+
+def _cms_bucket_sql(seed: str) -> str:
+    return (f"CAST(('0x' || substr(md5('{seed}' || tok), 1, 8)) "
+            f"AS BIGINT) % {_CMS_W}")
+
+
+_CMS_ORACLE = f"""
+WITH ctf AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest({_WORDS}) AS tok FROM documents)
+  GROUP BY 1
+),
+ccells AS MATERIALIZED (
+  SELECT seed, bucket, CAST(sum(cnt) AS BIGINT) AS cell
+  FROM (
+    {" UNION ALL ".join(
+        f"SELECT {d} AS seed, {_cms_bucket_sql(f's{d}')} AS bucket,"
+        f" cnt FROM ctf"
+        for d in range(_CMS_D))}
+  ) GROUP BY 1, 2
+),
+cest AS (
+  SELECT t.tok, t.cnt, min(c.cell) AS est
+  FROM (
+    {" UNION ALL ".join(
+        f"SELECT tok, cnt, {d} AS seed,"
+        f" {_cms_bucket_sql(f's{d}')} AS bucket FROM ctf"
+        for d in range(_CMS_D))}
+  ) t JOIN ccells c USING (seed, bucket)
+  GROUP BY 1, 2
+),
+ctot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM ctf)
+SELECT tok AS term, cnt AS true_cnt, est, n_total,
+       round((est - cnt) * 1.0 / n_total, 6) AS err_ratio,
+       est >= cnt AS never_under
+FROM (SELECT *, row_number() OVER (ORDER BY est DESC, cnt DESC,
+                                   tok) AS rk
+      FROM cest CROSS JOIN ctot)
+WHERE rk <= {_CMS_TOP}
+"""
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, true_cnt, est, n_total, err_ratio, never_under): the
+    top-{_CMS_TOP} heavy hitters by COUNT-MIN estimate over the
+    corpus term stream, alongside the exact count, the corpus total,
+    the normalized overestimate and the CMS never-underestimates
+    invariant flag (identically TRUE — kept as a column so the gate
+    re-proves it on every run at both SFs).
+
+    The sketch: d={_CMS_D} hash rows × w={_CMS_W} buckets, row
+    hashes = the engine's md5-bucket convention seeded ``s0..s3``;
+    a term's estimate is the MIN over rows of its cell. Cells are
+    built from the term-frequency table (Σcnt per bucket ≡ counting
+    the raw stream — the sums commute), which keeps the oracle
+    replay exact; the PRODUCTION path at 100 TB builds the same
+    cells directly from the token stream with a d·w-cell map-side
+    partial aggregate and never materializes the exact term table —
+    the whole point of the sketch. Both engines compute identical
+    cells (md5 is md5), so the family is hash-gated end to end.
+
+    Scale shape: one explode + one term aggregate (the zipf cost),
+    d bucket aggregates over |terms| rows each, one (seed, bucket)
+    equi-join, one top-k. Nothing holds more than d·w = {_CMS_D}·{_CMS_W}
+    cells beyond the term table the truth columns need."""
+    from pyspark.sql.window import Window as W
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TX.words("text")).alias("tok"))
+    tf = (toks.groupBy("tok")
+          .agg(F.count("*").cast("long").alias("cnt")))
+
+    def bucket(seed: str):
+        return (F.conv(F.substring(
+                    F.md5(F.concat(F.lit(seed), F.col("tok"))),
+                    1, 8), 16, 10).cast("long") % _CMS_W)
+
+    melted = None
+    for d in range(_CMS_D):
+        part = tf.select("tok", "cnt",
+                         F.lit(d).alias("seed"),
+                         bucket(f"s{d}").alias("bucket"))
+        melted = part if melted is None else melted.unionByName(part)
+    cells = (melted.groupBy("seed", "bucket")
+             .agg(F.sum("cnt").cast("long").alias("cell")))
+    est = (melted.join(cells, ["seed", "bucket"])
+           .groupBy("tok", "cnt")
+           .agg(F.min("cell").alias("est")))
+    tot = tf.agg(F.sum("cnt").cast("long").alias("n_total"))
+    w = W.orderBy(F.desc("est"), F.desc("cnt"), F.asc("tok"))
+    return (est.crossJoin(F.broadcast(tot))
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= _CMS_TOP)
+            .select(F.col("tok").alias("term"),
+                    F.col("cnt").alias("true_cnt"),
+                    "est", "n_total",
+                    F.round((F.col("est") - F.col("cnt"))
+                            / F.col("n_total"), 6)
+                     .alias("err_ratio"),
+                    (F.col("est") >= F.col("cnt"))
+                    .alias("never_under")))
+
+
 #: Containment threshold for the ``containment`` family — 0.9 keeps
 #: the swallowed-document pairs (a doc whose shingles nearly all
 #: recur in its pair partner) and drops casual overlap. The doc gate
@@ -5966,6 +6083,9 @@ _FAMILY_SPECS = [
     ("containment", containment_neardup_pairs, _CONTAINMENT_ORACLE,
      dict(n=("doc_a", "doc_b", "n_common", "n_a", "n_b"),
           v=("containment",))),
+    ("cms", cms_heavy_hitters, _CMS_ORACLE,
+     dict(k1="term", n=("true_cnt", "est", "n_total"),
+          v=("err_ratio",), b1="never_under")),
     ("zipf", zipf_source_stats, _ZIPF_ORACLE,
      dict(k1="source", n=("n_terms",), v=("slope", "r2"))),
     ("dq", dq_expectations, _DQ_ORACLE,
@@ -6015,6 +6135,7 @@ _SUITE2_FAMILIES = frozenset({
     "boiler_clean",
     "cdc_dedup",
     "chunks",
+    "cms",
     "containment",
     "decontam_bloom",
     "decontam_spans",

