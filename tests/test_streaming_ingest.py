@@ -1405,3 +1405,57 @@ def test_streaming_pagerank_converges_to_batch_fixpoint(spark,
     again = {r.node: r.pr
              for r in latest_ranks(spark, state).collect()}
     assert again == got
+
+
+def test_streaming_cms_merge_equals_batch_sketch(spark, tmp_path):
+    """The CMS monoid property, executed: a 3-batch drain's merged
+    cells are BIT-IDENTICAL to the one-shot batch sketch of the
+    union corpus (exact equality — the approximation lives only in
+    collision bias); estimates never underestimate true counts; an
+    unseen term estimates its colliders' mass, never a false
+    negative zero-when-present; replay adds nothing."""
+    from picoprobedataflow_spark.streaming.cms_stream import (
+        _cells_of, cms_estimate, merged_cells, run_cms_stream)
+
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "alpha beta alpha gamma"), (2, "beta beta delta")],
+        [(3, "alpha epsilon zeta")],
+        [(4, "gamma gamma gamma eta theta")],
+    ]
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        q = run_cms_stream(
+            spark.readStream.schema(schema).parquet(str(src)),
+            state, ckpt)
+        assert q.awaitTermination(300)
+
+    full = spark.createDataFrame(sum(batches, []), schema)
+    want = {(r.seed, r.bucket): r.cell
+            for r in _cells_of(full, "text", 128, 4).collect()}
+    got = {(r.seed, r.bucket): r.cell
+           for r in merged_cells(spark, state).collect()}
+    assert got == want
+
+    truth = {"alpha": 3, "beta": 3, "gamma": 4, "delta": 1,
+             "epsilon": 1, "zeta": 1, "eta": 1, "theta": 1}
+    est = {r.term: r.est
+           for r in cms_estimate(spark, state,
+                                 list(truth) + ["never-seen"])
+           .collect()}
+    for t, n in truth.items():
+        assert est[t] >= n          # never underestimates
+    assert est["never-seen"] >= 0   # colliders' mass, not an error
+
+    # replay idempotence
+    q = run_cms_stream(
+        spark.readStream.schema(schema).parquet(str(src)),
+        state, ckpt)
+    assert q.awaitTermination(300)
+    again = {(r.seed, r.bucket): r.cell
+             for r in merged_cells(spark, state).collect()}
+    assert again == want
