@@ -2779,18 +2779,27 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a term's estimate is the MIN over rows of its cell. Cells are
     built from the term-frequency table (Σcnt per bucket ≡ counting
     the raw stream — the sums commute), which keeps the oracle
-    replay exact; the PRODUCTION path at 100 TB builds the same
-    cells directly from the token stream with a d·w-cell map-side
-    partial aggregate and never materializes the exact term table —
-    the whole point of the sketch. Both engines compute identical
-    cells (md5 is md5), so the family is hash-gated end to end.
+    replay exact AND is what the gate's truth columns (true_cnt,
+    n_total) need anyway; the PRODUCTION path at 100 TB builds the
+    same cells directly from the token stream with a d·w-cell
+    map-side partial aggregate and never materializes the exact term
+    table — that path SHIPS as
+    :func:`..streaming.cms_stream._cells_of` (round 16; the two
+    constructions are pytest-pinned cell-equal). Both engines
+    compute identical cells (md5 is md5), so the family is
+    hash-gated end to end.
 
     Scale shape: one explode + one term aggregate (the zipf cost),
     d bucket aggregates over |terms| rows each, one (seed, bucket)
     equi-join, one top-k. Nothing holds more than d·w = {_CMS_D}·{_CMS_W}
-    cells beyond the term table the truth columns need."""
-    from pyspark.sql.window import Window as W
-
+    cells beyond the term table the truth columns need. The top-k is
+    ``orderBy(...).limit()`` → TakeOrderedAndProject (round-16 fix —
+    the round-15 form ranked the FULL per-term estimate table through
+    a partition-less ``row_number`` window, a single-partition sort of
+    the entire vocabulary at 100×; the distributed top-k keeps the
+    identical total order, so the oracle is unchanged and the
+    similarity-module no-global-window plan assertion now covers this
+    family too)."""
     docs = tbl(spark, sf_dir, "documents")
     toks = docs.select(F.explode(TX.words("text")).alias("tok"))
     tf = (toks.groupBy("tok")
@@ -2813,10 +2822,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("tok", "cnt")
            .agg(F.min("cell").alias("est")))
     tot = tf.agg(F.sum("cnt").cast("long").alias("n_total"))
-    w = W.orderBy(F.desc("est"), F.desc("cnt"), F.asc("tok"))
     return (est.crossJoin(F.broadcast(tot))
-            .withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= _CMS_TOP)
+            .orderBy(F.desc("est"), F.desc("cnt"), F.asc("tok"))
+            .limit(_CMS_TOP)
             .select(F.col("tok").alias("term"),
                     F.col("cnt").alias("true_cnt"),
                     "est", "n_total",

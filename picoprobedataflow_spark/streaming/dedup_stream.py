@@ -42,6 +42,26 @@ SIG_SCHEMA = "doc_id long, salt bigint, minhash bigint"
 BAND_SCHEMA = "doc_id long, band bigint, band_sig string"
 
 
+def _fs_list(spark: SparkSession, path: str) -> list[str] | None:
+    """Child entry NAMES of ``path`` via the Hadoop FileSystem API,
+    or ``None`` when the path does not exist. Round-16 ADVICE fix:
+    the state helpers previously probed with ``os.path.isdir`` /
+    ``os.listdir``, so a ``state_dir`` on a non-local filesystem
+    (hdfs://, s3a://) silently read as ABSENT — every epoch-pick
+    returned None and state reads degraded to empty, a silent
+    correctness/performance degradation. Resolving through the
+    JVM-side FileSystem makes remote URIs either work or fail loudly
+    (an unknown scheme raises from ``getFileSystem``). Classic
+    (non-Connect) sessions only — the same boundary every
+    ``_jdf``-based plan assertion in the test suite already assumes."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
 def _state(spark: SparkSession, path: str, schema: str,
            before_epoch: int | None = None) -> DataFrame:
     """Accumulated state table; typed-empty before the first epoch.
@@ -53,7 +73,7 @@ def _state(spark: SparkSession, path: str, schema: str,
     the exact corruption the 'recompute against pre-epoch state'
     contract forbids. Every foreachBatch loop in this package passes
     its epoch_id here."""
-    if os.path.isdir(path):
+    if _fs_list(spark, path) is not None:
         df = spark.read.schema(schema + ", epoch long").parquet(path)
         if before_epoch is not None:
             df = df.filter(F.col("epoch") < before_epoch)

@@ -47,24 +47,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from picoprobedataflow_spark.streaming.dedup_stream import (
-    _state, _write_epoch)
+    _fs_list, _state, _write_epoch)
 
 EDGE_SCHEMA = "src string, dst string"
 RANK_SCHEMA = "node string, pr double"
 
 
-def _max_rank_epoch(rank_dir: str,
+def _max_rank_epoch(spark, rank_dir: str,
                     before_epoch: int | None = None) -> int | None:
     """Largest ``epoch=N`` partition under ``rank_dir`` (< the
     bound, when given) from the DIRECTORY LISTING — the data files
     are never read (round-15 review find: deriving it with
     ``agg(max(epoch))`` scanned every historical rank partition per
     micro-batch, O(stream lifetime) where the loop's contract is
-    per-epoch cost)."""
-    if not os.path.isdir(rank_dir):
+    per-epoch cost). The listing goes through the Hadoop FileSystem
+    API (round-16 ADVICE fix): the previous ``os.listdir`` form made
+    a remote ``state_dir`` (hdfs://, s3a://) silently return None —
+    every epoch then ran the cold path and rank reads degraded to
+    empty; now remote URIs resolve or fail loudly."""
+    names = _fs_list(spark, rank_dir)
+    if names is None:
         return None
     best = None
-    for name in os.listdir(rank_dir):
+    for name in names:
         if not name.startswith("epoch="):
             continue
         try:
@@ -130,7 +135,7 @@ def run_pagerank_stream(edge_stream: DataFrame, state_dir: str,
         # max-epoch pick too); partition pruning makes the read
         # touch only that one epoch directory
         init = None
-        last = _max_rank_epoch(rank_dir, before_epoch=epoch_id)
+        last = _max_rank_epoch(spark, rank_dir, before_epoch=epoch_id)
         if last is not None:
             init = (spark.read
                     .schema(RANK_SCHEMA + ", epoch long")
@@ -162,7 +167,7 @@ def latest_ranks(spark, state_dir: str) -> DataFrame:
     scoreboard joins against. The epoch pick is a directory listing
     (:func:`_max_rank_epoch`); only that partition is read."""
     rank_dir = os.path.join(state_dir, "ranks")
-    last = _max_rank_epoch(rank_dir)
+    last = _max_rank_epoch(spark, rank_dir)
     if last is None:
         raise FileNotFoundError(
             f"no rank epochs under {rank_dir} — drain the stream "

@@ -1459,3 +1459,106 @@ def test_streaming_cms_merge_equals_batch_sketch(spark, tmp_path):
     again = {(r.seed, r.bucket): r.cell
              for r in merged_cells(spark, state).collect()}
     assert again == want
+
+
+def test_cms_direct_cells_equal_tf_form(spark):
+    """The round-16 direct cell build (explode → d (seed, bucket)
+    keys per token → ONE count — never materializes the term table)
+    is cell-equal to the tf-based construction the batch gate keeps
+    for its truth columns (Σ over tokens ≡ Σ over (term, cnt) — the
+    sums commute), and its plan shuffles on (seed, bucket) only:
+    exactly one Exchange, keyed by the sketch coordinates, never by
+    tok — the map-side partial caps shuffle rows at d·w per input
+    partition, the whole point of the sketch (VERDICT r15 #1b)."""
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.functions.text import words
+    from picoprobedataflow_spark.streaming.cms_stream import (
+        _bucket, _cells_of)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").filter(
+        F.col("doc_id") < 200)
+    w, d = 16, 3
+    direct = {(r.seed, r.bucket): r.cell
+              for r in _cells_of(docs, "text", w, d).collect()}
+
+    # the round-15 tf-based construction (what the batch family's
+    # truth columns still use), replayed inline
+    toks = docs.select(F.explode(words("text")).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    melted = None
+    for i in range(d):
+        part = tf.select(F.lit(i).cast("int").alias("seed"),
+                         _bucket(F.col("tok"), f"s{i}", w)
+                         .alias("bucket"), F.col("cnt"))
+        melted = part if melted is None else melted.unionByName(part)
+    tf_cells = {(r.seed, r.bucket): r.cell
+                for r in melted.groupBy("seed", "bucket")
+                .agg(F.sum("cnt").cast("long").alias("cell"))
+                .collect()}
+    assert direct == tf_cells
+    assert sum(direct.values()) == d * toks.count()
+
+    plan = (_cells_of(docs, "text", w, d)
+            ._jdf.queryExecution().executedPlan().toString())
+    exchange_lines = [ln for ln in plan.splitlines()
+                      if "Exchange" in ln]
+    assert len(exchange_lines) == 1, plan
+    assert "hashpartitioning(seed" in exchange_lines[0], \
+        exchange_lines[0]
+    assert "tok" not in exchange_lines[0], exchange_lines[0]
+
+
+def test_cms_state_geometry_persisted_and_validated(spark, tmp_path):
+    """Round-15 ADVICE: (w, d) persists with the state dir and every
+    reader validates against it — run_cms_stream(w=64) followed by
+    cms_estimate at a different w used to silently mis-bucket and
+    return est=0 for terms that DID occur (a false negative, the one
+    error class a CMS promises never to make). Now: the estimate
+    path reads the persisted geometry, an explicit mismatching
+    override raises, a resumed stream with changed geometry raises,
+    and a state dir with no meta raises instead of guessing."""
+    import pytest
+
+    from picoprobedataflow_spark.streaming.cms_stream import (
+        cms_estimate, read_meta, run_cms_stream)
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "in"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma")],
+        schema).coalesce(1).write.mode("append").parquet(str(src))
+    q = run_cms_stream(
+        spark.readStream.schema(schema).parquet(str(src)),
+        state, ckpt, w=64, d=2)
+    assert q.awaitTermination(300)
+
+    assert read_meta(spark, state) == (64, 2)
+    # default read path picks up the persisted geometry — no false
+    # negatives even though the caller never repeats (64, 2)
+    est = {r.term: r.est
+           for r in cms_estimate(spark, state,
+                                 ["alpha", "beta", "gamma"])
+           .collect()}
+    assert est["alpha"] >= 2 and est["beta"] >= 2
+    assert est["gamma"] >= 1
+
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        cms_estimate(spark, state, ["alpha"], w=128)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        cms_estimate(spark, state, ["alpha"], d=4)
+    # matching explicit override is an allowed assertion
+    ok = cms_estimate(spark, state, ["alpha"], w=64, d=2).collect()
+    assert ok[0].est >= 2
+    # resuming the stream with a different geometry is rejected
+    # loudly, BEFORE any cell is written
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        run_cms_stream(
+            spark.readStream.schema(schema).parquet(str(src)),
+            state, str(tmp_path / "ck2"), w=128, d=4)
+    # a never-run state dir has no geometry to trust
+    with pytest.raises(FileNotFoundError):
+        cms_estimate(spark, str(tmp_path / "nostate"), ["alpha"])
