@@ -625,7 +625,11 @@ def robots_gate(urls: DataFrame, rules: DataFrame,
                 id_col: str = "doc_id") -> DataFrame:
     """Per-URL robots.txt verdict (RFC 9309 matching core):
     (id, domain, rule, allowed) — ``rule`` is the winning rule's
-    path, NULL when no rule matched. A URL's candidate rules are its
+    path EXACTLY AS THE CALLER SPELLED IT in the rules frame (the
+    round-16 contract: percent-normalization happens in a private
+    matching column, so verdicts join back to a hand-built rules
+    frame by its original raw-escape path), NULL when no rule
+    matched. A URL's candidate rules are its
     host's rows whose ``rule_path`` MATCHES the URL's path under the
     RFC 9309 §2.2.3 syntax (round 14): literal prefix by default,
     ``*`` spanning any character run, a trailing ``$`` anchoring
@@ -674,12 +678,12 @@ def robots_gate(urls: DataFrame, rules: DataFrame,
     # Compilation is one projection over the (tiny, broadcast) rule
     # table; the per-candidate rlike runs on urls × matching-host
     # rules — the same pair set the prefix test walked.
-    has_anchor = F.col("rule_path").endswith("$")
-    has_wild = has_anchor | F.col("rule_path").contains("*")
+    has_anchor = F.col("_rpn").endswith("$")
+    has_wild = has_anchor | F.col("_rpn").contains("*")
     body = F.when(has_anchor,
-                  F.expr("substring(rule_path, 1, "
-                         "length(rule_path) - 1)")) \
-            .otherwise(F.col("rule_path"))
+                  F.expr("substring(_rpn, 1, "
+                         "length(_rpn) - 1)")) \
+            .otherwise(F.col("_rpn"))
     esc = F.regexp_replace(
         body, r"([\\^$.|?*+()\[\]{}])", r"\\$1")
     pattern = F.when(has_wild, F.concat(
@@ -694,10 +698,16 @@ def robots_gate(urls: DataFrame, rules: DataFrame,
     # mirror image. Idempotent for robots_rules_table output. The
     # wildcard compilation below runs on the NORMALIZED body, so
     # '%2d' inside a wild rule means '-' exactly as in a literal one.
-    rules = rules.withColumn("rule_path",
+    # The normalization lives in a PRIVATE column (round-15 ADVICE
+    # fix): matching and specificity ranking use `_rpn`, but the
+    # `rule` output returns the caller's rule_path VERBATIM, so a
+    # caller joining verdicts back to a hand-built rules frame by
+    # its original raw-escape path keeps working.
+    rules = rules.withColumn("_rpn",
                              _percent_normalize(F.col("rule_path")))
     r = rules.select(F.col("domain"),
-                     F.col("rule_path").alias("_rp"),
+                     F.col("rule_path").alias("_rp_raw"),
+                     F.col("_rpn").alias("_rp"),
                      has_wild.alias("_wild"),
                      pattern.alias("_re"),
                      F.col("allow").alias("_allow"))
@@ -718,14 +728,19 @@ def robots_gate(urls: DataFrame, rules: DataFrame,
     # dropped. With the row identity in the key, each distinct
     # (id, URL) gets exactly one verdict; exact duplicate rows still
     # collapse to one (their verdicts are identical by construction).
+    # Specificity ranks on the NORMALIZED path (what RFC 9309's
+    # percent-decoded comparison sees); the raw path rides along as
+    # a final tie-break so two raw spellings of one normalized rule
+    # stay deterministic, and as the verbatim `rule` output.
     w = W.partitionBy(id_col, "domain", "_path").orderBy(
         F.length("_rp").desc_nulls_last(),
         F.col("_allow").desc_nulls_last(),
-        F.col("_rp"))
+        F.col("_rp"),
+        F.col("_rp_raw"))
     return (j.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(F.col(id_col), "domain",
-                    F.col("_rp").alias("rule"),
+                    F.col("_rp_raw").alias("rule"),
                     F.coalesce(F.col("_allow"), F.lit(True))
                      .alias("allowed")))
 

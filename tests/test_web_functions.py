@@ -948,3 +948,45 @@ def test_robots_gate_hand_built_rules_frame_normalizes(spark):
     got = {r.doc_id: r.allowed
            for r in robots_gate(urls, raw_rules).collect()}
     assert got == {0: False, 1: False, 2: False, 3: True}
+
+
+def test_robots_gate_rule_output_is_caller_verbatim(spark):
+    """Round-16 ADVICE fix: the `rule` output column returns the
+    winning rule's path EXACTLY as the caller spelled it — matching
+    and specificity ranking happen on a private percent-normalized
+    column, so a caller joining verdicts back to a hand-built rules
+    frame by its original raw-escape path round-trips. Two raw
+    spellings of one normalized rule tie-break deterministically on
+    the raw string."""
+    from picoprobedataflow_spark.functions.web import robots_gate
+
+    raw_rules = spark.createDataFrame(
+        [("h.example", "/p%2dq", False),      # means /p-q
+         ("h.example", "/p%2Dq/deep", False)],  # means /p-q/deep
+        "domain string, rule_path string, allow boolean")
+    urls = spark.createDataFrame(
+        [(0, "http://h.example/p-q/deep/x"),
+         (1, "http://h.example/p-q/x"),
+         (2, "http://h.example/other")],
+        "doc_id long, url string")
+    got = {r.doc_id: (r.rule, r.allowed)
+           for r in robots_gate(urls, raw_rules).collect()}
+    # the winner's path comes back in the caller's raw spelling,
+    # never the normalized '/p-q…' form
+    assert got[0] == ("/p%2Dq/deep", False)
+    assert got[1] == ("/p%2dq", False)
+    assert got[2] == (None, True)
+
+    # two raw spellings of ONE normalized rule: ranking sees equal
+    # specificity and equal allow; the raw string breaks the tie
+    dup = spark.createDataFrame(
+        [("h.example", "/p%2dq", False),
+         ("h.example", "/p%2Dq", False)],
+        "domain string, rule_path string, allow boolean")
+    one = robots_gate(
+        spark.createDataFrame([(0, "http://h.example/p-q/x")],
+                              "doc_id long, url string"),
+        dup).collect()
+    assert len(one) == 1
+    assert one[0].rule == "/p%2Dq"  # '%2D' < '%2d' lexicographically
+    assert one[0].allowed is False
