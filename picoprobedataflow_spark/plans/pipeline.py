@@ -3800,7 +3800,12 @@ def ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_ITER, _PR_DAMP, _PR_NODES_MOD, _PR_SRC_CAP = 3, 0.85, 64, 48
 
 
-def _pagerank_oracle() -> str:
+def _pr_chain_ctes() -> list[str]:
+    """The uniform-PageRank replay CTE chain (graph build + 3 power
+    iterations), shared VERBATIM by the ``pagerank`` and ``spam``
+    oracles — and its first three CTEs (ge/gn/gnn) by ``hits`` —
+    so the suite's :func:`_hoist_prefixes` pass evaluates the shared
+    stages once per suite run instead of once per family."""
     d, m, cap = _PR_DAMP, _PR_NODES_MOD, _PR_SRC_CAP
     base = 1.0 - d
     ctes = [f"""ge AS MATERIALIZED (
@@ -3830,12 +3835,124 @@ def _pagerank_oracle() -> str:
                     + (SELECT m FROM gd{i})
                       / (SELECT n FROM gnn)) AS pr
   FROM god b LEFT JOIN gc{i} c USING (node))""")
-    return ("WITH " + ",\n".join(ctes)
+    return ctes
+
+
+def _pagerank_oracle() -> str:
+    return ("WITH " + ",\n".join(_pr_chain_ctes())
             + f"\nSELECT node, outdeg, round(pr, 6) AS pr "
               f"FROM gpr{_PR_ITER}")
 
 
 _PAGERANK_ORACLE = _pagerank_oracle()
+
+
+def _hits_oracle() -> str:
+    """HITS replay: the family graph's first three CTEs (shared
+    verbatim with the pagerank chain) + ``2·n_iter`` unrolled
+    push/normalize stages. Every stage mirrors
+    :func:`..operators.graph.hits` expression for expression —
+    left join vs the node universe, ``coalesce(s, 0)``, the
+    ``t > 0`` guard (a node set with zero total mass normalizes to
+    the all-zero vector, not a division error) — with MATERIALIZED
+    stages (the pagerank rule: un-materialized iterative CTEs
+    re-inline per reference and blow the oracle memory floor)."""
+    ctes = _pr_chain_ctes()[:3]          # ge, gn, gnn — verbatim
+    ctes.append(
+        "hv0 AS MATERIALIZED (SELECT node,\n"
+        "  CAST(1 AS DOUBLE) / (SELECT n FROM gnn) AS hub,\n"
+        "  CAST(1 AS DOUBLE) / (SELECT n FROM gnn) AS auth\n"
+        "  FROM gn)")
+    for i in range(1, _PR_ITER + 1):
+        p = i - 1
+        ctes.append(f"""ha{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(v.hub) AS s
+  FROM ge e JOIN hv{p} v ON e.src = v.node GROUP BY 1)""")
+        ctes.append(f"hat{i} AS MATERIALIZED "
+                    f"(SELECT coalesce(sum(s), 0) AS t FROM ha{i})")
+        ctes.append(f"""hau{i} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN (SELECT t FROM hat{i}) > 0
+              THEN coalesce(a.s, 0) / (SELECT t FROM hat{i})
+              ELSE CAST(0 AS DOUBLE) END AS auth
+  FROM gn n LEFT JOIN ha{i} a ON n.node = a.node)""")
+        ctes.append(f"""hb{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.auth) AS s
+  FROM ge e JOIN hau{i} a ON e.dst = a.node GROUP BY 1)""")
+        ctes.append(f"hbt{i} AS MATERIALIZED "
+                    f"(SELECT coalesce(sum(s), 0) AS t FROM hb{i})")
+        ctes.append(f"""hv{i} AS MATERIALIZED (
+  SELECT n.node,
+         CASE WHEN (SELECT t FROM hbt{i}) > 0
+              THEN coalesce(b.s, 0) / (SELECT t FROM hbt{i})
+              ELSE CAST(0 AS DOUBLE) END AS hub,
+         a.auth
+  FROM gn n LEFT JOIN hb{i} b ON n.node = b.node
+       JOIN hau{i} a ON n.node = a.node)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, round(hub, 6) AS hub, "
+              f"round(auth, 6) AS auth FROM hv{_PR_ITER}")
+
+
+_HITS_ORACLE = _hits_oracle()
+
+#: Trusted seed set for the ``spam`` family — five source residues
+#: (< {_PR_SRC_CAP}, so present in the graph at every SF) spread
+#: across the node range. ONE Python constant feeds BOTH the Spark
+#: seeds frame and the oracle's IN-list (the dual-engine-construction
+#: rule).
+_SPAM_SEEDS = (0, 7, 21, 34, 42)
+
+
+def _spam_oracle() -> str:
+    """Spam-mass replay: the FULL uniform-pagerank chain (verbatim —
+    hoisted once next to the ``pagerank`` family's) + the
+    TrustRank-seeded chain, then the relative-mass projection.
+    The seeded stages mirror the operator's seeded arithmetic
+    exactly: teleport = 1/n_seeds on seed nodes else 0, restart
+    ``(1-d)·tele`` and dangling ``m·tele`` as MULTIPLICATION (the
+    uniform chain divides — the two forms differ in the last ulp,
+    which is why the operator keeps both; see the pagerank
+    docstring), init vector = the teleport vector."""
+    d = _PR_DAMP
+    base = 1.0 - d
+    seeds = ", ".join(str(s) for s in _SPAM_SEEDS)
+    ctes = _pr_chain_ctes()              # full uniform chain
+    ctes.append(f"""tsd AS MATERIALIZED (
+  SELECT g.node, g.outdeg,
+         CASE WHEN g.node IN ({seeds})
+              THEN CAST(1 AS DOUBLE)
+                   / (SELECT count(*) FROM gn
+                      WHERE node IN ({seeds}))
+              ELSE CAST(0 AS DOUBLE) END AS tele
+  FROM god g)""")
+    ctes.append("tpr0 AS MATERIALIZED "
+                "(SELECT node, outdeg, tele, tele AS pr FROM tsd)")
+    for i in range(1, _PR_ITER + 1):
+        p = i - 1
+        ctes.append(
+            f"td{i} AS MATERIALIZED (SELECT coalesce(sum(pr), 0) "
+            f"AS m FROM tpr{p} WHERE outdeg = 0)")
+        ctes.append(f"""tc{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(p.pr / p.outdeg) AS c
+  FROM ge e JOIN tpr{p} p ON e.src = p.node GROUP BY 1)""")
+        ctes.append(f"""tpr{i} AS MATERIALIZED (
+  SELECT b.node, b.outdeg, b.tele,
+         {base!r} * b.tele
+         + {d!r} * (coalesce(c.c, 0)
+                    + (SELECT m FROM td{i}) * b.tele) AS pr
+  FROM tsd b LEFT JOIN tc{i} c ON b.node = c.node)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT p.node,
+       round(p.pr, 6) AS pr,
+       round(t.pr, 6) AS trust,
+       round(CASE WHEN p.pr > 0
+                  THEN (p.pr - t.pr) / p.pr END, 6)
+         AS rel_spam_mass
+FROM gpr{_PR_ITER} p JOIN tpr{_PR_ITER} t ON p.node = t.node""")
+
+
+_SPAM_ORACLE = _spam_oracle()
 
 
 def pagerank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3894,6 +4011,38 @@ def pagerank_warm_scores(spark: SparkSession,
         _PR_WARM_CACHE[key] = init
     return pagerank(edges, n_iter=2, damping=_PR_DAMP,
                     init_ranks=init)
+
+
+def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority vectors (:func:`..operators.graph.hits`)
+    over the ``pagerank`` family's deterministic link graph — the
+    second link-analysis prior a crawl corpus carries: high-hub
+    nodes are directories (they point at good content), high-auth
+    nodes are the content itself, and a quality gate keyed on
+    authority demotes link farms PageRank's single score conflates.
+    3 mutual-reinforcement iterations, L1-normalized (sqrt-free so
+    the oracle replays the chain exactly); dst-only residues are
+    guaranteed hub-0 and src-heavy residues auth-0 from the first
+    iteration — the structural separation the op exists for."""
+    from picoprobedataflow_spark.operators.graph import hits
+    return hits(_pr_edges(spark, sf_dir), n_iter=_PR_ITER)
+
+
+def spam_mass_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gyöngyi-style relative spam mass
+    (:func:`..operators.graph.spam_mass`) over the family graph with
+    the fixed trusted-seed set :data:`_SPAM_SEEDS`: uniform PageRank
+    and TrustRank-personalized PageRank run side by side (identical
+    iteration count and damping) and ``(pr − trust)/pr`` measures
+    how much of each node's rank arrives from OUTSIDE the trusted
+    region — the link-spam demotion signal. The oracle replays both
+    chains; the uniform one is textually the ``pagerank`` family's
+    (hoisted once per suite run)."""
+    from picoprobedataflow_spark.operators.graph import spam_mass
+    seeds = spark.createDataFrame([(int(s),) for s in _SPAM_SEEDS],
+                                  "node long")
+    return spam_mass(_pr_edges(spark, sf_dir), seeds,
+                     n_iter=_PR_ITER, damping=_PR_DAMP)
 
 
 #: Resolved robots.txt verdict set for the ``robots`` family — ONE
@@ -6118,6 +6267,10 @@ _FAMILY_SPECS = [
           v=("e_cur", "chi2_term"))),
     ("pagerank", pagerank_scores, _PAGERANK_ORACLE,
      dict(n=("node", "outdeg"), v=("pr",))),
+    ("hits", hits_scores, _HITS_ORACLE,
+     dict(n=("node",), v=("hub", "auth"))),
+    ("spam", spam_mass_scores, _SPAM_ORACLE,
+     dict(n=("node",), v=("pr", "trust", "rel_spam_mass"))),
     ("logreg", logreg_quality_scores, _LOGREG_ORACLE,
      dict(n=("doc_id", "label"), v=("score",), b1="pred")),
     ("nb", nb_quality_scores, _NB_ORACLE,
@@ -6166,11 +6319,13 @@ _SUITE3_FAMILIES = frozenset({
     "detect",
     "dhash",
     "domain_quota",
+    "hits",
     "img_stats",
     "logreg",
     "nb",
     "pagerank",
     "psi",
+    "spam",
     "resample_stats",
     "resize_stats",
     "robots",
