@@ -4326,6 +4326,284 @@ def wet_parse_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("reconciled"))
 
 
+# --------------------------------------------------------------------------
+# WET → corpus COMPOSED pipeline, oracle-gated (round 16, VERDICT ask
+# #2): the engine's flagship acquisition story — reconcile →
+# quarantine anti-join → line-grain boilerplate removal → curation
+# funnel (quality → repetition → exact dedup) — replayed end-to-end
+# in DuckDB over one adversarial member. Single-family gates cannot
+# catch INTERFACE drift between the stages (the quarantine anti-join
+# id seam, the cleaned-text → curation hand-off); this composed gate
+# exists for exactly those seams. Reference analog: ingestion+publish
+# is the reference's whole entry pillar
+# (/root/reference/examples/hyperspectral_flow/main.py:95-111).
+# --------------------------------------------------------------------------
+
+#: Quality floor for the composed family's curation stage — above
+#: the planted low-quality page (~0.07), below the prose pages
+#: (~0.67) and the repetition bait (~0.63, which must PASS quality
+#: to prove the repetition stage drops it).
+_WETC_MIN_Q = 0.3
+
+
+def _wet_corpus_fixture() -> str:
+    """ONE WET member exercising every composed-pipeline seam: a
+    warcinfo lead (type-filtered), three honest prose pages (one
+    with mixed-case headers, one multi-byte with matching octet
+    count), an exact post-clean duplicate of page 1, a low-quality
+    page (quality stage), a repetition-bait page (passes quality,
+    fails Gopher top-word), a quoted-dump page whose declared
+    Content-Length exceeds its truncated split (quarantine + a
+    phantom response-type fragment the conversion filter drops), and
+    a URI-less prose page (flows through keyed by position). A nav
+    bar rides on every page (line df ≥ 3 → removed everywhere); a
+    footer rides on exactly two (df 2 < 3 → kept). No single quotes
+    anywhere — the constant embeds in the oracle as a literal."""
+    nav = "HOME | ABOUT | CONTACT"
+    sw = ("the", "a", "of", "and", "to", "is", "in")
+
+    def prose(i: int) -> str:
+        return " ".join(f"{s} page{i}tok{j}"
+                        for j, s in enumerate(sw * 2))
+
+    footer = "Copyright example site"
+    bodies = [
+        f"{nav}\r\n{prose(1)}",
+        f"{nav}\r\n{prose(2)}\r\n{footer}",
+        f"{nav}\r\n{prose(3)} héllo 中文\r\n{footer}",
+        f"{nav}\r\n{prose(1)}",                       # dup of page 1
+        f"{nav}\r\n" + " ".join(f"zq{j}" for j in range(12)),
+        f"{nav}\r\n" + " ".join(["the spam"] * 15),
+        (f"{nav}\r\nsee this dump:\r\n\r\nWARC/1.0\r\n"
+         f"WARC-Type: response\r\nquoted inner"),     # quarantines
+        f"{nav}\r\n{prose(8)}",                       # URI-less
+    ]
+
+    def rec(i: int, body: str, uri: bool = True,
+            cased: bool = False) -> str:
+        h = [("Warc-Type: conversion" if cased
+              else "WARC-Type: conversion")]
+        if uri:
+            h.append(("WARC-TARGET-URI" if cased
+                      else "WARC-Target-URI")
+                     + f": https://s{i}.example.com/p{i}")
+        h.append(("warc-date" if cased else "WARC-Date")
+                 + f": 2024-07-01T00:0{i}:00Z")
+        h.append(("CONTENT-LENGTH" if cased else "Content-Length")
+                 + f": {len(body.encode())}")
+        return "WARC/1.0\r\n" + "\r\n".join(h) + "\r\n\r\n" + body
+
+    parts = ["WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+             "Content-Length: 17\r\n\r\nsoftware: fixture"]
+    for i, b in enumerate(bodies, start=1):
+        parts.append(rec(i, b, uri=(i != 8), cased=(i == 2)))
+    return "\r\n\r\n".join(parts) + "\r\n\r\n"
+
+
+_WET_CORPUS_FIXTURE = _wet_corpus_fixture()
+
+_WET_CORPUS_ORACLE = f"""
+WITH cwraw AS (
+  SELECT CAST(i - 1 AS BIGINT) AS pos, parts[i] AS value
+  FROM (SELECT regexp_split_to_array('{_WET_CORPUS_FIXTURE}',
+               '\\r\\n\\r\\nWARC/1\\.0\\r\\n') AS parts),
+       unnest(generate_series(1, len(parts))) AS u(i)
+),
+cwrec AS (
+  SELECT pos,
+         regexp_replace(value,
+                        '^(\\x{{FEFF}})?WARC/1\\.0\\r?\\n', '') AS r
+  FROM cwraw
+),
+cwsplit AS (
+  SELECT pos,
+         CASE WHEN regexp_matches(r, '(?s)\\r?\\n\\r?\\n')
+              THEN regexp_extract(r, '(?s)^(.*?)\\r?\\n\\r?\\n', 1)
+              ELSE r END AS hdr,
+         CASE WHEN regexp_matches(r, '(?s)\\r?\\n\\r?\\n')
+              THEN regexp_replace(
+                     regexp_extract(r,
+                       '(?s)^.*?\\r?\\n\\r?\\n(.*)$', 1),
+                     '(?s)\\r\\n\\r\\n$', '')
+              ELSE NULL END AS body
+  FROM cwrec
+),
+crec AS MATERIALIZED (
+  SELECT pos,
+         coalesce(nullif(regexp_extract(hdr,
+           '(?mi)^WARC-Target-URI:[ \\t]*([^\\r\\n]*)', 1), ''),
+           '<nouri>') AS uri,
+         coalesce(body, '') AS text,
+         (try_cast(nullif(regexp_extract(hdr,
+             '(?mi)^Content-Length:[ \\t]*([^\\r\\n]*)', 1), '')
+           AS BIGINT) IS NULL
+          OR try_cast(nullif(regexp_extract(hdr,
+               '(?mi)^Content-Length:[ \\t]*([^\\r\\n]*)', 1), '')
+             AS BIGINT) = octet_length(encode(coalesce(body, ''))))
+           AS reconciled
+  FROM cwsplit
+  WHERE regexp_extract(hdr,
+          '(?mi)^WARC-Type:[ \\t]*([^\\r\\n]*)', 1) = 'conversion'
+),
+cquar AS MATERIALIZED (SELECT * FROM crec WHERE NOT reconciled),
+cdocs AS MATERIALIZED (
+  SELECT pos, uri, text FROM crec WHERE reconciled),
+clines AS (
+  SELECT pos, uri, CAST(i - 1 AS BIGINT) AS idx, parts[i] AS line,
+         trim(parts[i], ' ' || chr(9)) AS k
+  FROM (SELECT pos, uri, regexp_split_to_array(text, '\\r?\\n')
+                 AS parts
+        FROM cdocs),
+       unnest(generate_series(1, len(parts))) AS u(i)
+),
+cdf AS (
+  SELECT k, count(DISTINCT pos) AS df
+  FROM clines WHERE k <> '' GROUP BY 1
+),
+cclean AS MATERIALIZED (
+  SELECT pos, uri,
+         coalesce(string_agg(line, chr(10) ORDER BY idx)
+                  FILTER (WHERE df IS NULL OR df < {_LINE_MIN_DF}),
+                  '') AS text,
+         CAST(sum(CASE WHEN df >= {_LINE_MIN_DF} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_removed
+  FROM (SELECT l.pos, l.uri, l.idx, l.line, d.df
+        FROM clines l LEFT JOIN cdf d USING (k))
+  GROUP BY 1, 2
+),
+cq AS MATERIALIZED (
+  SELECT pos, uri, text, n_removed FROM cclean
+  WHERE ({_QUALITY_SQL}) >= {_WETC_MIN_Q}
+),
+cgw AS (SELECT pos, {_WORDS} AS ws FROM cq),
+cgrams AS (
+  SELECT pos, 1 AS n, unnest(ws) AS g FROM cgw
+  UNION ALL
+  SELECT pos, 2, unnest(list_transform(
+    generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1]))
+  FROM cgw
+  UNION ALL
+  SELECT pos, 3, unnest(list_transform(
+    generate_series(1, len(ws) - 2),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+  FROM cgw
+),
+ccounted AS (
+  SELECT pos, n, g, count(*) AS c FROM cgrams GROUP BY 1, 2, 3
+),
+cpern AS (
+  SELECT pos, n, max(c) AS max_c, CAST(sum(c) AS BIGINT) AS cnt,
+         CAST(max(c * length(g)) AS BIGINT) AS top_mass,
+         CAST(sum(c * length(g)) AS BIGINT) AS mass,
+         CAST(sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END)
+              AS BIGINT) AS dup_mass
+  FROM ccounted GROUP BY 1, 2
+),
+crep AS (
+  SELECT pos FROM (
+    SELECT pos,
+           max(CASE WHEN n = 1 THEN max_c / cnt END) AS twf,
+           max(CASE WHEN n = 2 THEN top_mass / mass END) AS tbf,
+           max(CASE WHEN n = 3 THEN dup_mass / mass END) AS dtf
+    FROM cpern GROUP BY 1)
+  WHERE twf <= CAST({_REP_TH['top_word_frac']} AS DOUBLE)
+    AND tbf <= CAST({_REP_TH['top_bigram_frac']} AS DOUBLE)
+    AND dtf <= CAST({_REP_TH['dup_trigram_frac']} AS DOUBLE)
+),
+cq2 AS MATERIALIZED (
+  SELECT q.* FROM cq q JOIN crep USING (pos)),
+ckept AS MATERIALIZED (
+  SELECT pos, uri, text, n_removed
+  FROM (SELECT *, min(pos) OVER (PARTITION BY text) AS first_pos
+        FROM cq2)
+  WHERE pos = first_pos
+)
+SELECT concat('kept:', uri) AS rec, pos,
+       CAST(length(text) AS BIGINT) AS chars, n_removed,
+       CAST(NULL AS BIGINT) AS n
+FROM ckept
+UNION ALL
+SELECT concat('quar:', uri), pos,
+       CAST(length(text) AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM cquar
+UNION ALL
+SELECT concat('funnel:', s), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), n
+FROM (
+  SELECT 'input' AS s, (SELECT count(*) FROM cdocs) AS n
+  UNION ALL SELECT 'quality', (SELECT count(*) FROM cq)
+  UNION ALL SELECT 'repetition', (SELECT count(*) FROM cq2)
+  UNION ALL SELECT 'exact', (SELECT count(*) FROM ckept)
+  UNION ALL SELECT 'quarantined', (SELECT count(*) FROM cquar)
+)
+"""
+
+
+def wet_corpus_pipeline(spark: SparkSession,
+                        sf_dir: str) -> DataFrame:
+    """The COMPOSED acquisition pipeline through the shipped
+    operators end to end: :func:`..io.warc._parse_wet` (the
+    production parser) → :func:`..io.warc.wet_reconcile` →
+    quarantine split → :func:`..operators.dedup.remove_frequent_lines`
+    (line-grain boilerplate, min_df={_LINE_MIN_DF}) →
+    :func:`..flows.curation.curate_documents`
+    (quality ≥ {_WETC_MIN_Q} → Gopher repetition → exact dedup;
+    near-dedup off — its banding is gated by its own families).
+    Output: one row per kept document (verbatim cleaned-length +
+    removed-line accounting), one per quarantined record, one per
+    funnel stage count — the seams single-family gates cannot see
+    (the quarantine anti-join id hand-off, the cleaned-text →
+    curation interface). Document identity is the record POSITION
+    (stable, both-engine-derivable; ``wet_documents``' xxhash64
+    content address has no DuckDB twin — pytest covers it at
+    tests/test_flows.py::test_wet_to_corpus_composition). Constant
+    w.r.t. ``sf_dir`` by design, like ``wet_parse``; the SCALE story
+    rides on the component families."""
+    from picoprobedataflow_spark.flows.curation import \
+        curate_documents
+    from picoprobedataflow_spark.io.warc import (
+        _parse_wet, wet_reconcile)
+    from picoprobedataflow_spark.operators.dedup import \
+        remove_frequent_lines
+
+    raw = (spark.range(1)
+           .select(F.posexplode(F.split(
+               F.lit(_WET_CORPUS_FIXTURE),
+               r"\r\n\r\nWARC/1\.0\r\n")).alias("pos", "value")))
+    rec = wet_reconcile(
+        _parse_wet(raw, "conversion", extra_cols=("pos",))).select(
+        F.col("pos").cast("long").alias("pos"),
+        F.coalesce("target_uri", F.lit("<nouri>")).alias("uri"),
+        "text", "reconciled")
+    quar = rec.filter(~F.col("reconciled"))
+    docs = (rec.filter(F.col("reconciled"))
+            .select(F.col("pos").alias("doc_id"), "uri", "text"))
+    cleaned = (remove_frequent_lines(docs, min_df=_LINE_MIN_DF)
+               .join(docs.select("doc_id", "uri"), "doc_id")
+               .select("doc_id", "uri",
+                       F.col("cleaned").alias("text"), "n_removed"))
+    res = curate_documents(cleaned, min_quality=_WETC_MIN_Q,
+                           near_dedup=False)
+    nulL = F.lit(None).cast("long")
+    kept_rows = res.kept.select(
+        F.concat(F.lit("kept:"), "uri").alias("rec"),
+        F.col("doc_id").alias("pos"),
+        F.length("text").cast("long").alias("chars"),
+        F.col("n_removed"), nulL.alias("n"))
+    quar_rows = quar.select(
+        F.concat(F.lit("quar:"), "uri").alias("rec"), "pos",
+        F.length("text").cast("long").alias("chars"),
+        nulL.alias("n_removed"), nulL.alias("n"))
+    funnel = res.funnel + [("quarantined", quar.count())]
+    fun_rows = (spark.createDataFrame(
+        [(f"funnel:{s}", int(n)) for s, n in funnel],
+        "rec string, n long")
+        .select("rec", nulL.alias("pos"), nulL.alias("chars"),
+                nulL.alias("n_removed"), "n"))
+    return kept_rows.unionByName(quar_rows).unionByName(fun_rows)
+
+
 def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repeated-passage accounting: every non-overlapping
     4-token window is checked for an earlier exact occurrence
@@ -6259,6 +6537,8 @@ _FAMILY_SPECS = [
      dict(k1="rec", n=("pos", "epoch_s", "content_length",
                        "text_chars", "text_octets"),
           b1="reconciled")),
+    ("wet_corpus", wet_corpus_pipeline, _WET_CORPUS_ORACLE,
+     dict(k1="rec", n=("pos", "chars", "n_removed", "n"))),
     ("psi", psi_drift_stats, _PSI_ORACLE,
      dict(n=("bucket", "n_ref", "n_cur"),
           v=("p_ref", "p_cur", "psi_term"))),
@@ -6308,6 +6588,7 @@ _SUITE2_FAMILIES = frozenset({
     "span_clean",
     "span_dedup",
     "span_strided",
+    "wet_corpus",
     "zipf",
 })
 
