@@ -579,3 +579,185 @@ def test_pagerank_stream_skips_empty_epoch(spark, tmp_path):
            for r in latest_ranks(spark, state).collect()}
     assert set(got) == set(want)
     assert max(abs(got[n] - want[n]) for n in want) < 1e-12
+
+
+def test_cms_degenerate_geometry_and_empty_corpus(spark, tmp_path):
+    """Round-16 battery, CMS surfaces: (a) w=1/d=1 — every token
+    lands in the single cell, so the one cell IS the corpus token
+    count and every term (seen or not) estimates exactly that total
+    (maximal collision, still never an underestimate); (b) an
+    empty-corpus drain writes meta but no cells, and the estimate
+    path returns the TRUE zero for every term — the est=0 branch of
+    coalesce(cell, 0), reachable only when a bucket was never
+    touched."""
+    from picoprobedataflow_spark.streaming.cms_stream import (
+        cms_estimate, merged_cells, read_meta, run_cms_stream)
+
+    schema = "doc_id long, text string"
+
+    # (a) w=1, d=1
+    src1 = tmp_path / "in1"
+    src1.mkdir()
+    s1, c1 = str(tmp_path / "st1"), str(tmp_path / "ck1")
+    spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma alpha")],
+        schema).coalesce(1).write.mode("append").parquet(str(src1))
+    q = run_cms_stream(
+        spark.readStream.schema(schema).parquet(str(src1)),
+        s1, c1, w=1, d=1)
+    assert q.awaitTermination(300)
+    cells = merged_cells(spark, s1).collect()
+    assert [(r.seed, r.bucket, r.cell) for r in cells] == [(0, 0, 5)]
+    est = {r.term: r.est
+           for r in cms_estimate(spark, s1,
+                                 ["alpha", "ghost"]).collect()}
+    assert est == {"alpha": 5, "ghost": 5}   # total-count collapse
+
+    # (b) empty corpus: meta lands, cells never do, estimates are 0
+    src2 = tmp_path / "in2"
+    src2.mkdir()
+    s2, c2 = str(tmp_path / "st2"), str(tmp_path / "ck2")
+    spark.createDataFrame([], schema).coalesce(1) \
+        .write.mode("append").parquet(str(src2))
+    q = run_cms_stream(
+        spark.readStream.schema(schema).parquet(str(src2)),
+        s2, c2, w=8, d=2)
+    assert q.awaitTermination(300)
+    assert read_meta(spark, s2) == (8, 2)
+    assert merged_cells(spark, s2).collect() == []
+    est = {r.term: r.est
+           for r in cms_estimate(spark, s2, ["anything"]).collect()}
+    assert est == {"anything": 0}
+
+
+def test_doremi_equal_losses_and_positivity_boundary(spark):
+    """Round-16 battery, DoReMi surfaces: (a) ALL-EQUAL losses —
+    every source's excess is identically zero, so the ladder is a
+    fixpoint and weights stay exactly uniform through all T steps;
+    (b) the positivity boundary — one source at the loss MAXIMUM
+    (all-punctuation docs, quality = −0.25 → loss = 1.25) against
+    one at the minimum (loss 0): the update factor 1 + η·excess
+    must stay strictly positive at the documented extreme, weights
+    stay in (0, 1) and sum to 1."""
+    import tempfile
+
+    from picoprobedataflow_spark.plans.pipeline import \
+        doremi_mixture_weights
+
+    sw = "the a of and to is in"
+    good = (sw + " ") * 25              # len > 500, stopfrac 1
+    with tempfile.TemporaryDirectory() as d:
+        # (a) two sources with IDENTICAL doc sets -> identical loss
+        spark.createDataFrame(
+            [(1, "s1", good), (2, "s2", good)],
+            "doc_id long, source string, text string") \
+            .write.parquet(f"{d}/documents.parquet")
+        rows = {r.source: r for r in
+                doremi_mixture_weights(spark, d).collect()}
+        assert rows["s1"].loss == rows["s2"].loss
+        assert rows["s1"].w_final == 0.5
+        assert rows["s2"].w_final == 0.5
+
+        # (b) loss extremes 1.25 vs 0.0
+        junk = "...!!!,,,;;;:::???"     # pure punctuation
+        spark.createDataFrame(
+            [(1, "lo", good), (2, "hi", junk)],
+            "doc_id long, source string, text string") \
+            .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        rows = {r.source: r for r in
+                doremi_mixture_weights(spark, d).collect()}
+        assert rows["lo"].loss == 0.0
+        # pure punctuation: quality ≈ −0.25 + 0.5·len/500 → loss
+        # past the 1.0 boundary, approaching the documented 1.25 max
+        assert rows["hi"].loss > 1.2
+        w_lo, w_hi = rows["lo"].w_final, rows["hi"].w_final
+        assert 0.0 < w_lo < w_hi < 1.0   # high loss gains weight
+        assert abs(w_lo + w_hi - 1.0) < 1e-9
+
+
+def test_pagerank_stream_dangling_selfloop_and_half_written_replay(
+        spark, tmp_path):
+    """Round-16 battery, incremental-PageRank surfaces: a
+    dangling-heavy first batch (one edge, sink dangling) and a
+    self-loop second batch drain to the same vector as the composed
+    batch calls; then a CRASHED epoch is simulated — a garbage rank
+    partition and edge partition half-written at the NEXT epoch id
+    before the batch arrives — and the replay must ignore the
+    partial write (the before_epoch state scope), overwrite it
+    (dynamic partition overwrite) and land on the clean result."""
+    import os as _os
+
+    from picoprobedataflow_spark.operators.graph import pagerank
+    from picoprobedataflow_spark.streaming.graph_stream import (
+        latest_ranks, run_pagerank_stream)
+
+    schema = "src string, dst string"
+    src = tmp_path / "edges_in"
+    src.mkdir()
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck")
+
+    # epoch 0: a -> b only; b is dangling (mass redistribution path)
+    spark.createDataFrame([("a", "b")], schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    q = run_pagerank_stream(
+        spark.readStream.schema(schema).parquet(str(src)),
+        state, ckpt, n_iter_cold=10, n_iter_warm=3)
+    assert q.awaitTermination(300)
+
+    # simulate a crashed epoch 1: rank + edge partitions half-write
+    # (state lands, streaming checkpoint commit never happens)
+    for sub, df in (
+            ("ranks", spark.createDataFrame(
+                [("zzz", 999.0)], "node string, pr double")),
+            ("edges", spark.createDataFrame(
+                [("zzz", "qqq")], schema))):
+        df.coalesce(1).write.parquet(
+            _os.path.join(state, sub, "epoch=1"))
+
+    # epoch 1 (replayed): self-loop + a new edge
+    spark.createDataFrame([("b", "b"), ("b", "a")], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    q = run_pagerank_stream(
+        spark.readStream.schema(schema).parquet(str(src)),
+        state, ckpt, n_iter_cold=10, n_iter_warm=3)
+    assert q.awaitTermination(300)
+
+    got = {r.node: r.pr
+           for r in latest_ranks(spark, state).collect()}
+    assert "zzz" not in got              # garbage overwritten
+    g1 = spark.createDataFrame([("a", "b")], schema)
+    g2 = spark.createDataFrame(
+        [("a", "b"), ("b", "b"), ("b", "a")], schema)
+    v1 = pagerank(g1, n_iter=10, round_digits=None) \
+        .select("node", "pr")
+    want = {r.node: r.pr
+            for r in pagerank(g2, n_iter=3, round_digits=None,
+                              init_ranks=v1).collect()}
+    assert set(got) == set(want)
+    assert max(abs(got[n] - want[n]) for n in want) < 1e-12
+    # the garbage edge partition was ignored AND overwritten: the
+    # accumulated edge state holds exactly the real edges
+    edges = {(r.src, r.dst)
+             for r in spark.read
+             .schema(schema + ", epoch long")
+             .parquet(_os.path.join(state, "edges")).collect()}
+    assert edges == {("a", "b"), ("b", "b"), ("b", "a")}
+
+
+def test_remove_frequent_lines_lone_cr_texts(spark):
+    """Round-16 battery: lone-\\r texts — the engine splits lines on
+    \\r?\\n, so a bare carriage return is LINE CONTENT, not a break.
+    A doc that is exactly one \\r survives unchanged (its key is
+    non-blank, df=1), and two docs sharing a \\r-embedded line lose
+    it at min_df=2 — no crash, no phantom empty lines."""
+    from picoprobedataflow_spark.operators.dedup import \
+        remove_frequent_lines
+
+    docs = spark.createDataFrame(
+        [(1, "\r"), (2, "x\ry\nkeep me 2"), (3, "x\ry\nkeep me 3")],
+        "doc_id long, text string")
+    out = {r.doc_id: r
+           for r in remove_frequent_lines(docs, min_df=2).collect()}
+    assert out[1].cleaned == "\r" and out[1].n_kept == 1
+    assert out[2].cleaned == "keep me 2" and out[2].n_removed == 1
+    assert out[3].cleaned == "keep me 3" and out[3].n_removed == 1
