@@ -304,6 +304,11 @@ def main() -> None:
     # Round 13: 3-iteration PageRank over the synthetic link graph
     # (edges materialized once on src; per-iteration join + agg).
     variants["pagerank_full"] = PL.pagerank_scores
+    # Round 16: the other two oracle-gated link-analysis families —
+    # HITS (2 join+agg rounds + 2 scalar normalizations per
+    # iteration) and spam mass (exactly two pagerank runs + a join).
+    variants["hits_full"] = PL.hits_scores
+    variants["spam_full"] = PL.spam_mass_scores
     # Round 14: the warm-started epoch-2 twin (converged vector
     # cached per session+SF; timed path = 2 warm iterations).
     variants["pagerank_warm_full"] = PL.pagerank_warm_scores

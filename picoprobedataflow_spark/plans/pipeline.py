@@ -2802,20 +2802,31 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     family too)."""
     docs = tbl(spark, sf_dir, "documents")
     toks = docs.select(F.explode(TX.words("text")).alias("tok"))
+    # Materialize the term table ONCE (round 16): three consumers
+    # read it (the cell build via melted, the estimate join via
+    # melted, the 1-row total) and exchange reuse does not fire
+    # across them — without this the corpus explode + term aggregate
+    # ran three times. The tf table is the gate's documented
+    # truth-column cost; the term-table-free production path ships
+    # as streaming/cms_stream._cells_of.
     tf = (toks.groupBy("tok")
-          .agg(F.count("*").cast("long").alias("cnt")))
+          .agg(F.count("*").cast("long").alias("cnt"))
+          .localCheckpoint(eager=True))
 
-    def bucket(seed: str):
-        return (F.conv(F.substring(
-                    F.md5(F.concat(F.lit(seed), F.col("tok"))),
-                    1, 8), 16, 10).cast("long") % _CMS_W)
-
-    melted = None
-    for d in range(_CMS_D):
-        part = tf.select("tok", "cnt",
-                         F.lit(d).alias("seed"),
-                         bucket(f"s{d}").alias("bucket"))
-        melted = part if melted is None else melted.unionByName(part)
+    # d bucket ids per term as ONE row-local array projection +
+    # posexplode (round 16): the previous d-way unionByName ladder
+    # re-planned the term aggregate d times (absent exchange reuse);
+    # this form scans tf once — the same trick the streaming
+    # _cells_of uses on raw tokens. posexplode's position IS the
+    # seed index; seed strings s0..s{d-1} match the oracle's.
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(_CMS_D - 1)),
+        lambda i: (F.conv(F.substring(
+            F.md5(F.concat(F.lit("s"), i.cast("string"),
+                           F.col("tok"))),
+            1, 8), 16, 10).cast("long") % _CMS_W))
+    melted = tf.select("tok", "cnt",
+                       F.posexplode(buckets).alias("seed", "bucket"))
     cells = (melted.groupBy("seed", "bucket")
              .agg(F.sum("cnt").cast("long").alias("cell")))
     est = (melted.join(cells, ["seed", "bucket"])

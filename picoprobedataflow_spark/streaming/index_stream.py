@@ -78,6 +78,10 @@ def read_ivf_index(spark, index_dir: str) -> DataFrame:
     queries); ``cell`` remains a partition column, so
     :func:`..operators.similarity.ivf_index_search` over this frame
     partition-prunes its probe."""
-    if not os.path.isdir(index_dir):
+    # Hadoop-FS existence probe (round-16 ADVICE class): os.path.isdir
+    # reads a remote index_dir (hdfs://, s3a://) as absent; _fs_list
+    # resolves any Spark-readable URI or fails loudly.
+    from picoprobedataflow_spark.streaming.dedup_stream import _fs_list
+    if _fs_list(spark, index_dir) is None:
         raise FileNotFoundError(index_dir)
     return spark.read.parquet(index_dir).drop("epoch")
