@@ -4596,22 +4596,22 @@ def wet_corpus_pipeline(spark: SparkSession,
                        F.col("cleaned").alias("text"), "n_removed"))
     res = curate_documents(cleaned, min_quality=_WETC_MIN_Q,
                            near_dedup=False)
-    nulL = F.lit(None).cast("long")
+    nul = F.lit(None).cast("long")
     kept_rows = res.kept.select(
         F.concat(F.lit("kept:"), "uri").alias("rec"),
         F.col("doc_id").alias("pos"),
         F.length("text").cast("long").alias("chars"),
-        F.col("n_removed"), nulL.alias("n"))
+        F.col("n_removed"), nul.alias("n"))
     quar_rows = quar.select(
         F.concat(F.lit("quar:"), "uri").alias("rec"), "pos",
         F.length("text").cast("long").alias("chars"),
-        nulL.alias("n_removed"), nulL.alias("n"))
+        nul.alias("n_removed"), nul.alias("n"))
     funnel = res.funnel + [("quarantined", quar.count())]
     fun_rows = (spark.createDataFrame(
         [(f"funnel:{s}", int(n)) for s, n in funnel],
         "rec string, n long")
-        .select("rec", nulL.alias("pos"), nulL.alias("chars"),
-                nulL.alias("n_removed"), "n"))
+        .select("rec", nul.alias("pos"), nul.alias("chars"),
+                nul.alias("n_removed"), "n"))
     return kept_rows.unionByName(quar_rows).unionByName(fun_rows)
 
 

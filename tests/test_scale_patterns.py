@@ -1088,3 +1088,29 @@ def test_cms_heavy_hitters_topk_is_distributed(spark):
         first = spec.split(",")[0]
         assert " ASC" not in first and " DESC" not in first, (
             f"cms_heavy_hitters has a partition-less window: {spec}")
+
+
+def test_graph_family_plans_no_cartesian(spark):
+    """The three oracle-gated link-analysis families (pagerank, hits,
+    spam — round 16) must plan every 1-row scalar broadcast
+    (dangling mass, normalization totals, node counts) as a
+    BroadcastNestedLoopJoin over a 1-row side, never a
+    CartesianProduct, and must not rank through any partition-less
+    window — the per-iteration shape is join + aggregate + scalar
+    broadcast, nothing global."""
+    import re
+
+    from picoprobedataflow_spark.plans import pipeline as PL
+
+    sf = "/root/testdata/sf0.001"
+    for name, fn in (("pagerank", PL.pagerank_scores),
+                     ("hits", PL.hits_scores),
+                     ("spam", PL.spam_mass_scores)):
+        plan = (fn(spark, sf)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "CartesianProduct" not in plan, name
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)",
+                               plan):
+            first = spec.split(",")[0]
+            assert " ASC" not in first and " DESC" not in first, (
+                f"{name} has a partition-less window: {spec}")
