@@ -62,6 +62,46 @@ def _fs_list(spark: SparkSession, path: str) -> list[str] | None:
     return [st.getPath().getName() for st in fs.listStatus(hpath)]
 
 
+PARAMS_SCHEMA = "key string, value string"
+
+
+def read_params(spark: SparkSession,
+                state_dir: str) -> dict[str, str] | None:
+    """The hyper-parameters persisted with a stream's state dir, or
+    None before the first run. Round 16 — the CMS-geometry ADVICE
+    fix generalized: any loop whose STATE ENCODING depends on its
+    parameters (minhash signatures on num_hashes/k/band_size/hash
+    function, substring fingerprints on the window grain, rank
+    vectors on damping, IVF cells on the centroid set) must refuse
+    to resume under different values — old and new state rows would
+    silently mix two incompatible encodings, each epoch still
+    'succeeding'. Policy knobs that only gate FUTURE admissions
+    (quality thresholds, quotas) are deliberately not pinned."""
+    pdir = os.path.join(state_dir, "params")
+    if _fs_list(spark, pdir) is None:
+        return None
+    return {r.key: r.value for r in
+            spark.read.schema(PARAMS_SCHEMA).parquet(pdir).collect()}
+
+
+def _ensure_params(spark: SparkSession, state_dir: str,
+                   params: dict[str, str]) -> None:
+    """Persist the state-identity parameters on first run; on a
+    resumed state dir, reject any change loudly BEFORE the stream
+    starts (see :func:`read_params`)."""
+    existing = read_params(spark, state_dir)
+    if existing is not None:
+        if existing != params:
+            raise ValueError(
+                f"stream state parameter mismatch under "
+                f"{state_dir}: state was built with {existing}, "
+                f"caller asked for {params}")
+        return
+    (spark.createDataFrame(sorted(params.items()), PARAMS_SCHEMA)
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(state_dir, "params")))
+
+
 def _state(spark: SparkSession, path: str, schema: str,
            before_epoch: int | None = None) -> DataFrame:
     """Accumulated state table; typed-empty before the first epoch.
@@ -100,8 +140,17 @@ def run_incremental_dedup_stream(doc_stream: DataFrame, state_dir: str,
 
     Writes under ``state_dir``: ``sigs/`` and ``bands/`` (the growing
     corpus state, append semantics via per-epoch partitions) and
-    ``pairs/`` (doc_a, doc_b, est_jaccard per epoch)."""
+    ``pairs/`` (doc_a, doc_b, est_jaccard per epoch). The signature
+    hyper-parameters persist with the state and a resume under
+    different values is rejected (round 16 — signatures from two
+    (num_hashes, k, band_size, hash_fn) settings are two
+    incompatible encodings; mixing them silently stops pairing old
+    against new)."""
     spark = doc_stream.sparkSession
+    _ensure_params(spark, state_dir, {
+        "num_hashes": str(num_hashes), "k": str(k),
+        "band_size": str(band_size),
+        "hash_fn": getattr(hash_fn, "__name__", repr(hash_fn))})
     sig_dir = os.path.join(state_dir, "sigs")
     band_dir = os.path.join(state_dir, "bands")
     pair_dir = os.path.join(state_dir, "pairs")

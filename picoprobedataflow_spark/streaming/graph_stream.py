@@ -101,8 +101,17 @@ def run_pagerank_stream(edge_stream: DataFrame, state_dir: str,
     epoch runs ``n_iter_warm`` iterations warm-started from the
     previous epoch's vector over the GROWN graph."""
     from picoprobedataflow_spark.operators.graph import pagerank
+    from picoprobedataflow_spark.streaming.dedup_stream import \
+        _ensure_params
 
     spark = edge_stream.sparkSession
+    # damping persists with the state (round 16, the CMS-geometry
+    # class): a short warm epoch under a CHANGED damping returns a
+    # vector near the OLD damping's fixpoint — plausible-looking,
+    # silently wrong for the new setting. n_iter_cold/warm are
+    # performance knobs (the update contracts to the same fixpoint
+    # for any iteration count) and deliberately not pinned.
+    _ensure_params(spark, state_dir, {"damping": repr(damping)})
     edge_dir = os.path.join(state_dir, "edges")
     rank_dir = os.path.join(state_dir, "ranks")
 

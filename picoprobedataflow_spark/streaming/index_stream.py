@@ -49,7 +49,28 @@ def run_ivf_index_stream(vec_stream: DataFrame, cent_rows,
     (id, vector). ``cent_rows`` is the driver-side
     [(cell, centroid)] list returned by
     :func:`..operators.similarity.ivf_index_write` (or collected from
-    :func:`kmeans_centroids`)."""
+    :func:`kmeans_centroids`).
+
+    A digest of the quantizer persists BESIDE the index (round 16,
+    the CMS-geometry class — the module docstring already forbids
+    in-stream quantizer drift; now resuming with a DIFFERENT frozen
+    centroid set is rejected loudly instead of silently mixing two
+    assignment spaces in one tree). The params table lives under
+    ``<index_dir>_params``, a sibling, because the index dir itself
+    is a pure epoch/cell-partitioned parquet tree a serving read
+    must be able to scan whole."""
+    import hashlib
+
+    from picoprobedataflow_spark.streaming.dedup_stream import \
+        _ensure_params
+
+    digest = hashlib.md5(
+        repr([(c, [float(x) for x in v])
+              for c, v in cent_rows]).encode()).hexdigest()
+    _ensure_params(vec_stream.sparkSession,
+                   index_dir.rstrip("/") + "_params",
+                   {"centroids_md5": digest,
+                    "n_cells": str(len(cent_rows))})
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
         if not batch.head(1):

@@ -57,11 +57,17 @@ def run_substr_clean_stream(doc_stream: DataFrame, state_dir: str,
 
     Writes under ``state_dir``: ``cleaned/`` (doc_id, cleaned,
     n_removed, n_kept per epoch) and ``sigs/`` (the growing window
-    fingerprint state)."""
+    fingerprint state). ``min_len`` persists with the state and a
+    resume under a different grain is rejected (round 16 —
+    fingerprints of two window lengths are incompatible encodings;
+    mixed state silently stops matching old corpus text)."""
     from picoprobedataflow_spark.operators.dedup import (
         kmr_fingerprint_positions, remove_duplicate_substrings)
+    from picoprobedataflow_spark.streaming.dedup_stream import \
+        _ensure_params
 
     spark = doc_stream.sparkSession
+    _ensure_params(spark, state_dir, {"min_len": str(min_len)})
     sig_dir = os.path.join(state_dir, "sigs")
     out_dir = os.path.join(state_dir, "cleaned")
 

@@ -1562,3 +1562,122 @@ def test_cms_state_geometry_persisted_and_validated(spark, tmp_path):
     # a never-run state dir has no geometry to trust
     with pytest.raises(FileNotFoundError):
         cms_estimate(spark, str(tmp_path / "nostate"), ["alpha"])
+
+
+def test_stream_state_params_persisted_and_validated(spark, tmp_path):
+    """Round 16 — the CMS-geometry guard generalized to every loop
+    whose STATE ENCODING depends on its parameters: minhash dedup
+    (num_hashes/k/band_size/hash_fn), substring clean (min_len),
+    incremental PageRank (damping), and the IVF index stream
+    (centroid digest). Each persists its identity params on first
+    run and REFUSES a resume under different values — two encodings
+    mixed in one state dir never error per-epoch, they just silently
+    stop matching old state, which is why the guard must run before
+    the stream starts."""
+    import pytest
+
+    from picoprobedataflow_spark.streaming.dedup_stream import (
+        read_params, run_incremental_dedup_stream)
+    from picoprobedataflow_spark.streaming.graph_stream import \
+        run_pagerank_stream
+    from picoprobedataflow_spark.streaming.index_stream import \
+        run_ivf_index_stream
+    from picoprobedataflow_spark.streaming.substr_stream import \
+        run_substr_clean_stream
+
+    # --- minhash dedup loop
+    dsrc = tmp_path / "d_in"
+    dsrc.mkdir()
+    dstate, dck = str(tmp_path / "d_state"), str(tmp_path / "d_ck")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(str(dsrc))
+    q = run_incremental_dedup_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(dsrc)), dstate, dck,
+        num_hashes=8, k=3, band_size=2)
+    assert q.awaitTermination(300)
+    got = read_params(spark, dstate)
+    assert got == {"num_hashes": "8", "k": "3", "band_size": "2",
+                   "hash_fn": "portable_hash64"}
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        run_incremental_dedup_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(dsrc)), dstate, str(tmp_path / "d_ck2"),
+            num_hashes=16, k=3, band_size=2)
+
+    # --- substring clean loop
+    ssrc = tmp_path / "s_in"
+    ssrc.mkdir()
+    sstate, sck = str(tmp_path / "s_state"), str(tmp_path / "s_ck")
+    spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc wd")],
+        "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(str(ssrc))
+    q = run_substr_clean_stream(
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(ssrc)), sstate, sck, min_len=8)
+    assert q.awaitTermination(300)
+    assert read_params(spark, sstate) == {"min_len": "8"}
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        run_substr_clean_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(ssrc)), sstate, str(tmp_path / "s_ck2"),
+            min_len=12)
+
+    # --- incremental pagerank loop (damping pinned; n_iter free)
+    gsrc = tmp_path / "g_in"
+    gsrc.mkdir()
+    gstate, gck = str(tmp_path / "g_state"), str(tmp_path / "g_ck")
+    spark.createDataFrame([("a", "b")], "src string, dst string") \
+        .coalesce(1).write.mode("append").parquet(str(gsrc))
+    q = run_pagerank_stream(
+        spark.readStream.schema("src string, dst string")
+        .parquet(str(gsrc)), gstate, gck, damping=0.85)
+    assert q.awaitTermination(300)
+    assert read_params(spark, gstate) == {"damping": "0.85"}
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        run_pagerank_stream(
+            spark.readStream.schema("src string, dst string")
+            .parquet(str(gsrc)), gstate, str(tmp_path / "g_ck2"),
+            damping=0.9)
+    # iteration counts are performance knobs — a changed n_iter_warm
+    # must NOT be rejected
+    spark.createDataFrame([("b", "c")], "src string, dst string") \
+        .coalesce(1).write.mode("append").parquet(str(gsrc))
+    q = run_pagerank_stream(
+        spark.readStream.schema("src string, dst string")
+        .parquet(str(gsrc)), gstate, gck,
+        damping=0.85, n_iter_warm=4)
+    assert q.awaitTermination(300)
+
+    # --- IVF index stream (quantizer digest, sibling params dir)
+    isrc = tmp_path / "i_in"
+    isrc.mkdir()
+    idir, ick = str(tmp_path / "ivf_idx"), str(tmp_path / "i_ck")
+    cents = [(0, [0.0, 0.0]), (1, [1.0, 1.0])]
+    spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.9, 0.8])],
+        "vec_id long, embedding array<double>").coalesce(1) \
+        .write.mode("append").parquet(str(isrc))
+    q = run_ivf_index_stream(
+        spark.readStream
+        .schema("vec_id long, embedding array<double>")
+        .parquet(str(isrc)), cents, idir, ick)
+    assert q.awaitTermination(300)
+    got = read_params(spark, idir.rstrip("/") + "_params")
+    assert got is not None and got["n_cells"] == "2"
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        run_ivf_index_stream(
+            spark.readStream
+            .schema("vec_id long, embedding array<double>")
+            .parquet(str(isrc)),
+            [(0, [0.0, 0.5]), (1, [1.0, 1.0])],
+            idir, str(tmp_path / "i_ck2"))
+    # identical quantizer resumes fine
+    q = run_ivf_index_stream(
+        spark.readStream
+        .schema("vec_id long, embedding array<double>")
+        .parquet(str(isrc)), cents, idir, ick)
+    assert q.awaitTermination(300)
