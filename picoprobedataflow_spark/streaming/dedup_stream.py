@@ -80,8 +80,14 @@ def read_params(spark: SparkSession,
     pdir = os.path.join(state_dir, "params")
     if _fs_list(spark, pdir) is None:
         return None
-    return {r.key: r.value for r in
-            spark.read.schema(PARAMS_SCHEMA).parquet(pdir).collect()}
+    got = {r.key: r.value for r in
+           spark.read.schema(PARAMS_SCHEMA).parquet(pdir).collect()}
+    # A half-written params dir (directory created, rows never
+    # landed — a crash mid-first-write) reads as ABSENT, not as an
+    # empty parameter set: every caller persists a non-empty dict,
+    # so {} can only mean the write never completed and the next
+    # run should redo it rather than report a spurious mismatch.
+    return got or None
 
 
 def _ensure_params(spark: SparkSession, state_dir: str,

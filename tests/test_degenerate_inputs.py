@@ -761,3 +761,43 @@ def test_remove_frequent_lines_lone_cr_texts(spark):
     assert out[1].cleaned == "\r" and out[1].n_kept == 1
     assert out[2].cleaned == "keep me 2" and out[2].n_removed == 1
     assert out[3].cleaned == "keep me 3" and out[3].n_removed == 1
+
+
+def test_cms_cells_total_on_degenerate_texts(spark):
+    """Round-16 battery: the direct cell build is total on NULL,
+    empty and whitespace-only texts — split(trim(...)) yields a
+    single empty token for blank strings (both constructions bucket
+    it identically, so the drain≡batch pin holds on junk corpora
+    too) and NULL texts contribute nothing."""
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.functions.text import words
+    from picoprobedataflow_spark.streaming.cms_stream import (
+        _bucket, _cells_of)
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   \t  "), (4, "real token")],
+        "doc_id long, text string")
+    w, d = 8, 2
+    direct = {(r.seed, r.bucket): r.cell
+              for r in _cells_of(docs, "text", w, d).collect()}
+    # tf-form replay over the same frame
+    toks = docs.select(F.explode(words("text")).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    melted = None
+    for i in range(d):
+        part = tf.select(F.lit(i).cast("int").alias("seed"),
+                         _bucket(F.col("tok"), f"s{i}", w)
+                         .alias("bucket"), F.col("cnt"))
+        melted = part if melted is None else melted.unionByName(part)
+    tf_cells = {(r.seed, r.bucket): r.cell
+                for r in melted.groupBy("seed", "bucket")
+                .agg(F.sum("cnt").cast("long").alias("cell"))
+                .collect()}
+    assert direct == tf_cells
+    # every cell count is d rows per token of the SAME tokenizer
+    # (NULL text explodes to nothing; blank strings yield empty
+    # tokens — trim strips spaces, not tabs, so the tab doc splits
+    # to two empties; totality, not prettiness, is the contract)
+    assert sum(direct.values()) == d * toks.count()
+    assert toks.count() == 5

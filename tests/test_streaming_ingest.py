@@ -1681,3 +1681,21 @@ def test_stream_state_params_persisted_and_validated(spark, tmp_path):
         .schema("vec_id long, embedding array<double>")
         .parquet(str(isrc)), cents, idir, ick)
     assert q.awaitTermination(300)
+
+
+def test_stream_params_half_written_dir_reads_as_absent(spark,
+                                                        tmp_path):
+    """A params dir whose directory exists but whose rows never
+    landed (crash mid-first-write) must read as ABSENT — the next
+    run redoes the write — never as an empty parameter set that
+    spuriously mismatches every caller."""
+    import os
+
+    from picoprobedataflow_spark.streaming.dedup_stream import (
+        _ensure_params, read_params)
+
+    state = str(tmp_path / "state")
+    os.makedirs(os.path.join(state, "params"))
+    assert read_params(spark, state) is None
+    _ensure_params(spark, state, {"k": "3"})
+    assert read_params(spark, state) == {"k": "3"}
