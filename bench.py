@@ -476,7 +476,15 @@ def main() -> None:
                 write_batch(e, src)
                 t0 = time.perf_counter()
                 q = start_stream(src, state, ckpt)
-                q.awaitTermination(600)
+                # The boolean matters (review find): an ignored
+                # timeout would record ~600s as a "valid" epoch,
+                # then the next start_stream collides with the
+                # still-active query and rmtree pulls the source
+                # out from under it. Stop and skip the key instead.
+                if not q.awaitTermination(600):
+                    q.stop()
+                    raise RuntimeError(
+                        f"epoch {e} drain exceeded 600s")
                 times.append(round(time.perf_counter() - t0, 3))
             variant_reps[key] = times
             variant_timings[key] = times[-1]

@@ -39,10 +39,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from picoprobedataflow_spark.streaming.dedup_stream import (
-    _fs_list, _state, _write_epoch)
+    _state, _write_epoch)
 
 CELL_SCHEMA = "seed int, bucket long, cell long"
-META_SCHEMA = "w int, d int"
 
 #: Sketch geometry — shared by the batch family
 #: (:func:`..plans.pipeline.cms_heavy_hitters` uses its own gated
@@ -59,12 +58,14 @@ def read_meta(spark: SparkSession,
     ``coalesce(cell, 0)`` then returns est=0 for terms that DID
     occur, breaking the sketch's no-false-negative guarantee — so
     the geometry lives with the state, not in caller defaults
-    (round-15 ADVICE fix)."""
-    meta_dir = os.path.join(state_dir, "meta")
-    if _fs_list(spark, meta_dir) is None:
-        return None
-    row = spark.read.schema(META_SCHEMA).parquet(meta_dir).head()
-    return (row.w, row.d) if row else None
+    (round-15 ADVICE fix). Backed by the shared
+    :func:`..streaming.dedup_stream.read_params` state-identity
+    table (round-16 dedup: one persistence mechanism, hardened
+    once)."""
+    from picoprobedataflow_spark.streaming.dedup_stream import \
+        read_params
+    p = read_params(spark, state_dir)
+    return (int(p["w"]), int(p["d"])) if p else None
 
 
 def _ensure_meta(spark: SparkSession, state_dir: str,
@@ -72,17 +73,15 @@ def _ensure_meta(spark: SparkSession, state_dir: str,
     """Persist (w, d) on first run; on a resumed state dir, reject a
     geometry change loudly (cells built under two geometries would
     merge into nonsense)."""
+    from picoprobedataflow_spark.streaming.dedup_stream import \
+        _ensure_params
     existing = read_meta(spark, state_dir)
-    if existing is not None:
-        if existing != (w, d):
-            raise ValueError(
-                f"sketch geometry mismatch: state dir {state_dir} "
-                f"was built with (w, d)={existing}, caller asked "
-                f"for ({w}, {d})")
-        return
-    (spark.createDataFrame([(w, d)], META_SCHEMA)
-     .coalesce(1).write.mode("overwrite")
-     .parquet(os.path.join(state_dir, "meta")))
+    if existing is not None and existing != (w, d):
+        raise ValueError(
+            f"sketch geometry mismatch: state dir {state_dir} "
+            f"was built with (w, d)={existing}, caller asked "
+            f"for ({w}, {d})")
+    _ensure_params(spark, state_dir, {"w": str(w), "d": str(d)})
 
 
 def _bucket(tok, seed, w: int):

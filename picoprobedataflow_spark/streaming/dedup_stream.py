@@ -30,6 +30,7 @@ checksums to durable LSH state with near-dup semantics.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,6 +43,10 @@ SIG_SCHEMA = "doc_id long, salt bigint, minhash bigint"
 BAND_SCHEMA = "doc_id long, band bigint, band_sig string"
 
 
+#: URI-scheme detector for the Connect fallback below.
+_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+
+
 def _fs_list(spark: SparkSession, path: str) -> list[str] | None:
     """Child entry NAMES of ``path`` via the Hadoop FileSystem API,
     or ``None`` when the path does not exist. Round-16 ADVICE fix:
@@ -51,15 +56,50 @@ def _fs_list(spark: SparkSession, path: str) -> list[str] | None:
     returned None and state reads degraded to empty, a silent
     correctness/performance degradation. Resolving through the
     JVM-side FileSystem makes remote URIs either work or fail loudly
-    (an unknown scheme raises from ``getFileSystem``). Classic
-    (non-Connect) sessions only — the same boundary every
-    ``_jdf``-based plan assertion in the test suite already assumes."""
-    jvm = spark._jvm
+    (an unknown scheme raises from ``getFileSystem``).
+
+    Spark Connect sessions have no ``_jvm`` (round-16 review find —
+    an unconditional ``_jvm`` probe would have regressed Connect
+    users with LOCAL state dirs, who worked fine under the old
+    os-probe): schemeless and ``file:`` paths fall back to the
+    os-level probe, and a REMOTE URI under Connect raises
+    NotImplementedError rather than silently reading as absent."""
+    try:
+        jvm = spark._jvm
+        jconf = spark._jsc.hadoopConfiguration()
+    except Exception:
+        jvm = None
+    if jvm is None:
+        local = path[7:] if path.startswith("file://") else path
+        if _URI_RE.match(local):
+            raise NotImplementedError(
+                f"remote state path {path!r} needs a classic "
+                f"(non-Connect) session: Spark Connect exposes no "
+                f"Hadoop FileSystem handle to list it")
+        if not os.path.isdir(local):
+            return None
+        return os.listdir(local)
     hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs = hpath.getFileSystem(jconf)
     if not fs.exists(hpath):
         return None
     return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
+def _fn_name(fn) -> str:
+    """Stable cross-process identity string for a hash callable —
+    the params-pin currency. ``module.qualname`` is stable where a
+    bare ``repr`` embeds a memory address (round-16 review find: a
+    ``functools.partial`` pinned its address and every legitimate
+    resume then failed). Unnamed callables pin a generic marker —
+    the guard cannot distinguish two anonymous functions, which is
+    documented: give custom hash functions a real ``__name__``."""
+    mod = getattr(fn, "__module__", None)
+    qual = getattr(fn, "__qualname__", None) or getattr(
+        fn, "__name__", None)
+    if qual is None:
+        return "custom:unnamed"
+    return f"{mod}.{qual}" if mod else qual
 
 
 PARAMS_SCHEMA = "key string, value string"
@@ -156,7 +196,7 @@ def run_incremental_dedup_stream(doc_stream: DataFrame, state_dir: str,
     _ensure_params(spark, state_dir, {
         "num_hashes": str(num_hashes), "k": str(k),
         "band_size": str(band_size),
-        "hash_fn": getattr(hash_fn, "__name__", repr(hash_fn))})
+        "hash_fn": _fn_name(hash_fn)})
     sig_dir = os.path.join(state_dir, "sigs")
     band_dir = os.path.join(state_dir, "bands")
     pair_dir = os.path.join(state_dir, "pairs")
@@ -231,6 +271,13 @@ def run_image_dedup_stream(image_stream: DataFrame, state_dir: str,
         image_phash
 
     spark = image_stream.sparkSession
+    # State-identity params (round-16 review find — this loop was
+    # left out of the guard): the stored simhash encodes grid and
+    # codec; resuming under either changed silently hamming-compares
+    # two incompatible fingerprint spaces. max_hamming / n_chunks
+    # are pairing policy, not state encoding, and stay free.
+    _ensure_params(spark, state_dir, {"grid": str(grid),
+                                      "codec": str(codec)})
     sig_dir = os.path.join(state_dir, "sigs")
     pair_dir = os.path.join(state_dir, "pairs")
 

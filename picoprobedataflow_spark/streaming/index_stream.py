@@ -64,9 +64,14 @@ def run_ivf_index_stream(vec_stream: DataFrame, cent_rows,
     from picoprobedataflow_spark.streaming.dedup_stream import \
         _ensure_params
 
+    # sorted(): the digest must be ORDER-INSENSITIVE (round-16
+    # review find) — the docstring sanctions cent_rows collected
+    # from kmeans_centroids, and collect() order is not guaranteed
+    # across processes, so an order-sensitive digest would reject a
+    # legitimate resume of the identical quantizer.
     digest = hashlib.md5(
-        repr([(c, [float(x) for x in v])
-              for c, v in cent_rows]).encode()).hexdigest()
+        repr(sorted((int(c), [float(x) for x in v])
+                    for c, v in cent_rows)).encode()).hexdigest()
     _ensure_params(vec_stream.sparkSession,
                    index_dir.rstrip("/") + "_params",
                    {"centroids_md5": digest,

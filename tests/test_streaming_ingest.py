@@ -1599,8 +1599,11 @@ def test_stream_state_params_persisted_and_validated(spark, tmp_path):
         num_hashes=8, k=3, band_size=2)
     assert q.awaitTermination(300)
     got = read_params(spark, dstate)
-    assert got == {"num_hashes": "8", "k": "3", "band_size": "2",
-                   "hash_fn": "portable_hash64"}
+    assert got == {
+        "num_hashes": "8", "k": "3", "band_size": "2",
+        "hash_fn":
+            "picoprobedataflow_spark.functions.scalar"
+            ".portable_hash64"}
     with pytest.raises(ValueError, match="parameter mismatch"):
         run_incremental_dedup_stream(
             spark.readStream.schema("doc_id long, text string")
@@ -1699,3 +1702,66 @@ def test_stream_params_half_written_dir_reads_as_absent(spark,
     assert read_params(spark, state) is None
     _ensure_params(spark, state, {"k": "3"})
     assert read_params(spark, state) == {"k": "3"}
+
+
+def test_image_stream_params_and_ivf_digest_order_insensitive(
+        spark, tmp_path):
+    """Round-16 review finds, pinned: (a) the image dedup loop pins
+    grid/codec (its simhash state encodes both — it was the one loop
+    the params guard missed); (b) the IVF quantizer digest is
+    order-insensitive, so resuming with the SAME centroid set
+    collected in a different row order is accepted, while a changed
+    centroid VALUE still rejects."""
+    import pytest
+
+    from picoprobedataflow_spark.streaming.dedup_stream import (
+        read_params, run_image_dedup_stream)
+    from picoprobedataflow_spark.streaming.index_stream import \
+        run_ivf_index_stream
+
+    # --- image loop params
+    isrc = tmp_path / "img_in"
+    isrc.mkdir()
+    istate, ick = str(tmp_path / "img_state"), str(tmp_path / "img_ck")
+    img_schema = ("path string, width int, height int, image binary")
+    px = bytes(range(64))
+    spark.createDataFrame([("a.img", 8, 8, px)], img_schema) \
+        .coalesce(1).write.mode("append").parquet(str(isrc))
+    q = run_image_dedup_stream(
+        spark.readStream.schema(img_schema).parquet(str(isrc)),
+        istate, ick, grid=8)
+    assert q.awaitTermination(300)
+    assert read_params(spark, istate) == {"grid": "8",
+                                          "codec": "auto"}
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        run_image_dedup_stream(
+            spark.readStream.schema(img_schema).parquet(str(isrc)),
+            istate, str(tmp_path / "img_ck2"), grid=16)
+
+    # --- IVF digest order-insensitivity
+    vsrc = tmp_path / "v_in"
+    vsrc.mkdir()
+    vdir, vck = str(tmp_path / "v_idx"), str(tmp_path / "v_ck")
+    spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<double>") \
+        .coalesce(1).write.mode("append").parquet(str(vsrc))
+    cents = [(0, [0.0, 0.0]), (1, [1.0, 1.0])]
+    q = run_ivf_index_stream(
+        spark.readStream
+        .schema("vec_id long, embedding array<double>")
+        .parquet(str(vsrc)), cents, vdir, vck)
+    assert q.awaitTermination(300)
+    # same set, reversed order: accepted
+    q = run_ivf_index_stream(
+        spark.readStream
+        .schema("vec_id long, embedding array<double>")
+        .parquet(str(vsrc)), list(reversed(cents)), vdir, vck)
+    assert q.awaitTermination(300)
+    # changed value: rejected
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        run_ivf_index_stream(
+            spark.readStream
+            .schema("vec_id long, embedding array<double>")
+            .parquet(str(vsrc)),
+            [(0, [0.0, 0.25]), (1, [1.0, 1.0])],
+            vdir, str(tmp_path / "v_ck2"))
