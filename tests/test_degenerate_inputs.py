@@ -801,3 +801,40 @@ def test_cms_cells_total_on_degenerate_texts(spark):
     # to two empties; totality, not prettiness, is the contract)
     assert sum(direct.values()) == d * toks.count()
     assert toks.count() == 5
+
+
+def test_select_token_budget_degenerate_inputs(spark):
+    """Round-16 battery, budget-selection surfaces: budget=0 keeps
+    nothing (the first doc's cum_before=0 fails the strict <);
+    zero-token docs are FREE (they never advance the cumsum, so they
+    ride inside any budget their position reaches); an all-equal
+    order key collapses every doc into ONE bucket (the id tie-break
+    carries the whole order) and negative ids keep shard contiguity
+    under truncating integer division — the sharded three-level form
+    stays value-identical to the single-window baseline on all of
+    it."""
+    from picoprobedataflow_spark.operators.packing import (
+        select_token_budget, select_token_budget_single_window)
+
+    docs = spark.createDataFrame(
+        [(-65, 500, 10), (-64, 500, 0), (-1, 500, 3),
+         (0, 500, 0), (1, 500, 7), (63, 500, 5), (64, 500, 2)],
+        "doc_id long, qb long, n_tokens long")
+
+    assert select_token_budget(docs, 0).count() == 0
+
+    for budget in (1, 10, 13, 20, 100):
+        a = {(r.doc_id, r.cum_before)
+             for r in select_token_budget(docs, budget).collect()}
+        b = {(r.doc_id, r.cum_before)
+             for r in select_token_budget_single_window(
+                 docs, budget).collect()}
+        assert a == b, budget
+
+    # zero-token docs never advance the cumsum: with budget=11 the
+    # walk (id ASC inside the single qb bucket) admits every doc
+    # whose preceding token mass is < 11 — the zero-token doc at
+    # cum 10 rides free; the one at cum 13 is past the budget
+    got = {r.doc_id: r.cum_before
+           for r in select_token_budget(docs, 11).collect()}
+    assert got == {-65: 0, -64: 10, -1: 10}
