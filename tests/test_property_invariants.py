@@ -506,3 +506,115 @@ def test_hits_matches_numpy_on_random_graphs(spark, edges, n_iter):
     for n, (wh, wa) in want.items():
         assert abs(got[n][0] - wh) < 1e-9, n
         assert abs(got[n][1] - wa) < 1e-9, n
+
+
+def _ref_cms_cells(texts: list[str], w: int, d: int):
+    """Independent pure-Python CMS cell model: hashlib md5 replays
+    the engine's bucket convention (first 8 hex chars of
+    md5(seed||tok), base-16, mod w), token split replays words()
+    exactly (trim strips SPACES only; split on \\s+; an empty/blank
+    string yields empty tokens — totality, both engines count
+    them)."""
+    import hashlib
+    import re as _re
+
+    cells: dict[tuple[int, int], int] = {}
+    for t in texts:
+        for tok in _re.split(r"\s+", t.strip(" ")):
+            for i in range(d):
+                b = int(hashlib.md5(
+                    (f"s{i}" + tok).encode()).hexdigest()[:8],
+                    16) % w
+                cells[(i, b)] = cells.get((i, b), 0) + 1
+    return cells
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(_TEXT, min_size=1, max_size=8),
+       w=st.sampled_from([1, 2, 7, 16]),
+       d=st.sampled_from([1, 2, 3]),
+       cut=st.integers(0, 8))
+def test_cms_cells_match_model_monoid_and_never_under(spark, texts,
+                                                      w, d, cut):
+    """Three CMS invariants against an independent hashlib model on
+    collision-heavy corpora: (1) the direct Spark cell build equals
+    the model cell-for-cell (pins the md5-bucket convention itself,
+    not just Spark-vs-DuckDB agreement); (2) the sketch is a MONOID —
+    cells of the whole corpus equal the cell-wise sum of any split's
+    parts (the streaming merge's algebra, on arbitrary splits, not
+    just the fixture's three batches); (3) min-over-rows estimates
+    never underestimate any term's true count at any geometry,
+    including the w=1 total-collapse."""
+    from picoprobedataflow_spark.streaming.cms_stream import _cells_of
+
+    def cells_of(ts):
+        if not ts:
+            return {}
+        df = spark.createDataFrame([(t,) for t in ts], "text string")
+        return {(r.seed, r.bucket): r.cell
+                for r in _cells_of(df, "text", w, d).collect()}
+
+    whole = cells_of(texts)
+    model = _ref_cms_cells(texts, w, d)
+    assert whole == model
+
+    cut = min(cut, len(texts))
+    left, right = cells_of(texts[:cut]), cells_of(texts[cut:])
+    merged: dict[tuple[int, int], int] = dict(left)
+    for key2, v in right.items():
+        merged[key2] = merged.get(key2, 0) + v
+    assert merged == whole
+
+    import hashlib
+    import re as _re
+    truth: dict[str, int] = {}
+    for t in texts:
+        for tok in _re.split(r"\s+", t.strip(" ")):
+            truth[tok] = truth.get(tok, 0) + 1
+    for tok, n in truth.items():
+        est = min(
+            whole.get((i, int(hashlib.md5(
+                (f"s{i}" + tok).encode()).hexdigest()[:8], 16) % w),
+                0)
+            for i in range(d))
+        assert est >= n, (tok, est, n)
+
+
+def _ref_hits(edges: list[tuple[int, int]], n_iter: int):
+    """Naive L1-normalized HITS reference (pure Python floats)."""
+    es = sorted(set(edges))
+    nodes = sorted({u for e in es for u in e})
+    hub = {n: 1.0 / len(nodes) for n in nodes}
+    auth = dict(hub)
+    for _ in range(n_iter):
+        a = {n: 0.0 for n in nodes}
+        for u, v in es:
+            a[v] += hub[u]
+        t = sum(a[n] for n in nodes)
+        auth = {n: (a[n] / t if t > 0 else 0.0) for n in nodes}
+        h = {n: 0.0 for n in nodes}
+        for u, v in es:
+            h[u] += auth[v]
+        t = sum(h[n] for n in nodes)
+        hub = {n: (h[n] / t if t > 0 else 0.0) for n in nodes}
+    return hub, auth
+
+
+@settings(**_SETTINGS)
+@given(edges=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5)),
+                      min_size=1, max_size=12))
+def test_hits_matches_reference_on_random_graphs(spark, edges):
+    """HITS against the naive model on hypothesis graphs — self
+    loops, multi-edges (collapsed), disconnected stars, pure sinks:
+    hub/auth agree within FP-summation tolerance and each vector
+    sums to 1 (or 0 for a structurally hub-free/auth-free side)."""
+    from picoprobedataflow_spark.operators.graph import hits
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub, r.auth)
+           for r in hits(df, n_iter=3, round_digits=None).collect()}
+    hub, auth = _ref_hits(edges, 3)
+    assert set(got) == set(hub)
+    for n in hub:
+        assert abs(got[n][0] - hub[n]) < 1e-9, (n, got[n], hub[n])
+        assert abs(got[n][1] - auth[n]) < 1e-9, (n, got[n], auth[n])
