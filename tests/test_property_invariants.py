@@ -580,41 +580,98 @@ def test_cms_cells_match_model_monoid_and_never_under(spark, texts,
         assert est >= n, (tok, est, n)
 
 
-def _ref_hits(edges: list[tuple[int, int]], n_iter: int):
-    """Naive L1-normalized HITS reference (pure Python floats)."""
-    es = sorted(set(edges))
-    nodes = sorted({u for e in es for u in e})
-    hub = {n: 1.0 / len(nodes) for n in nodes}
-    auth = dict(hub)
-    for _ in range(n_iter):
-        a = {n: 0.0 for n in nodes}
-        for u, v in es:
-            a[v] += hub[u]
-        t = sum(a[n] for n in nodes)
-        auth = {n: (a[n] / t if t > 0 else 0.0) for n in nodes}
-        h = {n: 0.0 for n in nodes}
-        for u, v in es:
-            h[u] += auth[v]
-        t = sum(h[n] for n in nodes)
-        hub = {n: (h[n] / t if t > 0 else 0.0) for n in nodes}
-    return hub, auth
+
+def _ref_wet_parse(member: str):
+    """Independent pure-Python WET parse model (re module, not Spark
+    regexes): boundary split, version-line strip, first-blank-line
+    header/body divider, trailing-terminator strip, case-blind field
+    extraction, int64-bounded Content-Length, conversion filter."""
+    import re as _re
+
+    out = []
+    for pos, value in enumerate(
+            _re.split(r"\r\n\r\nWARC/1\.0\r\n", member)):
+        r = _re.sub(r"\A(﻿)?WARC/1\.0\r?\n", "", value)
+        m = _re.search(r"\r?\n\r?\n", r)
+        if m:
+            hdr, body = r[:m.start()], r[m.end():]
+            body = _re.sub(r"\r\n\r\n\Z", "", body)
+        else:
+            hdr, body = r, None
+
+        def h(field, _hdr=hdr):
+            mm = _re.search(rf"(?mi)^{field}:[ \t]*([^\r\n]*)", _hdr)
+            return mm.group(1) if mm else ""
+
+        if h("WARC-Type") != "conversion":
+            continue
+        uri = h("WARC-Target-URI") or None
+        raw_cl = h("Content-Length") or None
+        cl = None
+        if raw_cl is not None:
+            try:
+                cl = int(raw_cl.strip())
+            except ValueError:
+                cl = None
+            if cl is not None and not -2**63 <= cl < 2**63:
+                cl = None
+        out.append((pos, uri, cl, body if body is not None else ""))
+    return out
+
+
+_WET_BODY = st.lists(st.sampled_from(
+    ["plain text", "", "line one\r\n", "\n", "WARC/1.0",
+     "\r\n\r\n", "\r\n\r\nWARC/1.0\r\n", "héllo 中文", "a b  c",
+     "WARC-Type: response"]), max_size=4).map("".join)
+_WET_CL = st.one_of(
+    st.none(), st.integers(-10, 200).map(str), st.just("12abc"),
+    st.just("99999999999999999999"), st.just(""))
+_WET_REC = st.tuples(
+    st.sampled_from(["conversion", "response", "warcinfo"]),
+    st.one_of(st.none(),
+              st.text(alphabet="abz09._/-:", min_size=0,
+                      max_size=10)),
+    _WET_CL, _WET_BODY, st.booleans())
 
 
 @settings(**_SETTINGS)
-@given(edges=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5)),
-                      min_size=1, max_size=12))
-def test_hits_matches_reference_on_random_graphs(spark, edges):
-    """HITS against the naive model on hypothesis graphs — self
-    loops, multi-edges (collapsed), disconnected stars, pure sinks:
-    hub/auth agree within FP-summation tolerance and each vector
-    sums to 1 (or 0 for a structurally hub-free/auth-free side)."""
-    from picoprobedataflow_spark.operators.graph import hits
+@given(recs=st.lists(_WET_REC, min_size=1, max_size=5),
+       bom=st.booleans())
+def test_wet_parse_matches_re_model(spark, recs, bom):
+    """The production WET parser vs an independent Python-re model
+    on hypothesis-assembled members: bodies embedding the version
+    string, the full record boundary, bare blank lines and
+    multi-byte text; URI-less records; empty / malformed / overflow
+    / negative Content-Length; mixed-case field names; non-
+    conversion records; an optional BOM. Every extraction rule the
+    wet_parse family gates must agree with plain `re` semantics,
+    record for record, at any record position (phantom fragments
+    from quoted dumps shift positions identically on both sides)."""
+    from pyspark.sql import functions as F
 
-    df = spark.createDataFrame(edges, "src long, dst long")
-    got = {r.node: (r.hub, r.auth)
-           for r in hits(df, n_iter=3, round_digits=None).collect()}
-    hub, auth = _ref_hits(edges, 3)
-    assert set(got) == set(hub)
-    for n in hub:
-        assert abs(got[n][0] - hub[n]) < 1e-9, (n, got[n], hub[n])
-        assert abs(got[n][1] - auth[n]) < 1e-9, (n, got[n], auth[n])
+    from picoprobedataflow_spark.io.warc import _parse_wet
+
+    def rec(rtype, uri, cl, body, cased):
+        h = [("Warc-Type: " if cased else "WARC-Type: ") + rtype]
+        if uri is not None:
+            h.append(("WARC-TARGET-URI: " if cased
+                      else "WARC-Target-URI: ") + uri)
+        if cl is not None:
+            h.append(("CONTENT-LENGTH: " if cased
+                      else "Content-Length: ") + cl)
+        return "WARC/1.0\r\n" + "\r\n".join(h) + "\r\n\r\n" + body
+
+    member = "\r\n\r\n".join(rec(*r) for r in recs) + "\r\n\r\n"
+    if bom:
+        member = "﻿" + member
+
+    raw = (spark.range(1)
+           .select(F.posexplode(F.split(
+               F.lit(member),
+               r"\r\n\r\nWARC/1\.0\r\n")).alias("pos", "value")))
+    got = sorted(
+        (r.pos, r.target_uri, r.content_length, r.text)
+        for r in _parse_wet(raw, "conversion",
+                            extra_cols=("pos",)).collect())
+    want = sorted(_ref_wet_parse(member))
+    assert got == want
