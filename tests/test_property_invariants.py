@@ -675,3 +675,65 @@ def test_wet_parse_matches_re_model(spark, recs, bom):
                             extra_cols=("pos",)).collect())
     want = sorted(_ref_wet_parse(member))
     assert got == want
+
+
+def _ref_line_clean(docs, min_df):
+    """Naive line-removal model: trimmed-key df over DISTINCT docs,
+    blank keys exempt, untrimmed lines survive, NULL passes
+    through."""
+    import re as _re
+
+    dfreq: dict[str, int] = {}
+    split: dict[int, list] = {}
+    for i, t in docs:
+        if t is None:
+            continue
+        lines = _re.split(r"\r?\n", t)
+        split[i] = lines
+        for k in {ln.strip(" \t") for ln in lines
+                  if ln.strip(" \t") != ""}:
+            dfreq[k] = dfreq.get(k, 0) + 1
+    out = {}
+    for i, t in docs:
+        if t is None:
+            out[i] = (None, 0, 0)
+            continue
+        kept, removed = [], 0
+        for ln in split[i]:
+            k = ln.strip(" \t")
+            if k != "" and dfreq.get(k, 0) >= min_df:
+                removed += 1
+            else:
+                kept.append(ln)
+        out[i] = ("\n".join(kept), removed,
+                  len(split[i]) - removed)
+    return out
+
+
+_LINE = st.sampled_from(
+    ["", " ", "\t", "nav bar", "nav bar ", "  nav bar",
+     "\tnav bar\t", "body", "x y", "héllo"])
+_LINE_DOC = st.one_of(
+    st.none(),
+    st.tuples(st.lists(_LINE, min_size=1, max_size=6),
+              st.sampled_from(["\n", "\r\n"]))
+    .map(lambda t: t[1].join(t[0])))
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(_LINE_DOC, min_size=1, max_size=6),
+       min_df=st.integers(1, 4))
+def test_remove_frequent_lines_matches_model(spark, texts, min_df):
+    """Line-grain boilerplate removal vs the naive dict model on
+    hypothesis docs: CRLF and LF endings, whitespace-padded
+    spellings of one key (trim collapses them for df but the
+    UNTRIMMED line is what survives), blank/tab-only lines exempt,
+    within-doc repeats counting once toward df, NULL texts passing
+    through, min_df=1 removing every non-blank line."""
+    docs = list(enumerate(texts))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.cleaned, r.n_removed, r.n_kept)
+           for r in DD.remove_frequent_lines(
+               sdf, min_df=min_df).collect()}
+    want = _ref_line_clean(docs, min_df)
+    assert got == want
