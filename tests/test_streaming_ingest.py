@@ -1765,3 +1765,31 @@ def test_image_stream_params_and_ivf_digest_order_insensitive(
             .parquet(str(vsrc)),
             [(0, [0.0, 0.25]), (1, [1.0, 1.0])],
             vdir, str(tmp_path / "v_ck2"))
+
+
+def test_fs_list_connect_fallback_branch(tmp_path):
+    """The Spark-Connect degradation path of _fs_list, simulated
+    with a session object that has no _jvm: local paths fall back to
+    the os probe (round-16 review find — Connect users with local
+    state dirs must keep working), file:-prefixed local paths
+    resolve, and a REMOTE URI raises loudly instead of silently
+    reading as absent."""
+    import pytest
+
+    from picoprobedataflow_spark.streaming.dedup_stream import \
+        _fs_list
+
+    class _NoJvm:
+        @property
+        def _jvm(self):
+            raise AttributeError("Spark Connect: no _jvm")
+
+    fake = _NoJvm()
+    d = tmp_path / "state"
+    d.mkdir()
+    (d / "epoch=0").mkdir()
+    assert _fs_list(fake, str(d)) == ["epoch=0"]
+    assert _fs_list(fake, "file://" + str(d)) == ["epoch=0"]
+    assert _fs_list(fake, str(tmp_path / "missing")) is None
+    with pytest.raises(NotImplementedError, match="non-Connect"):
+        _fs_list(fake, "s3a://bucket/state")
