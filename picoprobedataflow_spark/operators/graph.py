@@ -34,7 +34,8 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
              seeds: DataFrame | None = None,
              weight_col: str | None = None,
              init_ranks: DataFrame | None = None,
-             normalize_init: bool = True) -> DataFrame:
+             normalize_init: bool = True,
+             prebuilt: bool = False) -> DataFrame:
     """(node, outdeg, pr): PageRank after exactly ``n_iter`` power
     iterations from the uniform vector, with dangling-mass
     redistribution::
@@ -103,15 +104,33 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
     same-graph start. Plan impact: ONE extra node-keyed left join
     (+ a 1-row sum broadcast when normalizing) before the loop; the
     per-iteration shape is unchanged. The default ``None`` keeps
-    the cold-start arithmetic bit-for-bit (the gated family)."""
+    the cold-start arithmetic bit-for-bit (the gated family).
+
+    ``prebuilt`` (round 16) declares that ``edges`` is ALREADY
+    (src, dst)-deduplicated, src-partitioned and materialized — the
+    exact frame this function's own build step would produce — and
+    skips that step. For a caller running SEVERAL rank computations
+    over one graph (:func:`spam_mass` runs two; an epoch loop
+    sweeping damping values runs more), the build — a full edge
+    distinct, the dominant cost at corpus scale — then happens once
+    instead of once per run. Values are unchanged (distinct of a
+    distinct frame is the identity; partitioning never affects the
+    arithmetic). Unweighted mode only — the weighted build bakes
+    weight normalization into the materialized frame."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
+    if prebuilt and weight_col is not None:
+        raise ValueError(
+            "prebuilt edges are unweighted-only: the weighted build "
+            "folds weight collapse/normalization into the "
+            "materialized frame")
     if weight_col is None:
-        e = (edges.select(F.col(src_col).alias("src"),
-                          F.col(dst_col).alias("dst"))
-             .distinct()
-             .repartition("src")
-             .localCheckpoint(eager=True))
+        e = edges.select(F.col(src_col).alias("src"),
+                         F.col(dst_col).alias("dst"))
+        if not prebuilt:
+            e = (e.distinct()
+                 .repartition("src")
+                 .localCheckpoint(eager=True))
         node_src = e
     else:
         raw = edges.select(F.col(src_col).alias("src"),
@@ -435,18 +454,24 @@ def spam_mass(edges: DataFrame, seeds: DataFrame,
     demotes); near or below 0 means trusted flow covers it.
 
     A pure composition of two :func:`pagerank` runs (uniform +
-    seeded) joined on node — no third iteration engine; cost is
-    exactly 2× one pagerank. ``pr`` is strictly positive for any
+    seeded) joined on node — no third iteration engine. The edge
+    table builds ONCE (round 16: the dedup/materialize step — a full
+    corpus-scale distinct — used to run inside each pagerank call;
+    the shared ``prebuilt`` frame halves it), so cost is one graph
+    build + 2× the iteration loops. ``pr`` is strictly positive for any
     ``damping < 1`` (the uniform restart mass reaches every node);
     at the degenerate ``damping = 1.0`` a node with no in-links has
     ``pr = 0`` and its ratio is undefined — ``rel_spam_mass`` is
     NULL there, not a crash (the ANSI totality convention)."""
-    pr = pagerank(edges, n_iter=n_iter, damping=damping,
-                  src_col=src_col, dst_col=dst_col,
-                  round_digits=None)
-    tr = pagerank(edges, n_iter=n_iter, damping=damping,
-                  src_col=src_col, dst_col=dst_col,
-                  round_digits=None, seeds=seeds)
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .distinct()
+         .repartition("src")
+         .localCheckpoint(eager=True))
+    pr = pagerank(e, n_iter=n_iter, damping=damping,
+                  round_digits=None, prebuilt=True)
+    tr = pagerank(e, n_iter=n_iter, damping=damping,
+                  round_digits=None, seeds=seeds, prebuilt=True)
     j = (pr.select("node", F.col("pr"))
          .join(tr.select("node", F.col("pr").alias("trust")),
                "node"))

@@ -4441,3 +4441,35 @@ def test_chi2_single_shared_category_and_top_k_one(spark):
     got2 = {r.category for r in
             chi2_report(tied, tied, "cat", top_k=1).collect()}
     assert got2 == {"alpha", "__other__"}
+
+
+def test_pagerank_prebuilt_equals_from_scratch(spark):
+    """pagerank(prebuilt=True) over a pre-deduped/materialized edge
+    frame is BIT-IDENTICAL to the from-scratch build (distinct of a
+    distinct is the identity; partitioning never touches the
+    arithmetic) — uniform AND seeded, with duplicate raw edges and
+    dangling nodes in play; the weighted mode rejects prebuilt."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from picoprobedataflow_spark.operators.graph import pagerank
+
+    raw = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 2), (2, 0), (3, 0), (0, 3), (4, 4)],
+        "src long, dst long")
+    pre = (raw.select("src", "dst").distinct()
+           .repartition("src").localCheckpoint(eager=True))
+    seeds = spark.createDataFrame([(0,), (3,)], "node long")
+    for kw in ({}, {"seeds": seeds},
+               {"init_ranks": spark.createDataFrame(
+                   [(0, 0.5), (1, 0.5)], "node long, pr double")}):
+        a = {r.node: (r.outdeg, r.pr)
+             for r in pagerank(raw, n_iter=3, round_digits=None,
+                               **kw).collect()}
+        b = {r.node: (r.outdeg, r.pr)
+             for r in pagerank(pre, n_iter=3, round_digits=None,
+                               prebuilt=True, **kw).collect()}
+        assert a == b, kw
+    with pytest.raises(ValueError, match="unweighted-only"):
+        pagerank(pre.withColumn("w", F.lit(1.0)), weight_col="w",
+                 prebuilt=True)
