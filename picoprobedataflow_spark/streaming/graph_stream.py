@@ -137,7 +137,14 @@ def run_pagerank_stream(edge_stream: DataFrame, state_dir: str,
         # duplicates and a replayed epoch re-derives the same delta.
         new_edges = delta.join(prior_edges, ["src", "dst"],
                                "left_anti")
-        graph = prior_edges.unionByName(delta).distinct()
+        # Build the per-epoch graph ONCE in the operator's own
+        # materialized shape and hand it over prebuilt (round 16):
+        # pagerank's internal build would otherwise re-distinct the
+        # already-distinct union — a second full edge shuffle per
+        # epoch on top of the one the union needs.
+        graph = (prior_edges.unionByName(delta).distinct()
+                 .repartition("src")
+                 .localCheckpoint(eager=True))
         # prior vector = the LATEST pre-epoch rank partition (the
         # before_epoch scope keeps a replayed epoch from reading its
         # own partial write back — the _state rule, applied to the
@@ -153,11 +160,12 @@ def run_pagerank_stream(edge_stream: DataFrame, state_dir: str,
                     .select("node", "pr"))
         if init is None:
             out = pagerank(graph, n_iter=n_iter_cold,
-                           damping=damping, round_digits=None)
+                           damping=damping, round_digits=None,
+                           prebuilt=True)
         else:
             out = pagerank(graph, n_iter=n_iter_warm,
                            damping=damping, round_digits=None,
-                           init_ranks=init)
+                           init_ranks=init, prebuilt=True)
         _write_epoch(out.select("node", "pr"), rank_dir, epoch_id)
         _write_epoch(new_edges, edge_dir, epoch_id)
 
