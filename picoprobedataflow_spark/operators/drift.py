@@ -194,16 +194,119 @@ def ks_reference(ref: DataFrame, value_col: str,
     return KsReference(counts, round_to)
 
 
+#: Shard count for the distributed ECDF cumulative sum. The shard
+#: map is a deterministic monotone bucketization of the value range
+#: (exact min/max linear binning), so shard order ≡ value order and
+#: the two-phase cumsum is bit-identical to the global window form
+#: (pytest-pinned) — the :mod:`..operators.packing` discipline
+#: applied to a double ordering key.
+KS_SHARDS = 64
+
+
+def _joined_counts(cur: DataFrame, value_col: str,
+                   reference: KsReference) -> DataFrame:
+    """(v, c_ref, c_cur): the full-outer merge of the two sides'
+    per-distinct-value count tables — the frame both KS
+    formulations cumulate over."""
+    return (reference.counts
+            .join(_value_counts(cur, value_col, reference.round_to,
+                                "c_cur"), "v", "full_outer")
+            .select("v", F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+                    F.coalesce("c_cur", F.lit(0)).alias("c_cur")))
+
+
+def _ks_of_d(c: DataFrame, d: DataFrame) -> DataFrame:
+    """Fold the per-value |ΔECDF| column ``_d`` into the one-row
+    (n_ref, n_cur, ks) contract. Always-one-row even on empty
+    inputs (d is then empty and a groupBy would emit nothing):
+    totals and the max fold independently, then cross-join (both
+    1-row)."""
+    tot = c.agg(F.sum("c_ref").cast("long").alias("n_ref"),
+                F.sum("c_cur").cast("long").alias("n_cur"))
+    mx = d.agg(F.round(F.max("_d"), 6).alias("ks"))
+    return (tot.select(F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                       F.coalesce("n_cur", F.lit(0)).alias("n_cur"))
+            .crossJoin(F.broadcast(mx)))
+
+
 def ks_score(cur: DataFrame, value_col: str,
-             reference: KsReference) -> DataFrame:
+             reference: KsReference,
+             n_shards: int = KS_SHARDS) -> DataFrame:
     """Score one current snapshot against a prebuilt
     :class:`KsReference` — the repeated half. See :func:`ks_report`
-    for the one-row contract."""
-    c = (reference.counts
-         .join(_value_counts(cur, value_col, reference.round_to,
-                             "c_cur"), "v", "full_outer")
-         .select("v", F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
-                 F.coalesce("c_cur", F.lit(0)).alias("c_cur")))
+    for the one-row contract.
+
+    Deployed formulation (round 17): the ECDF cumulative sums run as
+    a TWO-PHASE sharded scan, not one global ordered window — the
+    previous ``Window.orderBy(v)`` funneled the whole distinct-value
+    table through a single task, which approaches the row count on a
+    continuous column with the default ``round_to=None`` (the one
+    scale-unsafe default VERDICT r16 flagged). Phase layout:
+
+    1. shard = deterministic monotone linear binning of ``v`` over
+       the exact [min, max] range (a 1-row agg, broadcast — the
+       scalar-agg convention; exact min/max keeps the map
+       deterministic where an approx-quantile edge set could drift
+       between plan branches);
+    2. within-shard cumsum — windows partitioned by shard, parallel;
+    3. shard offsets — per-shard count totals prefix-summed by ONE
+       window over the ``n_shards``-bounded totals table (the
+       zipf/top-N bounded-window convention), broadcast back.
+
+    All cumulated quantities are exact int64, so the result is
+    bit-identical to :func:`ks_score_single_window` (pytest-pinned)
+    and the DuckDB oracle's global ``SUM ... OVER (ORDER BY v)``
+    replay. Value ties across shard boundaries cannot exist (the
+    count table is distinct on ``v``). Pathologically-skewed ranges
+    (one outlier stretching [min, max]) degrade parallelism — most
+    values land in one shard — but never correctness; a drift
+    monitor's value columns (lengths, scores) are range-bounded in
+    practice."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    c = _joined_counts(cur, value_col, reference)
+    bounds = c.agg(F.min("v").alias("_lo"), F.max("v").alias("_hi"))
+    span = F.col("_hi") - F.col("_lo")
+    shard = F.when(
+        span > 0,
+        F.least(F.lit(n_shards - 1),
+                F.floor((F.col("v") - F.col("_lo")) / span
+                        * n_shards))).otherwise(F.lit(0)).cast("long")
+    assigned = (c.crossJoin(F.broadcast(bounds))
+                .select("v", "c_ref", "c_cur", shard.alias("_shard")))
+    w_sh = (Window.orderBy("_shard")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (assigned.groupBy("_shard")
+            .agg(F.sum("c_ref").cast("long").alias("_sr"),
+                 F.sum("c_cur").cast("long").alias("_sc"))
+            .select("_shard",
+                    F.coalesce(F.sum("_sr").over(w_sh), F.lit(0))
+                     .cast("long").alias("_or"),
+                    F.coalesce(F.sum("_sc").over(w_sh), F.lit(0))
+                     .cast("long").alias("_oc")))
+    tot = c.agg(F.sum("c_ref").cast("long").alias("n_ref"),
+                F.sum("c_cur").cast("long").alias("n_cur"))
+    w_in = (Window.partitionBy("_shard").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum_r = F.col("_or") + F.sum("c_ref").over(w_in)
+    cum_c = F.col("_oc") + F.sum("c_cur").over(w_in)
+    d = (assigned.join(F.broadcast(offs), "_shard")
+         .crossJoin(F.broadcast(tot))
+         .select(F.when((F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+                        F.abs(cum_r / F.col("n_ref")
+                              - cum_c / F.col("n_cur")))
+                 .alias("_d")))
+    return _ks_of_d(c, d)
+
+
+def ks_score_single_window(cur: DataFrame, value_col: str,
+                           reference: KsReference) -> DataFrame:
+    """Reference formulation: the ECDFs through ONE global ordered
+    window over the distinct-value table (the single-reducer plan).
+    Exists only to pin that the deployed sharded :func:`ks_score` is
+    bit-identical; never the deployed path (the
+    ``pack_sequences_single_window`` convention)."""
+    c = _joined_counts(cur, value_col, reference)
     tot = c.agg(F.sum("c_ref").cast("long").alias("n_ref"),
                 F.sum("c_cur").cast("long").alias("n_cur"))
     w = Window.orderBy("v").rowsBetween(
@@ -214,13 +317,7 @@ def ks_score(cur: DataFrame, value_col: str,
                               - F.sum("c_cur").over(w)
                               / F.col("n_cur")))
                  .alias("_d")))
-    # Always-one-row contract even on empty inputs (d is then empty
-    # and a groupBy would emit nothing): totals and the max fold
-    # independently, then cross-join (both 1-row).
-    mx = d.agg(F.round(F.max("_d"), 6).alias("ks"))
-    return (tot.select(F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-                       F.coalesce("n_cur", F.lit(0)).alias("n_cur"))
-            .crossJoin(F.broadcast(mx)))
+    return _ks_of_d(c, d)
 
 
 def ks_report(ref: DataFrame, cur: DataFrame, value_col: str,
@@ -237,14 +334,17 @@ def ks_report(ref: DataFrame, cur: DataFrame, value_col: str,
 
     Scale shape: each side pre-aggregates to per-DISTINCT-VALUE
     counts (map-side combinable), the two count tables full-outer
-    join on value, and the cumulative CDFs run in ONE ordered window
-    over that DISTINCT-value table — the window is single-partition,
-    so the op's sequential stage is bounded by the distinct-value
-    cardinality, NOT the corpus (exactly the zipf/top-N convention).
-    For continuous doubles whose distinct count approaches the row
-    count, pass ``round_to`` to quantize values first (e.g. 6 —
-    the KS error introduced is at most the CDF mass inside one
-    quantum) or reach for :func:`psi_report`. One-shot form of
+    join on value, and the cumulative CDFs run as a SHARDED
+    two-phase scan (:func:`ks_score` — windows partitioned by a
+    deterministic monotone value-range shard; the only partition-less
+    window runs over the ``n_shards``-bounded shard-totals table).
+    Round 17 retired the previous global ``Window.orderBy(v)``
+    formulation, whose single task held the whole distinct-value
+    table — near row count on a continuous column under the default
+    ``round_to=None``; the exact statistic is now scale-safe BY
+    DEFAULT. ``round_to`` remains available to shrink the count
+    tables themselves (the KS error introduced is at most the CDF
+    mass inside one quantum). One-shot form of
     :func:`ks_reference` + :func:`ks_score` (ONE shared
     implementation; the streaming monitor calls the halves directly
     so the reference counts build once, not per micro-batch)."""

@@ -3784,18 +3784,66 @@ def image_neardup_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(imgs, codec="fake")
 
 
+_KS_ORACLE = f"""
+WITH ksb AS (
+  SELECT doc_id, length(text) AS v FROM documents
+),
+ksr AS (
+  SELECT CAST(v AS DOUBLE) AS v, count(*) AS c_ref
+  FROM ksb WHERE doc_id % 2 = 0 AND v IS NOT NULL GROUP BY 1
+),
+ksc AS (
+  SELECT CAST(v + (doc_id % {_PSI_SHIFT_MOD}) AS DOUBLE) AS v,
+         count(*) AS c_cur
+  FROM ksb WHERE doc_id % 2 = 1 AND v IS NOT NULL GROUP BY 1
+),
+ksj AS (
+  SELECT coalesce(r.v, c.v) AS v,
+         coalesce(c_ref, 0) AS c_ref,
+         coalesce(c_cur, 0) AS c_cur
+  FROM ksr r FULL OUTER JOIN ksc c ON r.v = c.v
+),
+kst AS (
+  SELECT CAST(coalesce(sum(c_ref), 0) AS BIGINT) AS n_ref,
+         CAST(coalesce(sum(c_cur), 0) AS BIGINT) AS n_cur
+  FROM ksj
+),
+ksd AS (
+  SELECT CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+           abs(CAST(sum(c_ref) OVER w AS DOUBLE)
+                 / CAST(n_ref AS DOUBLE)
+               - CAST(sum(c_cur) OVER w AS DOUBLE)
+                 / CAST(n_cur AS DOUBLE))
+         END AS d
+  FROM ksj CROSS JOIN kst
+  WINDOW w AS (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT n_ref, n_cur, (SELECT round(max(d), 6) FROM ksd) AS ks
+FROM kst
+"""
+
+
 def ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ungated production shape for the bench/scaling harnesses (NOT
-    a catalog entry): exact two-sample KS between the even-doc_id
-    length distribution and the odd-doc_id one shifted by
+    """Exact two-sample Kolmogorov–Smirnov statistic between the
+    even-doc_id length distribution and the odd-doc_id one shifted by
     ``doc_id % 97`` — the same synthetic drift construction the psi
-    family uses, through :func:`..operators.drift.ks_report`."""
+    family uses, through :func:`..operators.drift.ks_report` (round
+    17: the last analytics operator promoted from pytest-only to the
+    hash gate, VERDICT r16 #1). One row (n_ref, n_cur, ks). The
+    Spark side cumulates the ECDFs through the SHARDED two-phase
+    scan (``operators/drift.py ks_score`` — exact int64 partials, so
+    the formulation is bit-identical to a global ordered window);
+    the oracle replays the semantics in their canonical single-window
+    SQL form (``SUM ... OVER (ORDER BY v)``), the full-outer value
+    merge, the both-sides-nonempty NULL guard and the 6-dp round."""
     from picoprobedataflow_spark.operators.drift import ks_report
     docs = tbl(spark, sf_dir, "documents")
     ref = docs.filter(F.col("doc_id") % 2 == 0).select(
         F.length("text").alias("v"))
     cur = docs.filter(F.col("doc_id") % 2 == 1).select(
-        (F.length("text") + F.col("doc_id") % 97).alias("v"))
+        (F.length("text") + F.col("doc_id") % _PSI_SHIFT_MOD)
+        .alias("v"))
     return ks_report(ref, cur, "v")
 
 
@@ -6556,6 +6604,8 @@ _FAMILY_SPECS = [
     ("chi2", chi2_drift_stats, _CHI2_ORACLE,
      dict(k1="category", n=("n_ref", "n_cur"),
           v=("e_cur", "chi2_term"))),
+    ("ks", ks_length_drift, _KS_ORACLE,
+     dict(n=("n_ref", "n_cur"), v=("ks",))),
     ("pagerank", pagerank_scores, _PAGERANK_ORACLE,
      dict(n=("node", "outdeg"), v=("pr",))),
     ("hits", hits_scores, _HITS_ORACLE,

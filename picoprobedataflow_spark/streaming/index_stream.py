@@ -61,8 +61,8 @@ def run_ivf_index_stream(vec_stream: DataFrame, cent_rows,
     must be able to scan whole."""
     import hashlib
 
-    from picoprobedataflow_spark.streaming.dedup_stream import \
-        _ensure_params
+    from picoprobedataflow_spark.streaming.dedup_stream import (
+        _ensure_params, _fs_list)
 
     # sorted(): the digest must be ORDER-INSENSITIVE (round-16
     # review find) — the docstring sanctions cent_rows collected
@@ -72,10 +72,17 @@ def run_ivf_index_stream(vec_stream: DataFrame, cent_rows,
     digest = hashlib.md5(
         repr(sorted((int(c), [float(x) for x in v])
                     for c, v in cent_rows)).encode()).hexdigest()
-    _ensure_params(vec_stream.sparkSession,
-                   index_dir.rstrip("/") + "_params",
+    spark = vec_stream.sparkSession
+    # stale=: the params live in a SIBLING dir precisely so index_dir
+    # stays a pure scannable parquet tree — which means deleting the
+    # index for a rebuild leaves the pin behind (round-17 ADVICE
+    # fix). When index_dir itself is absent there is no state the
+    # old quantizer could mix with, so a leftover pin is a ghost and
+    # gets overwritten instead of rejecting the fresh build.
+    _ensure_params(spark, index_dir.rstrip("/") + "_params",
                    {"centroids_md5": digest,
-                    "n_cells": str(len(cent_rows))})
+                    "n_cells": str(len(cent_rows))},
+                   stale=_fs_list(spark, index_dir) is None)
 
     def _process(batch: DataFrame, epoch_id: int) -> None:
         if not batch.head(1):

@@ -3621,6 +3621,67 @@ def test_ks_report_matches_hand_model(spark):
     assert ks_report(a, b, "v").head().ks == 0.5
 
 
+def test_ks_sharded_equals_single_window(spark):
+    """The deployed sharded two-phase ECDF (round 17) must be
+    BIT-identical to the retired global-window formulation — same
+    discipline as pack_sequences vs its single-window twin. Pinned
+    across shard counts (1 = degenerate single shard, tiny counts
+    that leave shards empty, the default), on skewed data (one
+    outlier stretches the linear shard range so most values land in
+    one shard — degraded parallelism must never change values), and
+    on an all-equal column (span 0 → shard 0 for every row)."""
+    from picoprobedataflow_spark.operators.drift import (
+        ks_reference, ks_score, ks_score_single_window)
+
+    ref = spark.createDataFrame(
+        [(float(i % 17),) for i in range(200)]
+        + [(1e9,)], "v double")                    # range outlier
+    cur = spark.createDataFrame(
+        [(float((i * 7) % 23),) for i in range(180)], "v double")
+    kr = ks_reference(ref, "v")
+    want = ks_score_single_window(cur, "v", kr).collect()
+    for ns in (1, 2, 7, 64, 500):
+        got = ks_score(cur, "v", kr, n_shards=ns).collect()
+        assert got == want, (ns, got, want)
+    # all-equal values on both sides: span 0, one shard, ks defined
+    const = spark.createDataFrame([(5.0,)] * 9, "v double")
+    kc = ks_reference(const, "v")
+    assert ks_score(const, "v", kc).head().ks == 0.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ks_score(cur, "v", kr, n_shards=0)
+
+
+def test_ks_plan_no_unbounded_global_window(spark):
+    """Round-17 scale fix pinned in the plan: ks_score's windows are
+    either partitioned (the within-shard cumsums) or ordered by
+    ``_shard`` — the n_shards-bounded totals table (the
+    pack_sequences convention). The retired formulation's global
+    ``ORDER BY v`` over the distinct-VALUE table (≈ row count on a
+    continuous column) must never reappear in the deployed path."""
+    import re
+
+    from picoprobedataflow_spark.operators.drift import (
+        ks_reference, ks_score)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    ref = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.length("text").alias("v"))
+    cur = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.length("text").alias("v"))
+    plan = (ks_score(cur, "v", ks_reference(ref, "v"))
+            ._jdf.queryExecution().executedPlan().toString())
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan                      # the cumsums are windows
+    for spec in specs:
+        first = spec.split(",")[0]
+        if " ASC" in first or " DESC" in first:   # partition-less
+            assert "_shard" in first, (
+                f"partition-less window over an unbounded table: "
+                f"{spec}")
+
+
 def test_spam_mass_separates_islands(spark):
     """Spam-mass composition: nodes of an island unreachable from
     the trusted seeds carry rel_spam_mass 1 (their trust is 0),

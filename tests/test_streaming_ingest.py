@@ -1793,3 +1793,82 @@ def test_fs_list_connect_fallback_branch(tmp_path):
     assert _fs_list(fake, str(tmp_path / "missing")) is None
     with pytest.raises(NotImplementedError, match="non-Connect"):
         _fs_list(fake, "s3a://bucket/state")
+    # round-17 ADVICE fix: the single-slash Hadoop Path rendering
+    # and the localhost authority resolve to the same local dir; an
+    # authority naming ANOTHER host is remote and raises instead of
+    # silently reading as absent (the old prefix-slice fell through
+    # to os.path.isdir on the raw string for all three)
+    assert _fs_list(fake, "file:" + str(d)) == ["epoch=0"]
+    assert _fs_list(fake, "file://localhost" + str(d)) == ["epoch=0"]
+    with pytest.raises(NotImplementedError, match="non-Connect"):
+        _fs_list(fake, "file://otherhost" + str(d))
+    with pytest.raises(NotImplementedError, match="non-Connect"):
+        _fs_list(fake, "hdfs://nn:8020/state")
+
+
+def test_fn_name_lambda_and_damping_canonicalization():
+    """Round-17 ADVICE fixes, unit level: (a) lambdas share one
+    '<locals>.<lambda>' qualname per definition site, so a CHANGED
+    lambda hash_fn would resume silently under a specific-looking
+    pin — they now pin the generic 'custom:unnamed' marker like any
+    anonymous callable (documented: give hash functions a real
+    __name__); (b) the damping pin canonicalizes through
+    repr(float(...)), so numerically identical values with
+    different reprs (1 vs 1.0, numpy scalars) agree."""
+    from picoprobedataflow_spark.streaming.dedup_stream import \
+        _fn_name
+
+    assert _fn_name(lambda s: 0) == "custom:unnamed"
+    assert _fn_name(
+        _fn_name) == ("picoprobedataflow_spark.streaming"
+                      ".dedup_stream._fn_name")
+    assert repr(float(1)) == repr(float(1.0)) == "1.0"
+    import numpy as np
+    assert repr(float(np.float64(0.85))) == "0.85"
+
+
+def test_ivf_index_rebuild_after_delete_accepts_new_quantizer(
+        spark, tmp_path):
+    """Round-17 ADVICE fix: the IVF params pin lives in a SIBLING
+    '<index_dir>_params' dir, so deleting the index tree for a
+    rebuild used to leave a ghost pin that rejected the fresh build.
+    When index_dir itself is absent there is no state to mix with:
+    the rebuild with a NEW centroid set must be accepted (and its
+    pin replaces the ghost), while a changed quantizer against a
+    LIVE index still rejects."""
+    import shutil
+
+    import pytest
+
+    from picoprobedataflow_spark.streaming.dedup_stream import \
+        read_params
+    from picoprobedataflow_spark.streaming.index_stream import \
+        run_ivf_index_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    idir = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<double>") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    cents_a = [(0, [0.0, 0.0]), (1, [1.0, 1.0])]
+    cents_b = [(0, [0.5, 0.5]), (1, [2.0, 2.0])]
+
+    def _run(cents, ck):
+        q = run_ivf_index_stream(
+            spark.readStream
+            .schema("vec_id long, embedding array<double>")
+            .parquet(str(src)), cents, idir, str(tmp_path / ck))
+        assert q.awaitTermination(300)
+
+    _run(cents_a, "ck1")
+    pin_a = read_params(spark, idir + "_params")
+    # live index + changed quantizer: still rejected
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        _run(cents_b, "ck2")
+    # delete the index tree (the documented reset), keep the sibling
+    # params behind — the rebuild must accept the new quantizer
+    shutil.rmtree(idir)
+    _run(cents_b, "ck3")
+    pin_b = read_params(spark, idir + "_params")
+    assert pin_b is not None and pin_b != pin_a
