@@ -35,7 +35,8 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
              weight_col: str | None = None,
              init_ranks: DataFrame | None = None,
              normalize_init: bool = True,
-             prebuilt: bool = False) -> DataFrame:
+             prebuilt: bool = False,
+             verify_prebuilt: bool = False) -> DataFrame:
     """(node, outdeg, pr): PageRank after exactly ``n_iter`` power
     iterations from the uniform vector, with dangling-mass
     redistribution::
@@ -116,7 +117,13 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
     instead of once per run. Values are unchanged (distinct of a
     distinct frame is the identity; partitioning never affects the
     arithmetic). Unweighted mode only — the weighted build bakes
-    weight normalization into the materialized frame."""
+    weight normalization into the materialized frame. The dedup
+    guarantee is the CALLER's (both in-tree callers construct it by
+    anti-join/distinct); a frame with duplicate (src, dst) rows
+    would inflate those endorsements silently, so
+    ``verify_prebuilt=True`` (round 17, debug-only — it pays one
+    extra edge aggregate, the cost ``prebuilt`` exists to avoid)
+    checks the contract and raises loudly on the first duplicate."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     if prebuilt and weight_col is not None:
@@ -131,6 +138,18 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
             e = (e.distinct()
                  .repartition("src")
                  .localCheckpoint(eager=True))
+        elif verify_prebuilt:
+            dup = (e.groupBy("src", "dst")
+                   .agg(F.count("*").alias("_c"))
+                   .filter(F.col("_c") > 1)
+                   .head(1))
+            if dup:
+                raise ValueError(
+                    f"prebuilt edges contain duplicate (src, dst) "
+                    f"rows, e.g. ({dup[0].src!r}, {dup[0].dst!r}) "
+                    f"×{dup[0]._c} — the prebuilt contract requires "
+                    f"a deduplicated frame (duplicates would "
+                    f"silently inflate those endorsements)")
         node_src = e
     else:
         raw = edges.select(F.col(src_col).alias("src"),

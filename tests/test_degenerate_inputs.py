@@ -838,3 +838,150 @@ def test_select_token_budget_degenerate_inputs(spark):
     got = {r.doc_id: r.cum_before
            for r in select_token_budget(docs, 11).collect()}
     assert got == {-65: 0, -64: 10, -1: 10}
+
+
+# ------------------------------------------------- round-17 battery
+
+def test_spam_mass_damping_one_and_seed_degenerates(spark):
+    """Round-17 battery, spam-mass surfaces: (a) damping=1.0 — zero
+    restart mass, so a node with no in-links holds pr=0 and its
+    rel_spam_mass is the documented NULL (ANSI totality), while
+    in-linked nodes stay defined; (b) an empty seed frame — and a
+    seed list disjoint from the graph — reject loudly BEFORE any
+    iteration (the teleport would be undefined); (c) an
+    all-dangling seed set is legal: trust teleports to sinks, the
+    vector still sums to 1 every iteration and nothing NaNs."""
+    from picoprobedataflow_spark.operators.graph import spam_mass
+
+    # dangling-free graph (a cycle + a feeder): with no dangling
+    # mass and zero restart, the in-link-less feeder d truly drains
+    # to pr=0 — with any dangling node its redistributed mass would
+    # keep every node positive (the subtlety this pin documents)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+
+    # (a) damping=1.0: d has no in-links -> pr 0, rel NULL
+    got = {r.node: r for r in
+           spam_mass(edges, seeds, n_iter=3, damping=1.0).collect()}
+    assert got["d"].pr == 0.0
+    assert got["d"].rel_spam_mass is None
+    for n in ("a", "b", "c"):
+        assert got[n].rel_spam_mass is not None
+    assert sum(r.pr for r in got.values()) == pytest.approx(1.0)
+
+    # (b) empty / disjoint seed sets reject before iterating
+    empty_seeds = spark.createDataFrame([], "node string")
+    with pytest.raises(ValueError, match="seed"):
+        spam_mass(edges, empty_seeds, n_iter=2)
+    ghost_seeds = spark.createDataFrame([("zz",)], "node string")
+    with pytest.raises(ValueError, match="seed"):
+        spam_mass(edges, ghost_seeds, n_iter=2)
+
+    # (c) all-dangling seeds: on a chain a->b->c the seed c is a
+    # SINK; trust mass cycles restart->c->dangling-redistribute->c
+    # and stays a distribution
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string")
+    sink_seeds = spark.createDataFrame([("c",)], "node string")
+    rows = spam_mass(chain, sink_seeds, n_iter=4).collect()
+    assert sum(r.trust for r in rows) == pytest.approx(1.0, abs=1e-6)
+    assert all(r.trust == r.trust for r in rows)       # no NaN
+    trust = {r.node: r.trust for r in rows}
+    assert trust["c"] > trust["a"]        # seed holds the mass
+
+
+def test_pagerank_prebuilt_duplicate_detection(spark):
+    """Round-17 battery: pagerank(prebuilt=True) trusts the caller's
+    dedup guarantee — verify_prebuilt=True makes contract misuse
+    LOUD (first duplicate named in the error) instead of silently
+    inflating the duplicated endorsement, while a genuinely-clean
+    prebuilt frame passes the check bit-identical to the unverified
+    path."""
+    from picoprobedataflow_spark.operators.graph import pagerank
+
+    dup_edges = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "c")],
+        "src string, dst string")
+    with pytest.raises(ValueError, match="duplicate"):
+        pagerank(dup_edges, n_iter=1, prebuilt=True,
+                 verify_prebuilt=True)
+
+    clean = (dup_edges.distinct().repartition("src")
+             .localCheckpoint(eager=True))
+    a = {(r.node, r.pr) for r in
+         pagerank(clean, n_iter=3, prebuilt=True,
+                  verify_prebuilt=True).collect()}
+    b = {(r.node, r.pr) for r in
+         pagerank(clean, n_iter=3, prebuilt=True).collect()}
+    assert a == b
+
+
+def test_wet_corpus_zero_conversion_records(spark):
+    """Round-17 battery: the composed WET→corpus chain fed a member
+    with NO conversion records (warcinfo lead + a response page
+    only) — every stage must traverse the empty path: parser yields
+    rows, the type filter drops them all, reconcile/quarantine/
+    boilerplate/curation all run on empty frames, and the funnel
+    reports zeros instead of crashing or going absent."""
+    from picoprobedataflow_spark.flows.curation import \
+        curate_documents
+    from picoprobedataflow_spark.io.warc import (
+        _parse_wet, wet_reconcile)
+
+    wet = ("WARC/1.0\r\n"
+           "WARC-Type: warcinfo\r\n"
+           "Content-Length: 4\r\n"
+           "\r\n"
+           "info"
+           "\r\n\r\n"
+           "WARC/1.0\r\n"
+           "WARC-Type: response\r\n"
+           "WARC-Target-URI: https://x.example.com/\r\n"
+           "Content-Length: 5\r\n"
+           "\r\n"
+           "bytes"
+           "\r\n\r\n")
+    raw = (spark.range(1)
+           .select(F.posexplode(
+               F.split(F.lit(wet), r"\r\n\r\nWARC/1\.0\r\n"))
+               .alias("pos", "value")))
+    rec = wet_reconcile(
+        _parse_wet(raw, "conversion", extra_cols=("pos",)))
+    assert rec.count() == 0
+    docs = (rec.filter(F.col("reconciled"))
+            .select(F.col("pos").cast("long").alias("doc_id"),
+                    "text"))
+    cleaned = DD.remove_frequent_lines(docs, min_df=3)
+    assert cleaned.count() == 0
+    res = curate_documents(
+        cleaned.select("doc_id",
+                       F.col("cleaned").alias("text")),
+        min_quality=0.3, near_dedup=False)
+    assert res.kept.count() == 0
+    assert res.funnel[0] == ("input", 0)
+    assert all(n == 0 for _s, n in res.funnel)
+
+
+def test_cms_estimate_empty_terms_list(spark, tmp_path):
+    """Round-17 battery: cms_estimate with an EMPTY terms list — the
+    d-way melt runs over a zero-row query frame and must return an
+    empty, correctly-typed (term, est) frame, not crash on the
+    createDataFrame([]) or the join."""
+    from picoprobedataflow_spark.streaming.cms_stream import (
+        cms_estimate, run_cms_stream)
+
+    schema = "doc_id long, text string"
+    src = tmp_path / "in"
+    src.mkdir()
+    st, ck = str(tmp_path / "st"), str(tmp_path / "ck")
+    spark.createDataFrame([(1, "alpha beta")], schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    q = run_cms_stream(
+        spark.readStream.schema(schema).parquet(str(src)),
+        st, ck, w=8, d=2)
+    assert q.awaitTermination(300)
+    out = cms_estimate(spark, st, [])
+    assert out.columns == ["term", "est"]
+    assert out.collect() == []
