@@ -146,6 +146,76 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def stream_epoch_times(spark, sf_dir: str, key: str,
+                       n_epochs: int = 3) -> list[float]:
+    """Per-epoch drain times of one streaming state loop over an
+    ``n_epochs``-way split of its batch input — the harness behind
+    the ``*_stream_epoch_full`` keys (round 16), lifted to module
+    level in round 17 so ``scripts/measure_scaling.py`` can reuse it
+    per SF. The LAST element is the steady-state number the bench
+    key reports (the first drain pays the cold path / state
+    bootstrap — visible in the returned arrival-order spread).
+    Raises on failure or a >600 s epoch; always cleans up its temp
+    state tree."""
+    import shutil
+    import tempfile
+
+    from picoprobedataflow_spark.plans import pipeline as PL
+
+    if key == "cms_stream_epoch_full":
+        def _write(e, src):
+            (tbl(spark, sf_dir, "documents")
+             .filter(F.col("doc_id") % n_epochs == e)
+             .select("doc_id", "text")
+             .write.mode("append").parquet(src))
+
+        def _start(src, state, ckpt):
+            from picoprobedataflow_spark.streaming.cms_stream import \
+                run_cms_stream
+            return run_cms_stream(
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(src), state, ckpt)
+    elif key == "pagerank_stream_epoch_full":
+        def _write(e, src):
+            (PL._pr_edges(spark, sf_dir)
+             .filter(F.pmod(F.col("src") + F.col("dst"),
+                            F.lit(n_epochs)) == e)
+             .write.mode("append").parquet(src))
+
+        def _start(src, state, ckpt):
+            from picoprobedataflow_spark.streaming.graph_stream \
+                import run_pagerank_stream
+            return run_pagerank_stream(
+                spark.readStream.schema("src long, dst long")
+                .parquet(src), state, ckpt)
+    else:
+        raise ValueError(f"unknown stream-epoch key {key!r}")
+
+    root = tempfile.mkdtemp(prefix=f"bench_{key}_")
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+    state = os.path.join(root, "state")
+    ckpt = os.path.join(root, "ck")
+    times: list[float] = []
+    try:
+        for e in range(n_epochs):
+            _write(e, src)
+            t0 = time.perf_counter()
+            q = _start(src, state, ckpt)
+            # The boolean matters (review find): an ignored timeout
+            # would record ~600s as a "valid" epoch, then the next
+            # _start collides with the still-active query and rmtree
+            # pulls the source out from under it. Stop and raise.
+            if not q.awaitTermination(600):
+                q.stop()
+                raise RuntimeError(f"epoch {e} drain exceeded 600s")
+            times.append(round(time.perf_counter() - t0, 3))
+        return times
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.catalog.clearCache()
+
+
 def _time_reps(fn, spark, sf_dir, reps: int) -> list[float]:
     """Time ``reps`` independent executions, clearCache between reps
     (a rep's evictable persisted blocks must not become the next
@@ -460,70 +530,16 @@ def main() -> None:
     # order, NOT best-of-N like other keys). This is the measured
     # number behind the "per-epoch work ∝ batch" claims: a steady
     # epoch must not grow with accumulated stream lifetime.
-    import shutil
-    import tempfile
-
-    def _stream_variant(key, write_batch, start_stream,
-                        n_epochs: int = 3) -> None:
-        root = tempfile.mkdtemp(prefix=f"bench_{key}_")
-        src = os.path.join(root, "in")
-        os.makedirs(src)
-        state = os.path.join(root, "state")
-        ckpt = os.path.join(root, "ck")
-        times = []
+    for _key in ("cms_stream_epoch_full",
+                 "pagerank_stream_epoch_full"):
         try:
-            for e in range(n_epochs):
-                write_batch(e, src)
-                t0 = time.perf_counter()
-                q = start_stream(src, state, ckpt)
-                # The boolean matters (review find): an ignored
-                # timeout would record ~600s as a "valid" epoch,
-                # then the next start_stream collides with the
-                # still-active query and rmtree pulls the source
-                # out from under it. Stop and skip the key instead.
-                if not q.awaitTermination(600):
-                    q.stop()
-                    raise RuntimeError(
-                        f"epoch {e} drain exceeded 600s")
-                times.append(round(time.perf_counter() - t0, 3))
-            variant_reps[key] = times
-            variant_timings[key] = times[-1]
+            times = stream_epoch_times(spark, sf_dir, _key)
+            variant_reps[_key] = times
+            variant_timings[_key] = times[-1]
         except Exception as exc:  # noqa: BLE001
-            print(f"NOTE: variant {key} failed ({exc!r}); skipping "
+            print(f"NOTE: variant {_key} failed ({exc!r}); skipping "
                   "its key — headline output unaffected.",
                   file=sys.stderr)
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
-            spark.catalog.clearCache()
-
-    def _cms_write(e, src):
-        (tbl(spark, sf_dir, "documents")
-         .filter(F.col("doc_id") % 3 == e)
-         .select("doc_id", "text")
-         .write.mode("append").parquet(src))
-
-    def _cms_start(src, state, ckpt):
-        from picoprobedataflow_spark.streaming.cms_stream import \
-            run_cms_stream
-        return run_cms_stream(
-            spark.readStream.schema("doc_id long, text string")
-            .parquet(src), state, ckpt)
-
-    def _pr_write(e, src):
-        (PL._pr_edges(spark, sf_dir)
-         .filter(F.pmod(F.col("src") + F.col("dst"), F.lit(3)) == e)
-         .write.mode("append").parquet(src))
-
-    def _pr_start(src, state, ckpt):
-        from picoprobedataflow_spark.streaming.graph_stream import \
-            run_pagerank_stream
-        return run_pagerank_stream(
-            spark.readStream.schema("src long, dst long")
-            .parquet(src), state, ckpt)
-
-    _stream_variant("cms_stream_epoch_full", _cms_write, _cms_start)
-    _stream_variant("pagerank_stream_epoch_full", _pr_write,
-                    _pr_start)
 
     out = _stdout_payload(timings, sf, n_reps)
     # Both estimators on the stdout record (rev 5): per-key minima in

@@ -27,6 +27,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _built_edges(edges: DataFrame, src_col: str, dst_col: str,
+                 prebuilt: bool, verify_prebuilt: bool) -> DataFrame:
+    """The shared unweighted graph-build step: (src, dst)-rename +
+    distinct + src-repartition + materialize — or, under
+    ``prebuilt``, the rename alone (the caller guarantees the frame
+    already has the built shape), optionally with the debug-only
+    duplicate check. ONE implementation under :func:`pagerank`,
+    :func:`hits` and :func:`spam_mass` (round 17) so a crawl
+    pipeline running several link analyses over one graph pays the
+    corpus-scale edge distinct ONCE and every operator applies the
+    same contract."""
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    if not prebuilt:
+        return (e.distinct()
+                .repartition("src")
+                .localCheckpoint(eager=True))
+    if verify_prebuilt:
+        dup = (e.groupBy("src", "dst")
+               .agg(F.count("*").alias("_c"))
+               .filter(F.col("_c") > 1)
+               .head(1))
+        if dup:
+            raise ValueError(
+                f"prebuilt edges contain duplicate (src, dst) "
+                f"rows, e.g. ({dup[0].src!r}, {dup[0].dst!r}) "
+                f"×{dup[0]._c} — the prebuilt contract requires "
+                f"a deduplicated frame (duplicates would "
+                f"silently inflate those endorsements)")
+    return e
+
+
 def pagerank(edges: DataFrame, n_iter: int = 10,
              damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
@@ -132,24 +164,8 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
             "folds weight collapse/normalization into the "
             "materialized frame")
     if weight_col is None:
-        e = edges.select(F.col(src_col).alias("src"),
-                         F.col(dst_col).alias("dst"))
-        if not prebuilt:
-            e = (e.distinct()
-                 .repartition("src")
-                 .localCheckpoint(eager=True))
-        elif verify_prebuilt:
-            dup = (e.groupBy("src", "dst")
-                   .agg(F.count("*").alias("_c"))
-                   .filter(F.col("_c") > 1)
-                   .head(1))
-            if dup:
-                raise ValueError(
-                    f"prebuilt edges contain duplicate (src, dst) "
-                    f"rows, e.g. ({dup[0].src!r}, {dup[0].dst!r}) "
-                    f"×{dup[0]._c} — the prebuilt contract requires "
-                    f"a deduplicated frame (duplicates would "
-                    f"silently inflate those endorsements)")
+        e = _built_edges(edges, src_col, dst_col,
+                         prebuilt, verify_prebuilt)
         node_src = e
     else:
         raw = edges.select(F.col(src_col).alias("src"),
@@ -373,7 +389,9 @@ def pagerank(edges: DataFrame, n_iter: int = 10,
 
 def hits(edges: DataFrame, n_iter: int = 10,
          src_col: str = "src", dst_col: str = "dst",
-         round_digits: int | None = 6) -> DataFrame:
+         round_digits: int | None = 6,
+         prebuilt: bool = False,
+         verify_prebuilt: bool = False) -> DataFrame:
     """(node, hub, auth): Kleinberg's HITS after exactly ``n_iter``
     mutual-reinforcement iterations — the link-analysis complement of
     :func:`pagerank` a crawl pipeline uses to separate DIRECTORY
@@ -407,14 +425,19 @@ def hits(edges: DataFrame, n_iter: int = 10,
 
     ``round_digits`` rounds the FINAL vectors only; cross-engine FP
     tolerance as documented on
-    :func:`..functions.vectors.random_project`."""
+    :func:`..functions.vectors.random_project`.
+
+    ``prebuilt``/``verify_prebuilt`` (round 17): the
+    :func:`pagerank` contract, extended here so a pipeline running
+    PageRank + HITS + spam-mass over ONE crawl graph pays the
+    corpus-scale edge distinct once and hands the materialized frame
+    to every operator (:func:`_built_edges` is the one shared
+    implementation); values are unchanged (distinct of a distinct
+    frame is the identity)."""
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    e = (edges.select(F.col(src_col).alias("src"),
-                      F.col(dst_col).alias("dst"))
-         .distinct()
-         .repartition("src")
-         .localCheckpoint(eager=True))
+    e = _built_edges(edges, src_col, dst_col,
+                     prebuilt, verify_prebuilt)
     nodes = (e.select(F.col("src").alias("node"))
              .unionAll(e.select(F.col("dst").alias("node")))
              .distinct()
@@ -460,7 +483,9 @@ def hits(edges: DataFrame, n_iter: int = 10,
 def spam_mass(edges: DataFrame, seeds: DataFrame,
               n_iter: int = 10, damping: float = 0.85,
               src_col: str = "src", dst_col: str = "dst",
-              round_digits: int | None = 6) -> DataFrame:
+              round_digits: int | None = 6,
+              prebuilt: bool = False,
+              verify_prebuilt: bool = False) -> DataFrame:
     """(node, pr, trust, rel_spam_mass): the Gyöngyi et al. spam-mass
     estimate — how much of a page's PageRank is NOT accounted for by
     rank flowing from a trusted seed set:
@@ -477,16 +502,17 @@ def spam_mass(edges: DataFrame, seeds: DataFrame,
     table builds ONCE (round 16: the dedup/materialize step — a full
     corpus-scale distinct — used to run inside each pagerank call;
     the shared ``prebuilt`` frame halves it), so cost is one graph
-    build + 2× the iteration loops. ``pr`` is strictly positive for any
+    build + 2× the iteration loops; ``prebuilt=True`` (round 17,
+    the :func:`pagerank` contract via :func:`_built_edges`) skips
+    even that for a caller holding an already-built frame — e.g.
+    the incremental stream's per-epoch checkpointed graph. ``pr``
+    is strictly positive for any
     ``damping < 1`` (the uniform restart mass reaches every node);
     at the degenerate ``damping = 1.0`` a node with no in-links has
     ``pr = 0`` and its ratio is undefined — ``rel_spam_mass`` is
     NULL there, not a crash (the ANSI totality convention)."""
-    e = (edges.select(F.col(src_col).alias("src"),
-                      F.col(dst_col).alias("dst"))
-         .distinct()
-         .repartition("src")
-         .localCheckpoint(eager=True))
+    e = _built_edges(edges, src_col, dst_col,
+                     prebuilt, verify_prebuilt)
     pr = pagerank(e, n_iter=n_iter, damping=damping,
                   round_digits=None, prebuilt=True)
     tr = pagerank(e, n_iter=n_iter, damping=damping,

@@ -95,7 +95,15 @@ def main() -> None:
                     # scoreboard (two map-side category counts).
                     ("substr_dedup_full", PL.substr_dedup_stats),
                     ("substr_clean_full", PL.substr_clean_texts),
-                    ("chi2_full", PL.chi2_drift_stats)):
+                    ("chi2_full", PL.chi2_drift_stats),
+                    # Round 17 (VERDICT r16 #4): the round-16
+                    # families' curves — CMS (direct d·w-capped cell
+                    # build + distributed top-k), HITS (2 join+agg
+                    # rounds/iter) and spam mass (one shared prebuilt
+                    # graph + two rank loops).
+                    ("cms_full", PL.cms_heavy_hitters),
+                    ("hits_full", PL.hits_scores),
+                    ("spam_full", PL.spam_mass_scores)):
         fns[key] = fn
 
     # containment: the UNGATED production path (hashed shingles +
@@ -114,6 +122,21 @@ def main() -> None:
 
     fns["containment_full"] = _containment_prod
 
+    # Streaming steady-state keys (round 17, VERDICT r16 #4): each
+    # drains 3 epochs through bench.stream_epoch_times and the curve
+    # point is the LAST epoch (the steady state the bench key
+    # reports; the cold bootstrap rides in the printed spread).
+    stream_keys: tuple[str, ...] = ("cms_stream_epoch_full",
+                                    "pagerank_stream_epoch_full")
+
+    # Optional key filter (round 17): a re-measure of one family's
+    # curve should not pay the whole board.
+    only = os.environ.get("SPARK_GRAFT_SCALING_KEYS")
+    if only:
+        keep = {k.strip() for k in only.split(",") if k.strip()}
+        fns = {k: f for k, f in fns.items() if k in keep}
+        stream_keys = tuple(k for k in stream_keys if k in keep)
+
     # warmup (codegen/JVM) at the smallest SF, untimed
     for fn in fns.values():
         try:
@@ -122,7 +145,8 @@ def main() -> None:
             pass
     spark.catalog.clearCache()
 
-    results: dict[str, dict[str, float]] = {k: {} for k in fns}
+    results: dict[str, dict[str, float]] = {
+        k: {} for k in (*fns, *stream_keys)}
     for sf_dir in sf_dirs:
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         for name, fn in fns.items():
@@ -130,6 +154,16 @@ def main() -> None:
             results[name][sf] = min(times)
             print(f"  {name} @ sf{sf}: {times} -> {min(times)}",
                   file=sys.stderr)
+        for name in stream_keys:
+            try:
+                times = bench.stream_epoch_times(spark, sf_dir, name)
+            except Exception as exc:  # noqa: BLE001
+                print(f"  {name} @ sf{sf}: FAILED ({exc!r})",
+                      file=sys.stderr)
+                continue
+            results[name][sf] = times[-1]
+            print(f"  {name} @ sf{sf}: {times} -> {times[-1]} "
+                  f"(last epoch)", file=sys.stderr)
 
     exponents: dict[str, float] = {}
     for name, by_sf in results.items():

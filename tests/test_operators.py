@@ -4534,3 +4534,35 @@ def test_pagerank_prebuilt_equals_from_scratch(spark):
     with pytest.raises(ValueError, match="unweighted-only"):
         pagerank(pre.withColumn("w", F.lit(1.0)), weight_col="w",
                  prebuilt=True)
+
+
+def test_graph_ops_shared_prebuilt_contract(spark):
+    """Round 17: the prebuilt contract generalized across all three
+    link analyses through one _built_edges implementation — a
+    pipeline builds its crawl graph ONCE and hands the materialized
+    frame to pagerank + hits + spam_mass, each bit-identical to its
+    own internal build, and each rejecting a duplicate-bearing
+    frame loudly under verify_prebuilt."""
+    import pytest as _pytest
+
+    from picoprobedataflow_spark.operators.graph import (
+        hits, pagerank, spam_mass)
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+         ("d", "a"), ("a", "b")],                  # dup (a, b)
+        "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    graph = (edges.distinct().repartition("src")
+             .localCheckpoint(eager=True))
+
+    for fn, kw in ((pagerank, {}), (hits, {}),
+                   (spam_mass, {"seeds": seeds})):
+        cold = {tuple(r) for r in fn(edges, n_iter=3, **kw).collect()}
+        warm = {tuple(r) for r in
+                fn(graph, n_iter=3, prebuilt=True,
+                   verify_prebuilt=True, **kw).collect()}
+        assert cold == warm, fn.__name__
+        with _pytest.raises(ValueError, match="duplicate"):
+            fn(edges, n_iter=1, prebuilt=True,
+               verify_prebuilt=True, **kw)
