@@ -52,8 +52,12 @@ def _local_path_or_none(path: str) -> str | None:
     ``os.path.isdir`` on the RAW string and silently read as absent,
     the exact failure mode the round-16 remote-FS fix closed.
     Parsed with ``urlsplit``; a one-letter 'scheme' is treated as a
-    path (drive-letter-style strings, never a real URI scheme)."""
-    from urllib.parse import urlsplit, unquote
+    path (drive-letter-style strings, never a real URI scheme). The
+    path is NOT percent-decoded: the common Hadoop renderings are
+    unencoded strings, and decoding would corrupt a local directory
+    whose name contains a literal ``%hh`` sequence (self-review
+    find on the first cut of this fix)."""
+    from urllib.parse import urlsplit
     parts = urlsplit(path)
     if len(parts.scheme) <= 1:            # no scheme (or drive-ish)
         return path
@@ -61,7 +65,7 @@ def _local_path_or_none(path: str) -> str | None:
         return None
     if parts.netloc not in ("", "localhost"):
         return None                        # authority = remote host
-    return unquote(parts.path) or "/"
+    return parts.path or "/"
 
 
 def _fs_list(spark: SparkSession, path: str) -> list[str] | None:

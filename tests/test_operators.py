@@ -3647,6 +3647,21 @@ def test_ks_sharded_equals_single_window(spark):
     const = spark.createDataFrame([(5.0,)] * 9, "v double")
     kc = ks_reference(const, "v")
     assert ks_score(const, "v", kc).head().ks == 0.0
+    # non-finite values: NaN poisons span (NaN > 0 is false → every
+    # row shard 0) and an infinite endpoint sends every finite ratio
+    # to NaN → least() picks the last shard — both collapse to ONE
+    # shard, where within-shard order ≡ global order, so the
+    # stitched form stays value-identical (NaN still sorts LAST in
+    # both, the Spark convention)
+    inf, nan = float("inf"), float("nan")
+    for vals in ([1.0, 2.0, nan, 3.0], [1.0, inf, 2.0],
+                 [-inf, 1.0, 2.0], [-inf, 0.0, inf], [nan, nan]):
+        kx = ks_reference(
+            spark.createDataFrame([(v,) for v in vals], "v double"),
+            "v")
+        assert (ks_score(cur, "v", kx).collect()
+                == ks_score_single_window(cur, "v", kx).collect()), \
+            vals
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ks_score(cur, "v", kr, n_shards=0)

@@ -886,3 +886,127 @@ def _fold_sq(a, b):
     for x, y in zip(a, b):
         d = d + (x - y) * (x - y)
     return d
+
+
+def _ref_ks(ref_vals, cur_vals):
+    """Naive exact two-sample KS over value multisets (None when a
+    side is empty — the operator's no-data contract). Returns the
+    UNROUNDED sup; callers compare against the operator's 6-dp
+    value within the rounding half-width."""
+    from collections import Counter
+    r, c = Counter(ref_vals), Counter(cur_vals)
+    nr, nc = sum(r.values()), sum(c.values())
+    if nr == 0 or nc == 0:
+        return None
+    cr = cc = 0
+    best = 0.0
+    for v in sorted(set(r) | set(c)):
+        cr += r.get(v, 0)
+        cc += c.get(v, 0)
+        best = max(best, abs(cr / nr - cc / nc))
+    return best
+
+
+@settings(**_SETTINGS)
+@given(ref=st.lists(st.integers(-5, 5), min_size=0, max_size=30),
+       cur=st.lists(st.integers(-5, 5), min_size=0, max_size=30))
+def test_ks_report_matches_python_model(spark, ref, cur):
+    """Exact two-sample KS vs a naive Counter/ECDF model on
+    hypothesis multisets (duplicate-heavy, either side possibly
+    empty) — the sharded deployed path must land within the 6-dp
+    rounding half-width of the naive sup, and counts must match
+    exactly."""
+    from picoprobedataflow_spark.operators.drift import ks_report
+
+    rdf = spark.createDataFrame([(float(v),) for v in ref],
+                                "v double")
+    cdf = spark.createDataFrame([(float(v),) for v in cur],
+                                "v double")
+    row = ks_report(rdf, cdf, "v").head()
+    assert (row.n_ref, row.n_cur) == (len(ref), len(cur))
+    want = _ref_ks(ref, cur)
+    if want is None:
+        assert row.ks is None
+    else:
+        assert abs(row.ks - want) <= 5.001e-7, (row.ks, want)
+
+
+@settings(**_SETTINGS)
+@given(pairs=st.lists(st.tuples(st.sampled_from("abcd"),
+                                st.sampled_from("abcd")),
+                      min_size=0, max_size=40))
+def test_chi2_report_matches_python_model(spark, pairs):
+    """Two-sample chi-square vs a naive contingency model on
+    hypothesis category multisets: per-category counts exact,
+    expected counts and chi2 terms within the 6-dp half-width, and
+    the both-sides-nonempty NULL contract."""
+    from picoprobedataflow_spark.operators.drift import chi2_report
+
+    ref = [a for a, _ in pairs]
+    cur = [b for _, b in pairs if b != "d"]       # asymmetric sides
+    rdf = spark.createDataFrame([(c,) for c in ref], "cat string")
+    cdf = spark.createDataFrame([(c,) for c in cur], "cat string")
+    rows = chi2_report(rdf, cdf, "cat").collect()
+    from collections import Counter
+    r, c = Counter(ref), Counter(cur)
+    cats = sorted(set(r) | set(c))
+    assert [x.category for x in rows] == cats
+    tr, tc = len(ref), len(cur)
+    for x in rows:
+        nr, nc = r.get(x.category, 0), c.get(x.category, 0)
+        assert (x.n_ref, x.n_cur) == (nr, nc)
+        if tr == 0 or tc == 0:
+            assert x.e_cur is None and x.chi2_term is None
+            continue
+        col = nr + nc
+        e_ref = tr * col / (tr + tc)
+        e_cur = tc * col / (tr + tc)
+        term = ((nr - e_ref) ** 2 / e_ref
+                + (nc - e_cur) ** 2 / e_cur)
+        assert abs(x.e_cur - e_cur) <= 5.001e-7
+        assert abs(x.chi2_term - term) <= 1.001e-6
+
+
+@settings(**_SETTINGS)
+@given(ref=st.lists(st.integers(0, 40), min_size=2, max_size=40),
+       cur=st.lists(st.integers(0, 40), min_size=0, max_size=40),
+       n_buckets=st.sampled_from([2, 4, 8]))
+def test_psi_report_matches_python_model(spark, ref, cur,
+                                         n_buckets):
+    """PSI vs a naive numpy-quantile/bucket model on hypothesis
+    multisets: bucket populations exact (linear-interpolation
+    quantile edges, strictly-below bucket test), proportions and
+    psi terms within the 6-dp half-width, always exactly n_buckets
+    rows."""
+    import numpy as np
+
+    from picoprobedataflow_spark.operators.drift import (
+        PSI_EPS, psi_report)
+
+    rdf = spark.createDataFrame([(float(v),) for v in ref],
+                                "v double")
+    cdf = spark.createDataFrame([(float(v),) for v in cur],
+                                "v double")
+    rows = psi_report(rdf, cdf, "v", n_buckets=n_buckets).collect()
+    assert [x.bucket for x in rows] == list(range(n_buckets))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = np.quantile(np.array(ref, dtype=float), qs,
+                        method="linear")
+
+    def bucket_counts(vals):
+        out = [0] * n_buckets
+        for v in vals:
+            out[sum(1 for e in edges if v > e)] += 1
+        return out
+
+    br, bc = bucket_counts(ref), bucket_counts(cur)
+    tr, tc = max(len(ref), 1), max(len(cur), 1)
+    import math as _math
+    for x in rows:
+        assert (x.n_ref, x.n_cur) == (br[x.bucket], bc[x.bucket])
+        p_ref = max(br[x.bucket] / tr, PSI_EPS)
+        p_cur = max(bc[x.bucket] / tc, PSI_EPS)
+        term = (p_cur - p_ref) * _math.log(p_cur / p_ref)
+        assert abs(x.p_ref - p_ref) <= 5.001e-7
+        assert abs(x.p_cur - p_cur) <= 5.001e-7
+        assert abs(x.psi_term - term) <= 1.001e-6
