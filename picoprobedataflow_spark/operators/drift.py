@@ -264,7 +264,14 @@ def ks_score(cur: DataFrame, value_col: str,
     practice."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    c = _joined_counts(cur, value_col, reference)
+    # The merged count table feeds FOUR consumers (range bounds,
+    # totals, shard offsets, the stitched cumsum) — materialize it
+    # once (round-17 plan audit: un-checkpointed, each branch
+    # re-derived the corpus scans + full-outer join; AQE exchange
+    # reuse recovered only part of it). Storage is the
+    # distinct-value table the op shuffles anyway.
+    c = (_joined_counts(cur, value_col, reference)
+         .localCheckpoint(eager=True))
     bounds = c.agg(F.min("v").alias("_lo"), F.max("v").alias("_hi"))
     span = F.col("_hi") - F.col("_lo")
     shard = F.when(

@@ -89,6 +89,47 @@ def _max_rank_epoch(spark, rank_dir: str,
     return best
 
 
+def epoch_graph(prior_edges: DataFrame, delta: DataFrame,
+                materialize: bool = True
+                ) -> tuple[DataFrame, DataFrame]:
+    """(graph, new_edges) for one rank epoch from the accumulated
+    distinct state and an already-distinct batch delta — the
+    shuffle-ledger core of :func:`run_pagerank_stream`, factored out
+    (round 17) so its plan shape is assertable:
+
+    - ``new_edges`` (= delta ∖ prior) derives BATCH-scale: the
+      broadcast delta semi-joins against prior MAP-SIDE (output ≤
+      batch rows), then a small-small anti join — the accumulated
+      graph is never shuffled for the subtraction;
+    - ``graph`` = prior ∪ new_edges, distinct BY CONSTRUCTION (state
+      is distinct across epochs and new_edges is delta minus state),
+      so the union carries no re-distinct; its only graph-scale
+      shuffle is the ``repartition("src")`` the rank iterations need
+      anyway.
+
+    The micro-batch is broadcast-size by the streaming contract
+    (epochs arrive at ingest cadence, not corpus scale).
+    ``materialize=False`` keeps both frames lazy for plan
+    inspection; the stream always materializes (new_edges feeds two
+    consumers — the state write and the union; graph feeds every
+    iteration)."""
+    dup_in_prior = prior_edges.join(F.broadcast(delta),
+                                    ["src", "dst"], "left_semi")
+    # dup_in_prior ≤ batch rows by construction (it is a subset of
+    # the broadcast delta) — hint it too, else Catalyst's stat-less
+    # size estimate for a join output plans a (batch-scale, still
+    # harmless) sort-merge anti instead of the broadcast form.
+    new_edges = delta.join(F.broadcast(dup_in_prior),
+                           ["src", "dst"], "left_anti")
+    if materialize:
+        new_edges = new_edges.localCheckpoint(eager=True)
+    graph = (prior_edges.unionByName(new_edges)
+             .repartition("src"))
+    if materialize:
+        graph = graph.localCheckpoint(eager=True)
+    return graph, new_edges
+
+
 def run_pagerank_stream(edge_stream: DataFrame, state_dir: str,
                         checkpoint_dir: str, *,
                         n_iter_cold: int = 10,
@@ -145,29 +186,11 @@ def run_pagerank_stream(edge_stream: DataFrame, state_dir: str,
         # new-to-state edges only: the edges/ table stays distinct
         # across epochs, so the per-epoch graph union never regrows
         # duplicates and a replayed epoch re-derives the same delta.
-        # BATCH-scale, not graph-scale (round 17, VERDICT r16 #2):
-        # a direct delta-anti-prior join would shuffle the whole
-        # accumulated graph on (src, dst); instead the broadcast
-        # batch semi-joins against prior map-side (output ≤ batch
-        # rows), and the anti join then runs small-vs-small. The
-        # micro-batch is broadcast-size by the streaming contract —
-        # epochs arrive at ingest cadence, not corpus scale.
-        dup_in_prior = prior_edges.join(F.broadcast(delta),
-                                        ["src", "dst"], "left_semi")
-        new_edges = (delta.join(dup_in_prior, ["src", "dst"],
-                                "left_anti")
-                     .localCheckpoint(eager=True))
-        # Per-epoch graph = prior ∪ new_edges — DISTINCT BY
-        # CONSTRUCTION (state is distinct across epochs and
-        # new_edges is delta minus state), so the union needs no
-        # re-distinct: the round-16 form still paid one full-graph
-        # (src, dst) shuffle per epoch distincting prior ∪ delta.
-        # The only graph-scale shuffle left is the repartition("src")
-        # the rank iterations need anyway, and the operator takes the
-        # frame prebuilt (its internal build would re-distinct).
-        graph = (prior_edges.unionByName(new_edges)
-                 .repartition("src")
-                 .localCheckpoint(eager=True))
+        # BATCH-scale, not graph-scale (round 17, VERDICT r16 #2) —
+        # see epoch_graph for the shuffle ledger (plan-pinned); the
+        # operator then takes the frame prebuilt (its internal
+        # build would re-distinct).
+        graph, new_edges = epoch_graph(prior_edges, delta)
         # prior vector = the LATEST pre-epoch rank partition (the
         # before_epoch scope keeps a replayed epoch from reading its
         # own partial write back — the _state rule, applied to the

@@ -597,8 +597,10 @@ def ks_drift_stream(spark: SparkSession, src_dir: str,
     localCheckpointed ONCE outside the loop
     (:func:`..operators.drift.ks_reference` with
     ``materialize=True``); per-batch cost is one map-side value
-    count over the batch plus the distinct-value-bounded ordered
-    pass. One row per batch, no cross-batch state — replayed batches
+    count over the batch plus the sharded two-phase ECDF stitch
+    (round 17 — parallel shard windows; the old single-partition
+    ordered pass is retired). One row per batch, no cross-batch
+    state — replayed batches
     re-append byte-identical rows (dedupe on ``batch_id`` at read)."""
     from picoprobedataflow_spark.operators.drift import (
         ks_reference, ks_score)

@@ -1114,3 +1114,45 @@ def test_graph_family_plans_no_cartesian(spark):
             first = spec.split(",")[0]
             assert " ASC" not in first and " DESC" not in first, (
                 f"{name} has a partition-less window: {spec}")
+
+
+def test_pagerank_epoch_graph_plan_batch_scale(spark):
+    """Round 17 (VERDICT r16 #2), the shuffle ledger pinned in the
+    plan: epoch_graph's new-edges derivation must run as two
+    BroadcastHashJoins (delta broadcast into a map-side semi against
+    prior, then the small-small anti) with NO shuffle of the
+    accumulated graph on (src, dst) — no SortMergeJoin, no
+    ShuffledHashJoin — and the union must carry NO re-distinct (no
+    aggregate keyed on src+dst); the only graph-scale exchange is
+    the repartition(src) the iterations need. Values: union ≡ the
+    retired distinct form, exactly."""
+    from picoprobedataflow_spark.streaming.graph_stream import \
+        epoch_graph
+
+    prior = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7) for i in range(30)],
+        "src long, dst long").distinct().localCheckpoint(eager=True)
+    delta = (spark.createDataFrame(
+        [(1, 3), (2, 6), (9, 1), (1, 3)], "src long, dst long")
+        .distinct().localCheckpoint(eager=True))
+
+    graph, new_edges = epoch_graph(prior, delta, materialize=False)
+    ne_plan = (new_edges._jdf.queryExecution().executedPlan()
+               .toString())
+    assert ne_plan.count("BroadcastHashJoin") == 2, ne_plan
+    assert "SortMergeJoin" not in ne_plan, ne_plan
+    assert "ShuffledHashJoin" not in ne_plan, ne_plan
+    g_plan = graph._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in g_plan
+    # the distinct signature would be a HashAggregate keyed on both
+    # edge columns; the union must not re-distinct
+    import re
+    for m in re.findall(r"HashAggregate\(keys=\[([^\]]*)\]", g_plan):
+        assert not ("src" in m and "dst" in m), g_plan
+
+    got = {(r.src, r.dst) for r in graph.collect()}
+    want = {(r.src, r.dst)
+            for r in prior.unionByName(delta).distinct().collect()}
+    assert got == want
+    new = {(r.src, r.dst) for r in new_edges.collect()}
+    assert new == want - {(r.src, r.dst) for r in prior.collect()}
