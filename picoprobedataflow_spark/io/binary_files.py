@@ -92,13 +92,21 @@ def publish_documents(files: DataFrame, dataset_col: F.Column | None = None,
 
 def incremental_ingest(new_files: DataFrame, processed: DataFrame | None) -> DataFrame:
     """S3/S11: checksum-level incremental ingest — keep only files
-    whose (path, sha256) is unseen. Left-anti join ≙ the reference's
-    ``CheckPoint.seen`` + Transfer sync_level=checksum skip."""
+    whose (path, sha256) is unseen. Batch-∖-state ≙ the reference's
+    ``CheckPoint.seen`` + Transfer sync_level=checksum skip, through
+    the broadcast semi/anti helper (round 17): the direct anti join
+    shuffled the ACCUMULATED processed log on every ingest pass —
+    O(log lifetime) where the pass's contract is ∝ new files. The
+    new batch's (path, sha256) key set is ingest-cadence-bounded
+    (broadcast-size)."""
+    from picoprobedataflow_spark.streaming.dedup_stream import \
+        batch_anti_state
     manifest = file_manifest(new_files)
     if processed is None:
         return manifest
-    seen = processed.select("path", "sha256")
-    return manifest.join(seen, ["path", "sha256"], "left_anti")
+    return batch_anti_state(manifest,
+                            processed.select("path", "sha256"),
+                            ["path", "sha256"])
 
 
 def write_catalog(docs: DataFrame, path: str, mode: str = "append") -> None:

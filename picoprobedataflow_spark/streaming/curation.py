@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from picoprobedataflow_spark.streaming.dedup_stream import (
-    _state, _write_epoch)
+    _state, _write_epoch, batch_anti_state)
 
 FP_SCHEMA = "fingerprint string"
 DOMAIN_SCHEMA = "domain string, n long"
@@ -142,20 +142,28 @@ def run_curation_stream(doc_stream: DataFrame, state_dir: str,
         firsts = (withfp.filter(F.col("_fp").isNotNull())
                   .groupBy("_fp")
                   .agg(F.min(F.col(id_col)).alias("_first")))
-        deduped = (withfp.filter(F.col("_fp").isNotNull())
-                   .join(firsts, "_fp")
-                   .filter(F.col(id_col) == F.col("_first"))
-                   .join(seen.withColumnRenamed("fingerprint",
-                                                "_fp"),
-                         "_fp", "left_anti")
-                   .drop("_first"))
+        # batch-∖-state through the broadcast semi/anti helper
+        # (round 17): the direct anti join shuffled the ACCUMULATED
+        # fingerprint state on every epoch — O(stream lifetime)
+        # where the loop's contract is per-epoch-∝-batch; the
+        # keys-only batch fingerprint set rides both broadcasts, so
+        # the state is scanned map-side, never exchanged.
+        batch_fps = (withfp.filter(F.col("_fp").isNotNull())
+                     .select("_fp").distinct()
+                     .localCheckpoint(eager=True))
+        seen_fp = seen.withColumnRenamed("fingerprint", "_fp")
+        deduped = batch_anti_state(
+            (withfp.filter(F.col("_fp").isNotNull())
+             .join(firsts, "_fp")
+             .filter(F.col(id_col) == F.col("_first"))
+             .drop("_first")),
+            seen_fp, ["_fp"], batch_keys=batch_fps)
         cur = (deduped
                .unionByName(withfp.filter(F.col("_fp").isNull()))
                .localCheckpoint(eager=True))
-        new_fps = (withfp.filter(F.col("_fp").isNotNull())
-                   .select(F.col("_fp").alias("fingerprint"))
-                   .distinct()
-                   .join(seen, "fingerprint", "left_anti"))
+        new_fps = (batch_anti_state(batch_fps, seen_fp, ["_fp"],
+                                    batch_keys=batch_fps)
+                   .withColumnRenamed("_fp", "fingerprint"))
         funnel.append(("exact", cur.count()))
 
         if bench is not None:

@@ -198,6 +198,38 @@ def _state(spark: SparkSession, path: str, schema: str,
     return spark.createDataFrame([], schema)
 
 
+def batch_anti_state(batch: DataFrame, state: DataFrame,
+                     keys: list[str],
+                     batch_keys: DataFrame | None = None
+                     ) -> DataFrame:
+    """``batch ∖ state`` on ``keys`` WITHOUT shuffling the
+    accumulated state (round 17 — the incremental-PageRank epoch
+    fix generalized to every loop): a direct
+    ``batch.join(state, keys, "left_anti")`` shuffles BOTH sides on
+    the keys — O(accumulated state) per epoch where the loops'
+    contract is per-epoch-∝-batch. Instead the (small, broadcast)
+    batch key set semi-joins against the state MAP-SIDE — the state
+    is scanned, never exchanged — producing the ≤-batch-rows set of
+    keys already present, and the anti join then runs
+    broadcast-small against that. Plan: two BroadcastHashJoins,
+    zero state-side Exchanges (pinned in
+    tests/test_scale_patterns.py).
+
+    ``batch_keys`` optionally supplies an already-deduplicated
+    keys-only frame (e.g. the caller's existing
+    ``select(key).distinct()``) to skip the derivation — REQUIRED
+    when ``batch`` is wide (doc rows with text): deriving keys from
+    it is fine, but passing the wide frame itself through the first
+    broadcast would ship the payload columns. The batch side is
+    broadcast-size by the streaming contract (micro-batches arrive
+    at ingest cadence, not corpus scale)."""
+    if batch_keys is None:
+        batch_keys = batch.select(*keys).distinct()
+    present = (state.select(*keys)
+               .join(F.broadcast(batch_keys), keys, "left_semi"))
+    return batch.join(F.broadcast(present), keys, "left_anti")
+
+
 def _write_epoch(df: DataFrame, path: str, epoch_id: int) -> None:
     (df.withColumn("epoch", F.lit(epoch_id))
        .write.mode("overwrite")

@@ -113,14 +113,10 @@ def epoch_graph(prior_edges: DataFrame, delta: DataFrame,
     inspection; the stream always materializes (new_edges feeds two
     consumers — the state write and the union; graph feeds every
     iteration)."""
-    dup_in_prior = prior_edges.join(F.broadcast(delta),
-                                    ["src", "dst"], "left_semi")
-    # dup_in_prior ≤ batch rows by construction (it is a subset of
-    # the broadcast delta) — hint it too, else Catalyst's stat-less
-    # size estimate for a join output plans a (batch-scale, still
-    # harmless) sort-merge anti instead of the broadcast form.
-    new_edges = delta.join(F.broadcast(dup_in_prior),
-                           ["src", "dst"], "left_anti")
+    from picoprobedataflow_spark.streaming.dedup_stream import \
+        batch_anti_state
+    new_edges = batch_anti_state(delta, prior_edges,
+                                 ["src", "dst"], batch_keys=delta)
     if materialize:
         new_edges = new_edges.localCheckpoint(eager=True)
     graph = (prior_edges.unionByName(new_edges)

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from picoprobedataflow_spark.streaming.dedup_stream import (
-    _state, _write_epoch)
+    _state, _write_epoch, batch_anti_state)
 
 SUBSTR_SIG_SCHEMA = "sig string"
 
@@ -87,9 +87,12 @@ def run_substr_clean_stream(doc_stream: DataFrame, state_dir: str,
             cleaned = remove_duplicate_substrings(
                 batch, min_len=min_len, text_col=text_col,
                 id_col=id_col, seen_sigs=seen, sigs=sigs)
-            new_sigs = (sigs.filter(F.col("sig").isNotNull())
-                        .select("sig").distinct()
-                        .join(seen, "sig", "left_anti"))
+            # round 17: the broadcast semi/anti helper — the direct
+            # anti join shuffled the accumulated sig state per epoch
+            batch_sigs = (sigs.filter(F.col("sig").isNotNull())
+                          .select("sig").distinct())
+            new_sigs = batch_anti_state(batch_sigs, seen, ["sig"],
+                                        batch_keys=batch_sigs)
             # cleaned BEFORE state (the dedup_stream replay rule).
             _write_epoch(cleaned, out_dir, epoch_id)
             _write_epoch(new_sigs, sig_dir, epoch_id)

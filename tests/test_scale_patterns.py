@@ -1156,3 +1156,37 @@ def test_pagerank_epoch_graph_plan_batch_scale(spark):
     assert got == want
     new = {(r.src, r.dst) for r in new_edges.collect()}
     assert new == want - {(r.src, r.dst) for r in prior.collect()}
+
+
+def test_batch_anti_state_plan_and_values(spark):
+    """Round 17: the shared batch-∖-state helper must (a) equal the
+    naive anti join exactly (incl. duplicate batch rows — anti is a
+    filter, never a dedup — and NULL-free keys), and (b) plan as
+    two BroadcastHashJoins with ZERO exchanges on the state side —
+    the state is scanned map-side, never shuffled (the per-epoch-
+    ∝-batch contract every streaming loop claims)."""
+    from picoprobedataflow_spark.streaming.dedup_stream import \
+        batch_anti_state
+
+    state = (spark.range(0, 1000)
+             .select((F.col("id") % 97).alias("k"),
+                     (F.col("id") % 7).alias("j"))
+             .distinct().localCheckpoint(eager=True))
+    batch = spark.createDataFrame(
+        [(1, 1), (1, 1), (96, 5), (200, 0), (200, 0), (300, 1)],
+        "k long, j long")
+
+    got = sorted(map(tuple,
+                     batch_anti_state(batch, state,
+                                      ["k", "j"]).collect()))
+    want = sorted(map(tuple,
+                      batch.join(state, ["k", "j"],
+                                 "left_anti").collect()))
+    assert got == want
+    assert (200, 0) in {t for t in got}          # dup rows survive
+
+    plan = (batch_anti_state(batch, state, ["k", "j"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
