@@ -877,13 +877,28 @@ def minhash_vector_estimate(vec: DataFrame, pairs: DataFrame,
 
 def minhash_jaccard_estimate(sigs: DataFrame, pairs: DataFrame,
                              num_hashes: int = 16,
-                             id_col: str = "doc_id") -> DataFrame:
-    """Estimated Jaccard = fraction of agreeing signature positions."""
+                             id_col: str = "doc_id",
+                             broadcast_pairs: bool = False
+                             ) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing signature positions.
+
+    ``broadcast_pairs`` (round 17): hint the candidate-pair side —
+    and the pairs·num_hashes intermediate — into broadcasts, so the
+    (possibly corpus-scale) signature table streams MAP-SIDE through
+    both joins instead of shuffling on the ids. Correct only when
+    the pair set is broadcast-size: the incremental/streaming path
+    (pairs bounded by the batch's candidate fan-in) sets it; the
+    corpus-wide batch dedup, whose candidate set scales with the
+    corpus, keeps the default shuffle join."""
     sa = sigs.select(F.col(id_col).alias("doc_a"), "salt",
                      F.col("minhash").alias("mh_a"))
     sb = sigs.select(F.col(id_col).alias("doc_b"), "salt",
                      F.col("minhash").alias("mh_b"))
-    joined = pairs.join(sa, "doc_a").join(sb, ["doc_b", "salt"])
+    p = F.broadcast(pairs) if broadcast_pairs else pairs
+    joined = p.join(sa, "doc_a")
+    if broadcast_pairs:
+        joined = F.broadcast(joined)
+    joined = joined.join(sb, ["doc_b", "salt"])
     return (joined.groupBy("doc_a", "doc_b")
                   .agg((F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1)
                               .otherwise(0))
@@ -897,10 +912,22 @@ def incremental_minhash_dedup(new_docs: DataFrame,
                               band_size: int = 4,
                               text_col: str = "text",
                               id_col: str = "doc_id",
-                              hash_fn: HashFn = portable_hash64
+                              hash_fn: HashFn = portable_hash64,
+                              broadcast_batch: bool = False
                               ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Incremental near-dup detection: dedup a NEW batch against an
     already-signed corpus without touching the corpus's documents.
+
+    ``broadcast_batch`` (round 17): declare the batch broadcast-size
+    (the STREAMING loop's contract — micro-batches arrive at ingest
+    cadence) and the two corpus-side joins stop shuffling state: the
+    new band table broadcasts into the candidate equi-join (corpus
+    bands stream map-side) and the estimate runs with
+    ``broadcast_pairs`` (corpus sigs stream map-side). Values
+    identical (a join hint never changes semantics); the default
+    keeps the batch path's plans untouched — a large DAILY increment
+    may exceed broadcast size, where the partition-by-band
+    co-location below is the right lever instead.
 
     This is the shape a daily ingest needs at 100 TB: the corpus side
     contributes only its stored signature/band tables (written by
@@ -942,6 +969,8 @@ def incremental_minhash_dedup(new_docs: DataFrame,
                                        id_col)
 
     n, c = new_bands.alias("n"), corpus_bands.alias("c")
+    if broadcast_batch:
+        n = F.broadcast(n)
     cross = (n.join(c, (F.col("n.band") == F.col("c.band"))
                     & (F.col("n.band_sig") == F.col("c.band_sig"))
                     & (F.col(f"n.{id_col}") != F.col(f"c.{id_col}")))
@@ -952,6 +981,8 @@ def incremental_minhash_dedup(new_docs: DataFrame,
              .distinct())
 
     a, b = new_bands.alias("a"), new_bands.alias("b")
+    if broadcast_batch:
+        a = F.broadcast(a)
     intra = (a.join(b, (F.col("a.band") == F.col("b.band"))
                     & (F.col("a.band_sig") == F.col("b.band_sig"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -962,7 +993,8 @@ def incremental_minhash_dedup(new_docs: DataFrame,
     all_sigs = corpus_sigs.unionByName(new_sigs)
     pairs = minhash_jaccard_estimate(all_sigs,
                                      cross.unionByName(intra).distinct(),
-                                     num_hashes, id_col)
+                                     num_hashes, id_col,
+                                     broadcast_pairs=broadcast_batch)
     return new_sigs, new_bands, pairs
 
 
@@ -1137,7 +1169,9 @@ def incremental_simhash_pairs(state_sigs: DataFrame,
                               new_sigs: DataFrame,
                               max_hamming: int = 6,
                               n_chunks: int = 4, bits: int = 32,
-                              id_col: str = "doc_id") -> DataFrame:
+                              id_col: str = "doc_id",
+                              broadcast_batch: bool = False
+                              ) -> DataFrame:
     """Near-dup pairs involving AT LEAST ONE new signature — the
     incremental twin of :func:`simhash_near_pairs`, for the
     daily-crawl loop: join the NEW batch's banded chunks against the
@@ -1153,7 +1187,15 @@ def incremental_simhash_pairs(state_sigs: DataFrame,
     unconditionally (sorted), new×new pairs under the usual ``a < b``
     guard. ``state_sigs`` rows must be disjoint from ``new_sigs``
     (re-ingesting an id already in state is the caller's dedupe, as
-    in the minhash loop)."""
+    in the minhash loop).
+
+    ``broadcast_batch`` (round 17, the
+    :func:`incremental_minhash_dedup` knob): the probe side is the
+    NEW batch's chunk table — hinting it broadcast makes the
+    accumulated (state ∪ new) chunk side stream MAP-SIDE instead of
+    shuffling on (j, chunk) every epoch. The streaming loops set it
+    (micro-batches are broadcast-size by contract); a large batch
+    increment keeps the default shuffle join."""
     ac = _simhash_chunks(
         state_sigs.select(F.col(id_col), "simhash")
         .withColumn("_new", F.lit(False))
@@ -1164,6 +1206,8 @@ def incremental_simhash_pairs(state_sigs: DataFrame,
     # two parallel ones to keep in sync — review find).
     bc = ac.filter(F.col("_new")).drop("_new")
     a, b = ac.alias("a"), bc.alias("b")
+    if broadcast_batch:
+        b = F.broadcast(b)
     ham = F.bit_count(F.col("a.simhash")
                       .bitwiseXOR(F.col("b.simhash")))
     ida, idb = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")

@@ -271,10 +271,14 @@ def run_incremental_dedup_stream(doc_stream: DataFrame, state_dir: str,
                              before_epoch=epoch_id)
         corpus_bands = _state(spark, band_dir, BAND_SCHEMA,
                               before_epoch=epoch_id)
+        # broadcast_batch (round 17): a micro-batch is
+        # broadcast-size by the streaming contract, so the corpus
+        # band/sig state streams map-side through the candidate and
+        # estimate joins instead of being shuffled every epoch.
         new_sigs, new_bands, pairs = incremental_minhash_dedup(
             batch, corpus_sigs, corpus_bands,
             num_hashes=num_hashes, k=k, band_size=band_size,
-            hash_fn=hash_fn)
+            hash_fn=hash_fn, broadcast_batch=True)
         # The op owns no cache (round-12 review find: its old
         # internal persist leaked one cache entry per micro-batch —
         # the unpersist here used to target DERIVED frames and
@@ -353,9 +357,13 @@ def run_image_dedup_stream(image_stream: DataFrame, state_dir: str,
                     .select("path", F.col("phash").alias("simhash"))
                     .persist())
         try:
+            # broadcast_batch (round 17): the micro-batch's chunk
+            # table broadcasts; the accumulated sig state streams
+            # map-side instead of shuffling on (j, chunk) per epoch.
             pairs = incremental_simhash_pairs(
                 state, new_sigs, max_hamming=max_hamming,
-                n_chunks=n_chunks, bits=64, id_col="path")
+                n_chunks=n_chunks, bits=64, id_col="path",
+                broadcast_batch=True)
             _write_epoch(pairs, pair_dir, epoch_id)
             _write_epoch(new_sigs, sig_dir, epoch_id)
         finally:

@@ -1190,3 +1190,75 @@ def test_batch_anti_state_plan_and_values(spark):
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_incremental_minhash_broadcast_batch_plan_and_values(spark):
+    """Round 17: incremental_minhash_dedup(broadcast_batch=True) —
+    the streaming loop's setting — must keep values exactly equal to
+    the default shuffle formulation AND plan every corpus-side join
+    as a broadcast (no SortMergeJoin / ShuffledHashJoin anywhere in
+    the candidate or estimate plans: the accumulated band/sig state
+    is scanned map-side, never exchanged)."""
+    from picoprobedataflow_spark.operators.dedup import (
+        band_signatures, incremental_minhash_dedup,
+        minhash_signatures)
+
+    base = ["the quick brown fox jumps over the lazy dog today",
+            "a completely different document about spark shuffles",
+            "rows columns partitions and the shuffle boundary story"]
+    corpus = spark.createDataFrame(
+        list(enumerate(base * 2)), "doc_id long, text string") \
+        .select("doc_id", "text")
+    new = spark.createDataFrame(
+        [(100, base[0]),
+         (101, "the quick brown fox jumps over the lazy dog tonight"),
+         (102, "an entirely unrelated new record with fresh words")],
+        "doc_id long, text string")
+    corpus_sigs = minhash_signatures(corpus).localCheckpoint(True)
+    corpus_bands = band_signatures(corpus_sigs).localCheckpoint(True)
+
+    _s, _b, p0 = incremental_minhash_dedup(new, corpus_sigs,
+                                           corpus_bands)
+    _s, _b, p1 = incremental_minhash_dedup(new, corpus_sigs,
+                                           corpus_bands,
+                                           broadcast_batch=True)
+    a = sorted((r.doc_a, r.doc_b, r.est_jaccard)
+               for r in p0.collect())
+    b = sorted((r.doc_a, r.doc_b, r.est_jaccard)
+               for r in p1.collect())
+    assert a == b and a                       # same, and non-empty
+
+    plan = p1._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_incremental_simhash_broadcast_batch_plan_and_values(spark):
+    """Round 17: incremental_simhash_pairs(broadcast_batch=True) —
+    the image/text hamming loops' setting — values exactly equal to
+    the default formulation, and the chunk join plans as a
+    BroadcastHashJoin (the accumulated state chunk table streams
+    map-side; no SortMergeJoin / ShuffledHashJoin)."""
+    from picoprobedataflow_spark.operators.dedup import \
+        incremental_simhash_pairs
+
+    state = spark.createDataFrame(
+        [(i, (i * 2654435761) % (1 << 32)) for i in range(40)],
+        "doc_id long, simhash long").localCheckpoint(True)
+    new = spark.createDataFrame(
+        [(100, 0), (101, 3), (102, (7 * 2654435761) % (1 << 32))],
+        "doc_id long, simhash long").localCheckpoint(True)
+
+    kw = dict(max_hamming=8, n_chunks=4, bits=32)
+    p0 = incremental_simhash_pairs(state, new, **kw)
+    p1 = incremental_simhash_pairs(state, new, broadcast_batch=True,
+                                   **kw)
+    a = sorted(map(tuple, p0.collect()))
+    b = sorted(map(tuple, p1.collect()))
+    assert a == b and a
+
+    plan = p1._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
