@@ -1889,7 +1889,8 @@ def remove_duplicate_substrings(docs: DataFrame, min_len: int = 12,
                                 text_col: str = "text",
                                 id_col: str = "doc_id",
                                 seen_sigs: DataFrame | None = None,
-                                sigs: DataFrame | None = None
+                                sigs: DataFrame | None = None,
+                                broadcast_batch: bool = False
                                 ) -> DataFrame:
     """(doc_id, cleaned, n_removed, n_kept): the REMOVAL half of
     suffix-array substring dedup — ExactSubstr's actual edit (Lee et
@@ -1923,7 +1924,13 @@ def remove_duplicate_substrings(docs: DataFrame, min_len: int = 12,
     prior slice). Over id-ordered slices, slicing + seen_sigs
     reproduces the one-shot corpus run exactly (the
     :func:`..streaming.substr_stream.run_substr_clean_stream`
-    drain-equivalence pin).
+    drain-equivalence pin). ``broadcast_batch`` (round 17, the
+    :func:`incremental_minhash_dedup` knob): restrict ``seen_sigs``
+    to THIS slice's sig set via a broadcast semi before the left
+    join — the accumulated sig state then streams map-side instead
+    of being distinct-shuffled whole every epoch (an identity for
+    a left join: unmatched sigs never joined anyway). The streaming
+    loop sets it; a large batch slice keeps the default.
 
     ``sigs`` (round-14 review fix): a precomputed
     :func:`kmr_fingerprint_positions` frame for exactly these docs.
@@ -1972,9 +1979,17 @@ def remove_duplicate_substrings(docs: DataFrame, min_len: int = 12,
     base = valid.withColumn("_key", key).join(firsts, "sig")
     if seen_sigs is not None:
         prior = (seen_sigs
-                 .select(F.col(seen_sigs.columns[0]).alias("sig"))
-                 .distinct()
-                 .withColumn("_seen", F.lit(True)))
+                 .select(F.col(seen_sigs.columns[0]).alias("sig")))
+        if broadcast_batch:
+            batch_sig_keys = valid.select("sig").distinct()
+            prior = (prior.join(F.broadcast(batch_sig_keys), "sig",
+                                "left_semi")
+                     .distinct()
+                     .withColumn("_seen", F.lit(True)))
+            prior = F.broadcast(prior)
+        else:
+            prior = (prior.distinct()
+                     .withColumn("_seen", F.lit(True)))
         dup = (base.join(prior, "sig", "left")
                .filter(local_dup
                        | F.coalesce("_seen", F.lit(False)))

@@ -180,23 +180,36 @@ def run_curation_stream(doc_stream: DataFrame, state_dir: str,
         if url_col is not None:
             from picoprobedataflow_spark.functions.web import \
                 domain_quota_sample
-            prior = (_state(spark, dom_dir, DOMAIN_SCHEMA,
-                            before_epoch=epoch_id)
-                     .groupBy("domain")
-                     .agg(F.sum("n").alias("_prior")))
             # Within-batch arrival rank: order_col ranks DESCENDING,
             # so the bit-inverted id ranks ascending-id = arrival
             # order (bitwise NOT, not arithmetic negation — the
             # latter overflows ANSI at Long.MIN_VALUE, reachable
-            # with xxhash64-derived ids).
+            # with xxhash64-derived ids). Checkpointed (round 17):
+            # it now feeds two consumers — the batch-domain key set
+            # and the admission filter.
             ranked = domain_quota_sample(
                 cur.withColumn("_neg_id",
                                F.bitwise_not(
                                    F.col(id_col).cast("long"))),
                 url_col=url_col, quota=domain_quota, id_col=id_col,
-                order_col="_neg_id")
+                order_col="_neg_id").localCheckpoint(eager=True)
+            # Prior per-domain counts restricted to the BATCH's
+            # domains before aggregating (round 17, the
+            # batch_anti_state discipline): the accumulated domain
+            # state is scanned map-side against the broadcast batch
+            # key set — never shuffled whole — and the left join's
+            # right side is then batch-domain-bounded, so it
+            # broadcasts. Restricting before the LEFT join is an
+            # identity (unmatched domains never join).
+            batch_doms = ranked.select("domain").distinct()
+            prior = (_state(spark, dom_dir, DOMAIN_SCHEMA,
+                            before_epoch=epoch_id)
+                     .join(F.broadcast(batch_doms), "domain",
+                           "left_semi")
+                     .groupBy("domain")
+                     .agg(F.sum("n").alias("_prior")))
             admitted = (ranked.filter(F.col("kept"))
-                        .join(prior, "domain", "left")
+                        .join(F.broadcast(prior), "domain", "left")
                         .filter(F.col("rank")
                                 + F.coalesce("_prior", F.lit(0))
                                 <= domain_quota)

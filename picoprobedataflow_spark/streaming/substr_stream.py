@@ -84,9 +84,13 @@ def run_substr_clean_stream(doc_stream: DataFrame, state_dir: str,
         sigs = kmr_fingerprint_positions(
             batch, min_len, text_col, id_col).persist()
         try:
+            # broadcast_batch (round 17): the accumulated sig state
+            # streams map-side against this slice's broadcast sig
+            # set instead of being distinct-shuffled every epoch.
             cleaned = remove_duplicate_substrings(
                 batch, min_len=min_len, text_col=text_col,
-                id_col=id_col, seen_sigs=seen, sigs=sigs)
+                id_col=id_col, seen_sigs=seen, sigs=sigs,
+                broadcast_batch=True)
             # round 17: the broadcast semi/anti helper — the direct
             # anti join shuffled the accumulated sig state per epoch
             batch_sigs = (sigs.filter(F.col("sig").isNotNull())

@@ -1262,3 +1262,32 @@ def test_incremental_simhash_broadcast_batch_plan_and_values(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_substr_seen_sigs_broadcast_batch_equals_default(spark):
+    """Round 17: remove_duplicate_substrings(broadcast_batch=True) —
+    the substring loop's setting — is value-identical to the default
+    seen_sigs formulation (restricting the state to the slice's sig
+    set before the left join is an identity), and the slice-side
+    state join plans broadcast."""
+    from picoprobedataflow_spark.operators.dedup import (
+        kmr_fingerprint_positions, remove_duplicate_substrings)
+
+    docs = spark.createDataFrame(
+        [(1, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc wd we wf"),
+         (2, "x0 w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc yy zz")],
+        "doc_id long, text string")
+    seen = (kmr_fingerprint_positions(
+        spark.createDataFrame(
+            [(0, "w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc wd we")],
+            "doc_id long, text string"), 12)
+        .select("sig").distinct().localCheckpoint(True))
+
+    a = sorted(map(tuple, remove_duplicate_substrings(
+        docs, min_len=12, seen_sigs=seen).collect()))
+    out = remove_duplicate_substrings(docs, min_len=12,
+                                      seen_sigs=seen,
+                                      broadcast_batch=True)
+    b = sorted(map(tuple, out.collect()))
+    assert a == b
+    assert any(r[2] > 0 for r in b)        # something was removed
