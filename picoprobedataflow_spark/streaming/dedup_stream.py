@@ -222,7 +222,14 @@ def batch_anti_state(batch: DataFrame, state: DataFrame,
     it is fine, but passing the wide frame itself through the first
     broadcast would ship the payload columns. The batch side is
     broadcast-size by the streaming contract (micro-batches arrive
-    at ingest cadence, not corpus scale)."""
+    at ingest cadence, not corpus scale) — with ONE caveat worth
+    stating: a first-run BACKFILL under ``availableNow`` with no
+    source rate limit drains the whole backlog as giant batches.
+    Set ``maxFilesPerTrigger``/``maxBytesPerTrigger`` on the source
+    (``availableNow`` respects them, splitting the backlog into
+    bounded batches — the S1 watch source does); a batch past the
+    8 GB broadcast ceiling fails LOUDLY at the BroadcastExchange,
+    never silently wrong."""
     if batch_keys is None:
         batch_keys = batch.select(*keys).distinct()
     present = (state.select(*keys)
