@@ -1010,3 +1010,26 @@ def test_psi_report_matches_python_model(spark, ref, cur,
         assert abs(x.p_ref - p_ref) <= 5.001e-7
         assert abs(x.p_cur - p_cur) <= 5.001e-7
         assert abs(x.psi_term - term) <= 1.001e-6
+
+
+@settings(**_SETTINGS)
+@given(batch=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 3)),
+                      min_size=0, max_size=20),
+       state=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 3)),
+                      min_size=0, max_size=30))
+def test_batch_anti_state_matches_set_model(spark, batch, state):
+    """The broadcast batch-∖-state helper vs the naive set model on
+    hypothesis multisets: every batch row whose key tuple is absent
+    from the state survives WITH multiplicity (anti is a filter,
+    never a dedup), empty batch and empty (typed) state included."""
+    from picoprobedataflow_spark.streaming.dedup_stream import \
+        batch_anti_state
+
+    bdf = spark.createDataFrame(batch, "k long, j long")
+    sdf = spark.createDataFrame(state, "k long, j long")
+    got = sorted(map(tuple,
+                     batch_anti_state(bdf, sdf,
+                                      ["k", "j"]).collect()))
+    skeys = set(state)
+    want = sorted(t for t in batch if t not in skeys)
+    assert got == want
