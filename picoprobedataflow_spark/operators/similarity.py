@@ -885,6 +885,12 @@ def pq_encode(emb: DataFrame, m: int = 4, n_codes: int = 8,
     narrow projection a 100 TB encode pass must be. Per-subspace
     means equal the independent-build means exactly (same value
     multisets per (subspace, cell, dim) group)."""
+    if m < 1 or dim % m:
+        raise ValueError(
+            f"m must divide dim exactly (got dim={dim}, m={m}): "
+            f"sub = dim // m would silently drop the trailing "
+            f"{dim % m if m >= 1 else dim} dimensions from every "
+            f"code and distance")
     sub = dim // m
     if vecs is None:
         vecs = emb.select(
@@ -970,6 +976,12 @@ def pq_adc_search(emb: DataFrame, query_vec: list[float], k: int = 10,
     else:
         codes, codebooks = pq_encode(emb, m, n_codes, n_iter, dim,
                                      vec_col, id_col)
+    if m < 1 or dim % m:
+        raise ValueError(
+            f"m must divide dim exactly (got dim={dim}, m={m}): "
+            f"sub = dim // m would silently drop the trailing "
+            f"{dim % m if m >= 1 else dim} dimensions from every "
+            f"code and distance")
     sub = dim // m
     qd = [float(x) for x in query_vec]
     adc = _adc_expr(codebooks, qd, sub)
@@ -1040,6 +1052,12 @@ def ivfpq_search(emb: DataFrame, query_vec: list[float], k: int = 10,
             F.transform(F.col(vec_col),
                         lambda x: x.cast("double")).alias("_v")
         ).localCheckpoint(eager=True)
+    if m < 1 or dim % m:
+        raise ValueError(
+            f"m must divide dim exactly (got dim={dim}, m={m}): "
+            f"sub = dim // m would silently drop the trailing "
+            f"{dim % m if m >= 1 else dim} dimensions from every "
+            f"code and distance")
     sub = dim // m
     if (coarse_rows is None) != (codebooks is None):
         # Partial injection would silently discard the provided
@@ -1263,6 +1281,12 @@ def ivfpq_residual_search(emb: DataFrame, query_vec: list[float],
                     key=lambda r: (-_cos_py(r[1], qd), r[0]))
     probe_cells = [c for c, _ in ranked[:n_probe]]
     coarse_by_cell = dict(coarse_rows)
+    if m < 1 or dim % m:
+        raise ValueError(
+            f"m must divide dim exactly (got dim={dim}, m={m}): "
+            f"sub = dim // m would silently drop the trailing "
+            f"{dim % m if m >= 1 else dim} dimensions from every "
+            f"code and distance")
     sub = dim // m
 
     # codes over the residual stream, cell kept on the row

@@ -985,3 +985,31 @@ def test_cms_estimate_empty_terms_list(spark, tmp_path):
     out = cms_estimate(spark, st, [])
     assert out.columns == ["term", "est"]
     assert out.collect() == []
+
+
+def test_pq_rejects_non_dividing_subspace_count(spark):
+    """Round-17 battery live find: every PQ entry point computed
+    ``sub = dim // m`` with no divisibility guard, so m∤dim
+    SILENTLY dropped the trailing dim%m dimensions from every code,
+    distance and codebook — plausible-looking wrong neighbors. All
+    four surfaces now reject loudly; m | dim still works."""
+    from picoprobedataflow_spark.operators.similarity import (
+        ivfpq_residual_search, ivfpq_search, pq_adc_search,
+        pq_encode)
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * j) % 5) for j in range(8)])
+         for i in range(6)],
+        "vec_id long, embedding array<double>")
+    q = [0.0] * 8
+    for call in (
+            lambda: pq_encode(emb, m=3, dim=8),
+            lambda: pq_adc_search(emb, q, m=3, dim=8),
+            lambda: ivfpq_search(emb, q, m=3, dim=8),
+            lambda: ivfpq_residual_search(emb, q, m=3, dim=8),
+            lambda: pq_encode(emb, m=0, dim=8)):
+        with pytest.raises(ValueError, match="divide"):
+            call()
+    # the dividing configuration still encodes
+    codes, books = pq_encode(emb, m=2, n_codes=2, dim=8)
+    assert codes.count() == 6 and len(books) == 2
