@@ -1033,3 +1033,43 @@ def test_batch_anti_state_matches_set_model(spark, batch, state):
     skeys = set(state)
     want = sorted(t for t in batch if t not in skeys)
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(edges=st.lists(st.tuples(st.integers(0, 15),
+                                st.integers(0, 15)),
+                      min_size=0, max_size=40))
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-id label propagation vs a pure-Python union-find on
+    hypothesis graphs (self-loops, duplicate edges, forward/backward
+    orientation, singletons-by-self-loop): identical component
+    membership AND the min-id canonical label per component."""
+    from picoprobedataflow_spark.operators.dedup import \
+        connected_components
+
+    df = spark.createDataFrame(edges or [(0, 0)],
+                               "doc_a long, doc_b long")
+    if not edges:
+        df = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = {r.node: r.comp
+           for r in connected_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {n: min(members)
+            for members in comps.values() for n in members}
+    assert got == want, edges
