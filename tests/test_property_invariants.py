@@ -1073,3 +1073,40 @@ def test_connected_components_matches_union_find(spark, edges):
     want = {n: min(members)
             for members in comps.values() for n in members}
     assert got == want, edges
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(st.tuples(st.integers(-50, 50),
+                               st.integers(-50, 50)),
+                     min_size=1, max_size=30),
+       bits=st.sampled_from([2, 4, 8]))
+def test_zorder_key_matches_python_interleave(spark, rows, bits):
+    """Morton key vs a pure-Python bucketize+interleave model on
+    hypothesis integer grids (negative values, degenerate all-equal
+    columns where span 0 falls back to 1): bit-identical keys."""
+    from picoprobedataflow_spark.io.layout import zorder_key
+
+    df = spark.createDataFrame(rows, "x long, y long")
+    xs, ys = [r[0] for r in rows], [r[1] for r in rows]
+    bounds = {"x": (min(xs), max(xs)), "y": (min(ys), max(ys))}
+    got = [r.z for r in df.select(
+        zorder_key(("x", "y"), bits_per_dim=bits,
+                   bounds=bounds).alias("z")).collect()]
+
+    def bucket(v, lo, hi):
+        n = 1 << bits
+        span = float(hi - lo) or 1.0
+        import math as _m
+        b = min(int(_m.floor((float(v) - lo) / span * n)), n - 1)
+        return max(b, 0)
+
+    want = []
+    for x, y in rows:
+        bx = bucket(x, *bounds["x"])
+        by = bucket(y, *bounds["y"])
+        k = 0
+        for b in range(bits):
+            k += ((bx >> b) & 1) << (b * 2 + 0)
+            k += ((by >> b) & 1) << (b * 2 + 1)
+        want.append(k)
+    assert got == want, (rows, bits)
