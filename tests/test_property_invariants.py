@@ -1110,3 +1110,35 @@ def test_zorder_key_matches_python_interleave(spark, rows, bits):
             k += ((by >> b) & 1) << (b * 2 + 1)
         want.append(k)
     assert got == want, (rows, bits)
+
+
+@settings(**_SETTINGS)
+@given(vec=st.lists(st.integers(-1000, 1000).map(lambda v: v / 8),
+                    min_size=1, max_size=12),
+       scale=st.sampled_from([0.25, 1.0, 2.0, 12.7]))
+def test_int8_quantization_matches_decimal_model(spark, vec, scale):
+    """quantize_int8 vs a Decimal HALF_UP model (Spark's round(x, 0)
+    converts through the shortest decimal repr and rounds half AWAY
+    from zero — exactly Decimal(repr(v)).quantize(ROUND_HALF_UP)),
+    including the ±127 clamp and exact half-way values (.5 grid from
+    the /8 inputs times the .25 scale); dequantize is exactly
+    value / scale_inv."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from picoprobedataflow_spark.functions.vectors import (
+        dequantize_int8, quantize_int8)
+
+    df = spark.createDataFrame([([float(v) for v in vec],)],
+                               "embedding array<double>")
+    row = df.select(
+        quantize_int8(F.col("embedding"), scale).alias("q")).head()
+    want = []
+    for v in vec:
+        r = int(Decimal(repr(v * scale)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP))
+        want.append(max(-127, min(127, r)))
+    assert list(row.q) == want, (vec, scale)
+    deq = df.select(dequantize_int8(
+        quantize_int8(F.col("embedding"), scale),
+        scale).alias("d")).head().d
+    assert list(deq) == [w / scale for w in want]
