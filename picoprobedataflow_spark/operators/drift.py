@@ -202,6 +202,18 @@ def ks_reference(ref: DataFrame, value_col: str,
 #: applied to a double ordering key.
 KS_SHARDS = 64
 
+#: ``formulation="auto"`` cutover for :func:`ks_score` (the
+#: ``simhash_signatures`` / key_skew statistics-driven-formulation
+#: convention): when the Catalyst-estimated size of BOTH inputs is
+#: at or under this, the distinct-value count table is small and the
+#: single-window form wins (the sharded stitch pays a bounds
+#: broadcast, a shard-offset pass and a checkpoint — ~0.2 s of fixed
+#: stage overhead that dominates at fixture scale); larger or
+#: STAT-LESS inputs take the sharded two-phase form, the only shape
+#: with no single-reducer stage at corpus scale. Both formulations
+#: are bit-identical (exact int64 cumulants; equality-pinned).
+KS_SINGLE_WINDOW_MAX_BYTES = 64 << 20
+
 
 def _joined_counts(cur: DataFrame, value_col: str,
                    reference: KsReference) -> DataFrame:
@@ -231,17 +243,27 @@ def _ks_of_d(c: DataFrame, d: DataFrame) -> DataFrame:
 
 def ks_score(cur: DataFrame, value_col: str,
              reference: KsReference,
-             n_shards: int = KS_SHARDS) -> DataFrame:
+             n_shards: int = KS_SHARDS,
+             formulation: str = "auto") -> DataFrame:
     """Score one current snapshot against a prebuilt
     :class:`KsReference` — the repeated half. See :func:`ks_report`
     for the one-row contract.
 
-    Deployed formulation (round 17): the ECDF cumulative sums run as
+    ``formulation``: ``"sharded"`` (the scale path),
+    ``"single_window"`` (:func:`ks_score_single_window`), or
+    ``"auto"`` (default) — the statistics-driven cutover of
+    :data:`KS_SINGLE_WINDOW_MAX_BYTES`: small estimated inputs take
+    the single-window form (its fixed costs are lower), anything
+    larger or stat-less takes the sharded form (the scale-safe
+    side). Bit-identical either way (equality-pinned).
+
+    Sharded formulation (round 17): the ECDF cumulative sums run as
     a TWO-PHASE sharded scan, not one global ordered window — the
-    previous ``Window.orderBy(v)`` funneled the whole distinct-value
-    table through a single task, which approaches the row count on a
-    continuous column with the default ``round_to=None`` (the one
-    scale-unsafe default VERDICT r16 flagged). Phase layout:
+    previous always-``Window.orderBy(v)`` form funneled the whole
+    distinct-value table through a single task, which approaches the
+    row count on a continuous column with the default
+    ``round_to=None`` (the one scale-unsafe default VERDICT r16
+    flagged). Phase layout:
 
     1. shard = deterministic monotone linear binning of ``v`` over
        the exact [min, max] range (a 1-row agg, broadcast — the
@@ -262,8 +284,22 @@ def ks_score(cur: DataFrame, value_col: str,
     values land in one shard — but never correctness; a drift
     monitor's value columns (lengths, scores) are range-bounded in
     practice."""
+    if formulation not in ("auto", "sharded", "single_window"):
+        raise ValueError(
+            f"formulation must be auto|sharded|single_window, got "
+            f"{formulation!r}")
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    if formulation == "auto":
+        from picoprobedataflow_spark.operators.dedup import \
+            _plan_size_bytes
+        small = (_plan_size_bytes(cur)
+                 <= KS_SINGLE_WINDOW_MAX_BYTES
+                 and _plan_size_bytes(reference.counts)
+                 <= KS_SINGLE_WINDOW_MAX_BYTES)
+        formulation = "single_window" if small else "sharded"
+    if formulation == "single_window":
+        return ks_score_single_window(cur, value_col, reference)
     # The merged count table feeds FOUR consumers (range bounds,
     # totals, shard offsets, the stitched cumsum) — materialize it
     # once (round-17 plan audit: un-checkpointed, each branch
@@ -308,11 +344,14 @@ def ks_score(cur: DataFrame, value_col: str,
 
 def ks_score_single_window(cur: DataFrame, value_col: str,
                            reference: KsReference) -> DataFrame:
-    """Reference formulation: the ECDFs through ONE global ordered
-    window over the distinct-value table (the single-reducer plan).
-    Exists only to pin that the deployed sharded :func:`ks_score` is
-    bit-identical; never the deployed path (the
-    ``pack_sequences_single_window`` convention)."""
+    """Single-window formulation: the ECDFs through ONE global
+    ordered window over the distinct-value table (the
+    single-reducer plan). The SMALL side of :func:`ks_score`'s
+    ``auto`` cutover (its fixed costs beat the sharded stitch when
+    the count table is tiny — the grouped-simhash convention) and
+    the equality baseline the sharded form is pinned against; the
+    sharded form is the only deployed shape past
+    :data:`KS_SINGLE_WINDOW_MAX_BYTES` or on stat-less inputs."""
     c = _joined_counts(cur, value_col, reference)
     tot = c.agg(F.sum("c_ref").cast("long").alias("n_ref"),
                 F.sum("c_cur").cast("long").alias("n_cur"))

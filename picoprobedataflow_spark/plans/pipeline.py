@@ -3831,12 +3831,14 @@ def ks_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     family uses, through :func:`..operators.drift.ks_report` (round
     17: the last analytics operator promoted from pytest-only to the
     hash gate, VERDICT r16 #1). One row (n_ref, n_cur, ks). The
-    Spark side cumulates the ECDFs through the SHARDED two-phase
-    scan (``operators/drift.py ks_score`` — exact int64 partials, so
-    the formulation is bit-identical to a global ordered window);
-    the oracle replays the semantics in their canonical single-window
-    SQL form (``SUM ... OVER (ORDER BY v)``), the full-outer value
-    merge, the both-sides-nonempty NULL guard and the 6-dp round."""
+    Spark side cumulates the ECDFs through ``ks_score``'s
+    statistics-driven formulation cutover (single-window under
+    ``KS_SINGLE_WINDOW_MAX_BYTES`` — these fixtures; the SHARDED
+    two-phase scan beyond or stat-less — exact int64 partials keep
+    the two bit-identical, equality-pinned); the oracle replays the
+    semantics in their canonical single-window SQL form
+    (``SUM ... OVER (ORDER BY v)``), the full-outer value merge, the
+    both-sides-nonempty NULL guard and the 6-dp round."""
     from picoprobedataflow_spark.operators.drift import ks_report
     docs = tbl(spark, sf_dir, "documents")
     ref = docs.filter(F.col("doc_id") % 2 == 0).select(

@@ -3641,8 +3641,20 @@ def test_ks_sharded_equals_single_window(spark):
     kr = ks_reference(ref, "v")
     want = ks_score_single_window(cur, "v", kr).collect()
     for ns in (1, 2, 7, 64, 500):
-        got = ks_score(cur, "v", kr, n_shards=ns).collect()
+        got = ks_score(cur, "v", kr, n_shards=ns,
+                       formulation="sharded").collect()
         assert got == want, (ns, got, want)
+    # auto on tiny in-memory inputs routes to single_window; with
+    # the threshold forced to 0 it routes to sharded — same values
+    # either way (the statistics-driven cutover contract)
+    from picoprobedataflow_spark.operators import drift as DRIFT
+    assert ks_score(cur, "v", kr).collect() == want
+    old = DRIFT.KS_SINGLE_WINDOW_MAX_BYTES
+    try:
+        DRIFT.KS_SINGLE_WINDOW_MAX_BYTES = 0
+        assert ks_score(cur, "v", kr).collect() == want
+    finally:
+        DRIFT.KS_SINGLE_WINDOW_MAX_BYTES = old
     # all-equal values on both sides: span 0, one shard, ks defined
     const = spark.createDataFrame([(5.0,)] * 9, "v double")
     kc = ks_reference(const, "v")
@@ -3659,12 +3671,15 @@ def test_ks_sharded_equals_single_window(spark):
         kx = ks_reference(
             spark.createDataFrame([(v,) for v in vals], "v double"),
             "v")
-        assert (ks_score(cur, "v", kx).collect()
+        assert (ks_score(cur, "v", kx,
+                         formulation="sharded").collect()
                 == ks_score_single_window(cur, "v", kx).collect()), \
             vals
     import pytest as _pytest
     with _pytest.raises(ValueError):
         ks_score(cur, "v", kr, n_shards=0)
+    with _pytest.raises(ValueError):
+        ks_score(cur, "v", kr, formulation="bogus")
 
 
 def test_ks_plan_no_unbounded_global_window(spark):
@@ -3685,7 +3700,8 @@ def test_ks_plan_no_unbounded_global_window(spark):
         F.length("text").alias("v"))
     cur = docs.filter(F.col("doc_id") % 2 == 1).select(
         F.length("text").alias("v"))
-    plan = (ks_score(cur, "v", ks_reference(ref, "v"))
+    plan = (ks_score(cur, "v", ks_reference(ref, "v"),
+                     formulation="sharded")
             ._jdf.queryExecution().executedPlan().toString())
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs, plan                      # the cumsums are windows
