@@ -680,7 +680,15 @@ MINHASH_PRIME = 2147483647
 def minhash_params(num_hashes: int) -> list[tuple[int, int, int]]:
     """Deterministic (salt, a, b) affine coefficients for
     h_i(x) = (a_i·x + b_i) mod 2^31-1 — classic universal-hash minhash
-    (one expensive base hash per shingle, num_hashes cheap affines)."""
+    (one expensive base hash per shingle, num_hashes cheap affines).
+    Rejects ``num_hashes < 1`` here, at the shared root of every
+    signature path (round-17 battery, reproduced live): 0 crashed
+    with a hintless ANSI DIVIDE_BY_ZERO deep inside the estimate,
+    and a NEGATIVE count silently returned est_jaccard = -0.0 for
+    every pair — plausible-looking garbage."""
+    if num_hashes < 1:
+        raise ValueError(
+            f"num_hashes must be >= 1, got {num_hashes}")
     out = []
     for i in range(num_hashes):
         a = (1103515245 * (i + 1) + 12345) % MINHASH_PRIME
@@ -1125,7 +1133,19 @@ def _simhash_chunks(sigs: DataFrame, n_chunks: int, bits: int,
     """(id, simhash, j, chunk[, *extra]): the banded pigeonhole
     decomposition shared by the full-corpus and incremental pairing
     paths. ``extra`` columns (the incremental path's ``_new`` flag)
-    ride along unchanged."""
+    ride along unchanged. ``n_chunks`` past ``bits`` rejects
+    (round-17 battery): ``chunk_bits`` would floor to 0, every chunk
+    value would collapse to 0, and the candidate join silently
+    degenerates to the full corpus cross product — results stay
+    correct (the hamming filter still runs) but the blowup at scale
+    is catastrophic and unsignalled. Trailing ``bits % n_chunks``
+    bits being uncovered is FINE (candidates only grow; the
+    pigeonhole recall guarantee counts covered differing bits)."""
+    if not 1 <= n_chunks <= bits:
+        raise ValueError(
+            f"n_chunks must be in [1, bits] (got n_chunks="
+            f"{n_chunks}, bits={bits}): chunk_bits would floor to "
+            f"0 and every signature would collide in every chunk")
     chunk_bits = bits // n_chunks
     mask = (1 << chunk_bits) - 1
     return sigs.select(

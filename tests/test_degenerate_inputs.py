@@ -1013,3 +1013,36 @@ def test_pq_rejects_non_dividing_subspace_count(spark):
     # the dividing configuration still encodes
     codes, books = pq_encode(emb, m=2, n_codes=2, dim=8)
     assert codes.count() == 6 and len(books) == 2
+
+
+def test_minhash_and_chunk_geometry_guards(spark):
+    """Round-17 battery live finds: (a) num_hashes=0 crashed with a
+    hintless ANSI DIVIDE_BY_ZERO deep in the estimate and a NEGATIVE
+    count silently returned est_jaccard=-0.0 for every pair — the
+    shared minhash_params root now rejects both; (b) n_chunks > bits
+    floored chunk_bits to 0, collapsing every simhash chunk to 0 —
+    a silent full-corpus cross product at scale — now rejected at
+    the shared chunk decomposition. Valid geometries unchanged."""
+    from picoprobedataflow_spark.operators.dedup import (
+        incremental_simhash_pairs, minhash_lsh_dedup,
+        simhash_near_pairs, simhash_signatures)
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")],
+        "doc_id long, text string")
+    for nh in (0, -4):
+        with pytest.raises(ValueError, match="num_hashes"):
+            minhash_lsh_dedup(docs, num_hashes=nh, k=2, band_size=2)
+    sigs = simhash_signatures(docs)
+    for nc in (0, 64):
+        with pytest.raises(ValueError, match="n_chunks"):
+            simhash_near_pairs(sigs, max_hamming=2, n_chunks=nc,
+                               bits=32)
+    empty = spark.createDataFrame([], "doc_id long, simhash long")
+    with pytest.raises(ValueError, match="n_chunks"):
+        incremental_simhash_pairs(empty, sigs, n_chunks=33, bits=32)
+    # non-dividing n_chunks (uncovered top bits) stays legal: the
+    # recall guarantee counts covered differing bits only
+    assert {(r.doc_a, r.doc_b) for r in simhash_near_pairs(
+        sigs, max_hamming=2, n_chunks=5, bits=32).collect()} \
+        == {(1, 2)}
