@@ -89,7 +89,14 @@ def _shingle_array(toks_col: str, k: int) -> Column:
     PRE-filter rows — so the expression must be total
     (sequence(1, <=0) descends through 0 and slice(_, 0, k) throws).
     Sub-k-token rows build one junk shingle and must be dropped by
-    the caller's size >= k conjunct."""
+    the caller's size >= k conjunct. Rejects ``k < 1`` here, at the
+    one shared root of every shingle consumer (round-17 battery,
+    reproduced live): k=0 made every shingle the EMPTY STRING, so
+    completely unrelated documents reported jaccard/est_jaccard 1.0
+    — a dedup pass would have deleted the whole corpus as
+    duplicates, silently."""
+    if k < 1:
+        raise ValueError(f"shingle width k must be >= 1, got {k}")
     return F.transform(
         F.sequence(F.lit(1),
                    F.greatest(F.size(toks_col) - (k - 1), F.lit(1))),
@@ -140,7 +147,13 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
     row; no per-element re-split) — the only shuffle is the final
     distinct on (doc_id, pos, fp). Docs with fewer than w+k-1 tokens
     select nothing (no full window exists). ``pos`` is the 1-based
-    gram position, so matches can be located in the source text."""
+    gram position, so matches can be located in the source text.
+    ``k < 1`` / ``w < 1`` reject (the _shingle_array guard class:
+    zero-width grams hash the empty string everywhere — silent
+    all-match garbage)."""
+    if k < 1 or w < 1:
+        raise ValueError(
+            f"winnow needs k >= 1 and w >= 1 (got k={k}, w={w})")
     d = docs.select(F.col(id_col), words(text_col).alias("_toks"))
     ng = F.size("_toks") - (k - 1)
     gram_idx = (F.when(ng >= 1, F.sequence(F.lit(1), ng))
@@ -791,7 +804,11 @@ def band_signatures(sigs: DataFrame, band_size: int = 4,
     concatenated in salt order — the single-string LSH join key, and
     the table a production pipeline PERSISTS (it is all incremental
     dedup needs to band a new batch against the corpus). Oracle twin:
-    md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY salt))."""
+    md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY salt)).
+    ``band_size < 1`` rejects eagerly (round-17 battery: 0 reached a
+    runtime ANSI div-by-zero with no hint which knob was wrong)."""
+    if band_size < 1:
+        raise ValueError(f"band_size must be >= 1, got {band_size}")
     banded = sigs.withColumn("band", F.expr(f"salt div {band_size}"))
     ordered = F.array_sort(F.collect_list(F.struct("salt", "minhash")))
     return (banded.groupBy(id_col, "band")
@@ -809,7 +826,11 @@ def band_vector_signatures(vec: DataFrame, band_size: int = 4,
     salts [j·band_size, (j+1)·band_size), which is exactly
     ``slice(mh, j·band_size+1, band_size)`` in salt order (a trailing
     short band falls out of ``slice`` clamping, matching
-    ``salt div band_size``)."""
+    ``salt div band_size``). ``band_size < 1`` rejects eagerly (the
+    :func:`band_signatures` guard class — 0 crashed here with a bare
+    ZeroDivisionError in the band-count ceiling)."""
+    if band_size < 1:
+        raise ValueError(f"band_size must be >= 1, got {band_size}")
     n_bands = -(-num_hashes // band_size)
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),

@@ -56,6 +56,10 @@ def pack_sequences(df: DataFrame, ctx_len: int = 512,
     into contiguous ranges of that width, each range cumsum'd
     independently (window keyed by partition+shard), then stitched
     with broadcast per-shard offsets. Every value is exact int64."""
+    if ctx_len < 1 or shard_span < 1:
+        raise ValueError(
+            f"ctx_len and shard_span must be >= 1 (got ctx_len="
+            f"{ctx_len}, shard_span={shard_span})")
     parts = [F.col(c) for c in part_cols]
     shard = F.expr(f"CAST({id_col} AS BIGINT) div {int(shard_span)}")
     base = df.withColumn("_shard", shard)
@@ -161,6 +165,9 @@ def select_token_budget(df: DataFrame, budget: int,
     ``cum = bucket_off + shard_off + within_cum`` — exact int64,
     value-identical to the single-window form (pytest-asserted).
     No corpus-proportional data ever crosses a single partition."""
+    if shard_span < 1:
+        raise ValueError(
+            f"shard_span must be >= 1, got {shard_span}")
     # The shard key MUST be order-contiguous in id_col (shard order ≡
     # within-bucket order), so it is integer division of the id — a
     # hash would break contiguity. Validate instead of letting a

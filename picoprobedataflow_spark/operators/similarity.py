@@ -423,6 +423,9 @@ def kmeans_centroids(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
     Iterations are intentionally few (quantizer quality needs single
     digits; production IVF builds sample the corpus for the build
     pass)."""
+    if n_clusters < 1:
+        raise ValueError(
+            f"n_clusters must be >= 1, got {n_clusters}")
     if vecs is None:
         vecs = emb.select(
             F.col(id_col).alias("_id"),

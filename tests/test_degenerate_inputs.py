@@ -1046,3 +1046,49 @@ def test_minhash_and_chunk_geometry_guards(spark):
     assert {(r.doc_a, r.doc_b) for r in simhash_near_pairs(
         sigs, max_hamming=2, n_chunks=5, bits=32).collect()} \
         == {(1, 2)}
+
+
+def test_knob_guards_reject_degenerate_geometry(spark):
+    """Round-17 battery, second sweep of live finds: k=0 shingles
+    hashed the EMPTY STRING everywhere so unrelated docs reported
+    jaccard/est_jaccard 1.0 (a dedup pass would have deleted the
+    corpus, silently) — rejected at the one shared _shingle_array
+    root and at winnow's gram build; band_size=0 died in a bare
+    ZeroDivisionError / runtime ANSI divide, kmeans n_clusters=0 in
+    a cryptic array_min AnalysisException, and pack/budget zero
+    spans in hintless runtime divides — all now clean eager
+    ValueErrors naming the knob."""
+    from picoprobedataflow_spark.operators.packing import (
+        pack_sequences, select_token_budget)
+    from picoprobedataflow_spark.operators.similarity import \
+        kmeans_centroids
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y z w v u")],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    toks = spark.createDataFrame([(1, 2, 5)],
+                                 "doc_id long, qb long, n_tokens long")
+
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        DD.jaccard_pairs(docs, k=0, threshold=0.5)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        DD.minhash_lsh_dedup(docs, num_hashes=8, k=0, band_size=2)
+    with pytest.raises(ValueError, match="winnow"):
+        DD.winnow_fingerprints(docs, k=0, w=4)
+    with pytest.raises(ValueError, match="winnow"):
+        DD.winnow_fingerprints(docs, k=3, w=0)
+    with pytest.raises(ValueError, match="band_size"):
+        DD.minhash_lsh_dedup(docs, num_hashes=8, k=2, band_size=0)
+    with pytest.raises(ValueError, match="n_clusters"):
+        kmeans_centroids(emb, n_clusters=0, n_iter=1)
+    with pytest.raises(ValueError, match="ctx_len"):
+        pack_sequences(toks.select("doc_id", "n_tokens"), ctx_len=0)
+    with pytest.raises(ValueError, match="shard_span"):
+        select_token_budget(toks, 10, shard_span=0)
+    # the legal minimum geometries still run
+    assert DD.jaccard_pairs(docs, k=1, threshold=0.0).count() >= 0
+    assert DD.winnow_fingerprints(docs, k=1, w=1).count() > 0
+    assert select_token_budget(toks, 10, shard_span=1).count() == 1
