@@ -2442,6 +2442,9 @@ def cdc_chunk_dedup(docs: DataFrame, n_buckets: int = 8,
     order), one chunk-text aggregate + same-key join. Expected chunk
     length = ``n_buckets`` tokens; the chunk text can be replaced by
     its md5 in the shuffle key at scale."""
+    if n_buckets < 1:
+        raise ValueError(
+            f"n_buckets must be >= 1, got {n_buckets}")
     from pyspark.sql.window import Window as W
 
     from picoprobedataflow_spark.functions.text import words

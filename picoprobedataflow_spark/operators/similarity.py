@@ -229,6 +229,11 @@ def ivf_ann_search(emb: DataFrame, query_vec: list[float], k: int = 5,
     driver; the big scan is pruned to n_probe/|cells| of the data —
     with the cell column as a partition key at write time, that
     pruning is partition pruning."""
+    if n_probe < 1:
+        raise ValueError(
+            f"n_probe must be >= 1, got {n_probe}: probing zero "
+            f"cells returns an empty result that looks like no "
+            f"neighbors exist")
     cents = ivf_centroids(emb, cell_col, vec_col).collect()
     ranked = sorted(cents,
                     key=lambda r: (-_cos_py(r.centroid,
@@ -613,6 +618,11 @@ def ivf_kmeans_search(emb: DataFrame, query_vec: list[float], k: int = 5,
     index per call is a benchmark artifact, not a serving path.
     Reuse ≡ inline-build is pytest-pinned via a parquet round-trip
     of the centroid table."""
+    if n_probe < 1:
+        raise ValueError(
+            f"n_probe must be >= 1, got {n_probe}: probing zero "
+            f"cells returns an empty result that looks like no "
+            f"neighbors exist")
     vecs = emb.select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
@@ -712,6 +722,11 @@ def ivf_index_search(index: DataFrame, cent_rows,
     The serving plan is scan → filter → cosine →
     TakeOrderedAndProject: no Lloyd's build, no assignment, no
     join."""
+    if n_probe < 1:
+        raise ValueError(
+            f"n_probe must be >= 1, got {n_probe}: probing zero "
+            f"cells returns an empty result that looks like no "
+            f"neighbors exist")
     qd = [float(x) for x in query_vec]
     ranked = sorted(cent_rows,
                     key=lambda cr: (-_cos_py(cr[1], qd), cr[0]))

@@ -1092,3 +1092,29 @@ def test_knob_guards_reject_degenerate_geometry(spark):
     assert DD.jaccard_pairs(docs, k=1, threshold=0.0).count() >= 0
     assert DD.winnow_fingerprints(docs, k=1, w=1).count() > 0
     assert select_token_budget(toks, 10, shard_span=1).count() == 1
+
+
+def test_ivf_probe_and_cdc_bucket_guards(spark):
+    """Round-17 battery, third sweep: n_probe=0 returned an EMPTY
+    neighbor list that looks exactly like 'no neighbors exist'
+    (silent for a typo'd config), and cdc n_buckets=0 died in an
+    executor-level modulo crash — all IVF search surfaces and the
+    CDC bucketizer now reject eagerly; the minimum legal values
+    still run."""
+    from picoprobedataflow_spark.operators.similarity import (
+        ivf_kmeans_search)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, 0.0]) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p")],
+        "doc_id long, text string")
+    q = [1.0, 0.0, 0.0, 0.0]
+    with pytest.raises(ValueError, match="n_probe"):
+        ivf_kmeans_search(emb, q, k=2, n_probe=0, n_clusters=2)
+    with pytest.raises(ValueError, match="n_buckets"):
+        DD.cdc_chunk_dedup(docs, n_buckets=0)
+    assert ivf_kmeans_search(emb, q, k=2, n_probe=1,
+                             n_clusters=2).count() > 0
+    assert DD.cdc_chunk_dedup(docs, n_buckets=1).count() >= 0
