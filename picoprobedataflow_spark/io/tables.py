@@ -25,16 +25,90 @@ SMALL_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
+#: Floor for the unsplittable-scan remedy below: tables whose file
+#: bytes sit under this stay single-task — fanning a sf0.001/sf0.01
+#: correctness fixture (tens of KB) out to 32 tasks is pure
+#: scheduling overhead with nothing to parallelize.
+_REPART_MIN_BYTES = 256 * 1024
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+#: The corpus tables whose consumers are uniformly COMPUTE-DENSE per
+#: row (tokenize → shingle → hash/signature folds over text; vector
+#: fold chains over embeddings) — the only tables where restoring
+#: scan parallelism pays for its exchange. The relational star-schema
+#: facts feed projection+aggregate plans whose cost is the shuffle
+#: itself; an extra exchange there was measured strictly slower
+#: (q1 0.74→1.44 s, sessionize 0.39→0.98 s in the round-17 A/B).
+_COMPUTE_DENSE = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
+def _scan_fill_repartition(spark: SparkSession, df: DataFrame,
+                           name: str) -> DataFrame:
+    """Unsplittable-input remedy (optimization guide §2.5): restore
+    scan parallelism when the file layout cannot fill the cluster.
+
+    The bench/test tables arrive as ONE single-row-group parquet file
+    each, so the scan — and with it the whole row-local map chain the
+    operators are built around (tokenize → shingle → hash/signature
+    folds, the heaviest stages in the round-17 stage profile) —
+    executes as ONE task however many cores the session has. Parquet
+    splits align to row groups, so no split-size conf can fix this;
+    the guide's remedy for an unsplittable input is to repartition
+    immediately after the read.
+
+    Three deliberate restrictions:
+
+    - Only the compute-dense corpus tables take it (see
+      :data:`_COMPUTE_DENSE`): the remedy pays exactly when per-row
+      map work dominates the exchange it buys, which is a property
+      of the table's consumers — measured ~40% off the minhash
+      pipeline, strictly negative on the relational facts.
+    - The partitioning is a DETERMINISTIC HASH of the table's unique
+      id, not round-robin: every keyless ``repartition(n)`` pays a
+      local sort of its input first (sort-before-repartition,
+      SPARK-23207 — guide §2.5), which on the single-task scan is
+      serialized exactly where we are trying to stop serializing.
+      Hashing the unique id spreads evenly with no sort and keeps
+      task retries deterministic.
+    - The gate is derived from input statistics, not tuned to a
+      scale: repartition only when the Catalyst size estimate (real
+      file bytes for parquet) is below cores × maxPartitionBytes —
+      i.e. exactly when the scan cannot produce one full-cluster
+      wave of tasks even at the configured split size. At 100 TB the
+      gate is false and the plan is untouched; shuffled bytes are
+      bounded by the gate's own threshold.
+
+    Filter/column pushdown still reaches the scan below the exchange
+    (plan-pinned in tests/test_layout.py).
+    """
+    key = _COMPUTE_DENSE.get(name)
+    if key is None:
+        return df
+    if os.environ.get("SPARK_GRAFT_SCAN_REPART", "1") == "0":
+        return df
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+        cores = spark.sparkContext.defaultParallelism
+        max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                    "134217728"))
+    except Exception:
+        return df
+    if _REPART_MIN_BYTES < size < cores * max_pb:
+        return df.repartition(cores, df[key])
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Schema comes from parquet footers (no inference)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    return _scan_fill_repartition(spark, df, name)
 
 
 def load_tables(spark: SparkSession, sf_dir: str,

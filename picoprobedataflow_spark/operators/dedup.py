@@ -262,6 +262,14 @@ def jaccard_pairs(docs: DataFrame | None, k: int = 3,
         drop = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
                   .filter(F.col("df") > max_df).select("shingle"))
         sh = sh.join(F.broadcast(drop), "shingle", "left_anti")
+        # The CAPPED table feeds three consumers (sizes + both join
+        # sides). The persist above only covers the raw shingles, so
+        # without one here the df aggregate and the anti-join re-run
+        # once per consumer — the round-17 before-plan shows FOUR
+        # copies of the cap subtree (one per self-join side, two
+        # under sizes). One corpus-scale aggregate instead of four;
+        # MEMORY_ONLY, evictable, the same posture as the raw persist.
+        sh = sh.persist(StorageLevel.MEMORY_ONLY)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
