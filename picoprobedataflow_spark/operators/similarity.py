@@ -49,7 +49,7 @@ def _adc_expr(codebooks, qd: list[float], sub: int) -> F.Column:
             for a, b in zip(qs, cent):      # ascending dim, left-assoc
                 d = d + (a - b) * (a - b)
             lut.append(d)
-        term = F.element_at(F.array(*[F.lit(x) for x in lut]),
+        term = F.element_at(V.const_array(lut),
                             F.col(f"c{i}") + 1)
         adc = term if adc is None else adc + term
     return adc
@@ -59,7 +59,7 @@ def cosine_to_query(emb: DataFrame, query_vec: list[float],
                     vec_col: str = "embedding",
                     id_col: str = "vec_id") -> DataFrame:
     """(vec_id, cosine) against a constant query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = V.const_array(query_vec)
     return emb.select(F.col(id_col),
                       V.cosine(F.col(vec_col), q).alias("cosine"))
 
@@ -240,7 +240,7 @@ def ivf_ann_search(emb: DataFrame, query_vec: list[float], k: int = 5,
                                             [float(x) for x in query_vec]),
                                    r.cell))
     probe_cells = [r.cell for r in ranked[:n_probe]]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = V.const_array(query_vec)
     return (emb.filter(F.col(cell_col).isin(probe_cells))
                .select(F.col(id_col), F.col(cell_col).alias("cell"),
                        F.round(V.cosine(F.col(vec_col), q),
@@ -262,7 +262,8 @@ def srp_plane_entry(plane: int, dim: int) -> float:
     return 1.0 if h % 2 == 0 else -1.0
 
 
-def srp_bucket(vec_col: F.Column, n_planes: int = 8, dim: int = 64) -> F.Column:
+def srp_bucket(vec_col: F.Column | str, n_planes: int = 8,
+               dim: int = 64) -> F.Column:
     """SRP bucket id: bit p set iff plane_p · v > 0.
 
     The dot product is a ``zip_with`` + left-fold ``aggregate`` over
@@ -271,9 +272,28 @@ def srp_bucket(vec_col: F.Column, n_planes: int = 8, dim: int = 64) -> F.Column:
     ``0.0 + x == x`` holds for every x; a -0.0 sum still fails
     ``> 0``), so bucket assignment is bit-reproducible against the
     oracle's chained-sum form."""
+    if isinstance(vec_col, str):
+        # ONE parsed SQL expression for the whole bucket (round 17):
+        # the Column-API form paid ~30 py4j round-trips per plane for
+        # lambda construction — pure driver time, linear in n_planes.
+        # Identical tree: per plane the same zip_with product /
+        # left-fold sum / > 0 gate / power-of-two term, longs
+        # throughout (the int-vs-long width of the old per-plane
+        # literals is value-invisible: the sum was always a long).
+        def arr(vals):
+            return "array(" + ",".join(repr(float(x)) + "D"
+                                       for x in vals) + ")"
+        terms = " + ".join(
+            "(CASE WHEN aggregate(zip_with(`%s`, %s, (x, y) -> "
+            "CAST(x AS DOUBLE) * y), 0.0D, (acc, t) -> acc + t) > 0 "
+            "THEN %dL ELSE 0L END)"
+            % (vec_col, arr([srp_plane_entry(p, d) for d in range(dim)]),
+               1 << p)
+            for p in range(n_planes))
+        return F.expr(f"CAST(0 AS BIGINT) + {terms}")
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(srp_plane_entry(p, d)) for d in range(dim)])
+        plane = V.const_array([srp_plane_entry(p, d) for d in range(dim)])
         dot = F.aggregate(
             F.zip_with(vec_col, plane,
                        lambda x, y: x.cast("double") * y),
@@ -360,8 +380,8 @@ def srp_ann_search(emb: DataFrame, query_vec: list[float], k: int = 5,
         if dot > 0:
             qbucket |= 1 << p
     bucketed = emb.withColumn("bucket",
-                              srp_bucket(F.col(vec_col), n_planes, dim))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+                              srp_bucket(vec_col, n_planes, dim))
+    q = V.const_array(query_vec)
     return (bucketed.filter(F.col("bucket") == qbucket)
                     .select(F.col(id_col), "bucket",
                             F.round(V.cosine(F.col(vec_col), q),
@@ -491,15 +511,33 @@ def kmeans_assign_expr(cent_rows, vec_col: str = "embedding") -> F.Column:
     is ``array_min`` over (d, cell) structs — bit-identical to
     ``min_by(cell, struct(d, cell))``, with zero joins and zero
     shuffles. This is what assignment over 100 TB of vectors should
-    plan as: a narrow projection, k·dim constants per task."""
-    pairs = [
-        F.struct(
-            sqdist(F.col(vec_col),
-                   F.array(*[F.lit(float(x)) for x in centroid])).alias("d"),
-            F.lit(int(cell)).cast("int").alias("cell"))
-        for cell, centroid in
-        ((r[0], r[1]) for r in cent_rows)]
-    return F.array_min(F.array(*pairs)).getField("cell")
+    plan as: a narrow projection, k·dim constants per task.
+
+    Built as ONE parsed SQL expression (round 17): the Column-API
+    form spent ~2 s of pure DRIVER time per compile on py4j traffic —
+    each centroid's ``zip_with``/``aggregate`` lambda costs a dozen
+    gateway round-trips, and the k·dim literal elements one each —
+    which made plan construction, not execution, the dominant cost of
+    every centroid-literal search (cProfile: 10.3 s of an 11.9 s
+    ivfpq_residual build inside this function). The string parses in
+    ~5 ms and yields the IDENTICAL expression tree: same ascending-dim
+    left-associative fold as :func:`sqdist` (x and y cast to double,
+    squared difference, ``0.0D`` seed, ``acc + v`` merge), same
+    ``array_min`` over (d, cell) structs, double literals rendered
+    with ``repr`` (shortest round-trip form; Spark's parser is
+    correctly rounded, so values are bit-identical — formulation
+    equality stays pytest-pinned)."""
+    def arr(vals):
+        return "array(" + ",".join(repr(float(x)) + "D"
+                                   for x in vals) + ")"
+    pairs = ",".join(
+        "struct(aggregate(zip_with(`%s`, %s, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0.0D, "
+        "(acc, v) -> acc + v) AS d, CAST(%d AS INT) AS cell)"
+        % (vec_col, arr(centroid), int(cell))
+        for cell, centroid in ((r[0], r[1]) for r in cent_rows))
+    return F.expr(f"array_min(array({pairs})).cell")
 
 
 def kmeans_assign(vecs: DataFrame, cents: DataFrame,
@@ -639,7 +677,7 @@ def ivf_kmeans_search(emb: DataFrame, query_vec: list[float], k: int = 5,
     # Map-side assignment keeps _v on the row, so the probe is
     # scan → filter → cosine → TakeOrderedAndProject: no join at all.
     cent_rows = sorted((r.cell, list(r.centroid)) for r in cents)
-    q = F.array(*[F.lit(x) for x in qd])
+    q = V.const_array(qd)
     return (vecs.withColumn("cell", kmeans_assign_expr(cent_rows, "_v"))
             .filter(F.col("cell").isin(probe_cells))
             .select(F.col("_id").alias(id_col), "cell",
@@ -731,7 +769,7 @@ def ivf_index_search(index: DataFrame, cent_rows,
     ranked = sorted(cent_rows,
                     key=lambda cr: (-_cos_py(cr[1], qd), cr[0]))
     probe_cells = [c for c, _ in ranked[:n_probe]]
-    q = F.array(*[F.lit(x) for x in qd])
+    q = V.const_array(qd)
     return (index.filter(F.col("cell").isin(probe_cells))
                  .select(F.col(id_col), "cell",
                          F.round(V.cosine(F.col(vec_col), q),
@@ -1169,7 +1207,7 @@ def ivfpq_search(emb: DataFrame, query_vec: list[float], k: int = 10,
     if rerank is None:
         return ranked.limit(k)
     short = ranked.limit(int(rerank)).select(id_col)
-    qcol = F.array(*[F.lit(float(x)) for x in qd])
+    qcol = V.const_array(qd)
     return (vecs.join(F.broadcast(short),
                       vecs["_id"] == short[id_col])
             .select(F.col("_id").alias(id_col),
@@ -1230,7 +1268,7 @@ def with_residual(df: DataFrame, coarse_rows: list) -> DataFrame:
     and ``zip_with`` subtracts it, zero joins/shuffles. Shared by the
     residual search and the quantized-suite shared build."""
     cents_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in cent])
+        V.const_array(cent)
         for _c, cent in coarse_rows])         # ordered by cell 0..k-1
     cell = kmeans_assign_expr(coarse_rows, "_v")
     cent = F.element_at(cents_arr, F.col("cell") + 1)
@@ -1329,7 +1367,7 @@ def ivfpq_residual_search(emb: DataFrame, query_vec: list[float],
                 for a, b in zip(qres, cent):   # ascending dim, left-assoc
                     d = d + (a - b) * (a - b)
                 lut.append(d)
-            hit = F.element_at(F.array(*[F.lit(x) for x in lut]),
+            hit = F.element_at(V.const_array(lut),
                                F.col(f"c{i}") + 1)
             term = (F.when(F.col("cell") == cell, hit) if term is None
                     else term.when(F.col("cell") == cell, hit))
@@ -1342,7 +1380,7 @@ def ivfpq_residual_search(emb: DataFrame, query_vec: list[float],
     if rerank is None:
         return ranked_df.limit(k)
     short = ranked_df.limit(int(rerank)).select(id_col)
-    qcol = F.array(*[F.lit(float(x)) for x in qd])
+    qcol = V.const_array(qd)
     return (vecs.join(F.broadcast(short),
                       vecs["_id"] == short[id_col])
             .select(F.col("_id").alias(id_col),

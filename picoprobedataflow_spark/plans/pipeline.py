@@ -646,7 +646,7 @@ def _embedding_neardup_pairs(spark: SparkSession,
     co-bucketed pairs."""
     emb = tbl(spark, sf_dir, "embeddings")
     bucketed = emb.withColumn(
-        "bucket", SIM.srp_bucket(F.col("embedding"),
+        "bucket", SIM.srp_bucket("embedding",
                                  n_planes=_NEARDUP_PLANES, dim=64))
     pairs = SIM.blocked_near_pairs(bucketed, threshold=0.4,
                                    block_col="bucket")
@@ -766,7 +766,7 @@ def ann_srp_matrix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      n_planes=_SRP_PLANES, dim=_SRP_DIM)
     from picoprobedataflow_spark.functions import vectors as V
 
-    q = F.array(*[F.lit(x) for x in qvec])
+    q = V.const_array(qvec)
     return (bucketed.filter(F.col("bucket") == qbucket)
             .select("vec_id", "bucket",
                     F.round(V.cosine(F.col("embedding"), q), 6)
@@ -7192,7 +7192,7 @@ def _embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine rounds before ranking on both engines."""
     emb = tbl(spark, sf_dir, "embeddings")
     bucketed = emb.withColumn(
-        "bucket", SIM.srp_bucket(F.col("embedding"),
+        "bucket", SIM.srp_bucket("embedding",
                                  n_planes=_NEARDUP_PLANES, dim=64))
     return SIM.block_knn_graph(bucketed, k=_KNN_K)
 
@@ -7231,7 +7231,7 @@ def _embedding_hard_negatives(spark: SparkSession,
     and rounding discipline as ``knn_graph``."""
     emb = tbl(spark, sf_dir, "embeddings")
     bucketed = emb.withColumn(
-        "bucket", SIM.srp_bucket(F.col("embedding"),
+        "bucket", SIM.srp_bucket("embedding",
                                  n_planes=_NEARDUP_PLANES, dim=64))
     return SIM.block_knn_graph(bucketed, k=_HARDNEG_K,
                                exclude_col="label")
