@@ -752,12 +752,18 @@ def minhash_vector(docs: DataFrame, num_hashes: int = 16, k: int = 3,
         F.transform("_sh", lambda s: F.pmod(hash_fn(s),
                                             F.lit(MINHASH_PRIME))
                     ).alias("_hs"))
-    mins = [
-        F.array_min(F.transform(
-            "_hs", lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME)
-            ).alias(f"_m{i}")
-        for i, a, b in minhash_params(num_hashes)]
-    d = d.select(F.col(id_col), *mins)
+    # One parsed selectExpr instead of num_hashes Column-API
+    # array_min(transform(...)) builds (round 17, the
+    # simhash_signatures / kmeans_assign_expr treatment): each lambda
+    # construction costs ~a dozen py4j round-trips of pure driver
+    # time. The strings parse to the IDENTICAL expression tree —
+    # int-literal coefficients, same int64 affine arithmetic — so
+    # equality is structural (grouped-vs-vector stays pytest-pinned).
+    d = d.selectExpr(
+        id_col,
+        *[f"array_min(transform(_hs, h -> "
+          f"({a} * h + {b}) % {MINHASH_PRIME})) AS _m{i}"
+          for i, a, b in minhash_params(num_hashes)])
     return d.select(
         F.col(id_col),
         F.array(*[f"_m{i}" for i in range(num_hashes)]).alias("mh"))
@@ -1099,6 +1105,17 @@ def simhash_signatures(docs: DataFrame, bits: int = 32,
     if formulation == "auto":
         formulation = ("grouped" if _plan_size_bytes(docs)
                        <= SIG_GROUPED_MAX_BYTES else "rowlocal")
+    # The per-bit loops are rendered as parsed SQL strings (round 17,
+    # the kmeans_assign_expr treatment): the Column-API forms spent
+    # ~0.3-0.8 s of pure DRIVER time per plan build on py4j gateway
+    # round-trips — each of the 32 rowlocal folds costs 3 lambda
+    # constructions (~a dozen round-trips apiece), the grouped path ~6
+    # calls per conditional sum, and the vote fold ~10 per bit. One
+    # selectExpr / F.expr parse yields the IDENTICAL expression tree
+    # (same shiftright/&1/CAST(BIGINT) ladder, same left-associated
+    # `+` vote accumulation); everything here is int64 arithmetic, so
+    # equality is structural, not ulp-tolerant — and stays pinned by
+    # the formulation-equality tests.
     if formulation == "grouped":
         # explode_outer: a null-text doc keeps one all-null token row
         # and resolves to signature 0, exactly as the row-local path's
@@ -1113,8 +1130,8 @@ def simhash_signatures(docs: DataFrame, bits: int = 32,
                        F.when(F.col("_t").isNotNull(),
                               hash_fn(F.col("_t"))).alias("_h"))
         d = h.groupBy(id_col).agg(
-            *[F.sum(F.shiftright("_h", b).bitwiseAND(F.lit(1))
-                    .cast("long")).alias(f"_o{b}")
+            *[F.expr(f"sum(CAST(shiftright(_h, {b}) & 1 AS BIGINT)) "
+                     f"AS _o{b}")
               for b in range(bits)],
             F.count("*").alias("_n"))
     else:
@@ -1122,20 +1139,16 @@ def simhash_signatures(docs: DataFrame, bits: int = 32,
             F.col(id_col),
             F.transform(words(text_col),
                         lambda t: hash_fn(t)).alias("_hs"))
-        ones = [
-            F.aggregate(
-                F.transform("_hs", lambda h: F.shiftright(h, b)
-                            .bitwiseAND(F.lit(1)).cast("long")),
-                F.lit(0).cast("long"),
-                lambda a, x: a + x).alias(f"_o{b}")
-            for b in range(bits)]
-        d = d.select(F.col(id_col), F.size("_hs").alias("_n"), *ones)
-    sig = None
-    for b in range(bits):
-        term = F.when(F.col(f"_o{b}") * 2 > F.col("_n"),
-                      F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
-        sig = term if sig is None else sig + term
-    return d.select(F.col(id_col), sig.alias("simhash"))
+        d = d.selectExpr(
+            id_col, "size(_hs) AS _n",
+            *[f"aggregate(transform(_hs, h -> "
+              f"CAST(shiftright(h, {b}) & 1 AS BIGINT)), "
+              f"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS _o{b}"
+              for b in range(bits)])
+    sig = " + ".join(
+        f"CAST(CASE WHEN _o{b} * 2 > _n THEN {1 << b} ELSE 0 END "
+        f"AS BIGINT)" for b in range(bits))
+    return d.select(F.col(id_col), F.expr(sig).alias("simhash"))
 
 
 def simhash_dedup(docs: DataFrame, max_hamming: int = 6,

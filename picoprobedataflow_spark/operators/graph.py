@@ -513,10 +513,24 @@ def spam_mass(edges: DataFrame, seeds: DataFrame,
     NULL there, not a crash (the ANSI totality convention)."""
     e = _built_edges(edges, src_col, dst_col,
                      prebuilt, verify_prebuilt)
-    pr = pagerank(e, n_iter=n_iter, damping=damping,
-                  round_digits=None, prebuilt=True)
-    tr = pagerank(e, n_iter=n_iter, damping=damping,
-                  round_digits=None, seeds=seeds, prebuilt=True)
+    # The two rank runs are INDEPENDENT given the built graph — only
+    # the final join consumes both — but each one is a sequential
+    # ladder of per-iteration eager checkpoints, so running them
+    # serially leaves the cluster idle through every ladder rung's
+    # scheduling gap. Submitting them from two driver threads
+    # (optimization-guide §2.6: actions are only sequential because
+    # the driver calls them sequentially) lets each run's jobs
+    # back-fill the other's idle tail; FIFO scheduling interleaves
+    # them and the per-run plans — hence the values — are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_pr = pool.submit(
+            pagerank, e, n_iter=n_iter, damping=damping,
+            round_digits=None, prebuilt=True)
+        f_tr = pool.submit(
+            pagerank, e, n_iter=n_iter, damping=damping,
+            round_digits=None, seeds=seeds, prebuilt=True)
+        pr, tr = f_pr.result(), f_tr.result()
     j = (pr.select("node", F.col("pr"))
          .join(tr.select("node", F.col("pr").alias("trust")),
                "node"))

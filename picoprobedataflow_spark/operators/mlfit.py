@@ -46,6 +46,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _sigmoid(m: Column) -> Column:
@@ -95,15 +96,34 @@ def logreg_train(df: DataFrame, feature_cols: list[str],
     cond = y.isNotNull()
     for c in feature_cols:
         cond = cond & F.col(c).cast("double").isNotNull()
+    # Persist the filtered frame across the n_iter gradient passes
+    # (round 17, guide §5: cache what is reused AND expensive to
+    # recompute): without it every pass re-scans the source and
+    # re-evaluates the feature expressions (regex-heavy for the
+    # corpus quality filters) — n_iter full extraction passes for
+    # one extraction's worth of information. MEMORY_ONLY is
+    # evictable (a dropped partition recomputes, degrading to the
+    # old behavior, never spilling); the cached rows are the
+    # projected feature columns, a narrow fraction of the corpus.
+    # Values are unchanged: caching preserves rows, partitioning
+    # and per-partition order, so each pass aggregates the same
+    # multiset in the same layout.
     d = df.filter(cond)
-    w = [0.0] * len(feats)
-    for _ in range(n_iter):
-        row = _gradient_frame(d, feats, y, w).head()
-        if row is None or row[0] is None:
-            return w  # empty corpus: zero gradient steps
-        w = [wj + lr * (row[j] - l2 * wj)
-             for j, wj in enumerate(w)]
-    return w
+    persisted = n_iter > 1
+    if persisted:
+        d = d.persist(StorageLevel.MEMORY_ONLY)
+    try:
+        w = [0.0] * len(feats)
+        for _ in range(n_iter):
+            row = _gradient_frame(d, feats, y, w).head()
+            if row is None or row[0] is None:
+                return w  # empty corpus: zero gradient steps
+            w = [wj + lr * (row[j] - l2 * wj)
+                 for j, wj in enumerate(w)]
+        return w
+    finally:
+        if persisted:
+            d.unpersist()
 
 
 def logreg_predict(df: DataFrame, feature_cols: list[str],

@@ -5814,14 +5814,21 @@ def doremi_mixture_weights(spark: SparkSession,
     cur = (cur.crossJoin(F.broadcast(nsrc))
            .withColumn("w", F.lit(1.0) / F.col("_k"))
            .drop("_k"))
-    for _ in range(_DOREMI_T):
-        # localCheckpoint per iteration (review find — the pagerank
-        # rule at operators/graph.py): each step embeds `cur` twice
-        # per scalar-agg crossJoin, so an un-materialized loop builds
-        # a 4^T-leaf plan (~1024 corpus-aggregate copies at T=5) that
-        # Catalyst must analyze; checkpointing k rows per step is
-        # free and keeps the plan linear in T.
-        cur = cur.localCheckpoint(eager=True)
+    for _t in range(_DOREMI_T):
+        # localCheckpoint every SECOND step (round 17; previously
+        # every step): each step embeds `cur` 4× via its two
+        # scalar-agg crossJoins, so an un-materialized loop builds a
+        # 4^T-leaf plan (~1024 corpus-aggregate copies at T=5) that
+        # Catalyst must analyze — but each eager checkpoint is a
+        # full driver-blocking job, and over k-row data the job
+        # overhead IS the cost. A stride of 2 bounds the plan at 16
+        # leaves of k-row checkpointed scans (cheap analysis) while
+        # halving the sequential job ladder. Step 0 always
+        # checkpoints — it materializes the corpus aggregate the
+        # whole ladder reuses. Values unchanged: a checkpoint is a
+        # materialization boundary only.
+        if _t % 2 == 0:
+            cur = cur.localCheckpoint(eager=True)
         avg = cur.agg(F.sum(F.col("w") * F.col("loss"))
                       .alias("_avg"))
         cur = (cur.crossJoin(F.broadcast(avg))
