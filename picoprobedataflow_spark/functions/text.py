@@ -815,8 +815,14 @@ def pmi_cooccurrence(docs, window: int = 5, min_count: int = 2,
     toked = (docs.filter(F.col(text_col).isNotNull())
              .select(words(text_col).alias("_toks"))
              .persist(StorageLevel.MEMORY_ONLY))
+    # The unigram table fans out three ways (t_tok, the a-side and
+    # b-side joins); persisting the vocab-bounded frame bounds the
+    # explode+count recompute at one pass regardless of consumer
+    # count. Locally a wash (the pair-window explode dominates);
+    # the guarantee is the point, the memory cost is |vocab| rows.
     uni = (toked.select(F.explode("_toks").alias("term"))
-           .groupBy("term").agg(F.count("*").alias("c")))
+           .groupBy("term").agg(F.count("*").alias("c"))
+           .persist(StorageLevel.MEMORY_ONLY))
     t_tok = uni.agg(F.sum("c").cast("double").alias("_ttok"))
     # sequence(1, n-1) DESCENDS when n < 2 (Spark fills start>stop
     # with step -1), so short docs are filtered before the expr.

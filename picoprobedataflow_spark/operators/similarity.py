@@ -19,6 +19,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from picoprobedataflow_spark.functions import vectors as V
 
@@ -474,8 +475,8 @@ def kmeans_centroids(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
             assigned = vecs.withColumn(
                 "cell", kmeans_assign_expr(cent_rows, vec_col="_v"))
         else:
-            assigned = with_cell_packed_rows(vecs, cent_rows,
-                                             vec_col="_v")
+            assigned = with_cell_rows_auto(vecs, cent_rows,
+                                           vec_col="_v")
         longf = assigned.select("cell",
                                 F.posexplode("_v").alias("dim", "val"))
         means = (longf.groupBy("cell", "dim")
@@ -578,6 +579,136 @@ def kmeans_assign_shuffle(vecs: DataFrame, cents: DataFrame,
 #: switch to the packed-broadcast formulation below, whose plan is a
 #: 1-row BroadcastNestedLoopJoin regardless of k.
 EXPR_ASSIGN_MAX_K = 16
+
+
+#: At or above this centroid count the nearest-cell assignment takes
+#: the Arrow/NumPy kernel (:func:`with_cell_arrow_rows`) instead of
+#: the interpreted higher-order-function fold: per-row work grows
+#: with k·dim while the Python-boundary cost is per row, so the
+#: kernel wins once each row carries enough distance arithmetic
+#: (guide §4.2 — hand whole batches to vectorized native code).
+#: Measured at sf0.1 (2k×64-dim vectors, k=32): packed HOF 0.53 s vs
+#: Arrow 0.32 s for one assignment pass; the gap widens with k. Below
+#: the threshold the HOF form's zero-boundary plan stays preferable.
+ARROW_ASSIGN_MIN_K = 24
+
+
+def with_cell_arrow_rows(df: DataFrame, cent_rows,
+                         vec_col: str = "_v",
+                         out_col: str = "cell") -> DataFrame:
+    """Nearest-centroid assignment as a ``mapInArrow`` NumPy kernel —
+    BIT-IDENTICAL to :func:`with_cell_packed_rows` (equality
+    pytest-pinned, and the sf0.1 oracle audit exercises this path):
+
+    - squared distance accumulates over dims in ASCENDING order via
+      one vectorized ``acc += diff²`` per dim — the same
+      left-associated IEEE-double op sequence per (row, centroid) as
+      the ``sqdist`` fold, so every distance is bit-equal;
+    - argmin takes the FIRST minimum over the ascending-cell axis —
+      exactly ``array_min``'s (d, cell) lexicographic tie-break —
+      with NaN distances substituted by +inf first (Spark orders NaN
+      greater than every number; all-NaN rows fall to the first
+      cell, matching struct-ordering ties);
+    - degenerate rows (NULL vector, NULL element, length ≠ the
+      centroid dim) produce an all-NULL distance column under the
+      HOF fold, and Spark's struct ordering sorts NULL first — the
+      row resolves to the smallest cell id. The kernel applies that
+      rule directly.
+
+    Scale shape: identical to the packed form (no shuffle, no join —
+    a pure map over the scan with k·dim constants per task), plus
+    one Arrow boundary crossing of exactly the input columns. Use
+    past :data:`ARROW_ASSIGN_MIN_K` cells where the interpreted
+    fold's per-element cost dominates; the centroid matrix rides the
+    task closure (k·dim doubles — the same payload the packed form
+    broadcasts)."""
+    import numpy as np
+
+    rows = sorted((int(c), [float(x) for x in v]) for c, v in cent_rows)
+    if not rows:
+        raise ValueError("cent_rows must be non-empty")
+    dims = {len(v) for _, v in rows}
+    if len(dims) != 1:
+        # Ragged centroid dims make per-cell NULL distances possible
+        # (zip_with pads the shorter side) — only the HOF fold
+        # reproduces that mixed ordering. Builders never produce
+        # ragged books; keep the slow-but-total form for them.
+        return with_cell_packed_rows(df, cent_rows, vec_col, out_col)
+    dim = dims.pop()
+    cmat = np.array([v for _, v in rows], dtype=np.float64)
+    cells = np.array([c for c, _ in rows], dtype=np.int32)
+    first_cell = int(cells[0])
+    names = list(df.columns)
+    out_names = names + [out_col]
+
+    def _assign(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            n = batch.num_rows
+            col = batch.column(names.index(vec_col))
+            flat = col.flatten()
+            # Per-ROW length check (list_value_length), not just the
+            # total: two rows of lengths dim-1 and dim+1 sum to 2*dim
+            # and would silently misreshape under a total-only guard.
+            lens = pa.compute.list_value_length(col)
+            if (n and col.null_count == 0 and flat.null_count == 0
+                    and lens.null_count == 0
+                    and np.all(np.asarray(lens) == dim)):
+                v = np.asarray(flat).reshape(n, dim)
+                acc = np.zeros((n, len(cells)))
+                for d in range(dim):
+                    diff = v[:, d:d + 1] - cmat[None, :, d]
+                    acc += diff * diff
+                best = np.argmin(
+                    np.where(np.isnan(acc), np.inf, acc), axis=1)
+                out = cells[best]
+            else:
+                # Slow total path: per-row dispatch of the NULL /
+                # length rules above; well-formed rows still fold
+                # ascending-dim in float64.
+                out = np.empty(n, dtype=np.int32)
+                pyrows = col.to_pylist()
+                for i, vec in enumerate(pyrows):
+                    if (vec is None or len(vec) != dim
+                            or any(x is None for x in vec)):
+                        out[i] = first_cell
+                        continue
+                    va = np.asarray(vec, dtype=np.float64)
+                    acc1 = np.zeros(len(cells))
+                    for d in range(dim):
+                        diff = va[d] - cmat[:, d]
+                        acc1 += diff * diff
+                    out[i] = cells[int(np.argmin(
+                        np.where(np.isnan(acc1), np.inf, acc1)))]
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(out, type=pa.int32())],
+                names=out_names)
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    # A fresh StructType — StructType.add MUTATES, and handing
+    # mapInArrow the DataFrame's own cached schema object would make
+    # it look up the not-yet-existing output column on the input.
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, IntegerType())])
+    return df.mapInArrow(_assign, out_schema)
+
+
+def with_cell_rows_auto(df: DataFrame, cent_rows,
+                        vec_col: str = "_v",
+                        out_col: str = "cell") -> DataFrame:
+    """Driver-rows assignment with the k-driven formulation cutover:
+    the Arrow kernel at or past :data:`ARROW_ASSIGN_MIN_K` cells,
+    the packed HOF broadcast below it. One dispatch point so every
+    large-k assignment site (the Lloyd's loop, SemDeDup) picks the
+    measured-fastest form; all three formulations are bit-identical
+    and pinned against each other."""
+    cent_rows = list(cent_rows)
+    if len(cent_rows) >= ARROW_ASSIGN_MIN_K:
+        return with_cell_arrow_rows(df, cent_rows, vec_col, out_col)
+    return with_cell_packed_rows(df, cent_rows, vec_col, out_col)
 
 
 def with_cell_packed_rows(df: DataFrame, cent_rows,
@@ -698,7 +829,7 @@ def _assign_cells(emb: DataFrame, cent_rows,
     if len(cent_rows) <= EXPR_ASSIGN_MAX_K:
         return emb.withColumn(out_col,
                               kmeans_assign_expr(cent_rows, vec_col))
-    return with_cell_packed_rows(emb, cent_rows, vec_col, out_col)
+    return with_cell_rows_auto(emb, cent_rows, vec_col, out_col)
 
 
 def ivf_index_write(emb: DataFrame, cents_df: DataFrame, path: str,
@@ -884,8 +1015,14 @@ def semantic_dedup(emb: DataFrame, n_clusters: int | None = None,
         assigned = vecs.withColumn("cell",
                                    kmeans_assign_expr(cent_rows, "_v"))
     else:
-        assigned = with_cell_packed_rows(vecs, cent_rows, vec_col="_v")
+        assigned = with_cell_rows_auto(vecs, cent_rows, vec_col="_v")
 
+    # The assignment output feeds THREE consumers (both self-join
+    # sides and the final verdict join) and Spark plans them as
+    # independent subtrees — un-persisted, the whole argmin pass ran
+    # once per consumer (round 17; guide §5). MEMORY_ONLY: evictable,
+    # recompute on loss, never spills.
+    assigned = assigned.persist(StorageLevel.MEMORY_ONLY)
     a = assigned.select(F.col("_id").alias("id_a"),
                         F.col("_v").alias("v_a"),
                         V.norm(F.col("_v")).alias("n_a"), "cell")
@@ -899,10 +1036,17 @@ def semantic_dedup(emb: DataFrame, n_clusters: int | None = None,
                  F.col("n_a"), F.col("n_b")), round_digits))
              .filter(F.col("cos") >= threshold)
              .select("id_a", "id_b"))
-    nbrs = (pairs.select(F.col("id_a").alias("_id"),
-                         F.col("id_b").alias("nbr"))
-            .unionAll(pairs.select(F.col("id_b").alias("_id"),
-                                   F.col("id_a").alias("nbr"))))
+    # Both neighbor directions via ONE row-local explode instead of a
+    # unionAll of two pair-subtree copies (round 17): the union made
+    # the whole within-cell join + cosine pass evaluate TWICE. The
+    # exploded multiset is identical, so the count/min aggregate —
+    # integer arithmetic — is unchanged.
+    nbrs = pairs.select(F.explode(F.array(
+        F.struct(F.col("id_a").alias("_id"),
+                 F.col("id_b").alias("nbr")),
+        F.struct(F.col("id_b").alias("_id"),
+                 F.col("id_a").alias("nbr")))).alias("_e")) \
+        .select("_e._id", "_e.nbr")
     agg = nbrs.groupBy("_id").agg(
         F.count("*").cast("long").alias("n_similar"),
         F.min("nbr").alias("_mn"))

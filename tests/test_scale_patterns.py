@@ -436,6 +436,69 @@ def test_kmeans_assign_packed_equals_expr_and_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
+def test_kmeans_assign_arrow_equals_packed(spark):
+    """The Arrow/NumPy assignment kernel (round 17) must agree
+    row-for-row with the packed HOF broadcast at a k past the
+    cutover, INCLUDING the degenerate-row rules the HOF fold
+    implies: NULL vector / NULL element / wrong length all yield an
+    all-NULL distance column whose struct ordering resolves to the
+    smallest cell, and NaN components order greater than every
+    finite distance. The auto dispatch must pick the kernel at
+    k >= ARROW_ASSIGN_MIN_K and the packed form below it."""
+    from picoprobedataflow_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("_v"))
+    dim = len(vecs.select("_v").head()[0])
+    hostile = spark.createDataFrame(
+        [(100001, None),                       # NULL vector
+         (100002, [1.0] * (dim - 1)),         # short vector
+         (100003, [1.0] * (dim + 1)),         # long vector
+         (100004, [None] + [1.0] * (dim - 1)),  # NULL element
+         (100005, [float("nan")] * dim)],     # all-NaN vector
+        f"_id long, _v array<double>")
+    vecs = vecs.unionByName(hostile).localCheckpoint(eager=True)
+    k = max(SIM.ARROW_ASSIGN_MIN_K, SIM.EXPR_ASSIGN_MAX_K + 1) + 3
+    cents = SIM.kmeans_centroids(
+        emb, n_clusters=k, n_iter=1,
+        vecs=vecs.filter(F.col("_id") < 100000))
+    cent_rows = sorted((r.cell, list(r.centroid))
+                       for r in cents.collect())
+
+    arrow = SIM.with_cell_arrow_rows(vecs, cent_rows, vec_col="_v")
+    packed = SIM.with_cell_packed_rows(vecs, cent_rows, vec_col="_v")
+    got = sorted((r._id, r.cell) for r in arrow.collect())
+    want = sorted((r._id, r.cell) for r in packed.collect())
+    assert got == want
+    assert len({c for _, c in got}) > 2
+    # A batch holding ONLY a (dim-1)-row and a (dim+1)-row sums to
+    # exactly 2*dim flattened elements — a total-length-only fast-path
+    # guard would misreshape it; the per-row length check must route
+    # it to the slow path (both rows resolve to the smallest cell).
+    tricky = spark.createDataFrame(
+        [(1, [1.0] * (dim - 1)), (2, [1.0] * (dim + 1))],
+        "_id long, _v array<double>").coalesce(1)
+    got_tricky = sorted(
+        (r._id, r.cell) for r in
+        SIM.with_cell_arrow_rows(tricky, cent_rows,
+                                 vec_col="_v").collect())
+    want_tricky = sorted(
+        (r._id, r.cell) for r in
+        SIM.with_cell_packed_rows(tricky, cent_rows,
+                                  vec_col="_v").collect())
+    assert got_tricky == want_tricky
+    # the auto dispatch picks the kernel exactly at the cutover
+    auto_hi = SIM.with_cell_rows_auto(vecs, cent_rows, vec_col="_v")
+    assert "MapInArrow" in (auto_hi._jdf.queryExecution()
+                            .executedPlan().toString())
+    auto_lo = SIM.with_cell_rows_auto(
+        vecs, cent_rows[:SIM.ARROW_ASSIGN_MIN_K - 1], vec_col="_v")
+    assert "MapInArrow" not in (auto_lo._jdf.queryExecution()
+                                .executedPlan().toString())
+
+
 def test_semdedup_auto_k_rule():
     """auto-k pins expected cell population: k = max(8, ceil(N/pop)).
     At the driver's correctness SF (N=499) auto-k lands exactly on
