@@ -67,7 +67,10 @@ def _uncapped_pipeline_queries():
     """Dedup/similarity over the FULL documents/embeddings tables."""
 
     def dedup_exact(spark, sf_dir):
-        return DD.exact_dedup_groups(tbl(spark, sf_dir, "documents"))
+        # scan_repart=False: one fingerprint hash + group-by is below
+        # the repartition's break-even (see io/tables.load_table).
+        return DD.exact_dedup_groups(
+            tbl(spark, sf_dir, "documents", scan_repart=False))
 
     def minhash_lsh(spark, sf_dir):
         # fast_hash64 = the production hash at scale (xxhash64 codegen

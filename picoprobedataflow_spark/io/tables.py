@@ -103,11 +103,23 @@ def _scan_fill_repartition(spark: SparkSession, df: DataFrame,
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one table. Schema comes from parquet footers (no inference)."""
+def load_table(spark: SparkSession, sf_dir: str, name: str,
+               scan_repart: bool = True) -> DataFrame:
+    """Load one table. Schema comes from parquet footers (no inference).
+
+    ``scan_repart=False`` opts a CALL SITE out of the unsplittable-scan
+    remedy. The remedy's break-even is a property of the consumer, not
+    just the table: a payload-heavy, compute-light plan (exact dedup —
+    one fingerprint hash then a group-by) pays the full-text exchange
+    without enough map work to amortize it (measured 3x slower at
+    sf0.1), while the tokenize/shingle/signature chains win ~40%.
+    Consumers below the break-even pass False; results are identical
+    either way (partitioning never changes values)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     df = spark.read.parquet(table_path(sf_dir, name))
+    if not scan_repart:
+        return df
     return _scan_fill_repartition(spark, df, name)
 
 

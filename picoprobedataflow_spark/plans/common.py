@@ -39,9 +39,10 @@ def prep(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def tbl(spark: SparkSession, sf_dir: str, name: str,
+        scan_repart: bool = True) -> DataFrame:
     prep(spark)
-    return load_table(spark, sf_dir, name)
+    return load_table(spark, sf_dir, name, scan_repart=scan_repart)
 
 
 def ts_to_us(df: DataFrame, col: str = "ts") -> DataFrame:

@@ -126,7 +126,10 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       within-horizon duplicates in the synthetic stream."""
     import picoprobedataflow_spark.streaming.watch as WCH
 
-    docs = tbl(spark, sf_dir, "documents")
+    # scan_repart=False: both hash-agg consumers are below the
+    # unsplittable-scan remedy's break-even (payload-heavy exchange,
+    # one cheap hash of map work — see io/tables.load_table).
+    docs = tbl(spark, sf_dir, "documents", scan_repart=False)
     groups = (DD.exact_dedup_groups(docs)
               .select(F.lit("groups").alias("family"), "fingerprint",
                       "n_docs", "canonical_id"))
