@@ -67,10 +67,9 @@ def _uncapped_pipeline_queries():
     """Dedup/similarity over the FULL documents/embeddings tables."""
 
     def dedup_exact(spark, sf_dir):
-        # scan_repart=False: one fingerprint hash + group-by is below
-        # the repartition's break-even (see io/tables.load_table).
-        return DD.exact_dedup_groups(
-            tbl(spark, sf_dir, "documents", scan_repart=False))
+        # default scan_repart=False: one fingerprint hash + group-by
+        # is below the repartition's break-even (io/tables.load_table).
+        return DD.exact_dedup_groups(tbl(spark, sf_dir, "documents"))
 
     def minhash_lsh(spark, sf_dir):
         # fast_hash64 = the production hash at scale (xxhash64 codegen
@@ -86,7 +85,8 @@ def _uncapped_pipeline_queries():
                                 hash_fn=SC.fast_hash64)
 
     def jaccard_neardup(spark, sf_dir):
-        docs = tbl(spark, sf_dir, "documents")
+        # scan_repart=True: shingle-chain consumer, A/B win 1.6x.
+        docs = tbl(spark, sf_dir, "documents", scan_repart=True)
         # max_df prunes stop-shingles — the knob that keeps the
         # shingle join linear-ish on a real corpus. shingle_hash =
         # the production path (8-byte shingle ids in the self-join,
@@ -114,16 +114,19 @@ def _uncapped_pipeline_queries():
         # Oracle-parity md5 variant of dedup_minhash_lsh_full: same
         # plan, portable hash. The pair quantifies what oracle parity
         # costs vs the xxhash64 production hash instead of asserting it.
-        docs = tbl(spark, sf_dir, "documents")
+        # md5 signatures are compute-dense enough to amortize the
+        # scan repartition (A/B 1.45x) where the xxhash64 production
+        # form is not (0.91x) — the hash cost IS the difference.
+        docs = tbl(spark, sf_dir, "documents", scan_repart=True)
         return DD.minhash_lsh_dedup(docs, num_hashes=16, k=3, band_size=4)
 
     def simhash_md5(spark, sf_dir):
-        docs = tbl(spark, sf_dir, "documents")
+        docs = tbl(spark, sf_dir, "documents", scan_repart=True)
         return DD.simhash_dedup(docs, max_hamming=6)
 
     def text_quality_full(spark, sf_dir):
         from picoprobedataflow_spark.functions import text as TX
-        docs = tbl(spark, sf_dir, "documents")
+        docs = tbl(spark, sf_dir, "documents", scan_repart=True)
         return docs.select(
             "doc_id",
             TX.n_words("text").alias("n_words"),
@@ -334,7 +337,8 @@ def main() -> None:
     # the cutover (the two are bit-identical, pytest-pinned).
     variants["dedup_simhash_rowlocal_full"] = (
         lambda spark, sf_dir: DD.simhash_dedup(
-            tbl(spark, sf_dir, "documents"), max_hamming=6,
+            tbl(spark, sf_dir, "documents", scan_repart=True),
+            max_hamming=6,
             hash_fn=SC.fast_hash64, formulation="rowlocal"))
     # Round 12: corpus-frequency boilerplate removal (distinct-count
     # aggregate + reassembly), the overlapping context-window chunker
@@ -351,7 +355,8 @@ def main() -> None:
     # family keeps exact string shingles.
     variants["containment_full"] = (
         lambda spark, sf_dir: DD.containment_pairs(
-            tbl(spark, sf_dir, "documents"), k=3, threshold=0.9,
+            tbl(spark, sf_dir, "documents", scan_repart=True),
+            k=3, threshold=0.9,
             max_df=50, shingle_hash=SC.fast_hash64))
     variants["zipf_full"] = PL.zipf_source_stats
     variants["dq_full"] = PL.dq_expectations

@@ -36,13 +36,16 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-#: The corpus tables whose consumers are uniformly COMPUTE-DENSE per
-#: row (tokenize → shingle → hash/signature folds over text; vector
-#: fold chains over embeddings) — the only tables where restoring
-#: scan parallelism pays for its exchange. The relational star-schema
-#: facts feed projection+aggregate plans whose cost is the shuffle
-#: itself; an extra exchange there was measured strictly slower
-#: (q1 0.74→1.44 s, sessionize 0.39→0.98 s in the round-17 A/B).
+#: The corpus tables ELIGIBLE for the unsplittable-scan remedy —
+#: whether a given call site takes it is the consumer's decision
+#: (``scan_repart=True``), because the break-even is a property of
+#: the CONSUMER's per-row work, not of the table: the round-17
+#: 60-key interleaved A/B showed the exchange pays only on the
+#: compute-dense chains (shingle/signature/winnow/kNN folds,
+#: 1.3–2.9x) and is a strict loss on projection/aggregate consumers
+#: (nfc 2.4x slower, zipf/outliers ~2x, the drift scoreboards
+#: 1.2–1.45x). The relational star-schema facts are excluded
+#: entirely (q1 0.74→1.44 s, sessionize 0.39→0.98 s).
 _COMPUTE_DENSE = {"documents": "doc_id", "embeddings": "vec_id"}
 
 
@@ -104,17 +107,18 @@ def _scan_fill_repartition(spark: SparkSession, df: DataFrame,
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str,
-               scan_repart: bool = True) -> DataFrame:
+               scan_repart: bool = False) -> DataFrame:
     """Load one table. Schema comes from parquet footers (no inference).
 
-    ``scan_repart=False`` opts a CALL SITE out of the unsplittable-scan
+    ``scan_repart=True`` opts a CALL SITE into the unsplittable-scan
     remedy. The remedy's break-even is a property of the consumer, not
-    just the table: a payload-heavy, compute-light plan (exact dedup —
-    one fingerprint hash then a group-by) pays the full-text exchange
-    without enough map work to amortize it (measured 3x slower at
-    sf0.1), while the tokenize/shingle/signature chains win ~40%.
-    Consumers below the break-even pass False; results are identical
-    either way (partitioning never changes values)."""
+    just the table, so it is opt-IN (round-17 session-2 A/B over all
+    60 bench keys): the compute-dense tokenize/shingle/signature/
+    vector-fold chains win 1.3–2.9x from the exchange, while
+    projection/aggregate consumers (exact dedup, the drift
+    scoreboards, nfc/zipf/outliers, packing windows) lose 1.2–2.4x —
+    and the losers outnumber the winners. Winners pass True; results
+    are identical either way (partitioning never changes values)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
     df = spark.read.parquet(table_path(sf_dir, name))

@@ -76,19 +76,22 @@ def psi_reference(ref: DataFrame, value_col: str,
                   materialize: bool = False) -> PsiReference:
     """Build the reference half: exact ``1/n .. (n-1)/n`` quantile
     edges and the always-``n_buckets``-row reference bucket counts.
-    ``materialize=True`` localCheckpoints both (both are k-bounded:
-    one row of edges, ``n_buckets`` count rows) — use it when the
-    reference will be scored against repeatedly (the streaming
-    monitor); the one-shot :func:`psi_report` keeps them lazy."""
+    The 1-row edges frame is ALWAYS eager-checkpointed: every caller
+    broadcasts it into at least two bucket-count passes (ref + cur),
+    so a lazy edges frame re-runs the reference percentile scan per
+    consumer — the round-17 plan audit counted the psi scoreboard
+    scanning its reference corpus 8x for a 10-row result.
+    ``materialize=True`` additionally localCheckpoints the
+    ``n_buckets``-row count table — use it when the reference will
+    be scored against repeatedly (the streaming monitor)."""
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     v = F.col(value_col).cast("double")
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    edges_row = ref.filter(v.isNotNull()).agg(
+    edges_row = (ref.filter(v.isNotNull()).agg(
         F.percentile(v, F.array(*[F.lit(q) for q in qs]))
          .alias("_edges"))
-    if materialize:
-        edges_row = edges_row.localCheckpoint(eager=True)
+        .localCheckpoint(eager=True))
     spark = ref.sparkSession
     grid = spark.range(n_buckets).select(
         F.col("id").cast("int").alias("bucket"))
@@ -107,11 +110,17 @@ def psi_score(cur: DataFrame, value_col: str,
     """Score one current snapshot against a prebuilt
     :class:`PsiReference` — the repeated half of the comparison. See
     :func:`psi_report` for the scoreboard contract."""
+    # The n_buckets-row scoreboard feeds TWO consumers (the totals
+    # agg and the final projection) — materialize it once or the
+    # whole ref+cur bucket-count subtree re-evaluates per consumer
+    # (guide §5: reused AND expensive to recompute; the frame is
+    # k-bounded by contract).
     j = (reference.counts
          .join(_bucket_counts(cur, value_col, reference.edges_row,
                               "n_cur"), "bucket", "left")
          .select("bucket", "n_ref",
-                 F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+                 F.coalesce("n_cur", F.lit(0)).alias("n_cur"))
+         .localCheckpoint(eager=True))
     tot = j.agg(F.sum("n_ref").alias("_tr"),
                 F.sum("n_cur").alias("_tc"))
     p_ref = F.greatest(F.col("n_ref") / F.greatest(F.col("_tr"),
@@ -351,8 +360,16 @@ def ks_score_single_window(cur: DataFrame, value_col: str,
     the count table is tiny — the grouped-simhash convention) and
     the equality baseline the sharded form is pinned against; the
     sharded form is the only deployed shape past
-    :data:`KS_SINGLE_WINDOW_MAX_BYTES` or on stat-less inputs."""
-    c = _joined_counts(cur, value_col, reference)
+    :data:`KS_SINGLE_WINDOW_MAX_BYTES` or on stat-less inputs.
+
+    The merged count table is materialized here for the same reason
+    the sharded form checkpoints it: THREE consumers (the window
+    pass, the totals, the final n-rows) — the round-17 plan audit
+    caught the un-checkpointed small form re-deriving the two
+    snapshot scans + the full-outer merge per consumer (6 parquet
+    scans, 21 exchanges for a 1-row result)."""
+    c = (_joined_counts(cur, value_col, reference)
+         .localCheckpoint(eager=True))
     tot = c.agg(F.sum("c_ref").cast("long").alias("n_ref"),
                 F.sum("c_cur").cast("long").alias("n_cur"))
     w = Window.orderBy("v").rowsBetween(
@@ -471,12 +488,16 @@ def chi2_score(cur: DataFrame, cat_col: str,
                       .otherwise(F.lit(reference.other_label))
                       .alias("cat"), "c_cur")
               .groupBy("cat").agg(F.sum("c_cur").alias("c_cur")))
+    # Category-cardinality-bounded scoreboard, two consumers (totals
+    # + final) — materialize once (guide §5; the round-17 plan audit
+    # counted the un-checkpointed form scanning each snapshot twice).
     j = (reference.counts.join(cc, "cat", "full_outer")
          .select(F.col("cat").alias("category"),
                  F.coalesce("c_ref", F.lit(0)).cast("long")
                   .alias("n_ref"),
                  F.coalesce("c_cur", F.lit(0)).cast("long")
-                  .alias("n_cur")))
+                  .alias("n_cur"))
+         .localCheckpoint(eager=True))
     tot = j.agg(F.sum("n_ref").cast("long").alias("_tr"),
                 F.sum("n_cur").cast("long").alias("_tc"))
     col_tot = F.col("n_ref") + F.col("n_cur")

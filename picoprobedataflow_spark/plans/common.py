@@ -40,7 +40,7 @@ def prep(spark: SparkSession) -> SparkSession:
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str,
-        scan_repart: bool = True) -> DataFrame:
+        scan_repart: bool = False) -> DataFrame:
     prep(spark)
     return load_table(spark, sf_dir, name, scan_repart=scan_repart)
 

@@ -1990,7 +1990,7 @@ def _quant_shared_build(spark: SparkSession, sf_dir: str) -> tuple:
     # gone — keep only the current applicationId's entries.
     for stale in [k2 for k2 in _QUANT_BUILD_CACHE if k2[0] != key[0]]:
         del _QUANT_BUILD_CACHE[stale]
-    emb = tbl(spark, sf_dir, "embeddings")
+    emb = tbl(spark, sf_dir, "embeddings", scan_repart=True)
     qvec = [float(x) for x in
             emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     vecs = (emb.filter(F.col("vec_id") > 0)
@@ -2057,7 +2057,7 @@ def _served_dedup_tables(spark: SparkSession, sf_dir: str) -> tuple:
     base = os.path.join(
         tempfile.gettempdir(), "spark_graft_served", key[0],
         sf_dir.strip("/").replace("/", "_"))
-    docs = tbl(spark, sf_dir, "documents")
+    docs = tbl(spark, sf_dir, "documents", scan_repart=True)
     sig_path = os.path.join(base, "simhash_sigs")
     sh_path = os.path.join(base, "shingles_k3_df50")
     (DD.simhash_signatures(docs, hash_fn=SC.fast_hash64)
@@ -2350,7 +2350,7 @@ def boiler_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     separates CCNet/C4 boilerplate stripping from ``span_clean``'s
     keep-one dedup. Same window grid as the span families, so the
     two cleaned corpora are directly comparable."""
-    docs = tbl(spark, sf_dir, "documents")
+    docs = tbl(spark, sf_dir, "documents", scan_repart=True)
     return DD.remove_frequent_segments(docs, span_w=_SPAN_W,
                                        min_df=_BOILER_MIN_DF)
 
@@ -2667,7 +2667,7 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from picoprobedataflow_spark.operators.expectations import \
         check_expectations
 
-    docs = tbl(spark, sf_dir, "documents")
+    docs = tbl(spark, sf_dir, "documents", scan_repart=True)
     rules = {
         "text_not_null": F.col("text").isNotNull(),
         "chars_match": F.col("n_chars") == F.length("text"),
@@ -3485,9 +3485,13 @@ LEFT JOIN upb b USING (doc_id)
 """
 
 
-def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _synthetic_urls(spark: SparkSession, sf_dir: str,
+                    scan_repart: bool = False) -> DataFrame:
     """(doc_id, url): the deterministic crawl-URL stand-in both
-    engines construct identically (:data:`_SYNTH_URL_SQL`)."""
+    engines construct identically (:data:`_SYNTH_URL_SQL`).
+    ``scan_repart`` passes through to :func:`tbl` — the consumers
+    split on the A/B: the robots rule-match chain is compute-dense
+    (wins 1.33x), the quota/norm projections are not (lose)."""
     d = F.col("doc_id")
     # Authority arms generated from the SAME tuple the oracle's SQL
     # CASE derives from (_SYNTH_URL_AUTHORITIES) — the two engines
@@ -3513,7 +3517,7 @@ def _synthetic_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail = _tail_col(_SYNTH_URL_TAILS[-1])
     for i, t in reversed(list(enumerate(_SYNTH_URL_TAILS[:-1]))):
         tail = F.when(d % nt == i, _tail_col(t)).otherwise(tail)
-    return (tbl(spark, sf_dir, "documents")
+    return (tbl(spark, sf_dir, "documents", scan_repart=scan_repart)
             .select(d, F.concat(host, F.lit("/"), F.col("source"),
                                 F.lit("/Item"), d.cast("string"),
                                 tail).alias("url")))
@@ -3768,7 +3772,8 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`..functions.text.pmi_cooccurrence`, window 3,
     min_count 2). ONE definition consumed by both bench.py and
     scripts/measure_scaling.py — the dual-harness-construction rule."""
-    return TX.pmi_cooccurrence(tbl(spark, sf_dir, "documents"),
+    return TX.pmi_cooccurrence(tbl(spark, sf_dir, "documents",
+                                   scan_repart=True),
                                window=3, min_count=2)
 
 
@@ -4177,7 +4182,7 @@ def robots_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     punycode degenerate hosts. The gate every crawl-derived training
     corpus owes the sites it crawled — run retroactively at curation
     time, it needs exactly this join, not a re-crawl."""
-    u = _synthetic_urls(spark, sf_dir)
+    u = _synthetic_urls(spark, sf_dir, scan_repart=True)
     u = u.select("doc_id", WB.url_normalize("url").alias("url"))
     g = WB.robots_gate(u, WB.robots_rules_table(spark, _ROBOTS_RULES))
     return g.select("doc_id", "rule", "allowed")
@@ -4692,18 +4697,37 @@ def span_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate key, so a hot span never concentrates. Invariant
     (pytest-pinned): bounded-dup ⇒ global-dup, n_dup_bounded ≤
     n_dup."""
+    # Round-17 restructure (guide §2.4/§5; values bit-identical,
+    # oracle unchanged): the old form composed cross_doc_span_dedup
+    # (span explode evaluated on BOTH sides of its agg+join) and then
+    # joined the bucket firsts on top — the explode subtree ran 4x
+    # and the corpus-wide firsts aggregate 2x over ALL windows. Now
+    # the span table feeds one (bucket, span) aggregate; the
+    # corpus-wide first is the min over BUCKET firsts (min(struct) is
+    # associative, so min_bucket(min) ≡ global min — exact, not
+    # approximate), derived from the already-aggregated b_firsts
+    # table instead of a second pass over all windows; one join
+    # attaches both verdicts. Deliberately NOT persisted: the span
+    # explode is evaluated twice (agg side + join side), and the
+    # interleaved A/B showed persisting the wide span table costs
+    # more than the second explode (2.6 s persisted vs 1.75 s
+    # recomputed vs 2.4 s old form) — same trade bpe_train's argmax
+    # hit.
     docs = tbl(spark, sf_dir, "documents")
-    marks = DD.cross_doc_span_dedup(docs, span_w=_SPAN_W)
-    key = F.struct(F.col("doc_id").cast("long").alias("id"),
-                   F.col("idx").cast("long").alias("pos"))
-    bucket = F.expr(f"doc_id div {_SPAN_BUCKET_DOCS}")
-    with_b = (marks.withColumn("_key", key)
-              .withColumn("_bucket", bucket))
-    b_firsts = (with_b.groupBy("_bucket", "span")
+    spans = (DD._aligned_spans(docs, _SPAN_W, "text", "doc_id")
+             .withColumn("_bucket",
+                         F.expr(f"doc_id div {_SPAN_BUCKET_DOCS}")))
+    b_firsts = (spans.groupBy("_bucket", "span")
                 .agg(F.min("_key").alias("_b_first")))
-    joined = (with_b.join(b_firsts, ["_bucket", "span"])
-              .withColumn("is_dup_bounded",
-                          F.col("_key") != F.col("_b_first")))
+    firsts = (b_firsts.groupBy("span")
+              .agg(F.min("_b_first").alias("_first")))
+    bf = b_firsts.join(firsts, "span")
+    joined = (spans.join(bf, ["_bucket", "span"])
+              .select("doc_id",
+                      (F.col("_key") != F.col("_first"))
+                      .alias("is_dup"),
+                      (F.col("_key") != F.col("_b_first"))
+                      .alias("is_dup_bounded")))
     n_dup = F.sum(F.col("is_dup").cast("int")).cast("long")
     n_dup_b = F.sum(F.col("is_dup_bounded").cast("int")).cast("long")
     return (joined.groupBy("doc_id")
@@ -4894,7 +4918,7 @@ def substr_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic-(doc_id, pos) first-occurrence rule (a struct min
     on the Spark side, a row_number window here — exact for any
     bigint id), interval merge and list-filter reassembly."""
-    docs = tbl(spark, sf_dir, "documents")
+    docs = tbl(spark, sf_dir, "documents", scan_repart=True)
     return DD.remove_duplicate_substrings(docs, min_len=_SUBSTR_L)
 
 
@@ -4911,7 +4935,7 @@ def substr_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     token concat per position; the oracle replays the identical md5
     chain level by level (MATERIALIZED stages, the pagerank rule),
     so the two engines agree bit-for-bit on every signature."""
-    docs = tbl(spark, sf_dir, "documents")
+    docs = tbl(spark, sf_dir, "documents", scan_repart=True)
     return DD.substring_dedup_stats(docs, min_len=_SUBSTR_L)
 
 _EPOCH, _EPOCH_SHARDS = 1, 8
@@ -5180,7 +5204,7 @@ def winnow_doc_fingerprints(spark: SparkSession,
     token run of ≥ w+k-1 tokens between two docs shares a selected
     fingerprint, at ~2/(w+1) of the full gram-hash volume. All
     row-local array ops until the final distinct."""
-    docs = tbl(spark, sf_dir, "documents")
+    docs = tbl(spark, sf_dir, "documents", scan_repart=True)
     return DD.winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W)
 
 
@@ -5343,7 +5367,7 @@ def semantic_decontam_flags(spark: SparkSession,
     identical argmax under the 6-dp round-before-rank rule."""
     from picoprobedataflow_spark.operators.similarity import \
         semantic_decontam
-    emb = tbl(spark, sf_dir, "embeddings")
+    emb = tbl(spark, sf_dir, "embeddings", scan_repart=True)
     return semantic_decontam(
         emb.filter(F.col("vec_id") >= _SEMDECON_NB),
         emb.filter(F.col("vec_id") < _SEMDECON_NB),
@@ -5607,7 +5631,7 @@ def cdc_chunk_dedup_stats(spark: SparkSession,
     duplicated-chunk count and ratio. Doc-keyed windows only; the
     chunk reassembly orders by (idx, term) structs through
     array_sort, deterministic under any partitioning."""
-    docs = tbl(spark, sf_dir, "documents")
+    docs = tbl(spark, sf_dir, "documents", scan_repart=True)
     marks = DD.cdc_chunk_dedup(docs, n_buckets=_CDC_BUCKETS)
     n_dup = F.sum(F.col("is_dup").cast("int")).cast("long")
     return (marks.groupBy("doc_id")
@@ -7200,7 +7224,7 @@ def _embedding_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor structure SemDeDup pruning and hard-negative mining
     consume. Ranking partitions by source id (high cardinality);
     cosine rounds before ranking on both engines."""
-    emb = tbl(spark, sf_dir, "embeddings")
+    emb = tbl(spark, sf_dir, "embeddings", scan_repart=True)
     bucketed = emb.withColumn(
         "bucket", SIM.srp_bucket("embedding",
                                  n_planes=_NEARDUP_PLANES, dim=64))

@@ -120,7 +120,8 @@ def build_variant_registry():
         variants[key] = fn
     variants["dedup_simhash_rowlocal_full"] = (
         lambda spark, sf_dir: DD.simhash_dedup(
-            tbl(spark, sf_dir, "documents"), max_hamming=6,
+            tbl(spark, sf_dir, "documents", scan_repart=True),
+            max_hamming=6,
             hash_fn=SC.fast_hash64, formulation="rowlocal"))
     variants["boiler_clean_full"] = PL.boiler_clean_texts
     variants["chunking_full"] = PL.chunk_manifest
@@ -129,7 +130,8 @@ def build_variant_registry():
     variants["rand_proj_full"] = PL.rand_proj_vectors
     variants["containment_full"] = (
         lambda spark, sf_dir: DD.containment_pairs(
-            tbl(spark, sf_dir, "documents"), k=3, threshold=0.9,
+            tbl(spark, sf_dir, "documents", scan_repart=True),
+            k=3, threshold=0.9,
             max_df=50, shingle_hash=SC.fast_hash64))
     variants["zipf_full"] = PL.zipf_source_stats
     variants["dq_full"] = PL.dq_expectations

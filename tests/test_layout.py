@@ -266,13 +266,15 @@ def test_ivf_cells_partition_prune_the_probe(spark, tmp_path):
     assert probe.count() == want
 
 
-def test_scan_fill_repartition_gate_and_opt_out(spark):
+def test_scan_fill_repartition_gate_and_opt_in(spark):
     """The unsplittable-scan remedy (round 17): documents/embeddings
     get a deterministic id-hash repartition when the file cannot fill
-    the cluster; ``scan_repart=False`` opts a payload-heavy consumer
-    out (exact dedup measured 3x slower with the exchange); tables
-    under the 256 KB floor stay single-task; relational facts are
-    never repartitioned. Plan-shape assertions on the executed plan."""
+    the cluster — but only for call sites that opt IN with
+    ``scan_repart=True`` (the round-17 session-2 60-key A/B showed
+    the exchange pays only on compute-dense consumers; the default is
+    off). Tables under the 256 KB floor stay single-task even when
+    opted in; relational facts are never repartitioned. Plan-shape
+    assertions on the executed plan."""
     from picoprobedataflow_spark.io.tables import load_table
 
     sf01 = "/root/testdata/sf0.1"
@@ -281,16 +283,19 @@ def test_scan_fill_repartition_gate_and_opt_out(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         return plan.count("Exchange hashpartitioning")
 
-    # sf0.1 documents sits inside the gate window -> one hash exchange
-    assert n_exchange(load_table(spark, sf01, "documents")) == 1
-    # opt-out -> plain scan, no exchange
+    # sf0.1 documents sits inside the gate window; opted in -> one
+    # hash exchange
     assert n_exchange(load_table(spark, sf01, "documents",
-                                 scan_repart=False)) == 0
-    # relational facts are excluded whatever their size
-    assert n_exchange(load_table(spark, sf01, "lineitem")) == 0
+                                 scan_repart=True)) == 1
+    # default (opt-out) -> plain scan, no exchange
+    assert n_exchange(load_table(spark, sf01, "documents")) == 0
+    # relational facts are excluded even when a caller asks
+    assert n_exchange(load_table(spark, sf01, "lineitem",
+                                 scan_repart=True)) == 0
     # tiny fixtures stay single-task (below the 256 KB floor)
     assert n_exchange(
-        load_table(spark, "/root/testdata/sf0.001", "documents")) == 0
+        load_table(spark, "/root/testdata/sf0.001", "documents",
+                   scan_repart=True)) == 0
     # the bench's exact-dedup key keeps exactly ONE exchange: the
     # group-by aggregate, nothing upstream of it
     import bench as B
@@ -298,3 +303,7 @@ def test_scan_fill_repartition_gate_and_opt_out(spark):
     df = fns["dedup_exact_full"](spark, sf01)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+    # a bench winner keeps the opted-in exchange below its chain
+    df = fns["dedup_jaccard_full"](spark, sf01)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(doc_id" in plan
