@@ -246,10 +246,15 @@ def audio_near_dup_pairs(audio_df: DataFrame, max_hamming: int = 6,
     and pair up; the banded chunk equi-join keeps candidate
     generation bucket-local (full recall for hamming <
     ``n_chunks``), never all-pairs."""
+    from pyspark import StorageLevel
+
     from picoprobedataflow_spark.operators.dedup import \
         simhash_near_pairs
+    # Same persist as image_near_dup_pairs: without it the PCM decode
+    # + log-energy Arrow kernel evaluates on both banded-join sides.
     sigs = (audio_fingerprints(audio_df, frame=frame)
-            .select("path", F.col("fp").alias("simhash")))
+            .select("path", F.col("fp").alias("simhash"))
+            .persist(StorageLevel.MEMORY_ONLY))
     return simhash_near_pairs(sigs, max_hamming=max_hamming,
                               n_chunks=n_chunks, bits=64,
                               id_col="path")

@@ -2212,6 +2212,13 @@ def source_overlap_matrix(docs: DataFrame, span_w: int = 4,
     in docs. The totals join is a broadcast of |sources| rows."""
     spans = _aligned_spans(docs, span_w, text_col, id_col,
                            extra_cols=(group_col,))
+    # THREE consumers read the distinct (source, span) table (the
+    # totals agg + both self-join sides) and the explode+distinct
+    # subtree re-evaluates per consumer — measured CHEAPER than
+    # persisting it (round-17 interleaved A/B: 1.12 s recomputed vs
+    # 1.70 s persisted at sf0.1; the table is nearly window-count
+    # sized with full span strings, so caching costs more than the
+    # recompute — the span_dedup/bpe_train trade).
     sp = spans.select(group_col, "span").distinct()
     tot = sp.groupBy(group_col).agg(F.count("*").alias("_n"))
     a, b = sp.alias("a"), sp.alias("b")

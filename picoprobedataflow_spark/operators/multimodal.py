@@ -417,10 +417,18 @@ def image_near_dup_pairs(images: DataFrame, max_hamming: int = 6,
     equi-join only, no all-pairs anywhere; re-encoded / resized /
     lightly-noised re-uploads land within a few bits of the original
     and pair up."""
+    from pyspark import StorageLevel
+
     from picoprobedataflow_spark.operators.dedup import \
         simhash_near_pairs
+    # Persist the 16-byte-per-image signature table before the banded
+    # self-join — the text lane's simhash_dedup convention. Without it
+    # the decode+dHash Arrow kernel (the expensive half) evaluates on
+    # BOTH join sides (round-17 plan audit: two ArrowEvalPython
+    # subtrees for one kernel). MEMORY_ONLY: evictable, recomputes.
     sigs = (image_phash(images, grid=grid, codec=codec)
-            .select("path", F.col("phash").alias("simhash")))
+            .select("path", F.col("phash").alias("simhash"))
+            .persist(StorageLevel.MEMORY_ONLY))
     return simhash_near_pairs(sigs, max_hamming=max_hamming,
                               n_chunks=n_chunks, bits=64,
                               id_col="path")
