@@ -1069,6 +1069,31 @@ def _plan_size_bytes(df: DataFrame) -> int:
         return 1 << 62
 
 
+def _spread_small_cached(df: DataFrame, key_col: str) -> DataFrame:
+    """Re-spread a SMALL frame across the cluster before it is cached
+    for compute-dense consumers. With
+    ``canChangeCachedPlanOutputPartitioning=true`` (session default,
+    round 17) AQE coalesces a KB-sized cache to one partition — right
+    for cheap consumers, wrong when the cached rows feed a join/verify
+    stage whose per-row work dwarfs their byte size (the simhash
+    hamming verify runs over the probe side's cached partitioning).
+    Deterministic key-hash repartition, gated on Catalyst stats with
+    the same break-even as ``io.tables._scan_fill_repartition``: only
+    when the estimate cannot fill one task wave at the configured
+    split size — a no-op at corpus scale, where AQE's advisory-sized
+    partitions already spread the cache."""
+    spark = df.sparkSession
+    try:
+        cores = spark.sparkContext.defaultParallelism
+        max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                                    "134217728"))
+    except Exception:
+        return df
+    if 0 < _plan_size_bytes(df) < cores * max_pb:
+        return df.repartition(cores, F.col(key_col))
+    return df
+
+
 def simhash_signatures(docs: DataFrame, bits: int = 32,
                        text_col: str = "text",
                        id_col: str = "doc_id",
@@ -1163,9 +1188,10 @@ def simhash_dedup(docs: DataFrame, max_hamming: int = 6,
     materialization the tokenize+vote aggregate runs twice — measured
     2 scans / doubled aggregates in the physical plan. MEMORY_ONLY
     persist: evictable, never spills — bounded across invocations."""
-    sigs = simhash_signatures(docs, bits, text_col, id_col, hash_fn,
-                              formulation).persist(
-                                  StorageLevel.MEMORY_ONLY)
+    sigs = _spread_small_cached(
+        simhash_signatures(docs, bits, text_col, id_col, hash_fn,
+                           formulation), id_col).persist(
+                               StorageLevel.MEMORY_ONLY)
     return simhash_near_pairs(sigs, max_hamming, n_chunks, bits, id_col)
 
 

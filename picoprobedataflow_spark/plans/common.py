@@ -30,6 +30,10 @@ _RUNTIME_CONFS = {
     # Right-sized for local[32] test/bench runs; on a real cluster AQE
     # coalescing makes the initial number non-critical.
     "spark.sql.shuffle.partitions": "32",
+    # AQE may coalesce cached-plan output partitioning (see
+    # session.py: 26% off the persist-heavy iterative keys; scale-safe
+    # because AQE targets advisory-sized partitions).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 

@@ -34,6 +34,19 @@ _BASE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Let AQE coalesce the output partitioning of persisted plans
+    # (off by default only because cached partitioning is
+    # user-visible). Iterative operators here persist per-round
+    # intermediates (BPE merges, LM scores, signature tables); with
+    # the default every map stage over a KB-sized cached frame
+    # inherits the full shuffle-partition fan-out — measured 26% off
+    # bpe_train/bpe_encode/bigram_lm at sf0.1 (32 tasks per ~16 KB
+    # cached partition, ~50 sequential jobs). At corpus scale AQE
+    # targets advisory-sized partitions, so parallelism is preserved;
+    # caches whose downstream compute NEEDS a wider fan-out than
+    # their byte size suggests re-spread explicitly
+    # (operators/dedup.py:_spread_small_cached).
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Parquet scans: vectorized reader + pushdown are on by default;
     # keep files from fragmenting into tiny tasks at small SF while
     # still splitting 100 TB inputs into ~128 MB units.
