@@ -448,7 +448,39 @@ def kmeans_centroids(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
     anything, and never more than k·dim values at the driver.
     Iterations are intentionally few (quantizer quality needs single
     digits; production IVF builds sample the corpus for the build
-    pass)."""
+    pass).
+
+    Wrapper over :func:`kmeans_centroid_rows` for callers that want a
+    DataFrame (persisting the quantizer, joining it). Callers that
+    immediately need the DRIVER-SIDE rows — every search/assignment
+    site — should call the rows form directly: round-tripping the
+    k-row list through ``createDataFrame`` + ``collect`` scheduled
+    one Python-backed task per row (~7 s of executor time per
+    semdedup build at 32 cells, the top stage in its round-17
+    profile) for data the driver already held."""
+    return _cent_rows_df(
+        (vecs if vecs is not None else emb).sparkSession,
+        kmeans_centroid_rows(emb, n_clusters, n_iter, vec_col,
+                             id_col, vecs=vecs))
+
+
+def _cent_rows_df(spark, cent_rows) -> DataFrame:
+    """[(cell, centroid)] rows → the (cell int, centroid
+    array<double>) frame shape every quantizer consumer joins on."""
+    return spark.createDataFrame(
+        cent_rows, schema="cell int, centroid array<double>")
+
+
+def kmeans_centroid_rows(emb: DataFrame, n_clusters: int = 8,
+                         n_iter: int = 2,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         vecs: DataFrame | None = None) -> list:
+    """The Lloyd's build of :func:`kmeans_centroids`, returning the
+    k·dim-bounded driver-side ``[(cell, centroid)]`` list (cells
+    ascending 0..k-1) instead of a DataFrame — the form every
+    assignment/search expression consumes. Same seeding, same
+    iteration arithmetic, bit-identical centroids."""
     if n_clusters < 1:
         raise ValueError(
             f"n_clusters must be >= 1, got {n_clusters}")
@@ -462,7 +494,6 @@ def kmeans_centroids(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
     seed_rows.sort(key=lambda r: (r._h, r._id))
     cent_rows = [(i, [float(x) for x in r._v])
                  for i, r in enumerate(seed_rows)]
-    spark = vecs.sparkSession
     for _ in range(n_iter):
         # Assignment is the map-side centroid-literal expression (no
         # crossJoin, no shuffle) and _v never leaves the row, so one
@@ -493,8 +524,7 @@ def kmeans_centroids(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
              [by_cell[cell][d] for d in sorted(by_cell[cell])]
              if cell in by_cell else centroid)
             for cell, centroid in cent_rows]
-    return vecs.sparkSession.createDataFrame(
-        cent_rows, schema="cell int, centroid array<double>")
+    return cent_rows
 
 
 #: Above this k the inlined centroid-literal expression risks blowing
@@ -797,17 +827,21 @@ def ivf_kmeans_search(emb: DataFrame, query_vec: list[float], k: int = 5,
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
     ).localCheckpoint(eager=True)
     if cents_df is None:
-        cents_df = kmeans_centroids(emb, n_clusters, n_iter, vec_col,
-                                    id_col, vecs=vecs)
-    cents = cents_df.collect()
+        # Rows form directly — no createDataFrame+collect round-trip
+        # of driver-held data (one Python-backed task per row).
+        cents = kmeans_centroid_rows(emb, n_clusters, n_iter,
+                                     vec_col, id_col, vecs=vecs)
+    else:
+        cents = [(r.cell, list(r.centroid))
+                 for r in cents_df.collect()]
     qd = [float(x) for x in query_vec]
     ranked = sorted(cents,
-                    key=lambda r: (-_cos_py(r.centroid, qd), r.cell))
-    probe_cells = [r.cell for r in ranked[:n_probe]]
+                    key=lambda cr: (-_cos_py(cr[1], qd), cr[0]))
+    probe_cells = [c for c, _ in ranked[:n_probe]]
 
     # Map-side assignment keeps _v on the row, so the probe is
     # scan → filter → cosine → TakeOrderedAndProject: no join at all.
-    cent_rows = sorted((r.cell, list(r.centroid)) for r in cents)
+    cent_rows = sorted(cents)
     q = V.const_array(qd)
     return (vecs.withColumn("cell", kmeans_assign_expr(cent_rows, "_v"))
             .filter(F.col("cell").isin(probe_cells))
@@ -948,10 +982,13 @@ def semdedup_centroid_rows(emb: DataFrame, n_iter: int = 2,
         ).localCheckpoint(eager=True)
     if n_clusters is None:
         n_clusters = semdedup_auto_k(vecs.count(), target_cell_pop)
-    cents = kmeans_centroids(emb, n_clusters, n_iter, vec_col,
-                             id_col, vecs=vecs)
-    return sorted((r.cell, list(r.centroid))
-                  for r in cents.collect())
+    # Rows form directly (round 17): the previous
+    # kmeans_centroids(...).collect() round-tripped the k-row list
+    # the driver already held through createDataFrame + collect —
+    # one Python-backed task PER ROW, the top stage of the semdedup
+    # profile (~7 s executor time at 32 cells).
+    return sorted(kmeans_centroid_rows(emb, n_clusters, n_iter,
+                                       vec_col, id_col, vecs=vecs))
 
 
 def semantic_dedup(emb: DataFrame, n_clusters: int | None = None,
@@ -1464,9 +1501,8 @@ def ivfpq_residual_search(emb: DataFrame, query_vec: list[float],
                         lambda x: x.cast("double")).alias("_v")
         ).localCheckpoint(eager=True)
     if coarse_rows is None:
-        coarse = kmeans_centroids(None, n_cells, n_iter, vecs=vecs)
-        coarse_rows = sorted((r.cell, list(r.centroid))
-                             for r in coarse.collect())
+        coarse_rows = sorted(kmeans_centroid_rows(
+            None, n_cells, n_iter, vecs=vecs))
     if res_codebooks is None:
         residuals = (with_residual(vecs, coarse_rows)
                      .select("_id", F.col("_r").alias("_v"))

@@ -2000,9 +2000,8 @@ def _quant_shared_build(spark: SparkSession, sf_dir: str) -> tuple:
             .localCheckpoint(eager=True))
     codes, raw_books = SIM.pq_encode(None, _PQ_M, _PQ_CODES, _PQ_ITER,
                                      vecs=vecs)
-    coarse = SIM.kmeans_centroids(None, _KM_K, _KM_ITER, vecs=vecs)
-    coarse_rows = sorted((r.cell, [float(x) for x in r.centroid])
-                         for r in coarse.collect())
+    coarse_rows = sorted(SIM.kmeans_centroid_rows(
+        None, _KM_K, _KM_ITER, vecs=vecs))
     residuals = (SIM.with_residual(vecs, coarse_rows)
                  .select("_id", F.col("_r").alias("_v"))
                  .localCheckpoint(eager=True))
