@@ -83,34 +83,39 @@ def bpe_train(wf: DataFrame, n_merges: int) -> tuple[DataFrame, DataFrame]:
       merges, for downstream symbol-frequency / segmentation stats
       (``word`` is the join key for encoding a corpus).
     """
-    spark = wf.sparkSession
-    # When the corpus admits fewer merges than asked (no adjacent
-    # pairs left — every word a single symbol), the argmax is empty
-    # and an inner cross join against it would WIPE the vocabulary.
-    # The sentinel is a guaranteed no-op merge ('<0>' can never occur
-    # in a lowercase-alpha symbol) that loses every ordering contest
-    # to a real pair (cnt −1 < any real count) and is filtered out of
-    # the reported merges — so a short corpus yields fewer merge rows
-    # and an unchanged vocabulary, never an empty one.
-    sentinel = spark.range(1).select(
-        F.lit("<0><0>").alias("pair"), F.lit(-1).cast("long").alias("cnt"))
     syms = encode_words(wf).persist(StorageLevel.MEMORY_ONLY)
     merges: list[DataFrame] = []
     for i in range(n_merges):
         best = (pair_counts(syms)
-                .unionByName(sentinel)
                 .orderBy(F.desc("cnt"), "pair")
                 .limit(1)
                 .select("pair", "cnt",
                         F.regexp_replace("pair", "><", "")
                          .alias("merged")))
-        merges.append(best.filter(F.col("cnt") >= 0).select(
+        merges.append(best.select(
             F.lit(i + 1).cast("long").alias("step"), "pair", "cnt"))
+        # LEFT cross join + coalesce, not an inner crossJoin against a
+        # no-op sentinel merge (round 17): when the corpus admits
+        # fewer merges than asked (no adjacent pairs left — every
+        # word a single symbol) the argmax is empty, and an inner
+        # cross join against it would WIPE the vocabulary; the left
+        # join keeps every word with a NULL pair, and
+        # replace(sym, NULL, NULL) → NULL → coalesce falls back to
+        # the unmerged sym. Same rows as the sentinel form (a short
+        # corpus yields fewer merge rows and an unchanged
+        # vocabulary), but the per-iteration argmax no longer unions
+        # a 1-partition sentinel branch into the pair-count
+        # aggregate — that union blocked AQE from coalescing the
+        # aggregate's shuffle read, so every merge's broadcast build
+        # scheduled 33 tasks over ~3 KB.
         syms = (syms
-                .crossJoin(F.broadcast(best.select("pair", "merged")))
+                .join(F.broadcast(best.select("pair", "merged")),
+                      F.lit(True), "left")
                 .select("word",
-                        F.replace(F.col("sym"), F.col("pair"),
-                                  F.col("merged")).alias("sym"), "w")
+                        F.coalesce(
+                            F.replace(F.col("sym"), F.col("pair"),
+                                      F.col("merged")),
+                            F.col("sym")).alias("sym"), "w")
                 .persist(StorageLevel.MEMORY_ONLY))
     return reduce(lambda a, b: a.unionByName(b), merges), syms
 
