@@ -890,8 +890,17 @@ def minhash_lsh_dedup(docs: DataFrame, num_hashes: int = 16, k: int = 3,
     signatures, banding, the per-pair agreement count — is row-local;
     the only shuffles left are candidate generation itself (the band
     join) and the two one-row-per-doc vector lookups."""
-    vec = minhash_vector(docs, num_hashes, k, text_col, id_col,
-                         hash_fn).persist(StorageLevel.MEMORY_ONLY)
+    # _spread_small_cached (round 17): the vector build is a pure map
+    # over the corpus scan, so on an unsplittable local input the
+    # cache holds ONE partition — and the three consumers are
+    # compute-dense interpreted-HOF passes (band md5s, the per-pair
+    # agreement fold) that then run single-task (~870 ms each in the
+    # round-17 stage profile). Same stats gate as the simhash cache:
+    # a no-op at corpus scale.
+    vec = _spread_small_cached(
+        minhash_vector(docs, num_hashes, k, text_col, id_col,
+                       hash_fn), id_col).persist(
+                           StorageLevel.MEMORY_ONLY)
     pairs = _band_self_join(
         band_vector_signatures(vec, band_size, num_hashes, id_col),
         id_col)
