@@ -34,6 +34,9 @@ _RUNTIME_CONFS = {
     # session.py: 26% off the persist-heavy iterative keys; scale-safe
     # because AQE targets advisory-sized partitions).
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # Shuffled-hash join allowed where the build side fits (see
+    # session.py; guide §3.1 — measured 5-20% off the SMJ keys).
+    "spark.sql.join.preferSortMergeJoin": "false",
 }
 
 

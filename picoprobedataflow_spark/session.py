@@ -51,6 +51,13 @@ _BASE_CONFS: dict[str, str] = {
     # keep files from fragmenting into tiny tasks at small SF while
     # still splitting 100 TB inputs into ~128 MB units.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Let the planner pick shuffled-hash joins where the per-partition
+    # build side fits (guide §3.1/§9): hash joins skip both sort
+    # passes of sort-merge, AQE's skew splitting still applies, and
+    # the interleaved A/B over the SortMergeJoin-bearing keys showed
+    # 5-20% off chi2/ks/spam/tpch_gap/cdc with no loser. Sort-merge
+    # remains available when size conditions don't hold.
+    "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
 }
