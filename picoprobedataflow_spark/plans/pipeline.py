@@ -1742,8 +1742,15 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     not after a vocabulary-wide aggregate), dl rides the explode so
     tf+dl come from one hash aggregate, df/N/avgdl are broadcast
     scalar aggregates, and the final top-25 compiles to
-    TakeOrderedAndProject — a per-partition top-k, no global sort."""
-    docs = tbl(spark, sf_dir, "documents")
+    TakeOrderedAndProject — a per-partition top-k, no global sort.
+
+    ``scan_repart=True`` (round 17): the tokenize+explode chain is
+    compute-dense, and under the cached-plan AQE conf the re-A/B
+    showed a decisive win (med 2.80→1.79 s interleaved; the other
+    un-opted text keys re-measured wash-or-loss and stay off).
+    Scores are partition-invariant (integer tf/dl aggregates +
+    broadcast scalars), so the hash gate is unaffected."""
+    docs = tbl(spark, sf_dir, "documents", scan_repart=True)
     scored = TX.bm25_scores(docs, _BM25_TERMS, k1=_BM25_K1, b=_BM25_B)
     return (scored.select("doc_id", F.round("score", 6).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
