@@ -649,6 +649,16 @@ def main() -> None:
             out["ambient_factor"] = ambient
             out["delta_vs_prev_normalized"] = normalized
             out["delta_estimator"] = est
+            # Round 18 (VERDICT r17 #8, additions-only): one scalar
+            # geomean of the normalized deltas so the driver's
+            # improved/flat/regressed adjudication can use the
+            # harness's own ambient correction instead of raw minima
+            # — round 17's 22 phantom "regressed" statuses (raw
+            # geomean 0.78 in a 1.31x-slower window, normalized 0.98)
+            # are exactly the failure mode this field prevents.
+            gm = geomean(normalized.values())
+            if gm is not None:
+                out["delta_vs_prev_normalized_geomean"] = gm
         else:
             print("NOTE: canary keys missing from delta set; skipping "
                   "delta_vs_prev_normalized.", file=sys.stderr)
@@ -674,6 +684,7 @@ def main() -> None:
         # again: shed optional fields until it fits.
         for drop in ("delta_vs_prev_normalized", "ambient_factor",
                      "delta_estimator", "value_median",
+                     "delta_vs_prev_normalized_geomean",
                      "delta_vs_prev_file"):
             out.pop(drop, None)
             line = json.dumps(out)
@@ -681,6 +692,18 @@ def main() -> None:
                 break
     print(line)
     spark.stop()
+
+
+def geomean(values) -> float | None:
+    """Geometric mean of positive ratios (non-positive and falsy
+    entries are excluded — a 0.0 delta is a recording artifact, not
+    an infinite speedup); None when nothing usable remains."""
+    import math
+    vals = [v for v in values if v and v > 0]
+    if not vals:
+        return None
+    return round(math.exp(sum(math.log(v) for v in vals)
+                          / len(vals)), 3)
 
 
 def normalize_deltas(deltas: dict[str, float]

@@ -11,6 +11,7 @@ clause for free.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,6 +35,37 @@ _REPART_MIN_BYTES = 256 * 1024
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def parse_byte_size(value) -> int:
+    """Spark size-conf string → bytes (the JavaUtils
+    ``byteStringAsBytes`` grammar: optional k/m/g/t/p suffix with an
+    optional trailing ``b``, binary multipliers; a bare number is
+    bytes). Round-17 ADVICE find: both repartition gates parsed
+    ``spark.sql.files.maxPartitionBytes`` with ``int()``, so a legal
+    suffixed value ('128m') raised inside the gate's try block and
+    the except silently disabled the single-task hot-path remedy."""
+    s = str(value).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([kmgtp]?)b?", s)
+    if not m:
+        raise ValueError(f"cannot parse byte size {value!r}")
+    num, suffix = m.groups()
+    return int(num) << {"": 0, "k": 10, "m": 20,
+                        "g": 30, "t": 40, "p": 50}[suffix]
+
+
+def fill_wave_bytes(spark: SparkSession) -> int:
+    """The ONE break-even shared by every small-input re-spread gate
+    (:func:`_scan_fill_repartition` here, the cached-frame re-spread
+    in ``operators/dedup.py``): cores × maxPartitionBytes — the byte
+    size below which a scan cannot produce one full-cluster wave of
+    tasks at the configured split size. A single definition (VERDICT
+    r17 #6) so the two gates cannot drift apart."""
+    cores = spark.sparkContext.defaultParallelism
+    max_pb = parse_byte_size(
+        spark.conf.get("spark.sql.files.maxPartitionBytes",
+                       "134217728"))
+    return cores * max_pb
 
 
 #: The corpus tables ELIGIBLE for the unsplittable-scan remedy —
@@ -97,11 +129,10 @@ def _scan_fill_repartition(spark: SparkSession, df: DataFrame,
         size = int(df._jdf.queryExecution().optimizedPlan()
                    .stats().sizeInBytes())
         cores = spark.sparkContext.defaultParallelism
-        max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
-                                    "134217728"))
+        wave = fill_wave_bytes(spark)
     except Exception:
         return df
-    if _REPART_MIN_BYTES < size < cores * max_pb:
+    if _REPART_MIN_BYTES < size < wave:
         return df.repartition(cores, df[key])
     return df
 

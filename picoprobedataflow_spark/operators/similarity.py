@@ -458,6 +458,11 @@ def kmeans_centroids(emb: DataFrame, n_clusters: int = 8, n_iter: int = 2,
     one Python-backed task per row (~7 s of executor time per
     semdedup build at 32 cells, the top stage in its round-17
     profile) for data the driver already held."""
+    if emb is None and vecs is None:
+        # Explicit rejection (round-17 ADVICE): without it the
+        # .sparkSession dereference below raises a bare
+        # AttributeError on NoneType.
+        raise ValueError("one of emb or vecs is required")
     return _cent_rows_df(
         (vecs if vecs is not None else emb).sparkSession,
         kmeans_centroid_rows(emb, n_clusters, n_iter, vec_col,
@@ -485,6 +490,8 @@ def kmeans_centroid_rows(emb: DataFrame, n_clusters: int = 8,
         raise ValueError(
             f"n_clusters must be >= 1, got {n_clusters}")
     if vecs is None:
+        if emb is None:
+            raise ValueError("one of emb or vecs is required")
         vecs = emb.select(
             F.col(id_col).alias("_id"),
             F.transform(F.col(vec_col),

@@ -34,6 +34,9 @@ def _worst_case_line(with_delta: bool) -> str:
         out["delta_vs_prev_normalized"] = {k: 99.99 for k in keys}
         out["ambient_factor"] = 99.999
         out["delta_estimator"] = "median"
+        # Round 18: the scalar geomean of the normalized deltas rides
+        # the stdout line too (VERDICT r17 #8).
+        out["delta_vs_prev_normalized_geomean"] = 99.999
         out["delta_vs_prev_file"] = "BENCH_r99.json"
     return json.dumps(out)
 
@@ -74,6 +77,16 @@ def test_canary_keys_are_headline_keys():
     keys = set(bench.headline_keys())
     assert set(bench.CANARY_KEYS) <= keys
     assert len(bench.CANARY_KEYS) >= 3
+
+
+def test_geomean():
+    # Pin the round-18 geomean field's math: geometric mean of the
+    # positive deltas, zeros/negatives excluded, None when empty.
+    assert bench.geomean([2.0, 0.5]) == 1.0
+    assert bench.geomean([4.0]) == 4.0
+    assert bench.geomean([1.0, 0.0, -3.0]) == 1.0
+    assert bench.geomean([]) is None
+    assert bench.geomean([0.0]) is None
 
 
 def test_normalized_delta_math():

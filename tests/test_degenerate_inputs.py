@@ -1084,6 +1084,10 @@ def test_knob_guards_reject_degenerate_geometry(spark):
         DD.minhash_lsh_dedup(docs, num_hashes=8, k=2, band_size=0)
     with pytest.raises(ValueError, match="n_clusters"):
         kmeans_centroids(emb, n_clusters=0, n_iter=1)
+    # Round-18 (ADVICE r17): both inputs absent must be a descriptive
+    # rejection, not a bare AttributeError on NoneType.sparkSession.
+    with pytest.raises(ValueError, match="emb or vecs"):
+        kmeans_centroids(None, n_clusters=2)
     with pytest.raises(ValueError, match="ctx_len"):
         pack_sequences(toks.select("doc_id", "n_tokens"), ctx_len=0)
     with pytest.raises(ValueError, match="shard_span"):

@@ -307,3 +307,50 @@ def test_scan_fill_repartition_gate_and_opt_in(spark):
     df = fns["dedup_jaccard_full"](spark, sf01)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning(doc_id" in plan
+
+
+def test_parse_byte_size_java_suffixes():
+    """The ONE break-even gate (round 18, VERDICT r17 #6) must read
+    maxPartitionBytes however Spark accepts it — a suffixed value
+    ('128m') previously raised inside the gates' try blocks and
+    silently disabled both repartition remedies (ADVICE r17)."""
+    from picoprobedataflow_spark.io.tables import parse_byte_size
+
+    assert parse_byte_size("134217728") == 128 * 1024 * 1024
+    assert parse_byte_size("128m") == 128 * 1024 * 1024
+    assert parse_byte_size("128MB") == 128 * 1024 * 1024
+    assert parse_byte_size(" 1g ") == 1 << 30
+    assert parse_byte_size("512k") == 512 * 1024
+    assert parse_byte_size("2t") == 2 << 40
+    assert parse_byte_size(134217728) == 134217728
+    assert parse_byte_size("77b") == 77
+    for bad in ("", "m", "-1", "1.5g", "128x"):
+        with pytest.raises(ValueError):
+            parse_byte_size(bad)
+
+
+def test_repart_gates_survive_suffixed_conf(spark):
+    """Both gates share fill_wave_bytes; with the conf set in suffix
+    form the scan remedy and the cached-frame re-spread must still
+    fire (they were silently disabled before the shared parse)."""
+    from picoprobedataflow_spark.io.tables import (fill_wave_bytes,
+                                                   load_table)
+    from picoprobedataflow_spark.operators.dedup import \
+        _spread_small_cached
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        cores = spark.sparkContext.defaultParallelism
+        assert fill_wave_bytes(spark) == cores * 128 * 1024 * 1024
+        df = load_table(spark, "/root/testdata/sf0.1", "documents",
+                        scan_repart=True)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        small = spark.range(100).select(
+            F.col("id").alias("doc_id"))
+        plan2 = (_spread_small_cached(small, "doc_id")
+                 ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange hashpartitioning(doc_id" in plan2
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
