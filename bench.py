@@ -434,6 +434,19 @@ def main() -> None:
     # Round 14: embedding-space benchmark decontamination (bench
     # broadcast + one corpus-keyed max aggregate).
     variants["semdecon_full"] = PL.semantic_decontam_flags
+    # Round 18: variant-phase ambient canaries. The variant keys are
+    # timed AFTER the headline phase, so the canary trio's ambient
+    # factor does not cover their window — cross-capture variant
+    # comparisons had no noise anchor, and the round-18 investigation
+    # measured untouched sub-second variant keys (nfc/cms/zipf)
+    # swinging +-50% across captures with flat interleaved A/Bs. The
+    # frozen q1 plan re-timed at the START and END of the variant
+    # phase gives the side file an in-phase ambient reference.
+    # Side-file only (never headline keys); additions-only per the
+    # harness contract.
+    canary_fn = bench["q1_pricing_summary"]
+    variants = {"variant_canary_q1_pre": canary_fn, **variants}
+    variants["variant_canary_q1_post"] = canary_fn
 
     # Untimed warmup: JVM/codegen spin-up and parquet footer reads
     # shouldn't be charged to the first query. Each headline query is
