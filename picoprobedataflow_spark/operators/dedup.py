@@ -1824,7 +1824,14 @@ def _reassemble_spans(docs: DataFrame, marked: DataFrame, keep,
     from picoprobedataflow_spark.functions.text import words
 
     kept_struct = F.when(keep, F.struct("idx", "span"))
-    agg = (marked.groupBy(id_col)
+    # Gated doc-hash respread before the reassembly aggregate (round
+    # 18, guide §2.5 — the decontaminate_spans sweep treatment): AQE
+    # sizes the doc-keyed shuffle by BYTES and coalesces the MB-scale
+    # marked-span table to 1-4 tasks under the compute-dense
+    # collect_list+array_sort+concat stage. Statistics-gated to small
+    # inputs (shared fill-wave break-even — no-op at corpus scale);
+    # partitioning never changes values.
+    agg = (_spread_small_cached(marked, id_col).groupBy(id_col)
            .agg(F.concat_ws(" ", F.transform(
                     F.array_sort(F.collect_list(kept_struct)),
                     lambda s: s.span)).alias("_body"),
@@ -2217,6 +2224,10 @@ def remove_frequent_lines(docs: DataFrame, min_df: int = 2,
     marked = keyed.join(dfreq, "_k", "left")
     keep = F.col("_df").isNull() | (F.col("_df") < F.lit(min_df))
     kept_struct = F.when(keep, F.struct("idx", "line"))
+    # Round-18 note: the _reassemble_spans doc-hash respread was
+    # A/B'd here too and measured a lean LOSS (med 0.96->1.06 s;
+    # line grain has far fewer rows per doc than the window grain) —
+    # deliberately not applied.
     agg = (marked.groupBy(id_col)
            .agg(F.concat_ws("\n", F.transform(
                     F.array_sort(F.collect_list(kept_struct)),
@@ -2473,7 +2484,17 @@ def decontaminate_spans(train_docs: DataFrame,
     # s+k (exclusive end) has already released token s+k.
     w = (W.partitionBy(id_col).orderBy("pos", "ord")
          .rowsBetween(W.unboundedPreceding, 0))
-    marked = (tok_rows.unionByName(ev)
+    # Gated respread before the sweep (round 18, guide §2.5): AQE
+    # coalesces the doc-keyed event shuffle by BYTES, blind to the
+    # compute density of the sweep+reassembly stage on top of it —
+    # profiled at sf0.1 as a 5 MB shuffle read by 4 tasks doing 3 s
+    # of window+array_sort+concat work while 28 cores idled. The
+    # explicit doc-hash repartition pins one full task wave and is
+    # statistics-gated to small inputs (the shared fill-wave
+    # break-even — a no-op at corpus scale, where the byte-sized
+    # partitions AQE picks are right). Same single exchange either
+    # way; partitioning never changes values.
+    marked = (_spread_small_cached(tok_rows.unionByName(ev), id_col)
               .withColumn("_cov", F.sum("delta").over(w))
               .filter(F.col("ord") == 1))
     kept_struct = F.when(F.col("_cov") == 0, F.struct("pos", "term"))

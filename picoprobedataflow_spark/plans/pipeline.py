@@ -2298,7 +2298,11 @@ def span_clean_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually consumes, not just the diagnostic counts the
     ``span_dedup`` family reports. One doc-keyed reassembly
     aggregate on top of the span chain."""
-    docs = tbl(spark, sf_dir, "documents")
+    # scan_repart=True (round 18): with the reassembly respread the
+    # interleaved A/B measured 1.34→1.01 s min (identical rows, both
+    # SFs); scan repart alone spreads the two 1-task tokenize/span
+    # map stages.
+    docs = tbl(spark, sf_dir, "documents", scan_repart=True)
     return DD.remove_duplicate_spans(docs, span_w=_SPAN_W)
 
 
@@ -3174,7 +3178,12 @@ def decontam_span_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle scale, quadratic per boilerplate-heavy doc at corpus
     scale, which is exactly why the Spark side is the event-sweep
     instead."""
-    docs = tbl(spark, sf_dir, "documents")
+    # scan_repart=True (round 18): the tokenize→window-explode map
+    # side ran 2 tasks on the unsplittable scan while the sweep's
+    # doc-keyed shuffle coalesced to 4 — together with the operator's
+    # gated respread the interleaved A/B measured 1.63→1.29 s min
+    # (identical rows, both SFs).
+    docs = tbl(spark, sf_dir, "documents", scan_repart=True)
     is_bench = (F.col("doc_id") % 13) == 0
     return DD.decontaminate_spans(docs.filter(~is_bench),
                                   docs.filter(is_bench),
@@ -4206,7 +4215,8 @@ def decontam_span_texts_bloom(spark: SparkSession,
     the shape that survives a benchmark union too big to broadcast:
     the semi join's shuffle shrinks from |windows| ≈ |tokens| to
     |hits| + fp·|windows|."""
-    docs = tbl(spark, sf_dir, "documents")
+    # scan_repart: same A/B'd opt-in as decontam_span_texts.
+    docs = tbl(spark, sf_dir, "documents", scan_repart=True)
     is_bench = (F.col("doc_id") % 13) == 0
     return DD.decontaminate_spans(docs.filter(~is_bench),
                                   docs.filter(is_bench),
