@@ -2126,20 +2126,37 @@ def remove_duplicate_substrings(docs: DataFrame, min_len: int = 12,
             .agg(F.sort_array(F.collect_list(
                 F.struct(F.col("_s"), F.col("_e")))).alias("_ivl")))
     joined = toks0.join(ivls, id_col, "left")
-    idx = F.transform(F.col("_w"),
-                      lambda t, i: F.struct(t.alias("t"),
-                                            i.alias("i")))
-    kept_arr = F.filter(
-        idx,
-        lambda s: ~F.exists(
-            F.coalesce(F.col("_ivl"),
-                       F.array().cast("array<struct<_s:long,"
-                                      "_e:long>>")),
-            lambda v: (s.i >= v._s) & (s.i < v._e)))
+    # Kept tokens as COMPLEMENT SLICES of the interval array (round
+    # 18, guide §1.2 per-task work): the previous per-token
+    # ``filter(idx, s -> !exists(_ivl, ...))`` evaluated an
+    # interpreted lambda per token x interval — O(|tokens|·|ivls|)
+    # HOF invocations per doc, ~20 s of the 44 s executor profile at
+    # sf0.1. The islands are sorted, non-overlapping, half-open
+    # [_s, _e) over 0-based token indices, so the kept tokens are
+    # exactly the gaps between consecutive intervals (plus the
+    # prefix before the first and the tail after the last): zip the
+    # interval array against itself shifted by one sentinel and take
+    # one ``slice`` per gap — O(|ivls|) lambda invocations and one
+    # array copy, same order, same tokens, bit-identical ``cleaned``
+    # / counts (equality pytest-pinned; NULL-token docs keep the
+    # NULL kept array the filter form produced).
+    ivl = F.coalesce(F.col("_ivl"),
+                     F.array().cast("array<struct<_s:long,"
+                                    "_e:long>>"))
+    lo = F.array(F.struct(F.lit(0).cast("long").alias("_s"),
+                          F.lit(0).cast("long").alias("_e")))
+    hi = F.array(F.struct(F.size("_w").cast("long").alias("_s"),
+                          F.lit(0).cast("long").alias("_e")))
+    kept_arr = F.when(
+        F.col("_w").isNotNull(),
+        F.flatten(F.zip_with(
+            F.concat(lo, ivl), F.concat(ivl, hi),
+            lambda p, n: F.slice(F.col("_w"),
+                                 (p["_e"] + 1).cast("int"),
+                                 (n["_s"] - p["_e"]).cast("int")))))
     return (joined.select(
         F.col(id_col),
-        F.concat_ws(" ", F.transform(kept_arr, lambda s: s.t))
-         .alias("cleaned"),
+        F.concat_ws(" ", kept_arr).alias("cleaned"),
         (F.size("_w") - F.size(kept_arr)).cast("long")
          .alias("n_removed"),
         F.size(kept_arr).cast("long").alias("n_kept")))
