@@ -171,7 +171,7 @@ def main() -> None:
     fns.update(build_variant_registry())
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r17")
+        "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r18"))
     os.makedirs(out_dir, exist_ok=True)
     summary_lines = []
     for name in sorted(fns):
