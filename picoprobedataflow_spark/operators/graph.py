@@ -469,7 +469,16 @@ def hits(edges: DataFrame, n_iter: int = 10,
                         .otherwise(F.lit(0.0)).alias(out)))
 
     for _ in range(n_iter):
-        auth = _push(v, "src", "dst", "hub", "auth")
+        # auth materializes per iteration (round 18): it feeds TWO
+        # consumers — the hub push and the iteration's final join —
+        # and un-checkpointed the auth join+aggregate subtree planned
+        # twice inside each iteration's checkpoint job (exchange
+        # reuse recovered only part of it; interleaved A/B min
+        # 1.59→1.48 s, med 1.92→1.66 s on the 3-iteration bench key,
+        # fixpoint bit-identical). One extra k-bounded job per
+        # iteration buys one fewer full push evaluation.
+        auth = _push(v, "src", "dst", "hub", "auth") \
+            .localCheckpoint(eager=True)
         hub = _push(auth, "dst", "src", "auth", "hub")
         v = (hub.join(auth, "node")
              .select("node", "hub", "auth")
