@@ -4214,9 +4214,25 @@ def decontam_span_texts_bloom(spark: SparkSession,
     the family shares the direct route's oracle verbatim. This is
     the shape that survives a benchmark union too big to broadcast:
     the semi join's shuffle shrinks from |windows| ≈ |tokens| to
-    |hits| + fp·|windows|."""
-    # scan_repart: same A/B'd opt-in as decontam_span_texts.
-    docs = tbl(spark, sf_dir, "documents", scan_repart=True)
+    |hits| + fp·|windows|.
+
+    CORRECTNESS NOTE (round 18): this load must stay PLAIN —
+    ``scan_repart=True`` here produces WRONG RESULTS when this branch
+    shares one query with the ``decontam_spans`` branch (the hosting
+    suite does exactly that): with both branches carrying the
+    canonically-identical ``repartition(n, doc_id)`` scan subtree,
+    Spark's exchange reuse mis-substitutes an exchange feeding this
+    branch's BroadcastNestedLoopJoin Bloom probe and the prefilter
+    drops every window (n_removed = 0 corpus-wide at sf0.1; minimal
+    2-branch repro pinned by
+    tests/test_scale_patterns.py::
+    test_decontam_transports_agree_in_shared_query — correct
+    standalone, correct with either branch plain, correct with
+    ``spark.sql.exchange.reuse=false``, AQE irrelevant). The sf0.01
+    driver gate cannot see it (that fixture sits under the
+    repartition gate's 256 KB floor), which is why the sf0.1 audit
+    is the gate that caught it."""
+    docs = tbl(spark, sf_dir, "documents")
     is_bench = (F.col("doc_id") % 13) == 0
     return DD.decontaminate_spans(docs.filter(~is_bench),
                                   docs.filter(is_bench),

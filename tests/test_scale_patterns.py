@@ -1354,3 +1354,38 @@ def test_substr_seen_sigs_broadcast_batch_equals_default(spark):
     b = sorted(map(tuple, out.collect()))
     assert a == b
     assert any(r[2] > 0 for r in b)        # something was removed
+
+
+def test_decontam_transports_agree_in_shared_query(spark):
+    """Round-18 regression guard for a Spark exchange-reuse
+    wrong-results trigger. When the decontam direct branch and the
+    Bloom-transport branch share ONE query (the hosting curation
+    suite's exact shape) and BOTH carry the canonically-identical
+    repartition(n, doc_id) scan subtree, exchange reuse
+    mis-substitutes an exchange feeding the Bloom branch's
+    BroadcastNestedLoopJoin probe and the prefilter drops every
+    window (n_removed = 0 corpus-wide; correct standalone, correct
+    with either branch plain, correct with
+    spark.sql.exchange.reuse=false, AQE irrelevant). The shipped
+    shape keeps the Bloom branch's load PLAIN; this test unions both
+    branches at sf0.1 — the sf0.01 fixture sits under the
+    repartition gate's 256 KB floor and cannot see the bug — and
+    pins transport invariance inside the shared query."""
+    from picoprobedataflow_spark.plans.pipeline import (
+        decontam_span_texts, decontam_span_texts_bloom)
+
+    sf = "/root/testdata/sf0.1"
+    u = (decontam_span_texts(spark, sf)
+         .withColumn("fam", F.lit("direct"))
+         .unionByName(decontam_span_texts_bloom(spark, sf)
+                      .withColumn("fam", F.lit("bloom"))))
+    rows = (u.groupBy("fam")
+            .agg(F.sum("n_removed").alias("rm"),
+                 F.sum("n_kept").alias("kp"),
+                 F.count("*").alias("n"))
+            .collect())
+    got = {r.fam: (r.rm, r.kp, r.n) for r in rows}
+    assert got["direct"] == got["bloom"], got
+    # the Bloom branch must actually remove something — the failure
+    # mode is exactly "nothing removed anywhere"
+    assert got["bloom"][0] > 0, got
